@@ -1,11 +1,20 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loader for the driver-generated testdata
   * (see /root/repo/TESTDATA.md). One parquet file per table under
   * `sfDir`. Explicit-path loads keep Catalyst's parquet pushdown
   * (predicate + column pruning) fully effective.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+  * reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as a raw
+  * nanosecond long (legacy conf) and rebuild a TimestampType column.
+  * The testdata has zero sub-microsecond content (verified: ns%1000==0
+  * for every row), so `ts div 1000` is lossless and `div` (integer
+  * division) avoids the double round-trip that would corrupt 1.7e18-ns
+  * epochs.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -13,5 +22,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 }

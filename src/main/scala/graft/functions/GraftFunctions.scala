@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Expression helpers shared across the operator battery.
+  *
+  * Cross-engine determinism rule (the DuckDB oracle gate hashes values):
+  * floating-point aggregation is order-dependent, so any SUM/AVG over a
+  * double column is computed in DECIMAL — decimal arithmetic is exact and
+  * associative, so Spark (whatever its partial-aggregation tree looks
+  * like) and DuckDB produce bitwise-identical results; the final cast
+  * back to double is a single deterministic conversion. This matters at
+  * 100 TB too: results stop depending on partition count / AQE decisions.
+  *
+  * Everything here is built from org.apache.spark.sql.functions (codegen
+  * friendly, stays inside WholeStageCodegen) — no UDFs.
+  */
+object GraftFunctions {
+
+  /** Exact order-independent sum of a money-like double column. */
+  def dsum(c: Column, precision: Int = 18, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(precision, scale))).cast(DoubleType)
+
+  /** Exact average = decimal sum / count, divided in double space. */
+  def davg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(lit(1))
+
+  /** Whitespace tokenizer (keeps the reference's split semantics:
+    * java.util.regex, trailing empties preserved with limit -1). */
+  def tokens(c: Column): Column = split(c, " ", -1)
+
+  /** Distinct whitespace tokens. */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** All w-token shingles of a token-array column, joined by single
+    * spaces: shingle i = tokens[i..i+w-1], i in 1..n-w+1 (1-based).
+    * Guarded: sequence(1, n-w+1) with n < w would generate a DESCENDING
+    * sequence in Spark, so short docs yield an empty array instead. */
+  def shingles(tok: Column, w: Int): Column =
+    when(size(tok) >= w,
+      transform(
+        sequence(lit(1), size(tok) - (w - 1)),
+        i => array_join(slice(tok, i, lit(w)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** MinHash signature of a shingle-set column using k md5-derived hash
+    * functions: h_j(s) = md5(j || '|' || s), minimized lexicographically
+    * (md5 hex is lowercase, so string min == unsigned byte min). Purely
+    * deterministic and reproducible in any engine with md5. */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleSet,
+        s => md5(concat(j.cast(StringType), lit("|"), s)))))
+
+  /** LSH band keys from a minhash signature: band j = md5 of the
+    * concatenation of `rowsPerBand` consecutive signature entries. */
+  def lshBands(sig: Column, rowsPerBand: Int, nBands: Int): Column =
+    transform(
+      sequence(lit(0), lit(nBands - 1)),
+      j => md5(concat_ws("", slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** 16-bit SimHash over a distinct-token array: bit k is set iff at
+    * least half the tokens have the top bit of the (k+1)-th nibble of
+    * their md5 set (nibble >= '8' in hex). Deterministic, md5-portable. */
+  def simhash16(tokSet: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(15)),
+      lit(0L),
+      (acc, k) => acc + when(
+        size(filter(tokSet, t => md5(t).substr(k + 1, lit(1)) >= lit("8"))) * 2
+          >= size(tokSet),
+        // shiftleft() needs a literal shift amount; pow is exact for k<=15
+        pow(lit(2.0), k).cast(LongType)).otherwise(lit(0L)))
+
+  private val Dec = DecimalType(10, 6)
+  private val DecAcc = DecimalType(24, 12)
+
+  /** Exact dot product of two float-array columns: elements are cast to
+    * DECIMAL(10,6) (deterministic rounding of the float value), products
+    * (scale 12, exact) summed exactly — order-independent, so bitwise-
+    * reproducible across engines and across partitionings. The re-cast
+    * inside the sum lambda pins the accumulator type (Spark's decimal
+    * addition otherwise widens precision every step and the aggregate()
+    * HOF rejects the drifting type); it is lossless because scale stays
+    * 12 and |dot| << 1e12. */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(Dec) * y.cast(Dec)),
+      lit(0).cast(DecAcc),
+      (acc, x) => (acc + x).cast(DecAcc))
+
+  /** Cosine similarity via exact decimal dot/norms; final double math
+    * (division, sqrt) is IEEE-deterministic. */
+  def cosineDecimal(a: Column, b: Column): Column =
+    dotDecimal(a, b).cast(DoubleType) /
+      sqrt(dotDecimal(a, a).cast(DoubleType) * dotDecimal(b, b).cast(DoubleType))
+}

@@ -1,0 +1,335 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One named query per relational operator of SURVEY.md §2, plus the
+  * join/window/set-op/rollup surface a complete engine needs (the
+  * reference lacks them; SURVEY.md §2 "deliberately absent" list).
+  * Every query has a DuckDB-equivalent oracle SQL with IDENTICAL column
+  * names and ORDER BY, and all double aggregation goes through decimal
+  * (see GraftFunctions) so hashes match bit-for-bit.
+  */
+object CoreQueries {
+
+  /** name -> (spark fn, oracle sql) */
+  case class Q(name: String,
+               fn: (SparkSession, String) => DataFrame,
+               sql: Option[String])
+
+  val all: Seq[Q] = Seq(
+
+    // S-scan + projection + predicate (pushed to parquet: check
+    // PushedFilters/ReadSchema in .explain)
+    Q("q_scan_filter_project",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity >= 45 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // F1: substring-contains predicate bank (the reference's namespace
+    // filter shape, CountReference.java:254-256)
+    Q("q_contains_filter",
+      (s, d) => Tables.load(s, d, "part")
+        .filter(!(col("p_type").contains("PROMO") ||
+                  col("p_type").contains("ECONOMY")))
+        .select("p_partkey", "p_type")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_type FROM part
+             |WHERE NOT (p_type LIKE '%PROMO%' OR p_type LIKE '%ECONOMY%')
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // A1: DISTINCT over a composite key (CountReference.java:269-276)
+    Q("q_distinct_pairs",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey").distinct()
+        .orderBy("l_orderkey", "l_suppkey"),
+      Some("""SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+             |ORDER BY l_orderkey, l_suppkey""".stripMargin)),
+
+    // A2: count per key (job 2 of the reference, CountReference.java:298-305)
+    Q("q_count_per_key",
+      (s, d) => Tables.load(s, d, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS cnt FROM orders
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // A1+A2 fused: exact countDistinct (the whole reference cascade)
+    Q("q_count_distinct",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+             |count(*) AS n_rows FROM lineitem
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // O1: global sort (range-partitioned in Spark; total order)
+    Q("q_global_sort",
+      (s, d) => Tables.load(s, d, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(desc("c_acctbal"), asc("c_custkey")),
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |ORDER BY c_acctbal DESC, c_custkey""".stripMargin)),
+
+    // top-k: sort + limit (TakeOrderedAndProject in the physical plan —
+    // O(n log k) per partition, no full sort at scale)
+    Q("q_topk",
+      (s, d) => Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q1-shaped wide aggregate; all double sums exact via decimal
+    Q("q_agg_pricing",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(9, 4)) -
+               col("l_discount").cast(DecimalType(9, 4))))
+            .cast(DoubleType).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS sum_disc_price,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             |count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // broadcast join: part is the small dim — broadcast() keeps the big
+    // lineitem side shuffle-free
+    Q("q_join_broadcast",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .join(broadcast(Tables.load(s, d, "part")),
+              col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+             dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS n_items,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // multi-way join through the dimension chain, all dims broadcast
+    Q("q_join_multi",
+      (s, d) => Tables.load(s, d, "orders")
+        .join(Tables.load(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, d, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("total"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // semi join (EXISTS)
+    Q("q_semi_join",
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val o = Tables.load(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // anti join (NOT EXISTS)
+    Q("q_anti_join",
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val o = Tables.load(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // window: rank within group (top-3 per nation)
+    Q("q_window_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        Tables.load(s, d, "customer")
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 3)
+          .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+          .orderBy("c_nationkey", "rn")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+             |  SELECT c_nationkey, c_custkey, c_acctbal,
+             |    CAST(row_number() OVER (PARTITION BY c_nationkey
+             |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+             |  FROM customer) t
+             |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin)),
+
+    // window: running sum (exact via decimal — order-independent within
+    // the frame, so engine-internal accumulation order is irrelevant)
+    Q("q_window_running",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, d, "lineitem")
+          .filter(col("l_suppkey") <= 3)
+          .withColumn("run_qty",
+            sum(col("l_quantity").cast(DecimalType(18, 2))).over(w)
+              .cast(DoubleType))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "run_qty")
+          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             |  PARTITION BY l_suppkey
+             |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_qty
+             |FROM lineitem WHERE l_suppkey <= 3
+             |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin)),
+
+    // rollup (subtotal grouping sets); rollup-nulls folded to 'ALL' so
+    // cross-engine null-ordering differences can't bite
+    Q("q_rollup",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("cnt"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // set operations: INTERSECT / EXCEPT / UNION ALL in one result
+    Q("q_set_ops",
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+          .select(col("c_nationkey").as("k")).distinct()
+        val sup = Tables.load(s, d, "supplier")
+          .select(col("s_nationkey").as("k")).distinct()
+        c.intersect(sup).withColumn("tag", lit("both"))
+          .unionByName(c.except(sup).withColumn("tag", lit("cust_only")))
+          .select("tag", "k").orderBy("tag", "k")
+      },
+      Some("""SELECT 'both' AS tag, k FROM (
+             |  SELECT DISTINCT c_nationkey AS k FROM customer
+             |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier) t1
+             |UNION ALL
+             |SELECT 'cust_only' AS tag, k FROM (
+             |  SELECT DISTINCT c_nationkey AS k FROM customer
+             |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier) t2
+             |ORDER BY tag, k""".stripMargin)),
+
+    // date/time functions over timestamp columns
+    Q("q_date_parts",
+      (s, d) => Tables.load(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("y"),
+                 month(col("o_orderdate")).cast(LongType).as("m"))
+        .agg(count(lit(1)).as("cnt"),
+             dsum(col("o_totalprice")).as("total"))
+        .orderBy("y", "m"),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             |CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS cnt,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin)),
+
+    // scalar math + CASE bank (sqrt/floor are IEEE-exact cross-engine;
+    // additions go through decimal)
+    Q("q_case_math",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 500)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") >= 0.06, "HI")
+            .when(col("l_discount") >= 0.03, "MID")
+            .otherwise("LO").as("band"),
+          (col("l_tax").cast(DecimalType(9, 2)) +
+           col("l_discount").cast(DecimalType(9, 2)))
+            .cast(DoubleType).as("t_plus_d"),
+          sqrt(col("l_quantity")).as("sq"),
+          floor(col("l_extendedprice")).cast(LongType).as("fl"),
+          abs(col("l_quantity") - 25).as("dev"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CASE WHEN l_discount >= 0.06 THEN 'HI'
+             |     WHEN l_discount >= 0.03 THEN 'MID' ELSE 'LO' END AS band,
+             |CAST(CAST(l_tax AS DECIMAL(9,2)) + CAST(l_discount AS DECIMAL(9,2)) AS DOUBLE) AS t_plus_d,
+             |sqrt(l_quantity) AS sq,
+             |CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+             |abs(l_quantity - 25) AS dev
+             |FROM lineitem WHERE l_orderkey <= 500
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // tumbling time window over the event stream table (batch analog of
+    // the Structured Streaming windowed agg; epoch seconds keep the
+    // timestamp comparison engine-neutral)
+    Q("q_events_tumbling",
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             dsum(col("value")).as("sum_value"))
+        .orderBy("hour_epoch", "event_type"),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             |event_type, count(*) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin)),
+
+    // gap-based sessionization (30-min inactivity), batch analog of the
+    // streaming mapGroupsWithState sessionizer
+    Q("q_events_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.load(s, d, "events")
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev").isNull ||
+                 unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800,
+                 1L).otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum(col("is_new")).as("n_sessions"),
+               count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, event_id,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events)
+             |SELECT user_id,
+             |  CAST(SUM(CASE WHEN prev IS NULL
+             |    OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}

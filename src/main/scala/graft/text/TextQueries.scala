@@ -1,0 +1,173 @@
+package graft.text
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.queries.CoreQueries.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table: tokenization,
+  * extract-all+explode (the reference's E2 generator reshaped for plain
+  * text), scalar cleanup (E3/E4), language-ID, quality scoring and
+  * document fingerprinting. All pure `functions._` expressions —
+  * codegen'd, no UDFs — and all DuckDB-reproducible.
+  */
+object TextQueries {
+
+  val Stopwords = Seq("the", "a", "an", "of", "and")
+
+  val all: Seq[Q] = Seq(
+
+    // token counting (whitespace tokenizer + distinct count)
+    Q("q_token_count",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+          size(tokenSet(col("text"))).cast(LongType).as("n_distinct"),
+          col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |n_chars FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // E2 analog: regex extract-all + explode (Generator), then per-token
+    // corpus stats. java.util.regex on the Spark side, RE2 in DuckDB —
+    // the character-class pattern is semantics-identical in both.
+    Q("q_word_freq",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+            .as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"),
+             countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("token"),
+      Some("""SELECT token, count(*) AS cnt,
+             |count(DISTINCT doc_id) AS n_docs FROM (
+             |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS token
+             |  FROM documents) t
+             |GROUP BY token ORDER BY token""".stripMargin)),
+
+    // The reference's whole-pipeline shape on plain text: extract terms,
+    // filter a needle set, count DISTINCT source docs per term, sort.
+    // (== extractLinks -> countDistinct -> orderBy of WikiPipeline.)
+    Q("q_incoming_refs",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+            .as("term"))
+        .filter(!col("term").isInCollection(Stopwords))
+        .groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("term"),
+      Some(s"""SELECT term, count(DISTINCT doc_id) AS n_docs FROM (
+             |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+             |  FROM documents) t
+             |WHERE term NOT IN (${Stopwords.map("'" + _ + "'").mkString(", ")})
+             |GROUP BY term ORDER BY term""".stripMargin)),
+
+    // E3+E4 scalar cleanup bank: split_part / regexp_replace(g) / trim /
+    // upper / byte length
+    Q("q_scalar_clean",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          substring_index(col("text"), " ", 1).as("head_tok"),
+          trim(regexp_replace(substring(col("text"), 1, 40), "[aeiou]", ""))
+            .as("devoweled"),
+          upper(col("lang")).as("lang_u"),
+          octet_length(col("text")).cast(LongType).as("n_bytes"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, split_part(text, ' ', 1) AS head_tok,
+             |trim(regexp_replace(substr(text, 1, 40), '[aeiou]', '', 'g')) AS devoweled,
+             |upper(lang) AS lang_u,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // language-ID heuristic: stopword-hit voting per candidate language
+    // (higher-order filter over the token array; expression-only)
+    Q("q_lang_id",
+      (s, d) => {
+        val tok = tokens(col("text"))
+        def hits(ws: Seq[String]) =
+          size(filter(tok, t => t.isInCollection(ws))).cast(LongType)
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            hits(Seq("the", "a", "of", "and")).as("en_hits"),
+            hits(Seq("le", "la", "et", "de")).as("fr_hits"))
+          .withColumn("pred_lang",
+            when(col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+              .when(col("fr_hits") > 0, "fr")
+              .otherwise("und"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, en_hits, fr_hits,
+             |CASE WHEN en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+             |     WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS pred_lang
+             |FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS en_hits,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      t -> t IN ('le', 'la', 'et', 'de'))) AS BIGINT) AS fr_hits
+             |  FROM documents) t ORDER BY doc_id""".stripMargin)),
+
+    // quality score: length/punctuation/stopword/diversity ratios,
+    // combined in exact decimal arithmetic
+    Q("q_quality_score",
+      (s, d) => {
+        val tok = tokens(col("text"))
+        val nTok = size(tok).cast(LongType)
+        val nStop = size(filter(tok, t => t.isInCollection(Stopwords)))
+          .cast(LongType)
+        val nDist = size(array_distinct(tok)).cast(LongType)
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), nTok.as("n_tokens"), nStop.as("n_stop"),
+                  nDist.as("n_distinct"))
+          .withColumn("stop_ratio",
+            col("n_stop").cast(DoubleType) / col("n_tokens"))
+          .withColumn("diversity",
+            col("n_distinct").cast(DoubleType) / col("n_tokens"))
+          .withColumn("quality",
+            when(col("n_tokens") >= 20,
+                 col("diversity") * (lit(1.0) - col("stop_ratio")))
+              .otherwise(0.0))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_tokens, n_stop, n_distinct,
+             |CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+             |CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
+             |CASE WHEN n_tokens >= 20 THEN
+             |  (CAST(n_distinct AS DOUBLE) / n_tokens) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+             |ELSE 0.0 END AS quality
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      t -> t IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS n_stop,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+             |  FROM documents) t ORDER BY doc_id""".stripMargin)),
+
+    // document fingerprinting: whole-doc md5, 60-bit integer fingerprint,
+    // and a min-shingle (winnowing-style) signature — md5 is the portable
+    // deterministic hash both engines share
+    Q("q_doc_fingerprint",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          md5(col("text")).as("fp_md5"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType)
+            .as("fp_int"),
+          array_min(transform(shingles(tokens(col("text")), 3), s => md5(s)))
+            .as("fp_min_shingle"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS fp_md5,
+             |CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp_int,
+             |list_aggregate(list_transform(
+             |  list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')),
+             |  s -> md5(s)), 'min') AS fp_min_shingle
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
