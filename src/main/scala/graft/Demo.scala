@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Library showcase entry: exercises the north-star surfaces end-to-end
+  * on a testdata dir — streaming sessionization, multimodal decode
+  * pipeline, and the native cosine expression. Usage:
+  *   spark-submit --class graft.Demo <jar> <sfDir>
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // 1. streaming: file-source events -> watermarked tumbling windows
+    import org.apache.spark.sql.streaming.Trigger
+    val win = streaming.StreamingPipelines.windowedCounts(
+      streaming.StreamingPipelines.readEventsStream(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value"))
+    val q = win.writeStream.format("memory").queryName("demo_win")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000); q.stop()
+    println(s"[demo] streaming windows: ${spark.table("demo_win").count()}")
+
+    // 2. multimodal: documents -> binary payloads -> features
+    val feats = multimodal.MultimodalPipeline.run(spark, sfDir)
+    println(s"[demo] multimodal features: ${feats.count()}")
+
+    // 3. native cosine expression via SQL registration
+    functions.CosineSimilarity.register(spark)
+    Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("emb")
+    val top = spark.sql(
+      """SELECT a.vec_id a_id, b.vec_id b_id,
+        |  cosine_sim(a.embedding, b.embedding) AS cos
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC LIMIT 3""".stripMargin).collect()
+    top.foreach(r => println(
+      f"[demo] top-cos pair: ${r.getLong(0)}%d-${r.getLong(1)}%d = ${r.getDouble(2)}%.4f"))
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming counterparts of the batch event queries
+  * (CoreQueries q_events_tumbling / q_events_sessionize): the same
+  * logical computation expressed over an unbounded source.
+  *
+  * The reference has no streaming at all (SURVEY.md §2 "deliberately
+  * absent"), so this is north-star surface: watermarked tumbling-window
+  * aggregation, and gap-based sessionization as custom state via
+  * flatMapGroupsWithState — the Spark-native replacement for a
+  * hand-rolled stateful reducer.
+  *
+  * Scale posture: state is keyed by (window|user) and pruned by
+  * watermark/timeout, so state size is bounded by active keys, not
+  * stream length; all aggregates are partial-aggregated before shuffle.
+  */
+object StreamingPipelines {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long)
+
+  case class Session(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
+                     n_events: Long, duration_sec: Long)
+
+  /** Tumbling 1-hour window counts/sums per event_type with a 10-minute
+    * watermark — append-mode capable (windows finalize when the
+    * watermark passes). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double")
+             .as("sum_value"))
+      .select(col("window.start").as("window_start"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization (30-minute inactivity) via
+    * flatMapGroupsWithState: one state record per active user, flushed
+    * as soon as a gap is observed in event-time order within the batch,
+    * or when the processing-time timeout fires. */
+  def sessionize(events: Dataset[Event],
+                 gapSeconds: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(finish(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.lastTs > gapSeconds * 1000 =>
+                  closed += finish(userId, st)
+                  cur = Some(SessionState(t, t, 1))
+                case Some(st) =>
+                  cur = Some(st.copy(lastTs = t, nEvents = st.nEvents + 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutDuration(s"$gapSeconds seconds")
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  private def finish(userId: Long, st: SessionState): Session =
+    Session(userId, new Timestamp(st.start), new Timestamp(st.lastTs),
+            st.nEvents, (st.lastTs - st.start) / 1000)
+
+  /** File-source streaming read of the events table with the same
+    * nanos-handling as Tables.load — a parquet directory works as an
+    * unbounded source for local smoke runs. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(raw).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Every battery query must run at sf0.001 and return a sane frame.
+  * (Value-level correctness is enforced by the DuckDB oracle gate —
+  * tools/oracle_check.py replays it locally; this suite guards
+  * compilation/runtime of each plan and result-shape invariants.) */
+class BatterySpec extends SparkSpec {
+
+  val mayBeEmpty = Set("q_anti_join", "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard", "q_dedup_embedding")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf0001)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      assert(df.columns.nonEmpty)
+      assert(df.columns.length === df.columns.distinct.length,
+        s"$name has duplicate column names")
+    }
+  }
+
+  test("every query name has oracle SQL (full oracle coverage)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("entry() returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle column names match spark column names per query") {
+    // cheap static guard: every alias in the spark result must appear in
+    // the SQL text (driver compare sorts by column name)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val cols = fn(spark, sf0001).columns
+      val sql = SparkEntry.oracleSql(name).toLowerCase
+      cols.foreach { c =>
+        assert(sql.contains(c.toLowerCase),
+          s"$name: spark column '$c' not mentioned in oracle SQL")
+      }
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.StreamingPipelines._
+// Spark 4.1 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** NOTE on test mechanics: data is added to the MemoryStream BEFORE
+  * start() and queries run with Trigger.AvailableNow + awaitTermination.
+  * processAllAvailable() would hang on the sessionize query: pending
+  * ProcessingTimeTimeout state makes the default trigger re-run batches
+  * forever, so the no-new-data condition never fires. */
+class StreamingPipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, tsSec: Long, user: Long, typ: String,
+                 v: Double = 1.0) =
+    Event(id, new Timestamp(tsSec * 1000), user, typ, v)
+
+  test("windowedCounts aggregates tumbling 1h windows (streaming)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      ev(1, 100, 1, "click"), ev(2, 200, 1, "click"),
+      ev(3, 4000, 2, "view"))
+    val q = windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val rows = spark.table("win_out")
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000,
+        r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows === Set((0L, "click", 2L, 2.0), (3600L, "view", 1L, 1.0)))
+  }
+
+  test("sessionize splits on >30min gaps and flushes closed sessions") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 1: two events 10s apart, then a 2h gap, then one more -> the
+    // first session closes in-batch when the gap is seen
+    in.addData(
+      ev(1, 1000, 1, "a"), ev(2, 1010, 1, "a"), ev(3, 9000, 1, "a"),
+      ev(4, 1000, 2, "b"))
+    val q = sessionize(in.toDS()).writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val sessions = spark.table("sess_out")
+      .select("user_id", "n_events", "duration_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only user 1's first session is closed (user 2 and the tail session
+    // are still open in state awaiting timeout)
+    assert(sessions === Set((1L, 2L, 10L)))
+  }
+
+  test("sessionize keeps a single session for gap-free events") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 0, 7, "x"), ev(2, 60, 7, "x"), ev(3, 120, 7, "x"))
+    val q = sessionize(in.toDS()).writeStream
+      .format("memory").queryName("sess_out2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    // nothing closed: all within gap; state holds one open session
+    assert(spark.table("sess_out2").count() === 0)
+  }
+
+  test("file-source streaming read over the events parquet works") {
+    val out = windowedCounts(
+      readEventsStream(spark, sf0001).select(
+        "event_id", "ts", "user_id", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("file_win")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000); q.stop()
+    assert(spark.table("file_win").count() > 0)
+  }
+}
