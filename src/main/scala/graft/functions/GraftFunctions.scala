@@ -45,22 +45,27 @@ object GraftFunctions {
         i => array_join(slice(tok, i, lit(w)), " ")))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** MinHash signature of a shingle-set column using k md5-derived hash
-    * functions: h_j(s) = md5(j || '|' || s), minimized lexicographically
-    * (md5 hex is lowercase, so string min == unsigned byte min). Purely
-    * deterministic and reproducible in any engine with md5. */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
+  /** MinHash signature of a shingle-set column: ONE md5 per shingle,
+    * sliced into k disjoint 4-hex-char (16-bit) sub-hashes, each
+    * minimized lexicographically (md5 hex is lowercase, so string min ==
+    * unsigned byte min). One hash call per shingle instead of k — the
+    * classic slice-a-wide-hash trick — and reproducible in any engine
+    * with md5. k <= 8 (32 hex chars / 4). */
+  def minhashSignature(shingleSet: Column, k: Int): Column = {
+    require(k <= 8, s"md5 yields at most 8 4-hex slices, got k=$k")
+    val hashed = transform(shingleSet, s => md5(s))
     transform(
       sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleSet,
-        s => md5(concat(j.cast(StringType), lit("|"), s)))))
+      j => array_min(transform(hashed, m => m.substr(j * 4 + 1, lit(4)))))
+  }
 
-  /** LSH band keys from a minhash signature: band j = md5 of the
-    * concatenation of `rowsPerBand` consecutive signature entries. */
+  /** LSH band keys from a minhash signature: band j = concatenation of
+    * `rowsPerBand` consecutive signature entries (already uniform hex —
+    * no need to re-hash). */
   def lshBands(sig: Column, rowsPerBand: Int, nBands: Int): Column =
     transform(
       sequence(lit(0), lit(nBands - 1)),
-      j => md5(concat_ws("", slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)))))
+      j => concat_ws("", slice(sig, j * rowsPerBand + 1, lit(rowsPerBand))))
 
   /** 16-bit SimHash over a distinct-token array: bit k is set iff at
     * least half the tokens have the top bit of the (k+1)-th nibble of
@@ -97,4 +102,25 @@ object GraftFunctions {
   def cosineDecimal(a: Column, b: Column): Column =
     dotDecimal(a, b).cast(DoubleType) /
       sqrt(dotDecimal(a, a).cast(DoubleType) * dotDecimal(b, b).cast(DoubleType))
+
+  /** Scaled-integer vector: float elements -> round(x * 1e6) as LONG.
+    * Deterministic (double multiply + HALF_UP round are identical in
+    * any IEEE engine) and exact thereafter: all dot/norm arithmetic on
+    * the scaled vectors is pure 64-bit integer math — order-independent
+    * like the decimal path but ~10x faster (no BigDecimal). With |x|<~40
+    * and dim 64, |dot| < 64*(4e7)^2 ~ 1e17 < 2^63. */
+  def vecScaled(v: Column): Column =
+    transform(v, x => round(x.cast(DoubleType) * 1e6).cast(LongType))
+
+  /** Exact integer dot product of two scaled-long arrays. */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from precomputed scaled arrays + integer self-norms:
+    * cos = dot / sqrt(na * nb), computed in double at the very end.
+    * (Precompute na/nb once per ROW before a pairwise join — computing
+    * them per PAIR triples the work.) */
+  def cosineFromScaled(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotLong(a, b).cast(DoubleType) /
+      sqrt(na.cast(DoubleType) * nb.cast(DoubleType))
 }

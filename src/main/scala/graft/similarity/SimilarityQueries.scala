@@ -9,21 +9,45 @@ import org.apache.spark.sql.types._
 /** Similarity-search operators over the `embeddings` table
   * (vec_id, embedding: array<float> dim 64, label).
   *
-  * Cosine is computed with exact decimal dot products (GraftFunctions
-  * .cosineDecimal): element-wise products in DECIMAL(10,6) summed
-  * exactly, final division/sqrt in IEEE double — bitwise identical in
-  * any engine, independent of partitioning/accumulation order. That is
-  * what makes a float-heavy operator ORACLE-VERIFIABLE at all.
+  * Cosine here uses SCALED-INTEGER arithmetic (GraftFunctions
+  * .vecScaled/dotLong): floats become round(x*1e6) longs once per row,
+  * every dot/norm is then exact 64-bit integer math — order-independent
+  * (so bitwise-reproducible in DuckDB for the oracle gate) and ~10x
+  * faster than the BigDecimal path. Self-norms are computed once per
+  * ROW before the pairwise join, not per pair. The codegen'd float
+  * CosineSimilarity expression is the non-oracle production fast path.
   *
   * Scale path: brute force is the correctness baseline (still fully
-  * distributed: broadcast the query set, scan+topK per partition via
-  * TakeOrderedAndProject). The bucketed variant prunes candidates by a
-  * partition key (label here; IVF centroid id in production) — same
-  * plan shape, 1/K the scan per query.
+  * distributed: broadcast the query set, scan+topK per partition). The
+  * bucketed variant prunes candidates by a partition key (label here;
+  * IVF centroid id in production) — same plan shape, 1/K the scan per
+  * query.
   */
 object SimilarityQueries {
 
   private val NearDupThreshold = 0.4 // data max ~0.51; away from edges
+
+  /** Shared oracle-SQL fragment: per-row scaled vector + integer norm. */
+  private val scaledCte =
+    """sc AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |nrm AS (
+      |  SELECT vec_id, label, sv,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> sv[i] * sv[i])) AS BIGINT) AS nn
+      |  FROM sc)""".stripMargin
+
+  private val cosExpr =
+    """CAST(list_sum(list_transform(range(1, 65), i -> a_sv[i] * b_sv[i])) AS DOUBLE)
+      |      / sqrt(CAST(a_nn AS DOUBLE) * CAST(b_nn AS DOUBLE))""".stripMargin
+
+  /** Spark side of the shared shape: (vec_id, label, sv, nn). */
+  private def scaled(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), vecScaled(col("embedding")).as("sv"))
+      .withColumn("nn", dotLong(col("sv"), col("sv")))
 
   val all: Seq[Q] = Seq(
 
@@ -32,34 +56,29 @@ object SimilarityQueries {
     Q("q_ann_bruteforce",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val e = Tables.load(s, d, "embeddings")
+        val e = scaled(s, d)
         val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val c = e.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("cv"))
+          .select(col("vec_id").as("query_id"), col("sv").as("a_sv"),
+            col("nn").as("a_nn"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("sv").as("b_sv"),
+          col("nn").as("b_nn"))
         val w = Window.partitionBy("query_id")
           .orderBy(desc("cos"), asc("neighbor_id"))
         c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-          .withColumn("cos", cosineDecimal(col("qv"), col("cv")))
+          .withColumn("cos", cosineFromScaled(
+            col("a_sv"), col("b_sv"), col("a_nn"), col("b_nn")))
           .withColumn("rank", row_number().over(w).cast(LongType))
           .filter(col("rank") <= 10)
           .select("query_id", "neighbor_id", "rank", "cos")
           .orderBy("query_id", "rank")
       },
-      Some("""WITH q AS (
-             |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-             |  WHERE vec_id < 5),
-             |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      Some(s"""WITH $scaledCte,
+             |q AS (SELECT vec_id AS query_id, sv AS a_sv, nn AS a_nn
+             |      FROM nrm WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS neighbor_id, sv AS b_sv, nn AS b_nn FROM nrm),
              |s AS (
              |  SELECT query_id, neighbor_id,
-             |    CAST(list_sum(list_transform(range(1, 65),
-             |      i -> CAST(CAST(qv[i] AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(cv[i] AS DOUBLE) AS DECIMAL(10,6)))) AS DOUBLE)
-             |    / sqrt(
-             |      CAST(list_sum(list_transform(range(1, 65),
-             |        i -> CAST(CAST(qv[i] AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(qv[i] AS DOUBLE) AS DECIMAL(10,6)))) AS DOUBLE) *
-             |      CAST(list_sum(list_transform(range(1, 65),
-             |        i -> CAST(CAST(cv[i] AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(cv[i] AS DOUBLE) AS DECIMAL(10,6)))) AS DOUBLE)
-             |    ) AS cos
+             |    $cosExpr AS cos
              |  FROM c JOIN q ON neighbor_id <> query_id),
              |r AS (
              |  SELECT query_id, neighbor_id, cos,
@@ -76,38 +95,32 @@ object SimilarityQueries {
     Q("q_ann_bucketed",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val e = Tables.load(s, d, "embeddings")
+        val e = scaled(s, d)
         val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("label").as("qlabel"))
-        val c = e.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("cv"), col("label"))
+          .select(col("vec_id").as("query_id"), col("sv").as("a_sv"),
+            col("nn").as("a_nn"), col("label").as("qlabel"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("sv").as("b_sv"),
+          col("nn").as("b_nn"), col("label"))
         val w = Window.partitionBy("query_id")
           .orderBy(desc("cos"), asc("neighbor_id"))
         c.join(broadcast(q),
             col("label") === col("qlabel") &&
             col("neighbor_id") =!= col("query_id"))
-          .withColumn("cos", cosineDecimal(col("qv"), col("cv")))
+          .withColumn("cos", cosineFromScaled(
+            col("a_sv"), col("b_sv"), col("a_nn"), col("b_nn")))
           .withColumn("rank", row_number().over(w).cast(LongType))
           .filter(col("rank") <= 5)
           .select("query_id", "neighbor_id", "rank", "cos")
           .orderBy("query_id", "rank")
       },
-      Some("""WITH q AS (
-             |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
-             |  FROM embeddings WHERE vec_id < 5),
-             |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
-             |  FROM embeddings),
+      Some(s"""WITH $scaledCte,
+             |q AS (SELECT vec_id AS query_id, sv AS a_sv, nn AS a_nn,
+             |        label AS qlabel FROM nrm WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS neighbor_id, sv AS b_sv, nn AS b_nn,
+             |        label FROM nrm),
              |s AS (
              |  SELECT query_id, neighbor_id,
-             |    CAST(list_sum(list_transform(range(1, 65),
-             |      i -> CAST(CAST(qv[i] AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(cv[i] AS DOUBLE) AS DECIMAL(10,6)))) AS DOUBLE)
-             |    / sqrt(
-             |      CAST(list_sum(list_transform(range(1, 65),
-             |        i -> CAST(CAST(qv[i] AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(qv[i] AS DOUBLE) AS DECIMAL(10,6)))) AS DOUBLE) *
-             |      CAST(list_sum(list_transform(range(1, 65),
-             |        i -> CAST(CAST(cv[i] AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(cv[i] AS DOUBLE) AS DECIMAL(10,6)))) AS DOUBLE)
-             |    ) AS cos
+             |    $cosExpr AS cos
              |  FROM c JOIN q ON label = qlabel AND neighbor_id <> query_id),
              |r AS (
              |  SELECT query_id, neighbor_id, cos,
@@ -121,30 +134,29 @@ object SimilarityQueries {
     // by label (the candidate-pruning key at scale)
     Q("q_dedup_embedding",
       (s, d) => {
-        val e = Tables.load(s, d, "embeddings")
+        val e = scaled(s, d)
         val a = e.select(col("label"), col("vec_id").as("a_id"),
-          col("embedding").as("a_v"))
+          col("sv").as("a_sv"), col("nn").as("a_nn"))
         val b = e.select(col("label"), col("vec_id").as("b_id"),
-          col("embedding").as("b_v"))
+          col("sv").as("b_sv"), col("nn").as("b_nn"))
         a.join(b, Seq("label"))
           .filter(col("a_id") < col("b_id"))
-          .withColumn("cos", cosineDecimal(col("a_v"), col("b_v")))
+          .withColumn("cos", cosineFromScaled(
+            col("a_sv"), col("b_sv"), col("a_nn"), col("b_nn")))
           .filter(col("cos") >= NearDupThreshold)
           .select("a_id", "b_id", "cos")
           .orderBy("a_id", "b_id")
       },
-      Some(s"""WITH s AS (
+      Some(s"""WITH $scaledCte,
+             |p AS (
              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             |    CAST(list_sum(list_transform(range(1, 65),
-             |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(10,6)))) AS DOUBLE)
-             |    / sqrt(
-             |      CAST(list_sum(list_transform(range(1, 65),
-             |        i -> CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(10,6)))) AS DOUBLE) *
-             |      CAST(list_sum(list_transform(range(1, 65),
-             |        i -> CAST(CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(10,6)))) AS DOUBLE)
-             |    ) AS cos
-             |  FROM embeddings a JOIN embeddings b
-             |    ON a.label = b.label AND a.vec_id < b.vec_id)
+             |    a.sv AS a_sv, b.sv AS b_sv, a.nn AS a_nn, b.nn AS b_nn
+             |  FROM nrm a JOIN nrm b
+             |    ON a.label = b.label AND a.vec_id < b.vec_id),
+             |s AS (
+             |  SELECT a_id, b_id,
+             |    $cosExpr AS cos
+             |  FROM p)
              |SELECT a_id, b_id, cos FROM s WHERE cos >= $NearDupThreshold
              |ORDER BY a_id, b_id""".stripMargin))
   )

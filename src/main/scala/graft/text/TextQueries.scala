@@ -152,16 +152,31 @@ object TextQueries {
 
     // document fingerprinting: whole-doc md5, 60-bit integer fingerprint,
     // and a min-shingle (winnowing-style) signature — md5 is the portable
-    // deterministic hash both engines share
+    // deterministic hash both engines share. Min-shingle is computed
+    // row-wise (posexplode + window leads + min-aggregate): the
+    // array-lambda version re-runs split(text) per element because HOFs
+    // don't codegen or share subexpressions.
     Q("q_doc_fingerprint",
-      (s, d) => Tables.load(s, d, "documents")
-        .select(col("doc_id"),
-          md5(col("text")).as("fp_md5"),
-          conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType)
-            .as("fp_int"),
-          array_min(transform(shingles(tokens(col("text")), 3), s => md5(s)))
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val minSh = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("t1", lead(col("tok"), 1).over(w))
+          .withColumn("t2", lead(col("tok"), 2).over(w))
+          .filter(col("t2").isNotNull)
+          .groupBy("doc_id")
+          .agg(min(md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))))
             .as("fp_min_shingle"))
-        .orderBy("doc_id"),
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            md5(col("text")).as("fp_md5"),
+            conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType)
+              .as("fp_int"))
+          .join(minSh, Seq("doc_id"), "left")
+          .orderBy("doc_id")
+      },
       Some("""SELECT doc_id, md5(text) AS fp_md5,
              |CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp_int,
              |list_aggregate(list_transform(

@@ -23,12 +23,12 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sh("a") === Seq.empty)
   }
 
-  test("minhashSignature: k entries, each a lowercase md5 hex") {
+  test("minhashSignature: k entries, each a 4-hex-char md5 slice") {
     val sig = Seq("x y z w").toDF("t")
       .select(minhashSignature(array_distinct(shingles(tokens(col("t")), 3)), 8)
         .as("sig")).head().getSeq[String](0)
     assert(sig.length === 8)
-    assert(sig.forall(_.matches("[0-9a-f]{32}")))
+    assert(sig.forall(_.matches("[0-9a-f]{4}")))
   }
 
   test("minhash identical docs -> identical signatures; disjoint differ") {
