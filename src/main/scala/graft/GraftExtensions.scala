@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes the engine's custom
+  * Catalyst functions available in ANY session created with
+  *   spark.sql.extensions=graft.GraftExtensions
+  * (or .withExtensions(new GraftExtensions)) — the deployment-grade
+  * registration path, vs. the per-session FunctionRegistry call.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

@@ -72,6 +72,25 @@ object CoreQueries {
              |count(*) AS n_rows FROM lineitem
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // approximate countDistinct (HLL++): the 100 TB sibling of the exact
+    // operator. Internals can't cross engines, so the oracle verifies
+    // the ACCURACY CONTRACT instead: the emitted flag says Spark's
+    // estimate landed within 5% of exact, and DuckDB's side asserts the
+    // flag is 1 alongside the exact counts — a hash match proves both
+    // the exact values and the estimator's bound.
+    Q("q_approx_distinct",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_cnt"),
+             approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+        .select(col("l_returnflag"), col("exact_cnt"),
+          when(abs(col("approx") - col("exact_cnt"))
+            <= col("exact_cnt") * 0.05, 1L).otherwise(0L).as("within_5pct"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_cnt,
+             |CAST(1 AS BIGINT) AS within_5pct FROM lineitem
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // O1: global sort (range-partitioned in Spark; total order)
     Q("q_global_sort",
       (s, d) => Tables.load(s, d, "customer")
