@@ -45,6 +45,16 @@ object Demo {
     top.foreach(r => println(
       f"[demo] top-cos pair: ${r.getLong(0)}%d-${r.getLong(1)}%d = ${r.getDouble(2)}%.4f"))
 
+    // 4. IVF ANN: train centroids, probe 2 of 8 lists per query
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = similarity.IvfIndex.train(emb, k = 8, iters = 2)
+    val assignments = similarity.IvfIndex.assign(emb, centroids)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val hits = similarity.IvfIndex.search(
+      emb, assignments, centroids, queries, topK = 5, nProbe = 2)
+    println(s"[demo] ivf hits: ${hits.count()} (3 queries x top-5, 2/8 lists probed)")
+
     spark.stop()
   }
 }

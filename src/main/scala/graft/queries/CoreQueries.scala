@@ -268,6 +268,48 @@ object CoreQueries {
              |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier) t2
              |ORDER BY tag, k""".stripMargin)),
 
+    // outer join with null-group aggregation (count(col) skips nulls,
+    // sum coalesced to 0 for order-less customers)
+    Q("q_outer_join",
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val o = Tables.load(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+               coalesce(sum(col("o_totalprice").cast(DecimalType(18, 2))),
+                 lit(0).cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |CAST(coalesce(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // CUBE grouping sets (all four subtotal combinations)
+    Q("q_cube",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("cnt"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // JSON extraction from a string column (events.props = {"k": N})
+    Q("q_json_extract",
+      (s, d) => Tables.load(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .orderBy("k"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |count(*) AS cnt FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
     // date/time functions over timestamp columns
     Q("q_date_parts",
       (s, d) => Tables.load(s, d, "orders")

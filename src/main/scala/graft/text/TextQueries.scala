@@ -18,19 +18,49 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
 
-    // token counting (whitespace tokenizer + distinct count)
+    // token counting: whitespace tokenizer, distinct count, and a
+    // BPE-ish regex segmentation (letter-runs | digit-runs | other) —
+    // the pattern avoids lookaheads so java.util.regex and RE2 agree
     Q("q_token_count",
       (s, d) => Tables.load(s, d, "documents")
         .select(
           col("doc_id"),
           size(tokens(col("text"))).cast(LongType).as("n_tokens"),
           size(tokenSet(col("text"))).cast(LongType).as("n_distinct"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType)
+            .as("n_bpe"),
           col("n_chars"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              |CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
              |n_chars FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // rolling-hash document fingerprint: ordered polynomial fold over
+    // the token stream, h' = (h*31 + ascii(head)*131 + len) mod 2^40 —
+    // position-sensitive (unlike the md5 set fingerprints) and exactly
+    // reproducible: the fold is a single-pass HOF whose collection
+    // argument (the split) is evaluated once, and all arithmetic stays
+    // far below 2^63 so no overflow divergence between engines.
+    Q("q_rolling_hash",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          aggregate(
+            tokens(col("text")),
+            lit(0L),
+            (acc, t) => (acc * 31 +
+              (ascii(t) * 131 + length(t)).cast(LongType)) % 1099511627776L)
+            .as("rhash"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |list_reduce(
+             |  list_concat([CAST(0 AS BIGINT)],
+             |    list_transform(string_split(text, ' '),
+             |      t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
+             |  (a, b) -> (a * 31 + b) % 1099511627776) AS rhash
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // E2 analog: regex extract-all + explode (Generator), then per-token
     // corpus stats. java.util.regex on the Spark side, RE2 in DuckDB —
