@@ -79,14 +79,22 @@ object CoreQueries {
     // flag is 1 alongside the exact counts — a hash match proves both
     // the exact values and the estimator's bound.
     Q("q_approx_distinct",
-      (s, d) => Tables.load(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("exact_cnt"),
-             approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
-        .select(col("l_returnflag"), col("exact_cnt"),
-          when(abs(col("approx") - col("exact_cnt"))
-            <= col("exact_cnt") * 0.05, 1L).otherwise(0L).as("within_5pct"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        // exact and approx aggregated SEPARATELY then joined on the tiny
+        // grouped result: one groupBy with both forces Catalyst to carry
+        // the ~400-slot HLL sketch buffer per DISTINCT KEY through a
+        // two-level distinct rewrite (observed 8s vs <1s at sf0.1)
+        val li = Tables.load(s, d, "lineitem")
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("exact_cnt"))
+        val approx = li.groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+        exact.join(approx, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_cnt"),
+            when(abs(col("approx") - col("exact_cnt"))
+              <= col("exact_cnt") * 0.05, 1L).otherwise(0L).as("within_5pct"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_cnt,
              |CAST(1 AS BIGINT) AS within_5pct FROM lineitem
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
