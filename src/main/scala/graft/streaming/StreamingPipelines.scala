@@ -87,6 +87,19 @@ object StreamingPipelines {
     Session(userId, new Timestamp(st.start), new Timestamp(st.lastTs),
             st.nEvents, (st.lastTs - st.start) / 1000)
 
+  /** Streaming exact dedup for an ingest pipeline: drop repeated
+    * payloads by content fingerprint within the watermark horizon.
+    * State holds one md5 per unique document seen inside the event-time
+    * window — bounded by watermark expiry, the property that keeps a
+    * 100 TB/day ingest from accumulating unbounded state. Expects
+    * columns (ts: timestamp, text: string); passes rows through with a
+    * `fp` column added. */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** File-source streaming read of the events table with the same
     * nanos-handling as Tables.load — a parquet directory works as an
     * unbounded source for local smoke runs. */

@@ -180,6 +180,73 @@ object TextQueries {
              |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
              |  FROM documents) t ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF terms: term frequency per doc, document frequency per term,
+    // and an integer idf weight (1e6 * N / df — "linear idf", exact in
+    // both engines; a log-based idf would hinge on libm ulp agreement).
+    // Output: top term per doc by (tf * weight), the classic keyword
+    // extraction shape, all in integer arithmetic.
+    Q("q_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+        val nDocs = docs.count() // tiny action; N is a scalar of the corpus
+        val tf = docs.select(col("doc_id"),
+            explode(tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          // `div`, not `/`: long / long is DOUBLE division in Spark and
+          // cast-to-long truncates while DuckDB's CAST rounds — explicit
+          // integer division agrees everywhere
+          .withColumn("weight", expr(s"${1000000L * nDocs} div df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("score"), asc("term"))
+        tf.join(df_, "term")
+          .withColumn("score", col("tf") * col("weight"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("term").as("top_term"),
+            col("tf"), col("df"), col("score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tfc AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM tf
+             |  GROUP BY doc_id, term),
+             |dfc AS (
+             |  SELECT term, count(DISTINCT doc_id) AS df,
+             |    CAST(1000000 * (SELECT count(*) FROM documents) // count(DISTINCT doc_id) AS BIGINT) AS weight
+             |  FROM tfc GROUP BY term),
+             |scored AS (
+             |  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+             |    tfc.tf * dfc.weight AS score,
+             |    row_number() OVER (PARTITION BY tfc.doc_id
+             |      ORDER BY tfc.tf * dfc.weight DESC, tfc.term) AS rn
+             |  FROM tfc JOIN dfc ON tfc.term = dfc.term)
+             |SELECT doc_id, term AS top_term, tf, df, score FROM scored
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // deterministic content-addressed sampling: keep a row iff an
+    // md5-derived bucket of its key falls under the rate — stable
+    // across engines, runs, partitionings, and cluster sizes (the way
+    // a training-data pipeline samples reproducibly; rand()-based
+    // sampling is engine-specific)
+    Q("q_deterministic_sample",
+      (s, d) => Tables.load(s, d, "documents")
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
+            16, 10).cast(LongType), lit(100L)))
+        .filter(col("bucket") < 20) // 20% sample
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+             |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+             |FROM documents
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+             |ORDER BY doc_id""".stripMargin)),
+
     // document fingerprinting: whole-doc md5, 60-bit integer fingerprint,
     // and a min-shingle (winnowing-style) signature — md5 is the portable
     // deterministic hash both engines share. Min-shingle is computed

@@ -68,6 +68,26 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(spark.table("sess_out2").count() === 0)
   }
 
+  test("streamingDedup drops repeated payloads within the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    // NOT epoch 0: the initial watermark is 0, and rows at/below the
+    // watermark are discarded as late data
+    val base = 1700000000000L
+    val t0 = new java.sql.Timestamp(base)
+    in.addData(
+      (t0, "alpha beta"), (t0, "alpha beta"), (t0, "gamma"),
+      (new java.sql.Timestamp(base + 60000L), "alpha beta"))
+    val q = streamingDedup(in.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val texts = spark.table("dedup_out").select("text")
+      .collect().map(_.getString(0)).toSeq.sorted
+    // three duplicates of "alpha beta" collapse to one within watermark
+    assert(texts === Seq("alpha beta", "gamma"))
+  }
+
   test("file-source streaming read over the events parquet works") {
     val out = windowedCounts(
       readEventsStream(spark, sf0001).select(
