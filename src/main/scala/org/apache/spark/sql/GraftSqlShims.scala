@@ -11,6 +11,18 @@ object GraftSqlShims {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Session-aware conversion: unlike the lazy ColumnNodeExpression
+    * wrapper (which reports resolved=true and so is never rewritten by
+    * the analyzer), this produces real catalyst expressions that
+    * resolve against a custom LogicalPlan's child. */
+  def expression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
 }
