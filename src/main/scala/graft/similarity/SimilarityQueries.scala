@@ -52,7 +52,10 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(
 
     // brute-force exact top-10 cosine neighbors for 5 query vectors;
-    // the query side is tiny -> broadcast, no shuffle of the big side
+    // the query side is tiny -> broadcast, no shuffle of the big side.
+    // Per-query top-k runs through the custom TopKPerGroupExec (bounded
+    // heaps, no partition sort); the rank column is then a window over
+    // the already-reduced <= 10-rows-per-query result, which is free.
     Q("q_ann_bruteforce",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -62,13 +65,14 @@ object SimilarityQueries {
             col("nn").as("a_nn"))
         val c = e.select(col("vec_id").as("neighbor_id"), col("sv").as("b_sv"),
           col("nn").as("b_nn"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(desc("cos"), asc("neighbor_id"))
-        c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        val pairs = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
           .withColumn("cos", cosineFromScaled(
             col("a_sv"), col("b_sv"), col("a_nn"), col("b_nn")))
-          .withColumn("rank", row_number().over(w).cast(LongType))
-          .filter(col("rank") <= 10)
+        val top = graft.plans.TopKPerGroup.topKPerGroup(pairs,
+          Seq(col("query_id")), Seq(desc("cos"), asc("neighbor_id")), 10)
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("cos"), asc("neighbor_id"))
+        top.withColumn("rank", row_number().over(w).cast(LongType))
           .select("query_id", "neighbor_id", "rank", "cos")
           .orderBy("query_id", "rank")
       },

@@ -53,9 +53,15 @@ object WikiPipeline {
     StructField("revision", StructType(Seq(
       StructField("text", StringType))))))
 
-  /** S1+E1: splittable rowTag XML scan (native in Spark 4.x) + nested
-    * projection. Replaces XmlInputFormat (CountReference.java:94-203) and
-    * the hand-rolled StAX loop (:211-244). */
+  /** S1+E1: rowTag XML scan (native in Spark 4.x) + nested projection.
+    * Replaces XmlInputFormat (CountReference.java:94-203) and the
+    * hand-rolled StAX loop (:211-244).
+    *
+    * Scale note (measured, see WikiScale): unlike the reference's
+    * Mahout-derived XmlInputFormat, Spark's native XML source does NOT
+    * split WITHIN a file — scan parallelism is per-file. Feed a real
+    * dump as its multistream parts (or pre-chunked files); a glob/dir
+    * path here parallelizes across them (8 files -> 8 scan tasks). */
   def readPages(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("rowTag", "page")

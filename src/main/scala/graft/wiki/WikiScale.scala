@@ -1,0 +1,63 @@
+package graft.wiki
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke for the splittable XML scan (S1): run the full pipeline
+  * on a multi-hundred-MB dump, report scan parallelism and throughput,
+  * and check the copy-invariants (targets unchanged, per-target counts
+  * multiplied by the copy factor).
+  * Usage: runMain graft.wiki.WikiScale <big.xml> <copies>
+  */
+object WikiScale {
+  def main(args: Array[String]): Unit = {
+    val Array(xml, copiesStr) = args.take(2)
+    val copies = copiesStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // force multiple input splits even for a ~100MB file so the
+      // splittable-scan path is actually exercised
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pages = WikiPipeline.readPages(spark, xml)
+    // NOTE (measured): Spark 4's native XML source does NOT split inside
+    // a single file regardless of maxPartitionBytes — scan parallelism
+    // is per-FILE. A production dump must be ingested as its multistream
+    // parts (or pre-chunked); 8 files here -> 8 scan partitions.
+    println(s"[scale] scan partitions: ${pages.rdd.getNumPartitions}")
+
+    val t0 = System.nanoTime()
+    val counts = WikiPipeline.incomingReferenceCounts(
+      WikiPipeline.links(pages)).cache()
+    val rows = counts.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // glob-safe input size: sum sibling .xml files when given a pattern
+    val bytes = {
+      val f = new java.io.File(xml)
+      if (f.isFile) f.length()
+      else {
+        val dir = f.getParentFile
+        if (dir != null && dir.isDirectory)
+          dir.listFiles().filter(_.getName.endsWith(".xml")).map(_.length()).sum
+        else 0L
+      }
+    }
+    println(f"[scale] pipeline: $rows rows in $secs%.1f s " +
+      f"(${bytes / 1e6 / secs}%.1f MB/s)")
+
+    // invariants vs the single-copy goldens: same 1206 targets, every
+    // count multiplied by the copy factor (sources are distinct per copy)
+    val max = counts.orderBy(desc("count"), asc("page_title")).limit(1).collect()(0)
+    println(s"[scale] targets=$rows (expect 1206), " +
+      s"max=${max.getString(0)}:${max.getLong(1)} (expect Medioevo:${4L * copies})")
+    assert(rows == 1206L, s"target count $rows != 1206")
+    assert(max.getString(0) == "Medioevo" && max.getLong(1) == 4L * copies)
+    println("[scale] invariants OK")
+    spark.stop()
+  }
+}
