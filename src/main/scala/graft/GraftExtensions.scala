@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }
