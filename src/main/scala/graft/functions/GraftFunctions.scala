@@ -112,9 +112,11 @@ object GraftFunctions {
   def vecScaled(v: Column): Column =
     transform(v, x => round(x.cast(DoubleType) * 1e6).cast(LongType))
 
-  /** Exact integer dot product of two scaled-long arrays. */
-  def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two scaled-long arrays — delegates to
+    * the codegen'd DotLong expression (identical values to the
+    * aggregate/zip_with HOF, ~an order of magnitude faster on pairwise
+    * joins because the loop lives inside WholeStageCodegen). */
+  def dotLong(a: Column, b: Column): Column = DotLong.dot_long(a, b)
 
   /** Cosine from precomputed scaled arrays + integer self-norms:
     * cos = dot / sqrt(na * nb), computed in double at the very end.
