@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotLong}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+      (exprs: Seq[Expression]) => DotLong(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
