@@ -358,6 +358,61 @@ object CoreQueries {
              |FROM lineitem WHERE l_orderkey <= 500
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // string function bank (lpad/rpad/reverse/repeat/translate/replace)
+    Q("q_string_funcs",
+      (s, d) => Tables.load(s, d, "region")
+        .select(col("r_regionkey"),
+          lpad(col("r_name"), 12, ".").as("padded"),
+          reverse(col("r_name")).as("rev"),
+          translate(col("r_name"), "AEIOU", "aeiou").as("lowvowel"),
+          regexp_replace(col("r_name"), "A", "@").as("subst"),
+          concat_ws("-", col("r_name"), col("r_name")).as("doubled"),
+          substring(col("r_name"), 2, 3).as("mid"))
+        .orderBy("r_regionkey"),
+      Some("""SELECT r_regionkey, lpad(r_name, 12, '.') AS padded,
+             |reverse(r_name) AS rev,
+             |translate(r_name, 'AEIOU', 'aeiou') AS lowvowel,
+             |regexp_replace(r_name, 'A', '@', 'g') AS subst,
+             |r_name || '-' || r_name AS doubled,
+             |substr(r_name, 2, 3) AS mid
+             |FROM region ORDER BY r_regionkey""".stripMargin)),
+
+    // null semantics: coalesce / nullif / null-safe equality over the
+    // outer-join null-producing shape
+    Q("q_null_handling",
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val o = Tables.load(s, d, "orders")
+          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("n"), lit(0L)).as("n_orders"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+            col("n").isNull.cast(LongType).as("is_orderless"),
+            (col("n") <=> lit(null)).cast(LongType).as("nullsafe_eq_null"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, coalesce(n, 0) AS n_orders,
+             |nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+             |CAST(n IS NULL AS BIGINT) AS is_orderless,
+             |CAST(n IS NOT DISTINCT FROM NULL AS BIGINT) AS nullsafe_eq_null
+             |FROM customer LEFT JOIN (
+             |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+             |ON c_custkey = o_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // fixed-width histogram via integer bucketing (floor of a decimal
+    // quotient — engine-exact, unlike float width_bucket variants)
+    Q("q_histogram",
+      (s, d) => Tables.load(s, d, "lineitem")
+        // floor, not a bare cast: Spark's decimal->long cast truncates
+        // while DuckDB's rounds — floor agrees everywhere
+        .select(floor(col("l_extendedprice").cast(DecimalType(18, 2)) /
+                 lit(5000)).cast(LongType).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) / 5000) AS BIGINT) AS bucket,
+             |count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // tumbling time window over the event stream table (batch analog of
     // the Structured Streaming windowed agg; epoch seconds keep the
     // timestamp comparison engine-neutral)
