@@ -358,6 +358,26 @@ object CoreQueries {
              |FROM lineitem WHERE l_orderkey <= 500
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // pivot (wide aggregation); the oracle expresses the identical
+    // semantics as conditional counts — coalesced because Spark's pivot
+    // yields null for absent combinations while count() yields 0
+    Q("q_pivot",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .count()
+        .select(col("l_linestatus"),
+          coalesce(col("A"), lit(0L)).as("A"),
+          coalesce(col("N"), lit(0L)).as("N"),
+          coalesce(col("R"), lit(0L)).as("R"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A,
+             |count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS N,
+             |count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS R
+             |FROM lineitem GROUP BY l_linestatus
+             |ORDER BY l_linestatus""".stripMargin)),
+
     // string function bank (lpad/rpad/reverse/repeat/translate/replace)
     Q("q_string_funcs",
       (s, d) => Tables.load(s, d, "region")

@@ -100,17 +100,30 @@ object StreamingPipelines {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-static enrichment join: the unbounded event stream joined
+    * with a static dimension (user profiles here derived from customer)
+    * — the standard lookup-join shape in an ingest pipeline. The static
+    * side is broadcast per micro-batch; no state is kept. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** File-source streaming read of the events table with the same
-    * nanos-handling as Tables.load — a parquet directory works as an
-    * unbounded source for local smoke runs. */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    * nanos-handling as Tables.load. Targets the events parquet
+    * specifically — pointing a schema'd file stream at the whole
+    * testdata dir would silently ingest every OTHER table's files as
+    * all-null rows (caught by driving this end-to-end). */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.types._
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(raw).parquet(dir)
+    // file streams need a DIRECTORY path; pathGlobFilter narrows it to
+    // the events file(s) only
+    spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

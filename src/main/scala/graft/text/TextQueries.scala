@@ -247,6 +247,32 @@ object TextQueries {
              |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
              |ORDER BY doc_id""".stripMargin)),
 
+    // stratified deterministic sampling: per-language rates over the
+    // same md5 bucketing as q_deterministic_sample — the reproducible
+    // way to rebalance a training corpus (e.g. downsample the dominant
+    // language)
+    Q("q_stratified_sample",
+      (s, d) => {
+        val bucket = pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
+          16, 10).cast(LongType), lit(100L))
+        val rate = when(col("lang") === "en", 10)
+          .when(col("lang") === "de", 50)
+          .otherwise(80)
+        Tables.load(s, d, "documents")
+          .withColumn("bucket", bucket)
+          .filter(col("bucket") < rate)
+          .groupBy("lang").agg(count(lit(1)).as("kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (
+             |  SELECT lang,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+             |    CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 50
+             |         ELSE 80 END AS rate
+             |  FROM documents)
+             |SELECT lang, count(*) AS kept FROM b WHERE bucket < rate
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // document fingerprinting: whole-doc md5, 60-bit integer fingerprint,
     // and a min-shingle (winnowing-style) signature — md5 is the portable
     // deterministic hash both engines share. Min-shingle is computed

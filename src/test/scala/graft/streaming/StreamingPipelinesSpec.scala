@@ -88,6 +88,20 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(texts === Seq("alpha beta", "gamma"))
   }
 
+  test("stream-static enrichment join attaches dimension columns") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 100, 7, "click"), ev(2, 200, 99, "view"))
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+    val q = enrich(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val rows = spark.table("enriched").select("user_id", "tier")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows === Set((7L, Some("gold")), (99L, None)))
+  }
+
   test("file-source streaming read over the events parquet works") {
     val out = windowedCounts(
       readEventsStream(spark, sf0001).select(
