@@ -23,8 +23,16 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
+      // keep the legacy nanos handling scoped to THIS scan, never
+      // spark.conf.set: an explicit schema skips driver-side inference
+      // (which would consult the session conf and reject NANOS), and
+      // the read option lands in this relation's hadoopConf
+      // (newHadoopConfWithOptions) where the executor-side footer
+      // conversion (ParquetReadSupport) picks it up
+      spark.read
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .parquet(s"$sfDir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 }

@@ -64,6 +64,10 @@ case class TopKPerGroupExec(
     val kLocal = k
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      // materialize heap entries via a projection: the child may emit
+      // non-UnsafeRow InternalRows when no exchange was inserted, so a
+      // bare asInstanceOf[UnsafeRow] cast would throw at runtime
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
       val ordering = new LazilyGeneratedOrdering(order, childOutput)
       val k = kLocal
       // per-group bounded heap: worst element on top for O(log k) evict
@@ -77,10 +81,10 @@ case class TopKPerGroupExec(
           heap = new java.util.PriorityQueue[UnsafeRow](k + 1, reverse)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size() < k) heap.add(r.copy().asInstanceOf[UnsafeRow])
+        if (heap.size() < k) heap.add(rowProj(r).copy())
         else if (ordering.compare(r, heap.peek()) < 0) {
           heap.poll()
-          heap.add(r.copy().asInstanceOf[UnsafeRow])
+          heap.add(rowProj(r).copy())
         }
       }
       import scala.jdk.CollectionConverters._

@@ -24,14 +24,31 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
-  private def rankLimit(cond: Expression, rn: Attribute): Option[Int] =
+  // compute in Long: `rn < Int.MinValue` must yield 0 (empty result),
+  // not wrap to Int.MaxValue and pass the `> 0` guard
+  private def rankLimit(cond: Expression, rn: Attribute): Option[Long] =
     cond match {
-      case LessThanOrEqual(r: Attribute, IntegerLiteral(k)) if r.semanticEquals(rn) => Some(k)
-      case LessThan(r: Attribute, IntegerLiteral(k)) if r.semanticEquals(rn) => Some(k - 1)
-      case GreaterThanOrEqual(IntegerLiteral(k), r: Attribute) if r.semanticEquals(rn) => Some(k)
-      case GreaterThan(IntegerLiteral(k), r: Attribute) if r.semanticEquals(rn) => Some(k - 1)
+      case LessThanOrEqual(r: Attribute, IntegerLiteral(k)) if r.semanticEquals(rn) => Some(k.toLong)
+      case LessThan(r: Attribute, IntegerLiteral(k)) if r.semanticEquals(rn) => Some(k.toLong - 1)
+      case GreaterThanOrEqual(IntegerLiteral(k), r: Attribute) if r.semanticEquals(rn) => Some(k.toLong)
+      case GreaterThan(IntegerLiteral(k), r: Attribute) if r.semanticEquals(rn) => Some(k.toLong - 1)
       case _ => None
     }
+
+  // TopKPerGroupExec groups by raw UnsafeRow key bytes, so -0.0 vs 0.0
+  // (and distinct NaN bit patterns) would split into separate groups
+  // where the window operator's normalized keys treat them as one.
+  // Bail on any floating-point content in the partition keys.
+  private def hasFloatingPoint(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => true
+      case ArrayType(et, _) => hasFloatingPoint(et)
+      case MapType(kt, vt, _) => hasFloatingPoint(kt) || hasFloatingPoint(vt)
+      case StructType(fields) => fields.exists(f => hasFloatingPoint(f.dataType))
+      case _ => false
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
@@ -42,13 +59,14 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
         // the Window node's own output = child ++ [rn]; grab rn
         if {
           val rnAttr = p.child.asInstanceOf[Filter].child.output.last
-          rankLimit(cond, rnAttr).exists(_ > 0) &&
+          rankLimit(cond, rnAttr).exists(k => k > 0 && k <= Int.MaxValue) &&
           projectList.forall(e =>
             e.references.isEmpty || !e.references.contains(rnAttr)) &&
-          partitionSpec.nonEmpty
+          partitionSpec.nonEmpty &&
+          !partitionSpec.exists(e => hasFloatingPoint(e.dataType))
         } =>
       val rnAttr = p.child.asInstanceOf[Filter].child.output.last
-      val k = rankLimit(cond, rnAttr).get
+      val k = rankLimit(cond, rnAttr).get.toInt
       // Spark's own InferWindowGroupLimit may already have inserted a
       // WindowGroupLimit below the Window (rule-order dependent) —
       // TopKPerGroup subsumes it, so strip it to avoid double limiting

@@ -124,14 +124,21 @@ object WikiPipeline {
     */
   def writeCsv(counts: DataFrame, outFile: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
     val tmp = outFile + ".dir"
     counts.coalesce(1).write.mode("overwrite")
       .option("header", true).csv(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(p =>
-      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    val part = Using.resource(Files.list(Paths.get(tmp))) { s =>
+      s.iterator().asScala.find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error(
+          s"writeCsv: no part- file produced under $tmp (write failed or empty output dir)"))
+    }
     Files.move(part, Paths.get(outFile), StandardCopyOption.REPLACE_EXISTING)
     // best-effort cleanup of the temp dir
-    Files.list(Paths.get(tmp)).forEach(p => Files.deleteIfExists(p))
+    Using.resource(Files.list(Paths.get(tmp))) { s =>
+      s.iterator().asScala.foreach(p => Files.deleteIfExists(p))
+    }
     Files.deleteIfExists(Paths.get(tmp))
   }
 }

@@ -76,4 +76,35 @@ class TopKRewriteRuleSpec extends SparkSpec {
       assert(df.queryExecution.executedPlan.toString.contains("Window"))
     }
   }
+
+  test("no rewrite on floating-point partition keys (-0.0/0.0 grouping)") {
+    withRule {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      // -0.0 and 0.0 keys must land in ONE group (normalized window
+      // semantics); raw-UnsafeRow-byte grouping would split them
+      val df0 = Seq((-0.0, 1), (0.0, 2), (0.0, 3), (1.5, 4), (1.5, 5))
+        .toDF("k", "v")
+      val w = Window.partitionBy("k").orderBy(asc("v"))
+      val df = df0.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1).select("v")
+      val got = df.collect().map(_.getInt(0)).toSet
+      assert(got === Set(1, 4), got.mkString(","))
+      assert(df.queryExecution.executedPlan.toString.contains("Window"))
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerGroup ["))
+    }
+  }
+
+  test("rn < Int.MinValue yields empty, never top-Int.MaxValue") {
+    withRule {
+      import org.apache.spark.sql.expressions.Window
+      val c = spark.read.parquet(s"$sf0001/customer.parquet")
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      val df = c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") < Int.MinValue).select("c_nationkey", "c_custkey")
+      assert(df.collect().isEmpty)
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerGroup ["))
+    }
+  }
 }
