@@ -23,15 +23,15 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // keep the legacy nanos handling scoped to THIS scan, never
-      // spark.conf.set: an explicit schema skips driver-side inference
-      // (which would consult the session conf and reject NANOS), and
-      // the read option lands in this relation's hadoopConf
-      // (newHadoopConfWithOptions) where the executor-side footer
-      // conversion (ParquetReadSupport) picks it up
+      // the explicit schema is the whole mechanism, scoped to THIS scan
+      // (never spark.conf.set): it skips driver-side inference (which
+      // would reject NANOS) and its LongType for `ts` reaches the
+      // executor-side parquet converter as a sparkReadType hint, so the
+      // NANOS column decodes as a raw long. (A per-read
+      // nanosAsLong option would NOT work: ParquetFileFormat overwrites
+      // that hadoopConf key from the session conf before broadcast.)
       spark.read
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .option("spark.sql.legacy.parquet.nanosAsLong", "true")
         .parquet(s"$sfDir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")

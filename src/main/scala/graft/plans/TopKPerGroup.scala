@@ -78,7 +78,11 @@ case class TopKPerGroupExec(
         val key = keyProj(r)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](k + 1, reverse)
+          // initial capacity is a hint only (PQ grows as needed): a
+          // literal k+1 would eagerly allocate k+1 slots per group and
+          // overflow negative at k == Int.MaxValue
+          heap = new java.util.PriorityQueue[UnsafeRow](
+            if (k >= 16) 16 else k + 1, reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size() < k) heap.add(rowProj(r).copy())

@@ -69,10 +69,13 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       val k = rankLimit(cond, rnAttr).get.toInt
       // Spark's own InferWindowGroupLimit may already have inserted a
       // WindowGroupLimit below the Window (rule-order dependent) —
-      // TopKPerGroup subsumes it, so strip it to avoid double limiting
+      // TopKPerGroup subsumes it, so strip it to avoid double limiting.
+      // Only strip when its limit is at least k: a tighter limit (none
+      // exists today, but rule evolution could add one) must stay, or
+      // stripping would widen the result.
       val source = winChild match {
-        case WindowGroupLimit(ps, os, _, _, c)
-            if ps == partitionSpec && os == orderSpec => c
+        case WindowGroupLimit(ps, os, _, l, c)
+            if ps == partitionSpec && os == orderSpec && l >= k => c
         case other => other
       }
       Project(projectList, TopKPerGroup(partitionSpec, orderSpec, k, source))

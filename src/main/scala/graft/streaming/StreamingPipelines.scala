@@ -113,7 +113,9 @@ object StreamingPipelines {
     * testdata dir would silently ingest every OTHER table's files as
     * all-null rows (caught by driving this end-to-end). */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // no session-conf mutation: as in Tables.load, the explicit schema's
+    // LongType for `ts` is what lets the parquet TIMESTAMP(NANOS) column
+    // decode as a raw long (sparkReadType hint in the converter)
     import org.apache.spark.sql.types._
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),

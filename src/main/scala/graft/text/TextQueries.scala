@@ -189,16 +189,21 @@ object TextQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, d, "documents")
-        val nDocs = docs.count() // tiny action; N is a scalar of the corpus
+        // corpus size N enters as a broadcast 1-row crossJoin, keeping
+        // the whole computation ONE lazy DAG (an eager docs.count() here
+        // would run a separate job at query-construction time)
+        val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
         val tf = docs.select(col("doc_id"),
             explode(tokens(col("text"))).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df_ = tf.groupBy("term")
           .agg(countDistinct(col("doc_id")).as("df"))
+          .crossJoin(nDocs)
           // `div`, not `/`: long / long is DOUBLE division in Spark and
           // cast-to-long truncates while DuckDB's CAST rounds — explicit
           // integer division agrees everywhere
-          .withColumn("weight", expr(s"${1000000L * nDocs} div df"))
+          .withColumn("weight", expr("(1000000 * n_docs) div df"))
+          .drop("n_docs")
         val w = Window.partitionBy("doc_id")
           .orderBy(desc("score"), asc("term"))
         tf.join(df_, "term")
