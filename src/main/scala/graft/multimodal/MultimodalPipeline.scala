@@ -61,10 +61,15 @@ object MultimodalPipeline {
   }
 
   /** Build a media frame from the documents table: text bytes stand in
-    * for media payloads. Repartitioned by a size band so large payloads
-    * spread across partitions (skew control for real media). */
+    * for media payloads. Repartitioned to the cluster's default
+    * parallelism, hashing (size_band, media_id): the log2 size band
+    * keeps each partition's mix of small and large payloads uniform (no
+    * partition accumulates a disproportionate share of the big-blob
+    * band), and media_id scatters within a band. No literal partition
+    * count anywhere — the decode stage scales with the cluster. */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    val numParts = spark.sparkContext.defaultParallelism
     graft.Tables.load(spark, sfDir, "documents")
       .select(
         col("doc_id").as("media_id"),
@@ -74,7 +79,9 @@ object MultimodalPipeline {
         lit(480).as("height"),
         lit(16000).as("sample_rate"))
       .as[MediaRow]
-      .repartition(col("media_id") % 8) // spread payloads; no size skew
+      .repartition(numParts,
+        floor(log(2.0, greatest(length(col("payload")), lit(1)))),
+        col("media_id"))
   }
 
   /** Partition-wise decode + feature extraction. mapPartitions (not a

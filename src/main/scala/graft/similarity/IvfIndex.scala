@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.functions.CosineSimilarity.cosine_sim
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,10 +13,11 @@ import org.apache.spark.sql.types._
   *
   * Distributed shape: per-iteration state is ONLY the centroid table
   * (K x dim floats — kilobytes at any corpus size), which is collected
-  * to the driver and re-broadcast each Lloyd iteration; every
-  * assignment pass is a broadcast join + codegen'd cosine over the full
-  * corpus, so the heavy side never shuffles. Search scans 1/K * nProbe
-  * of the data per query.
+  * to the driver each Lloyd iteration; every assignment pass is a
+  * map-only argmax projection over the full corpus (literal centroid
+  * vectors inlined into one codegen'd expression; broadcast join +
+  * max_by aggregate beyond [[MaxInlineCentroids]]), so the heavy side
+  * never shuffles. Search scans 1/K * nProbe of the data per query.
   *
   * Determinism: centroids initialize from the K lowest vec_ids (no
   * RNG), ties in assignment break by centroid id — results are stable
@@ -25,8 +26,15 @@ import org.apache.spark.sql.types._
   */
 object IvfIndex {
 
+  /** Default similarity: the codegen'd float CosineSimilarity
+    * expression — the production path. The oracle query passes an
+    * exact scaled-integer variant instead (same signature), so the
+    * inverted-list plan itself is what gets verified against DuckDB. */
+  val floatCosine: (Column, Column) => Column = cosine_sim(_, _)
+
   /** (centroid_id: Int, cv: Array[Float]) after `iters` Lloyd rounds. */
-  def train(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  def train(embeddings: DataFrame, k: Int, iters: Int,
+            sim: (Column, Column) => Column = floatCosine): DataFrame = {
     val spark = embeddings.sparkSession
     var centroids = embeddings
       .orderBy("vec_id").limit(k)
@@ -36,7 +44,7 @@ object IvfIndex {
 
     for (_ <- 0 until iters) {
       val cDf = centroidFrame(spark, centroids)
-      val assigned = assign(embeddings, cDf)
+      val assigned = assign(embeddings, cDf, sim)
       // new centroid j = element-wise mean of its members
       val means = embeddings.join(assigned, "vec_id")
         .select(col("centroid_id"),
@@ -56,39 +64,99 @@ object IvfIndex {
     centroidFrame(spark, centroids)
   }
 
-  /** Nearest-centroid assignment: (vec_id, centroid_id). */
-  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("vec_id")
-      .orderBy(desc("sim"), asc("centroid_id"))
+  /** Centroid counts up to this size inline as a literal-array argmax
+    * expression; beyond it the codegen'd expression tree gets too wide
+    * and assignment falls back to the broadcast-join aggregate. */
+  val MaxInlineCentroids = 256
+
+  /** Nearest-centroid assignment: (vec_id, centroid_id).
+    *
+    * The centroid table is K x dim floats — kilobytes at any corpus
+    * size, and already driver state in `train` — so for moderate K the
+    * argmax over centroids is ONE map-side projection: an
+    * `array_max` over K (sim, -centroid_id) structs built from literal
+    * centroid vectors. No join, no aggregate, no shuffle — the corpus
+    * is scanned once per Lloyd iteration and nothing moves. (The
+    * earlier `row_number` window form shuffled AND full-sorted K x the
+    * corpus per iteration.)
+    *
+    * For K > [[MaxInlineCentroids]] (IVF at 100 TB wants K ~ 1e4-1e5)
+    * the expression tree would blow past codegen limits, so assignment
+    * switches to a broadcast join + `max_by` aggregate: still partially
+    * aggregated map-side, one row per vector crosses the wire. Both
+    * paths break ties to the lowest centroid_id via the negated id in
+    * the ordering struct. */
+  def assign(embeddings: DataFrame, centroids: DataFrame,
+             sim: (Column, Column) => Column = floatCosine): DataFrame = {
+    val cs = centroids.select("centroid_id", "cv").collect()
+    if (cs.length <= MaxInlineCentroids) {
+      val cvType = centroids.schema("cv").dataType
+      val entries = cs.map { r =>
+        struct(
+          sim(col("embedding"), litArray(cvType, r.getSeq[Any](1))).as("s"),
+          lit(-r.getInt(0)).as("neg_id"))
+      }
+      embeddings.select(col("vec_id"),
+        (-array_max(array(entries.toIndexedSeq: _*)).getField("neg_id"))
+          .as("centroid_id"))
+    } else assignViaJoin(embeddings, centroids, sim)
+  }
+
+  /** Large-K fallback: broadcast join + max_by partial aggregate.
+    * (max_by with a struct ordering plans as SortAggregate — the sort
+    * is per-partition on vec_id only, after map-side reduction to one
+    * row per vector.) */
+  private[similarity] def assignViaJoin(
+      embeddings: DataFrame, centroids: DataFrame,
+      sim: (Column, Column) => Column = floatCosine): DataFrame =
     embeddings.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine_sim(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"))
+      .withColumn("sim", sim(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(max_by(col("centroid_id"),
+        struct(col("sim").as("s"), (-col("centroid_id")).as("neg_id")))
+        .as("centroid_id"))
+
+  /** Array literal of the element type actually stored in `cv` —
+    * Array[Float] on the production path, Array[Long] for the
+    * scaled-integer oracle variant. */
+  private def litArray(dt: DataType, v: Seq[Any]): Column = dt match {
+    case ArrayType(FloatType, _)  => typedLit(v.asInstanceOf[Seq[Float]])
+    case ArrayType(LongType, _)   => typedLit(v.asInstanceOf[Seq[Long]])
+    case ArrayType(DoubleType, _) => typedLit(v.asInstanceOf[Seq[Double]])
+    case other => throw new IllegalArgumentException(
+      s"unsupported centroid vector type: $other")
   }
 
   /** Top-k cosine neighbors per query, probing the nProbe nearest
-    * inverted lists. queries: (query_id, qv). */
+    * inverted lists. queries: (query_id, qv).
+    *
+    * Probe selection keeps the window form — it ranks |queries| x K
+    * rows (tiny). The per-query top-k over the probed lists runs
+    * through TopKPerGroupExec (bounded heaps) instead: that side is
+    * (corpus x nProbe / K) rows and a partition sort there would be
+    * the scan cost all over again. The rank column is a window over
+    * the already-reduced <= topK-rows-per-query result, which is free. */
   def search(embeddings: DataFrame, assignments: DataFrame,
              centroids: DataFrame, queries: DataFrame,
-             topK: Int, nProbe: Int): DataFrame = {
+             topK: Int, nProbe: Int,
+             sim: (Column, Column) => Column = floatCosine): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy("query_id")
       .orderBy(desc("csim"), asc("centroid_id"))
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine_sim(col("qv"), col("cv")))
+      .withColumn("csim", sim(col("qv"), col("cv")))
       .withColumn("prn", row_number().over(wp))
       .filter(col("prn") <= nProbe)
       .select(col("query_id"), col("qv"), col("centroid_id"))
-    val wq = Window.partitionBy("query_id")
-      .orderBy(desc("sim"), asc("vec_id"))
-    embeddings.join(assignments, "vec_id")
+    val scored = embeddings.join(assignments, "vec_id")
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine_sim(col("qv"), col("embedding")))
-      .withColumn("rank", row_number().over(wq))
-      .filter(col("rank") <= topK)
+      .withColumn("sim", sim(col("qv"), col("embedding")))
+    val top = graft.plans.TopKPerGroup.topKPerGroup(scored,
+      Seq(col("query_id")), Seq(desc("sim"), asc("vec_id")), topK)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("vec_id"))
+    top.withColumn("rank", row_number().over(wq))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), col("sim"))
   }

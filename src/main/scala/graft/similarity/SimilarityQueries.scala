@@ -162,6 +162,71 @@ object SimilarityQueries {
              |    $cosExpr AS cos
              |  FROM p)
              |SELECT a_id, b_id, cos FROM s WHERE cos >= $NearDupThreshold
-             |ORDER BY a_id, b_id""".stripMargin))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // IVF inverted-list search under the oracle: deterministic
+    // centroids (lowest-8 vec_ids, zero Lloyd iterations — exactly
+    // IvfIndex.train(e, 8, 0)) make the whole train/assign/search path
+    // SQL-expressible. Exercises IvfIndex.assign (max_by aggregate, no
+    // window sort) and IvfIndex.search (probe ranking + bucket join +
+    // TopKPerGroupExec) with exact scaled-integer cosine. The per-pair
+    // norm recompute in `simScaled` is oracle-only cost; the production
+    // float path precomputes norms per row (see q_ann_bruteforce).
+    Q("q_ann_ivf",
+      (s, d) => {
+        val simScaled = (a: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column) =>
+          cosineFromScaled(a, b, dotLong(a, a), dotLong(b, b))
+        val e = scaled(s, d)
+        val emb = e.select(col("vec_id"), col("sv").as("embedding"))
+        val cent = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast(IntegerType).as("centroid_id"),
+            col("sv").as("cv"))
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("sv").as("qv"))
+        val asg = IvfIndex.assign(emb, cent, simScaled)
+        IvfIndex.search(emb, asg, cent, qs, topK = 5, nProbe = 2, simScaled)
+          .withColumn("rank", col("rank").cast(LongType))
+          .select("query_id", "neighbor_id", "rank", "sim")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $scaledCte,
+             |cent AS (SELECT CAST(vec_id AS INT) AS centroid_id,
+             |    sv AS c_sv, nn AS c_nn FROM nrm WHERE vec_id < 8),
+             |asg AS (
+             |  SELECT vec_id, centroid_id FROM (
+             |    SELECT e.vec_id, c.centroid_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        CAST(list_sum(list_transform(range(1, 65),
+             |          i -> e.sv[i] * c.c_sv[i])) AS DOUBLE)
+             |          / sqrt(CAST(e.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
+             |        c.centroid_id) AS rn
+             |    FROM nrm e CROSS JOIN cent c) t
+             |  WHERE rn = 1),
+             |probes AS (
+             |  SELECT query_id, a_sv, a_nn, centroid_id FROM (
+             |    SELECT q.vec_id AS query_id, q.sv AS a_sv, q.nn AS a_nn,
+             |      c.centroid_id,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        CAST(list_sum(list_transform(range(1, 65),
+             |          i -> q.sv[i] * c.c_sv[i])) AS DOUBLE)
+             |          / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
+             |        c.centroid_id) AS prn
+             |    FROM nrm q CROSS JOIN cent c WHERE q.vec_id < 5) t
+             |  WHERE prn <= 2),
+             |s AS (
+             |  SELECT p.query_id, e.vec_id AS neighbor_id,
+             |    CAST(list_sum(list_transform(range(1, 65),
+             |      i -> p.a_sv[i] * e.sv[i])) AS DOUBLE)
+             |      / sqrt(CAST(p.a_nn AS DOUBLE) * CAST(e.nn AS DOUBLE)) AS sim
+             |  FROM nrm e JOIN asg ON e.vec_id = asg.vec_id
+             |    JOIN probes p ON asg.centroid_id = p.centroid_id
+             |  WHERE e.vec_id <> p.query_id),
+             |r AS (SELECT query_id, neighbor_id, sim,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+             |  FROM s)
+             |SELECT query_id, neighbor_id, rank, sim FROM r
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

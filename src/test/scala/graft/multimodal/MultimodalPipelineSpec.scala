@@ -36,6 +36,12 @@ class MultimodalPipelineSpec extends SparkSpec {
     }
   }
 
+  test("decode parallelism tracks the cluster, not a literal") {
+    val media = mediaFromDocuments(spark, sf0001)
+    assert(media.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("empty payload is handled (no div-by-zero, zero frames)") {
     val one = Seq(MediaRow(1L, "image", Array.emptyByteArray, 0, 0, 0)).toDS()
     val f = decodeAndExtract(one).collect().head

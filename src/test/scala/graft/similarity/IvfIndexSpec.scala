@@ -58,6 +58,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("assign is map-only: no Window, no Sort, no Exchange") {
+    val plan = IvfIndex.assign(emb, centroids)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("large-K join fallback agrees with the inline argmax path") {
+    val inline = assignments.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val joined = IvfIndex.assignViaJoin(emb, centroids).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(inline === joined)
+  }
+
   test("search is deterministic across runs") {
     def run() = IvfIndex.search(emb, assignments, centroids, queries, 5, 2)
       .select("query_id", "neighbor_id", "rank").collect()
