@@ -19,8 +19,9 @@ import org.apache.spark.sql.types._
   *    (per-row expressions); the candidate join shuffles on band value,
   *    whose cardinality is huge and uniform — joins stay balanced. Only
   *    candidate PAIRS (a tiny fraction) reach the exact-Jaccard verify.
-  *  - SimHash groups by a 16-bit key here (demo cardinality); widen to
-  *    64-bit + hamming-ball probing for production scale.
+  *  - SimHash comes in two widths: the 16-bit hamming-0 bucket demo
+  *    (q_dedup_simhash) and the production 64-bit fingerprint with
+  *    hamming<=3 band-rotation probing (q_dedup_simhash64).
   */
 object DedupQueries {
 
@@ -161,32 +162,141 @@ object DedupQueries {
              |        FROM documents) d) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // production-width SimHash: 64-bit fingerprint (4 bits per md5
+    // nibble, majority vote per bit over the doc's distinct tokens),
+    // kept as two 32-bit halves (hi, lo) so every value stays positive
+    // in BIGINT on both engines. Near-dup pairs at hamming <= 3 are
+    // found by band rotation (Manku et al., WWW'07): split 64 bits
+    // into 4 x 16-bit bands; <= 3 flipped bits touch <= 3 bands, so at
+    // least one band matches exactly — candidates come from 4 band-
+    // keyed equi-joins (uniform keys, no sort), then the exact hamming
+    // verify runs on candidate pairs only. The DuckDB oracle does the
+    // all-pairs compare instead (oracle-side cost only) — identical
+    // result set because banding is lossless at this radius.
+    Q("q_dedup_simhash64",
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+          .withColumn("h", md5(col("tok")))
+        // nibble value of hex digit j (0-based): position in the hex
+        // alphabet — portable (instr is 1-based in Spark and DuckDB)
+        val withNibbles = (0 until 16).foldLeft(toks) { (df, j) =>
+          df.withColumn(s"nib$j",
+            expr(s"instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1"))
+        }
+        // vote count per bit k (nibble k/4, bit k%4, LSB-first)
+        val votes = withNibbles.groupBy("doc_id")
+          .agg(count(lit(1)).as("n"),
+            (0 until 64).map { k =>
+              val (j, b) = (k / 4, k % 4)
+              sum(when(col(s"nib$j") % (1L << (b + 1)) >= (1L << b), 1L)
+                .otherwise(0L)).as(s"c$k")
+            }: _*)
+        def half(bits: Range): org.apache.spark.sql.Column = bits.map { k =>
+          when(col(s"c$k") * 2 >= col("n"), lit(1L << (k % 32)))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        val fp = votes.select(col("doc_id"),
+          half(32 until 64).as("hi"), half(0 until 32).as("lo"))
+        // 16-bit bands: b0..b1 from lo, b2..b3 from hi (all positive)
+        val banded = fp
+          .withColumn("band", explode(array(
+            concat_ws(":", lit(0), col("lo") % 65536),
+            concat_ws(":", lit(1), floor(col("lo") / 65536)),
+            concat_ws(":", lit(2), col("hi") % 65536),
+            concat_ws(":", lit(3), floor(col("hi") / 65536)))))
+        val ba = banded.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),
+          col("lo").as("a_lo"), col("band"))
+        val bb = banded.select(col("doc_id").as("b_id"), col("hi").as("b_hi"),
+          col("lo").as("b_lo"), col("band"))
+        ba.join(bb, Seq("band"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+          .withColumn("hamming",
+            (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+             bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast(LongType))
+          .filter(col("hamming") <= 3)
+          .select("a_id", "b_id", "hamming")
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val bitSums = (0 until 64).map { k =>
+          val (j, b) = (k / 4, k % 4)
+          s"SUM(CASE WHEN (instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) % ${1L << (b + 1)} >= ${1L << b} THEN 1 ELSE 0 END) AS c$k"
+        }.mkString(",\n|    ")
+        def half(bits: Range) = bits.map { k =>
+          s"(CASE WHEN 2 * c$k >= n THEN CAST(${1L << (k % 32)} AS BIGINT) ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH tk AS (
+           |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           |  FROM documents),
+           |hs AS (SELECT doc_id, md5(tok) AS h FROM tk),
+           |votes AS (
+           |  SELECT doc_id, count(*) AS n,
+           |    $bitSums
+           |  FROM hs GROUP BY doc_id),
+           |fp AS (
+           |  SELECT doc_id,
+           |    ${half(32 until 64)} AS hi,
+           |    ${half(0 until 32)} AS lo
+           |  FROM votes)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+           |ORDER BY a_id, b_id""".stripMargin
+      }),
+
     // n-gram (token-set) Jaccard near-dup, blocked by `source` so the
     // pairwise compare never goes quadratic in the corpus — the blocking
     // key is the unit of parallelism at scale
     Q("q_dedup_ngram_jaccard",
       (s, d) => {
-        // sparse-vector formulation: explode distinct tokens, equi-join
-        // on (source, token), count shared tokens per pair with a hash
-        // aggregate. No arrays cross the join (a pairwise array_intersect
-        // would re-tokenize per PAIR once Catalyst inlines the
-        // projections into the join condition) and the whole thing is
-        // shuffle + partial-aggregate — the shape that survives 100 TB.
+        // Two stages, both sparse (no arrays cross any join):
+        //
+        // 1. CANDIDATES via prefix filtering (AllPairs/PPJoin): order
+        //    each doc's tokens by (document frequency asc, token) and
+        //    join only on each doc's first floor(n/20)+1 tokens. Exact
+        //    for J >= 0.95: a qualifying pair shares >= ceil(0.95*n)
+        //    tokens, so at most floor(n/20) of a doc's tokens are
+        //    UNshared — among its floor(n/20)+1 prefix tokens at least
+        //    one is shared, and the globally-first shared token sits in
+        //    BOTH prefixes. Per-key join bound: a (source, token) key
+        //    only joins docs whose prefix contains that token, i.e.
+        //    ~df_prefix^2 rows with df_prefix << df — stopword-class
+        //    tokens rank last in every doc's df order, fall out of all
+        //    prefixes, and can no longer form an O(n^2) hot key.
+        // 2. VERIFY candidates only: equi-join the full token rows on
+        //    (pair, token) and count the intersection with a hash
+        //    aggregate — same exact inter/uni arithmetic as before.
+        import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"), tokenSet(col("text")).as("tk"))
           .withColumn("n", size(col("tk")).cast(LongType))
         val t = docs.select(col("doc_id"), col("source"), col("n"),
           explode(col("tk")).as("token"))
-        val ta = t.select(col("source").as("a_src"), col("token").as("a_tok"),
-          col("doc_id").as("a_id"), col("n").as("a_n"))
-        val tb = t.select(col("source").as("b_src"), col("token").as("b_tok"),
-          col("doc_id").as("b_id"), col("n").as("b_n"))
-        ta.join(tb, col("a_src") === col("b_src") &&
+        val df_ = t.groupBy("source", "token").agg(count(lit(1)).as("df"))
+        val byRarity = Window.partitionBy("doc_id").orderBy("df", "token")
+        val prefix = t.join(df_, Seq("source", "token"))
+          .withColumn("rn", row_number().over(byRarity))
+          .filter(col("rn") <= floor(col("n") / 20.0) + 1)
+        val pa = prefix.select(col("source").as("a_src"),
+          col("token").as("a_tok"), col("doc_id").as("a_id"),
+          col("n").as("a_n"))
+        val pb = prefix.select(col("source").as("b_src"),
+          col("token").as("b_tok"), col("doc_id").as("b_id"),
+          col("n").as("b_n"))
+        val cand = pa.join(pb, col("a_src") === col("b_src") &&
             col("a_tok") === col("b_tok") &&
             col("a_id") < col("b_id") &&
             // size prefilter: jaccard >= 0.95 needs near-equal set sizes
             col("a_n") * 100 >= col("b_n") * 95 &&
             col("b_n") * 100 >= col("a_n") * 95)
+          .select("a_id", "b_id", "a_n", "b_n").distinct()
+        val sa = t.select(col("doc_id").as("a_id"), col("token"))
+        val sb = t.select(col("doc_id").as("b_id"), col("token"))
+        cand.join(sa, "a_id")
+          .join(sb, Seq("b_id", "token"))
           .groupBy("a_id", "b_id", "a_n", "b_n")
           .agg(count(lit(1)).as("inter"))
           .withColumn("uni", col("a_n") + col("b_n") - col("inter"))
