@@ -30,8 +30,9 @@ import org.apache.spark.sql.types._
   *     (CountReference.java:269-276).
   *
   * Scale posture: every step is a codegen'd Catalyst expression (no UDFs);
-  * the only shuffle is the final aggregate on page_to; the XML source is
-  * splittable per rowTag so a multi-GB dump scans in parallel.
+  * the only shuffle is the final aggregate on page_to; the XML scan
+  * splits by byte range WITHIN a file (graft.sources.SplittableXml), so
+  * even a single-file multi-GB dump scans in parallel.
   */
 object WikiPipeline {
 
@@ -53,16 +54,25 @@ object WikiPipeline {
     StructField("revision", StructType(Seq(
       StructField("text", StringType))))))
 
-  /** S1+E1: rowTag XML scan (native in Spark 4.x) + nested projection.
-    * Replaces XmlInputFormat (CountReference.java:94-203) and the
-    * hand-rolled StAX loop (:211-244).
+  /** S1+E1: splittable tag scan + nested projection. Replaces
+    * XmlInputFormat (CountReference.java:94-203) and the hand-rolled
+    * StAX loop (:211-244).
     *
-    * Scale note (measured, see WikiScale): unlike the reference's
-    * Mahout-derived XmlInputFormat, Spark's native XML source does NOT
-    * split WITHIN a file — scan parallelism is per-file. Feed a real
-    * dump as its multistream parts (or pre-chunked files); a glob/dir
-    * path here parallelizes across them (8 files -> 8 scan tasks). */
+    * Scale note: Spark 4's native XML source does NOT split WITHIN a
+    * file (measured — see [[readPagesNative]] and WikiScale), so a
+    * single-file 100 GB dump would degrade to one scan task there.
+    * [[graft.sources.SplittableXml]] restores the reference's in-file
+    * parallelism: driver-planned byte ranges + the straddle rule on
+    * `<page>` boundaries, `from_xml` for parsing — one task per
+    * ~128 MB of dump regardless of file count. */
   def readPages(spark: SparkSession, path: String): DataFrame =
+    graft.sources.SplittableXml.read(spark, path, "page", pageSchema)
+      .select(col("title"), col("revision.text").as("text"))
+
+  /** Spark's built-in rowTag XML source — parallelism is per FILE only,
+    * kept as the cross-validation baseline for the splittable scan
+    * (SplittableXmlSpec asserts row-set equality on the fixture). */
+  def readPagesNative(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("rowTag", "page")
       .schema(pageSchema)

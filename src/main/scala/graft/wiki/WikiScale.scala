@@ -25,11 +25,18 @@ object WikiScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val pages = WikiPipeline.readPages(spark, xml)
-    // NOTE (measured): Spark 4's native XML source does NOT split inside
-    // a single file regardless of maxPartitionBytes — scan parallelism
-    // is per-FILE. A production dump must be ingested as its multistream
-    // parts (or pre-chunked); 8 files here -> 8 scan partitions.
-    println(s"[scale] scan partitions: ${pages.rdd.getNumPartitions}")
+    // The splittable scan (graft.sources.SplittableXml) plans one task
+    // per ~maxPartitionBytes byte range WITHIN a file, so even ONE
+    // concatenated dump file scans in parallel. (The native XML source,
+    // kept as readPagesNative, parallelizes per FILE only — measured:
+    // 1 partition for 1 file regardless of maxPartitionBytes.)
+    val scanParts = pages.rdd.getNumPartitions
+    println(s"[scale] scan partitions: $scanParts")
+    val nativeParts = WikiPipeline.readPagesNative(spark, xml)
+      .rdd.getNumPartitions
+    println(s"[scale] native-source partitions (per-file): $nativeParts")
+    assert(scanParts > 1,
+      s"splittable scan produced $scanParts partition(s) — expected >1")
 
     val t0 = System.nanoTime()
     val counts = WikiPipeline.incomingReferenceCounts(
