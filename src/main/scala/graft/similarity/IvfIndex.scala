@@ -88,7 +88,11 @@ object IvfIndex {
     * the ordering struct. */
   def assign(embeddings: DataFrame, centroids: DataFrame,
              sim: (Column, Column) => Column = floatCosine): DataFrame = {
-    val cs = centroids.select("centroid_id", "cv").collect()
+    // take(MaxInline+1) bounds the driver transfer to 257 rows even when
+    // K is huge; the fallback path never materializes the centroid table
+    // on the driver at all (assignViaJoin broadcasts the DataFrame).
+    val cs = centroids.select("centroid_id", "cv")
+      .take(MaxInlineCentroids + 1)
     if (cs.length <= MaxInlineCentroids) {
       val cvType = centroids.schema("cv").dataType
       val entries = cs.map { r =>

@@ -78,9 +78,12 @@ object SplittableXml {
     spark.createDataset(rdd)
   }
 
-  /** Byte ranges per file; glob- and directory-friendly. Uses the
-    * FileInputFormat convention of not leaving a tiny tail range (last
-    * range may run up to 1.1x splitBytes). */
+  /** Byte ranges per file; glob- and directory-friendly. Follows the
+    * Hadoop FileInputFormat SPLIT_SLOP convention: keep cutting full
+    * splits while the remainder exceeds 1.1x splitBytes, then emit the
+    * remainder as one final range — so a tail up to 10% over splitBytes
+    * is merged into the last split, but anything larger still yields a
+    * separate (possibly small) tail range. */
   def planSplits(spark: SparkSession, path: String,
                  splitBytes: Long): Seq[XmlSplit] = {
     require(splitBytes > 0, s"splitBytes must be positive: $splitBytes")
@@ -134,6 +137,11 @@ private final class TagRecordIterator(
     s.seek(split.start)
     new java.io.BufferedInputStream(s, 64 * 1024)
   }
+  // The iterator closes itself on exhaustion, but a consumer may stop
+  // early (limit/take, task kill, downstream exception) — close at task
+  // end unconditionally rather than leaking until executor GC.
+  Option(org.apache.spark.TaskContext.get())
+    .foreach(_.addTaskCompletionListener[Unit](_ => close()))
   private var pos = split.start
   private val buf = new ByteArrayOutputStream(64 * 1024)
   private var record: String = _
@@ -168,7 +176,18 @@ private final class TagRecordIterator(
     * first byte — so `<<page>` misses the real tag, exactly as the
     * reference does), and the past-the-end check fires only between
     * records and only when not mid-match. That conjunction IS the
-    * straddle rule. */
+    * straddle rule.
+    *
+    * Corpus precondition (inherited with the naive reset): a literal
+    * `<` run immediately before a real start tag (e.g. `<<page>`) makes
+    * the scanner consume the tag's first byte in a failed partial match
+    * and miss the record — and a range whose `end` lands inside that
+    * run would also let the NEXT range seek past it, losing the record
+    * silently. MediaWiki dumps XML-escape body text (`&lt;`), so `<`
+    * only ever introduces markup and the case cannot occur; feeding
+    * non-escaped XML would require a KMP-style reset that re-checks the
+    * failed byte against tag(0) — a deliberate divergence we do not
+    * take, to stay bit-for-bit with the reference. */
   private def readUntilMatch(tag: Array[Byte],
                              withinBlock: Boolean): Boolean = {
     var i = 0

@@ -35,8 +35,13 @@ object WikiScale {
     val nativeParts = WikiPipeline.readPagesNative(spark, xml)
       .rdd.getNumPartitions
     println(s"[scale] native-source partitions (per-file): $nativeParts")
-    assert(scanParts > 1,
-      s"splittable scan produced $scanParts partition(s) — expected >1")
+    // >1 partition is only expected once the input outgrows one split
+    // (maxPartitionBytes x 1.1 slop); on small/fixture inputs a single
+    // partition is correct, so warn instead of aborting the harness.
+    if (scanParts <= 1)
+      println(s"[scale] WARNING: splittable scan produced $scanParts " +
+        "partition(s) — input likely smaller than one split " +
+        "(16MB x 1.1); in-file parallelism not exercised")
 
     val t0 = System.nanoTime()
     val counts = WikiPipeline.incomingReferenceCounts(

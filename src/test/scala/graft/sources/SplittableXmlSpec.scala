@@ -72,13 +72,27 @@ class SplittableXmlSpec extends SparkSpec {
     assert(recs(1).contains("y" * 500))
   }
 
-  test("planSplits: FileInputFormat slop keeps the tail merged") {
-    // 1000-byte file at 300-byte splits: 300,300,400 (no 100-byte tail).
+  test("planSplits: Hadoop SPLIT_SLOP — split while remaining > 1.1x") {
+    // 1000 bytes at 300: remainders 1000,700,400 all exceed 330, so
+    // three full splits are cut and a 100-byte tail survives — exactly
+    // FileInputFormat's behavior (slop merges only tails <= 10% over).
     val dir = java.nio.file.Files.createTempDirectory("plan")
     val f = dir.resolve("p.xml")
     java.nio.file.Files.write(f, ("z" * 1000).getBytes("UTF-8"))
     val splits = SplittableXml.planSplits(spark, f.toString, 300L)
-    assert(splits.map(s => s.end - s.start) === Seq(300L, 300L, 400L))
+    assert(splits.map(s => s.end - s.start) === Seq(300L, 300L, 300L, 100L))
+    assert(splits.head.start === 0L && splits.last.end === 1000L)
+  }
+
+  test("planSplits: tail within slop is merged into the last split") {
+    // 1000 bytes at 480: after one split the remaining 520 <= 528
+    // (1.1 x 480), so the slop rule emits one merged 520-byte tail
+    // instead of a 480 + 40 pair.
+    val dir = java.nio.file.Files.createTempDirectory("plan2")
+    val f = dir.resolve("p2.xml")
+    java.nio.file.Files.write(f, ("z" * 1000).getBytes("UTF-8"))
+    val splits = SplittableXml.planSplits(spark, f.toString, 480L)
+    assert(splits.map(s => s.end - s.start) === Seq(480L, 520L))
     assert(splits.head.start === 0L && splits.last.end === 1000L)
   }
 

@@ -39,8 +39,8 @@ class WikiPipelineSpec extends SparkSpec {
       .collect().head
     assert(top.getString(0) === "Medioevo")
     assert(top.getLong(1) === 4L)
-    // eleven titles at count 3 (FIXTURES.md says "14" but lists exactly
-    // these 11; an independent replica of parseText confirms 11)
+    // eleven titles at count 3 (FIXTURES.md lists exactly these 11;
+    // an independent replica of parseText agrees)
     val at3 = counts.filter(col("count") === 3).collect().map(_.getString(0)).toSet
     assert(at3 === Set(
       "Aristotele", "Graziano Tubi", "Parigi", "Rinascimento",
