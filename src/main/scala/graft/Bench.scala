@@ -14,12 +14,18 @@ import org.apache.spark.sql.SparkSession
   *  - shuffle partitions match the executor thread count (local[N])
   *    instead of the 200 default — at sf0.1 a 200-way shuffle would be
   *    almost pure task-scheduling overhead;
-  *  - each query is timed over TWO back-to-back runs and the MIN is
-  *    reported: single samples on a shared machine mix external load,
+  *  - each query is timed over THREE INTERLEAVED passes of the whole
+  *    battery (A B C ... A B C ... A B C ...) and the per-query MIN is
+  *    reported. Single samples on a shared machine mix external load,
   *    GC pauses, and first-touch page-cache misses into the number
-  *    (round 2 measured one query at 2.3x its reproducible cost purely
-  *    from this). Min-of-2 reports the plan's cost, not the machine's
-  *    mood.
+  *    (round 2 measured one query at 2.3x its reproducible cost from
+  *    this; round 4's back-to-back min-of-2 was poisoned wholesale by
+  *    a contention window long enough to cover both adjacent samples —
+  *    seven untouched queries "regressed" 3-9x). Interleaving puts
+  *    minutes between a query's samples, so one bad window can no
+  *    longer take out every sample of the same query. Min across
+  *    passes reports the plan's cost, not the machine's mood.
+  *    Pass count override: SPARK_GRAFT_BENCH_PASSES.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,8 +52,13 @@ object Bench {
       try run(fn) catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val battery = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to passes).map { _ =>
+      battery.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    }
+    val results = battery.map { case (name, _) =>
+      name -> samples.map(_(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

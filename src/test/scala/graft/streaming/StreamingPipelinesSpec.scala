@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.streaming.StreamingPipelines._
 // Spark 4.1 moved MemoryStream under execution.streaming.runtime
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.sql.Timestamp
 
@@ -18,6 +19,19 @@ class StreamingPipelinesSpec extends SparkSpec {
   private def ev(id: Long, tsSec: Long, user: Long, typ: String,
                  v: Double = 1.0) =
     Event(id, new Timestamp(tsSec * 1000), user, typ, v)
+
+  /** Sessionize queries never self-terminate under AvailableNow: the
+    * pending ProcessingTimeTimeout state keeps the query alive waiting
+    * for timers, so awaitTermination always burns its full timeout.
+    * Poll for the expected sink condition instead, then stop. */
+  private def awaitCondition(q: org.apache.spark.sql.streaming.StreamingQuery,
+                             cond: () => Boolean,
+                             timeoutMs: Long = 120000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline && q.isActive && !cond())
+      Thread.sleep(200)
+    q.stop()
+  }
 
   test("windowedCounts aggregates tumbling 1h windows (streaming)") {
     implicit val sc = spark.sqlContext
@@ -47,7 +61,7 @@ class StreamingPipelinesSpec extends SparkSpec {
     val q = sessionize(in.toDS()).writeStream
       .format("memory").queryName("sess_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000); q.stop()
+    awaitCondition(q, () => spark.table("sess_out").count() >= 1)
     val sessions = spark.table("sess_out")
       .select("user_id", "n_events", "duration_sec")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -63,7 +77,9 @@ class StreamingPipelinesSpec extends SparkSpec {
     val q = sessionize(in.toDS()).writeStream
       .format("memory").queryName("sess_out2")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000); q.stop()
+    // nothing will ever arrive in the sink — wait for the input batch
+    // to be fully processed, then stop
+    awaitCondition(q, () => q.recentProgress.map(_.numInputRows).sum >= 3)
     // nothing closed: all within gap; state holds one open session
     assert(spark.table("sess_out2").count() === 0)
   }
@@ -110,5 +126,91 @@ class StreamingPipelinesSpec extends SparkSpec {
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000); q.stop()
     assert(spark.table("file_win").count() > 0)
+  }
+
+  // ---- streaming ≡ batch equivalence --------------------------------
+  // The oracle gate cannot reach the streaming family, so these two
+  // tests are its substitute: the SAME events parquet driven through
+  // the file stream must produce row-identical results to the batch
+  // queries the oracle does verify (q_events_tumbling /
+  // q_events_sessionize). A semantics drift between the batch and
+  // streaming implementations now fails the suite instead of hiding.
+
+  test("streaming windowedCounts ≡ batch q_events_tumbling on same data") {
+    import org.apache.spark.sql.functions.unix_timestamp
+    val out = windowedCounts(
+      readEventsStream(spark, sf0001).select(
+        "event_id", "ts", "user_id", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("eq_win")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000); q.stop()
+    // single batch (one file, no maxFilesPerTrigger) -> initial
+    // watermark 0 drops nothing and update mode emits each window once
+    val streamed = spark.table("eq_win")
+      .select(unix_timestamp(col("window_start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.length === streamed.toSet.size,
+      "window emitted more than once — batch split changed; compare last-update instead")
+    val batch = graft.SparkEntry.queries("q_events_tumbling")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(batch.nonEmpty)
+    assert(streamed.toSet === batch.toSet)
+  }
+
+  test("streaming sessionize ≡ batch q_events_sessionize once closed") {
+    import org.apache.spark.sql.types._
+    // The streaming sessionizer only emits CLOSED sessions; to compare
+    // against the batch query, stage a stream dir = the real events file
+    // + one sentinel event per user at max(ts)+2h. The sentinel gap
+    // closes every real session in-batch; the sentinel sessions
+    // themselves stay open in state and are never emitted.
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("sessfull")
+    val src = java.nio.file.Paths.get(sf0001, "events.parquet")
+    java.nio.file.Files.copy(src, dir.resolve("events_a.parquet"))
+    val rawEvents = spark.read.schema(raw).parquet(src.toString)
+    val maxTsNanos = rawEvents.agg(max(col("ts"))).head.getLong(0)
+    val users = rawEvents.select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    val sentinels = users.toSeq.map(u =>
+      (10_000_000L + u, maxTsNanos + 7200L * 1000000000L, u, "flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val stage = dir.resolve("stage")
+    sentinels.coalesce(1).write.parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage).iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.copy(p, dir.resolve("events_b.parquet"))
+        moved = true
+      }
+    }
+    assert(moved, "no parquet part file written for sentinels")
+
+    val batch = graft.SparkEntry.queries("q_events_sessionize")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    val expectedSessions = batch.toSeq.map(_._2).sum
+
+    val q = sessionize(
+        readEventsStream(spark, dir.toString)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .na.fill(0.0, Seq("value")).as[Event])
+      .writeStream.format("memory").queryName("eq_sess")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    awaitCondition(q,
+      () => spark.table("eq_sess").count() >= expectedSessions, 180000)
+    val streamed = spark.table("eq_sess")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
   }
 }
