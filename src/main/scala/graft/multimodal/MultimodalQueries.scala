@@ -32,6 +32,64 @@ object MultimodalQueries {
              |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |md5(text) AS payload_md5,
              |upper(hex(encode(substr(text, 1, 8)))) AS head_hex
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // the decode path itself under the hash gate: media rows flow
+    // through decodeAndExtract (mapPartitions + StubCodec), and every
+    // stub feature is recomputed independently by DuckDB byte-for-byte.
+    // The float 8-bin histogram is multiplied back to exact per-bin
+    // counts (count = round(fraction * n) is lossless: the float32
+    // fraction's relative error ~6e-8 stays far below 0.5/n at any
+    // payload size here), so no float-division hashing hazard. The
+    // sha_head oracle substr()s by CHARS where Spark slices 64 BYTES —
+    // equal because the synthetic corpus is pure ASCII (asserted
+    // cheaply: q_multimodal_meta's n_bytes already ties octet_length to
+    // the same encode()).
+    Q("q_multimodal_features",
+      (s, d) => {
+        import org.apache.spark.sql.functions.round
+        val feats = MultimodalPipeline.decodeAndExtract(
+          MultimodalPipeline.mediaFromDocuments(s, d)).toDF()
+        val bins = (0 until 8).map(j =>
+          round(element_at(col("feature"), j + 1).cast(DoubleType) *
+            col("n_bytes")).cast(LongType).as(s"bin$j"))
+        feats.select(
+          Seq(col("media_id"), col("kind"), col("n_bytes"),
+            col("sha_head"), col("mean_byte"),
+            col("n_frames").cast(LongType).as("n_frames")) ++ bins: _*)
+          .orderBy("media_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text, hex(encode(text)) AS h,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents),
+             |bytes AS (
+             |  SELECT doc_id,
+             |         CAST('0x' || substr(h, 2*i - 1, 2) AS INT) AS v
+             |  FROM base, unnest(range(1, n + 1)) AS t(i)),
+             |agg AS (
+             |  SELECT doc_id,
+             |         CAST(SUM(v) AS DOUBLE) / count(*) AS mean_byte,
+             |         CAST(SUM(CASE WHEN v // 32 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bin0,
+             |         CAST(SUM(CASE WHEN v // 32 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bin1,
+             |         CAST(SUM(CASE WHEN v // 32 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bin2,
+             |         CAST(SUM(CASE WHEN v // 32 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS bin3,
+             |         CAST(SUM(CASE WHEN v // 32 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS bin4,
+             |         CAST(SUM(CASE WHEN v // 32 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS bin5,
+             |         CAST(SUM(CASE WHEN v // 32 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS bin6,
+             |         CAST(SUM(CASE WHEN v // 32 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS bin7
+             |  FROM bytes GROUP BY doc_id)
+             |SELECT b.doc_id AS media_id,
+             |  CASE WHEN b.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+             |  CAST(b.n AS BIGINT) AS n_bytes,
+             |  substr(md5(substr(b.text, 1, 64)), 1, 8) AS sha_head,
+             |  coalesce(a.mean_byte, 0.0) AS mean_byte,
+             |  CAST(ceil(b.n / 256.0) AS BIGINT) AS n_frames,
+             |  coalesce(a.bin0, 0) AS bin0, coalesce(a.bin1, 0) AS bin1,
+             |  coalesce(a.bin2, 0) AS bin2, coalesce(a.bin3, 0) AS bin3,
+             |  coalesce(a.bin4, 0) AS bin4, coalesce(a.bin5, 0) AS bin5,
+             |  coalesce(a.bin6, 0) AS bin6, coalesce(a.bin7, 0) AS bin7
+             |FROM base b LEFT JOIN agg a USING (doc_id)
+             |ORDER BY media_id""".stripMargin))
   )
 }
