@@ -53,4 +53,68 @@ class TopKPerGroupSpec extends SparkSpec {
       .select("id").collect().map(_.getString(0)).toSeq
     assert(rows === Seq("d", "a"))
   }
+
+  test("high group cardinality spills to disk and stays exact") {
+    // 20k groups x 5 rows with a 1k-row in-memory bound: each task
+    // spills repeatedly and the k-way run merge must reproduce the
+    // exact window-formulation answer.
+    spark.conf.set("graft.topk.spillThreshold", "1000")
+    try {
+      val df = spark.range(0, 100000).select(
+        (col("id") % 20000).as("g"),
+        // mix so per-group order is nontrivial and ties exist
+        ((col("id") * 2654435761L) % 1000).as("v"),
+        col("id"))
+      val got = topKPerGroup(df, Seq(col("g")),
+        Seq(desc("v"), asc("id")), 2)
+      val gotRows = got.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("g").orderBy(desc("v"), asc("id"))
+      val ref = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotRows === ref)
+      assert(gotRows.size === 40000)
+
+      // prove the bound was actually exercised: the exec's spill
+      // metrics must be non-zero at this threshold. AQE nests the exec
+      // inside query stages, which plain collect() does not enter —
+      // recurse through AdaptiveSparkPlanExec/QueryStageExec manually.
+      def findTopK(p: org.apache.spark.sql.execution.SparkPlan): Seq[TopKPerGroupExec] = {
+        val here = p match {
+          case t: TopKPerGroupExec => Seq(t)
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(findTopK)
+      }
+      val execs = findTopK(got.queryExecution.executedPlan)
+      assert(execs.nonEmpty, got.queryExecution.executedPlan.toString)
+      assert(execs.map(_.metrics("numSpills").value).sum > 0)
+      assert(execs.map(_.metrics("spilledRows").value).sum > 0)
+    } finally spark.conf.unset("graft.topk.spillThreshold")
+  }
+
+  test("spill path preserves best-first emit order within a group") {
+    spark.conf.set("graft.topk.spillThreshold", "1")
+    try {
+      // threshold 1 forces a spill on nearly every insert — the
+      // degenerate worst case documented on the operator
+      val df = Seq((1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0), (2, 50.0))
+        .toDF("g", "v").repartition(1)
+      val rows = topKPerGroup(df, Seq(col("g")), Seq(desc("v")), 2)
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      assert(rows.toSet === Set((1, 30.0), (1, 20.0), (2, 50.0), (2, 5.0)))
+      val g1 = rows.filter(_._1 == 1).map(_._2)
+      assert(g1.toSeq === Seq(30.0, 20.0))
+    } finally spark.conf.unset("graft.topk.spillThreshold")
+  }
 }
