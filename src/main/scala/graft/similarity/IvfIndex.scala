@@ -131,6 +131,62 @@ object IvfIndex {
       s"unsupported centroid vector type: $other")
   }
 
+  /** Persist the inverted index CO-LOCATED with the vectors:
+    * (vec_id, embedding) written partitioned by centroid_id. This is
+    * the production index layout — [[search]] must join corpus-sized
+    * `embeddings` with corpus-sized `assignments` on vec_id per query
+    * batch, while [[searchIndexed]] over this layout reads ONLY the
+    * probed centroid partitions and touches no corpus-sized join at
+    * all. One shuffle at build time (repartition by centroid_id so
+    * each inverted list lands in few files) buys every future search
+    * a pruned scan. */
+  def buildIndex(embeddings: DataFrame, centroids: DataFrame,
+                 indexDir: String,
+                 sim: (Column, Column) => Column = floatCosine): Unit = {
+    val assigned = assign(embeddings, centroids, sim)
+    embeddings.join(assigned, "vec_id")
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite")
+      .partitionBy("centroid_id")
+      .parquet(indexDir)
+  }
+
+  /** [[search]] against a [[buildIndex]] layout. The probed centroid
+    * ids (<= |queries| x nProbe distinct values, bounded by K) are
+    * collected and applied as a STATIC partition filter, so the scan
+    * provably reads only the probed inverted lists — no reliance on
+    * dynamic partition pruning kicking in. Per-query restriction to
+    * its own probe list is then the broadcast equi-join, and top-k
+    * runs through the same bounded-heap exec as [[search]]. */
+  def searchIndexed(spark: SparkSession, indexDir: String,
+                    centroids: DataFrame, queries: DataFrame,
+                    topK: Int, nProbe: Int,
+                    sim: (Column, Column) => Column = floatCosine): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy("query_id")
+      .orderBy(desc("csim"), asc("centroid_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", sim(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val probedIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by K — driver-tiny
+    val lists = spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(probedIds: _*))
+    val scored = lists
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", sim(col("qv"), col("embedding")))
+    val top = graft.plans.TopKPerGroup.topKPerGroup(scored,
+      Seq(col("query_id")), Seq(desc("sim"), asc("vec_id")), topK)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("vec_id"))
+    top.withColumn("rank", row_number().over(wq))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
   /** Top-k cosine neighbors per query, probing the nProbe nearest
     * inverted lists. queries: (query_id, qv).
     *

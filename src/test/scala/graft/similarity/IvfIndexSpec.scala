@@ -74,6 +74,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(inline === joined)
   }
 
+  test("buildIndex persists co-located lists; searchIndexed ≡ search") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx")
+      .resolve("index").toString
+    IvfIndex.buildIndex(emb, centroids, dir)
+    // layout: one directory per inverted list (hive-style partition)
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("centroid_id=")))
+    assert(subdirs.length.toLong ===
+      assignments.select("centroid_id").distinct().count())
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaIndex = rows(
+      IvfIndex.searchIndexed(spark, dir, centroids, queries, 5, 2))
+    val direct = rows(
+      IvfIndex.search(emb, assignments, centroids, queries, 5, 2))
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty)
+
+    // the layout supports static partition pruning: restricting to two
+    // lists must read strictly fewer files than the full index
+    val probedTwo = subdirs.take(2).map(_.split("=")(1).toInt).toSeq
+    val full = spark.read.parquet(dir)
+    val pruned = full.filter(col("centroid_id").isin(probedTwo: _*))
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"pruned=${pruned.inputFiles.length} full=${full.inputFiles.length}")
+  }
+
   test("search is deterministic across runs") {
     def run() = IvfIndex.search(emb, assignments, centroids, queries, 5, 2)
       .select("query_id", "neighbor_id", "rank").collect()
