@@ -96,12 +96,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(viaIndex.nonEmpty)
 
     // the layout supports static partition pruning: restricting to two
-    // lists must read strictly fewer files than the full index
+    // lists must SCAN strictly fewer files than the full index. (Note
+    // df.inputFiles ignores filters — it lists the whole relation — so
+    // the probative check is the scan node's numFiles metric after an
+    // actual execution, plus the partition filter in the plan.)
     val probedTwo = subdirs.take(2).map(_.split("=")(1).toInt).toSeq
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      val proj = df.select("vec_id") // scan-only plan: no exchange/AQE
+      proj.collect()
+      proj.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
     val full = spark.read.parquet(dir)
     val pruned = full.filter(col("centroid_id").isin(probedTwo: _*))
-    assert(pruned.inputFiles.length < full.inputFiles.length,
-      s"pruned=${pruned.inputFiles.length} full=${full.inputFiles.length}")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [centroid_id"), "no partition filter in plan")
+    val (prunedFiles, fullFiles) = (filesScanned(pruned), filesScanned(full))
+    assert(prunedFiles < fullFiles, s"pruned=$prunedFiles full=$fullFiles")
+    assert(prunedFiles > 0L)
   }
 
   test("search is deterministic across runs") {
