@@ -43,11 +43,6 @@ object WikiScale {
         "partition(s) — input likely smaller than one split " +
         "(16MB x 1.1); in-file parallelism not exercised")
 
-    val t0 = System.nanoTime()
-    val counts = WikiPipeline.incomingReferenceCounts(
-      WikiPipeline.links(pages)).cache()
-    val rows = counts.count()
-    val secs = (System.nanoTime() - t0) / 1e9
     // glob-safe input size: sum sibling .xml files when given a pattern
     val bytes = {
       val f = new java.io.File(xml)
@@ -59,6 +54,19 @@ object WikiScale {
         else 0L
       }
     }
+
+    // raw record-scan throughput (byte scanner only, no XML parse)
+    val tScan = System.nanoTime()
+    val nRecs = graft.sources.SplittableXml.records(spark, xml, "page").count()
+    val scanSecs = (System.nanoTime() - tScan) / 1e9
+    println(f"[scale] raw scan: $nRecs records in $scanSecs%.1f s " +
+      f"(${bytes / 1e6 / scanSecs}%.1f MB/s)")
+
+    val t0 = System.nanoTime()
+    val counts = WikiPipeline.incomingReferenceCounts(
+      WikiPipeline.links(pages)).cache()
+    val rows = counts.count()
+    val secs = (System.nanoTime() - t0) / 1e9
     println(f"[scale] pipeline: $rows rows in $secs%.1f s " +
       f"(${bytes / 1e6 / secs}%.1f MB/s)")
 
