@@ -19,7 +19,8 @@ object SparkEntry {
       text.TextQueries.all ++
       dedup.DedupQueries.all ++
       similarity.SimilarityQueries.all ++
-      multimodal.MultimodalQueries.all
+      multimodal.MultimodalQueries.all ++
+      temporal.TemporalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The reference's whole pipeline shape (extract → filter →

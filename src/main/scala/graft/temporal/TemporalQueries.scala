@@ -1,0 +1,121 @@
+package graft.temporal
+
+import graft.Tables
+import graft.queries.CoreQueries.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Temporal join operators over the `events` table — the two shapes a
+  * training-data/feature pipeline needs beyond equi-joins:
+  *
+  *  - AS-OF join (q_asof_join): for each purchase, the latest click by
+  *    the same user at or before the purchase time. Implemented with
+  *    the UNION + window trick: tag both sides, union them, and carry
+  *    the right side forward with last(ignoreNulls) over a rows frame.
+  *    This is THE scale-correct as-of plan: ONE shuffle on the key and
+  *    a per-partition sort — cost identical to any window — instead of
+  *    a range join whose candidate set explodes with key frequency
+  *    (an events×events theta-join is O(n_user²) per user). Skew is
+  *    bounded by per-user event counts, same as sessionization.
+  *  - Interval aggregation (q_window_range): clicks per user in the
+  *    hour strictly before each purchase, via a RANGE window frame over
+  *    the microsecond epoch — again one shuffle + sort, no self-join.
+  *    The frame is value-based, so same-instant events are excluded
+  *    deterministically without a tie-break.
+  *
+  * Cross-engine exactness: timestamps compare as unix MICROSECOND longs
+  * (`unix_micros` / DuckDB `epoch_us`; the testdata is micro-precision,
+  * so the NANOS→micros cast is lossless), and the as-of tie at equal
+  * (ts) is broken by (side, event_id) identically in both engines.
+  */
+object TemporalQueries {
+
+  private val HourUs = 3600L * 1000 * 1000
+
+  /** events restricted to the two sides, with the columns both queries
+    * need: microsecond epoch, side tag, and null-carried click ids. */
+  private def tagged(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"),
+        when(col("event_type") === "click", col("event_id")).as("click_id"),
+        when(col("event_type") === "click", unix_micros(col("ts")))
+          .as("click_us"))
+
+  private val taggedSql =
+    """t AS (
+      |  SELECT event_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+      |    CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+      |    CASE WHEN event_type = 'click'
+      |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS click_us
+      |  FROM events WHERE event_type IN ('click', 'purchase'))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // AS-OF: latest click at-or-before each purchase, per user. A click
+    // at the exact purchase instant counts (is_p sorts clicks first at
+    // equal ts); among same-instant clicks the highest event_id wins —
+    // the same total order on both engines.
+    Q("q_asof_join",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts_us", "is_p", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged(s, d)
+          .withColumn("asof_click_id",
+            last(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("asof_click_us",
+            last(col("click_us"), ignoreNulls = true).over(w))
+          .filter(col("is_p") === 1)
+          .select(
+            col("event_id").as("purchase_id"), col("user_id"),
+            col("ts_us").as("purchase_us"), col("asof_click_id"),
+            (col("ts_us") - col("asof_click_us")).as("gap_us"))
+          .orderBy("purchase_id")
+      },
+      Some(s"""WITH $taggedSql,
+             |w AS (
+             |  SELECT *,
+             |    last_value(click_id IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ts_us, is_p, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id,
+             |    last_value(click_us IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ts_us, is_p, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_us
+             |  FROM t)
+             |SELECT event_id AS purchase_id, user_id, ts_us AS purchase_us,
+             |  asof_click_id, ts_us - asof_click_us AS gap_us
+             |FROM w WHERE is_p = 1 ORDER BY purchase_id""".stripMargin)),
+
+    // Interval aggregation: clicks by the same user in the hour
+    // STRICTLY before each purchase (value-based RANGE frame).
+    Q("q_window_range",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(-HourUs, -1L)
+        tagged(s, d)
+          .withColumn("n_clicks_1h",
+            coalesce(sum(lit(1) - col("is_p")).over(w), lit(0))
+              .cast(LongType))
+          .filter(col("is_p") === 1)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts_us").as("purchase_us"), col("n_clicks_1h"))
+          .orderBy("purchase_id")
+      },
+      Some(s"""WITH $taggedSql
+             |SELECT event_id AS purchase_id, user_id, ts_us AS purchase_us,
+             |  CAST(coalesce(SUM(1 - is_p) OVER (
+             |    PARTITION BY user_id ORDER BY ts_us
+             |    RANGE BETWEEN $HourUs PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |    AS n_clicks_1h
+             |FROM t
+             |QUALIFY is_p = 1
+             |ORDER BY purchase_id""".stripMargin))
+  )
+}
