@@ -227,6 +227,71 @@ object SimilarityQueries {
              |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
              |  FROM s)
              |SELECT query_id, neighbor_id, rank, sim FROM r
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // int8 scalar-quantized ANN: per-vector symmetric quantization
+    // q_i = round(sv_i * 127 / max|sv|), then top-k by QUANTIZED cosine
+    // dot(qa,qb)/sqrt(|qa||qb|) — the per-vector scale factors cancel
+    // in cosine, so the score is pure small-integer arithmetic (exact,
+    // order-independent, bit-reproducible in DuckDB). 100 TB posture:
+    // the search corpus shrinks 8x (int8 vs int64/float64 — store qv as
+    // BYTE array + one scale per vector), the dot product runs on
+    // int8-range values through the same codegen'd DotLong, and exact
+    // re-ranking (see q_ann_bruteforce) only ever touches the top-k
+    // survivors. The spec measures recall@10 vs the exact ranking.
+    Q("q_ann_quantized",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = scaled(s, d)
+          .withColumn("mx",
+            greatest(array_max(transform(col("sv"), x => abs(x))), lit(1L)))
+          .withColumn("qv", transform(col("sv"),
+            x => round(x.cast(DoubleType) * 127.0 / col("mx").cast(DoubleType))
+              .cast(LongType)))
+          .withColumn("qn", dotLong(col("qv"), col("qv")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("qv").as("a_qv"),
+            col("qn").as("a_qn"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("qv").as("b_qv"),
+          col("qn").as("b_qn"))
+        val pairs = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+          .withColumn("qcos", cosineFromScaled(
+            col("a_qv"), col("b_qv"), col("a_qn"), col("b_qn")))
+        val top = graft.plans.TopKPerGroup.topKPerGroup(pairs,
+          Seq(col("query_id")), Seq(desc("qcos"), asc("neighbor_id")), 10)
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("qcos"), asc("neighbor_id"))
+        top.withColumn("rank", row_number().over(w).cast(LongType))
+          .select("query_id", "neighbor_id", "rank", "qcos")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $scaledCte,
+             |qz AS (
+             |  SELECT vec_id,
+             |    list_transform(sv, x -> CAST(round(CAST(x AS DOUBLE) * 127.0
+             |      / CAST(greatest(list_max(list_transform(sv, y -> abs(y))), 1)
+             |             AS DOUBLE)) AS BIGINT)) AS qv
+             |  FROM sc),
+             |qn AS (
+             |  SELECT vec_id, qv,
+             |    CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))
+             |      AS BIGINT) AS nn
+             |  FROM qz),
+             |q AS (SELECT vec_id AS query_id, qv AS a_qv, nn AS a_qn
+             |      FROM qn WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS neighbor_id, qv AS b_qv, nn AS b_qn FROM qn),
+             |s AS (
+             |  SELECT query_id, neighbor_id,
+             |    CAST(list_sum(list_transform(range(1, 65),
+             |      i -> a_qv[i] * b_qv[i])) AS DOUBLE)
+             |      / sqrt(CAST(a_qn AS DOUBLE) * CAST(b_qn AS DOUBLE)) AS qcos
+             |  FROM c JOIN q ON neighbor_id <> query_id),
+             |r AS (
+             |  SELECT query_id, neighbor_id, qcos,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY qcos DESC, neighbor_id) AS BIGINT) AS rank
+             |  FROM s)
+             |SELECT query_id, neighbor_id, rank, qcos FROM r
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 }
