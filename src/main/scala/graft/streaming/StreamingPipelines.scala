@@ -107,6 +107,37 @@ object StreamingPipelines {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream-stream interval join (attribution shape): each
+    * purchase matched to the same user's clicks in the `windowSeconds`
+    * before it, inclusive. Both sides carry watermarks and the join
+    * predicate is equality + a bounded time range, which is what lets
+    * Spark EXPIRE join state: buffered clicks are dropped once the
+    * watermark passes click_ts + windowSeconds, purchases once it
+    * passes purchase_ts — state is bounded by watermark + window, not
+    * stream length, the property that keeps an attribution join alive
+    * on an unbounded ingest. Inner-join matches emit as soon as both
+    * rows have arrived (no watermark wait); the watermark governs only
+    * state cleanup here. */
+  def clickAttribution(events: DataFrame,
+                       windowSeconds: Long = 1800,
+                       watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** File-source streaming read of the events table with the same
     * nanos-handling as Tables.load. Targets the events parquet
     * specifically — pointing a schema'd file stream at the whole

@@ -160,6 +160,44 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(streamed.toSet === batch.toSet)
   }
 
+  test("stream-stream interval join matches hand-computed pairs") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 1: clicks at 100 and 1000, purchase at 1500 -> both within
+    // 1800s. user 2: click at 100, purchase at 3000 -> outside window.
+    // user 3: purchase with no click at all.
+    in.addData(
+      ev(1, 100, 1, "click"), ev(2, 1000, 1, "click"),
+      ev(3, 1500, 1, "purchase"),
+      ev(4, 100, 2, "click"), ev(5, 3000, 2, "purchase"),
+      ev(6, 500, 3, "purchase"))
+    val q = clickAttribution(in.toDF()).writeStream
+      .format("memory").queryName("attr_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val pairs = spark.table("attr_out").select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((3L, 1L), (3L, 2L)))
+  }
+
+  test("streaming clickAttribution ≡ the same interval join in batch") {
+    val streamed = {
+      val out = clickAttribution(
+        readEventsStream(spark, sf0001).select(
+          "event_id", "ts", "user_id", "event_type", "value"))
+      val q = out.writeStream.format("memory").queryName("eq_attr")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+      spark.table("eq_attr").select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val batch = clickAttribution(graft.Tables.load(spark, sf0001, "events"))
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming sessionize ≡ batch q_events_sessionize once closed") {
     import org.apache.spark.sql.types._
     // The streaming sessionizer only emits CLOSED sessions; to compare
