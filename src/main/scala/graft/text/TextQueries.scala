@@ -311,6 +311,63 @@ object TextQueries {
              |  list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
              |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')),
              |  s -> md5(s)), 'min') AS fp_min_shingle
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // benchmark decontamination: flag training docs sharing 3-token
+    // shingles with a held-out "benchmark" set (docs with id % 100 = 7
+    // stand in for the eval set). THE pre-training hygiene operator:
+    // eval contamination is measured by n-gram overlap (GPT-3 App. C /
+    // PaLM-style 3-gram screens). Scale posture: a real benchmark is
+    // MBs while the corpus is TBs, so the benchmark shingle set is
+    // BROADCAST — the corpus-side shingle stream never shuffles for the
+    // join, and the only wide exchange is the final per-doc count
+    // aggregation (uniform doc_id keys). Shingles are row-based
+    // (posexplode + window leads) like q_doc_fingerprint: HOF lambdas
+    // would re-run split(text) per element.
+    Q("q_decontaminate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val sh = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("t1", lead(col("tok"), 1).over(w))
+          .withColumn("t2", lead(col("tok"), 2).over(w))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
+          .distinct()
+        val bench = sh.filter(col("doc_id") % 100 === 7)
+          .select("s").distinct()
+        val corpus = sh.filter(col("doc_id") % 100 =!= 7)
+          .withColumn("n_sh",
+            count(lit(1)).over(Window.partitionBy("doc_id")).cast(LongType))
+        corpus.join(broadcast(bench), "s")
+          // group on doc_id alone (n_sh is functionally dependent):
+          // the window above already partitioned by doc_id, so this
+          // aggregation reuses that distribution — no second shuffle
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"), max(col("n_sh")).as("n_sh"))
+          .withColumn("ratio",
+            col("n_hits").cast(DoubleType) / col("n_sh").cast(DoubleType))
+          .select("doc_id", "n_hits", "n_sh", "ratio")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(tk) - 1, 1)),
+             |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+             |  FROM toks WHERE len(tk) >= 3),
+             |bench AS (
+             |  SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 100 = 7),
+             |corpus AS (
+             |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS s
+             |  FROM sh WHERE doc_id % 100 <> 7)
+             |SELECT doc_id, count(*) AS n_hits, n_sh,
+             |  CAST(count(*) AS DOUBLE) / CAST(n_sh AS DOUBLE) AS ratio
+             |FROM corpus JOIN bench USING (s)
+             |GROUP BY doc_id, n_sh ORDER BY doc_id""".stripMargin))
   )
 }
