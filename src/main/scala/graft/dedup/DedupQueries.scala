@@ -178,26 +178,14 @@ object DedupQueries {
         val toks = Tables.load(s, d, "documents")
           .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
           .withColumn("h", md5(col("tok")))
-        // nibble value of hex digit j (0-based): position in the hex
-        // alphabet — portable (instr is 1-based in Spark and DuckDB)
-        val withNibbles = (0 until 16).foldLeft(toks) { (df, j) =>
-          df.withColumn(s"nib$j",
-            expr(s"instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1"))
-        }
-        // vote count per bit k (nibble k/4, bit k%4, LSB-first)
-        val votes = withNibbles.groupBy("doc_id")
-          .agg(count(lit(1)).as("n"),
-            (0 until 64).map { k =>
-              val (j, b) = (k / 4, k % 4)
-              sum(when(col(s"nib$j") % (1L << (b + 1)) >= (1L << b), 1L)
-                .otherwise(0L)).as(s"c$k")
-            }: _*)
-        def half(bits: Range): org.apache.spark.sql.Column = bits.map { k =>
-          when(col(s"c$k") * 2 >= col("n"), lit(1L << (k % 32)))
-            .otherwise(lit(0L))
-        }.reduce(_ + _)
-        val fp = votes.select(col("doc_id"),
-          half(32 until 64).as("hi"), half(0 until 32).as("lo"))
+        // fingerprint via the custom SimHash64Agg TypedImperativeAggregate:
+        // one long[65] vote buffer updated in a tight loop instead of the
+        // 65-buffer unrolled HashAggregate (same voting rule bit-for-bit —
+        // the oracle SQL below still spells out the expression form; see
+        // SimHash64AggSpec for the equivalence test)
+        val fp = toks.groupBy("doc_id")
+          .agg(graft.functions.SimHash64Agg.simhash64(col("h")).as("fp"))
+          .select(col("doc_id"), col("fp.hi").as("hi"), col("fp.lo").as("lo"))
         // 16-bit bands: b0..b1 from lo, b2..b3 from hi (all positive)
         val banded = fp
           .withColumn("band", explode(array(
