@@ -368,6 +368,74 @@ object TextQueries {
              |SELECT doc_id, count(*) AS n_hits, n_sh,
              |  CAST(count(*) AS DOUBLE) / CAST(n_sh AS DOUBLE) AS ratio
              |FROM corpus JOIN bench USING (s)
-             |GROUP BY doc_id, n_sh ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id, n_sh ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition signals (Rae et al. 2021, Table A1): the
+    // duplicate-2-gram fraction and the most-frequent-2-gram share of
+    // each doc — the standard "remove boilerplate/spam" quality rules
+    // for pre-training corpora. Row-based 2-grams (posexplode + one
+    // lead) then two hash aggregates; the second reuses the first's
+    // doc_id distribution, so the whole query is two shuffles.
+    Q("q_gopher_repetition",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val grams = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("t1", lead(col("tok"), 1).over(w))
+          .filter(col("t1").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("tok"), col("t1")).as("g"))
+        grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(sum(col("cnt")).as("n_2g"),
+            count(lit(1)).as("n_dist"),
+            max(col("cnt")).as("top_cnt"))
+          .withColumn("dup_frac",
+            lit(1.0) - col("n_dist").cast(DoubleType) / col("n_2g"))
+          .withColumn("top_frac",
+            col("top_cnt").cast(DoubleType) / col("n_2g"))
+          .select("doc_id", "n_2g", "n_dist", "dup_frac", "top_frac")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |gr AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+             |    i -> array_to_string(tk[i:i+1], ' '))) AS g
+             |  FROM toks WHERE len(tk) >= 2),
+             |c AS (SELECT doc_id, g, count(*) AS cnt FROM gr GROUP BY doc_id, g)
+             |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2g,
+             |  count(*) AS n_dist,
+             |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS dup_frac,
+             |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS top_frac
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // per-source quota capping (corpus mixing): keep the top-5 largest
+    // docs per source — the "cap each domain's contribution" step when
+    // mixing corpus sources. Runs through the custom TopKPerGroupExec
+    // (bounded per-group heaps, no partition sort), putting the custom
+    // physical operator under the DuckDB oracle on a second domain
+    // beyond ANN.
+    Q("q_source_cap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val top = graft.plans.TopKPerGroup.topKPerGroup(docs,
+          Seq(col("source")), Seq(desc("n_chars"), asc("doc_id")), 5)
+        val w = Window.partitionBy("source")
+          .orderBy(desc("n_chars"), asc("doc_id"))
+        top.withColumn("rank", row_number().over(w).cast(LongType))
+          .select("source", "doc_id", "n_chars", "rank")
+          .orderBy("source", "rank")
+      },
+      Some("""SELECT source, doc_id, n_chars, rank FROM (
+             |  SELECT source, doc_id, n_chars,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+             |  FROM documents) t
+             |WHERE rank <= 5 ORDER BY source, rank""".stripMargin))
   )
 }
