@@ -55,6 +55,22 @@ object Demo {
       emb, assignments, centroids, queries, topK = 5, nProbe = 2)
     println(s"[demo] ivf hits: ${hits.count()} (3 queries x top-5, 2/8 lists probed)")
 
+    // 5. as-of join: latest click at-or-before each purchase (one
+    // shuffle, no range join)
+    val asof = SparkEntry.queries("q_asof_join")(spark, sfDir)
+    println(s"[demo] asof-joined purchases: ${asof.count()} " +
+      s"(${asof.filter(col("asof_click_id").isNotNull).count()} with a prior click)")
+
+    // 6. decontamination: broadcast 3-gram screen vs the held-out set
+    val decon = SparkEntry.queries("q_decontaminate")(spark, sfDir)
+    println(s"[demo] contaminated docs: ${decon.count()}")
+
+    // 7. stream-stream attribution join over the same events (batch
+    // mode of the identical expression)
+    val attr = streaming.StreamingPipelines.clickAttribution(
+      Tables.load(spark, sfDir, "events"))
+    println(s"[demo] click-attribution pairs: ${attr.count()}")
+
     spark.stop()
   }
 }
