@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Deployment-path check for [[GraftExtensions]]: builds a session with
+  * spark.sql.extensions=graft.GraftExtensions (the exact config a
+  * cluster job would set) and exercises every injected piece from pure
+  * SQL — cosine_sim, dot_long, simhash64, and the row_number<=k →
+  * TopKPerGroup optimizer rewrite. Usage:
+  *   spark-submit --class graft.ExtCheck <jar> [sfDir]
+  */
+object ExtCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-extcheck")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("emb")
+    Tables.load(spark, sfDir, "documents").createOrReplaceTempView("docs")
+
+    val cos = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) c FROM emb LIMIT 1")
+      .collect()(0).getDouble(0)
+    println(f"[ext] cosine_sim self = $cos%.4f (expect 1.0000)")
+    assert(math.abs(cos - 1.0) < 1e-6)
+
+    val dot = spark.sql(
+      """SELECT dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) d""")
+      .collect()(0).getLong(0)
+    println(s"[ext] dot_long([1,2,3],[4,5,6]) = $dot (expect 32)")
+    assert(dot == 32L)
+
+    val sh = spark.sql(
+      """SELECT doc_id, simhash64(md5(tok)) fp FROM (
+        |  SELECT doc_id, explode(array_distinct(split(text, ' '))) tok
+        |  FROM docs) GROUP BY doc_id ORDER BY doc_id LIMIT 3""".stripMargin)
+      .collect()
+    sh.foreach { r =>
+      val fp = r.getStruct(1)
+      println(s"[ext] simhash64 doc ${r.getLong(0)}: " +
+        s"hi=${fp.getLong(0)} lo=${fp.getLong(1)}")
+      assert(fp.getLong(0) >= 0 && fp.getLong(1) >= 0)
+    }
+
+    val topk = spark.sql(
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) rn
+        |  FROM docs) WHERE rn <= 3""".stripMargin)
+    topk.collect()
+    val plan = topk.queryExecution.executedPlan.toString
+    println(s"[ext] row_number<=k rewritten to TopKPerGroup: " +
+      s"${plan.contains("TopKPerGroup")}")
+    assert(plan.contains("TopKPerGroup"), plan)
+
+    println("[ext] all extension surfaces OK")
+    spark.stop()
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSimilarity, DotLong}
+import graft.functions.{CosineSimilarity, DotLong, SimHash64Agg}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
       (exprs: Seq[Expression]) => DotLong(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Agg].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64Agg(exprs.head)))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }

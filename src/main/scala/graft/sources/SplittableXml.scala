@@ -83,13 +83,24 @@ object SplittableXml {
     * splits while the remainder exceeds 1.1x splitBytes, then emit the
     * remainder as one final range — so a tail up to 10% over splitBytes
     * is merged into the last split, but anything larger still yields a
-    * separate (possibly small) tail range. */
+    * separate (possibly small) tail range.
+    *
+    * COMPRESSED files (any suffix a Hadoop codec claims: .gz, .bz2,
+    * .zst, …) are never range-split: a byte range into a compressed
+    * stream is not decodable from the middle, so each such file becomes
+    * ONE whole-file split and the scanner decompresses it end to end —
+    * the same per-file-parallelism fallback Hadoop's
+    * FileInputFormat.isSplitable gives non-splittable codecs. (Real
+    * MediaWiki dumps ship as .bz2/.gz; parallelism within one such
+    * archive requires decompressing it once up front, exactly as with
+    * Hadoop.) */
   def planSplits(spark: SparkSession, path: String,
                  splitBytes: Long): Seq[XmlSplit] = {
     require(splitBytes > 0, s"splitBytes must be positive: $splitBytes")
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
     val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
     val files = matched.flatMap { st =>
       if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
@@ -97,14 +108,20 @@ object SplittableXml {
     }.filter(_.getLen > 0)
     files.toSeq.flatMap { st =>
       val len = st.getLen
-      val out = Seq.newBuilder[XmlSplit]
-      var off = 0L
-      while (len - off > (splitBytes * 1.1).toLong) {
-        out += XmlSplit(st.getPath.toString, off, off + splitBytes)
-        off += splitBytes
+      if (codecs.getCodec(st.getPath) != null)
+        // whole-file split; end is a decompressed-byte bound, so make
+        // it unbounded — ownership is trivial with one range per file
+        Seq(XmlSplit(st.getPath.toString, 0L, Long.MaxValue))
+      else {
+        val out = Seq.newBuilder[XmlSplit]
+        var off = 0L
+        while (len - off > (splitBytes * 1.1).toLong) {
+          out += XmlSplit(st.getPath.toString, off, off + splitBytes)
+          off += splitBytes
+        }
+        if (off < len) out += XmlSplit(st.getPath.toString, off, len)
+        out.result()
       }
-      if (off < len) out += XmlSplit(st.getPath.toString, off, len)
-      out.result()
     }
   }
 }
@@ -131,11 +148,19 @@ private final class TagRecordIterator(
     conf: Configuration, split: SplittableXml.XmlSplit,
     startTag: Array[Byte], endTag: Array[Byte]) extends Iterator[String] {
 
-  private val in = {
+  private val in: java.io.InputStream = {
     val p = new Path(split.path)
     val s = p.getFileSystem(conf).open(p)
-    s.seek(split.start)
-    s
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+      .getCodec(p)
+    if (codec != null) {
+      // compressed: whole-file split (planSplits guarantees start == 0,
+      // end == Long.MaxValue); pos counts DECOMPRESSED bytes
+      codec.createInputStream(s)
+    } else {
+      s.seek(split.start)
+      s
+    }
   }
   // Chunked read buffer: the scanner consumes inBuf(bufPos until bufLen)
   // in a tight local loop instead of one virtual in.read() call per byte

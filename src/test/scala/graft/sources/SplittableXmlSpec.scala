@@ -40,6 +40,31 @@ class SplittableXmlSpec extends SparkSpec {
     assert(split === native)
   }
 
+  test("compressed input: whole-file split, records identical to plain") {
+    // gzip the fixture; a byte range into a compressed stream is not
+    // decodable mid-file, so planSplits must emit ONE whole-file split
+    // even at tiny splitBytes, and the scanner must decompress
+    val dir = java.nio.file.Files.createTempDirectory("xmlgz")
+    val gz = dir.resolve("fixture.xml.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixtureXml), out)
+    out.close()
+
+    val splits = SplittableXml.planSplits(spark, gz.toString,
+      splitBytes = 8 * 1024)
+    assert(splits.length === 1)
+    assert(splits.head.start === 0L && splits.head.end === Long.MaxValue)
+
+    val compressed = fixtureRows(SplittableXml.read(
+      spark, gz.toString, "page", WikiPipeline.pageSchema,
+      splitBytes = 8 * 1024))
+    val plain = fixtureRows(
+      spark.read.option("rowTag", "page").schema(WikiPipeline.pageSchema)
+        .xml(fixtureXml))
+    assert(compressed === plain)
+  }
+
   test("every boundary position: records owned exactly once") {
     // 40 records whose bodies differ in length so boundaries land inside
     // start tags, end tags, bodies, and between records as splitBytes
