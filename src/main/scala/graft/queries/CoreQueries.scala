@@ -140,6 +140,40 @@ object CoreQueries {
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // exact distributed second moments: variance/stddev are normally
+    // float-order-dependent (unsafe under repartitioning/AQE); here BOTH
+    // sums (Σx, Σx²) are exact decimals — associative, so any partial-
+    // aggregation tree yields bit-identical results — and the final
+    // var = Σx²/n - (Σx/n)² is a fixed sequence of double ops. The same
+    // discipline that makes dsum deterministic, extended to moments.
+    Q("q_stats_moments",
+      (s, d) => {
+        val x = col("l_quantity").cast(DecimalType(18, 2))
+        Tables.load(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast(DoubleType).as("sum_x"),
+            sum((x * x).cast(DecimalType(30, 4))).cast(DoubleType)
+              .as("sum_x2"))
+          .withColumn("mean", col("sum_x") / col("n"))
+          .withColumn("variance",
+            col("sum_x2") / col("n") - col("mean") * col("mean"))
+          .withColumn("stddev", sqrt(col("variance")))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+             |CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sum_x2,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+             |CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) / count(*)
+             |  - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+             |    * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS variance,
+             |sqrt(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) / count(*)
+             |  - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+             |    * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))) AS stddev
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // broadcast join: part is the small dim — broadcast() keeps the big
     // lineitem side shuffle-free
     Q("q_join_broadcast",
