@@ -138,6 +138,25 @@ object StreamingPipelines {
         col("click_id"), col("click_ts"))
   }
 
+  /** Exactly-once file sink via foreachBatch: each micro-batch writes
+    * to a directory keyed by its batchId with overwrite mode, so a
+    * batch replayed after a failure (same id) OVERWRITES its own
+    * partial output instead of duplicating it — idempotence is what
+    * turns Structured Streaming's at-least-once replay into
+    * exactly-once file output. Combined with the checkpoint (which
+    * records batch completion), this is the standard production sink
+    * pattern when the target store has no transactional commit.
+    * Returns the started query; caller owns termination. */
+  def writeExactlyOnce(df: DataFrame, outDir: String,
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** File-source streaming read of the events table with the same
     * nanos-handling as Tables.load. Targets the events parquet
     * specifically — pointing a schema'd file stream at the whole

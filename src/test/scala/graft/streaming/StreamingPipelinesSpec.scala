@@ -198,6 +198,29 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("writeExactlyOnce: complete rows once; restart adds nothing") {
+    val events = readEventsStream(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val out = java.nio.file.Files.createTempDirectory("eos_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("eos_ckpt").toString
+
+    val q1 = writeExactlyOnce(events, out, ckpt)
+    q1.awaitTermination(120000); q1.stop()
+    val expected = graft.Tables.load(spark, sf0001, "events").count()
+    val ids1 = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids1.length.toLong === expected)
+    assert(ids1.distinct.length === ids1.length, "duplicated rows in sink")
+
+    // restart from the same checkpoint with no new data: the completed
+    // batch must not replay-duplicate (idempotent overwrite + offsets)
+    val q2 = writeExactlyOnce(events, out, ckpt)
+    q2.awaitTermination(120000); q2.stop()
+    val ids2 = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids2.toSeq === ids1.toSeq)
+  }
+
   test("streaming sessionize ≡ batch q_events_sessionize once closed") {
     import org.apache.spark.sql.types._
     // The streaming sessionizer only emits CLOSED sessions; to compare
