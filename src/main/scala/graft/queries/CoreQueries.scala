@@ -174,6 +174,38 @@ object CoreQueries {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // data profiling (the ANALYZE primitive): per-column row/null/
+    // distinct counts and min/max in ONE scan — a single wide aggregate
+    // row unpivoted to long format with stack() (Spark's melt
+    // Generator). The profile of a 100 TB table costs one pass this
+    // way; the naive per-column UNION of subqueries (how the DuckDB
+    // oracle spells it) would scan once per column.
+    Q("q_profile",
+      (s, d) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(
+            count(col(c)).as(s"${c}_nn"),
+            countDistinct(col(c)).as(s"${c}_nd"),
+            min(col(c)).as(s"${c}_min"),
+            max(col(c)).as(s"${c}_max")))
+        val stackArgs = cols.map(c =>
+          s"'$c', n_rows, ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+        Tables.load(s, d, "lineitem")
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+            "(col_name, n, n_nonnull, n_distinct, vmin, vmax)")
+          .orderBy("col_name")
+      },
+      Some {
+        val one = (c: String) =>
+          s"""SELECT '$c' AS col_name, count(*) AS n, count($c) AS n_nonnull,
+             |count(DISTINCT $c) AS n_distinct, min($c) AS vmin, max($c) AS vmax
+             |FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
+
     // broadcast join: part is the small dim — broadcast() keeps the big
     // lineitem side shuffle-free
     Q("q_join_broadcast",
