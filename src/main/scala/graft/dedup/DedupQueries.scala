@@ -66,6 +66,13 @@ object DedupQueries {
           .select(col("doc_id"),
             concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
           .distinct()
+          // materialize the shingle table ONCE: it feeds three
+          // consumers (signature, verify-a, verify-b); without this the
+          // per-doc sort+window+distinct above the shuffle re-runs per
+          // consumer (only the exchange is reused). At 100 TB this is
+          // "write shingles to a temp table" — here the in-memory
+          // equivalent.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // signature: md5 once per shingle row, 8 slice-mins per doc
         val sig = shRows
           .withColumn("h", md5(col("sh")))
@@ -263,6 +270,10 @@ object DedupQueries {
           .withColumn("n", size(col("tk")).cast(LongType))
         val t = docs.select(col("doc_id"), col("source"), col("n"),
           explode(col("tk")).as("token"))
+          // materialized once — token rows feed four consumers (df
+          // computation, prefix ranking, verify-a, verify-b); the
+          // in-memory stand-in for "write the token table" at scale
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val df_ = t.groupBy("source", "token").agg(count(lit(1)).as("df"))
         val byRarity = Window.partitionBy("doc_id").orderBy("df", "token")
         val prefix = t.join(df_, Seq("source", "token"))
