@@ -175,11 +175,14 @@ object CoreQueries {
              |ORDER BY l_returnflag""".stripMargin)),
 
     // data profiling (the ANALYZE primitive): per-column row/null/
-    // distinct counts and min/max in ONE scan — a single wide aggregate
+    // distinct counts and min/max in one scan — a single wide aggregate
     // row unpivoted to long format with stack() (Spark's melt
-    // Generator). The profile of a 100 TB table costs one pass this
-    // way; the naive per-column UNION of subqueries (how the DuckDB
-    // oracle spells it) would scan once per column.
+    // Generator). Scale note, honestly: the k exact countDistincts make
+    // Catalyst plan an Expand that multiplies rows (k+1)x before the
+    // aggregate, so "one scan" buys shared I/O but not shared agg work;
+    // at 100 TB swap the exact distincts for approx_count_distinct
+    // (HLL: no Expand, one pass, mergeable) — kept exact here because
+    // the gate hashes values and HLL internals differ per engine.
     Q("q_profile",
       (s, d) => {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
