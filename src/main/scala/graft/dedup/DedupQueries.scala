@@ -193,6 +193,10 @@ object DedupQueries {
         val fp = toks.groupBy("doc_id")
           .agg(graft.functions.SimHash64Agg.simhash64(col("h")).as("fp"))
           .select(col("doc_id"), col("fp.hi").as("hi"), col("fp.lo").as("lo"))
+          // one row per doc (24 bytes each): materialize so the banded
+          // self-join's two sides don't each recompute the tokenize +
+          // md5 + vote aggregate over the full corpus
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // 16-bit bands: b0..b1 from lo, b2..b3 from hi (all positive)
         val banded = fp
           .withColumn("band", explode(array(
