@@ -138,7 +138,12 @@ object SimilarityQueries {
     // by label (the candidate-pruning key at scale)
     Q("q_dedup_embedding",
       (s, d) => {
+        // both self-join sides are the FULL corpus, so materialize the
+        // scaled vectors + norms once instead of recomputing them per
+        // side (the ANN queries skip this: their query side is a
+        // pushed-down 5-row filter, so its recompute is already free)
         val e = scaled(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val a = e.select(col("label"), col("vec_id").as("a_id"),
           col("sv").as("a_sv"), col("nn").as("a_nn"))
         val b = e.select(col("label"), col("vec_id").as("b_id"),
