@@ -436,6 +436,34 @@ object TextQueries {
              |    CAST(row_number() OVER (PARTITION BY source
              |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
              |  FROM documents) t
-             |WHERE rank <= 5 ORDER BY source, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
+    // BPE merge-candidate counting (the inner loop of byte-pair-
+    // encoding tokenizer training): global frequencies of adjacent
+    // character pairs within whitespace tokens, top-50. One explode to
+    // token rows, one generator for the in-token pairs, one hash
+    // aggregate on uniform short-string keys, and a top-k — at corpus
+    // scale this is exactly the first BPE iteration's statistics pass
+    // (subsequent iterations re-run it over re-segmented tokens).
+    Q("q_bpe_pairs",
+      (s, d) => {
+        Tables.load(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("pair"))
+          .limit(50)
+      },
+      Some("""WITH tk AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |pairs AS (
+             |  SELECT unnest(list_transform(range(1, length(tok)),
+             |    i -> substr(tok, CAST(i AS INT), 2))) AS pair
+             |  FROM tk WHERE length(tok) >= 2)
+             |SELECT pair, count(*) AS cnt FROM pairs
+             |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin))
   )
 }
