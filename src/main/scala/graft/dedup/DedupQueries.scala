@@ -27,6 +27,67 @@ object DedupQueries {
 
   private val dups = "/root/testdata" // doc substrate is `documents`
 
+  /** Shared Spark side of the 64-bit SimHash near-dup pairs (see
+    * q_dedup_simhash64 for the algorithm notes): (a_id, b_id, hamming)
+    * at hamming <= 3. Reused by q_dedup_cluster. */
+  private def simhash64Pairs(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val fp = toks.groupBy("doc_id")
+      .agg(graft.functions.SimHash64Agg.simhash64(col("h")).as("fp"))
+      .select(col("doc_id"), col("fp.hi").as("hi"), col("fp.lo").as("lo"))
+      // one row per doc (24 bytes each): materialize so the banded
+      // self-join's two sides don't each recompute the tokenize +
+      // md5 + vote aggregate over the full corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fp
+      .withColumn("band", explode(array(
+        concat_ws(":", lit(0), col("lo") % 65536),
+        concat_ws(":", lit(1), floor(col("lo") / 65536)),
+        concat_ws(":", lit(2), col("hi") % 65536),
+        concat_ws(":", lit(3), floor(col("hi") / 65536)))))
+    val ba = banded.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),
+      col("lo").as("a_lo"), col("band"))
+    val bb = banded.select(col("doc_id").as("b_id"), col("hi").as("b_hi"),
+      col("lo").as("b_lo"), col("band"))
+    ba.join(bb, Seq("band"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .withColumn("hamming",
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+         bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast(LongType))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Shared DuckDB CTE chain computing the same 64-bit fingerprints
+    * (tk/hs/votes/fp) — the oracle spells out the expression form the
+    * SimHash64Agg aggregate replaced. */
+  private val simhash64FpCte: String = {
+    val bitSums = (0 until 64).map { k =>
+      val (j, b) = (k / 4, k % 4)
+      s"SUM(CASE WHEN (instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) % ${1L << (b + 1)} >= ${1L << b} THEN 1 ELSE 0 END) AS c$k"
+    }.mkString(",\n|    ")
+    def half(bits: Range) = bits.map { k =>
+      s"(CASE WHEN 2 * c$k >= n THEN CAST(${1L << (k % 32)} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""tk AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |hs AS (SELECT doc_id, md5(tok) AS h FROM tk),
+       |votes AS (
+       |  SELECT doc_id, count(*) AS n,
+       |    $bitSums
+       |  FROM hs GROUP BY doc_id),
+       |fp AS (
+       |  SELECT doc_id,
+       |    ${half(32 until 64)} AS hi,
+       |    ${half(0 until 32)} AS lo
+       |  FROM votes)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // exact dedup: keep the lowest doc_id per identical text
@@ -180,71 +241,56 @@ object DedupQueries {
     // verify runs on candidate pairs only. The DuckDB oracle does the
     // all-pairs compare instead (oracle-side cost only) — identical
     // result set because banding is lossless at this radius.
+    // fingerprint via the custom SimHash64Agg TypedImperativeAggregate:
+    // one long[65] vote buffer updated in a tight loop instead of the
+    // 65-buffer unrolled HashAggregate (same voting rule bit-for-bit —
+    // the oracle SQL still spells out the expression form; see
+    // SimHash64AggSpec for the equivalence test). 16-bit bands: b0..b1
+    // from lo, b2..b3 from hi (all positive).
     Q("q_dedup_simhash64",
+      (s, d) => simhash64Pairs(s, d).orderBy("a_id", "b_id"),
+      Some(s"""WITH $simhash64FpCte
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // duplicate CLUSTERING: near-dup pairs are only half a dedup
+    // pipeline — transitive grouping picks ONE canonical doc per
+    // duplicate cluster. Spark side: iterative min-label propagation
+    // over the simhash64 pair edges (graft.dedup.ConnectedComponents;
+    // rounds = component diameter, lineage cut per round). Oracle side:
+    // the same fixpoint via a DuckDB recursive CTE. cluster_id = the
+    // smallest doc_id of the component = the doc a keep-one dedup
+    // retains.
+    Q("q_dedup_cluster",
       (s, d) => {
-        val toks = Tables.load(s, d, "documents")
-          .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
-          .withColumn("h", md5(col("tok")))
-        // fingerprint via the custom SimHash64Agg TypedImperativeAggregate:
-        // one long[65] vote buffer updated in a tight loop instead of the
-        // 65-buffer unrolled HashAggregate (same voting rule bit-for-bit —
-        // the oracle SQL below still spells out the expression form; see
-        // SimHash64AggSpec for the equivalence test)
-        val fp = toks.groupBy("doc_id")
-          .agg(graft.functions.SimHash64Agg.simhash64(col("h")).as("fp"))
-          .select(col("doc_id"), col("fp.hi").as("hi"), col("fp.lo").as("lo"))
-          // one row per doc (24 bytes each): materialize so the banded
-          // self-join's two sides don't each recompute the tokenize +
-          // md5 + vote aggregate over the full corpus
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // 16-bit bands: b0..b1 from lo, b2..b3 from hi (all positive)
-        val banded = fp
-          .withColumn("band", explode(array(
-            concat_ws(":", lit(0), col("lo") % 65536),
-            concat_ws(":", lit(1), floor(col("lo") / 65536)),
-            concat_ws(":", lit(2), col("hi") % 65536),
-            concat_ws(":", lit(3), floor(col("hi") / 65536)))))
-        val ba = banded.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),
-          col("lo").as("a_lo"), col("band"))
-        val bb = banded.select(col("doc_id").as("b_id"), col("hi").as("b_hi"),
-          col("lo").as("b_lo"), col("band"))
-        ba.join(bb, Seq("band"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
-          .withColumn("hamming",
-            (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
-             bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast(LongType))
-          .filter(col("hamming") <= 3)
-          .select("a_id", "b_id", "hamming")
-          .orderBy("a_id", "b_id")
+        import org.apache.spark.sql.expressions.Window
+        val comp = ConnectedComponents.run(
+          simhash64Pairs(s, d).select("a_id", "b_id"))
+        comp.select(col("id").as("doc_id"), col("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")))
+          .orderBy("doc_id")
       },
-      Some {
-        val bitSums = (0 until 64).map { k =>
-          val (j, b) = (k / 4, k % 4)
-          s"SUM(CASE WHEN (instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) % ${1L << (b + 1)} >= ${1L << b} THEN 1 ELSE 0 END) AS c$k"
-        }.mkString(",\n|    ")
-        def half(bits: Range) = bits.map { k =>
-          s"(CASE WHEN 2 * c$k >= n THEN CAST(${1L << (k % 32)} AS BIGINT) ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH tk AS (
-           |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-           |  FROM documents),
-           |hs AS (SELECT doc_id, md5(tok) AS h FROM tk),
-           |votes AS (
-           |  SELECT doc_id, count(*) AS n,
-           |    $bitSums
-           |  FROM hs GROUP BY doc_id),
-           |fp AS (
-           |  SELECT doc_id,
-           |    ${half(32 until 64)} AS hi,
-           |    ${half(0 until 32)} AS lo
-           |  FROM votes)
-           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
-           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-           |ORDER BY a_id, b_id""".stripMargin
-      }),
+      Some(s"""WITH RECURSIVE $simhash64FpCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |edges AS (
+             |  SELECT a_id AS u, b_id AS v FROM pairs
+             |  UNION SELECT b_id, a_id FROM pairs),
+             |walk(id, lab) AS (
+             |  SELECT u, u FROM edges
+             |  UNION
+             |  SELECT e.u, w.lab FROM edges e JOIN walk w ON e.v = w.id),
+             |comp AS (
+             |  SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id)
+             |SELECT id AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+             |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+             |FROM comp ORDER BY doc_id""".stripMargin)),
 
     // n-gram (token-set) Jaccard near-dup, blocked by `source` so the
     // pairwise compare never goes quadratic in the corpus — the blocking
