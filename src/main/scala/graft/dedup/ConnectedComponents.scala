@@ -36,11 +36,16 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
     val src = edges.columns(0)
     val dst = edges.columns(1)
-    // both directions, so one join propagates labels across every edge
-    val undirected = edges
+    // Materialize the edge list ONCE before mirroring it: the input is
+    // typically an expensive candidate-pair plan (LSH/simhash
+    // self-join) whose OUTPUT is tiny, and a union of two selects over
+    // the raw plan would execute that self-join once per branch.
+    val base = edges
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
-      .union(edges
-        .select(col(dst).cast("long").as("u"), col(src).cast("long").as("v")))
+      .localCheckpoint()
+    // both directions, so one join propagates labels across every edge
+    val undirected = base
+      .union(base.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = undirected.select(col("u").as("id")).distinct()
@@ -52,12 +57,19 @@ object ConnectedComponents {
       val viaNeighbor = undirected
         .join(labels.withColumnRenamed("id", "v"), "v")
         .select(col("u").as("id"), col("lab"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("id").agg(min(col("lab")).as("lab"))
+      // The node's own row carries its previous label in `old`
+      // (neighbor rows contribute MaxValue, so min(old) recovers it);
+      // convergence is then a filter over the checkpointed result
+      // instead of a per-round join against the previous labels.
+      val next = labels
+        .select(col("id"), col("lab"), col("lab").as("old"))
+        .union(viaNeighbor
+          .select(col("id"), col("lab"), lit(Long.MaxValue).as("old")))
+        .groupBy("id")
+        .agg(min(col("lab")).as("lab"), min(col("old")).as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
-        .filter(col("lab") < col("old")).count()
-      labels = next
+      changed = next.filter(col("lab") < col("old")).count()
+      labels = next.select("id", "lab")
       round += 1
     }
     require(changed == 0,
