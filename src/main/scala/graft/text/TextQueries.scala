@@ -464,6 +464,135 @@ object TextQueries {
              |    i -> substr(tok, CAST(i AS INT), 2))) AS pair
              |  FROM tk WHERE length(tok) >= 2)
              |SELECT pair, count(*) AS cnt FROM pairs
-             |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin))
+             |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)),
+
+    // context-window chunking: split each document's token stream into
+    // overlapping windows of C=64 tokens at stride S=48 (16-token
+    // overlap) — the pretraining step that turns variable-length
+    // documents into model-context pieces. Chunk count is the minimal
+    // stride cover of all n tokens (extra chunks past the first:
+    // floor((n-C+S-1)/S), clamped at 0), so no chunk is wholly
+    // contained in its predecessor and every token is covered. Pure
+    // narrow transform: tokenize, generate starts, slice — no shuffle
+    // except the presentation sort, so it scales linearly with input
+    // bytes and the generator keeps per-row memory at one document.
+    Q("q_chunk",
+      (s, d) => {
+        val C = 64; val S = 48
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .withColumn("n", size(col("tk")).cast(LongType))
+          .withColumn("k_max", greatest(lit(0L),
+            floor((col("n") - lit(C - S + 1)) / lit(S.toDouble)).cast(LongType)))
+          .select(col("doc_id"), col("tk"),
+            explode(sequence(lit(0L), col("k_max"))).as("chunk_id"))
+          .withColumn("start", col("chunk_id") * S + 1)
+          .select(col("doc_id"), col("chunk_id"),
+            expr(s"slice(tk, int(start), $C)").as("ck"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("ck")).cast(LongType).as("n_chunk_tokens"),
+            array_join(col("ck"), " ").as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk,
+             |    len(string_split(text, ' ')) AS n FROM documents),
+             |starts AS (
+             |  SELECT doc_id, tk, unnest(generate_series(0,
+             |    greatest(0, CAST(floor((n - 17) / 48.0) AS BIGINT)))) AS chunk_id
+             |  FROM tk),
+             |ck AS (
+             |  SELECT doc_id, chunk_id,
+             |    list_slice(tk, chunk_id*48 + 1, chunk_id*48 + 64) AS ck
+             |  FROM starts)
+             |SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_chunk_tokens,
+             |  array_to_string(ck, ' ') AS chunk_text
+             |FROM ck ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // corpus mixture rebalancing: deterministically downsample each
+    // source toward a uniform target share (total/n_sources docs per
+    // source). Acceptance threshold per source = floor(1000 * target /
+    // cnt) capped at 1000 (downsample-only — undersized sources keep
+    // everything; upsampling is a repeat-factor, not a filter), applied
+    // via the same md5 bucketing as q_deterministic_sample so the kept
+    // set is stable across runs, partitionings and engines. Plan: two
+    // tiny aggregates (per-source counts, then a singleton total)
+    // broadcast back onto the corpus scan — the 100 TB pass is one
+    // map-side filter; nothing corpus-sized shuffles.
+    Q("q_corpus_mix",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val stats = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        val g = stats.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_src"))
+        val rated = stats.crossJoin(broadcast(g))
+          .withColumn("thr", least(lit(1000L),
+            floor(lit(1000.0) * col("total") / (col("n_src") * col("cnt")))
+              .cast(LongType)))
+          .select("source", "cnt", "thr")
+        val bucket = pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
+          16, 10).cast(LongType), lit(1000L))
+        val kept = docs.join(broadcast(rated), "source")
+          .withColumn("bucket", bucket)
+          .filter(col("bucket") < col("thr"))
+          .groupBy("source").agg(count(lit(1)).as("kept"))
+        rated.join(kept, Seq("source"), "left")
+          .select(col("source"), col("cnt"), col("thr"),
+            coalesce(col("kept"), lit(0L)).as("kept"))
+          .orderBy("source")
+      },
+      Some("""WITH stats AS (
+             |  SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+             |g AS (SELECT sum(cnt) AS total, count(*) AS n_src FROM stats),
+             |rated AS (
+             |  SELECT source, cnt,
+             |    least(1000, CAST(floor(1000.0 * total / (n_src * cnt)) AS BIGINT)) AS thr
+             |  FROM stats, g),
+             |kept AS (
+             |  SELECT d.source, count(*) AS kept
+             |  FROM documents d JOIN rated r ON d.source = r.source
+             |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < r.thr
+             |  GROUP BY d.source)
+             |SELECT r.source, r.cnt, r.thr, coalesce(k.kept, 0) AS kept
+             |FROM rated r LEFT JOIN kept k ON r.source = k.source
+             |ORDER BY r.source""".stripMargin)),
+
+    // sequence packing: assign documents to fixed token-budget batches
+    // (B=512) by a running token count — the batching step that feeds
+    // fixed-context training. The parallel unit is (source, shard):
+    // packing is inherently sequential within a stream, so the shard
+    // key IS the scale lever — 100 TB packs as n_sources x n_shards
+    // independent streams, each a partition-local window over doc_id
+    // order. Batch id = floor(prefix_sum / B) where prefix_sum excludes
+    // the doc itself (a doc straddling a boundary starts its batch).
+    Q("q_length_pack",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+          .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+        val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs
+          .withColumn("prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("batch_id", floor(col("prefix") / lit(512.0)).cast(LongType))
+          .groupBy("source", "shard", "batch_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
+          .orderBy("source", "shard", "batch_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, doc_id % 8 AS shard,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |p AS (
+             |  SELECT source, shard, n_tokens,
+             |    coalesce(sum(n_tokens) OVER (PARTITION BY source, shard
+             |      ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+             |  FROM t)
+             |SELECT source, shard, CAST(floor(prefix / 512.0) AS BIGINT) AS batch_id,
+             |  count(*) AS n_docs, sum(n_tokens) AS batch_tokens
+             |FROM p GROUP BY source, shard, batch_id
+             |ORDER BY source, shard, batch_id""".stripMargin))
   )
 }

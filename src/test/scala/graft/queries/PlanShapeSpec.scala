@@ -16,12 +16,15 @@ class PlanShapeSpec extends SparkSpec {
       name -> fn(spark, sf0001).queryExecution.executedPlan.toString
     }
 
-  /** Broadcast theta-joins (query side broadcast, non-equi predicate):
+  /** Broadcast theta-joins (query side broadcast, non-equi predicate)
+    * and singleton-scalar cross joins (one global-aggregate row
+    * broadcast onto a keyed frame, as in q_corpus_mix): a
     * BroadcastNestedLoopJoin is the INTENDED plan — the small side is
     * broadcast and the big side streams. Anywhere else BNLJ means a
     * lost equi-key. */
   private val bnljAllowed = Set(
-    "q_ann_bruteforce", "q_ann_quantized", "q_ann_ivf", "q_tfidf")
+    "q_ann_bruteforce", "q_ann_quantized", "q_ann_ivf", "q_tfidf",
+    "q_corpus_mix")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
