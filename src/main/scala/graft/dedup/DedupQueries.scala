@@ -292,6 +292,43 @@ object DedupQueries {
              |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
              |FROM comp ORDER BY doc_id""".stripMargin)),
 
+    // cross-source contamination matrix: how many near-duplicate pairs
+    // link each (source, source) combination — the audit that tells you
+    // which dumps copy from each other before you weight them in a
+    // training mix. Near-dup pairs (simhash64, hamming <= 3) are
+    // annotated with both documents' sources via two joins against the
+    // slim (doc_id, source) projection, then counted per unordered
+    // source pair. The pair set is candidates-only (banded LSH), so the
+    // matrix costs two hash joins on doc_id over a pair list that is
+    // tiny relative to the corpus.
+    Q("q_dedup_source_matrix",
+      (s, d) => {
+        val src = graft.Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+        simhash64Pairs(s, d)
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+          .select(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH $simhash64FpCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |s AS (SELECT doc_id, source FROM documents)
+             |SELECT least(sa.source, sb.source) AS src_a,
+             |  greatest(sa.source, sb.source) AS src_b,
+             |  count(*) AS n_pairs
+             |FROM pairs p
+             |JOIN s sa ON p.a_id = sa.doc_id
+             |JOIN s sb ON p.b_id = sb.doc_id
+             |GROUP BY src_a, src_b
+             |ORDER BY src_a, src_b""".stripMargin)),
+
     // n-gram (token-set) Jaccard near-dup, blocked by `source` so the
     // pairwise compare never goes quadratic in the corpus — the blocking
     // key is the unit of parallelism at scale

@@ -174,6 +174,78 @@ object CoreQueries {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // two-phase SALTED aggregation — the skew-mitigation pattern under
+    // the oracle hash gate (the oracle is the plain GROUP BY it must
+    // equal). Phase 1 pre-aggregates on (key, salt) so a hot key's rows
+    // land on up to 16 reducers; phase 2 combines the 16 partials per
+    // key. Decimal sums make the two-level combine bit-identical to the
+    // one-level plan regardless of partitioning. Correct for any
+    // algebraic aggregate; the salt column is derived (not stored), so
+    // the pattern applies to any skewed key at read time.
+    Q("q_salted_agg",
+      (s, d) => {
+        val partial = Tables.load(s, d, "events")
+          .withColumn("salt", pmod(col("user_id"), lit(16L)))
+          .groupBy("event_type", "salt")
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast(DecimalType(18, 2))).as("pv"))
+        partial.groupBy("event_type")
+          .agg(sum(col("pn")).as("n"),
+            sum(col("pv")).cast(DecimalType(18, 2)).cast(DoubleType)
+              .as("total"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // exact distributed quantiles (type-7 / PostgreSQL percentile_cont
+    // semantics): 0-based position p*(n-1), linear interpolation
+    // between the straddling order statistics. Implemented WITHOUT the
+    // buffering percentile() aggregate (whose per-group state is the
+    // whole value list): a per-group sort ranks rows, conditional
+    // aggregates pick the two positional values per quantile, and the
+    // interpolation is exact because p in {1/4, 1/2, 3/4} and integer
+    // inputs keep every intermediate a representable double. Plan:
+    // one sort-shuffle by group + one hash aggregate — the distributed
+    // exact-quantile shape that survives groups of any size.
+    Q("q_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("n_chars")
+        val ranked = Tables.load(s, d, "documents")
+          .select(col("source"), col("n_chars"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        def pos(p: Double) = lit(p) * (col("n") - 1)
+        def pick(p: Double, off: Int) =
+          max(when(col("rn") === floor(pos(p)) + 1 + off, col("n_chars")))
+        def interp(p: Double, lo: String, hi: String) =
+          col(lo) + (pos(p) - floor(pos(p))) *
+            (coalesce(col(hi), col(lo)) - col(lo))
+        ranked.groupBy("source")
+          .agg(max(col("n")).as("n"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            pick(0.25, 0).as("lo25"), pick(0.25, 1).as("hi25"),
+            pick(0.50, 0).as("lo50"), pick(0.50, 1).as("hi50"),
+            pick(0.75, 0).as("lo75"), pick(0.75, 1).as("hi75"))
+          .select(col("source"), col("min_chars"),
+            interp(0.25, "lo25", "hi25").as("p25"),
+            interp(0.50, "lo50", "hi50").as("p50"),
+            interp(0.75, "lo75", "hi75").as("p75"),
+            col("max_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, min(n_chars) AS min_chars,
+             |quantile_cont(n_chars, 0.25) AS p25,
+             |quantile_cont(n_chars, 0.5) AS p50,
+             |quantile_cont(n_chars, 0.75) AS p75,
+             |max(n_chars) AS max_chars
+             |FROM documents GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
     // data profiling (the ANALYZE primitive): per-column row/null/
     // distinct counts and min/max in one scan — a single wide aggregate
     // row unpivoted to long format with stack() (Spark's melt
