@@ -292,6 +292,44 @@ object DedupQueries {
              |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
              |FROM comp ORDER BY doc_id""".stripMargin)),
 
+    // the END of the dedup pipeline: materialize the kept corpus.
+    // Pairs -> clusters -> drop every non-canonical cluster member
+    // (keep the smallest doc_id per component) -> per-source kept
+    // counts and volume. The drop list is cluster-members-only (tiny),
+    // so the corpus pass is one LEFT ANTI broadcast join — at 100 TB
+    // the dedup "write" is a map-side filter, never a corpus shuffle.
+    Q("q_dedup_keep_one",
+      (s, d) => {
+        val comp = ConnectedComponents.run(
+          simhash64Pairs(s, d).select("a_id", "b_id"))
+        val drop = comp.filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("doc_id"))
+        graft.Tables.load(s, d, "documents")
+          .join(broadcast(drop), Seq("doc_id"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("kept_docs"),
+            sum(col("n_chars")).as("kept_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $simhash64FpCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |edges AS (
+             |  SELECT a_id AS u, b_id AS v FROM pairs
+             |  UNION SELECT b_id, a_id FROM pairs),
+             |walk(id, lab) AS (
+             |  SELECT u, u FROM edges
+             |  UNION
+             |  SELECT e.u, w.lab FROM edges e JOIN walk w ON e.v = w.id),
+             |comp AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+             |dropped AS (SELECT id FROM comp WHERE id <> cluster_id)
+             |SELECT source, count(*) AS kept_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+             |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     // cross-source contamination matrix: how many near-duplicate pairs
     // link each (source, source) combination — the audit that tells you
     // which dumps copy from each other before you weight them in a
