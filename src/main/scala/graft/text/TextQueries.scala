@@ -591,7 +591,7 @@ object TextQueries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
              |  FROM t)
              |SELECT source, shard, CAST(floor(prefix / 512.0) AS BIGINT) AS batch_id,
-             |  count(*) AS n_docs, sum(n_tokens) AS batch_tokens
+             |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
              |FROM p GROUP BY source, shard, batch_id
              |ORDER BY source, shard, batch_id""".stripMargin))
   )
