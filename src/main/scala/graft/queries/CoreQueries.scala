@@ -252,9 +252,9 @@ object CoreQueries {
     // Generator). Scale note, honestly: the k exact countDistincts make
     // Catalyst plan an Expand that multiplies rows (k+1)x before the
     // aggregate, so "one scan" buys shared I/O but not shared agg work;
-    // at 100 TB swap the exact distincts for approx_count_distinct
-    // (HLL: no Expand, one pass, mergeable) — kept exact here because
-    // the gate hashes values and HLL internals differ per engine.
+    // q_profile_approx below is the 100 TB form (HLL: no Expand, one
+    // pass, mergeable) — this one stays exact because the gate hashes
+    // values and HLL internals differ per engine.
     Q("q_profile",
       (s, d) => {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -280,6 +280,35 @@ object CoreQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       }),
+
+    // the 100 TB profiling plan: identical shape to q_profile but the
+    // exact countDistincts become approx_count_distinct (HyperLogLog++,
+    // rsd 0.05). ONE pass, no Expand — each HLL sketch is a fixed-size
+    // mergeable buffer updated map-side, so profiling k columns costs
+    // one scan + one single-row aggregate regardless of cardinality.
+    // No oracle SQL on purpose: HLL internals legitimately differ per
+    // engine, so the driver records the weaker rows-only check here
+    // while q_profile keeps the exact hash gate on the same shape;
+    // ProfileApproxSpec bounds the estimates against the exact counts
+    // and PlanShapeSpec asserts the Expand is gone.
+    Q("q_profile_approx",
+      (s, d) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(
+            count(col(c)).as(s"${c}_nn"),
+            approx_count_distinct(col(c)).as(s"${c}_nd"),
+            min(col(c)).as(s"${c}_min"),
+            max(col(c)).as(s"${c}_max")))
+        val stackArgs = cols.map(c =>
+          s"'$c', n_rows, ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+        Tables.load(s, d, "lineitem")
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+            "(col_name, n, n_nonnull, n_distinct_approx, vmin, vmax)")
+          .orderBy("col_name")
+      },
+      None),
 
     // broadcast join: part is the small dim — broadcast() keeps the big
     // lineitem side shuffle-free

@@ -49,6 +49,45 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), vecScaled(col("embedding")).as("sv"))
       .withColumn("nn", dotLong(col("sv"), col("sv")))
 
+  /** Exact scaled-integer cosine with per-pair norms — the oracle-
+    * verifiable sim passed through the IVF train/assign/search path
+    * (the production float path precomputes norms per row instead). */
+  private val simScaled: (org.apache.spark.sql.Column,
+                          org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column =
+    (a, b) => cosineFromScaled(a, b, dotLong(a, a), dotLong(b, b))
+
+  /** q_ann_ivf's persisted inverted index, built ONCE per (session,
+    * sf dir) — the production "one index build, many searches" shape:
+    * [[IvfIndex.buildIndex]] repartitions the corpus by centroid_id and
+    * writes hive-partitioned parquet under target/ (build output), and
+    * every subsequent search partition-prunes into it via
+    * [[IvfIndex.searchIndexed]]. Deterministic centroids (lowest-8
+    * vec_ids, zero Lloyd iterations) keep the whole path
+    * SQL-expressible for the oracle. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def ivfIndexDir(s: org.apache.spark.sql.SparkSession,
+                          d: String): String =
+    ivfIndexCache.computeIfAbsent((s, d), { _ =>
+      val e = scaled(s, d)
+      val emb = e.select(col("vec_id"), col("sv").as("embedding"))
+      val dir = "/root/repo/target/tmp/ivf_index_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+        java.lang.Integer.toHexString(System.identityHashCode(s))
+      IvfIndex.buildIndex(emb, ivfCentroids(e), dir, simScaled)
+      dir
+    })
+
+  /** Deterministic demo centroids: the 8 lowest vec_ids as-is —
+    * exactly IvfIndex.train(e, 8, 0). */
+  private def ivfCentroids(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast(IntegerType).as("centroid_id"),
+        col("sv").as("cv"))
+
   val all: Seq[Q] = Seq(
 
     // brute-force exact top-10 cosine neighbors for 5 query vectors;
@@ -169,28 +208,26 @@ object SimilarityQueries {
              |SELECT a_id, b_id, cos FROM s WHERE cos >= $NearDupThreshold
              |ORDER BY a_id, b_id""".stripMargin)),
 
-    // IVF inverted-list search under the oracle: deterministic
+    // IVF inverted-list search under the oracle, through the PERSISTED
+    // index — the production path end-to-end: IvfIndex.buildIndex
+    // (assign via map-only argmax, repartition by centroid_id, write
+    // hive-partitioned parquet; once per session/dir via ivfIndexDir)
+    // then IvfIndex.searchIndexed (probe ranking, STATIC partition
+    // filter so the scan provably reads only the probed inverted
+    // lists, broadcast probe join + TopKPerGroupExec). Deterministic
     // centroids (lowest-8 vec_ids, zero Lloyd iterations — exactly
-    // IvfIndex.train(e, 8, 0)) make the whole train/assign/search path
-    // SQL-expressible. Exercises IvfIndex.assign (max_by aggregate, no
-    // window sort) and IvfIndex.search (probe ranking + bucket join +
-    // TopKPerGroupExec) with exact scaled-integer cosine. The per-pair
-    // norm recompute in `simScaled` is oracle-only cost; the production
-    // float path precomputes norms per row (see q_ann_bruteforce).
+    // IvfIndex.train(e, 8, 0)) make the whole build/search path
+    // SQL-expressible; result set is identical to the join-based
+    // IvfIndex.search (IvfIndexSpec proves the equivalence), so the
+    // oracle SQL spells out the logical form. PlanShapeSpec asserts
+    // the probed scan's PartitionFilters prune to nProbe lists.
     Q("q_ann_ivf",
       (s, d) => {
-        val simScaled = (a: org.apache.spark.sql.Column,
-                         b: org.apache.spark.sql.Column) =>
-          cosineFromScaled(a, b, dotLong(a, a), dotLong(b, b))
         val e = scaled(s, d)
-        val emb = e.select(col("vec_id"), col("sv").as("embedding"))
-        val cent = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").cast(IntegerType).as("centroid_id"),
-            col("sv").as("cv"))
         val qs = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("sv").as("qv"))
-        val asg = IvfIndex.assign(emb, cent, simScaled)
-        IvfIndex.search(emb, asg, cent, qs, topK = 5, nProbe = 2, simScaled)
+        IvfIndex.searchIndexed(s, ivfIndexDir(s, d), ivfCentroids(e), qs,
+          topK = 5, nProbe = 2, simScaled)
           .withColumn("rank", col("rank").cast(LongType))
           .select("query_id", "neighbor_id", "rank", "sim")
           .orderBy("query_id", "rank")

@@ -64,6 +64,32 @@ class PlanShapeSpec extends SparkSpec {
         s"$name bypasses TopKPerGroupExec:\n${plans(name)}")
   }
 
+  test("q_ann_ivf searches the persisted index with a pruned scan") {
+    // the production ANN path: the plan must read the hive-partitioned
+    // index with a STATIC partition filter on the probed centroid ids
+    // (1/K * nProbe of the data), not join corpus-sized frames on
+    // vec_id (the layout-less IvfIndex.search shape)
+    val plan = plans("q_ann_ivf")
+    assert(plan.contains("ivf_index_"),
+      s"q_ann_ivf does not scan the persisted index:\n$plan")
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("ivf_index_"))
+      .getOrElse(fail(s"no index FileScan in plan:\n$plan"))
+    assert(scanLine.contains("PartitionFilters: [centroid_id") &&
+      !scanLine.contains("PartitionFilters: []"),
+      s"index scan is not partition-pruned:\n$scanLine")
+  }
+
+  test("q_profile_approx plans one pass: HLL sketches, no Expand") {
+    // exact multi-column countDistinct costs an Expand that multiplies
+    // rows (k+1)x before the aggregate; the approximate sibling must
+    // stay a single-pass aggregate of mergeable sketches
+    assert(!plans("q_profile_approx").contains("Expand"),
+      s"q_profile_approx still plans an Expand:\n${plans("q_profile_approx")}")
+    assert(plans("q_profile").contains("Expand"),
+      "q_profile lost its Expand — update this invariant pair")
+  }
+
   test("parquet scans prune columns (no SELECT * reaching the scan)") {
     // q_scan_filter_project reads 3 of 11 lineitem columns; the scan's
     // ReadSchema must not contain the unprojected l_comment-class cols
