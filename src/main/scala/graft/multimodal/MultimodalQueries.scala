@@ -90,6 +90,31 @@ object MultimodalQueries {
              |  coalesce(a.bin4, 0) AS bin4, coalesce(a.bin5, 0) AS bin5,
              |  coalesce(a.bin6, 0) AS bin6, coalesce(a.bin7, 0) AS bin7
              |FROM base b LEFT JOIN agg a USING (doc_id)
-             |ORDER BY media_id""".stripMargin))
+             |ORDER BY media_id""".stripMargin)),
+
+    // a REAL format through the codec seam: every document becomes a
+    // VALID PNG (signature + IHDR + IDAT + IEND, built with Catalyst
+    // binary expressions — dimensions from doc metadata, text bytes as
+    // the IDAT stream), and PngCodec.parse reads the header fields back
+    // from their fixed byte offsets and walks the chunk list, inside
+    // the same mapPartitions seam as the stub pipeline. The oracle
+    // recomputes every expected field from the doc columns, so a wrong
+    // offset or endianness in the writer OR the parser breaks the hash.
+    Q("q_multimodal_png",
+      (s, d) => {
+        import s.implicits._
+        val pngs = PngCodec.syntheticPngs(Tables.load(s, d, "documents"))
+          .as[PngCodec.PngRow]
+        PngCodec.decode(pngs).toDF()
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CAST(n_chars % 640 + 16 AS BIGINT) AS width,
+             |CAST(n_chars % 480 + 8 AS BIGINT) AS height,
+             |CAST(8 AS INT) AS bit_depth,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 2 END AS INT) AS color_type,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS idat_bytes,
+             |CAST(3 AS BIGINT) AS n_chunks
+             |FROM documents ORDER BY media_id""".stripMargin))
   )
 }
