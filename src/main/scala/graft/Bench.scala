@@ -63,7 +63,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO land the complete metric JSON on disk: the driver captures a
+    // bounded log TAIL, and a 60+-query map printed as one line has
+    // been cut mid-JSON two rounds running (BENCH_r06/r07 "parsed:
+    // null"). A file survives truncation; stdout stays the contract.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
