@@ -482,6 +482,60 @@ object DedupQueries {
              |  AND len(b.tk) * 100 >= len(a.tk) * 95
              |WHERE len(list_intersect(a.tk, b.tk)) * 100 >=
              |  (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) * 95
-             |ORDER BY a_id, b_id""".stripMargin))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // EXACT SPAN dedup (the Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better" family): near-dup operators above
+    // match whole documents; this one finds VERBATIM REPEATED SPANS —
+    // every 8-token n-gram position whose n-gram occurs >= 2 times
+    // anywhere in the corpus (cross-doc boilerplate or in-doc loops),
+    // reported as per-doc (n_grams, n_dup) so a cleaning pass can trim
+    // or drop high-duplication docs. The suffix-array formulation of
+    // the paper is inherently sequential; fixed-width n-gram positions
+    // are its distributed-friendly standard approximation.
+    //
+    // Plan: posexplode token rows -> 7 window leads build each 8-gram
+    // in place (one split per doc; no array lambdas, so nothing
+    // re-tokenizes per element) -> md5 the gram -> (1) count occurrences
+    // per hash (uniform 128-bit keys, map-side partial agg), (2) join
+    // positions back on the same hash — the join reuses the aggregate's
+    // exchange — (3) per-doc count. Gram rows are materialized once for
+    // their two consumers: at 100 TB this is "write the fingerprint
+    // table, aggregate it, join it", never an all-pairs compare, and
+    // never a driver-side structure.
+    Q("q_dedup_spans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val grams = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("t7", lead(col("tok"), 7).over(w))
+          .withColumn("g", concat_ws(" ",
+            col("tok") +: (1 to 6).map(k => lead(col("tok"), k).over(w))
+              :+ col("t7"): _*))
+          // t7 null <=> fewer than 8 tokens remain at this position
+          // (window functions can't sit in a WHERE, hence the column)
+          .filter(col("t7").isNotNull)
+          .select(col("doc_id"), md5(col("g")).as("gh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val df_ = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+        grams.join(df_, "gh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |grams AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 6, 1)),
+             |    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS gh
+             |  FROM toks WHERE len(tk) >= 8),
+             |df AS (SELECT gh, count(*) AS c FROM grams GROUP BY gh)
+             |SELECT g.doc_id, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+             |FROM grams g JOIN df ON g.gh = df.gh
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -116,6 +116,49 @@ object TemporalQueries {
              |    AS n_clicks_1h
              |FROM t
              |QUALIFY is_p = 1
-             |ORDER BY purchase_id""".stripMargin))
+             |ORDER BY purchase_id""".stripMargin)),
+
+    // RANGE JOIN across DIFFERENT keys: for each error event, how many
+    // clicks — by ANY user — landed within ±10 minutes? No shared equi
+    // key exists, so the naive plan is an O(n²) time-theta join (Spark
+    // would emit BroadcastNestedLoopJoin). The scale shape is BINNING:
+    // quantize time into windows-width bins, explode the (smaller)
+    // error side into its bin and both neighbors, equi-join on bin —
+    // any click within ±W of an error sits in one of those three bins,
+    // and each qualifying click matches exactly ONE exploded row — then
+    // verify |Δt| <= W exactly. Fan-out is a fixed 3×; the join is a
+    // hash join on uniform bin keys; residual time-of-day hot bins are
+    // AQE-skew-split territory, not plan failures. The DuckDB oracle
+    // pays the theta-join cost instead (oracle-side only) — identical
+    // result because binning at width >= W is lossless.
+    Q("q_range_join",
+      (s, d) => {
+        val W = 600L * 1000 * 1000 // ±10 min in µs = the bin width
+        val ev = Tables.load(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("us").as("e_us"),
+            floor(col("us") / W).as("b"))
+          .withColumn("bin",
+            explode(array(col("b") - 1, col("b"), col("b") + 1)))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("us").as("c_us"),
+            floor(col("us") / W).as("bin"))
+        err.join(clk,
+            err("bin") === clk("bin") &&
+              abs(col("c_us") - col("e_us")) <= W,
+            "left")
+          .groupBy("event_id")
+          .agg(count(col("c_id")).as("n_near"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, CAST(count(c.event_id) AS BIGINT) AS n_near
+             |FROM events e LEFT JOIN events c
+             |  ON c.event_type = 'click'
+             |  AND abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+             |        - epoch_us(CAST(e.ts AS TIMESTAMP))) <= 600000000
+             |WHERE e.event_type = 'error'
+             |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin))
   )
 }
