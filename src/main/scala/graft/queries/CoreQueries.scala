@@ -246,6 +246,30 @@ object CoreQueries {
              |FROM documents GROUP BY source
              |ORDER BY source""".stripMargin)),
 
+    // the 100 TB form of q_quantiles: a single-pass mergeable quantile
+    // sketch (Greenwald-Khanna via percentile_approx) instead of the
+    // exact window+rank plan, whose per-group sort re-shuffles the data
+    // and cannot pre-aggregate map-side. The sketch aggregates like any
+    // sum — partial per partition, merge at the reducer — so the plan
+    // is one aggregate with no Window. No value-hash oracle (sketch
+    // internals and tie-breaks differ per engine; the exact sibling
+    // holds the hash gate); pinned against q_quantiles in
+    // QuantilesApproxSpec instead, same columns for comparability.
+    Q("q_quantiles_approx",
+      (s, d) => Tables.load(s, d, "documents")
+        .groupBy("source")
+        .agg(min(col("n_chars")).as("min_chars"),
+          percentile_approx(col("n_chars"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"),
+          max(col("n_chars")).as("max_chars"))
+        .select(col("source"), col("min_chars"),
+          col("q").getItem(0).as("p25"),
+          col("q").getItem(1).as("p50"),
+          col("q").getItem(2).as("p75"),
+          col("max_chars"))
+        .orderBy("source"),
+      None),
+
     // data profiling (the ANALYZE primitive): per-column row/null/
     // distinct counts and min/max in one scan — a single wide aggregate
     // row unpivoted to long format with stack() (Spark's melt

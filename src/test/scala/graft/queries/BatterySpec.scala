@@ -14,8 +14,11 @@ class BatterySpec extends SparkSpec {
   /** Queries that deliberately carry NO oracle SQL (driver records the
     * weaker rows-only check). Each needs a reason and its own value
     * spec: q_profile_approx — HLL sketch values legitimately differ
-    * per engine; pinned against exact q_profile in ProfileApproxSpec. */
-  val oracleExempt = Set("q_profile_approx")
+    * per engine; pinned against exact q_profile in ProfileApproxSpec.
+    * q_quantiles_approx — GK-sketch quantiles pick actual data values,
+    * not the oracle's type-7 interpolation; pinned against exact
+    * q_quantiles in QuantilesApproxSpec. */
+  val oracleExempt = Set("q_profile_approx", "q_quantiles_approx")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {

@@ -90,6 +90,16 @@ class PlanShapeSpec extends SparkSpec {
       "q_profile lost its Expand — update this invariant pair")
   }
 
+  test("q_quantiles_approx plans one aggregate: no Window, no re-sort") {
+    // the exact form pays a per-group sort (row_number window) that
+    // cannot pre-aggregate map-side; the sketch form must stay a plain
+    // two-phase aggregate — partials per partition, merge at reduce
+    assert(!plans("q_quantiles_approx").contains("Window"),
+      s"q_quantiles_approx still plans a Window:\n${plans("q_quantiles_approx")}")
+    assert(plans("q_quantiles").contains("Window"),
+      "q_quantiles lost its Window — update this invariant pair")
+  }
+
   test("parquet scans prune columns (no SELECT * reaching the scan)") {
     // q_scan_filter_project reads 3 of 11 lineitem columns; the scan's
     // ReadSchema must not contain the unprojected l_comment-class cols
