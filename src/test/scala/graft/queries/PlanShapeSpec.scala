@@ -100,6 +100,16 @@ class PlanShapeSpec extends SparkSpec {
       "q_quantiles lost its Window — update this invariant pair")
   }
 
+  test("q_global_ids keeps its corpus window partitioned by pid") {
+    // the whole point of the two-pass numbering: the corpus-sized
+    // row_number window must be keyed on the range-partition id (32-way
+    // parallel), never an unpartitioned ORDER BY that funnels the table
+    // through one task. (The tiny 32-row offsets window is the only
+    // global one.)
+    assert(plans("q_global_ids").contains("windowspecdefinition(pid"),
+      s"q_global_ids lost its partitioned window:\n${plans("q_global_ids")}")
+  }
+
   test("parquet scans prune columns (no SELECT * reaching the scan)") {
     // q_scan_filter_project reads 3 of 11 lineitem columns; the scan's
     // ReadSchema must not contain the unprojected l_comment-class cols
