@@ -31,8 +31,9 @@ object DedupQueries {
     * q_dedup_simhash64 for the algorithm notes): (a_id, b_id, hamming)
     * at hamming <= 3.
     *
-    * FOUR battery queries consume this stage (q_dedup_simhash64,
-    * q_dedup_cluster, q_dedup_keep_one, q_dedup_source_matrix). At
+    * FIVE battery queries consume this stage (q_dedup_simhash64,
+    * q_dedup_cluster, q_dedup_keep_one, q_dedup_source_matrix,
+    * q_pagerank). At
     * 100 TB the fingerprint/pair table is written ONCE and read four
     * times — never recomputed from the raw corpus per downstream job —
     * so the battery models that: the first consumer materializes the
@@ -536,6 +537,88 @@ object DedupQueries {
              |SELECT g.doc_id, count(*) AS n_grams,
              |  CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
              |FROM grams g JOIN df ON g.gh = df.gh
-             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // PageRank centrality over the near-dup graph — the second
+    // iterative graph operator (clustering above finds the GROUPS;
+    // centrality ranks members WITHIN them, the principled way to pick
+    // a cluster's canonical document instead of "smallest id"). Five
+    // damped iterations of r(v) = base + 0.85 * Σ_{u~v} r(u)/deg(u)
+    // over the symmetric simhash64 pair edges (every node has deg >= 1,
+    // so there is no dangling mass to special-case).
+    //
+    // Cross-engine exactness for an iterative float algorithm: all
+    // arithmetic is INTEGER — ranks live in units of 1e-12
+    // (SCALE = 10^12), each contribution is one truncating division
+    // (rank * 85) div (100 * deg), and sums of longs are exact — so
+    // Spark and DuckDB (10 unrolled CTE layers, `//`) agree bit-for-bit
+    // at every iteration; floor == truncation because everything is
+    // positive. Plan per iteration: join ranks to edges on the source,
+    // aggregate contributions by target, left-join back to nodes —
+    // shuffles only on uniform node ids, lineage cut per round exactly
+    // like ConnectedComponents; only the tiny node/degree frames and
+    // the broadcast node count sit outside the loop.
+    Q("q_pagerank",
+      (s, d) => {
+        val Scale = 1000000000000L // ranks in units of 1e-12
+        val iters = 5
+        val e = simhash64Pairs(s, d)
+        val edges = e.select(col("a_id").as("u"), col("b_id").as("v"))
+          .union(e.select(col("b_id").as("u"), col("a_id").as("v")))
+          .localCheckpoint()
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        val nCnt = deg.agg(count(lit(1)).as("n"))
+        // every node with its constant teleport share, (0.15*SCALE)/n
+        val nodes = deg.select(col("u").as("id"))
+          .crossJoin(broadcast(nCnt))
+          .select(col("id"),
+            expr(s"($Scale * 15) div (100 * n)").as("base"))
+          .localCheckpoint()
+        var r = nodes.select(col("id"), col("base").as("rank"))
+        for (_ <- 1 to iters) {
+          val contribs = edges
+            .join(r, edges("u") === r("id"))
+            .join(deg, "u")
+            .select(col("v"), expr("(rank * 85) div (100 * deg)").as("c"))
+            .groupBy("v").agg(sum(col("c")).as("s"))
+          r = nodes.join(contribs, nodes("id") === contribs("v"), "left")
+            .select(col("id"),
+              (col("base") + coalesce(col("s"), lit(0L))).as("rank"))
+            .localCheckpoint()
+        }
+        r.select(col("id").as("doc_id"), col("rank").as("prank"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val layers = (1 to 5).map { k =>
+          s"""r$k AS (
+             |  SELECT nd.id, nd.base + coalesce(c.s, 0) AS rank
+             |  FROM nd LEFT JOIN (
+             |    SELECT e.v AS id,
+             |      CAST(sum((r.rank * 85) // (100 * dg.deg)) AS BIGINT) AS s
+             |    FROM edges e
+             |    JOIN r${k - 1} r ON e.u = r.id
+             |    JOIN dg ON dg.u = e.u
+             |    GROUP BY e.v) c ON nd.id = c.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $simhash64FpCte,
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+           |edges AS (
+           |  SELECT a_id AS u, b_id AS v FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |dg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+           |nd AS (
+           |  SELECT u AS id,
+           |    (CAST(1000000000000 AS BIGINT) * 15)
+           |      // (100 * (SELECT count(*) FROM dg)) AS base
+           |  FROM dg),
+           |r0 AS (SELECT id, base AS rank FROM nd),
+           |$layers
+           |SELECT id AS doc_id, CAST(rank AS BIGINT) AS prank
+           |FROM r5 ORDER BY doc_id""".stripMargin
+      })
   )
 }
