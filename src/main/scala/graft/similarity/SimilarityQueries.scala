@@ -334,6 +334,68 @@ object SimilarityQueries {
              |      ORDER BY qcos DESC, neighbor_id) AS BIGINT) AS rank
              |  FROM s)
              |SELECT query_id, neighbor_id, rank, qcos FROM r
-             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // SemDeDup-style semantic near-duplicate pairs: cluster the
+    // embedding space (k-means assignment to the deterministic IVF
+    // centroids — map-only literal argmax, no shuffle of the corpus)
+    // and compare vectors ONLY within their cluster. Same candidate-
+    // pruning idea as q_dedup_embedding's label blocking, but the
+    // blocking key is LEARNED from the vectors themselves, which is
+    // what production semantic dedup (Abbas et al., SemDeDup) does:
+    // per-cluster pairwise cost is (n/K)^2 * K = n^2/K, and clusters
+    // shard independently across executors. Assignment ties and cosine
+    // arithmetic are exact (scaled-integer dot products), so DuckDB
+    // reproduces the pairs bit-for-bit.
+    Q("q_dedup_semantic",
+      (s, d) => {
+        // both pairwise sides read the full corpus: materialize the
+        // scaled vectors + norms once (same rationale as
+        // q_dedup_embedding)
+        val e = scaled(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val asg = IvfIndex.assign(
+          e.select(col("vec_id"), col("sv").as("embedding")),
+          ivfCentroids(e), simScaled)
+        val withC = e.join(asg, "vec_id")
+        val a = withC.select(col("centroid_id"), col("vec_id").as("a_id"),
+          col("sv").as("a_sv"), col("nn").as("a_nn"))
+        val b = withC.select(col("centroid_id"), col("vec_id").as("b_id"),
+          col("sv").as("b_sv"), col("nn").as("b_nn"))
+        a.join(b, Seq("centroid_id"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("cos", cosineFromScaled(col("a_sv"), col("b_sv"),
+            col("a_nn"), col("b_nn")))
+          .filter(col("cos") >= NearDupThreshold)
+          .select("a_id", "b_id", "centroid_id", "cos")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $scaledCte,
+             |cent AS (SELECT CAST(vec_id AS INT) AS centroid_id,
+             |    sv AS c_sv, nn AS c_nn FROM nrm WHERE vec_id < 8),
+             |asg AS (
+             |  SELECT vec_id, centroid_id FROM (
+             |    SELECT e.vec_id, c.centroid_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        CAST(list_sum(list_transform(range(1, 65),
+             |          i -> e.sv[i] * c.c_sv[i])) AS DOUBLE)
+             |          / sqrt(CAST(e.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
+             |        c.centroid_id) AS rn
+             |    FROM nrm e CROSS JOIN cent c) t
+             |  WHERE rn = 1),
+             |p AS (
+             |  SELECT aa.centroid_id, a.vec_id AS a_id, b.vec_id AS b_id,
+             |    a.sv AS a_sv, b.sv AS b_sv, a.nn AS a_nn, b.nn AS b_nn
+             |  FROM nrm a JOIN asg aa ON a.vec_id = aa.vec_id
+             |    JOIN asg bb ON aa.centroid_id = bb.centroid_id
+             |    JOIN nrm b ON b.vec_id = bb.vec_id
+             |  WHERE a.vec_id < b.vec_id),
+             |s AS (
+             |  SELECT centroid_id, a_id, b_id,
+             |    $cosExpr AS cos
+             |  FROM p)
+             |SELECT a_id, b_id, centroid_id, cos FROM s
+             |WHERE cos >= $NearDupThreshold
+             |ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -593,6 +593,95 @@ object TextQueries {
              |SELECT source, shard, CAST(floor(prefix / 512.0) AS BIGINT) AS batch_id,
              |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
              |FROM p GROUP BY source, shard, batch_id
-             |ORDER BY source, shard, batch_id""".stripMargin))
+             |ORDER BY source, shard, batch_id""".stripMargin)),
+
+    // bigram language-model coherence scoring (the quality-filter
+    // signal CCNet computes with a trained LM, in exact arithmetic):
+    // train bigram counts over the corpus, then score each doc by its
+    // pooled transition statistics. Per-doc outputs: n_bigrams,
+    // n_novel (bigrams occurring nowhere else in the corpus — high
+    // ratio = incoherent/degenerate text) and lm_score =
+    // sum(count(bigram)) / sum(count(prefix)) — pooled P(w2|w1) mass.
+    // Integer sums are exact/order-independent; the ONE final division
+    // of two <2^53 longs is IEEE-identical in any engine, so the gate
+    // hash-matches. 100 TB shape: the model is two hash aggregates
+    // over the exploded bigram stream (short uniform keys); scoring
+    // joins the doc bigrams against the model on bigram/prefix —
+    // model tables are vocab-sized (<< corpus), AQE broadcasts them.
+    // The bigram stream feeds both model build and scoring, so it is
+    // materialized once (write-once/read-twice at scale).
+    Q("q_lm_bigram_score",
+      (s, d) => {
+        val bg = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(shingles(tokens(col("text")), 2)).as("bg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c2 = bg.groupBy("bg").agg(count(lit(1)).as("cnt2"))
+        // prefix counts re-aggregate the (tiny) bigram model, not the
+        // corpus: count of bigram occurrences starting with w1
+        val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(sum(col("cnt2")).as("cnt1"))
+        bg.join(c2, "bg")
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .join(c1, "w1")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(when(col("cnt2") === 1, 1L).otherwise(0L)).as("n_novel"),
+            (sum(col("cnt2")).cast(DoubleType) /
+             sum(col("cnt1")).cast(DoubleType)).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bg AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(sp)),
+             |      i -> sp[i] || ' ' || sp[i + 1])) AS bg
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+             |        FROM documents) t),
+             |c2 AS (SELECT bg, count(*) AS cnt2 FROM bg GROUP BY bg),
+             |c1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+             |         CAST(sum(cnt2) AS BIGINT) AS cnt1
+             |       FROM c2 GROUP BY 1)
+             |SELECT b.doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(CASE WHEN c2.cnt2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  CAST(CAST(sum(c2.cnt2) AS BIGINT) AS DOUBLE)
+             |    / CAST(CAST(sum(c1.cnt1) AS BIGINT) AS DOUBLE) AS lm_score
+             |FROM bg b JOIN c2 USING (bg)
+             |  JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+             |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
+
+    // corpus-wide heavy hitters through the Misra-Gries sketch (custom
+    // mergeable TypedImperativeAggregate, k bounded counters): pass 1
+    // reduces the token stream to one k-entry sketch per partition —
+    // nothing corpus-sized shuffles — and yields a <= k candidate set
+    // (guaranteed superset of every token with freq > N/(k+1)); pass 2
+    // exact-counts ONLY the candidates (map-side filter, k-key
+    // aggregate) and applies the threshold. The superset guarantee
+    // makes the final output independent of stream order and
+    // partitioning, which is exactly why the plain GROUP BY/HAVING
+    // oracle can hash-gate a sketch-based plan. The candidate handoff
+    // is a <= k-row driver collect (same K-bounded pattern as the IVF
+    // centroids). cnt * (k+1) > N keeps the threshold in integers.
+    Q("q_heavy_hitters",
+      (s, d) => {
+        val k = 32
+        val toks = Tables.load(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("tok"))
+        val sk = toks.agg(
+          graft.functions.MisraGriesAgg.misraGries(col("tok"), k).as("sk"),
+          count(lit(1)).as("total")).head()
+        val cands = sk.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+        val total = sk.getLong(1)
+        toks.filter(col("tok").isInCollection(cands))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * (k + 1) > total)
+          .orderBy(desc("cnt"), asc("tok"))
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |n AS (SELECT count(*) AS total FROM t)
+             |SELECT tok, count(*) AS cnt FROM t, n
+             |GROUP BY tok, total HAVING count(*) * 33 > total
+             |ORDER BY cnt DESC, tok""".stripMargin))
   )
 }
