@@ -87,7 +87,18 @@ object IvfIndex {
     * paths break ties to the lowest centroid_id via the negated id in
     * the ordering struct. */
   def assign(embeddings: DataFrame, centroids: DataFrame,
-             sim: (Column, Column) => Column = floatCosine): DataFrame = {
+             sim: (Column, Column) => Column = floatCosine): DataFrame =
+    withCentroid(embeddings, col("embedding"), centroids, sim)
+      .select("vec_id", "centroid_id")
+
+  /** `df` + a `centroid_id` column (nearest centroid of `vec`) — the
+    * join-free form of [[assign]] for consumers that need the vector
+    * columns AND the assignment (e.g. cluster-blocked pairwise dedup):
+    * carrying the argmax as a column avoids re-joining the corpus with
+    * its own assignment table. Requires a `vec_id` column only on the
+    * large-K fallback path (which must join). */
+  def withCentroid(df: DataFrame, vec: Column, centroids: DataFrame,
+                   sim: (Column, Column) => Column = floatCosine): DataFrame = {
     // take(MaxInline+1) bounds the driver transfer to 257 rows even when
     // K is huge; the fallback path never materializes the centroid table
     // on the driver at all (assignViaJoin broadcasts the DataFrame).
@@ -97,13 +108,15 @@ object IvfIndex {
       val cvType = centroids.schema("cv").dataType
       val entries = cs.map { r =>
         struct(
-          sim(col("embedding"), litArray(cvType, r.getSeq[Any](1))).as("s"),
+          sim(vec, litArray(cvType, r.getSeq[Any](1))).as("s"),
           lit(-r.getInt(0)).as("neg_id"))
       }
-      embeddings.select(col("vec_id"),
-        (-array_max(array(entries.toIndexedSeq: _*)).getField("neg_id"))
-          .as("centroid_id"))
-    } else assignViaJoin(embeddings, centroids, sim)
+      df.withColumn("centroid_id",
+        -array_max(array(entries.toIndexedSeq: _*)).getField("neg_id"))
+    } else df.join(
+      assignViaJoin(df.select(col("vec_id"), vec.as("embedding")),
+        centroids, sim),
+      "vec_id")
   }
 
   /** Large-K fallback: broadcast join + max_by partial aggregate.

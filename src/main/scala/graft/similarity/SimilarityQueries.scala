@@ -354,10 +354,12 @@ object SimilarityQueries {
         // q_dedup_embedding)
         val e = scaled(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val asg = IvfIndex.assign(
-          e.select(col("vec_id"), col("sv").as("embedding")),
+        // assignment as a COLUMN on the cached vectors (join-free):
+        // each pair side re-evaluates the k-way argmax over the cache,
+        // which is cheaper than joining the corpus against its own
+        // assignment table
+        val withC = IvfIndex.withCentroid(e, col("sv"),
           ivfCentroids(e), simScaled)
-        val withC = e.join(asg, "vec_id")
         val a = withC.select(col("centroid_id"), col("vec_id").as("a_id"),
           col("sv").as("a_sv"), col("nn").as("a_nn"))
         val b = withC.select(col("centroid_id"), col("vec_id").as("b_id"),

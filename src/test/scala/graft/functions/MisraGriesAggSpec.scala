@@ -70,6 +70,18 @@ class MisraGriesAggSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("sketch pass plans partial ObjectHashAggregate (map-side combine)") {
+    // the scale claim: one k-entry sketch per partition crosses the
+    // wire. TypedImperativeAggregate plans as ObjectHashAggregate with
+    // a partial phase before the exchange and a merge phase after.
+    val df = spark.sparkContext.parallelize(Seq("a", "b", "a"), 3).toDF("tok")
+      .agg(MisraGriesAgg.misraGries(col("tok"), 4).as("sk"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"sketch aggregate lost its partial phase:\n$plan")
+  }
+
   test("q_heavy_hitters end-to-end output is partitioning-independent") {
     // the gated query's determinism claim: final output (exact recount
     // over candidates, thresholded) is identical however the corpus is

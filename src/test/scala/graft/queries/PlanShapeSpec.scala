@@ -110,6 +110,27 @@ class PlanShapeSpec extends SparkSpec {
       s"q_global_ids lost its partitioned window:\n${plans("q_global_ids")}")
   }
 
+  test("q_lm_bigram_score materializes the bigram stream once") {
+    // the exploded bigram stream feeds model build AND scoring; the
+    // plan must read the shared InMemoryRelation (write-once/read-many
+    // at scale), not re-explode the corpus per consumer
+    val hits = plans("q_lm_bigram_score").linesIterator
+      .count(_.contains("InMemoryTableScan"))
+    assert(hits >= 2,
+      s"bigram stream not shared ($hits cached scans):\n${plans("q_lm_bigram_score")}")
+  }
+
+  test("q_dedup_semantic keeps assignment join-free (one equi-join total)") {
+    // centroid assignment must stay a literal-argmax COLUMN on the
+    // cached vectors — the only join in the plan is the
+    // cluster-blocked pair join on centroid_id; any more means the
+    // assignment degraded to a corpus-vs-assignment join
+    val joins = plans("q_dedup_semantic").linesIterator
+      .count(l => l.contains("Join"))
+    assert(joins == 1,
+      s"q_dedup_semantic expected 1 join, found $joins:\n${plans("q_dedup_semantic")}")
+  }
+
   test("parquet scans prune columns (no SELECT * reaching the scan)") {
     // q_scan_filter_project reads 3 of 11 lineitem columns; the scan's
     // ReadSchema must not contain the unprojected l_comment-class cols
