@@ -48,6 +48,14 @@ object ExtCheck {
       assert(fp.getLong(0) >= 0 && fp.getLong(1) >= 0)
     }
 
+    val mg = spark.sql(
+      """SELECT misra_gries(tok, 8) sk FROM (
+        |  SELECT explode(split(text, ' ')) tok FROM docs)""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    println(s"[ext] misra_gries(tok, 8): ${mg.length} candidates, " +
+      s"top=${if (mg.nonEmpty) mg.head.getString(0) else "-"}")
+    assert(mg.nonEmpty && mg.length <= 8)
+
     val topk = spark.sql(
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSimilarity, DotLong, SimHash64Agg}
+import graft.functions.{CosineSimilarity, DotLong, MisraGriesAgg, SimHash64Agg}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Agg].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64Agg(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0),
+        // k must be a foldable literal (like percentile_approx's
+        // accuracy argument)
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }

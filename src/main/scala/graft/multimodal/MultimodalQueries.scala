@@ -115,6 +115,57 @@ object MultimodalQueries {
              |CAST(CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 2 END AS INT) AS color_type,
              |CAST(octet_length(encode(text)) AS BIGINT) AS idat_bytes,
              |CAST(3 AS BIGINT) AS n_chunks
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // video-style FRAME SAMPLING over an opaque payload: the payload is
+    // a sequence of fixed-size 16-byte frames; sample every 4th frame
+    // and emit per-frame metadata (offset, content hash, head byte).
+    // This is the training-pipeline "decode 1-in-k frames" access
+    // pattern as pure expressions: sequence(start, stop, step) builds
+    // the sampled index list per row with NO generator fan-out beyond
+    // the kept frames (explode yields only sampled rows — the skipped
+    // frames are never materialized), and each frame is a bounded
+    // substring slice of the payload. No shuffle at all until the
+    // final presentation sort; at 100 TB this is a map-only pass whose
+    // output is 1/stride of a full decode. (Payload stands in as the
+    // ASCII text column — same byte==char equivalence the PNG oracle
+    // asserts; a real codec plugs in at the same slice boundary.)
+    Q("q_multimodal_frames",
+      (s, d) => {
+        val fs = 16L
+        val stride = 4L
+        Tables.load(s, d, "documents")
+          .select(col("doc_id").as("media_id"), col("text"),
+            floor(octet_length(col("text")) / fs).cast(LongType)
+              .as("n_frames"))
+          .filter(col("n_frames") >= 1)
+          .select(col("media_id"), col("text"), col("n_frames"),
+            explode(sequence(lit(0L), col("n_frames") - 1, lit(stride)))
+              .as("frame_idx"))
+          .select(col("media_id"), col("frame_idx"),
+            (col("frame_idx") * fs).as("off"),
+            md5(col("text").substr(
+              (col("frame_idx") * fs + 1).cast(IntegerType), lit(fs.toInt)))
+              .as("frame_md5"),
+            ascii(col("text").substr(
+              (col("frame_idx") * fs + 1).cast(IntegerType), lit(1)))
+              .as("head_byte"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id AS media_id, text,
+             |    CAST(floor(octet_length(encode(text)) / 16) AS BIGINT)
+             |      AS n_frames
+             |  FROM documents),
+             |e AS (
+             |  SELECT media_id, text,
+             |    unnest(range(0, n_frames, 4)) AS frame_idx
+             |  FROM f WHERE n_frames >= 1)
+             |SELECT media_id, frame_idx, frame_idx * 16 AS off,
+             |  md5(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16))
+             |    AS frame_md5,
+             |  ascii(substr(text, CAST(frame_idx * 16 + 1 AS INT), 1))
+             |    AS head_byte
+             |FROM e ORDER BY media_id, frame_idx""".stripMargin))
   )
 }

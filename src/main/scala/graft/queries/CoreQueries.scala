@@ -540,6 +540,27 @@ object CoreQueries {
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
+    // arbitrary GROUPING SETS — not a rollup prefix chain and not the
+    // full cube: {(source, lang), (lang), ()}. Plans as ONE Expand +
+    // hash aggregate (rows x 3 before the partial agg), not three
+    // scans unioned.
+    Q("q_grouping_sets",
+      (s, d) => Tables.load(s, d, "documents")
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("lang")), Seq.empty),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("src"),
+                coalesce(col("lang"), lit("ALL")).as("lg"),
+                col("cnt"), col("chars"))
+        .orderBy("src", "lg"),
+      Some("""SELECT coalesce(source, 'ALL') AS src,
+             |coalesce(lang, 'ALL') AS lg, count(*) AS cnt,
+             |CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents
+             |GROUP BY GROUPING SETS ((source, lang), (lang), ())
+             |ORDER BY src, lg""".stripMargin)),
+
     // JSON extraction from a string column (events.props = {"k": N})
     Q("q_json_extract",
       (s, d) => Tables.load(s, d, "events")
