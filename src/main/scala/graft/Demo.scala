@@ -30,6 +30,22 @@ object Demo {
     q.awaitTermination(120000); q.stop()
     println(s"[demo] streaming windows: ${spark.table("demo_win").count()}")
 
+    // 1b. streaming heavy hitters: k-bounded Misra-Gries state per
+    // window over the event-type token stream
+    val hh = streaming.StreamingPipelines.windowedHeavyHitters(
+      streaming.StreamingPipelines.readEventsStream(spark, sfDir)
+        .select(col("ts"), col("event_type").as("tok")), k = 4)
+    val qh = hh.writeStream.format("memory").queryName("demo_hh")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    qh.awaitTermination(120000); qh.stop()
+    val hhTop = spark.table("demo_hh")
+      .select(explode(col("sketch")).as("e"))
+      .groupBy(col("e.token").as("tok")).count()
+      .orderBy(desc("count")).limit(1).collect()
+    println(s"[demo] streaming heavy hitters: " +
+      s"${spark.table("demo_hh").count()} windows, most-frequent " +
+      s"candidate '${if (hhTop.nonEmpty) hhTop(0).getString(0) else "-"}'")
+
     // 2. multimodal: documents -> binary payloads -> features
     val feats = multimodal.MultimodalPipeline.run(spark, sfDir)
     println(s"[demo] multimodal features: ${feats.count()}")

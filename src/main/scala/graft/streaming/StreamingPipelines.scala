@@ -107,6 +107,26 @@ object StreamingPipelines {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Windowed heavy hitters over an unbounded token stream: the
+    * Misra-Gries aggregate ([[graft.functions.MisraGriesAgg]]) composes
+    * directly with streaming aggregation BECAUSE its buffer is
+    * mergeable — each micro-batch's partial sketches merge into the
+    * window's state, so per-window state is k counters regardless of
+    * how many tokens (or distinct tokens) the window saw. The plain
+    * `groupBy(window, token).count()` alternative keeps one state row
+    * per (window, distinct token) — unbounded on an open vocabulary,
+    * the state-blowup analog of the batch full-shuffle problem.
+    * Candidates keep the MG guarantee per window: every token with
+    * in-window frequency > N/(k+1) is present in the sketch. Expects
+    * (ts: timestamp, tok: string). */
+  def windowedHeavyHitters(toks: DataFrame, k: Int = 8): DataFrame =
+    toks
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.MisraGriesAgg.misraGries(col("tok"), k)
+        .as("sketch"))
+      .select(col("window.start").as("window_start"), col("sketch"))
+
   /** Watermarked stream-stream interval join (attribution shape): each
     * purchase matched to the same user's clicks in the `windowSeconds`
     * before it, inclusive. Both sides carry watermarks and the join

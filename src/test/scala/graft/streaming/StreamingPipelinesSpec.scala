@@ -50,6 +50,32 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(rows === Set((0L, "click", 2L, 2.0), (3600L, "view", 1L, 1.0)))
   }
 
+  test("windowedHeavyHitters: k-bounded sketch state keeps the guarantee") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    // window [0, 1h): "hot" 12 of 20 tokens (freq > N/(k+1) at k=3);
+    // window [1h, 2h): "warm" dominates a different vocabulary
+    val w0 = (1 to 12).map(i => (new Timestamp(i * 1000L), "hot")) ++
+      (1 to 8).map(i => (new Timestamp((100 + i) * 1000L), s"noise$i"))
+    val w1 = (1 to 6).map(i => (new Timestamp((3600 + i) * 1000L), "warm")) ++
+      Seq((new Timestamp(3700 * 1000L), "rare"))
+    in.addData(w0 ++ w1: _*)
+    val q = windowedHeavyHitters(
+        in.toDF().toDF("ts", "tok"), k = 3)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val byWindow = spark.table("hh_out").collect().map { r =>
+      r.getTimestamp(0).getTime / 1000 ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet
+    }.toMap
+    assert(byWindow.keySet === Set(0L, 3600L))
+    // per-window MG guarantee: the dominant token survives, state <= k
+    assert(byWindow(0L).contains("hot"))
+    assert(byWindow(3600L).contains("warm"))
+    assert(byWindow.values.forall(_.size <= 3))
+  }
+
   test("sessionize splits on >30min gaps and flushes closed sessions") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
