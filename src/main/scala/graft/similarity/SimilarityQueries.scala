@@ -398,6 +398,87 @@ object SimilarityQueries {
              |  FROM p)
              |SELECT a_id, b_id, centroid_id, cos FROM s
              |WHERE cos >= $NearDupThreshold
-             |ORDER BY a_id, b_id""".stripMargin))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // one EXACT Lloyd iteration of k-means under the hash gate — the
+    // training loop IvfIndex.train runs in float (means drift by
+    // summation order) re-expressed so every step is engine-exact:
+    // new centroid component = floor(sum(member sv_i) / count), an
+    // integer floor-mean (sums exactly representable, one IEEE
+    // division + floor). Distributed shape per iteration: per-cluster
+    // means are ONE posexplode + hash aggregate over the members (a
+    // (K x dim)-row result), re-assignment is again the map-only
+    // literal argmax — the corpus is scanned, never shuffled; only the
+    // kilobyte centroid table moves. Output: per-cluster membership
+    // stats + the trained centroid's first component, so a wrong mean,
+    // floor, or tie-break anywhere in the round breaks the hash.
+    Q("q_kmeans",
+      (s, d) => {
+        val e = scaled(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a0 = IvfIndex.withCentroid(e, col("sv"),
+          ivfCentroids(e), simScaled)
+        val c1 = a0
+          .select(col("centroid_id"),
+            posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy("centroid_id", "pos")
+          .agg(floor(sum(col("v")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).cast(LongType).as("m"))
+          .groupBy("centroid_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cv"))
+        val a1 = IvfIndex.withCentroid(e, col("sv"), c1, simScaled)
+        a1.join(broadcast(c1.select(col("centroid_id"),
+            element_at(col("cv"), 1).as("c0"))), "centroid_id")
+          .groupBy("centroid_id")
+          .agg(count(lit(1)).as("n"),
+               sum(col("vec_id")).as("id_sum"),
+               max(col("c0")).as("c0"))
+          .orderBy("centroid_id")
+      },
+      Some(s"""WITH $scaledCte,
+             |cent0 AS (SELECT CAST(vec_id AS INT) AS centroid_id,
+             |    sv AS c_sv, nn AS c_nn FROM nrm WHERE vec_id < 8),
+             |asg0 AS (
+             |  SELECT vec_id, centroid_id FROM (
+             |    SELECT e.vec_id, c.centroid_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        CAST(list_sum(list_transform(range(1, 65),
+             |          i -> e.sv[i] * c.c_sv[i])) AS DOUBLE)
+             |          / sqrt(CAST(e.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
+             |        c.centroid_id) AS rn
+             |    FROM nrm e CROSS JOIN cent0 c) t
+             |  WHERE rn = 1),
+             |m1 AS (
+             |  SELECT a.centroid_id, i.i AS pos,
+             |    CAST(floor(CAST(sum(e.sv[i.i]) AS DOUBLE)
+             |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+             |  FROM nrm e JOIN asg0 a ON e.vec_id = a.vec_id,
+             |    (SELECT unnest(range(1, 65)) AS i) i
+             |  GROUP BY a.centroid_id, i.i),
+             |cent1 AS (
+             |  SELECT centroid_id, list(m ORDER BY pos) AS c_sv
+             |  FROM m1 GROUP BY centroid_id),
+             |cent1n AS (
+             |  SELECT centroid_id, c_sv,
+             |    CAST(list_sum(list_transform(range(1, 65),
+             |      i -> c_sv[i] * c_sv[i])) AS BIGINT) AS c_nn
+             |  FROM cent1),
+             |asg1 AS (
+             |  SELECT vec_id, centroid_id FROM (
+             |    SELECT e.vec_id, c.centroid_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        CAST(list_sum(list_transform(range(1, 65),
+             |          i -> e.sv[i] * c.c_sv[i])) AS DOUBLE)
+             |          / sqrt(CAST(e.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
+             |        c.centroid_id) AS rn
+             |    FROM nrm e CROSS JOIN cent1n c) t
+             |  WHERE rn = 1)
+             |SELECT a.centroid_id, count(*) AS n,
+             |  CAST(sum(a.vec_id) AS BIGINT) AS id_sum,
+             |  max(c.c_sv[1]) AS c0
+             |FROM asg1 a JOIN cent1n c ON a.centroid_id = c.centroid_id
+             |GROUP BY a.centroid_id ORDER BY a.centroid_id""".stripMargin))
   )
 }

@@ -650,6 +650,60 @@ object TextQueries {
              |  JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
 
+    // collocation detection by PMI lift: how much more often does
+    // bigram (w1 w2) occur than independence predicts —
+    // lift = N * c(w1 w2) / (c(w1) * c(w2)) = exp(PMI). The ratio is
+    // ONE multiply and ONE divide over exactly-represented integer
+    // counts (fixed operation order, IEEE-deterministic in any
+    // engine), so the gate hash-matches without decimal scaffolding.
+    // 100 TB shape: unigram + bigram counts are two hash aggregates
+    // over exploded token streams (uniform short keys, map-side
+    // combine); the lift join touches only the vocab-sized model
+    // tables, never the corpus; top-50 is sort+limit
+    // (TakeOrderedAndProject), no full sort.
+    Q("q_collocations",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val uni = docs
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val total = docs
+          .select(sum(size(tokens(col("text")))).cast(DoubleType).as("n"))
+        val c2 = docs
+          .select(explode(shingles(tokens(col("text")), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5)
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .withColumn("w2", substring_index(col("bg"), " ", -1))
+        c2.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+          .crossJoin(broadcast(total))
+          .withColumn("lift",
+            col("n") * col("c12").cast(DoubleType) /
+              (col("c1").cast(DoubleType) * col("c2").cast(DoubleType)))
+          .select("bg", "c12", "c1", "c2", "lift")
+          .orderBy(desc("lift"), asc("bg"))
+          .limit(50)
+      },
+      Some("""WITH tk AS (
+             |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |uni AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tk),
+             |bgs AS (
+             |  SELECT unnest(list_transform(range(1, len(sp)),
+             |    i -> sp[i] || ' ' || sp[i + 1])) AS bg
+             |  FROM (SELECT string_split(text, ' ') AS sp FROM documents) t),
+             |c2 AS (
+             |  SELECT bg, count(*) AS c12,
+             |    split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+             |  FROM bgs GROUP BY bg HAVING count(*) >= 5)
+             |SELECT bg, c12, u1.c AS c1, u2.c AS c2,
+             |  n.total * CAST(c12 AS DOUBLE)
+             |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+             |FROM c2 JOIN uni u1 ON c2.w1 = u1.w
+             |  JOIN uni u2 ON c2.w2 = u2.w CROSS JOIN n
+             |ORDER BY lift DESC, bg LIMIT 50""".stripMargin)),
+
     // corpus-wide heavy hitters through the Misra-Gries sketch (custom
     // mergeable TypedImperativeAggregate, k bounded counters): pass 1
     // reduces the token stream to one k-entry sketch per partition —
