@@ -59,6 +59,38 @@ class MisraGriesAggSpec extends SparkSpec {
     assert(got("hh") >= 300 - n / 3)
   }
 
+  test("property: superset guarantee on 60 random Zipf-ish streams") {
+    // random streams x random k x random partitioning, checked against
+    // exact counts — the guarantee q_heavy_hitters' determinism rests
+    // on must hold for ANY input, not just the crafted cases above
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      vocab <- Gen.choose(3, 40)
+      n <- Gen.choose(50, 2000)
+      k <- Gen.choose(2, 12)
+      parts <- Gen.choose(1, 9)
+      toks <- Gen.listOfN(n,
+        // Zipf-ish skew: token i with weight ~ 1/(i+1)
+        Gen.frequency((1 to vocab).map(i => (vocab / i, Gen.const(f"t$i%02d"))): _*))
+    } yield (toks, k, parts)
+    var seed = Seed(20260812L)
+    for (_ <- 1 to 60) {
+      val (toks, k, parts) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val got = sketch(toks, k, parts)
+      assert(got.size <= k, s"k=$k parts=$parts: sketch exceeded k")
+      val thr = toks.size.toDouble / (k + 1)
+      for ((t, c) <- exact if c > thr) {
+        assert(got.contains(t),
+          s"k=$k parts=$parts n=${toks.size}: heavy hitter $t (c=$c, thr=$thr) evicted")
+        assert(got(t) <= c && got(t) >= c - thr,
+          s"k=$k parts=$parts: estimate ${got(t)} outside bounds for $t (c=$c)")
+      }
+    }
+  }
+
   test("nulls ignored; empty input yields empty sketch") {
     val got = Seq[Option[String]](None, Some("x"), None).toDF("tok")
       .agg(MisraGriesAgg.misraGries(col("tok"), 4).as("sk"))
