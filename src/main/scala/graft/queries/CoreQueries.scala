@@ -238,6 +238,30 @@ object CoreQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // the JOIN-side skew pattern under the hash gate (sibling of
+    // q_salted_agg): Skew.saltedJoin spreads each hot key over 8
+    // (key, salt) shuffle partitions — big rows salt uniformly, the
+    // small side replicates across salts — and the oracle is the PLAIN
+    // join it must equal row-for-row. This is the manual fallback for
+    // when a single hot key overwhelms even an AQE-split partition;
+    // result invariance is the whole point of the gate here.
+    Q("q_salted_join",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity")
+        val o = Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority")
+        Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // exact distributed quantiles (type-7 / PostgreSQL percentile_cont
     // semantics): 0-based position p*(n-1), linear interpolation
     // between the straddling order statistics. Implemented WITHOUT the

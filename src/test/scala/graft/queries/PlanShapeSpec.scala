@@ -131,6 +131,15 @@ class PlanShapeSpec extends SparkSpec {
       s"q_dedup_semantic expected 1 join, found $joins:\n${plans("q_dedup_semantic")}")
   }
 
+  test("q_kmeans: assignments stay map-only (one broadcast join total)") {
+    // both Lloyd assignment passes must be literal-argmax projections;
+    // the plan's only join is the broadcast of the 8-row (centroid_id,
+    // c0) frame onto the final aggregate input
+    val joins = plans("q_kmeans").linesIterator.count(_.contains("Join"))
+    assert(joins == 1,
+      s"q_kmeans expected 1 join, found $joins:\n${plans("q_kmeans")}")
+  }
+
   test("parquet scans prune columns (no SELECT * reaching the scan)") {
     // q_scan_filter_project reads 3 of 11 lineitem columns; the scan's
     // ReadSchema must not contain the unprojected l_comment-class cols
