@@ -31,9 +31,9 @@ object DedupQueries {
     * q_dedup_simhash64 for the algorithm notes): (a_id, b_id, hamming)
     * at hamming <= 3.
     *
-    * FIVE battery queries consume this stage (q_dedup_simhash64,
+    * SIX battery queries consume this stage (q_dedup_simhash64,
     * q_dedup_cluster, q_dedup_keep_one, q_dedup_source_matrix,
-    * q_pagerank). At
+    * q_pagerank, q_dedup_incremental). At
     * 100 TB the fingerprint/pair table is written ONCE and read four
     * times — never recomputed from the raw corpus per downstream job —
     * so the battery models that: the first consumer materializes the
@@ -405,6 +405,66 @@ object DedupQueries {
              |JOIN s sb ON p.b_id = sb.doc_id
              |GROUP BY src_a, src_b
              |ORDER BY src_a, src_b""".stripMargin)),
+
+    // incremental ingest dedup: the daily-batch production pattern —
+    // new documents (source != 'src0') are dropped when they near-dup
+    // match the HISTORICAL corpus ('src0'), never each other (within-
+    // batch dedup is its own earlier stage). Reads the same shared
+    // pair table as the other five consumers; the incremental
+    // restriction is a filter on the endpoints' sources, so at 100 TB
+    // the daily job is: fingerprint the (small) new batch, band-join
+    // it against the persisted historical fingerprint table — the
+    // corpus-sized side is read, never recomputed — and anti-join the
+    // matched ids away. Output: per-source admission stats.
+    Q("q_dedup_incremental",
+      (s, d) => {
+        val src = graft.Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+        val e = simhash64Pairs(s, d)
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")),
+            "a_id")
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")),
+            "b_id")
+        val dupNew = e
+          .filter(col("sa") === "src0" && col("sb") =!= "src0")
+          .select(col("b_id").as("doc_id"))
+          .unionByName(e
+            .filter(col("sb") === "src0" && col("sa") =!= "src0")
+            .select(col("a_id").as("doc_id")))
+          .distinct()
+        val newDocs = src.filter(col("source") =!= "src0")
+        val kept = newDocs.join(dupNew, Seq("doc_id"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        newDocs.groupBy("source").agg(count(lit(1)).as("n_new"))
+          .join(kept, Seq("source"), "left")
+          .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+          .withColumn("n_dropped", col("n_new") - col("n_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $simhash64FpCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |s AS (SELECT doc_id, source FROM documents),
+             |dup_new AS (
+             |  SELECT DISTINCT doc_id FROM (
+             |    SELECT sb.doc_id FROM pairs p
+             |      JOIN s sa ON p.a_id = sa.doc_id
+             |      JOIN s sb ON p.b_id = sb.doc_id
+             |    WHERE sa.source = 'src0' AND sb.source <> 'src0'
+             |    UNION ALL
+             |    SELECT sa.doc_id FROM pairs p
+             |      JOIN s sa ON p.a_id = sa.doc_id
+             |      JOIN s sb ON p.b_id = sb.doc_id
+             |    WHERE sb.source = 'src0' AND sa.source <> 'src0') u),
+             |new_docs AS (SELECT doc_id, source FROM s WHERE source <> 'src0')
+             |SELECT source, count(*) AS n_new,
+             |  CAST(sum(CASE WHEN doc_id NOT IN (SELECT doc_id FROM dup_new)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dup_new)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+             |FROM new_docs GROUP BY source ORDER BY source""".stripMargin)),
 
     // n-gram (token-set) Jaccard near-dup, blocked by `source` so the
     // pairwise compare never goes quadratic in the corpus — the blocking
