@@ -130,6 +130,55 @@ object MultimodalQueries {
     // output is 1/stride of a full decode. (Payload stands in as the
     // ASCII text column — same byte==char equivalence the PNG oracle
     // asserts; a real codec plugs in at the same slice boundary.)
+    // nearest-neighbor RESIZE (downsample 2x in both dimensions) over
+    // the payload viewed as a 16-byte-wide pixel grid: output pixel
+    // (r, c) = input byte at (2r * 16 + 2c) — the classic stride-2
+    // sample, built from a nested per-row index transform + bounded
+    // 1-byte slices and re-concatenated. Pure expressions, map-only,
+    // output bytes = 1/4 of input: the "thumbnail the corpus" pass.
+    // The oracle recomputes the resized payload byte-for-byte (md5
+    // compared), so a wrong stride, offset, or row order breaks the
+    // hash. A real image codec plugs in at the same grid abstraction
+    // (decode -> H x W byte planes -> stride sample -> re-encode).
+    Q("q_multimodal_resize",
+      (s, d) => {
+        val w = 16L
+        Tables.load(s, d, "documents")
+          .select(col("doc_id").as("media_id"), col("text"),
+            floor(octet_length(col("text")) / w).cast(LongType).as("in_h"))
+          .filter(col("in_h") >= 2)
+          .withColumn("out_h", floor(col("in_h") / 2).cast(LongType))
+          .withColumn("resized",
+            array_join(transform(
+              sequence(lit(0L), col("out_h") - 1),
+              r => array_join(transform(
+                sequence(lit(0L), lit(7L)),
+                c => col("text").substr(
+                  (r * (2 * w) + c * 2 + 1).cast(IntegerType), lit(1))),
+                "")), ""))
+          .select(col("media_id"), col("in_h"), col("out_h"),
+            lit(8L).as("out_w"),
+            octet_length(col("resized")).cast(LongType).as("out_len"),
+            md5(col("resized")).as("out_md5"))
+          .orderBy("media_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id AS media_id, text,
+             |    CAST(floor(octet_length(encode(text)) / 16) AS BIGINT)
+             |      AS in_h
+             |  FROM documents),
+             |r AS (
+             |  SELECT media_id, in_h, CAST(floor(in_h / 2) AS BIGINT) AS out_h,
+             |    array_to_string(list_transform(range(0, CAST(floor(in_h / 2) AS BIGINT)),
+             |      r -> array_to_string(list_transform(range(0, 8),
+             |        c -> substr(text, CAST(r * 32 + c * 2 + 1 AS INT), 1)),
+             |        '')), '') AS resized
+             |  FROM g WHERE in_h >= 2)
+             |SELECT media_id, in_h, out_h, CAST(8 AS BIGINT) AS out_w,
+             |  CAST(octet_length(encode(resized)) AS BIGINT) AS out_len,
+             |  md5(resized) AS out_md5
+             |FROM r ORDER BY media_id""".stripMargin)),
+
     Q("q_multimodal_frames",
       (s, d) => {
         val fs = 16L
