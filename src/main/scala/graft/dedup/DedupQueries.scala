@@ -102,6 +102,22 @@ object DedupQueries {
       ConnectedComponents.run(simhash64Pairs(s, d).select("a_id", "b_id"))
     })
 
+  /** Cross-family access to the shared pair materialization (e.g. the
+    * end-to-end prep pipeline in TextQueries) — same single
+    * computation per (session, dir) as the in-family consumers. */
+  private[graft] def sharedSimhash64Pairs(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = simhash64Pairs(s, d)
+
+  /** The matching oracle CTE chain: fp (fingerprints) + pairs
+    * (hamming <= 3 candidate pairs). */
+  private[graft] def sharedPairsCte: String =
+    s"""$simhash64FpCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
+
   /** Shared DuckDB CTE chain computing the same 64-bit fingerprints
     * (tk/hs/votes/fp) — the oracle spells out the expression form the
     * SimHash64Agg aggregate replaced. */

@@ -253,6 +253,37 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // stratified deterministic sampling: per-language rates over the
+    // deterministic train/val/test split: every doc lands in exactly
+    // one of three splits by its md5 bucket (90/5/5), reproducibly —
+    // re-running the pipeline, adding executors, or reordering input
+    // cannot move a document across the split boundary (the leakage
+    // property a training pipeline cannot compromise on). One map-only
+    // pass + a tiny (source, split) aggregate; the holdout membership
+    // never depends on any other row.
+    Q("q_data_split",
+      (s, d) => {
+        val bucket = pmod(conv(substring(md5(col("doc_id").cast(StringType)),
+          1, 8), 16, 10).cast(LongType), lit(100L))
+        Tables.load(s, d, "documents")
+          .withColumn("split",
+            when(bucket < 90, "train")
+              .when(bucket < 95, "val").otherwise("test"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("n_chars"))
+          .orderBy("source", "split")
+      },
+      Some("""WITH b AS (
+             |  SELECT source, n_chars,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 100 AS bucket
+             |  FROM documents)
+             |SELECT source,
+             |  CASE WHEN bucket < 90 THEN 'train'
+             |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+             |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin)),
+
     // same md5 bucketing as q_deterministic_sample — the reproducible
     // way to rebalance a training corpus (e.g. downsample the dominant
     // language)
@@ -649,6 +680,55 @@ object TextQueries {
              |FROM bg b JOIN c2 USING (bg)
              |  JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
+
+    // the WHOLE corpus-prep pipeline as ONE lazy plan — quality
+    // filter -> exact dedup (keep lowest id per content hash) ->
+    // near-dup drop (keep the lower id of every simhash64 pair;
+    // transitive chains are the cluster variant q_dedup_keep_one) ->
+    // per-(source, lang) corpus stats. This is the composition the
+    // engine exists for: each stage is an operator verified on its own
+    // elsewhere in the battery, and here Catalyst fuses the chain —
+    // quality predicates evaluate in the scan pass, the exact-dedup
+    // semi-join and near-dup anti-join shuffle only surviving rows,
+    // and nothing materializes between stages. Near-dup ids come from
+    // the same shared pair table as the six dedup consumers (seventh
+    // read of the one materialization).
+    Q("q_prep_pipeline",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .withColumn("n_tokens", size(tokens(col("text"))).cast(LongType))
+          .withColumn("n_distinct",
+            size(tokenSet(col("text"))).cast(LongType))
+        val q = docs.filter(col("n_tokens") >= 20 &&
+          col("n_distinct") * 4 >= col("n_tokens"))
+        val keepExact = q.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val nearDupB = graft.dedup.DedupQueries.sharedSimhash64Pairs(s, d)
+          .select(col("b_id").as("doc_id")).distinct()
+        q.join(keepExact, Seq("doc_id"), "left_semi")
+          .join(nearDupB, Seq("doc_id"), "left_anti")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_tokens")).as("n_tokens"))
+          .orderBy("source", "lang")
+      },
+      Some(s"""WITH ${graft.dedup.DedupQueries.sharedPairsCte},
+             |q AS (
+             |  SELECT doc_id, source, lang, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             |      AS n_distinct
+             |  FROM documents),
+             |qf AS (SELECT * FROM q
+             |       WHERE n_tokens >= 20 AND n_distinct * 4 >= n_tokens),
+             |ke AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY md5(text)),
+             |ex AS (SELECT qf.* FROM qf JOIN ke ON qf.doc_id = ke.doc_id)
+             |SELECT source, lang, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+             |FROM ex
+             |WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM pairs)
+             |GROUP BY source, lang ORDER BY source, lang""".stripMargin)),
 
     // collocation detection by PMI lift: how much more often does
     // bigram (w1 w2) occur than independence predicts —
