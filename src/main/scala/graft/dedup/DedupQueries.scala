@@ -695,6 +695,46 @@ object DedupQueries {
            |$layers
            |SELECT id AS doc_id, CAST(rank AS BIGINT) AS prank
            |FROM r5 ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // triangle counting over the near-dup graph — the third graph
+    // operator (clusters find groups, PageRank ranks members,
+    // triangles measure how DENSELY a duplicate neighborhood is knit:
+    // a high triangle count separates a genuine template family from
+    // a chain of pairwise-coincidental matches). Node-iterator shape:
+    // with every edge oriented a < b, a triangle {a<b<c} is counted
+    // exactly once by joining wedge legs (a,b)+(b,c) and closing with
+    // edge (a,c). Both joins are equi-joins on node ids over the
+    // (tiny) candidate pair table — the standard distributed
+    // triangle-count plan, eighth consumer of the shared
+    // materialization. Per-node counts: a closed triangle credits all
+    // three corners; credits aggregate by corner id.
+    Q("q_triangles",
+      (s, d) => {
+        val p = simhash64Pairs(s, d).select("a_id", "b_id")
+        val tri = p.select(col("a_id").as("x"), col("b_id").as("y"))
+          .join(p.select(col("a_id").as("y"), col("b_id").as("z")), "y")
+          .join(p.select(col("a_id").as("x"), col("b_id").as("z")),
+            Seq("x", "z"))
+        tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $simhash64FpCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |tri AS (
+             |  SELECT w1.a_id AS x, w1.b_id AS y, w2.b_id AS z
+             |  FROM pairs w1
+             |  JOIN pairs w2 ON w1.b_id = w2.a_id
+             |  JOIN pairs cl ON cl.a_id = w1.a_id AND cl.b_id = w2.b_id),
+             |corners AS (
+             |  SELECT x AS doc_id FROM tri
+             |  UNION ALL SELECT y FROM tri
+             |  UNION ALL SELECT z FROM tri)
+             |SELECT doc_id, count(*) AS n_triangles
+             |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
