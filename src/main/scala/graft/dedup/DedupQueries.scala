@@ -709,6 +709,38 @@ object DedupQueries {
     // triangle-count plan, eighth consumer of the shared
     // materialization. Per-node counts: a closed triangle credits all
     // three corners; credits aggregate by corner id.
+    // degree distribution of the near-dup graph — the shape diagnostic
+    // run BEFORE committing to a clustering pass at scale: a heavy tail
+    // (one node touching thousands of near-dups) means a template/
+    // boilerplate family that salting or a degree cap must handle,
+    // while a flat distribution means the pairwise stages are safe as
+    // planned. Two tiny hash aggregates over the shared pair table
+    // (degree per node, then nodes per degree) — nothing corpus-sized
+    // moves. min_doc pins a concrete exemplar per degree bucket so a
+    // skewed bucket is immediately inspectable.
+    Q("q_graph_degree",
+      (s, d) => {
+        val p = simhash64Pairs(s, d)
+        val ends = p.select(col("a_id").as("u"))
+          .union(p.select(col("b_id").as("u")))
+        ends.groupBy("u").agg(count(lit(1)).as("deg"))
+          .groupBy("deg")
+          .agg(count(lit(1)).as("n_nodes"), min(col("u")).as("min_doc"))
+          .orderBy("deg")
+      },
+      Some(s"""WITH $simhash64FpCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |ends AS (
+             |  SELECT a_id AS u FROM pairs
+             |  UNION ALL SELECT b_id FROM pairs),
+             |dg AS (SELECT u, count(*) AS deg FROM ends GROUP BY u)
+             |SELECT deg, count(*) AS n_nodes,
+             |  CAST(min(u) AS BIGINT) AS min_doc
+             |FROM dg GROUP BY deg ORDER BY deg""".stripMargin)),
+
     Q("q_triangles",
       (s, d) => {
         val p = simhash64Pairs(s, d).select("a_id", "b_id")

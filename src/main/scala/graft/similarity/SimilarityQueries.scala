@@ -88,6 +88,48 @@ object SimilarityQueries {
       .select(col("vec_id").cast(IntegerType).as("centroid_id"),
         col("sv").as("cv"))
 
+  /** Shared oracle CTE chain for the IVF search path (assign corpus to
+    * centroids, probe the query's top-2 lists, rank candidates) —
+    * consumed by q_ann_ivf (the result itself) and q_ann_recall (the
+    * result compared against the exact baseline). Expects `nrm` from
+    * [[scaledCte]]; yields `r` = (query_id, neighbor_id, sim, rank). */
+  private val ivfSearchCtes: String =
+    s"""cent AS (SELECT CAST(vec_id AS INT) AS centroid_id,
+       |    sv AS c_sv, nn AS c_nn FROM nrm WHERE vec_id < 8),
+       |asg AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          i -> e.sv[i] * c.c_sv[i])) AS DOUBLE)
+       |          / sqrt(CAST(e.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
+       |        c.centroid_id) AS rn
+       |    FROM nrm e CROSS JOIN cent c) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, a_sv, a_nn, centroid_id FROM (
+       |    SELECT q.vec_id AS query_id, q.sv AS a_sv, q.nn AS a_nn,
+       |      c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          i -> q.sv[i] * c.c_sv[i])) AS DOUBLE)
+       |          / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
+       |        c.centroid_id) AS prn
+       |    FROM nrm q CROSS JOIN cent c WHERE q.vec_id < 5) t
+       |  WHERE prn <= 2),
+       |s AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> p.a_sv[i] * e.sv[i])) AS DOUBLE)
+       |      / sqrt(CAST(p.a_nn AS DOUBLE) * CAST(e.nn AS DOUBLE)) AS sim
+       |  FROM nrm e JOIN asg ON e.vec_id = asg.vec_id
+       |    JOIN probes p ON asg.centroid_id = p.centroid_id
+       |  WHERE e.vec_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM s)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // brute-force exact top-10 cosine neighbors for 5 query vectors;
@@ -233,43 +275,74 @@ object SimilarityQueries {
           .orderBy("query_id", "rank")
       },
       Some(s"""WITH $scaledCte,
-             |cent AS (SELECT CAST(vec_id AS INT) AS centroid_id,
-             |    sv AS c_sv, nn AS c_nn FROM nrm WHERE vec_id < 8),
-             |asg AS (
-             |  SELECT vec_id, centroid_id FROM (
-             |    SELECT e.vec_id, c.centroid_id,
-             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |        CAST(list_sum(list_transform(range(1, 65),
-             |          i -> e.sv[i] * c.c_sv[i])) AS DOUBLE)
-             |          / sqrt(CAST(e.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
-             |        c.centroid_id) AS rn
-             |    FROM nrm e CROSS JOIN cent c) t
-             |  WHERE rn = 1),
-             |probes AS (
-             |  SELECT query_id, a_sv, a_nn, centroid_id FROM (
-             |    SELECT q.vec_id AS query_id, q.sv AS a_sv, q.nn AS a_nn,
-             |      c.centroid_id,
-             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             |        CAST(list_sum(list_transform(range(1, 65),
-             |          i -> q.sv[i] * c.c_sv[i])) AS DOUBLE)
-             |          / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
-             |        c.centroid_id) AS prn
-             |    FROM nrm q CROSS JOIN cent c WHERE q.vec_id < 5) t
-             |  WHERE prn <= 2),
-             |s AS (
-             |  SELECT p.query_id, e.vec_id AS neighbor_id,
-             |    CAST(list_sum(list_transform(range(1, 65),
-             |      i -> p.a_sv[i] * e.sv[i])) AS DOUBLE)
-             |      / sqrt(CAST(p.a_nn AS DOUBLE) * CAST(e.nn AS DOUBLE)) AS sim
-             |  FROM nrm e JOIN asg ON e.vec_id = asg.vec_id
-             |    JOIN probes p ON asg.centroid_id = p.centroid_id
-             |  WHERE e.vec_id <> p.query_id),
-             |r AS (SELECT query_id, neighbor_id, sim,
-             |    CAST(row_number() OVER (PARTITION BY query_id
-             |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-             |  FROM s)
+             |$ivfSearchCtes
              |SELECT query_id, neighbor_id, rank, sim FROM r
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // recall@5 of the IVF path against the exact brute-force baseline,
+    // computed IN-ENGINE — the evaluation loop a production ANN
+    // deployment runs continuously (index drift, quantization or probe
+    // changes surface here first, long before a user notices). Both
+    // sides reuse operators already under the gate: the probed
+    // persisted-index search (same single index build per session/dir)
+    // and the broadcast+TopKPerGroupExec exact top-5. The exact side
+    // always yields 5 rows per query, so the left join cannot drop a
+    // query; recall = hits/5 is one IEEE division of small integers,
+    // bit-identical in both engines.
+    Q("q_ann_recall",
+      (s, d) => {
+        val e = scaled(s, d)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("sv").as("qv"))
+        val ivf = IvfIndex.searchIndexed(s, ivfIndexDir(s, d),
+            ivfCentroids(e), qs, topK = 5, nProbe = 2, simScaled)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("sv").as("a_sv"),
+            col("nn").as("a_nn"))
+        val c = e.select(col("vec_id").as("neighbor_id"),
+          col("sv").as("b_sv"), col("nn").as("b_nn"))
+        val pairs = c.join(broadcast(q),
+            col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos", cosineFromScaled(
+            col("a_sv"), col("b_sv"), col("a_nn"), col("b_nn")))
+        val exact = graft.plans.TopKPerGroup.topKPerGroup(pairs,
+          Seq(col("query_id")), Seq(desc("cos"), asc("neighbor_id")), 5)
+          .select("query_id", "neighbor_id")
+        exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .withColumn("recall",
+            col("n_hits").cast(DoubleType) / lit(5.0))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $scaledCte,
+             |$ivfSearchCtes,
+             |ivf5 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+             |q2 AS (SELECT vec_id AS query_id, sv AS a_sv, nn AS a_nn
+             |       FROM nrm WHERE vec_id < 5),
+             |c2 AS (SELECT vec_id AS neighbor_id, sv AS b_sv, nn AS b_nn
+             |       FROM nrm),
+             |s2 AS (
+             |  SELECT query_id, neighbor_id,
+             |    $cosExpr AS cos
+             |  FROM c2 JOIN q2 ON neighbor_id <> query_id),
+             |ex5 AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY cos DESC, neighbor_id) AS rank
+             |    FROM s2) t
+             |  WHERE rank <= 5)
+             |SELECT e.query_id,
+             |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |  CAST(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / 5.0
+             |    AS recall
+             |FROM ex5 e LEFT JOIN ivf5 i
+             |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+             |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)),
 
     // int8 scalar-quantized ANN: per-vector symmetric quantization
     // q_i = round(sv_i * 127 / max|sv|), then top-k by QUANTIZED cosine

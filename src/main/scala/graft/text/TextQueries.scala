@@ -284,6 +284,96 @@ object TextQueries {
              |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
              |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin)),
 
+    // inverted-index construction (term -> document-frequency,
+    // collection-frequency, and the head of an impact-ordered posting
+    // list): the retrieval-side counterpart of the corpus — what a
+    // search/RAG layer builds over the training data. Scale shape: the
+    // (term, doc) tf table is one explode + hash aggregate on uniform
+    // short keys; global per-term stats are a second short-key
+    // aggregate; and the posting HEAD goes through TopKPerGroupExec
+    // (bounded per-term heaps) BEFORE any collect_list, so a stopword's
+    // million-document posting list never materializes anywhere — the
+    // unbounded `collect_list then slice` formulation is exactly the
+    // OOM this ordering avoids. Postings serialize as a comma-joined
+    // string (tf desc, doc_id asc), giving the hash gate a stable
+    // cross-engine representation.
+    Q("q_inverted_index",
+      (s, d) => {
+        val tf = Tables.load(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        val stats = tf.groupBy("term")
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        val top = graft.plans.TopKPerGroup.topKPerGroup(tf,
+          Seq(col("term")), Seq(desc("tf"), asc("doc_id")), 10)
+        val postings = top.groupBy("term")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(
+              (lit(0L) - col("tf")).as("ntf"), col("doc_id")))),
+            x => x.getField("doc_id").cast(StringType)), ",").as("postings"))
+        stats.join(postings, Seq("term")).orderBy("term")
+      },
+      Some("""WITH tf AS (
+             |  SELECT term, doc_id, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |        FROM documents) t
+             |  GROUP BY term, doc_id)
+             |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+             |  array_to_string(list_slice(
+             |    list(doc_id ORDER BY tf DESC, doc_id), 1, 10), ',') AS postings
+             |FROM tf GROUP BY term ORDER BY term""".stripMargin)),
+
+    // balanced shard assignment: write-time layout for training — docs
+    // round-robin over shards in token-size order, so every shard gets
+    // the same doc count (±1) AND near-equal token mass (the greedy
+    // size-sorted round-robin bound). The global size rank reuses
+    // q_global_ids' two-phase shape: range-repartition by the sort key,
+    // count per partition, broadcast the tiny prefix-sum offsets, then
+    // a PARTITION-LOCAL row_number — no single-partition window ever
+    // holds the corpus, which is what the naive `row_number() OVER
+    // (ORDER BY ...)` plan would do. Output is per-shard stats, so any
+    // mis-assignment anywhere breaks the hash.
+    Q("q_shard_balance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nShards = 8
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast(LongType).as("n_tok"))
+          .repartitionByRange(32, col("n_tok"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val offsets = docs.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("off",
+            coalesce(sum(col("cnt")).over(
+              Window.orderBy("pid")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "off")
+        docs.join(broadcast(offsets), "pid")
+          .withColumn("rid",
+            row_number().over(
+              Window.partitionBy("pid").orderBy("n_tok", "doc_id"))
+              + col("off"))
+          .withColumn("shard", (col("rid") - 1) % nShards)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_tok")).as("n_tokens"),
+               min(col("n_tok")).as("min_tok"),
+               max(col("n_tok")).as("max_tok"))
+          .orderBy("shard")
+      },
+      Some("""WITH sz AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |r AS (
+             |  SELECT n_tok,
+             |    (row_number() OVER (ORDER BY n_tok, doc_id) - 1) % 8 AS shard
+             |  FROM sz)
+             |SELECT shard, count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
+             |FROM r GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // same md5 bucketing as q_deterministic_sample — the reproducible
     // way to rebalance a training corpus (e.g. downsample the dominant
     // language)
