@@ -34,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)
   }
 }

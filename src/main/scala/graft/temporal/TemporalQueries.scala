@@ -159,6 +159,40 @@ object TemporalQueries {
              |  AND abs(epoch_us(CAST(c.ts AS TIMESTAMP))
              |        - epoch_us(CAST(e.ts AS TIMESTAMP))) <= 600000000
              |WHERE e.event_type = 'error'
+             |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)),
+
+    // the SAME cross-key range join written the way a user naively
+    // would — a bare abs(Δt) <= W theta join, no manual binning — and
+    // rewritten to the bin-and-probe plan AUTOMATICALLY by
+    // [[graft.plans.RangeJoinRewriteRule]]: the engine, not the user,
+    // supplies the scale shape (q_range_join above is the hand-written
+    // reference of what the rewrite produces). Inner-join form, so the
+    // output is errors that HAVE a nearby click; PlanShapeSpec asserts
+    // the optimized plan has the 3-bin Generate + equi-join and no
+    // BroadcastNestedLoopJoin, and RangeJoinRuleSpec property-tests
+    // the rewrite's losslessness including negative values.
+    Q("q_range_join_auto",
+      (s, d) => {
+        graft.plans.RangeJoinRewriteRule.enable(s)
+        val W = 600L * 1000 * 1000 // ±10 min in µs
+        val ev = Tables.load(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("us").as("e_us"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("us").as("c_us"))
+        err.join(clk, abs(col("c_us") - col("e_us")) <= lit(W))
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_near"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, count(*) AS n_near
+             |FROM events e JOIN events c
+             |  ON c.event_type = 'click'
+             |  AND abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+             |        - epoch_us(CAST(e.ts AS TIMESTAMP))) <= 600000000
+             |WHERE e.event_type = 'error'
              |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin))
   )
 }

@@ -23,8 +23,8 @@ class PlanShapeSpec extends SparkSpec {
     * broadcast and the big side streams. Anywhere else BNLJ means a
     * lost equi-key. */
   private val bnljAllowed = Set(
-    "q_ann_bruteforce", "q_ann_quantized", "q_ann_ivf", "q_tfidf",
-    "q_corpus_mix", "q_collocations")
+    "q_ann_bruteforce", "q_ann_quantized", "q_ann_ivf", "q_ann_recall",
+    "q_tfidf", "q_corpus_mix", "q_collocations")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
@@ -59,9 +59,31 @@ class PlanShapeSpec extends SparkSpec {
 
   test("top-k queries run through the custom TopKPerGroupExec") {
     for (name <- Seq("q_ann_bruteforce", "q_ann_quantized", "q_ann_ivf",
-        "q_source_cap"))
+        "q_source_cap", "q_inverted_index", "q_ann_recall"))
       assert(plans(name).contains("TopKPerGroup"),
         s"$name bypasses TopKPerGroupExec:\n${plans(name)}")
+  }
+
+  test("q_shard_balance keeps its corpus window partitioned by pid") {
+    // same two-pass contract as q_global_ids: the corpus-sized
+    // row_number window must be keyed on pid, never a global ORDER BY
+    assert(plans("q_shard_balance").contains("windowspecdefinition(pid"),
+      s"q_shard_balance lost its partitioned window:\n${plans("q_shard_balance")}")
+  }
+
+  test("q_range_join_auto: the naive theta join is auto-rewritten") {
+    // the user wrote abs(Δt) <= W with no equi key; the optimizer must
+    // have injected the 3-bin explode + equi-join (the global
+    // no-BNLJ/no-cartesian tests above then prove the join is hashed)
+    assert(plans("q_range_join_auto").contains("__range_bin"),
+      s"RangeJoinRewriteRule did not fire:\n${plans("q_range_join_auto")}")
+  }
+
+  test("q_ann_recall's IVF side reads the persisted index") {
+    // the recall evaluation must exercise the PRODUCTION search path
+    // (probed persisted index), not fall back to the join-based search
+    assert(plans("q_ann_recall").contains("ivf_index_"),
+      s"q_ann_recall does not scan the persisted index:\n${plans("q_ann_recall")}")
   }
 
   test("q_ann_ivf searches the persisted index with a pruned scan") {
