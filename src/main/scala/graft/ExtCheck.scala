@@ -68,6 +68,19 @@ object ExtCheck {
       s"${plan.contains("TopKPerGroup")}")
     assert(plan.contains("TopKPerGroup"), plan)
 
+    val rj = spark.sql(
+      """SELECT count(*) n FROM
+        |  (SELECT doc_id a, CAST(n_chars AS BIGINT) av FROM docs) x
+        |  JOIN
+        |  (SELECT doc_id b, CAST(n_chars AS BIGINT) bv FROM docs) y
+        |  ON abs(av - bv) <= 2 AND a < b""".stripMargin)
+    val rjPlan = rj.queryExecution.optimizedPlan.toString
+    println(s"[ext] abs-range theta join auto-binned: " +
+      s"${rjPlan.contains("__range_bin")}")
+    assert(rjPlan.contains("__range_bin"), rjPlan)
+    println(s"[ext] range-join pairs within |Δchars|<=2: " +
+      s"${rj.collect()(0).getLong(0)}")
+
     println("[ext] all extension surfaces OK")
     spark.stop()
   }
