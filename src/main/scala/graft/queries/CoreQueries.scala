@@ -145,6 +145,46 @@ object CoreQueries {
              |CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rid
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Z-order (Morton) clustering key over (user, minute-of-corpus):
+    // the write-time layout that lets parquet min/max stats prune
+    // TWO-sided range predicates from one sort key — a ts-sorted table
+    // bounds only ts per file; the interleaved code bounds both
+    // dimensions at once (ZOrder.writeZOrdered does the clustered
+    // write; ZOrderLayoutSpec measures per-file bounding boxes under
+    // both layouts). The interleave is an unrolled shift/mask/or
+    // expression tree (codegen-friendly, no array HOFs), emitted
+    // identically as DuckDB SQL — bucketing uses exact integer div,
+    // so the code hash-matches bit-for-bit. Plan: one scalar min
+    // broadcast back over the scan, then map-only arithmetic.
+    Q("q_zorder",
+      (s, d) => {
+        import graft.sources.ZOrder
+        val ev = Tables.load(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"))
+        val mn = ev.agg(min(col("us")).as("mn"))
+        ev.crossJoin(broadcast(mn))
+          .withColumn("ub", ZOrder.bucket(col("user_id"), 16))
+          .withColumn("tb",
+            ZOrder.bucket(expr("(us - mn) div 60000000"), 16))
+          .withColumn("z", ZOrder.morton(col("ub"), col("tb"), 16))
+          .select("event_id", "ub", "tb", "z")
+          .orderBy("z", "event_id")
+          .limit(20)
+      },
+      Some(s"""WITH mn AS (
+             |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS mn
+             |  FROM events),
+             |b AS (
+             |  SELECT event_id,
+             |    ${graft.sources.ZOrder.bucketSql("user_id", 16)} AS ub,
+             |    least(CAST((epoch_us(CAST(ts AS TIMESTAMP)) - mn.mn)
+             |      // 60000000 AS BIGINT), 65535) AS tb
+             |  FROM events, mn)
+             |SELECT event_id, ub, tb,
+             |  ${graft.sources.ZOrder.mortonSql("ub", "tb", 16)} AS z
+             |FROM b ORDER BY z, event_id LIMIT 20""".stripMargin)),
+
     // top-k: sort + limit (TakeOrderedAndProject in the physical plan —
     // O(n log k) per partition, no full sort at scale)
     Q("q_topk",
@@ -496,6 +536,76 @@ object CoreQueries {
              |  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_qty
              |FROM lineitem WHERE l_suppkey <= 3
              |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin)),
+
+    // the rest of the window-function surface in one gated query:
+    // lag/lead (frame-relative offsets), ntile (equal-count staging —
+    // the curriculum-bucketing primitive), percent_rank and cume_dist
+    // (rank-normalized scores: exact integer rank/count ratios, one
+    // IEEE division each, so both engines agree bitwise), first value
+    // over the full frame. The order key is fully tie-broken
+    // (acctbal, custkey), which is what makes every one of these
+    // deterministic under any partitioning.
+    Q("q_window_misc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy("c_acctbal", "c_custkey")
+        val wf = w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.load(s, d, "customer")
+          .filter(col("c_nationkey") <= 5)
+          .withColumn("prev_bal", lag(col("c_acctbal"), 1).over(w))
+          .withColumn("next_bal", lead(col("c_acctbal"), 1).over(w))
+          .withColumn("quart", ntile(4).over(w).cast(LongType))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("first_bal", first(col("c_acctbal")).over(wf))
+          .select("c_nationkey", "c_custkey", "c_acctbal", "prev_bal",
+            "next_bal", "quart", "pr", "cd", "first_bal")
+          .orderBy("c_nationkey", "c_acctbal", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal,
+             |  lag(c_acctbal, 1) OVER w AS prev_bal,
+             |  lead(c_acctbal, 1) OVER w AS next_bal,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quart,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd,
+             |  first_value(c_acctbal) OVER (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal, c_custkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |    AS first_bal
+             |FROM customer WHERE c_nationkey <= 5
+             |WINDOW w AS (PARTITION BY c_nationkey
+             |  ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin)),
+
+    // array/HOF surface over the token arrays: sort + bounded slice,
+    // distinct cardinality, positional extract, membership, and a
+    // per-element transform + max — each mirrored by the matching
+    // DuckDB list function. Serialized heads go through array_join so
+    // the gate hashes a stable string, and everything stays a map-only
+    // projection (these run inside the scan's codegen stage).
+    Q("q_array_funcs",
+      (s, d) => Tables.load(s, d, "documents")
+        .withColumn("tk", split(col("text"), " ", -1))
+        .select(col("doc_id"),
+          array_join(slice(array_sort(col("tk")), 1, 5), " ").as("head5"),
+          size(array_distinct(col("tk"))).cast(LongType).as("n_uniq"),
+          element_at(col("tk"), -1).as("last_tok"),
+          array_contains(col("tk"), "the").as("has_the"),
+          array_max(transform(col("tk"), x => length(x)))
+            .cast(LongType).as("max_len"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |           FROM documents)
+             |SELECT doc_id,
+             |  array_to_string(list_slice(list_sort(tk), 1, 5), ' ') AS head5,
+             |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+             |  list_extract(tk, len(tk)) AS last_tok,
+             |  list_contains(tk, 'the') AS has_the,
+             |  CAST(list_max(list_transform(tk, x -> len(x))) AS BIGINT)
+             |    AS max_len
+             |FROM t ORDER BY doc_id""".stripMargin)),
 
     // rollup (subtotal grouping sets); rollup-nulls folded to 'ALL' so
     // cross-engine null-ordering differences can't bite
