@@ -374,6 +374,59 @@ object TextQueries {
              |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
              |FROM r GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // curriculum staging: order the corpus by a difficulty key
+    // (sequence length here — the classic length curriculum) and cut
+    // it into 4 equal-count stages, easy to hard. Stage membership is
+    // floor((rank-1)*4/n) over the fully tie-broken global order, so
+    // it is deterministic under any partitioning; the rank reuses the
+    // same two-phase shape as q_shard_balance/q_global_ids (range
+    // repartition + broadcast prefix-sum offsets + partition-local
+    // row_number — the corpus never funnels through one task), and n
+    // arrives as one broadcast scalar. Output is per-stage stats, so
+    // any row crossing a stage boundary breaks the hash.
+    Q("q_curriculum",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast(LongType).as("n_tok"))
+          .repartitionByRange(32, col("n_tok"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val offsets = docs.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("off",
+            coalesce(sum(col("cnt")).over(
+              Window.orderBy("pid")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "off")
+        val total = docs.agg(count(lit(1)).as("n"))
+        docs.join(broadcast(offsets), "pid")
+          .withColumn("rid",
+            row_number().over(
+              Window.partitionBy("pid").orderBy("n_tok", "doc_id"))
+              + col("off"))
+          .crossJoin(broadcast(total))
+          .withColumn("stage", expr("((rid - 1) * 4) div n"))
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_tok")).as("n_tokens"),
+               min(col("n_tok")).as("min_tok"),
+               max(col("n_tok")).as("max_tok"))
+          .orderBy("stage")
+      },
+      Some("""WITH sz AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |r AS (
+             |  SELECT n_tok,
+             |    ((row_number() OVER (ORDER BY n_tok, doc_id) - 1) * 4)
+             |      // (SELECT count(*) FROM sz) AS stage
+             |  FROM sz)
+             |SELECT stage, count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
+             |FROM r GROUP BY stage ORDER BY stage""".stripMargin)),
+
     // same md5 bucketing as q_deterministic_sample — the reproducible
     // way to rebalance a training corpus (e.g. downsample the dominant
     // language)
