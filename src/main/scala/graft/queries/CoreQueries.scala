@@ -470,6 +470,78 @@ object CoreQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    // TPC-H Q5-shaped SIX-way star join — the optimizer's join-order /
+    // broadcast workout: two chained fact joins (orders⨝lineitem on
+    // orderkey, ⨝supplier on suppkey) under three broadcast dimensions,
+    // plus Q5's signature SECOND equi-condition (c_nationkey =
+    // s_nationkey — the "local supplier" constraint that correlates
+    // two otherwise-independent branches). Revenue in exact decimal so
+    // the gate hashes bitwise. At scale: lineitem never shuffles more
+    // than once (orderkey), supplier/nation/region broadcast, and
+    // Catalyst picks the join order from sizes — nothing is
+    // hand-scheduled here, which is the point.
+    Q("q_star_join",
+      (s, d) => Tables.load(s, d, "orders")
+        .join(Tables.load(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.load(s, d, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(9, 4)) -
+               col("l_discount").cast(DecimalType(9, 4))))
+            .cast(DoubleType).as("revenue"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name, count(*) AS n_items,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |  * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4))))
+             |  AS DOUBLE) AS revenue
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // correlated subqueries through the SQL entry path (every other
+    // battery query is DataFrame-built; this one goes through
+    // spark.sql so the text-to-plan surface — parsing, analysis,
+    // RewritePredicateSubquery decorrelation into semi/anti joins — is
+    // itself under the gate). Mixed EXISTS + NOT EXISTS, both
+    // correlated, no floats anywhere, so the rewrite is the only thing
+    // being tested.
+    Q("q_correlated_subquery",
+      (s, d) => {
+        Tables.load(s, d, "orders").createOrReplaceTempView("g_orders")
+        Tables.load(s, d, "customer").createOrReplaceTempView("g_customer")
+        s.sql("""SELECT c_custkey, c_name FROM g_customer c
+                |WHERE EXISTS (SELECT 1 FROM g_orders o
+                |              WHERE o.o_custkey = c.c_custkey
+                |                AND o.o_totalprice > 100000)
+                |  AND NOT EXISTS (SELECT 1 FROM g_orders o
+                |                  WHERE o.o_custkey = c.c_custkey
+                |                    AND o.o_orderstatus = 'F')
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 100000)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
     // semi join (EXISTS)
     Q("q_semi_join",
       (s, d) => {
