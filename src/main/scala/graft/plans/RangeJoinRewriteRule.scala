@@ -42,6 +42,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   * Registered through GraftExtensions.injectOptimizerRule (deployment)
   * or [[RangeJoinRewriteRule.enable]] (per-session, idempotent).
+  *
+  * Boundary: neighbor bins are bin±1 in long arithmetic, so values
+  * within `w` of Long.MinValue/MaxValue could overflow the bin
+  * computation (under ANSI mode, a runtime error the naive plan would
+  * not raise). Timestamps and any physical measure sit far inside
+  * that range; the property sweep exercises ±1e12.
   */
 object RangeJoinRewriteRule extends Rule[LogicalPlan] {
 
