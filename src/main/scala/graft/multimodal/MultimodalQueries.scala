@@ -117,6 +117,40 @@ object MultimodalQueries {
              |CAST(3 AS BIGINT) AS n_chunks
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // the AUDIO format through the same seam: every document becomes a
+    // valid little-endian PCM WAV (RIFF/WAVE/fmt/data framing built
+    // with Catalyst binary expressions — fmt fields from doc metadata,
+    // text bytes as whole sample frames) and WavCodec.parse reads the
+    // header back and derives sample count + integer-exact duration.
+    // PNG above is big-endian, WAV little-endian: parsing both under
+    // one gate pins the byte-order handling on writer AND parser.
+    Q("q_multimodal_wav",
+      (s, d) => {
+        import s.implicits._
+        val wavs = WavCodec.syntheticWavs(Tables.load(s, d, "documents"))
+          .as[WavCodec.WavRow]
+        WavCodec.decode(wavs).toDF()
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(1 + doc_id % 2 AS INT) AS channels,
+             |    CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+             |    (1 + doc_id % 2) * 2 AS block_align,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS raw_len
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, channels, sample_rate, block_align,
+             |    raw_len - raw_len % block_align AS data_bytes
+             |  FROM m)
+             |SELECT doc_id AS media_id, channels, sample_rate,
+             |  CAST(16 AS INT) AS bits_per_sample, data_bytes,
+             |  data_bytes // block_align AS n_samples,
+             |  (data_bytes // block_align) * 1000 // sample_rate
+             |    AS duration_ms,
+             |  CAST(2 AS BIGINT) AS n_chunks
+             |FROM s ORDER BY media_id""".stripMargin)),
+
     // video-style FRAME SAMPLING over an opaque payload: the payload is
     // a sequence of fixed-size 16-byte frames; sample every 4th frame
     // and emit per-frame metadata (offset, content hash, head byte).
