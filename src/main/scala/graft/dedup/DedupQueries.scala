@@ -34,21 +34,39 @@ object DedupQueries {
     * SIX battery queries consume this stage (q_dedup_simhash64,
     * q_dedup_cluster, q_dedup_keep_one, q_dedup_source_matrix,
     * q_pagerank, q_dedup_incremental). At
-    * 100 TB the fingerprint/pair table is written ONCE and read four
+    * 100 TB the fingerprint/pair table is written ONCE and read many
     * times — never recomputed from the raw corpus per downstream job —
-    * so the battery models that: the first consumer materializes the
-    * tiny pair table (localCheckpoint = the in-memory stand-in for the
-    * parquet write), later consumers in the same session/dir read it.
-    * The fingerprint persist is released once the pairs exist — its
-    * only consumer is the banded self-join inside this computation. */
-  private val pairCache =
+    * and the battery does the real thing: the first consumer WRITES the
+    * pair table as parquet under target/tmp (mirroring
+    * IvfIndex.buildIndex's persisted-index layout), later consumers in
+    * the same session/dir READ it — the cache below holds only the
+    * path, so no RDD blocks stay pinned for the process lifetime.
+    * The fingerprint persist is released once the pairs are written —
+    * its only consumer is the banded self-join inside this computation.
+    *
+    * Candidate generation is corpus-parameterized block probing
+    * ([[SimhashBanding]]): the band count/width is chosen from the
+    * fingerprint count so expected false-candidate volume stays O(N)
+    * at any corpus size (b=4 / 16-bit keys at battery scale — the
+    * minimal lossless split — b=7 / ~36-bit keys at N=10⁹). Any plan
+    * is lossless at hamming <= 3, so the pair set — and every
+    * downstream hash — is independent of the chosen width. */
+  private val pairDirCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]()
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  /** target/tmp materialization dir, keyed like the IVF index layout:
+    * per (sf dir, session identity) so concurrent sessions and sf
+    * scales never collide. */
+  private def matDir(kind: String, s: org.apache.spark.sql.SparkSession,
+                     d: String): String =
+    s"/root/repo/target/tmp/${kind}_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      java.lang.Integer.toHexString(System.identityHashCode(s))
 
   private def simhash64Pairs(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame =
-    pairCache.computeIfAbsent((s, d), { _ =>
+    s.read.parquet(pairDirCache.computeIfAbsent((s, d), { _ =>
       val toks = Tables.load(s, d, "documents")
         .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
         .withColumn("h", md5(col("tok")))
@@ -59,17 +77,32 @@ object DedupQueries {
         // self-join's two sides don't each recompute the tokenize +
         // md5 + vote aggregate over the full corpus
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the count materializes the persist AND parameterizes the bands
+      val plan = SimhashBanding.choose(fp.count())
+      // full 64-bit fingerprint: hi carries bits 32..63 in its low
+      // word, lo bits 0..31 — both always in [0, 2^32), so the
+      // recombination is exact (sign bit = fingerprint bit 63)
+      val fp64 = shiftleft(col("hi"), 32).bitwiseOR(col("lo"))
+      def block(i: Int) =
+        shiftrightunsigned(fp64, plan.starts(i))
+          .bitwiseAND(lit(SimhashBanding.mask(plan.width(i))))
+      // one probe key per block-subset: (comb index, kept blocks'
+      // bits packed high-to-low) — exactly SimhashBanding.probeKeys
+      val probes = plan.combos.zipWithIndex.map { case (combo, ci) =>
+        val bits = combo.foldLeft(lit(0L)) { (acc, i) =>
+          shiftleft(acc, plan.width(i)).bitwiseOR(block(i))
+        }
+        struct(lit(ci).as("comb"), bits.as("bits"))
+      }
       val banded = fp
-        .withColumn("band", explode(array(
-          concat_ws(":", lit(0), col("lo") % 65536),
-          concat_ws(":", lit(1), floor(col("lo") / 65536)),
-          concat_ws(":", lit(2), col("hi") % 65536),
-          concat_ws(":", lit(3), floor(col("hi") / 65536)))))
+        .withColumn("p", explode(array(probes: _*)))
+        .select(col("doc_id"), col("hi"), col("lo"),
+          col("p.comb").as("comb"), col("p.bits").as("bits"))
       val ba = banded.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),
-        col("lo").as("a_lo"), col("band"))
+        col("lo").as("a_lo"), col("comb"), col("bits"))
       val bb = banded.select(col("doc_id").as("b_id"), col("hi").as("b_hi"),
-        col("lo").as("b_lo"), col("band"))
-      val pairs = ba.join(bb, Seq("band"))
+        col("lo").as("b_lo"), col("comb"), col("bits"))
+      val pairs = ba.join(bb, Seq("comb", "bits"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
         .withColumn("hamming",
@@ -77,30 +110,36 @@ object DedupQueries {
            bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast(LongType))
         .filter(col("hamming") <= 3)
         .select("a_id", "b_id", "hamming")
-        // eager: computes the pair table NOW (the "write")
-        .localCheckpoint()
+      val dir = matDir("simhash_pairs", s, d)
+      // repartition(1): the pair table is tiny relative to the corpus;
+      // one compact file, and an empty result still writes a schema
+      pairs.repartition(1).write.mode("overwrite").parquet(dir)
       fp.unpersist()
-      pairs
-    })
+      dir
+    }))
 
   /** The simhash64 duplicate-cluster table (id, cluster_id), computed
     * ONCE per (session, sf dir) and shared by q_dedup_cluster and
     * q_dedup_keep_one — the production pipeline writes the cluster
     * assignment once and every downstream job (canonical-keep, audit,
     * reporting) reads it; rerunning the connected-components rounds per
-    * consumer would redo the whole iterative stage. The run itself is
-    * already eager (localCheckpoint per round), so caching the returned
-    * frame is exact, not a plan alias. */
-  private val clusterCache =
+    * consumer would redo the whole iterative stage. Like the pair
+    * table, the assignment is a real parquet write/read: the cache
+    * holds only the path, and the CC rounds' localCheckpoint blocks
+    * become garbage-collectable once the write finishes. */
+  private val clusterDirCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]()
+      (org.apache.spark.sql.SparkSession, String), String]()
 
   private def simhash64Clusters(s: org.apache.spark.sql.SparkSession,
                                 d: String): org.apache.spark.sql.DataFrame =
-    clusterCache.computeIfAbsent((s, d), { _ =>
-      ConnectedComponents.run(simhash64Pairs(s, d).select("a_id", "b_id"))
-    })
+    s.read.parquet(clusterDirCache.computeIfAbsent((s, d), { _ =>
+      val comp =
+        ConnectedComponents.run(simhash64Pairs(s, d).select("a_id", "b_id"))
+      val dir = matDir("simhash_clusters", s, d)
+      comp.repartition(1).write.mode("overwrite").parquet(dir)
+      dir
+    }))
 
   /** Cross-family access to the shared pair materialization (e.g. the
     * end-to-end prep pipeline in TextQueries) — same single
@@ -290,19 +329,22 @@ object DedupQueries {
     // nibble, majority vote per bit over the doc's distinct tokens),
     // kept as two 32-bit halves (hi, lo) so every value stays positive
     // in BIGINT on both engines. Near-dup pairs at hamming <= 3 are
-    // found by band rotation (Manku et al., WWW'07): split 64 bits
-    // into 4 x 16-bit bands; <= 3 flipped bits touch <= 3 bands, so at
-    // least one band matches exactly — candidates come from 4 band-
-    // keyed equi-joins (uniform keys, no sort), then the exact hamming
-    // verify runs on candidate pairs only. The DuckDB oracle does the
-    // all-pairs compare instead (oracle-side cost only) — identical
-    // result set because banding is lossless at this radius.
+    // found by block probing (Manku et al., WWW'07 §3): split 64 bits
+    // into b blocks; <= 3 flipped bits touch <= 3 blocks, so the pair
+    // agrees exactly on some (b-3)-block subset — candidates come from
+    // C(b,3) subset-keyed equi-joins (uniform keys, no sort), then the
+    // exact hamming verify runs on candidate pairs only. b is a
+    // FUNCTION OF CORPUS SIZE (SimhashBanding.choose: b=4/16-bit keys
+    // here, b=7/~36-bit keys at N=10⁹) so the false-candidate volume
+    // of the banded self-join stays O(N) at any scale; every width is
+    // lossless at this radius, so the result set never depends on it.
+    // The DuckDB oracle does the all-pairs compare instead
+    // (oracle-side cost only) — identical result set.
     // fingerprint via the custom SimHash64Agg TypedImperativeAggregate:
     // one long[65] vote buffer updated in a tight loop instead of the
     // 65-buffer unrolled HashAggregate (same voting rule bit-for-bit —
     // the oracle SQL still spells out the expression form; see
-    // SimHash64AggSpec for the equivalence test). 16-bit bands: b0..b1
-    // from lo, b2..b3 from hi (all positive).
+    // SimHash64AggSpec for the equivalence test).
     Q("q_dedup_simhash64",
       (s, d) => simhash64Pairs(s, d).orderBy("a_id", "b_id"),
       Some(s"""WITH $simhash64FpCte
