@@ -48,6 +48,23 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * computation (under ANSI mode, a runtime error the naive plan would
   * not raise). Timestamps and any physical measure sit far inside
   * that range; the property sweep exercises ±1e12.
+  *
+  * Narrow-type boundary (Int/Short/Byte operands): bins are computed
+  * in LONG arithmetic (asLong casts first), so the bin computation
+  * itself never wraps — but the ORIGINAL predicate, which the rewrite
+  * keeps as the verify, subtracts in the narrow type. Under non-ANSI
+  * semantics a pair whose true difference exceeds the type range wraps
+  * (e.g. Int x=MaxValue, y=-1: x-y wraps to MinValue, whose abs is
+  * itself negative, so abs(x-y) <= w holds spuriously); the naive plan
+  * emits that pair but the binned plan never co-locates it (its TRUE
+  * bins are ~2^31/w apart), so the rewrite is not result-identical at
+  * the extreme edge of a narrow type's range. Under ANSI mode (the
+  * Spark 4 default) the same pair makes the naive plan raise instead,
+  * and the rewritten plan may not (the subtraction is only evaluated
+  * for bin-adjacent pairs) — error vs silence, not wrong rows. Both
+  * divergences need |x - y| >= type_max, i.e. operands at opposite
+  * extremes of the full narrow-type range; like the Long note above,
+  * real measures (ids, timestamps, prices) sit far inside it.
   */
 object RangeJoinRewriteRule extends Rule[LogicalPlan] {
 
@@ -156,10 +173,11 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
               (l, exploded(right, rBin), lk, binAttr: Attribute)
             }
           // equi key first; the full original condition re-verifies
-          // exactly (the range conjunct included)
+          // exactly (the range conjunct included). The original join's
+          // hint (e.g. a user broadcast) survives the rewrite.
           val newCond = And(EqualTo(lKey, rKey), cond)
           Project(j.output,
-            Join(newLeft, newRight, Inner, Some(newCond), JoinHint.NONE))
+            Join(newLeft, newRight, Inner, Some(newCond), j.hint))
       }
     }
   }

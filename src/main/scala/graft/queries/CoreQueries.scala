@@ -542,6 +542,48 @@ object CoreQueries {
              |                    AND o.o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // the OTHER two decorrelation rewrites, beside q_correlated_
+    // subquery's EXISTS pair: a correlated SCALAR AGGREGATE subquery in
+    // SELECT (RewriteCorrelatedScalarSubquery — including the classic
+    // COUNT-bug case where the empty group must yield 0, and a MAX
+    // that must yield NULL then COALESCE outside the subquery), plus
+    // IN / NOT IN predicate subqueries (RewritePredicateSubquery into
+    // semi/anti joins). Integer-only output so the hash is exact.
+    Q("q_subquery_scalar_in",
+      (s, d) => {
+        Tables.load(s, d, "orders").createOrReplaceTempView("g_orders")
+        Tables.load(s, d, "customer").createOrReplaceTempView("g_customer")
+        Tables.load(s, d, "nation").createOrReplaceTempView("g_nation")
+        s.sql("""SELECT c_custkey, c_name,
+                |  (SELECT count(*) FROM g_orders o
+                |   WHERE o.o_custkey = c.c_custkey
+                |     AND o.o_orderstatus = 'O') AS n_open,
+                |  COALESCE((SELECT max(o.o_orderkey) FROM g_orders o
+                |            WHERE o.o_custkey = c.c_custkey
+                |              AND o.o_orderstatus = 'F'),
+                |           CAST(-1 AS BIGINT)) AS last_filled
+                |FROM g_customer c
+                |WHERE c.c_custkey IN (SELECT o_custkey FROM g_orders
+                |                      WHERE o_orderstatus = 'P')
+                |  AND c.c_nationkey NOT IN (SELECT n_nationkey FROM g_nation
+                |                            WHERE n_regionkey = 0)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  (SELECT count(*) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey
+             |     AND o.o_orderstatus = 'O') AS n_open,
+             |  COALESCE((SELECT max(o.o_orderkey) FROM orders o
+             |            WHERE o.o_custkey = c.c_custkey
+             |              AND o.o_orderstatus = 'F'),
+             |           CAST(-1 AS BIGINT)) AS last_filled
+             |FROM customer c
+             |WHERE c.c_custkey IN (SELECT o_custkey FROM orders
+             |                      WHERE o_orderstatus = 'P')
+             |  AND c.c_nationkey NOT IN (SELECT n_nationkey FROM nation
+             |                            WHERE n_regionkey = 0)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // semi join (EXISTS)
     Q("q_semi_join",
       (s, d) => {

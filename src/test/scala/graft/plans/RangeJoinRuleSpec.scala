@@ -58,6 +58,35 @@ class RangeJoinRuleSpec extends SparkSpec {
       s"still a nested-loop join:\n$phys")
   }
 
+  test("user broadcast hint survives the rewrite") {
+    RangeJoinRewriteRule.enable(spark)
+    val a = df("a", Seq.tabulate(50)(_.toLong))
+    val b = df("b", Seq.tabulate(50)(i => (i * 3).toLong))
+    // auto-broadcast off: only the user's hint can pick a broadcast
+    // join, so its presence in the physical plan proves propagation
+    withThreshold("-1") {
+      val hinted = a.join(broadcast(b),
+        abs(col("a_v") - col("b_v")) <= lit(5L))
+      val opt = hinted.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__range_bin"), s"rule did not fire:\n$opt")
+      val phys = hinted.queryExecution.executedPlan.toString
+      assert(phys.contains("BroadcastHashJoin"),
+        s"broadcast hint dropped by the rewrite:\n$phys")
+      val plain = a.join(b, abs(col("a_v") - col("b_v")) <= lit(5L))
+      assert(!plain.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "control: unhinted plan should not broadcast at threshold -1")
+      assert(hinted.count() === plain.count())
+    }
+  }
+
+  private def withThreshold(v: String)(body: => Unit): Unit = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, v)
+    try body finally spark.conf.set(key, old)
+  }
+
   test("does not fire when an equi key already joins the sides") {
     RangeJoinRewriteRule.enable(spark)
     val a = df("a", Seq.tabulate(20)(_.toLong))

@@ -65,6 +65,20 @@ class PlanShapeSpec extends SparkSpec {
         s"$name bypasses TopKPerGroupExec:\n${plans(name)}")
   }
 
+  test("q_subquery_scalar_in decorrelates to hash joins (no nested loop)") {
+    // scalar-agg subqueries must become aggregate + outer join, IN a
+    // semi join, NOT IN a (null-aware) anti join — never a per-row
+    // re-execution or a nested-loop plan
+    val plan = plans("q_subquery_scalar_in")
+    assert(plan.contains("LeftSemi"), s"IN lost its semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT IN lost its anti join:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"scalar subqueries not decorrelated into aggregates:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("NullAwareAntiJoin") || plan.contains("LeftAnti"),
+      s"nested-loop join in the decorrelated plan:\n$plan")
+  }
+
   test("q_shard_balance keeps its corpus window partitioned by pid") {
     // same two-pass contract as q_global_ids: the corpus-sized
     // row_number window must be keyed on pid, never a global ORDER BY

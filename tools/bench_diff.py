@@ -28,11 +28,16 @@ def main(old_p, new_p, thr=1.3):
         print("no common queries")
         return 1
     ratios = {k: new[k] / old[k] for k in common if old[k] > 0}
+    skipped = [k for k in common if old[k] <= 0]
     s_old = sum(old[k] for k in common)
     s_new = sum(new[k] for k in common)
+    med = (f"{statistics.median(ratios.values()):.3f}"
+           if ratios else "n/a (no nonzero baselines)")
+    tot = f"{s_new / s_old:.3f}x" if s_old > 0 else "n/a"
     print(f"common {len(common)}: {s_old:.1f}s -> {s_new:.1f}s "
-          f"({s_new / s_old:.3f}x), median ratio "
-          f"{statistics.median(ratios.values()):.3f}")
+          f"({tot}), median ratio {med}")
+    if skipped:
+        print(f"skipped {len(skipped)} zero-baseline: {', '.join(skipped)}")
     if added:
         extra = sum(new[k] for k in added)
         print(f"added {len(added)} ({extra:.1f}s): {', '.join(added)}")
