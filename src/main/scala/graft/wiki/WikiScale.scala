@@ -14,9 +14,10 @@ object WikiScale {
     val Array(xml, copiesStr) = args.take(2)
     val copies = copiesStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       // force multiple input splits even for a ~100MB file so the
       // splittable-scan path is actually exercised
       .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
@@ -43,12 +44,13 @@ object WikiScale {
         "partition(s) — input likely smaller than one split " +
         "(16MB x 1.1); in-file parallelism not exercised")
 
-    // glob-safe input size: sum sibling .xml files when given a pattern
+    // input size: a file directly, a directory's .xml files, or — for
+    // a glob pattern — the parent directory's .xml files
     val bytes = {
       val f = new java.io.File(xml)
       if (f.isFile) f.length()
       else {
-        val dir = f.getParentFile
+        val dir = if (f.isDirectory) f else f.getParentFile
         if (dir != null && dir.isDirectory)
           dir.listFiles().filter(_.getName.endsWith(".xml")).map(_.length()).sum
         else 0L
