@@ -180,6 +180,68 @@ object TextQueries {
              |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
              |  FROM documents) t ORDER BY doc_id""".stripMargin)),
 
+    // PII scrubbing with audit counts — the redaction pass a training
+    // pipeline runs before anything else touches text. The synthetic
+    // corpus carries no PII, so (exactly like the multimodal family
+    // synthesizes valid PNGs from doc metadata) the query first
+    // INJECTS deterministic PII spans derived from doc_id — an email
+    // and a phone number — then scrubs them with two regexes and
+    // audits per source: redactions by kind, characters removed,
+    // docs touched. Map-only scrub + one tiny aggregate; at 100 TB
+    // this is a pure scan-shaped pass (no shuffle before the per-
+    // source rollup) and the audit numbers are what a compliance
+    // report actually consumes. Patterns avoid lookaheads/anchors so
+    // java.util.regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+    Q("q_pii_scrub",
+      (s, d) => {
+        val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val phonePat = "555-[0-9]{4}"
+        val dirty = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+        Tables.load(s, d, "documents")
+          .select(col("source"), dirty.as("dirty"))
+          .withColumn("clean",
+            regexp_replace(
+              regexp_replace(col("dirty"), emailPat, "[EMAIL]"),
+              phonePat, "[PHONE]"))
+          .withColumn("n_email",
+            size(regexp_extract_all(col("dirty"), lit(emailPat), lit(0)))
+              .cast(LongType))
+          .withColumn("n_phone",
+            size(regexp_extract_all(col("dirty"), lit(phonePat), lit(0)))
+              .cast(LongType))
+          .groupBy("source")
+          .agg(sum(col("n_email")).as("n_emails"),
+            sum(col("n_phone")).as("n_phones"),
+            sum(length(col("dirty")) - length(col("clean")))
+              .as("chars_removed"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH dirty AS (
+             |  SELECT source,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@example.com or call 555-'
+             |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+             |  FROM documents),
+             |scrub AS (
+             |  SELECT source, dirty,
+             |    regexp_replace(regexp_replace(dirty,
+             |      '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+             |      '555-[0-9]{4}', '[PHONE]', 'g') AS clean,
+             |    len(regexp_extract_all(dirty,
+             |      '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_email,
+             |    len(regexp_extract_all(dirty, '555-[0-9]{4}')) AS n_phone
+             |  FROM dirty)
+             |SELECT source,
+             |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+             |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
+             |  CAST(sum(len(dirty) - len(clean)) AS BIGINT) AS chars_removed,
+             |  count(*) AS n_docs
+             |FROM scrub GROUP BY source ORDER BY source""".stripMargin)),
+
     // TF-IDF terms: term frequency per doc, document frequency per term,
     // and an integer idf weight (1e6 * N / df — "linear idf", exact in
     // both engines; a log-based idf would hinge on libm ulp agreement).

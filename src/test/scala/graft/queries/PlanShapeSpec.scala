@@ -65,6 +65,31 @@ class PlanShapeSpec extends SparkSpec {
         s"$name bypasses TopKPerGroupExec:\n${plans(name)}")
   }
 
+  test("dedup consumers read the materialized pair table, not a recompute") {
+    // the shared simhash64 pair stage is written ONCE as parquet; every
+    // consumer's plan must be a FileScan of that materialization — a
+    // consumer whose plan contains the fingerprint aggregate would be
+    // re-running the corpus-sized stage per query
+    // q_pagerank is exempt: its per-iteration localCheckpoints cut the
+    // lineage, so its final plan is a Scan ExistingRDD — the pair scan
+    // happened inside the loop and is no longer visible in the string
+    val readers = Seq(
+      "q_dedup_simhash64" -> "simhash_pairs",
+      "q_dedup_source_matrix" -> "simhash_pairs",
+      "q_dedup_incremental" -> "simhash_pairs",
+      "q_triangles" -> "simhash_pairs",
+      "q_graph_degree" -> "simhash_pairs",
+      "q_prep_pipeline" -> "simhash_pairs",
+      "q_dedup_cluster" -> "simhash_clusters",
+      "q_dedup_keep_one" -> "simhash_clusters")
+    for ((name, table) <- readers) {
+      assert(plans(name).contains(table),
+        s"$name does not scan the $table materialization:\n${plans(name)}")
+      assert(!plans(name).contains("simhash64"),
+        s"$name recomputes the fingerprint stage:\n${plans(name)}")
+    }
+  }
+
   test("q_subquery_scalar_in decorrelates to hash joins (no nested loop)") {
     // scalar-agg subqueries must become aggregate + outer join, IN a
     // semi join, NOT IN a (null-aware) anti join — never a per-row
