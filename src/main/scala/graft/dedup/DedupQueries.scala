@@ -67,49 +67,14 @@ object DedupQueries {
   private def simhash64Pairs(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(pairDirCache.computeIfAbsent((s, d), { _ =>
-      val toks = Tables.load(s, d, "documents")
-        .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val fp = toks.groupBy("doc_id")
-        .agg(graft.functions.SimHash64Agg.simhash64(col("h")).as("fp"))
-        .select(col("doc_id"), col("fp.hi").as("hi"), col("fp.lo").as("lo"))
+      val fp = fingerprints(s, d)
         // one row per doc (24 bytes each): materialize so the banded
         // self-join's two sides don't each recompute the tokenize +
         // md5 + vote aggregate over the full corpus
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the count materializes the persist AND parameterizes the bands
       val plan = SimhashBanding.choose(fp.count())
-      // full 64-bit fingerprint: hi carries bits 32..63 in its low
-      // word, lo bits 0..31 — both always in [0, 2^32), so the
-      // recombination is exact (sign bit = fingerprint bit 63)
-      val fp64 = shiftleft(col("hi"), 32).bitwiseOR(col("lo"))
-      def block(i: Int) =
-        shiftrightunsigned(fp64, plan.starts(i))
-          .bitwiseAND(lit(SimhashBanding.mask(plan.width(i))))
-      // one probe key per block-subset: (comb index, kept blocks'
-      // bits packed high-to-low) — exactly SimhashBanding.probeKeys
-      val probes = plan.combos.zipWithIndex.map { case (combo, ci) =>
-        val bits = combo.foldLeft(lit(0L)) { (acc, i) =>
-          shiftleft(acc, plan.width(i)).bitwiseOR(block(i))
-        }
-        struct(lit(ci).as("comb"), bits.as("bits"))
-      }
-      val banded = fp
-        .withColumn("p", explode(array(probes: _*)))
-        .select(col("doc_id"), col("hi"), col("lo"),
-          col("p.comb").as("comb"), col("p.bits").as("bits"))
-      val ba = banded.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),
-        col("lo").as("a_lo"), col("comb"), col("bits"))
-      val bb = banded.select(col("doc_id").as("b_id"), col("hi").as("b_hi"),
-        col("lo").as("b_lo"), col("comb"), col("bits"))
-      val pairs = ba.join(bb, Seq("comb", "bits"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
-        .withColumn("hamming",
-          (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
-           bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast(LongType))
-        .filter(col("hamming") <= 3)
-        .select("a_id", "b_id", "hamming")
+      val pairs = bandedPairs(fp, plan)
       val dir = matDir("simhash_pairs", s, d)
       // repartition(1): the pair table is tiny relative to the corpus;
       // one compact file, and an empty result still writes a schema
@@ -117,6 +82,62 @@ object DedupQueries {
       fp.unpersist()
       dir
     }))
+
+  /** Banded candidate generation + exact hamming<=r verify over a
+    * fingerprint table (doc_id, hi, lo): probe keys per
+    * [[SimhashBanding.Plan]], equi-join on (comb, bits), verify on
+    * candidates only. Exposed at package level so the spec can prove
+    * END-TO-END (not just on the JVM reference) that every lossless
+    * width produces the identical pair set — the property the
+    * corpus-parameterized `choose` relies on. */
+  private[dedup] def bandedPairs(
+      fp: org.apache.spark.sql.DataFrame,
+      plan: SimhashBanding.Plan): org.apache.spark.sql.DataFrame = {
+    // full 64-bit fingerprint: hi carries bits 32..63 in its low
+    // word, lo bits 0..31 — both always in [0, 2^32), so the
+    // recombination is exact (sign bit = fingerprint bit 63)
+    val fp64 = shiftleft(col("hi"), 32).bitwiseOR(col("lo"))
+    def block(i: Int) =
+      shiftrightunsigned(fp64, plan.starts(i))
+        .bitwiseAND(lit(SimhashBanding.mask(plan.width(i))))
+    // one probe key per block-subset: (comb index, kept blocks'
+    // bits packed high-to-low) — exactly SimhashBanding.probeKeys
+    val probes = plan.combos.zipWithIndex.map { case (combo, ci) =>
+      val bits = combo.foldLeft(lit(0L)) { (acc, i) =>
+        shiftleft(acc, plan.width(i)).bitwiseOR(block(i))
+      }
+      struct(lit(ci).as("comb"), bits.as("bits"))
+    }
+    val banded = fp
+      .withColumn("p", explode(array(probes: _*)))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("p.comb").as("comb"), col("p.bits").as("bits"))
+    val ba = banded.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),
+      col("lo").as("a_lo"), col("comb"), col("bits"))
+    val bb = banded.select(col("doc_id").as("b_id"), col("hi").as("b_hi"),
+      col("lo").as("b_lo"), col("comb"), col("bits"))
+    ba.join(bb, Seq("comb", "bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .withColumn("hamming",
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+         bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast(LongType))
+      .filter(col("hamming") <= plan.r)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** The simhash64 fingerprint plan (doc_id, hi, lo) for one sf dir —
+    * the input the pair stage, the width-equivalence spec and the
+    * streaming near-dup test build on. */
+  private[graft] def fingerprints(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHash64Agg.simhash64(col("h")).as("fp"))
+      .select(col("doc_id"), col("fp.hi").as("hi"), col("fp.lo").as("lo"))
 
   /** The simhash64 duplicate-cluster table (id, cluster_id), computed
     * ONCE per (session, sf dir) and shared by q_dedup_cluster and

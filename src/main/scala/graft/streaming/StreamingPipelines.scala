@@ -100,6 +100,99 @@ object StreamingPipelines {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  case class FpDoc(doc_id: Long, ts: Timestamp, hi: Long, lo: Long)
+
+  case class DupFlag(doc_id: Long, matched_id: Long, hamming: Int)
+
+  // not `private`: Catalyst's generated (de)serializer classes live in
+  // another package and cannot touch private members
+  case class BucketRow(bucket: String, doc_id: Long, ts: Timestamp,
+                       fp64: Long)
+
+  case class BucketState(fps: List[(Long, Long, Long)],
+                         flagged: Set[Long])
+
+  /** Streaming NEAR-duplicate detection — the streaming face of the
+    * batch simhash64 pair stage (DedupQueries), sharing its
+    * [[graft.dedup.SimhashBanding]] probe construction so batch and
+    * stream agree on which documents are near-dups.
+    *
+    * Input: a fingerprinted doc stream (doc_id, ts, hi, lo) — at 100 TB
+    * fingerprinting is a map-only ingest stage, so the stream carries
+    * the fingerprint, not the text. Each doc expands to its C(b,r)
+    * probe keys; state lives PER PROBE BUCKET and holds the
+    * fingerprints seen in that bucket within the watermark horizon —
+    * the streaming analog of the banded self-join, with the same
+    * guarantee (any pair at hamming <= r shares a bucket) and the same
+    * scale posture (state per bucket ~ bucket occupancy; expired by
+    * event-time timeout, never stream-length-bound).
+    *
+    * Output: an append stream of dup DETECTIONS (doc_id flagged, the
+    * matched doc, the hamming distance) — the quarantine feed a keep/
+    * drop consumer anti-joins against. The flagged doc is always the
+    * LARGER doc_id of a matching pair regardless of arrival order
+    * (a late-arriving smaller id retro-flags the earlier larger one),
+    * so the flagged set is deterministic and equals the batch pair
+    * table's b_id side — the property the spec asserts. A doc may be
+    * flagged once per bucket it matches in (at-least-once semantics);
+    * consumers dedup by doc_id. */
+  def streamingNearDupFlags(fps: Dataset[FpDoc],
+                            plan: graft.dedup.SimhashBanding.Plan,
+                            watermark: String = "1 hour"): Dataset[DupFlag] = {
+    import fps.sparkSession.implicits._
+    import graft.dedup.SimhashBanding
+    def block(i: Int) =
+      shiftrightunsigned(col("fp64"), plan.starts(i))
+        .bitwiseAND(lit(SimhashBanding.mask(plan.width(i))))
+    val probes = plan.combos.zipWithIndex.map { case (combo, ci) =>
+      val bits = combo.foldLeft(lit(0L)) { (acc, i) =>
+        shiftleft(acc, plan.width(i)).bitwiseOR(block(i))
+      }
+      concat_ws(":", lit(ci), bits)
+    }
+    fps.toDF()
+      .withColumn("fp64", shiftleft(col("hi"), 32).bitwiseOR(col("lo")))
+      .withColumn("bucket", explode(array(probes: _*)))
+      .select("bucket", "doc_id", "ts", "fp64")
+      .withWatermark("ts", watermark)
+      .as[BucketRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, DupFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[BucketRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // prune fingerprints the watermark has passed — the state
+            // bound that keeps an unbounded ingest from accumulating
+            val wm = state.getCurrentWatermarkMs()
+            var st = state.getOption.getOrElse(BucketState(Nil, Set.empty))
+            st = st.copy(fps = st.fps.filter(_._3 >= wm))
+            val out = scala.collection.mutable.ListBuffer[DupFlag]()
+            var maxTs = 0L
+            // id-sorted within the batch: in-batch pairs resolve the
+            // same way regardless of micro-batch row order
+            for (r <- rows.toSeq.sortBy(_.doc_id)) {
+              maxTs = math.max(maxTs, r.ts.getTime)
+              for ((oid, ofp, _) <- st.fps) {
+                val h = java.lang.Long.bitCount(ofp ^ r.fp64)
+                if (h <= plan.r) {
+                  val (loser, winner) =
+                    if (oid < r.doc_id) (r.doc_id, oid) else (oid, r.doc_id)
+                  if (!st.flagged(loser)) {
+                    out += DupFlag(loser, winner, h)
+                    st = st.copy(flagged = st.flagged + loser)
+                  }
+                }
+              }
+              st = st.copy(fps = (r.doc_id, r.fp64, r.ts.getTime) :: st.fps)
+            }
+            state.update(st)
+            if (maxTs > 0) state.setTimeoutTimestamp(maxTs, watermark)
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment join: the unbounded event stream joined
     * with a static dimension (user profiles here derived from customer)
     * — the standard lookup-join shape in an ingest pipeline. The static

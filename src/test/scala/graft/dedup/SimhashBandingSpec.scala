@@ -77,6 +77,35 @@ class SimhashBandingSpec extends SparkSpec {
     assert(probeKeys(0L, p).toSet.intersect(probeKeys(-1L, p).toSet).isEmpty)
   }
 
+  test("every width yields the identical pair set end-to-end (Spark)") {
+    // the whole point of corpus-parameterized banding: the width is a
+    // COST knob, never a RESULT knob. Run the real banded join over
+    // the real sf0.001 fingerprints at four widths and against the
+    // brute-force all-pairs baseline — all five must agree exactly.
+    import org.apache.spark.sql.functions._
+    val fp = DedupQueries.fingerprints(spark, sf0001).cache()
+    def pairSet(plan: Plan): Set[(Long, Long, Long)] =
+      DedupQueries.bandedPairs(fp, plan).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = {
+      val a = fp.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),
+        col("lo").as("a_lo"))
+      val b = fp.select(col("doc_id").as("b_id"), col("hi").as("b_hi"),
+        col("lo").as("b_lo"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("hamming",
+          (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+           bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(brute.nonEmpty, "fixture corpus has no near-dup pairs to test")
+    for (b <- Seq(4, 5, 7, 9))
+      assert(pairSet(Plan(b, 3)) === brute, s"b=$b diverged from brute force")
+    fp.unpersist()
+  }
+
   test("Catalyst probe construction matches the reference semantics") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -300,4 +300,57 @@ class StreamingPipelinesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed === batch)
   }
+
+  test("streaming near-dup flags ≡ batch pair table (flagged = b_id side)") {
+    implicit val sc = spark.sqlContext
+    // the REAL sf0.001 fingerprints, streamed in one unordered batch;
+    // the flagged set must equal the batch banded join's larger-id
+    // side — stream and batch agree on what counts as a near-dup
+    val fp = graft.dedup.DedupQueries.fingerprints(spark, sf0001).collect()
+    val base = 1700000000000L
+    val docs = fp.map(r => FpDoc(r.getLong(0),
+      new Timestamp(base + r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val in = MemoryStream[FpDoc]
+    in.addData(docs.toSeq)
+    val plan = graft.dedup.SimhashBanding.choose(docs.length.toLong)
+    val q = streamingNearDupFlags(in.toDS(), plan)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000); q.stop()
+    val flagged = spark.table("neardup_out").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val expect = graft.dedup.DedupQueries
+      .sharedSimhash64Pairs(spark, sf0001)
+      .select("b_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(expect.nonEmpty, "fixture corpus has no near-dup pairs")
+    assert(flagged === expect)
+  }
+
+  test("near-dup flags: late smaller id retro-flags the earlier larger id") {
+    implicit val sc = spark.sqlContext
+    val base = 1700000000000L
+    def doc(id: Long, hi: Long, lo: Long, dtSec: Long = 0) =
+      FpDoc(id, new Timestamp(base + dtSec * 1000), hi, lo)
+    val in = MemoryStream[FpDoc]
+    val plan = graft.dedup.SimhashBanding.Plan(4, 3)
+    // one continuous query so bucket state survives across batches
+    val q = streamingNearDupFlags(in.toDS(), plan)
+      .writeStream.format("memory").queryName("neardup_retro")
+      .outputMode("append").start()
+    try {
+      // batch 1: docs 10 and 20, far apart (no flags)
+      in.addData(doc(10, 0xAAAA5555L, 0x12345678L),
+        doc(20, 0x00FF00FFL, 0x87654321L))
+      q.processAllAvailable()
+      assert(spark.table("neardup_retro").count() === 0)
+      // batch 2: doc 5 arrives LATE, one bit away from doc 10 — the
+      // EARLIER-ARRIVED but larger id 10 must be the one flagged
+      in.addData(doc(5, 0xAAAA5555L, 0x12345679L, 60))
+      q.processAllAvailable()
+    } finally q.stop()
+    val flags = spark.table("neardup_retro")
+      .select("doc_id", "matched_id", "hamming").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(flags === Set((10L, 5L, 1)))
+  }
 }
