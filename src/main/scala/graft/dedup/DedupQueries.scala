@@ -830,6 +830,55 @@ object DedupQueries {
              |  UNION ALL SELECT y FROM tri
              |  UNION ALL SELECT z FROM tri)
              |SELECT doc_id, count(*) AS n_triangles
-             |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // EDIT-DISTANCE near-dup (field-level entity resolution): the
+    // character-edit complement of the token-set families above —
+    // catches small in-place mutations (typo farms, template fills)
+    // that shift every shingle but few characters. Pairs at
+    // levenshtein <= 32 within the same language.
+    //
+    // Plan: |len(a) - len(b)| <= k is a NECESSARY condition for edit
+    // distance <= k, so blocking is the range-join bin pattern on the
+    // length axis: block key = (lang, floor(len/k)), probe side
+    // explodes to its 3 adjacent bins, exact |Δlen| <= k filter on the
+    // equi-join output — each pair meets exactly once (the probe bins
+    // are distinct), so no distinct() is needed. The verify is Spark's
+    // THRESHOLDED levenshtein (banded DP, O(len·k) not O(len²), -1
+    // past the threshold), and only candidate pairs reach it — never
+    // all-pairs. At 100 TB the length-bin key alone can skew (common
+    // lengths pile up); production adds a second blocking axis (e.g.
+    // a rolling-hash anchor from q_rolling_hash) exactly like the
+    // multi-key blocking the LSH families already do.
+    Q("q_dedup_edit",
+      (s, d) => {
+        val k = 32
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            length(col("text")).as("len"))
+        val bin = floor(col("len") / k)
+        val a = docs.select(col("doc_id").as("a_id"), col("lang"),
+          col("text").as("a_text"), col("len").as("a_len"),
+          bin.as("bin"))
+        val b = docs.select(col("doc_id").as("b_id"), col("lang"),
+          col("text").as("b_text"), col("len").as("b_len"),
+          explode(array(bin - 1, bin, bin + 1)).as("bin"))
+        a.join(b, Seq("lang", "bin"))
+          .filter(col("a_id") < col("b_id") &&
+            abs(col("a_len") - col("b_len")) <= k)
+          .withColumn("dist",
+            levenshtein(col("a_text"), col("b_text"), k).cast(LongType))
+          .filter(col("dist") >= 0)
+          .select("a_id", "b_id", "dist")
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, text, length(text) AS len FROM documents)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+             |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |  AND abs(a.len - b.len) <= 32
+             |WHERE levenshtein(a.text, b.text) <= 32
+             |ORDER BY a_id, b_id""".stripMargin))
   )
 }
