@@ -41,8 +41,9 @@ object DedupQueries {
     * IvfIndex.buildIndex's persisted-index layout), later consumers in
     * the same session/dir READ it — the cache below holds only the
     * path, so no RDD blocks stay pinned for the process lifetime.
-    * The fingerprint persist is released once the pairs are written —
-    * its only consumer is the banded self-join inside this computation.
+    * The fingerprint table is persisted the same way (parquet under
+    * [[persistedFingerprints]]) — its consumers are the banded
+    * self-join here and the incremental bloom dedup.
     *
     * Candidate generation is corpus-parameterized block probing
     * ([[SimhashBanding]]): the band count/width is chosen from the
@@ -67,19 +68,38 @@ object DedupQueries {
   private def simhash64Pairs(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(pairDirCache.computeIfAbsent((s, d), { _ =>
-      val fp = fingerprints(s, d)
-        // one row per doc (24 bytes each): materialize so the banded
-        // self-join's two sides don't each recompute the tokenize +
-        // md5 + vote aggregate over the full corpus
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the count materializes the persist AND parameterizes the bands
+      // the fingerprint table is its own persisted stage (one row per
+      // doc, 24 bytes each): the banded self-join's two sides read the
+      // parquet back instead of each recomputing the tokenize + md5 +
+      // vote aggregate over the full corpus
+      val fp = persistedFingerprints(s, d)
+      // the count parameterizes the bands (tiny parquet scan)
       val plan = SimhashBanding.choose(fp.count())
       val pairs = bandedPairs(fp, plan)
       val dir = matDir("simhash_pairs", s, d)
       // repartition(1): the pair table is tiny relative to the corpus;
       // one compact file, and an empty result still writes a schema
       pairs.repartition(1).write.mode("overwrite").parquet(dir)
-      fp.unpersist()
+      dir
+    }))
+
+  private val fpDirCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  /** The PERSISTED simhash64 fingerprint table (doc_id, hi, lo):
+    * "fingerprint the corpus once" as a real parquet write, read back
+    * by every consumer — the pair stage's banded self-join and the
+    * incremental bloom dedup (q_dedup_bloom). At 100 TB this is the
+    * fingerprint table a daily job band-joins its new batch against;
+    * recomputing it from raw text per consumer would be the single
+    * largest wasted scan in the pipeline. */
+  private[dedup] def persistedFingerprints(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(fpDirCache.computeIfAbsent((s, d), { _ =>
+      val dir = matDir("simhash_fps", s, d)
+      fingerprints(s, d).repartition(1).write.mode("overwrite").parquet(dir)
       dir
     }))
 
@@ -91,6 +111,28 @@ object DedupQueries {
     * width produces the identical pair set — the property the
     * corpus-parameterized `choose` relies on. */
   private[dedup] def bandedPairs(
+      fp: org.apache.spark.sql.DataFrame,
+      plan: SimhashBanding.Plan): org.apache.spark.sql.DataFrame = {
+    val banded = bandedRows(fp, plan)
+    val ba = banded.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),
+      col("lo").as("a_lo"), col("comb"), col("bits"))
+    val bb = banded.select(col("doc_id").as("b_id"), col("hi").as("b_hi"),
+      col("lo").as("b_lo"), col("comb"), col("bits"))
+    ba.join(bb, Seq("comb", "bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .withColumn("hamming",
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+         bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast(LongType))
+      .filter(col("hamming") <= plan.r)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** The banded probe rows (doc_id, hi, lo, comb, bits) for a
+    * fingerprint table: one row per (doc, block-subset), the join/
+    * bloom key material both the pair self-join and the incremental
+    * bloom prefilter are built from. */
+  private[dedup] def bandedRows(
       fp: org.apache.spark.sql.DataFrame,
       plan: SimhashBanding.Plan): org.apache.spark.sql.DataFrame = {
     // full 64-bit fingerprint: hi carries bits 32..63 in its low
@@ -108,22 +150,41 @@ object DedupQueries {
       }
       struct(lit(ci).as("comb"), bits.as("bits"))
     }
-    val banded = fp
-      .withColumn("p", explode(array(probes: _*)))
+    fp.withColumn("p", explode(array(probes: _*)))
       .select(col("doc_id"), col("hi"), col("lo"),
         col("p.comb").as("comb"), col("p.bits").as("bits"))
-    val ba = banded.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),
-      col("lo").as("a_lo"), col("comb"), col("bits"))
-    val bb = banded.select(col("doc_id").as("b_id"), col("hi").as("b_hi"),
-      col("lo").as("b_lo"), col("comb"), col("bits"))
-    ba.join(bb, Seq("comb", "bits"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
-      .withColumn("hamming",
-        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
-         bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast(LongType))
-      .filter(col("hamming") <= plan.r)
-      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Build a Bloom filter over a banded-row table's probe keys
+    * (xxhash64(comb, bits) — the key need not be reversible; a hash
+    * collision only adds a false positive, which the exact verify
+    * join removes). One partial-aggregating pass; the result is a
+    * bounded byte[] sized from `estItems`, driver-held exactly like
+    * the IVF centroid table. */
+  private[dedup] def buildProbeBloom(
+      rows: org.apache.spark.sql.DataFrame, estItems: Long): Array[Byte] = {
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val key = xxhash64(col("comb"), col("bits"))
+    // ~10 bits/item => ~1% false-positive rate at the optimal hash
+    // count, which BloomFilterAggregate derives from (items, bits)
+    val agg = new BloomFilterAggregate(GraftSqlShims.expression(key),
+      CatLit(math.max(estItems, 1L)), CatLit(math.max(estItems, 1L) * 10))
+    rows.agg(GraftSqlShims.column(agg.toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** The membership predicate for [[buildProbeBloom]]'s sketch over
+    * (comb, bits) — Spark's codegen'd BloomFilterMightContain with the
+    * sketch inlined as a binary literal, so the prefilter runs inside
+    * whole-stage codegen on the scan side with no join or shuffle. */
+  private[dedup] def mightContainProbe(bloom: Array[Byte]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+    GraftSqlShims.column(
+      BloomFilterMightContain(CatLit(bloom, BinaryType),
+        GraftSqlShims.expression(xxhash64(col("comb"), col("bits")))))
   }
 
   /** The simhash64 fingerprint plan (doc_id, hi, lo) for one sf dir —
@@ -879,6 +940,76 @@ object DedupQueries {
              |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
              |  AND abs(a.len - b.len) <= 32
              |WHERE levenshtein(a.text, b.text) <= 32
-             |ORDER BY a_id, b_id""".stripMargin))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // BLOOM-PREFILTERED incremental near-dup dedup: the daily-batch
+    // admission check (q_dedup_incremental's semantics) computed the
+    // way a 100 TB deployment actually runs it — WITHOUT re-running
+    // the corpus-wide pair self-join. History ('src0') fingerprints
+    // are read from the persisted fingerprint table; their banded
+    // probe keys feed ONE partial-aggregating pass into a Bloom
+    // filter (bounded bytes, driver-held like the IVF centroids).
+    // The new batch's probe rows are then filtered MAP-SIDE by the
+    // codegen'd might_contain — a row whose key misses the bloom
+    // provably has no hamming<=r partner in history (the banding is
+    // lossless and blooms have no false negatives), so the corpus-
+    // sized shuffle-and-join only ever sees the tiny might-contain
+    // fraction. Survivors go through the exact banded equi-join +
+    // hamming verify, which also removes bloom false positives —
+    // the result is EXACT, the bloom is purely a cost optimization
+    // (the same contract as salting: result-identical to the plain
+    // plan, proven in BloomIncrementalSpec).
+    //
+    // At N=1e9 history docs the sketch is ~GBs as one literal; the
+    // production form shards it per band (C(b,r) blooms, each sized
+    // n_docs) or ships it via the runtime-filter subquery channel —
+    // the PATTERN (probe-key membership prefilter + exact verify) is
+    // unchanged. Output: per admitted-batch doc flagged as a dup of
+    // history — (doc_id, n_hist_matches, min_hamming).
+    Q("q_dedup_bloom",
+      (s, d) => {
+        val src = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+        val fp = persistedFingerprints(s, d)
+        val plan = SimhashBanding.choose(fp.count())
+        val rows = bandedRows(fp, plan).join(src, "doc_id")
+        val hist = rows.filter(col("source") === "src0")
+        val bloom = buildProbeBloom(hist, hist.count())
+        val pruned = rows.filter(col("source") =!= "src0")
+          .filter(mightContainProbe(bloom))
+        val ha = hist.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),
+          col("lo").as("a_lo"), col("comb"), col("bits"))
+        val nb = pruned.select(col("doc_id").as("b_id"), col("hi").as("b_hi"),
+          col("lo").as("b_lo"), col("comb"), col("bits"))
+        ha.join(nb, Seq("comb", "bits"))
+          .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+          .withColumn("hamming",
+            (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+             bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast(LongType))
+          .filter(col("hamming") <= plan.r)
+          .groupBy("b_id")
+          .agg(count(lit(1)).as("n_hist_matches"),
+            min(col("hamming")).as("min_hamming"))
+          .select(col("b_id").as("doc_id"),
+            col("n_hist_matches"), col("min_hamming"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $simhash64FpCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS h
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |s AS (SELECT doc_id, source FROM documents),
+             |nh AS (
+             |  SELECT CASE WHEN sa.source = 'src0' THEN p.b_id ELSE p.a_id END
+             |    AS doc_id, p.h
+             |  FROM pairs p
+             |  JOIN s sa ON p.a_id = sa.doc_id
+             |  JOIN s sb ON p.b_id = sb.doc_id
+             |  WHERE (sa.source = 'src0') <> (sb.source = 'src0'))
+             |SELECT doc_id, count(*) AS n_hist_matches,
+             |  CAST(min(h) AS BIGINT) AS min_hamming
+             |FROM nh GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
