@@ -942,6 +942,72 @@ object DedupQueries {
              |WHERE levenshtein(a.text, b.text) <= 32
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // SORTED-NEIGHBORHOOD near-dup (Hernández/Stolfo SNM): the THIRD
+    // blocking strategy in the family — q_dedup_edit blocks by length
+    // band, the LSH queries by hash band; SNM blocks by SORT ORDER:
+    // rank the corpus by a sort key (text, doc_id — total order, so
+    // the rank is deterministic), then compare only pairs within a
+    // fixed rank window w. Recall is traded for the cheapest blocking
+    // there is — at 100 TB the ranked layout IS the written table
+    // order (range repartition by sort key), so candidate generation
+    // is one sorted scan with bounded fan-out, no quadratic anything;
+    // production runs multiple passes with different sort keys to
+    // recover recall (each pass independent, same operator).
+    //
+    // Plan: global rank via the q_global_ids two-phase shape (range
+    // repartition + broadcast prefix-sum offsets + partition-local
+    // row_number — no single-partition window), then the rank-window
+    // pairs via the range-join bin pattern on the RANK axis: width-w
+    // bins, the b side probes its own and previous bin, exact
+    // 1 <= rk_b - rk_a <= w filter — each pair meets exactly once.
+    // Verify: thresholded levenshtein on candidates only.
+    Q("q_dedup_snm",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = 10
+        val k = 48
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartitionByRange(32, col("text"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val offsets = docs.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("off",
+            coalesce(sum(col("cnt")).over(
+              Window.orderBy("pid")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "off")
+        val ranked = docs.join(broadcast(offsets), "pid")
+          .withColumn("rk",
+            row_number().over(
+              Window.partitionBy("pid").orderBy("text", "doc_id"))
+              + col("off"))
+        val a = ranked.select(col("doc_id").as("a_doc"),
+          col("text").as("a_text"), col("rk").as("a_rk"),
+          floor((col("rk") - 1) / w).as("bin"))
+        val b = ranked.select(col("doc_id").as("b_doc"),
+          col("text").as("b_text"), col("rk").as("b_rk"),
+          explode(array(floor((col("rk") - 1) / w) - 1,
+            floor((col("rk") - 1) / w))).as("bin"))
+        a.join(b, "bin")
+          .filter(col("b_rk") > col("a_rk") && col("b_rk") <= col("a_rk") + w)
+          .withColumn("dist",
+            levenshtein(col("a_text"), col("b_text"), k).cast(LongType))
+          .filter(col("dist") >= 0)
+          .select(least(col("a_doc"), col("b_doc")).as("a_id"),
+            greatest(col("a_doc"), col("b_doc")).as("b_id"), col("dist"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, text,
+             |    row_number() OVER (ORDER BY text, doc_id) AS rk
+             |  FROM documents)
+             |SELECT least(a.doc_id, b.doc_id) AS a_id,
+             |  greatest(a.doc_id, b.doc_id) AS b_id,
+             |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+             |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 10
+             |WHERE levenshtein(a.text, b.text) <= 48
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // BLOOM-PREFILTERED incremental near-dup dedup: the daily-batch
     // admission check (q_dedup_incremental's semantics) computed the
     // way a 100 TB deployment actually runs it — WITHOUT re-running

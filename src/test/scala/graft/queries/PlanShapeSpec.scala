@@ -111,6 +111,20 @@ class PlanShapeSpec extends SparkSpec {
       s"q_shard_balance lost its partitioned window:\n${plans("q_shard_balance")}")
   }
 
+  test("q_dedup_snm keeps its corpus window partitioned by pid") {
+    // the SNM global rank reuses the two-pass shape: the corpus-sized
+    // row_number window must be keyed on pid, never a global ORDER BY
+    assert(plans("q_dedup_snm").contains("windowspecdefinition(pid"),
+      s"q_dedup_snm lost its partitioned window:\n${plans("q_dedup_snm")}")
+  }
+
+  test("q_dedup_bloom prunes the new batch with a might_contain filter") {
+    // the bloom prefilter must sit in the plan as a codegen'd scalar
+    // predicate (no join, no shuffle) between the scan and the verify
+    assert(plans("q_dedup_bloom").contains("might_contain"),
+      s"q_dedup_bloom lost its bloom prefilter:\n${plans("q_dedup_bloom")}")
+  }
+
   test("q_range_join_auto: the naive theta join is auto-rewritten") {
     // the user wrote abs(Δt) <= W with no equi key; the optimizer must
     // have injected the 3-bin explode + equi-join (the global
