@@ -35,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)
+    e.injectOptimizerRule(s => graft.plans.MvRewriteRule(s))
   }
 }

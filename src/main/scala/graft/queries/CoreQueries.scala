@@ -584,6 +584,31 @@ object CoreQueries {
              |                            WHERE n_regionkey = 0)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // MATERIALIZED-VIEW rewrite: the query is written against the
+    // BASE lineitem table; MvRewriteRule (injected via
+    // SparkSessionExtensions) redirects it to the registered pricing
+    // summary — at a COARSER grouping than the MV's keys, so the
+    // rewrite must re-aggregate partials (sum of partial sums, sum of
+    // partial counts), not just relabel a scan. The DuckDB oracle runs
+    // the original query against the base table, so the hash gate
+    // proves the rewrite is answer-identical; PlanShapeSpec proves the
+    // plan actually reads the MV parquet and not the fact table.
+    // (sum(l_quantity) is exact in double: quantities are
+    // integer-valued and far below 2^53, so partial-sum order cannot
+    // change the result — the same reason the MV merge is exact.)
+    Q("q_mv_rewrite",
+      (s, d) => {
+        graft.plans.MvSetup.ensurePricingMv(s, d)
+        Tables.load(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+             |count(*) AS n_rows FROM lineitem
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // semi join (EXISTS)
     Q("q_semi_join",
       (s, d) => {

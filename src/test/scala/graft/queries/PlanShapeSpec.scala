@@ -125,6 +125,14 @@ class PlanShapeSpec extends SparkSpec {
       s"q_dedup_bloom lost its bloom prefilter:\n${plans("q_dedup_bloom")}")
   }
 
+  test("q_mv_rewrite: the aggregate reads the MV, not the fact table") {
+    val plan = plans("q_mv_rewrite")
+    assert(plan.contains("mv_pricing"),
+      s"MvRewriteRule did not redirect the scan:\n$plan")
+    assert(!plan.contains("lineitem.parquet"),
+      s"q_mv_rewrite still scans the fact table:\n$plan")
+  }
+
   test("q_range_join_auto: the naive theta join is auto-rewritten") {
     // the user wrote abs(Δt) <= W with no equi key; the optimizer must
     // have injected the 3-bin explode + equi-join (the global
