@@ -43,6 +43,16 @@ object SimilarityQueries {
     """CAST(list_sum(list_transform(range(1, 65), i -> a_sv[i] * b_sv[i])) AS DOUBLE)
       |      / sqrt(CAST(a_nn AS DOUBLE) * CAST(b_nn AS DOUBLE))""".stripMargin
 
+  /** Deterministic +-1 hyperplane sign for (plane j, dimension i):
+    * +1 iff the top nibble of md5("j_i") is < 8 — the identical
+    * construction the q_ann_srp oracle spells as
+    * instr('01234567', substr(md5(j || '_' || i), 1, 1)) > 0. */
+  private def srpSign(j: Int, i: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_${i}".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xF) < 8) 1 else -1
+  }
+
   /** Spark side of the shared shape: (vec_id, label, sv, nn). */
   private def scaled(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "embeddings")
@@ -408,6 +418,116 @@ object SimilarityQueries {
              |  FROM s)
              |SELECT query_id, neighbor_id, rank, qcos FROM r
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // SIGNED-RANDOM-PROJECTION ANN (hyperplane LSH, Charikar): the
+    // FOURTH search family — brute force scans everything, bucketed/
+    // IVF prune by a learned partition, SRP prunes by an ANGLE sketch:
+    // bit j of a 64-bit fingerprint is the sign of the projection onto
+    // pseudo-random hyperplane j, so hamming(fp_a, fp_b) concentrates
+    // around 64*angle/pi — candidates at hamming <= 28 cover
+    // neighbors out to ~79 degrees (this corpus's true top-5 sit at
+    // cos 0.2-0.5, i.e. 60-78 degrees, hamming 21-28), while a random
+    // pair (~90 degrees, hamming ~32, sd ~4) sits a standard deviation
+    // past the cut. The cut is a recall/cost dial: more planes (128+)
+    // sharpen the concentration and push random pairs further out.
+    //
+    // Everything is exact and engine-reproducible: projections are
+    // integer dot products over the scaled vectors with a +-1 sign
+    // matrix derived from md5(j || '_' || i) (the same construction on
+    // both engines), the prefilter is integer hamming, and the re-rank
+    // is the battery's exact scaled cosine. Plan shape at 100 TB: the
+    // fingerprint stage is a narrow generate (64 rows/vec) + broadcast
+    // 4096-row sign join + two partial aggs — constant work per
+    // vector, 16 bytes of output — and the candidate stage broadcasts
+    // only the query fingerprints. A full-corpus pairwise SRP would
+    // band the fingerprint exactly like simhash64 (same machinery,
+    // same losslessness argument at a hamming radius); the threshold
+    // form here is the per-query search shape.
+    Q("q_ann_srp",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val e = scaled(s, d)
+        val signs = (for (j <- 0 until 64; i <- 0 until 64)
+          yield (i, j, srpSign(j, i).toLong)).toDF("i", "j", "sgn")
+        val vr = e.select(col("vec_id"),
+          posexplode(col("sv")).as(Seq("i", "x")))
+        val bitval = when(col("p") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(j % 32 AS INT))"))
+          .otherwise(lit(0L))
+        val fp = vr.join(broadcast(signs), "i")
+          .groupBy("vec_id", "j")
+          .agg(sum(col("sgn") * col("x")).as("p"))
+          .groupBy("vec_id")
+          .agg(sum(when(col("j") >= 32, bitval).otherwise(lit(0L))).as("hi"),
+            sum(when(col("j") < 32, bitval).otherwise(lit(0L))).as("lo"))
+        val withVec = fp.join(e.select("vec_id", "sv", "nn"), "vec_id")
+        val q = withVec.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("hi").as("a_hi"),
+            col("lo").as("a_lo"), col("sv").as("a_sv"), col("nn").as("a_nn"))
+        val c = withVec
+          .select(col("vec_id").as("neighbor_id"), col("hi").as("b_hi"),
+            col("lo").as("b_lo"), col("sv").as("b_sv"), col("nn").as("b_nn"))
+        val pairs = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+          .withColumn("ham",
+            bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+              bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
+          .filter(col("ham") <= 28)
+          .withColumn("cos", cosineFromScaled(
+            col("a_sv"), col("b_sv"), col("a_nn"), col("b_nn")))
+        val top = graft.plans.TopKPerGroup.topKPerGroup(pairs,
+          Seq(col("query_id")), Seq(desc("cos"), asc("neighbor_id")), 5)
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("cos"), asc("neighbor_id"))
+        top.withColumn("rank", row_number().over(w).cast(LongType))
+          .select("query_id", "neighbor_id", "rank", "cos")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $scaledCte,
+             |sgn AS (
+             |  SELECT CAST(t2.i AS INTEGER) AS i, CAST(t1.j AS INTEGER) AS j,
+             |    CASE WHEN instr('01234567',
+             |      substr(md5(CAST(t1.j AS VARCHAR) || '_' ||
+             |                 CAST(t2.i AS VARCHAR)), 1, 1)) > 0
+             |      THEN 1 ELSE -1 END AS s
+             |  FROM range(0, 64) t1(j), range(0, 64) t2(i)),
+             |vr AS (
+             |  SELECT vec_id, CAST(r.i AS INTEGER) - 1 AS i0,
+             |    sv[CAST(r.i AS INTEGER)] AS x
+             |  FROM sc, range(1, 65) r(i)),
+             |proj AS (
+             |  SELECT vec_id, g.j, CAST(sum(g.s * v.x) AS BIGINT) AS p
+             |  FROM vr v JOIN sgn g ON g.i = v.i0
+             |  GROUP BY vec_id, g.j),
+             |f AS (
+             |  SELECT vec_id,
+             |    CAST(sum(CASE WHEN j >= 32 AND p >= 0
+             |      THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT)
+             |      AS hi,
+             |    CAST(sum(CASE WHEN j < 32 AND p >= 0
+             |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS lo
+             |  FROM proj GROUP BY vec_id),
+             |qf AS (
+             |  SELECT f.vec_id AS query_id, f.hi AS a_hi, f.lo AS a_lo,
+             |    n.sv AS a_sv, n.nn AS a_nn
+             |  FROM f JOIN nrm n ON f.vec_id = n.vec_id WHERE f.vec_id < 5),
+             |cf AS (
+             |  SELECT f.vec_id AS neighbor_id, f.hi AS b_hi, f.lo AS b_lo,
+             |    n.sv AS b_sv, n.nn AS b_nn
+             |  FROM f JOIN nrm n ON f.vec_id = n.vec_id),
+             |cand AS (
+             |  SELECT query_id, neighbor_id,
+             |    $cosExpr AS cos
+             |  FROM cf JOIN qf ON neighbor_id <> query_id
+             |  WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo))
+             |    <= 28),
+             |r AS (
+             |  SELECT query_id, neighbor_id, cos,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+             |  FROM cand)
+             |SELECT query_id, neighbor_id, rank, cos FROM r
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // SemDeDup-style semantic near-duplicate pairs: cluster the
     // embedding space (k-means assignment to the deterministic IVF
