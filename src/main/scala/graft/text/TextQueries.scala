@@ -1021,6 +1021,78 @@ object TextQueries {
              |n AS (SELECT count(*) AS total FROM t)
              |SELECT tok, count(*) AS cnt FROM t, n
              |GROUP BY tok, total HAVING count(*) * 33 > total
-             |ORDER BY cnt DESC, tok""".stripMargin))
+             |ORDER BY cnt DESC, tok""".stripMargin)),
+
+    // COUNT-MIN SKETCH: the third frequency sketch beside Misra-Gries
+    // (q_heavy_hitters, deterministic top-k) and HLL
+    // (q_approx_distinct, cardinality) — CMS answers point frequency
+    // queries from a FIXED depth x width counter grid (4 x 8 here —
+    // deliberately SMALLER than the 31-token fixture vocabulary, so
+    // collisions and the one-sided error are visible in the output):
+    // counter(d, b) = total count of tokens hashing to bucket b under
+    // hash d; estimate(tok) = min over d of its counters. One-sided
+    // error by construction (collisions only ADD), which the output
+    // exposes as overcount = est - exact >= 0 for the top-20 tokens.
+    //
+    // Buckets come from the first 8 hex digits of md5(d || '_' || tok)
+    // mod width — Spark spells it conv(substr(md5, 1, 8), 16, 10), the
+    // oracle spells the same parse as positional digit arithmetic, so
+    // the grid is bit-identical on both engines. 100 TB posture: the
+    // grid build is ONE aggregate into W*D = 1024 cells regardless of
+    // vocabulary (vs the exact GROUP BY's vocabulary-sized state);
+    // estimates are broadcast-joined lookups against KBs. The exact
+    // per-token counts computed alongside exist only to grade the
+    // sketch — production keeps the grid and drops the GROUP BY.
+    Q("q_cms_counts",
+      (s, d) => {
+        val W = 8
+        val D = 4
+        val toks = Tables.load(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("tok"))
+        val cnts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        def bucket(dc: org.apache.spark.sql.Column,
+                   tc: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(dc.cast(StringType), lit("_"), tc)),
+            1, 8), 16, 10).cast(LongType) % W
+        val withD = cnts.select(col("tok"), col("cnt"),
+          explode(array((0 until D).map(lit(_)): _*)).as("d"))
+          .withColumn("b", bucket(col("d"), col("tok")))
+        val grid = withD.groupBy("d", "b").agg(sum(col("cnt")).as("c"))
+        val top = cnts.orderBy(desc("cnt"), asc("tok")).limit(20)
+        top.select(col("tok"), col("cnt"),
+            explode(array((0 until D).map(lit(_)): _*)).as("d"))
+          .withColumn("b", bucket(col("d"), col("tok")))
+          .join(broadcast(grid), Seq("d", "b"))
+          .groupBy("tok", "cnt")
+          .agg(min(col("c")).as("cms_est"))
+          .withColumn("overcount", col("cms_est") - col("cnt"))
+          .select("tok", "cnt", "cms_est", "overcount")
+          .orderBy(desc("cnt"), asc("tok"))
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+             |dd AS (SELECT CAST(r.d AS INTEGER) AS d FROM range(0, 4) r(d)),
+             |hb AS (
+             |  SELECT c.tok, c.cnt, dd.d,
+             |    ((instr('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || '_' || c.tok), 1, 1)) - 1) * 268435456
+             |   + (instr('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || '_' || c.tok), 2, 1)) - 1) * 16777216
+             |   + (instr('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || '_' || c.tok), 3, 1)) - 1) * 1048576
+             |   + (instr('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || '_' || c.tok), 4, 1)) - 1) * 65536
+             |   + (instr('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || '_' || c.tok), 5, 1)) - 1) * 4096
+             |   + (instr('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || '_' || c.tok), 6, 1)) - 1) * 256
+             |   + (instr('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || '_' || c.tok), 7, 1)) - 1) * 16
+             |   + (instr('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || '_' || c.tok), 8, 1)) - 1)) % 8 AS b
+             |  FROM c, dd),
+             |cm AS (SELECT d, b, CAST(sum(cnt) AS BIGINT) AS cc
+             |       FROM hb GROUP BY d, b),
+             |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20),
+             |est AS (
+             |  SELECT top.tok, top.cnt, min(cm.cc) AS cms_est
+             |  FROM top JOIN hb ON hb.tok = top.tok
+             |  JOIN cm ON cm.d = hb.d AND cm.b = hb.b
+             |  GROUP BY top.tok, top.cnt)
+             |SELECT tok, cnt, cms_est, cms_est - cnt AS overcount
+             |FROM est ORDER BY cnt DESC, tok""".stripMargin))
   )
 }
