@@ -16,6 +16,33 @@ object TextQueries {
 
   val Stopwords = Seq("the", "a", "an", "of", "and")
 
+  /** q_bpe_encode's merge table: the top-30 adjacent-character pairs
+    * by corpus frequency, rank order (count desc, pair asc). Bounded
+    * driver state by construction — 30 two-char strings. */
+  private[graft] def bpeMerges(s: org.apache.spark.sql.SparkSession,
+                               d: String): Seq[String] =
+    Tables.load(s, d, "documents")
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bg")).limit(30)
+      .collect().map(_.getString(0)).toSeq
+
+  /** The rank-fold BPE encoder as a pure expression over `word`:
+    * sentinel form "#h# #e# ..." then one exhaustive left-to-right
+    * `replace` per merge, in rank order — a static codegen'd chain.
+    * Returns the encoded string; see q_bpe_encode for the equivalence
+    * argument and BpeEncodeSpec for the proof against the textbook
+    * priority-loop implementation. */
+  private[graft] def bpeEncode(merges: Seq[String]): org.apache.spark.sql.Column = {
+    val enc0 = rtrim(regexp_replace(col("word"), "(.)", "#$1# "))
+    merges.foldLeft(enc0)((acc, m) =>
+      replace(acc, lit(s"#${m(0)}# #${m(1)}#"), lit(s"#$m#")))
+  }
+
   val all: Seq[Q] = Seq(
 
     // token counting: whitespace tokenizer, distinct count, and a
@@ -701,6 +728,64 @@ object TextQueries {
              |  FROM tk WHERE length(tok) >= 2)
              |SELECT pair, count(*) AS cnt FROM pairs
              |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)),
+
+    // BPE ENCODE — the tokenization step itself, not just the merge
+    // statistics above: every word is segmented by greedily applying a
+    // learned merge list, and the per-document token count is what the
+    // packing/budgeting operators downstream consume. Merges here are
+    // the top-30 adjacent-character pairs by corpus frequency (one
+    // training round, deterministic tiebreak) — at 100 TB the merge
+    // table is always trained once (often on a sample) and SHIPPED;
+    // encode is the corpus-scale operation.
+    //
+    // The encode itself exploits a classic equivalence: when every
+    // merge's operands exist before later merges (true for any
+    // well-formed BPE merge list), applying merges RANK BY RANK, each
+    // exhaustively left-to-right, produces the same segmentation as
+    // the textbook highest-priority-pair loop — proven against a JVM
+    // reference implementation in BpeEncodeSpec. That turns encoding
+    // into a STATIC chain of 30 codegen'd string replaces over a
+    // sentinel form ("#h# #e# ..."), map-only. The 30-entry merge
+    // table is driver-held (bounded, like the IVF centroids), and
+    // per-word work is cached by encoding the DISTINCT vocabulary and
+    // broadcast-joining counts back — the standard subword cache.
+    Q("q_bpe_encode",
+      (s, d) => {
+        val words = Tables.load(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        val merges = bpeMerges(s, d)
+        val encoded = words.select("word").distinct()
+          .select(col("word"), length(col("word")).cast(LongType).as("n_char"),
+            size(split(bpeEncode(merges), " ")).cast(LongType).as("n_sym"))
+        words.join(broadcast(encoded), "word")
+          .groupBy("doc_id")
+          .agg(sum(col("n_char")).as("n_char_sym"),
+            sum(col("n_sym")).as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |b AS (
+             |  SELECT unnest(list_transform(range(1, length(word)),
+             |    i -> substr(word, CAST(i AS INT), 2))) AS bg
+             |  FROM w WHERE length(word) >= 2),
+             |mrg AS (SELECT list(bg ORDER BY cnt DESC, bg) AS ms FROM (
+             |  SELECT bg, count(*) AS cnt FROM b GROUP BY bg
+             |  ORDER BY cnt DESC, bg LIMIT 30)),
+             |v AS (SELECT DISTINCT word FROM w),
+             |e AS (SELECT word, length(word) AS n_char,
+             |  len(string_split(list_reduce(
+             |    list_concat([rtrim(regexp_replace(word, '(.)', '#\1# ', 'g'))],
+             |      ms),
+             |    (acc, m) -> replace(acc,
+             |      '#' || substr(m, 1, 1) || '# #' || substr(m, 2, 1) || '#',
+             |      '#' || m || '#')), ' ')) AS n_sym
+             |  FROM v, mrg)
+             |SELECT doc_id, CAST(sum(n_char) AS BIGINT) AS n_char_sym,
+             |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+             |FROM w JOIN e USING (word)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // context-window chunking: split each document's token stream into
     // overlapping windows of C=64 tokens at stride S=48 (16-token
