@@ -739,6 +739,83 @@ object DedupQueries {
              |FROM grams g JOIN df ON g.gh = df.gh
              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // SPAN SCRUB — the CLEANING pass q_dedup_spans only diagnoses:
+    // rewrite every document with the tokens covered by any corpus-
+    // duplicated 8-gram removed (Lee et al. apply exactly this edit
+    // after finding duplicated substrings). A token at position t is
+    // dropped iff some duplicated gram starts in [t-7, t]; the rebuilt
+    // text is the kept tokens in original order, so the output is the
+    // actual cleaned corpus, not a report.
+    //
+    // Plan: one tokenize (positions kept), gram fingerprints with
+    // their start positions, count per hash, duplicated starts explode
+    // to their 8 covered positions (bounded 8x fan-out of a tiny dup
+    // list), anti-membership via left join, and per-doc reconstruction
+    // through collect_list(struct(pos, tok)) + array_sort — the sort
+    // is per-document (bounded by doc length), never a corpus sort.
+    // At 100 TB every stage shuffles on uniform keys (gram hash, doc
+    // id) and nothing is ever all-pairs or driver-sized.
+    Q("q_dedup_span_scrub",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        val grams = toks
+          .withColumn("t7", lead(col("tok"), 7).over(w))
+          .withColumn("g", concat_ws(" ",
+            col("tok") +: (1 to 6).map(k => lead(col("tok"), k).over(w))
+              :+ col("t7"): _*))
+          .filter(col("t7").isNotNull)
+          .select(col("doc_id"), col("pos"), md5(col("g")).as("gh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dupCnt = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+        val covered = grams.join(dupCnt, "gh")
+          .select(col("doc_id").as("c_doc"),
+            explode(sequence(col("pos"), col("pos") + 7)).as("cpos"))
+          .distinct()
+        toks.join(covered,
+            col("doc_id") === col("c_doc") && col("pos") === col("cpos"),
+            "left")
+          .select(col("doc_id"), col("pos"), col("tok"),
+            col("cpos").isNotNull.as("rm"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(when(!col("rm"),
+                struct(col("pos"), col("tok"))))),
+              x => x.getField("tok"))).as("text_clean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |tr AS (
+             |  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos,
+             |    unnest(tk) AS tok FROM toks),
+             |gr AS (
+             |  SELECT doc_id,
+             |    unnest(range(1, greatest(len(tk) - 6, 1))) AS gpos,
+             |    unnest(list_transform(range(1, greatest(len(tk) - 6, 1)),
+             |      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS gh
+             |  FROM toks WHERE len(tk) >= 8),
+             |df AS (SELECT gh, count(*) AS c FROM gr GROUP BY gh),
+             |cov AS (
+             |  SELECT DISTINCT g.doc_id, g.gpos + o.o AS pos
+             |  FROM gr g JOIN df ON g.gh = df.gh, range(0, 8) o(o)
+             |  WHERE df.c >= 2)
+             |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_removed,
+             |  coalesce(array_to_string(
+             |    list(t.tok ORDER BY t.pos) FILTER (WHERE cov.pos IS NULL),
+             |    ' '), '') AS text_clean
+             |FROM tr t LEFT JOIN cov
+             |  ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
     // PageRank centrality over the near-dup graph — the second
     // iterative graph operator (clustering above finds the GROUPS;
     // centrality ranks members WITHIN them, the principled way to pick
