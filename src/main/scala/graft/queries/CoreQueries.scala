@@ -1000,6 +1000,64 @@ object CoreQueries {
              |  CAST(SUM(CASE WHEN prev IS NULL
              |    OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              |  count(*) AS n_events
-             |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ORDERED-STEP FUNNEL over the event stream: how far does each
+    // user get through view -> click -> purchase, where each step must
+    // strictly FOLLOW the previous one in event time (earliest-
+    // completion semantics: step k's timestamp is the first qualifying
+    // event after step k-1). The step dependency is join-carried — a
+    // filtered partial aggregate per step, each joined to the previous
+    // step's per-user time — so nothing ever windows over a user's
+    // whole history, and every shuffle is on uniform user ids. The
+    // classic window formulation (collect the full ordered event array
+    // per user) is what this plan deliberately avoids at 100 TB.
+    Q("q_event_funnel",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("tms"))
+        val t1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("tms")).as("t_view"))
+        val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+          .filter(col("tms") > col("t_view"))
+          .groupBy("user_id").agg(min(col("tms")).as("t_click"))
+        val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+          .filter(col("tms") > col("t_click"))
+          .groupBy("user_id").agg(min(col("tms")).as("t_purchase"))
+        e.select("user_id").distinct()
+          .join(t1, Seq("user_id"), "left")
+          .join(t2, Seq("user_id"), "left")
+          .join(t3, Seq("user_id"), "left")
+          .withColumn("depth",
+            when(col("t_purchase").isNotNull, 3L)
+              .when(col("t_click").isNotNull, 2L)
+              .when(col("t_view").isNotNull, 1L)
+              .otherwise(0L))
+          .select("user_id", "depth", "t_view", "t_click", "t_purchase")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+             |t1 AS (SELECT user_id, min(tms) AS t_view FROM e
+             |       WHERE event_type = 'view' GROUP BY user_id),
+             |t2 AS (SELECT e.user_id, min(tms) AS t_click
+             |       FROM e JOIN t1 USING (user_id)
+             |       WHERE event_type = 'click' AND tms > t_view
+             |       GROUP BY e.user_id),
+             |t3 AS (SELECT e.user_id, min(tms) AS t_purchase
+             |       FROM e JOIN t2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND tms > t_click
+             |       GROUP BY e.user_id),
+             |u AS (SELECT DISTINCT user_id FROM e)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+             |       WHEN t_click IS NOT NULL THEN 2
+             |       WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             |    AS depth,
+             |  t_view, t_click, t_purchase
+             |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+             |  LEFT JOIN t3 USING (user_id)
+             |ORDER BY user_id""".stripMargin))
   )
 }
