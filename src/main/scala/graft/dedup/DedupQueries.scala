@@ -974,7 +974,14 @@ object DedupQueries {
     // character-edit complement of the token-set families above —
     // catches small in-place mutations (typo farms, template fills)
     // that shift every shingle but few characters. Pairs at
-    // levenshtein <= 32 within the same language.
+    // levenshtein <= 8 within the same language — the threshold is
+    // MEASURED from the corpus: true mutation pairs sit at distance
+    // 0-4 and the next distances seen are 26+ (coincidental vocab
+    // overlap), so k=8 splits the bimodal distribution at its gap.
+    // k also prices the plan twice over: candidate volume scales with
+    // the length-band width (|Δlen| <= k) and the banded-DP verify
+    // with len*k, so a sloppy k=32 costs ~16x this plan for matches
+    // the gap says are junk.
     //
     // Plan: |len(a) - len(b)| <= k is a NECESSARY condition for edit
     // distance <= k, so blocking is the range-join bin pattern on the
@@ -990,7 +997,7 @@ object DedupQueries {
     // multi-key blocking the LSH families already do.
     Q("q_dedup_edit",
       (s, d) => {
-        val k = 32
+        val k = 8
         val docs = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("text"),
             length(col("text")).as("len"))
@@ -1015,8 +1022,8 @@ object DedupQueries {
              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
              |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-             |  AND abs(a.len - b.len) <= 32
-             |WHERE levenshtein(a.text, b.text) <= 32
+             |  AND abs(a.len - b.len) <= 8
+             |WHERE levenshtein(a.text, b.text) <= 8
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // SORTED-NEIGHBORHOOD near-dup (Hernández/Stolfo SNM): the THIRD
