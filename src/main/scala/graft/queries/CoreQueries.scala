@@ -584,6 +584,31 @@ object CoreQueries {
              |                            WHERE n_regionkey = 0)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // FILE-MANIFEST scan pruning (Iceberg/Delta data skipping as an
+    // operator): a write-once range-clustered layout + a per-file
+    // min/max manifest; the planner answers `n_chars BETWEEN lo AND
+    // hi` by opening only overlapping files (driver-held file list,
+    // one manifest row per file), then re-applies the exact predicate
+    // so pruning can never change the answer. The oracle runs the
+    // plain filter on the ORIGINAL table — the hash gate therefore
+    // proves layout + manifest + planner + pruned read are exact
+    // end-to-end; ManifestPruneSpec asserts files are actually
+    // skipped. File-level skipping completes the granularity ladder:
+    // row groups (parquet min/max), hive partitions (IVF), Z-order
+    // (two-sided ranges) — this is the table-format layer above them.
+    Q("q_manifest_prune",
+      (s, d) => {
+        val root = graft.sources.ManifestPrune.ensureLayout(s, d)
+        graft.sources.ManifestPrune.readRange(s, root, 100, 180)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE n_chars BETWEEN 100 AND 180
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // MATERIALIZED-VIEW rewrite: the query is written against the
     // BASE lineitem table; MvRewriteRule (injected via
     // SparkSessionExtensions) redirects it to the registered pricing
