@@ -1026,6 +1026,99 @@ object DedupQueries {
              |WHERE levenshtein(a.text, b.text) <= 8
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // URL-CANONICALIZATION dedup — web-ingest identity resolution:
+    // the same page arrives under many raw URL spellings (scheme
+    // case, www, default ports, trailing slash, fragments, tracking
+    // params), and crawl dedup keys on the CANONICAL form before any
+    // content hashing. The corpus has no URL column, so raw URLs are
+    // synthesized deterministically from doc_id (the q_pii_scrub
+    // precedent): 100 canonical classes, each surfacing under one of
+    // 5 spelling variants chosen by doc_id. The canonicalizer is the
+    // real chain: lowercase, strip scheme/www/default port, drop the
+    // fragment, FILTER query params (utm_*/ref= dropped, meaningful
+    // params kept and sorted) and trim the trailing slash — so the
+    // variant carrying ?page=2 correctly stays a DIFFERENT page.
+    // Map-only per row; the dedup itself is one hash-agg on the
+    // canonical key — exact-dedup cost, applied before any content
+    // pass at 100 TB.
+    Q("q_dedup_url",
+      (s, d) => {
+        val c = (col("doc_id") % 100).cast(StringType)
+        val m = (col("doc_id") % 100 % 10).cast(StringType)
+        val v = expr("doc_id div 100") % 5
+        val base = concat(lit("site"), m, lit(".example.com/p/"), c)
+        val raw = when(v === 0, concat(lit("https://"), base))
+          .when(v === 1, concat(lit("HTTP://WWW.Site"), m,
+            lit(".Example.com:80/p/"), c, lit("/")))
+          .when(v === 2, concat(lit("https://site"), m,
+            lit(".example.com:443/p/"), c,
+            lit("?utm_source=feed&utm_campaign=x")))
+          .when(v === 3, concat(lit("https://www."), base, lit("#section-2")))
+          .otherwise(concat(lit("https://"), base, lit("?page=2&ref=tw")))
+        val low = lower(raw)
+        val noScheme = regexp_replace(low, "^https?://", "")
+        val noWww = regexp_replace(noScheme, "^www\\.", "")
+        val noPort = regexp_replace(noWww, "^([^/]*):(80|443)", "$1")
+        val noFrag = regexp_replace(noPort, "#.*$", "")
+        val path0 = regexp_replace(noFrag, "\\?.*$", "")
+        val path = regexp_replace(path0, "/$", "")
+        val qs = when(noFrag.contains("?"),
+          substring_index(noFrag, "?", -1)).otherwise(lit(""))
+        val kept = filter(split(qs, "&"),
+          p => !(p.startsWith("utm_") || p.startsWith("ref=") || (p === "")))
+        val canon = concat(path,
+          when(size(kept) > 0,
+            concat(lit("?"), array_join(array_sort(kept), "&")))
+            .otherwise(lit("")))
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), canon.as("canon_url"))
+          .groupBy("canon_url")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("canon_url")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    CASE (doc_id // 100) % 5
+             |      WHEN 0 THEN 'https://site' || (doc_id % 100) % 10 ||
+             |        '.example.com/p/' || doc_id % 100
+             |      WHEN 1 THEN 'HTTP://WWW.Site' || (doc_id % 100) % 10 ||
+             |        '.Example.com:80/p/' || doc_id % 100 || '/'
+             |      WHEN 2 THEN 'https://site' || (doc_id % 100) % 10 ||
+             |        '.example.com:443/p/' || doc_id % 100 ||
+             |        '?utm_source=feed&utm_campaign=x'
+             |      WHEN 3 THEN 'https://www.site' || (doc_id % 100) % 10 ||
+             |        '.example.com/p/' || doc_id % 100 || '#section-2'
+             |      ELSE 'https://site' || (doc_id % 100) % 10 ||
+             |        '.example.com/p/' || doc_id % 100 || '?page=2&ref=tw'
+             |    END AS raw
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |      lower(raw),
+             |      '^https?://', ''), '^www\.', ''),
+             |      '^([^/]*):(80|443)', '\1'), '#.*$', '') AS nf
+             |  FROM u),
+             |cn AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(nf, '\?.*$', ''), '/$', '')
+             |    || CASE WHEN len(list_filter(
+             |         string_split(CASE WHEN instr(nf, '?') > 0
+             |           THEN split_part(nf, '?', 2) ELSE '' END, '&'),
+             |         p -> NOT (starts_with(p, 'utm_')
+             |           OR starts_with(p, 'ref=') OR p = ''))) > 0
+             |      THEN '?' || array_to_string(list_sort(list_filter(
+             |         string_split(split_part(nf, '?', 2), '&'),
+             |         p -> NOT (starts_with(p, 'utm_')
+             |           OR starts_with(p, 'ref=') OR p = ''))), '&')
+             |      ELSE '' END AS canon_url
+             |  FROM st)
+             |SELECT canon_url, count(*) AS n_docs,
+             |  CAST(min(doc_id) AS BIGINT) AS keep_id
+             |FROM cn GROUP BY canon_url HAVING count(*) >= 2
+             |ORDER BY canon_url""".stripMargin)),
+
     // SORTED-NEIGHBORHOOD near-dup (Hernández/Stolfo SNM): the THIRD
     // blocking strategy in the family — q_dedup_edit blocks by length
     // band, the LSH queries by hash band; SNM blocks by SORT ORDER:

@@ -345,6 +345,19 @@ object StreamingPipelines {
       case None => throw new IllegalStateException(s"no MV version in $mvDir")
     }
 
+  /** TIME TRAVEL: the view as of a historical batch — version dirs
+    * are immutable once the pointer moves past them, so any retained
+    * version reads back exactly as it was committed (the audit /
+    * reproducibility read a table format sells, here from the version
+    * protocol alone). Throws if the version was never committed. */
+  def mvAsOf(s: SparkSession, mvDir: String, version: Long): DataFrame = {
+    val p = java.nio.file.Paths.get(mvDir, s"v_$version")
+    if (!java.nio.file.Files.isDirectory(p))
+      throw new IllegalArgumentException(
+        s"version $version not present under $mvDir")
+    s.read.parquet(p.toString)
+  }
+
   /** File-source streaming read of the events table with the same
     * nanos-handling as Tables.load. Targets the events parquet
     * specifically — pointing a schema'd file stream at the whole

@@ -412,5 +412,13 @@ class StreamingPipelinesSpec extends SparkSpec {
     StreamingPipelines.applyMvBatch(b1, 1, dir)
     assert(mvSnapshot(dir) === s1)
     assert(StreamingPipelines.latestMvVersion(dir) === Some(1L))
+    // time travel: v0 is immutable and still reads as committed
+    val asOf0 = StreamingPipelines.mvAsOf(spark, dir, 0).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(asOf0 === s0)
+    intercept[IllegalArgumentException] {
+      StreamingPipelines.mvAsOf(spark, dir, 99)
+    }
   }
 }
