@@ -73,4 +73,31 @@ object ManifestPrune {
       else s.read.parquet(files: _*)
     base.filter(col("n_chars") >= lo && col("n_chars") <= hi)
   }
+
+  /** COMPACTION — the maintenance sibling of the pruned scan: many
+    * small files (the steady state of incremental ingest) are
+    * rewritten into `nFiles` range-clustered files WITH a rebuilt
+    * manifest, into a new versioned directory pair — the live layout
+    * is never mutated in place, so concurrent readers of the old
+    * data/manifest keep a consistent view (swap-by-path, the same
+    * commit idea as the MV version pointer). Clustering is preserved
+    * (repartitionByRange on the same key), so post-compaction skipping
+    * is at least as selective per file. Returns the new layout's
+    * (dataDir, manifestDir). */
+  def compactLayout(s: SparkSession, root: String,
+                    nFiles: Int): (String, String) = {
+    val dataDir = s"$root/data_compact_$nFiles"
+    val mfDir = s"$root/manifest_compact_$nFiles"
+    s.read.parquet(s"$root/data")
+      .repartitionByRange(nFiles, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(dataDir)
+    s.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(min(col("n_chars")).as("min_key"),
+        max(col("n_chars")).as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(mfDir)
+    (dataDir, mfDir)
+  }
 }

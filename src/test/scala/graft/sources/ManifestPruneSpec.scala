@@ -33,4 +33,23 @@ class ManifestPruneSpec extends SparkSpec {
     assert(ManifestPrune.planFiles(spark, root, -10, -5).isEmpty)
     assert(ManifestPrune.readRange(spark, root, -10, -5).count() === 0L)
   }
+
+  test("compaction shrinks the file count, preserves data and skipping") {
+    val root = ManifestPrune.ensureLayout(spark, sf0001)
+    val (dataDir, mfDir) = ManifestPrune.compactLayout(spark, root, 2)
+    val mf = spark.read.parquet(mfDir).collect()
+    assert(mf.length === 2, s"expected 2 compacted files, got ${mf.length}")
+    // data identical
+    val before = spark.read.parquet(s"$root/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val after = spark.read.parquet(dataDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after === before)
+    // clustering preserved: the two files' key ranges do not overlap
+    val ranges = mf.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges(0)._2 <= ranges(1)._1,
+      s"compacted files overlap: $ranges")
+    // the old layout is untouched (swap-by-path, readers stay valid)
+    assert(ManifestPrune.totalFiles(spark, root) === 8L)
+  }
 }
