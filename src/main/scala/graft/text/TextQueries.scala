@@ -877,6 +877,59 @@ object TextQueries {
              |FROM rated r LEFT JOIN kept k ON r.source = k.source
              |ORDER BY r.source""".stripMargin)),
 
+    // TEMPERATURE-SCALED mixture rebalancing (alpha-sampling, the
+    // T5/multilingual training mix): q_corpus_mix above flattens to
+    // UNIFORM shares; real mixes soften skew only partially — post-mix
+    // counts proportional to cnt^alpha. alpha = 0.5 here, which makes
+    // every arithmetic step an IEEE exactly-rounded operation
+    // (keep_fraction_l = sqrt(cnt_min / cnt_l): one division, one
+    // sqrt, one multiply, floor — bit-identical across engines, where
+    // a share-of-sum formulation would hang the threshold on a
+    // non-associative float sum). The smallest language keeps 100%,
+    // larger ones keep sqrt(cnt_min/cnt), so kept counts land
+    // proportional to sqrt(cnt): skew softened, minority languages
+    // upweighted relative to proportional sampling. Same scale shape
+    // as q_corpus_mix: per-group stats are KBs, membership is one
+    // map-side md5-bucket filter — no shuffle of the corpus.
+    Q("q_corpus_mix_temp",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val stats = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        val g = stats.agg(min(col("cnt")).as("cmin"))
+        val rated = stats.crossJoin(broadcast(g))
+          .withColumn("thr", least(lit(1000L),
+            floor(lit(1000.0) *
+              sqrt(col("cmin").cast(DoubleType) / col("cnt")))
+              .cast(LongType)))
+          .select("lang", "cnt", "thr")
+        val bucket = pmod(conv(substring(md5(col("doc_id").cast(StringType)),
+          1, 8), 16, 10).cast(LongType), lit(1000L))
+        val kept = docs.join(broadcast(rated), "lang")
+          .withColumn("bucket", bucket)
+          .filter(col("bucket") < col("thr"))
+          .groupBy("lang").agg(count(lit(1)).as("kept"))
+        rated.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("cnt"), col("thr"),
+            coalesce(col("kept"), lit(0L)).as("kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH stats AS (
+             |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+             |g AS (SELECT min(cnt) AS cmin FROM stats),
+             |rated AS (
+             |  SELECT lang, cnt,
+             |    least(1000, CAST(floor(1000.0 *
+             |      sqrt(CAST(cmin AS DOUBLE) / cnt)) AS BIGINT)) AS thr
+             |  FROM stats, g),
+             |kept AS (
+             |  SELECT d.lang, count(*) AS kept
+             |  FROM documents d JOIN rated r ON d.lang = r.lang
+             |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < r.thr
+             |  GROUP BY d.lang)
+             |SELECT r.lang, r.cnt, r.thr, coalesce(k.kept, 0) AS kept
+             |FROM rated r LEFT JOIN kept k ON r.lang = k.lang
+             |ORDER BY r.lang""".stripMargin)),
+
     // sequence packing: assign documents to fixed token-budget batches
     // (B=512) by a running token count — the batching step that feeds
     // fixed-context training. The parallel unit is (source, shard):
