@@ -529,6 +529,84 @@ object SimilarityQueries {
              |SELECT query_id, neighbor_id, rank, cos FROM r
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // CONTRASTIVE TRAINING-PAIR GENERATION — the step that turns a
+    // corpus + an ANN index into embedding-model training data
+    // (SimCSE/CLIP-style): for each anchor, one POSITIVE (its exact
+    // nearest neighbor by cosine — in production the ANN index serves
+    // this; the exact form keeps the oracle bit-for-bit) and three
+    // NEGATIVES drawn deterministically by md5 of (anchor, slot),
+    // skip-past-collision so a negative never equals the anchor or
+    // the positive. Output is the exploded triplet table a training
+    // job consumes. Scale shape: anchors broadcast against the corpus
+    // scan for the positive (the q_ann_bruteforce pattern — swap in
+    // the IVF probe at 100 TB), negatives are pure per-row arithmetic
+    // against the corpus SIZE, not the corpus.
+    Q("q_contrastive_pairs",
+      (s, d) => {
+        val e = scaled(s, d)
+        val n = e.count() // corpus size: bounds the negative draw
+        val q = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("anchor"), col("sv").as("a_sv"),
+            col("nn").as("a_nn"))
+        val c = e.select(col("vec_id").as("cand"), col("sv").as("b_sv"),
+          col("nn").as("b_nn"))
+        val pos = graft.plans.TopKPerGroup.topKPerGroup(
+          c.join(broadcast(q), col("cand") =!= col("anchor"))
+            .withColumn("cos", cosineFromScaled(
+              col("a_sv"), col("b_sv"), col("a_nn"), col("b_nn"))),
+          Seq(col("anchor")), Seq(desc("cos"), asc("cand")), 1)
+          .select(col("anchor"), col("cand").as("positive"))
+        // negative slot k: start at md5(anchor_k) mod n, then walk
+        // forward past the anchor and the positive (mod n) — id space
+        // is dense 0..n-1, so the draw is always resolvable
+        val withSlots = pos.select(col("anchor"), col("positive"),
+          explode(array((0 until 3).map(lit(_)): _*)).as("slot"))
+          .withColumn("seed", pmod(conv(substring(md5(
+            concat(col("anchor").cast(StringType), lit("_"),
+              col("slot").cast(StringType))), 1, 8), 16, 10)
+            .cast(LongType), lit(n)))
+          .withColumn("negative",
+            when(pmod(col("seed"), lit(n)) =!= col("anchor") &&
+                 pmod(col("seed"), lit(n)) =!= col("positive"),
+              pmod(col("seed"), lit(n)))
+            .when(pmod(col("seed") + 1, lit(n)) =!= col("anchor") &&
+                  pmod(col("seed") + 1, lit(n)) =!= col("positive"),
+              pmod(col("seed") + 1, lit(n)))
+            .otherwise(pmod(col("seed") + 2, lit(n))))
+        withSlots.select(col("anchor"), col("positive"),
+            col("slot").cast(LongType).as("slot"), col("negative"))
+          .orderBy("anchor", "slot")
+      },
+      Some(s"""WITH $scaledCte,
+             |nct AS (SELECT count(*) AS n FROM nrm),
+             |q AS (SELECT vec_id AS anchor, sv AS a_sv, nn AS a_nn
+             |      FROM nrm WHERE vec_id < 50),
+             |c AS (SELECT vec_id AS cand, sv AS b_sv, nn AS b_nn FROM nrm),
+             |sc2 AS (
+             |  SELECT anchor, cand,
+             |    $cosExpr AS cos
+             |  FROM c JOIN q ON cand <> anchor),
+             |pos AS (
+             |  SELECT anchor, cand AS positive FROM (
+             |    SELECT anchor, cand,
+             |      row_number() OVER (PARTITION BY anchor
+             |        ORDER BY cos DESC, cand) AS rn
+             |    FROM sc2) t WHERE rn = 1),
+             |slots AS (
+             |  SELECT p.anchor, p.positive, CAST(s.s AS BIGINT) AS slot,
+             |    CAST(('0x' || substr(md5(CAST(p.anchor AS VARCHAR) || '_' ||
+             |      CAST(s.s AS VARCHAR)), 1, 8)) AS BIGINT) % n AS seed, n
+             |  FROM pos p, range(0, 3) s(s), nct)
+             |SELECT anchor, positive, slot,
+             |  CASE
+             |    WHEN seed % n <> anchor AND seed % n <> positive
+             |      THEN seed % n
+             |    WHEN (seed + 1) % n <> anchor AND (seed + 1) % n <> positive
+             |      THEN (seed + 1) % n
+             |    ELSE (seed + 2) % n
+             |  END AS negative
+             |FROM slots ORDER BY anchor, slot""".stripMargin)),
+
     // SemDeDup-style semantic near-duplicate pairs: cluster the
     // embedding space (k-means assignment to the deterministic IVF
     // centroids — map-only literal argmax, no shuffle of the corpus)

@@ -1161,6 +1161,54 @@ object TextQueries {
              |GROUP BY tok, total HAVING count(*) * 33 > total
              |ORDER BY cnt DESC, tok""".stripMargin)),
 
+    // LINEAR QUALITY-CLASSIFIER INFERENCE — the fastText-style quality
+    // gate every production corpus runs (CCNet, Gopher, Llama filters):
+    // hash each token into a 64-bucket feature vector, dot it with a
+    // broadcast weight vector, threshold the logit. The MODEL here is
+    // a deterministic stand-in (weights in {-2..2} derived from md5 of
+    // the bucket id — the multimodal-codec precedent: the plumbing is
+    // real, the learned artifact is faked reproducibly); the SHAPE is
+    // the production one at 100 TB: the model is KBs and broadcast,
+    // the corpus streams map-only through hash + multiply + sum, and
+    // nothing shuffles except the presentation sort. The logit stays
+    // an exact INTEGER (count x integer weight), so the gate avoids
+    // sigmoid's libm divergence — rank/threshold semantics are
+    // unchanged by the monotone sigmoid anyway.
+    Q("q_quality_classifier",
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val bucket = pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast(LongType), lit(64L))
+        // weight(b) = (first md5 nibble of the bucket id) % 5 - 2
+        val weight = pmod(conv(substring(md5(col("b").cast(StringType)),
+          1, 1), 16, 10).cast(LongType), lit(5L)) - 2L
+        val feats = toks.withColumn("b", bucket)
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("f"))
+        feats.withColumn("w", weight)
+          .groupBy("doc_id")
+          .agg(sum(col("f") * col("w")).as("logit"))
+          .withColumn("keep", (col("logit") >= 0).cast("int").cast(LongType))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
+             |    count(*) AS f
+             |  FROM t GROUP BY doc_id, b),
+             |w AS (
+             |  SELECT doc_id, b, f,
+             |    CAST(('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 1)) AS BIGINT)
+             |      % 5 - 2 AS w
+             |  FROM f)
+             |SELECT doc_id, CAST(sum(f * w) AS BIGINT) AS logit,
+             |  CAST(CASE WHEN sum(f * w) >= 0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS keep
+             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // COUNT-MIN SKETCH: the third frequency sketch beside Misra-Gries
     // (q_heavy_hitters, deterministic top-k) and HLL
     // (q_approx_distinct, cardinality) — CMS answers point frequency
