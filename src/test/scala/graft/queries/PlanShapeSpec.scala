@@ -24,8 +24,9 @@ class PlanShapeSpec extends SparkSpec {
     * lost equi-key. */
   private val bnljAllowed = Set(
     "q_ann_bruteforce", "q_ann_quantized", "q_ann_ivf", "q_ann_recall",
-    "q_ann_srp",
-    "q_tfidf", "q_corpus_mix", "q_collocations", "q_zorder",
+    "q_ann_srp", "q_contrastive_pairs",
+    "q_tfidf", "q_corpus_mix", "q_corpus_mix_temp", "q_collocations",
+    "q_zorder",
     "q_curriculum")
 
   test("no query plans a CartesianProduct") {
