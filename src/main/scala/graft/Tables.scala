@@ -35,4 +35,15 @@ object Tables {
         .parquet(s"$sfDir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** target/tmp materialization dir for write-once artifacts, keyed by
+    * (kind, sf dir, session identity) so concurrent sessions and sf
+    * scales never collide — the ONE path scheme every persisted stage
+    * (dedup pair/fingerprint tables, pricing MV, manifest layout, IVF
+    * index) uses; a change to sanitization or session-keying lands
+    * everywhere at once. */
+  def matDir(kind: String, spark: SparkSession, sfDir: String): String =
+    s"/root/repo/target/tmp/${kind}_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      java.lang.Integer.toHexString(System.identityHashCode(spark))
 }

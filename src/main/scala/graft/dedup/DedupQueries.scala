@@ -60,10 +60,7 @@ object DedupQueries {
     * per (sf dir, session identity) so concurrent sessions and sf
     * scales never collide. */
   private def matDir(kind: String, s: org.apache.spark.sql.SparkSession,
-                     d: String): String =
-    s"/root/repo/target/tmp/${kind}_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-      java.lang.Integer.toHexString(System.identityHashCode(s))
+                     d: String): String = Tables.matDir(kind, s, d)
 
   private def simhash64Pairs(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame =
@@ -139,17 +136,7 @@ object DedupQueries {
     // word, lo bits 0..31 — both always in [0, 2^32), so the
     // recombination is exact (sign bit = fingerprint bit 63)
     val fp64 = shiftleft(col("hi"), 32).bitwiseOR(col("lo"))
-    def block(i: Int) =
-      shiftrightunsigned(fp64, plan.starts(i))
-        .bitwiseAND(lit(SimhashBanding.mask(plan.width(i))))
-    // one probe key per block-subset: (comb index, kept blocks'
-    // bits packed high-to-low) — exactly SimhashBanding.probeKeys
-    val probes = plan.combos.zipWithIndex.map { case (combo, ci) =>
-      val bits = combo.foldLeft(lit(0L)) { (acc, i) =>
-        shiftleft(acc, plan.width(i)).bitwiseOR(block(i))
-      }
-      struct(lit(ci).as("comb"), bits.as("bits"))
-    }
+    val probes = SimhashBanding.probeStructs(fp64, plan)
     fp.withColumn("p", explode(array(probes: _*)))
       .select(col("doc_id"), col("hi"), col("lo"),
         col("p.comb").as("comb"), col("p.bits").as("bits"))
@@ -1058,7 +1045,10 @@ object DedupQueries {
         val low = lower(raw)
         val noScheme = regexp_replace(low, "^https?://", "")
         val noWww = regexp_replace(noScheme, "^www\\.", "")
-        val noPort = regexp_replace(noWww, "^([^/]*):(80|443)", "$1")
+        // [^/:] + explicit terminator: without them the pattern's
+        // backtracking would match ':80' as a PREFIX of ':8080' and
+        // fuse the remaining digits into the host
+        val noPort = regexp_replace(noWww, "^([^/:]*):(80|443)(/|$)", "$1$3")
         val noFrag = regexp_replace(noPort, "#.*$", "")
         val path0 = regexp_replace(noFrag, "\\?.*$", "")
         val path = regexp_replace(path0, "/$", "")
@@ -1098,7 +1088,7 @@ object DedupQueries {
              |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              |      lower(raw),
              |      '^https?://', ''), '^www\.', ''),
-             |      '^([^/]*):(80|443)', '\1'), '#.*$', '') AS nf
+             |      '^([^/:]*):(80|443)(/|$)', '\1\3'), '#.*$', '') AS nf
              |  FROM u),
              |cn AS (
              |  SELECT doc_id,
@@ -1217,7 +1207,11 @@ object DedupQueries {
         val plan = SimhashBanding.choose(fp.count())
         val rows = bandedRows(fp, plan).join(src, "doc_id")
         val hist = rows.filter(col("source") === "src0")
-        val bloom = buildProbeBloom(hist, hist.count())
+        // sizing: fp.count() (already computed for the band plan) times
+        // probes per doc upper-bounds history's probe rows — a larger
+        // estimate only lowers the false-positive rate, and it saves
+        // the extra count job over the uncached hist plan
+        val bloom = buildProbeBloom(hist, fp.count() * plan.combos.size)
         val pruned = rows.filter(col("source") =!= "src0")
           .filter(mightContainProbe(bloom))
         val ha = hist.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),

@@ -97,4 +97,25 @@ object SimhashBanding {
 
   /** Low-w-bits mask, safe at w = 64 (1L << 64 wraps to 1 on the JVM). */
   def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+
+  /** The ONE Catalyst form of [[probeKeys]]: per block-subset a
+    * struct(comb, bits) expression over a 64-bit fingerprint column.
+    * Both the batch banded self-join (DedupQueries.bandedRows) and the
+    * streaming bucketing (StreamingPipelines.streamingNearDupFlags)
+    * build from this — a single construction site, so the
+    * batch≡stream agreement SimhashBandingSpec certifies cannot drift
+    * between copies. */
+  def probeStructs(fp64: org.apache.spark.sql.Column,
+                   plan: Plan): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    def block(i: Int) =
+      shiftrightunsigned(fp64, plan.starts(i))
+        .bitwiseAND(lit(SimhashBanding.mask(plan.width(i))))
+    plan.combos.zipWithIndex.map { case (combo, ci) =>
+      val bits = combo.foldLeft(lit(0L)) { (acc, i) =>
+        shiftleft(acc, plan.width(i)).bitwiseOR(block(i))
+      }
+      struct(lit(ci).as("comb"), bits.as("bits"))
+    }
+  }
 }

@@ -22,6 +22,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * partial counts — which is exact because sum/count are commutative
   * monoids over the MV's partition of the base rows.
   *
+  * Floating-point note: merging partial sums re-associates IEEE
+  * additions. That is NOT a new error class — Spark's own distributed
+  * sum(double) is already a partial-then-final merge whose grouping
+  * depends on file splits and AQE, so the unrewritten query's answer
+  * is equally association-dependent; the rewrite just picks a
+  * different (deterministic) valid association. Exactness-critical
+  * pipelines should sum decimals or integer-valued doubles (the
+  * battery does), rewrite or no rewrite.
+  *
   * At 100 TB this is the difference between scanning the fact table
   * per dashboard query and scanning a table the size of the key
   * cross-product: the rule makes every EXISTING query benefit without
@@ -65,9 +74,7 @@ object MvSetup {
   def ensurePricingMv(s: SparkSession, d: String): Unit = {
     MvRewriteRule.ensure(s)
     done.computeIfAbsent((s, d), { _ =>
-      val dir = "/root/repo/target/tmp/mv_pricing_" +
-        d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-        java.lang.Integer.toHexString(System.identityHashCode(s))
+      val dir = graft.Tables.matDir("mv_pricing", s, d)
       // the MV build itself aggregates the base scan — registration
       // happens AFTER the write, so the build can never self-rewrite
       graft.Tables.load(s, d, "lineitem")

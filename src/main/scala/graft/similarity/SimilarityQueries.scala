@@ -84,9 +84,7 @@ object SimilarityQueries {
     ivfIndexCache.computeIfAbsent((s, d), { _ =>
       val e = scaled(s, d)
       val emb = e.select(col("vec_id"), col("sv").as("embedding"))
-      val dir = "/root/repo/target/tmp/ivf_index_" +
-        d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-        java.lang.Integer.toHexString(System.identityHashCode(s))
+      val dir = graft.Tables.matDir("ivf_index", s, d)
       IvfIndex.buildIndex(emb, ivfCentroids(e), dir, simScaled)
       dir
     })

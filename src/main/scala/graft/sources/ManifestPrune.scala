@@ -31,9 +31,7 @@ object ManifestPrune {
     * (file, min_key, max_key, n_rows). */
   def ensureLayout(s: SparkSession, d: String): String =
     layoutCache.computeIfAbsent((s, d), { _ =>
-      val root = "/root/repo/target/tmp/manifest_docs_" +
-        d.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-        java.lang.Integer.toHexString(System.identityHashCode(s))
+      val root = graft.Tables.matDir("manifest_docs", s, d)
       graft.Tables.load(s, d, "documents")
         .repartitionByRange(8, col("n_chars"), col("doc_id"))
         .write.mode("overwrite").parquet(s"$root/data")

@@ -113,8 +113,14 @@ object StreamingPipelines {
   case class BucketRow(bucket: String, doc_id: Long, ts: Timestamp,
                        fp64: Long)
 
+  // flagged maps doc_id -> last event-time it was flagged at, so the
+  // dedup memory is watermark-pruned exactly like fps — without the
+  // timestamp the set would grow with every dup ever seen in the
+  // bucket, making state stream-length-bound on an unbounded ingest.
+  // A doc re-flagged after its entry expires is within the documented
+  // at-least-once contract (consumers dedup by doc_id).
   case class BucketState(fps: List[(Long, Long, Long)],
-                         flagged: Set[Long])
+                         flagged: Map[Long, Long])
 
   /** Streaming NEAR-duplicate detection — the streaming face of the
     * batch simhash64 pair stage (DedupQueries), sharing its
@@ -145,15 +151,11 @@ object StreamingPipelines {
                             watermark: String = "1 hour"): Dataset[DupFlag] = {
     import fps.sparkSession.implicits._
     import graft.dedup.SimhashBanding
-    def block(i: Int) =
-      shiftrightunsigned(col("fp64"), plan.starts(i))
-        .bitwiseAND(lit(SimhashBanding.mask(plan.width(i))))
-    val probes = plan.combos.zipWithIndex.map { case (combo, ci) =>
-      val bits = combo.foldLeft(lit(0L)) { (acc, i) =>
-        shiftleft(acc, plan.width(i)).bitwiseOR(block(i))
-      }
-      concat_ws(":", lit(ci), bits)
-    }
+    // the shared probe construction (SimhashBanding.probeStructs) is
+    // the same expression tree the batch banded join builds from —
+    // here each struct becomes a string bucket key
+    val probes = SimhashBanding.probeStructs(col("fp64"), plan)
+      .map(p => concat_ws(":", p.getField("comb"), p.getField("bits")))
     fps.toDF()
       .withColumn("fp64", shiftleft(col("hi"), 32).bitwiseOR(col("lo")))
       .withColumn("bucket", explode(array(probes: _*)))
@@ -169,8 +171,9 @@ object StreamingPipelines {
             // prune fingerprints the watermark has passed — the state
             // bound that keeps an unbounded ingest from accumulating
             val wm = state.getCurrentWatermarkMs()
-            var st = state.getOption.getOrElse(BucketState(Nil, Set.empty))
-            st = st.copy(fps = st.fps.filter(_._3 >= wm))
+            var st = state.getOption.getOrElse(BucketState(Nil, Map.empty))
+            st = st.copy(fps = st.fps.filter(_._3 >= wm),
+              flagged = st.flagged.filter(_._2 >= wm))
             val out = scala.collection.mutable.ListBuffer[DupFlag]()
             var maxTs = 0L
             // id-sorted within the batch: in-batch pairs resolve the
@@ -182,10 +185,12 @@ object StreamingPipelines {
                 if (h <= plan.r) {
                   val (loser, winner) =
                     if (oid < r.doc_id) (r.doc_id, oid) else (oid, r.doc_id)
-                  if (!st.flagged(loser)) {
+                  if (!st.flagged.contains(loser)) {
                     out += DupFlag(loser, winner, h)
-                    st = st.copy(flagged = st.flagged + loser)
                   }
+                  st = st.copy(flagged =
+                    st.flagged + (loser -> math.max(r.ts.getTime,
+                      st.flagged.getOrElse(loser, 0L))))
                 }
               }
               st = st.copy(fps = (r.doc_id, r.fp64, r.ts.getTime) :: st.fps)

@@ -101,8 +101,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"NOT IN lost its anti join:\n$plan")
     assert(plan.contains("HashAggregate"),
       s"scalar subqueries not decorrelated into aggregates:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("NullAwareAntiJoin") || plan.contains("LeftAnti"),
+    // strict: the decorrelated plan has no nested-loop join at all
+    // (the earlier disjunctive form was vacuous — its LeftAnti arm was
+    // already asserted true above, so a BNLJ regression slipped it)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"nested-loop join in the decorrelated plan:\n$plan")
   }
 

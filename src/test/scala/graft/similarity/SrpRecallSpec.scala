@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** q_ann_srp quality gate: the hyperplane-LSH candidate set must
   * recover most of the EXACT top-5 (computed by q_ann_bruteforce's
   * full scan) — the sketch is a pruner, not an answer-changer, and
-  * this pins how much recall the hamming<=24 cut buys on real data. */
+  * this pins how much recall the hamming<=28 cut buys on real data. */
 class SrpRecallSpec extends SparkSpec {
 
   test("SRP top-5 recall@5 vs exact brute force >= 0.6") {
