@@ -1000,6 +1000,29 @@ object CoreQueries {
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin)),
 
+    // HOPPING (sliding) windows — the overlapping-window surface the
+    // tumbling query doesn't cover: 1-hour windows sliding every 30
+    // minutes through Spark's real window() function, so each event
+    // lands in exactly two windows (the Expand the planner generates
+    // is the bounded 2x fan-out, the streaming-compatible shape). The
+    // oracle derives the same two slide-aligned starts per event
+    // arithmetically: floor(epoch/1800)*1800 and its predecessor.
+    Q("q_events_hopping",
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type"),
+      Some("""WITH w AS (
+             |  SELECT CAST(floor(epoch(ts) / 1800) * 1800 - o.o AS BIGINT)
+             |    AS win_start, event_type, value
+             |  FROM events, (VALUES (0), (1800)) o(o))
+             |SELECT win_start, event_type, count(*) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
     // gap-based sessionization (30-min inactivity), batch analog of the
     // streaming mapGroupsWithState sessionizer
     Q("q_events_sessionize",
