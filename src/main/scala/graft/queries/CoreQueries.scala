@@ -1050,6 +1050,50 @@ object CoreQueries {
              |  count(*) AS n_events
              |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Z-SCORE ANOMALY FLAGGING over event values — the monitoring
+    // query every ingest pipeline runs, made hash-gateable by
+    // eliminating BOTH division and sqrt: |v - mean| > 2*std is
+    // cross-multiplied into (n*v - S)^2 > 4*(n*S2 - S^2) over
+    // cent-scaled integer values (v100 = round(100*value)), so every
+    // step is exact 64-bit arithmetic and the flag decision is
+    // bit-identical across engines (magnitudes peak ~1.6e15, far
+    // under 2^63). Two passes: per-type moments (one partial agg),
+    // then a map-side flag against the broadcast moments — no second
+    // shuffle of the events.
+    Q("q_event_anomaly",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast(LongType).as("v100"))
+        val m = e.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("v100")).as("s1"),
+            sum(col("v100") * col("v100")).as("s2"))
+        e.join(broadcast(m), "event_type")
+          .withColumn("dev", col("n") * col("v100") - col("s1"))
+          .withColumn("is_anom",
+            (col("dev") * col("dev") >
+              lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")))
+              .cast("int").cast(LongType))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("is_anom")).as("n_anomalies"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS v100 FROM events),
+             |m AS (
+             |  SELECT event_type, count(*) AS n,
+             |    CAST(sum(v100) AS BIGINT) AS s1,
+             |    CAST(sum(v100 * v100) AS BIGINT) AS s2
+             |  FROM e GROUP BY event_type)
+             |SELECT e.event_type, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN (m.n * e.v100 - m.s1) * (m.n * e.v100 - m.s1)
+             |    > 4 * (m.n * m.s2 - m.s1 * m.s1) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_anomalies
+             |FROM e JOIN m ON e.event_type = m.event_type
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
     // ORDERED-STEP FUNNEL over the event stream: how far does each
     // user get through view -> click -> purchase, where each step must
     // strictly FOLLOW the previous one in event time (earliest-
