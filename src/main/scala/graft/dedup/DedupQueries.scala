@@ -159,7 +159,7 @@ object DedupQueries {
     val agg = new BloomFilterAggregate(GraftSqlShims.expression(key),
       CatLit(math.max(estItems, 1L)), CatLit(math.max(estItems, 1L) * 10))
     rows.agg(GraftSqlShims.column(agg.toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
   }
 
   /** The membership predicate for [[buildProbeBloom]]'s sketch over
@@ -670,6 +670,96 @@ object DedupQueries {
              |  AND len(b.tk) * 100 >= len(a.tk) * 95
              |WHERE len(list_intersect(a.tk, b.tk)) * 100 >=
              |  (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) * 95
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // SPARSE TF-COSINE similarity join — the WEIGHTED complement of the
+    // set-based n-gram Jaccard above: documents as sparse term-
+    // frequency vectors over df-capped TRIGRAM shingles. Unigrams are
+    // useless on this corpus (31-token vocabulary — every token is a
+    // stopword); 3-gram shingles give the feature space its
+    // discriminative tail, exactly why the simhash/minhash fingerprints
+    // shingle too. The df cap (<= 50 docs) prunes cross-family
+    // boilerplate BY DEFINITION — standard rare-feature weighting, and
+    // the thing that bounds the join: a fixed ABSOLUTE cap keeps every
+    // per-gram candidate block <= 50 docs (<= 2,500 join rows) no
+    // matter how the corpus grows — a relative cap (N/10) would send
+    // per-gram fan-out quadratic again, the same knob-shaped scale
+    // trap as the fixed simhash band width. Measured at sf0.01/sf0.1:
+    // identical pair sets under cap 50 and cap N/10, cosine sharply
+    // bimodal (near-dups >= 0.9, background <= 0.2), so the 0.8
+    // threshold sits in the empty gap. This is the DAAT/postings
+    // formulation of document similarity: dot products accumulate via
+    // an equi-join on gram (never all-pairs, never a dense vector),
+    // squared norms are one per-doc aggregate over the same kept rows
+    // (materialized once for their three consumers — at 100 TB: write
+    // the pruned postings table, aggregate it, self-join it), and
+    // cos >= 4/5 is verified in exact integer arithmetic by
+    // cross-multiplication: dot^2 * 25 >= 16 * |a|^2 * |b|^2 (dot is
+    // nonnegative, tf weights are counts; magnitudes stay far under
+    // 2^63). No division, no sqrt, hash-exact across engines.
+    Q("q_dedup_sparse_cosine",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val tf = Tables.load(s, d, "documents")
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("t2", lead(col("tok"), 2).over(w))
+          .withColumn("g", concat_ws(" ",
+            col("tok"), lead(col("tok"), 1).over(w), col("t2")))
+          // t2 null <=> fewer than 3 tokens remain at this position
+          .filter(col("t2").isNotNull)
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+        val rare = tf.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50)
+        val kept = tf.join(rare.select("g"), "g")
+          // materialized once — feeds the norm aggregate and both join
+          // sides; the in-memory stand-in for "write the pruned
+          // postings table" at scale
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val norms = kept.groupBy("doc_id")
+          .agg(sum(col("tf") * col("tf")).as("n2"))
+        val dots = kept
+          .select(col("g"), col("doc_id").as("a_id"), col("tf").as("a_tf"))
+          .join(kept.select(col("g"), col("doc_id").as("b_id"),
+            col("tf").as("b_tf")), "g")
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(sum(col("a_tf") * col("b_tf")).as("dot"))
+        dots
+          .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na2")),
+            "a_id")
+          .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb2")),
+            "b_id")
+          .filter(col("dot") * col("dot") * 25 >= col("na2") * col("nb2") * 16)
+          .select("a_id", "b_id", "dot", "na2", "nb2")
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |tf AS (
+             |  SELECT doc_id, g, count(*) AS tf FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+             |        i -> array_to_string(tk[i:i+2], ' '))) AS g
+             |    FROM toks WHERE len(tk) >= 3) x
+             |  GROUP BY doc_id, g),
+             |kept AS (
+             |  SELECT tf.* FROM tf JOIN (
+             |    SELECT g FROM tf GROUP BY g
+             |    HAVING count(*) <= 50) r USING (g)),
+             |norms AS (
+             |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+             |  FROM kept GROUP BY doc_id),
+             |dots AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+             |  FROM kept a JOIN kept b
+             |    ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a_id, b_id, dot, na.n2 AS na2, nb.n2 AS nb2
+             |FROM dots
+             |JOIN norms na ON a_id = na.doc_id
+             |JOIN norms nb ON b_id = nb.doc_id
+             |WHERE dot * dot * 25 >= 16 * na.n2 * nb.n2
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // EXACT SPAN dedup (the Lee et al., "Deduplicating Training Data

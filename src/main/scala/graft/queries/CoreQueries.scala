@@ -1150,6 +1150,171 @@ object CoreQueries {
              |  t_view, t_click, t_purchase
              |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
              |  LEFT JOIN t3 USING (user_id)
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // SCD TYPE-2 MERGE — the warehouse dimension-maintenance operator:
+    // fold a change batch into a dimension as effective-dated history
+    // rows instead of in-place overwrites. The change batch is derived
+    // deterministically from the dimension itself (md5-bucket idiom,
+    // same as q_data_split): buckets 0-9 rotate c_mktsegment to the
+    // next segment in a fixed cycle (a REAL change), buckets 10-19
+    // "update" it to its current value (the no-op a real CDC feed is
+    // full of) — and the no-op rows are dropped exactly as MERGE's
+    // WHEN MATCHED AND new <> old clause would, so only genuine
+    // changes open a new version. History stitch: union (version 0 =
+    // current rows, version 1 = surviving changes), then valid_to =
+    // lead(version) per key and is_current = valid_to IS NULL.
+    // Scale shape: change detection is map-side column arithmetic (a
+    // real feed makes it a broadcast join of the CDC batch against
+    // the dimension), and the window runs per key over <= 2 rows —
+    // one hash shuffle on the dimension key, never a global sort.
+    Q("q_scd2_merge",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cur = Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val bucket = pmod(conv(substring(md5(col("c_custkey")
+          .cast(StringType)), 1, 8), 16, 10).cast(LongType), lit(100L))
+        val rot = when(col("c_mktsegment") === "BUILDING", "MACHINERY")
+          .when(col("c_mktsegment") === "MACHINERY", "AUTOMOBILE")
+          .when(col("c_mktsegment") === "AUTOMOBILE", "HOUSEHOLD")
+          .when(col("c_mktsegment") === "HOUSEHOLD", "FURNITURE")
+          .otherwise("BUILDING")
+        val upd = cur.filter(bucket < 20)
+          .select(col("c_custkey"),
+            when(bucket < 10, rot).otherwise(col("c_mktsegment"))
+              .as("segment"),
+            col("c_mktsegment"))
+          .filter(col("segment") =!= col("c_mktsegment")) // drop no-ops
+          .select(col("c_custkey"), col("segment"), lit(1L).as("version"))
+        val hist = cur
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            lit(0L).as("version"))
+          .unionByName(upd)
+        val w = Window.partitionBy("c_custkey").orderBy("version")
+        hist
+          .withColumn("valid_to", lead(col("version"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull.cast(LongType))
+          .select(col("c_custkey"), col("segment"),
+            col("version").as("valid_from"), col("valid_to"),
+            col("is_current"))
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH cur AS (SELECT c_custkey, c_mktsegment FROM customer),
+             |b AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 100 AS bucket,
+             |    CASE c_mktsegment
+             |      WHEN 'BUILDING' THEN 'MACHINERY'
+             |      WHEN 'MACHINERY' THEN 'AUTOMOBILE'
+             |      WHEN 'AUTOMOBILE' THEN 'HOUSEHOLD'
+             |      WHEN 'HOUSEHOLD' THEN 'FURNITURE'
+             |      ELSE 'BUILDING' END AS rot
+             |  FROM cur),
+             |upd AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN bucket < 10 THEN rot ELSE c_mktsegment END AS segment,
+             |    c_mktsegment
+             |  FROM b WHERE bucket < 20),
+             |hist AS (
+             |  SELECT c_custkey, c_mktsegment AS segment,
+             |    CAST(0 AS BIGINT) AS version FROM cur
+             |  UNION ALL
+             |  SELECT c_custkey, segment, CAST(1 AS BIGINT) AS version
+             |  FROM upd WHERE segment <> c_mktsegment)
+             |SELECT c_custkey, segment, version AS valid_from,
+             |  lead(version) OVER (PARTITION BY c_custkey ORDER BY version)
+             |    AS valid_to,
+             |  CAST(lead(version) OVER (PARTITION BY c_custkey ORDER BY version)
+             |    IS NULL AS BIGINT) AS is_current
+             |FROM hist ORDER BY c_custkey, valid_from""".stripMargin)),
+
+    // COHORT RETENTION over the event stream — the product-analytics
+    // staple: bucket users by the week of their first PURCHASE (the
+    // conversion cohort; any-event weeks are degenerate on this data —
+    // measured: every user has events in week 0, purchases spread
+    // first-conversion over three weeks), then count how many of each
+    // cohort purchase again k weeks later. Week = integer division of
+    // the microsecond epoch (exact 64-bit arithmetic; a double
+    // quotient of a ~1.7e18 epoch is above 2^53 and can misplace a
+    // boundary event). Plan shape: activity is dropDuplicates
+    // (user, week) after a pushed-down event_type filter — one shuffle
+    // on uniform user-carrying keys with map-side partial dedup;
+    // cohorts are a per-user min over that same deduped frame
+    // (exchange reuse); the join back is user-keyed and the final
+    // aggregate is (weeks x offsets)-sized, i.e. tiny. Nothing in the
+    // plan windows over a user's history, so per-user event skew never
+    // concentrates on one task.
+    Q("q_retention_cohorts",
+      (s, d) => {
+        val wkUs = 604800L * 1000 * 1000
+        val act = Tables.load(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr(s"unix_micros(ts) div ${wkUs}L").as("wk"))
+          .distinct()
+        val cohort = act.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+        act.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"),
+            (col("wk") - col("cohort_wk")).as("week_offset"))
+          // (user, wk) is distinct, so count(*) IS the distinct-user
+          // count per cell — no second distinct pass needed
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_wk", "week_offset")
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+             |  FROM events WHERE event_type = 'purchase'),
+             |cohort AS (
+             |  SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id)
+             |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+             |  count(*) AS n_active
+             |FROM act JOIN cohort USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin)),
+
+    // NEXT-EVENT TRANSITION MATRIX (first-order Markov counts) — the
+    // sequence-mining diagnostic behind session modeling and funnel
+    // design: per user, order events by time and count each
+    // (previous event type -> event type) step; a user's first event
+    // transitions from the synthetic 'START' state. The per-user lag
+    // is ONE window over user-partitioned, time-sorted events (the
+    // same shuffle sessionization pays — per-user width bounds the
+    // sort, uniform user ids bound the skew); everything after it is
+    // an aggregate into a (types+1) x types matrix, i.e. KBs. The
+    // transition share is exact integer basis points (floor of
+    // 10000*n / row total) computed with a window over the TINY
+    // aggregated matrix — engine-exact, no IEEE division.
+    Q("q_event_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val steps = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("prev_type",
+            coalesce(lag(col("event_type"), 1).over(byTime), lit("START")))
+        val m = steps.groupBy(col("prev_type"),
+            col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val byPrev = Window.partitionBy("prev_type")
+        m.withColumn("tot", sum(col("n")).over(byPrev))
+          .withColumn("p_bp", expr("(10000 * n) div tot"))
+          .select("prev_type", "next_type", "n", "p_bp")
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH steps AS (
+             |  SELECT coalesce(lag(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id), 'START')
+             |    AS prev_type, event_type AS next_type
+             |  FROM events),
+             |m AS (
+             |  SELECT prev_type, next_type, count(*) AS n
+             |  FROM steps GROUP BY 1, 2)
+             |SELECT prev_type, next_type, n,
+             |  CAST((10000 * n) // sum(n) OVER (PARTITION BY prev_type)
+             |    AS BIGINT) AS p_bp
+             |FROM m ORDER BY prev_type, next_type""".stripMargin))
   )
 }
