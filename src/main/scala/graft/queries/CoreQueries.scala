@@ -1315,6 +1315,144 @@ object CoreQueries {
              |SELECT prev_type, next_type, n,
              |  CAST((10000 * n) // sum(n) OVER (PARTITION BY prev_type)
              |    AS BIGINT) AS p_bp
-             |FROM m ORDER BY prev_type, next_type""".stripMargin))
+             |FROM m ORDER BY prev_type, next_type""".stripMargin)),
+
+    // PER-GROUP LEAST-SQUARES TREND (OLS slope of event value over
+    // time) — the drift monitor a training-data pipeline runs per
+    // source/type: is this stream's value level moving? One partial
+    // aggregate collects the exact cross-moments (n, Σx, Σy, Σxy, Σx²)
+    // with x = whole seconds since a fixed epoch shift and y = cent-
+    // scaled value — both integers (a raw 64-bit Σx² is already
+    // within 4x of wrapping at sf0.1, so the sums go through
+    // decimal). The moments are kept at DECIMAL(18,0): that is the
+    // load-bearing choice, because the slope's closed form
+    // (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) multiplies two moments, and
+    // an engine whose decimal product would exceed its 38-digit cap
+    // silently degrades the product to double BEFORE the cancelling
+    // subtraction (measured: DuckDB does exactly that at (38,0)x(38,0),
+    // diverging in the last ulp) — with 18-digit moments the product
+    // precision stays inside the exact-decimal range of both engines.
+    // 18 digits also bounds the
+    // groups this works for (Σx² <= 1e18); at bigger groups, coarsen
+    // x's unit or center x per group before summing — the slope is
+    // shift-invariant, the epoch shift here is the same conditioning
+    // trick. The slope is REPORTED as the exact rational (num, den)
+    // rather than a divided double: the closed-form terms exceed 2^53,
+    // and a decimal->double cast at that magnitude is not correctly
+    // rounded on every engine (measured: DuckDB's int128 path composes
+    // two double ops and can land one ulp off Java's BigDecimal cast),
+    // so the division belongs to the consumer at display time. Groups
+    // are the five event types: the aggregate is map-side partial + a
+    // KB-sized final.
+    Q("q_group_ols",
+      (s, d) => {
+        val d18 = DecimalType(18, 0)
+        // one side of each product widened to (20,0): DuckDB executes
+        // (18,0)x(18,0) in the 64-bit physical type and overflows,
+        // while (20,0)x(18,0) runs in int128 — and the 38-digit result
+        // precision stays exact on both engines
+        val d20 = DecimalType(20, 0)
+        val e = Tables.load(s, d, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 1000000 - 1700000000").as("x"),
+            round(col("value") * 100).cast(LongType).as("y"))
+        e.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(d18)).cast(d18).as("sx"),
+            sum(col("y").cast(d18)).cast(d18).as("sy"),
+            sum((col("x") * col("y")).cast(d18)).cast(d18).as("sxy"),
+            sum((col("x") * col("x")).cast(d18)).cast(d18).as("sxx"))
+          .withColumn("num", col("n").cast(d20) * col("sxy") -
+            col("sx").cast(d20) * col("sy"))
+          .withColumn("den", col("n").cast(d20) * col("sxx") -
+            col("sx").cast(d20) * col("sx"))
+          .select(col("event_type"), col("n"),
+            col("num").as("slope_num"), col("den").as("slope_den"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 1700000000 AS x,
+             |    CAST(round(value * 100) AS BIGINT) AS y
+             |  FROM events),
+             |m AS (
+             |  SELECT event_type, count(*) AS n,
+             |    CAST(sum(CAST(x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sx,
+             |    CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sy,
+             |    CAST(sum(CAST(x * y AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sxy,
+             |    CAST(sum(CAST(x * x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sxx
+             |  FROM e GROUP BY event_type)
+             |SELECT event_type, n,
+             |  CAST(CAST(n AS DECIMAL(20,0)) * sxy
+             |    - CAST(sx AS DECIMAL(20,0)) * sy AS DECIMAL(38,0))
+             |    AS slope_num,
+             |  CAST(CAST(n AS DECIMAL(20,0)) * sxx
+             |    - CAST(sx AS DECIMAL(20,0)) * sx AS DECIMAL(38,0))
+             |    AS slope_den
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // TOP SESSION PATHS — sequence mining one level up from the
+    // single-step transition matrix: the most common openings (first
+    // three event types) of a session, where sessions are the same
+    // 30-minute-gap cut as q_events_sessionize. Two windows over ONE
+    // per-user shuffle (gap flag, then running sum for the session id
+    // and the within-session rank); the path string is assembled by
+    // three conditional aggregates per session — never a
+    // collect_list of a session's whole history — and the path
+    // frequency table that feeds the final top-20 is at most
+    // |types|^3-sized. Tie-break on the path string keeps the limit
+    // deterministic cross-engine.
+    Q("q_session_paths",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("is_new",
+            when(lag(col("ts"), 1).over(byTime).isNull ||
+              unix_timestamp(col("ts")) -
+                unix_timestamp(lag(col("ts"), 1).over(byTime)) > 1800,
+              1L).otherwise(0L))
+          .withColumn("sess_no", sum(col("is_new")).over(byTime))
+        val bySess = Window.partitionBy("user_id", "sess_no")
+          .orderBy("ts", "event_id")
+        sess
+          .withColumn("rn", row_number().over(bySess))
+          .filter(col("rn") <= 3)
+          .groupBy("user_id", "sess_no")
+          .agg(
+            max(when(col("rn") === 1, col("event_type"))).as("e1"),
+            max(when(col("rn") === 2, col("event_type"))).as("e2"),
+            max(when(col("rn") === 3, col("event_type"))).as("e3"))
+          .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             |      THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT *, sum(is_new) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+             |  FROM x),
+             |ranked AS (
+             |  SELECT user_id, sess_no, event_type, row_number() OVER (
+             |    PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS rn
+             |  FROM sess),
+             |paths AS (
+             |  SELECT concat_ws('>',
+             |      max(CASE WHEN rn = 1 THEN event_type END),
+             |      max(CASE WHEN rn = 2 THEN event_type END),
+             |      max(CASE WHEN rn = 3 THEN event_type END)) AS path
+             |  FROM ranked WHERE rn <= 3 GROUP BY user_id, sess_no)
+             |SELECT path, count(*) AS n FROM paths
+             |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin))
   )
 }
