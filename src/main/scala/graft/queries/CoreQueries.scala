@@ -1453,6 +1453,79 @@ object CoreQueries {
              |      max(CASE WHEN rn = 3 THEN event_type END)) AS path
              |  FROM ranked WHERE rn <= 3 GROUP BY user_id, sess_no)
              |SELECT path, count(*) AS n FROM paths
-             |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin))
+             |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
+    // DATA-QUALITY VALIDATION PASS (the Deequ/dbt-test analog): run a
+    // rule suite against a table and report (rule, n_checked,
+    // n_violations) per rule — the admission gate every ingest
+    // pipeline runs before data reaches training. Three rule shapes,
+    // each in its cheapest plan: row-level rules (domain membership,
+    // range, non-null) are conditional aggregates fused into ONE scan
+    // and unpivoted with stack(); the referential rule is a LEFT join
+    // against the orders primary key counting unmatched rows (checked
+    // and violated in the same pass — at scale this is the one
+    // shuffle, and AQE broadcasts the dim side when it fits); the
+    // uniqueness rule aggregates the candidate key and counts
+    // surplus rows per duplicate group. The suite exercises both
+    // outcomes on this data: domain/non-null/referential pass with
+    // zero, while the strict range rule (quantity <= 45) and the
+    // (l_orderkey, l_linenumber) uniqueness rule both fire — the
+    // generator genuinely reuses line numbers, the exact class of
+    // defect this operator exists to catch before training.
+    Q("q_data_quality",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val rowRules = li.agg(
+            count(lit(1)).as("n"),
+            sum((!col("l_returnflag").isin("A", "N", "R"))
+              .cast(LongType)).as("v_domain"),
+            sum((col("l_quantity") < 1 || col("l_quantity") > 45)
+              .cast(LongType)).as("v_range"),
+            sum(col("l_shipdate").isNull.cast(LongType)).as("v_null"))
+          .selectExpr("stack(3, " +
+            "'domain_returnflag', n, v_domain, " +
+            "'range_quantity', n, v_range, " +
+            "'nonnull_shipdate', n, v_null) AS " +
+            "(rule, n_checked, n_violations)")
+        val ref = li.select(col("l_orderkey"))
+          .join(Tables.load(s, d, "orders").select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(col("o_orderkey").isNull.cast(LongType)).as("n_violations"))
+          .select(lit("ref_orderkey").as("rule"), col("n_checked"),
+            col("n_violations"))
+        val uniq = li.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_checked"),
+            sum(col("c") - 1).as("n_violations"))
+          .select(lit("unique_linekey").as("rule"), col("n_checked"),
+            col("n_violations"))
+        rowRules.unionByName(ref).unionByName(uniq).orderBy("rule")
+      },
+      Some("""WITH row_rules AS (
+             |  SELECT count(*) AS n,
+             |    sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+             |      THEN 1 ELSE 0 END) AS v_domain,
+             |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 45
+             |      THEN 1 ELSE 0 END) AS v_range,
+             |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_null
+             |  FROM lineitem),
+             |u AS (
+             |  SELECT 'domain_returnflag' AS rule, n, v_domain AS v
+             |    FROM row_rules
+             |  UNION ALL SELECT 'range_quantity', n, v_range FROM row_rules
+             |  UNION ALL SELECT 'nonnull_shipdate', n, v_null FROM row_rules
+             |  UNION ALL
+             |  SELECT 'ref_orderkey', count(*),
+             |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+             |  FROM lineitem l LEFT JOIN orders o
+             |    ON l.l_orderkey = o.o_orderkey
+             |  UNION ALL
+             |  SELECT 'unique_linekey', sum(c), sum(c - 1) FROM (
+             |    SELECT count(*) AS c FROM lineitem
+             |    GROUP BY l_orderkey, l_linenumber) g)
+             |SELECT rule, CAST(n AS BIGINT) AS n_checked,
+             |  CAST(v AS BIGINT) AS n_violations
+             |FROM u ORDER BY rule""".stripMargin))
   )
 }
