@@ -1,0 +1,157 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, IsNotNull, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** PK–FK join elimination: an equi-join to a dimension table whose
+  * columns are never used (beyond the join key itself) is removed
+  * entirely — the classic warehouse optimization that Oracle, Redshift
+  * and Snowflake perform on RELY constraints, done the Catalyst way.
+  *
+  * Soundness needs two declared facts about the data, exactly the
+  * RELY-constraint contract:
+  *   1. the dimension key is UNIQUE (PK) — so the join cannot
+  *      duplicate fact rows;
+  *   2. the fact FK is NON-NULL and every value appears in the
+  *      dimension (referential integrity) — so an inner join cannot
+  *      drop fact rows either.
+  * Under (1)+(2) the join is a bijection on fact rows; if the query
+  * only reads fact columns (the dim key may be read too: it equals
+  * the FK by the join predicate), the join is the identity and the
+  * plan can skip scanning the dimension altogether. As with RELY in
+  * the commercial engines, a FALSE declaration yields wrong answers —
+  * the catalog is a statement about the data, not a hint. The battery
+  * gate (`q_join_elim`) proves the honest case end-to-end: DuckDB
+  * executes the join, the rewritten plan never does, hashes match.
+  *
+  * At 100 TB the win is structural: the fact-side scan is petabytes
+  * and the join — even broadcast — forces a full pass through the
+  * probe side plus the dimension broadcast per query. BI tools and
+  * generated SQL join every dimension unconditionally; elimination
+  * makes the generated query cost the same as the hand-written one.
+  *
+  * Conservative by construction, mirroring MvRewriteRule: only a
+  * Project directly over an Inner/LeftOuter single-predicate equi-join
+  * qualifies; the dimension side must be a bare (column-pruned) scan
+  * of the declared PK path — the only dim-side Filter admitted is the
+  * `IsNotNull(pk)` the optimizer infers from the equi-join itself
+  * (anything else would drop fact rows); the fact side may carry
+  * filters/pruning (they only remove fact rows, which elimination
+  * preserves — including the inferred `IsNotNull(fk)`, which keeps
+  * the plan honest even against a false non-null declaration). Any
+  * shape it does not recognize is left untouched — a missed rewrite
+  * is a performance miss, never a wrong answer.
+  */
+object FkCatalog {
+
+  /** One declared RELY constraint: `factPath.fkCol` is non-null and
+    * references unique key `dimPath.pkCol`. */
+  case class FkDecl(factPath: String, fkCol: String,
+                    dimPath: String, pkCol: String)
+
+  private val reg = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, String, String), FkDecl]()
+
+  private def norm(p: String): String = p.stripPrefix("file:")
+
+  def declare(s: SparkSession, d: FkDecl): Unit =
+    reg.put((s, norm(d.factPath), d.fkCol, norm(d.dimPath), d.pkCol), d)
+
+  def declared(s: SparkSession, factPath: String, fkCol: String,
+               dimPath: String, pkCol: String): Boolean =
+    reg.containsKey((s, norm(factPath), fkCol, norm(dimPath), pkCol))
+}
+
+object JoinEliminationRule {
+  /** In-process registration on the experimental optimizer hook (the
+    * battery/test path; GraftExtensions injects the same rule for
+    * extension-built sessions). Idempotent via case-class equality. */
+  def ensure(spark: SparkSession): Unit = {
+    val r = JoinEliminationRule(spark)
+    if (!spark.experimental.extraOptimizations.contains(r))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ r
+  }
+}
+
+case class JoinEliminationRule(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(_, j: Join) => tryEliminate(p, j).getOrElse(p)
+  }
+
+  /** Root path of a scan subtree. `dimKey` distinguishes the two
+    * sides: the fact side (dimKey = None) may carry arbitrary filters
+    * — elimination keeps exactly the surviving fact rows — while the
+    * dim side admits ONLY `IsNotNull(pk)` conjuncts (the optimizer
+    * infers that one from the equi-join itself, so it cannot drop a
+    * row the join would have kept); any other dim filter makes the
+    * join row-dropping, which elimination would undo. */
+  private def scanPath(p: LogicalPlan,
+                       dimKey: Option[AttributeReference]): Option[String] =
+    p match {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.headOption.map(_.toString)
+        case _ => None
+      }
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        scanPath(c, dimKey)
+      case Filter(cond, c) =>
+        dimKey match {
+          case None => scanPath(c, None)
+          case Some(pk)
+              if splitConjunctivePredicates(cond).forall {
+                case IsNotNull(a: AttributeReference) => a.exprId == pk.exprId
+                case _ => false
+              } =>
+            scanPath(c, dimKey)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def tryEliminate(p: Project, j: Join): Option[LogicalPlan] = {
+    if (j.joinType != Inner && j.joinType != LeftOuter) return None
+    val (fk, pk) = j.condition match {
+      case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+        // orient: which side is the dim? LeftOuter can only drop the
+        // RIGHT side, so the dim must be on the right there.
+        if (j.right.outputSet.contains(b) && j.left.outputSet.contains(a))
+          (a, b)
+        else if (j.joinType == Inner &&
+            j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
+          (b, a)
+        else return None
+      case _ => return None
+    }
+    val (factSide, dimSide) =
+      if (j.right.outputSet.contains(pk)) (j.left, j.right)
+      else (j.right, j.left)
+    // everything the Project reads must come from the fact side, the
+    // single exception being the dim PK (it equals the FK row-by-row)
+    if (!(p.references -- factSide.outputSet).subsetOf(
+        org.apache.spark.sql.catalyst.expressions.AttributeSet(pk)))
+      return None
+    for {
+      factPath <- scanPath(factSide, dimKey = None)
+      dimPath <- scanPath(dimSide, dimKey = Some(pk))
+      if FkCatalog.declared(session, factPath, fk.name, dimPath, pk.name)
+    } yield {
+      val projected: Seq[NamedExpression] = p.projectList.map {
+        case a: AttributeReference if a.exprId == pk.exprId =>
+          // keep the ORIGINAL exprId so parent references stay valid
+          Alias(fk, a.name)(exprId = a.exprId)
+        case ne => ne.transform {
+          case a: AttributeReference if a.exprId == pk.exprId => fk
+        }.asInstanceOf[NamedExpression]
+      }
+      Project(projected, factSide)
+    }
+  }
+}

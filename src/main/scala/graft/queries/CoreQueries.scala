@@ -634,6 +634,33 @@ object CoreQueries {
              |count(*) AS n_rows FROM lineitem
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // PK–FK join ELIMINATION (plans/JoinElimination.scala): the query
+    // joins customer to nation but reads only customer columns plus
+    // the join key itself, so under the declared RELY constraints
+    // (n_nationkey unique; c_nationkey non-null, referentially intact
+    // — both true in the TPC-H data by construction) the join is a
+    // bijection on customer rows and the optimizer drops it. The
+    // DuckDB oracle EXECUTES the join; the Spark plan never does
+    // (PlanShapeSpec asserts no join operator) — the hash gate
+    // therefore proves elimination is answer-identical, and would
+    // catch a dishonest declaration the same way.
+    Q("q_join_elim",
+      (s, d) => {
+        graft.plans.JoinEliminationRule.ensure(s)
+        graft.plans.FkCatalog.declare(s, graft.plans.FkCatalog.FkDecl(
+          s"$d/customer.parquet", "c_nationkey",
+          s"$d/nation.parquet", "n_nationkey"))
+        val c = Tables.load(s, d, "customer")
+        val n = Tables.load(s, d, "nation")
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .select(c("c_custkey"), c("c_name"),
+            n("n_nationkey").as("nk"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, n_nationkey AS nk
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY c_custkey""".stripMargin)),
+
     // semi join (EXISTS)
     Q("q_semi_join",
       (s, d) => {
@@ -1151,6 +1178,53 @@ object CoreQueries {
              |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
              |  LEFT JOIN t3 USING (user_id)
              |ORDER BY user_id""".stripMargin)),
+
+    // frequent ITEM-PAIR mining (a-priori level 2, market-basket): a
+    // basket is one (user, day); find event-type pairs co-occurring in
+    // >= 10% of baskets (RELATIVE support — the real a-priori
+    // formulation; kept in integer cross-multiplication so both
+    // engines decide the threshold identically). Plan shape at scale:
+    // baskets are deduped FIRST (distinct (user, day, type) — one
+    // shuffle on uniform basket keys), then the pair generation is a
+    // self equi-join ON THE BASKET KEY with fan-out bounded by
+    // |event-type vocabulary|² per basket (vocabularies are small by
+    // definition of the operator; a-priori's level-1 frequent-item
+    // prefilter would bound it further) — never a corpus × corpus
+    // join. The basket count is one scalar broadcast onto the
+    // pair-count frame (same singleton pattern as q_corpus_mix).
+    Q("q_event_pairs",
+      (s, d) => {
+        val u = Tables.load(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("event_type"))
+          .distinct()
+        val nb = u.select("user_id", "day").distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val a = u.toDF("user_id", "day", "ta")
+        val b = u.toDF("user_id", "day", "tb")
+        a.join(b, Seq("user_id", "day"))
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("support"))
+          .crossJoin(broadcast(nb))
+          .filter(col("support") * 10L >= col("n_baskets"))
+          .select("ta", "tb", "support", "n_baskets")
+          .orderBy(desc("support"), col("ta"), col("tb"))
+      },
+      Some("""WITH u AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+             |  FROM events),
+             |nb AS (SELECT count(*) AS n_baskets
+             |       FROM (SELECT DISTINCT user_id, day FROM u)),
+             |p AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb,
+             |         count(*) AS support
+             |  FROM u a JOIN u b
+             |    ON a.user_id = b.user_id AND a.day = b.day
+             |   AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT ta, tb, support, n_baskets FROM p, nb
+             |WHERE support * 10 >= n_baskets
+             |ORDER BY support DESC, ta, tb""".stripMargin)),
 
     // SCD TYPE-2 MERGE — the warehouse dimension-maintenance operator:
     // fold a change batch into a dimension as effective-dated history

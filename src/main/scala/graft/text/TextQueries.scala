@@ -341,6 +341,34 @@ object TextQueries {
              |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
              |ORDER BY doc_id""".stripMargin)),
 
+    // importance-WEIGHTED deterministic Bernoulli sample: inclusion
+    // probability proportional to document length, p = min(1,
+    // n_chars/500) — the "sample long documents preferentially"
+    // rebalance, done reproducibly. The md5 bucket (0..9999) is the
+    // document's fixed uniform draw; keep iff bucket < 20·n_chars
+    // (integer arithmetic only, so both engines decide identically —
+    // no float threshold to disagree on). Same leakage-proof property
+    // as q_deterministic_sample: membership is a pure function of
+    // doc_id and the doc's own weight, so re-runs, executor counts and
+    // input order cannot move a document in or out. Map-only: one
+    // narrow pass at any corpus size. The sf0.01 corpus spans both
+    // regimes (n_chars 48..553, so p runs from 0.096 to the cap).
+    Q("q_weighted_sample",
+      (s, d) => {
+        val bucket = pmod(conv(substring(md5(col("doc_id").cast(StringType)),
+          1, 8), 16, 10).cast(LongType), lit(10000L))
+        Tables.load(s, d, "documents")
+          .withColumn("bucket", bucket)
+          .filter(col("bucket") < col("n_chars") * 20L)
+          .select("doc_id", "source", "n_chars", "bucket")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars,
+             |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+             |FROM documents
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < n_chars * 20
+             |ORDER BY doc_id""".stripMargin)),
+
     // stratified deterministic sampling: per-language rates over the
     // deterministic train/val/test split: every doc lands in exactly
     // one of three splits by its md5 bucket (90/5/5), reproducibly —
@@ -1279,6 +1307,59 @@ object TextQueries {
              |  JOIN cm ON cm.d = hb.d AND cm.b = hb.b
              |  GROUP BY top.tok, top.cnt)
              |SELECT tok, cnt, cms_est, cms_est - cnt AS overcount
-             |FROM est ORDER BY cnt DESC, tok""".stripMargin))
+             |FROM est ORDER BY cnt DESC, tok""".stripMargin)),
+
+    // SKYLINE (Pareto frontier) over (n_chars, vocabulary size): the
+    // documents no other document beats on BOTH axes — the multi-
+    // objective "best corpus examples" primitive (longest AND richest).
+    // Naive dominance is an all-pairs theta join (O(n²) at any scale);
+    // the scale shape here is staircase pruning: (1) bucket the x axis
+    // (64-char cells) and take the per-bucket max-y staircase — a tiny
+    // aggregate, bucket-count rows; (2) suffix-max the staircase so
+    // each bucket knows the best y in any STRICTLY higher bucket (a
+    // window over staircase rows, not corpus rows — any point there
+    // has strictly larger x, so y <= that max means dominated);
+    // (3) broadcast the staircase back and keep only the survivors;
+    // (4) exact dominance anti-join among survivors ONLY. Dominance is
+    // transitive, so every dominated point is dominated by a skyline
+    // point, skyline ⊆ survivors, and checking survivors-vs-survivors
+    // is exact — the hash gate vs DuckDB's NOT EXISTS proves it. The
+    // quadratic step runs on the pruned set (typically O(buckets +
+    // skyline)), and the broadcast theta join streams the survivors
+    // without a shuffle.
+    Q("q_skyline",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            size(tokenSet(col("text"))).cast(LongType).as("n_vocab"))
+        val bucketed = docs.withColumn("bx", floor(col("n_chars") / 64))
+        val stairs = bucketed.groupBy("bx").agg(max("n_vocab").as("by"))
+        val above = stairs.withColumn("max_above",
+          max("by").over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("bx").desc)
+            .rowsBetween(Long.MinValue, -1)))
+        val survivors = bucketed.join(broadcast(above), Seq("bx"))
+          .filter(col("max_above").isNull ||
+            col("n_vocab") > col("max_above"))
+          .select("doc_id", "n_chars", "n_vocab")
+        val rhs = survivors
+          .select(col("n_chars").as("qx"), col("n_vocab").as("qy"))
+        survivors.join(broadcast(rhs),
+          col("qx") >= col("n_chars") && col("qy") >= col("n_vocab") &&
+            (col("qx") > col("n_chars") || col("qy") > col("n_vocab")),
+          "left_anti")
+          .orderBy("n_chars", "doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             |      AS n_vocab
+             |  FROM documents)
+             |SELECT doc_id, n_chars, n_vocab FROM d p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM d q
+             |  WHERE q.n_chars >= p.n_chars AND q.n_vocab >= p.n_vocab
+             |    AND (q.n_chars > p.n_chars OR q.n_vocab > p.n_vocab))
+             |ORDER BY n_chars, doc_id""".stripMargin))
   )
 }

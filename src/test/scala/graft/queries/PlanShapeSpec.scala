@@ -27,7 +27,11 @@ class PlanShapeSpec extends SparkSpec {
     "q_ann_srp", "q_contrastive_pairs",
     "q_tfidf", "q_corpus_mix", "q_corpus_mix_temp", "q_collocations",
     "q_zorder",
-    "q_curriculum")
+    "q_curriculum",
+    // q_skyline's survivors-vs-survivors dominance anti-join is a
+    // deliberately-broadcast theta join on the staircase-pruned set;
+    // q_event_pairs broadcasts the singleton basket count
+    "q_skyline", "q_event_pairs")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
@@ -135,6 +139,14 @@ class PlanShapeSpec extends SparkSpec {
       s"MvRewriteRule did not redirect the scan:\n$plan")
     assert(!plan.contains("lineitem.parquet"),
       s"q_mv_rewrite still scans the fact table:\n$plan")
+  }
+
+  test("q_join_elim: the declared PK-FK join is gone from the plan") {
+    val plan = plans("q_join_elim")
+    assert(!plan.contains("Join"),
+      s"JoinEliminationRule did not fire:\n$plan")
+    assert(!plan.contains("nation.parquet"),
+      s"q_join_elim still scans the dimension:\n$plan")
   }
 
   test("q_range_join_auto: the naive theta join is auto-rewritten") {
