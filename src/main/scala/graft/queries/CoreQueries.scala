@@ -704,6 +704,40 @@ object CoreQueries {
              |  FROM customer) t
              |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin)),
 
+    // window: DISTRIBUTION functions (percent_rank / cume_dist /
+    // ntile) — the rank-normalization surface a curriculum or
+    // quantile-bucketing pipeline leans on. percent_rank and cume_dist
+    // are single IEEE divisions of small exact integers ((rank-1)/
+    // (n-1), running/total), which both engines compute identically —
+    // one division introduces no accumulation-order ambiguity, unlike
+    // summed doubles. ntile's remainder-distribution rule (first
+    // n mod k buckets get the extra row) is the same in Spark and
+    // DuckDB; the ORDER BY carries a unique tiebreak so every rank is
+    // deterministic. Windows stay partitioned by nationkey — no
+    // single-partition corpus window.
+    Q("q_window_distribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        Tables.load(s, d, "customer")
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("tile", ntile(4).over(w).cast(LongType))
+          .select("c_nationkey", "c_custkey", "c_acctbal",
+            "pr", "cd", "tile")
+          .orderBy("c_nationkey", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal,
+             |  percent_rank() OVER (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal DESC, c_custkey) AS pr,
+             |  cume_dist() OVER (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal DESC, c_custkey) AS cd,
+             |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS tile
+             |FROM customer
+             |ORDER BY c_nationkey, c_custkey""".stripMargin)),
+
     // window: running sum (exact via decimal — order-independent within
     // the frame, so engine-internal accumulation order is irrelevant)
     Q("q_window_running",
@@ -1178,6 +1212,46 @@ object CoreQueries {
              |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
              |  LEFT JOIN t3 USING (user_id)
              |ORDER BY user_id""".stripMargin)),
+
+    // time-series GAP FILL — regularize an irregular event stream to
+    // a dense per-(user, day) grid, zero-filling the silent days: the
+    // step every downstream rolling-window / trend / retention
+    // computation silently assumes and the step ETL most often gets
+    // wrong (a missing day is NOT a zero row unless someone makes it
+    // one). Shape: per-user daily counts (one shuffle on uniform
+    // (user, day) keys), per-user [min, max] span (tiny agg), then
+    // `sequence(d0, d1)` + explode generates each user's dense day
+    // axis with fan-out bounded by the span — a generator, not a
+    // join against a global calendar table — and a left join pins
+    // counts onto it. All exact integers and dates.
+    Q("q_gap_fill",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val counts = e.groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n_events"))
+        val days = e.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        days.join(counts, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+             |c AS (SELECT user_id, day, count(*) AS n_events
+             |      FROM e GROUP BY 1, 2),
+             |s AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             |      FROM e GROUP BY 1),
+             |g AS (SELECT user_id,
+             |        CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+             |             AS DATE) AS day
+             |      FROM s)
+             |SELECT g.user_id, g.day, COALESCE(c.n_events, 0) AS n_events
+             |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.day = c.day
+             |ORDER BY g.user_id, g.day""".stripMargin)),
 
     // frequent ITEM-PAIR mining (a-priori level 2, market-basket): a
     // basket is one (user, day); find event-type pairs co-occurring in

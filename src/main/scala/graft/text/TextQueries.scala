@@ -3,6 +3,7 @@ package graft.text
 import graft.Tables
 import graft.functions.GraftFunctions._
 import graft.queries.CoreQueries.Q
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1360,6 +1361,54 @@ object TextQueries {
              |  SELECT 1 FROM d q
              |  WHERE q.n_chars >= p.n_chars AND q.n_vocab >= p.n_vocab
              |    AND (q.n_chars > p.n_chars OR q.n_vocab > p.n_vocab))
-             |ORDER BY n_chars, doc_id""".stripMargin))
+             |ORDER BY n_chars, doc_id""".stripMargin)),
+
+    // HLL SKETCH TABLE — the warehouse "sketch column" pattern
+    // (Datasketches HLL, the native Spark 3.5+ surface): distinct
+    // counts at 100 TB are not recomputed per dashboard query; a
+    // nightly job materializes one MERGEABLE sketch per fine-grained
+    // cell (here (source, lang) token vocabularies, lgK=12), and
+    // every coarser rollup is a union of sketch BYTES — the corpus is
+    // never rescanned and never reshuffled. The mergeable-monoid law
+    // (union of partials ≡ one direct sketch of the whole) is what
+    // makes the pattern exact-in-its-own-terms; SketchTableSpec
+    // machine-checks that identity against a direct whole-source
+    // sketch and bounds the estimate against the exact distinct count
+    // (the approx-sibling verification design of q_profile_approx —
+    // no DuckDB oracle can replay Datasketches bytes, so the gate is
+    // rows-only + spec-bounded + plan-gated). PlanShapeSpec asserts
+    // the query reads ONLY the sketch parquet, not the corpus.
+    Q("q_sketch_table",
+      (s, d) => {
+        val dir = SketchTable.ensure(s, d)
+        s.read.parquet(dir)
+          .groupBy("source")
+          .agg(
+            hll_sketch_estimate(hll_union_agg(col("sketch")))
+              .as("est_vocab"),
+            count(lit(1)).as("n_partials"))
+          .orderBy("source")
+      },
+      None)
   )
+
+  /** Write-once (source, lang) → HLL-sketch-of-token-vocabulary
+    * table, the battery's stand-in for the nightly sketch build
+    * (IvfIndex.buildIndex precedent: real parquet, path-only cache). */
+  object SketchTable {
+    private val done = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), String]()
+
+    def ensure(s: SparkSession, d: String): String =
+      done.computeIfAbsent((s, d), { _ =>
+        val dir = Tables.matDir("hll_vocab", s, d)
+        Tables.load(s, d, "documents")
+          .select(col("source"), col("lang"),
+            explode(tokens(col("text"))).as("tok"))
+          .groupBy("source", "lang")
+          .agg(hll_sketch_agg(col("tok"), 12).as("sketch"))
+          .write.mode("overwrite").parquet(dir)
+        dir
+      })
+  }
 }

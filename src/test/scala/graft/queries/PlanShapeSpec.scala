@@ -141,6 +141,14 @@ class PlanShapeSpec extends SparkSpec {
       s"q_mv_rewrite still scans the fact table:\n$plan")
   }
 
+  test("q_sketch_table: rollups read sketch bytes, never the corpus") {
+    val plan = plans("q_sketch_table")
+    assert(plan.contains("hll_vocab"),
+      s"q_sketch_table does not read the sketch table:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"q_sketch_table rescans the corpus:\n$plan")
+  }
+
   test("q_join_elim: the declared PK-FK join is gone from the plan") {
     val plan = plans("q_join_elim")
     assert(!plan.contains("Join"),
