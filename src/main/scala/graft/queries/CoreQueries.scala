@@ -1213,6 +1213,43 @@ object CoreQueries {
              |  LEFT JOIN t3 USING (user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // HIERARCHY TRAVERSAL by POINTER DOUBLING — the recursive-CTE
+    // workload (org rollups, BOM explosion, thread ancestry) Spark has
+    // no native recursion for, done the scale-correct way: each node
+    // carries (ancestor, steps); one round rewrites ancestor :=
+    // ancestor(ancestor), steps := steps + steps(ancestor), so the
+    // reach DOUBLES per round — depth-D trees converge in ceil(log2 D)
+    // rounds (6 fixed rounds cover depth 64, enough for any id-keyed
+    // hierarchy) where naive parent-at-a-time propagation needs D
+    // rounds of the same join. Each round is one equi-join on uniform
+    // node ids + a lineage cut (the CC/PageRank iterative shape); the
+    // root contributes 0 steps so converged nodes are fixpoints and
+    // extra rounds are no-ops, making the fixed round count exact,
+    // not approximate. Tree: parent(v) = (v-1) div 2 over doc_id (a
+    // binary heap — deterministic, depth ~ log2 N). The oracle is a
+    // genuine WITH RECURSIVE — the hash gate proves the log-round
+    // batch iteration reproduces true recursion exactly.
+    Q("q_tree_depth",
+      (s, d) => {
+        val state0 = Tables.load(s, d, "documents").select(
+          col("doc_id").as("id"),
+          when(col("doc_id") === 0, col("doc_id"))
+            .otherwise(expr("(doc_id - 1) div 2")).as("anc"),
+          when(col("doc_id") === 0, lit(0L)).otherwise(lit(1L))
+            .as("steps"))
+        PointerDoubling.resolve(state0, rounds = 6)
+          .select(col("id").as("doc_id"), col("steps").as("depth"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE a AS (
+             |  SELECT doc_id, CAST(0 AS BIGINT) AS depth
+             |  FROM documents WHERE doc_id = 0
+             |  UNION ALL
+             |  SELECT d.doc_id, a.depth + 1
+             |  FROM documents d JOIN a ON (d.doc_id - 1) // 2 = a.doc_id
+             |  WHERE d.doc_id > 0)
+             |SELECT doc_id, depth FROM a ORDER BY doc_id""".stripMargin)),
+
     // time-series GAP FILL — regularize an irregular event stream to
     // a dense per-(user, day) grid, zero-filling the silent days: the
     // step every downstream rolling-window / trend / retention
@@ -1676,4 +1713,30 @@ object CoreQueries {
              |  CAST(v AS BIGINT) AS n_violations
              |FROM u ORDER BY rule""".stripMargin))
   )
+}
+
+/** Pointer-doubling ancestor resolution (see q_tree_depth): state rows
+  * are (id, anc, steps) with roots self-pointing at 0 steps; each
+  * round substitutes anc := anc(anc) and accumulates steps, doubling
+  * the resolved distance — ceil(log2 depth) rounds reach every root.
+  * One equi-join on uniform node ids per round, lineage cut per round
+  * (the CC/PageRank iterative shape). Converged rows are fixpoints
+  * (the root hop adds 0), so surplus rounds cannot change the answer.
+  */
+object PointerDoubling {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.col
+
+  def resolve(state0: DataFrame, rounds: Int): DataFrame = {
+    var state = state0.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val hop = state.select(col("id").as("h_id"),
+        col("anc").as("h_anc"), col("steps").as("h_steps"))
+      state = state.join(hop, state("anc") === hop("h_id"))
+        .select(col("id"), col("h_anc").as("anc"),
+          (col("steps") + col("h_steps")).as("steps"))
+        .localCheckpoint()
+    }
+    state
+  }
 }
