@@ -81,6 +81,22 @@ object ExtCheck {
     println(s"[ext] range-join pairs within |Δchars|<=2: " +
       s"${rj.collect()(0).getLong(0)}")
 
+    // join elimination through the extensions path: declare the RELY
+    // constraint, join docs to a distinct-key dim of itself via the
+    // battery's real tables — use customer→nation like q_join_elim
+    plans.FkCatalog.declare(spark, plans.FkCatalog.FkDecl(
+      s"$sfDir/customer.parquet", "c_nationkey",
+      s"$sfDir/nation.parquet", "n_nationkey"))
+    val c = Tables.load(spark, sfDir, "customer")
+    val n = Tables.load(spark, sfDir, "nation")
+    val je = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .select(c("c_custkey"), n("n_nationkey").as("nk"))
+    val jePlan = je.queryExecution.optimizedPlan.toString
+    println(s"[ext] declared PK-FK join eliminated: " +
+      s"${!jePlan.contains("Join")}")
+    assert(!jePlan.contains("Join"), jePlan)
+    println(s"[ext] join-elim rows: ${je.count()}")
+
     println("[ext] all extension surfaces OK")
     spark.stop()
   }

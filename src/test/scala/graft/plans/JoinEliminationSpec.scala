@@ -65,6 +65,22 @@ class JoinEliminationSpec extends SparkSpec {
     assert(df.queryExecution.optimizedPlan.toString.contains("Join"))
   }
 
+  test("left outer join to the dim eliminates too") {
+    declare()
+    val c = Tables.load(spark, sf0001, "customer")
+    val n = Tables.load(spark, sf0001, "nation")
+    val df = c.join(n, c("c_nationkey") === n("n_nationkey"), "left_outer")
+      .select(c("c_custkey"), n("n_nationkey").as("nk"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Join"), s"left-outer join not eliminated:\n$opt")
+    // and the answer matches the executed join (filtered dim disables)
+    val n2 = Tables.load(spark, sf0001, "nation").filter("n_nationkey >= 0")
+    val real = c.join(n2, c("c_nationkey") === n2("n_nationkey"), "left_outer")
+      .select(c("c_custkey"), n2("n_nationkey").as("nk"))
+    assert(df.orderBy("c_custkey").collect().toSeq ===
+      real.orderBy("c_custkey").collect().toSeq)
+  }
+
   test("fact-side filter still eliminates (only fact rows drop)") {
     declare()
     val c = Tables.load(spark, sf0001, "customer")
