@@ -97,6 +97,14 @@ object ExtCheck {
     assert(!jePlan.contains("Join"), jePlan)
     println(s"[ext] join-elim rows: ${je.count()}")
 
+    // distinct elimination through the extensions path
+    plans.FkCatalog.declarePk(spark, s"$sfDir/orders.parquet", "o_orderkey")
+    val de = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus").distinct()
+    val dePlan = de.queryExecution.optimizedPlan.toString
+    println(s"[ext] PK distinct eliminated: ${!dePlan.contains("Aggregate")}")
+    assert(!dePlan.contains("Aggregate"), dePlan)
+
     println("[ext] all extension surfaces OK")
     spark.stop()
   }

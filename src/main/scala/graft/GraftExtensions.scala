@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)
     e.injectOptimizerRule(s => graft.plans.MvRewriteRule(s))
     e.injectOptimizerRule(s => graft.plans.JoinEliminationRule(s))
+    e.injectOptimizerRule(s => graft.plans.DistinctEliminationRule(s))
   }
 }

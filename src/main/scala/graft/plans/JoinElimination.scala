@@ -56,10 +56,24 @@ object FkCatalog {
   private val reg = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String, String, String), FkDecl]()
 
+  /** Declared primary keys: `path.col` is UNIQUE and NON-NULL. */
+  private val pkReg = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), java.lang.Boolean]()
+
   private def norm(p: String): String = p.stripPrefix("file:")
 
-  def declare(s: SparkSession, d: FkDecl): Unit =
+  def declare(s: SparkSession, d: FkDecl): Unit = {
     reg.put((s, norm(d.factPath), d.fkCol, norm(d.dimPath), d.pkCol), d)
+    // an FK target is by definition a primary key — feed the
+    // distinct-elimination rule too
+    declarePk(s, d.dimPath, d.pkCol)
+  }
+
+  def declarePk(s: SparkSession, path: String, col: String): Unit =
+    pkReg.put((s, norm(path), col), java.lang.Boolean.TRUE)
+
+  def isPk(s: SparkSession, path: String, col: String): Boolean =
+    pkReg.containsKey((s, norm(path), col))
 
   def declared(s: SparkSession, factPath: String, fkCol: String,
                dimPath: String, pkCol: String): Boolean =
@@ -153,5 +167,91 @@ case class JoinEliminationRule(session: SparkSession)
       }
       Project(projected, factSide)
     }
+  }
+}
+
+object DistinctEliminationRule {
+  def ensure(spark: SparkSession): Unit = {
+    val r = DistinctEliminationRule(spark)
+    if (!spark.experimental.extraOptimizations.contains(r))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ r
+  }
+}
+
+/** DISTINCT elimination on declared primary keys — the second RELY
+  * payoff in this file: `SELECT DISTINCT ...` whose column set
+  * contains a declared PK of the scanned table is a per-row identity
+  * (every row is already unique), yet Spark plans it as a full
+  * hash-aggregate over a corpus-wide shuffle. The rewrite replaces
+  * the Aggregate with a Project; at 100 TB that deletes the single
+  * most expensive operator in the query. Similarly `count(DISTINCT
+  * pk)` drops its distinct flag (PK ⇒ unique AND non-null, so plain
+  * count over the column is identical) — skipping the dedicated
+  * one-distinct physical planning that doubles the aggregation
+  * stages. Both shapes are everywhere in generated BI SQL, which
+  * bolts DISTINCT onto key columns defensively.
+  *
+  * Conservative like its siblings: the child must be a (possibly
+  * filtered/pruned) scan of the declared path — filters keep
+  * uniqueness, joins/generators may not (a join can DUPLICATE key
+  * values, so any other child shape disqualifies). Pure-DISTINCT
+  * detection requires the result exprs to be exactly the grouping
+  * attrs (no aggregate functions hiding in the output). A false PK
+  * declaration yields wrong answers — the RELY contract; the battery
+  * gate's oracle executes the real DISTINCT so the hash match proves
+  * the honest case.
+  */
+case class DistinctEliminationRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+  import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(grouping, result, child, _) =>
+      scanOf(child) match {
+        case None => agg
+        case Some(path) =>
+          val hasPk = grouping.exists {
+            case a: AttributeReference => FkCatalog.isPk(session, path, a.name)
+            case _ => false
+          }
+          if (hasPk && grouping.forall(_.isInstanceOf[AttributeReference]) &&
+              result.nonEmpty &&
+              result.forall(_.isInstanceOf[AttributeReference]) &&
+              result.map(_.exprId).toSet.subsetOf(
+                grouping.map(_.asInstanceOf[AttributeReference].exprId).toSet))
+            // pure DISTINCT over a set containing the PK → identity
+            // (column pruning may have narrowed the output to a subset
+            // of the grouping keys — each base row is still one group,
+            // so projecting the subset is the same multiset)
+            Project(result, child)
+          else {
+            // count(DISTINCT pk) → count(pk): unique + non-null makes
+            // them equal row-for-row
+            val rewritten = agg.aggregateExpressions.map(_.transform {
+              case ae @ AggregateExpression(
+                  c @ Count(Seq(a: AttributeReference)), _, true, None, _)
+                  if FkCatalog.isPk(session, path, a.name) =>
+                ae.copy(isDistinct = false)
+            }.asInstanceOf[NamedExpression])
+            if (rewritten == agg.aggregateExpressions) agg
+            else agg.copy(aggregateExpressions = rewritten)
+          }
+      }
+  }
+
+  /** Path of a (possibly filtered / column-pruned) bare scan; any
+    * other child shape could duplicate key values. */
+  private def scanOf(p: LogicalPlan): Option[String] = p match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.headOption.map(_.toString)
+      case _ => None
+    }
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      scanOf(c)
+    case Filter(_, c) => scanOf(c)
+    case _ => None
   }
 }

@@ -661,6 +661,32 @@ object CoreQueries {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |ORDER BY c_custkey""".stripMargin)),
 
+    // DISTINCT ELIMINATION on a declared primary key (the second RELY
+    // payoff, plans/JoinElimination.scala): SELECT DISTINCT over a
+    // column set containing the PK is a per-row identity, yet Spark
+    // plans a full hash-aggregate over a corpus-wide shuffle for it;
+    // the rule rewrites the Aggregate to a Project. The same query
+    // also counts DISTINCT o_orderkey under its declared PK, which
+    // drops the distinct flag (unique + non-null ⇒ plain count is
+    // identical) and with it the doubled one-distinct aggregation
+    // stages. The oracle executes the real DISTINCTs; PlanShapeSpec
+    // asserts the plan carries no distinct aggregation at all.
+    Q("q_distinct_elim",
+      (s, d) => {
+        graft.plans.DistinctEliminationRule.ensure(s)
+        graft.plans.FkCatalog.declarePk(s, s"$d/orders.parquet",
+          "o_orderkey")
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+          .distinct()
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("o_orderkey")).as("n_keys"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  count(DISTINCT o_orderkey) AS n_keys
+             |FROM (SELECT DISTINCT o_orderkey, o_custkey, o_orderstatus
+             |      FROM orders)""".stripMargin)),
+
     // semi join (EXISTS)
     Q("q_semi_join",
       (s, d) => {

@@ -149,6 +149,14 @@ class PlanShapeSpec extends SparkSpec {
       s"q_sketch_table rescans the corpus:\n$plan")
   }
 
+  test("q_distinct_elim: no distinct aggregation, no corpus shuffle") {
+    val plan = plans("q_distinct_elim")
+    assert(!plan.contains("distinct"),
+      s"count-distinct not de-distincted:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"the eliminated DISTINCT still shuffles the corpus:\n$plan")
+  }
+
   test("q_join_elim: the declared PK-FK join is gone from the plan") {
     val plan = plans("q_join_elim")
     assert(!plan.contains("Join"),
