@@ -260,6 +260,40 @@ object StreamingPipelines {
         col("click_id"), col("click_ts"))
   }
 
+  /** LEFT OUTER stream-stream attribution: every purchase emits,
+    * attributed or not — the variant reporting actually needs (an
+    * inner join silently drops organic purchases, quietly inflating
+    * attribution rates). Outer stream-stream joins are the thorniest
+    * watermark semantics in Structured Streaming: a purchase cannot
+    * know "no click will ever match" until the WATERMARK has passed
+    * its whole join window, so null-padded rows emit exactly then —
+    * late but correct, state still bounded by watermark + window. The
+    * purchases side is the preserved (left) side; matched pairs emit
+    * immediately like the inner join, and the spec pins both the
+    * padded-row timing (nothing until the watermark closes the
+    * window) and the final set (inner results ∪ null-padded organic
+    * purchases). */
+  def clickAttributionOuter(events: DataFrame,
+                            windowSeconds: Long = 1800,
+                            watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $windowSeconds SECONDS"),
+        "left_outer")
+      .select(col("purchase_id"), col("p_user_id").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Exactly-once file sink via foreachBatch: each micro-batch writes
     * to a directory keyed by its batchId with overwrite mode, so a
     * batch replayed after a failure (same id) OVERWRITES its own

@@ -206,6 +206,47 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(pairs === Set((3L, 1L), (3L, 2L)))
   }
 
+  test("left-outer attribution: organic purchases emit null-padded " +
+      "only after the watermark closes their window") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 1: attributed purchase (click 100, purchase 1500).
+    // user 2: purchase 3000 with click 100 OUTSIDE the 1800s window.
+    // user 3: purchase 500, no click at all.
+    in.addData(
+      ev(1, 100, 1, "click"), ev(3, 1500, 1, "purchase"),
+      ev(4, 100, 2, "click"), ev(5, 3000, 2, "purchase"),
+      ev(6, 500, 3, "purchase"))
+    val q = clickAttributionOuter(in.toDF()).writeStream
+      .format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark still at 3000s - 1h < 0: no null-padded row may
+      // have emitted yet — "no click will ever come" is not yet known
+      val early = spark.table("attr_outer")
+        .filter(col("click_id").isNull).count()
+      assert(early === 0, "null-padded rows emitted before the " +
+        "watermark closed the join window")
+      // push the watermark past every purchase's window: the GLOBAL
+      // watermark is the min over BOTH input sides, so both need a
+      // far-future event (100000s - 1h = 96400s > 3000 + 1800); users
+      // 8/9 never match each other, so no extra pairs appear
+      in.addData(ev(98, 100000, 8, "click"), ev(99, 100000, 9, "purchase"))
+      q.processAllAvailable()
+      // the advanced watermark applies in the NEXT batch — run one
+      in.addData(ev(97, 100002, 8, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attr_outer")
+      .filter(col("purchase_id") < 90) // the pusher purchase stays in state
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rows === Set((3L, 1L), (5L, -1L), (6L, -1L)),
+      s"got $rows")
+  }
+
   test("streaming clickAttribution ≡ the same interval join in batch") {
     val streamed = {
       val out = clickAttribution(
