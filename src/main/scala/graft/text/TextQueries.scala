@@ -1363,6 +1363,112 @@ object TextQueries {
              |    AND (q.n_chars > p.n_chars OR q.n_vocab > p.n_vocab))
              |ORDER BY n_chars, doc_id""".stripMargin)),
 
+    // TOKEN-BUDGET (nucleus) SELECTION — curation under a budget: per
+    // source, keep the SMALLEST prefix of the quality ranking whose
+    // cumulative token mass reaches 30% of the source's total (the
+    // top-p idea applied to corpus curation: spend a fixed token
+    // budget on the best documents). Ranking is (n_chars DESC,
+    // doc_id) — deterministic; the crossing document is included
+    // (cum BEFORE this doc < budget), matching nucleus semantics.
+    // Shape: one per-source window for the running sum (partitioned,
+    // never corpus-global), a tiny per-source total joined back
+    // broadcast, and the budget test in integer cross-multiplication
+    // (cum_before·10 < total·3) so no float threshold exists.
+    Q("q_token_budget",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+        val w = Window.partitionBy("source")
+          .orderBy(desc("n_chars"), asc("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totals = docs.groupBy("source")
+          .agg(sum("n_tokens").as("total_tokens"))
+        docs.withColumn("cum_tokens", sum("n_tokens").over(w))
+          .join(broadcast(totals), "source")
+          .filter((col("cum_tokens") - col("n_tokens")) * 10 <
+            col("total_tokens") * 3)
+          .select("source", "doc_id", "n_chars", "n_tokens",
+            "cum_tokens", "total_tokens")
+          .orderBy("source", "cum_tokens")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_chars, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY source) AS total_tokens
+             |  FROM d)
+             |SELECT source, doc_id, n_chars, n_tokens, cum_tokens,
+             |  total_tokens
+             |FROM c
+             |WHERE (cum_tokens - n_tokens) * 10 < total_tokens * 3
+             |ORDER BY source, cum_tokens""".stripMargin)),
+
+    // RECIPROCAL RANK FUSION — combine two retrieval rankings without
+    // score calibration (Cormack et al.: rrf = Σ 1/(k + rank_i),
+    // k=60): the standard way to merge signals whose raw scores are
+    // incomparable (here the length ranking and the vocabulary-
+    // richness ranking, per language). Each ranking is a PARTITIONED
+    // window (per-lang, unique tiebreak) — never a corpus-global
+    // sort; the fused score is a fixed two-term sum of IEEE divisions
+    // written in one expression, so both engines evaluate the same
+    // operations in the same order and the hash gate holds despite
+    // the doubles. Top-5 per language by fused score.
+    Q("q_rank_fusion",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            size(tokenSet(col("text"))).cast(LongType).as("n_vocab"))
+        val byLen = Window.partitionBy("lang")
+          .orderBy(desc("n_chars"), asc("doc_id"))
+        val byVocab = Window.partitionBy("lang")
+          .orderBy(desc("n_vocab"), asc("doc_id"))
+        val ranked = docs
+          .withColumn("r_len", row_number().over(byLen).cast(LongType))
+          .withColumn("r_vocab", row_number().over(byVocab).cast(LongType))
+          .withColumn("rrf",
+            lit(1.0) / (lit(60L) + col("r_len")) +
+              lit(1.0) / (lit(60L) + col("r_vocab")))
+        val top = Window.partitionBy("lang")
+          .orderBy(desc("rrf"), asc("doc_id"))
+        ranked.withColumn("rn", row_number().over(top))
+          .filter(col("rn") <= 5).drop("rn")
+          .select("lang", "doc_id", "r_len", "r_vocab", "rrf")
+          .orderBy(col("lang"), desc("rrf"), col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             |      AS n_vocab
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, lang,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r_len,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY n_vocab DESC, doc_id) AS BIGINT) AS r_vocab
+             |  FROM d),
+             |f AS (
+             |  SELECT lang, doc_id, r_len, r_vocab,
+             |    CAST(1 AS DOUBLE) / (60 + r_len)
+             |      + CAST(1 AS DOUBLE) / (60 + r_vocab) AS rrf
+             |  FROM r),
+             |t AS (
+             |  SELECT lang, doc_id, r_len, r_vocab, rrf,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY rrf DESC, doc_id) AS rn
+             |  FROM f)
+             |SELECT lang, doc_id, r_len, r_vocab, rrf FROM t
+             |WHERE rn <= 5
+             |ORDER BY lang, rrf DESC, doc_id""".stripMargin)),
+
     // HLL SKETCH TABLE — the warehouse "sketch column" pattern
     // (Datasketches HLL, the native Spark 3.5+ surface): distinct
     // counts at 100 TB are not recomputed per dashboard query; a
