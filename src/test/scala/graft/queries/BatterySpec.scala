@@ -18,7 +18,11 @@ class BatterySpec extends SparkSpec {
     * q_quantiles_approx — GK-sketch quantiles pick actual data values,
     * not the oracle's type-7 interpolation; pinned against exact
     * q_quantiles in QuantilesApproxSpec. */
-  val oracleExempt = Set("q_profile_approx", "q_quantiles_approx")
+  // the approx siblings and the sketch table: no SQL oracle can replay
+  // sketch internals, so each is spec-bounded instead (ProfileApprox/
+  // QuantilesApprox/SketchTable specs) and plan-gated in PlanShapeSpec
+  val oracleExempt =
+    Set("q_profile_approx", "q_quantiles_approx", "q_sketch_table")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
