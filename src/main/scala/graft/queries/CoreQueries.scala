@@ -1239,6 +1239,95 @@ object CoreQueries {
              |  LEFT JOIN t3 USING (user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // per-group MODE with deterministic tie-break — each user's most
+    // frequent event type (ties to the lexicographically first type):
+    // the arg-max shape, run through the bounded-heap
+    // `TopKPerGroupExec` with k=1 — a 1-element heap per user instead
+    // of sorting each user's full type histogram; the same plan
+    // carries any per-key arg-max at 100 TB (plan-asserted).
+    Q("q_group_mode",
+      (s, d) => {
+        val counts = Tables.load(s, d, "events")
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+        graft.plans.TopKPerGroup.topKPerGroup(counts,
+          Seq(col("user_id")), Seq(desc("cnt"), asc("event_type")), 1)
+          .select(col("user_id"), col("event_type").as("mode_type"),
+            col("cnt"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |r AS (
+             |  SELECT user_id, event_type, cnt,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY cnt DESC, event_type) AS rn
+             |  FROM c)
+             |SELECT user_id, event_type AS mode_type, cnt FROM r
+             |WHERE rn <= 1 ORDER BY user_id""".stripMargin)),
+
+    // two-sample KOLMOGOROV–SMIRNOV drift statistic, exactly — the
+    // distribution-shift monitor (does `en` document length differ
+    // from `de`?) computed with NO floats: D = max_v |F1(v) - F2(v)|
+    // is held as the integer numerator |c1·n2 - c2·n1| over the
+    // common denominator n1·n2, so the maximum, its location, and the
+    // basis-point report are all exact integer arithmetic — a float
+    // ECDF difference near the max would make the argmax engine-
+    // dependent. Shape: one per-(value, group) count over the corpus,
+    // then cumulative sums over the VALUE DOMAIN (distinct n_chars —
+    // hundreds of rows, the skyline-staircase scale, not corpus
+    // rows); the two sample sizes ride in as a broadcast singleton.
+    Q("q_ks_drift",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .filter(col("lang").isin("en", "de"))
+        val counts = docs.groupBy("n_chars").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L)).as("cb"))
+        val sizes = docs.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L)).as("n2"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts
+          .withColumn("cca", sum("ca").over(w))
+          .withColumn("ccb", sum("cb").over(w))
+          .crossJoin(broadcast(sizes))
+          .withColumn("d_num", abs(col("cca") * col("n2") -
+            col("ccb") * col("n1")))
+          .orderBy(desc("d_num"), asc("n_chars"))
+          .limit(1)
+          .select(col("n_chars").as("at_value"),
+            col("d_num").as("ks_num"), col("n1"), col("n2"),
+            expr("(10000 * d_num) div (n1 * n2)").as("ks_bp"))
+      },
+      Some("""WITH d AS (
+             |  SELECT n_chars, lang FROM documents
+             |  WHERE lang IN ('en', 'de')),
+             |c AS (
+             |  SELECT n_chars,
+             |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+             |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS cb
+             |  FROM d GROUP BY 1),
+             |s AS (
+             |  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n2
+             |  FROM d),
+             |k AS (
+             |  SELECT n_chars,
+             |    sum(ca) OVER (ORDER BY n_chars
+             |      ROWS UNBOUNDED PRECEDING) AS cca,
+             |    sum(cb) OVER (ORDER BY n_chars
+             |      ROWS UNBOUNDED PRECEDING) AS ccb
+             |  FROM c)
+             |SELECT n_chars AS at_value,
+             |  abs(cca * n2 - ccb * n1) AS ks_num, n1, n2,
+             |  (10000 * abs(cca * n2 - ccb * n1)) // (n1 * n2) AS ks_bp
+             |FROM k, s
+             |ORDER BY ks_num DESC, n_chars LIMIT 1""".stripMargin)),
+
     // HIERARCHY TRAVERSAL by POINTER DOUBLING — the recursive-CTE
     // workload (org rollups, BOM explosion, thread ancestry) Spark has
     // no native recursion for, done the scale-correct way: each node

@@ -30,8 +30,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_curriculum",
     // q_skyline's survivors-vs-survivors dominance anti-join is a
     // deliberately-broadcast theta join on the staircase-pruned set;
-    // q_event_pairs broadcasts the singleton basket count
-    "q_skyline", "q_event_pairs")
+    // q_event_pairs / q_ks_drift broadcast singleton frames (basket
+    // count / sample sizes)
+    "q_skyline", "q_event_pairs", "q_ks_drift")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
@@ -66,7 +67,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("top-k queries run through the custom TopKPerGroupExec") {
     for (name <- Seq("q_ann_bruteforce", "q_ann_quantized", "q_ann_ivf",
-        "q_source_cap", "q_inverted_index", "q_ann_recall"))
+        "q_source_cap", "q_inverted_index", "q_ann_recall",
+        "q_group_mode"))
       assert(plans(name).contains("TopKPerGroup"),
         s"$name bypasses TopKPerGroupExec:\n${plans(name)}")
   }
