@@ -348,6 +348,61 @@ object CoreQueries {
              |FROM documents GROUP BY source
              |ORDER BY source""".stripMargin)),
 
+    // WINSORIZED robust aggregate — outlier-capped statistics, the
+    // cleaning step before any mean-based monitor: per source, clamp
+    // n_chars into [P10, P90] and report the winsorized sum/mean
+    // basis. Percentile bounds are DISCRETE (the value at rank
+    // ceil(p·n) — type-1), and the rank itself is INTEGER ceiling
+    // division ((n+9) div 10 — a float p·n would ulp-diverge between
+    // engines at exact multiples), so bounds, clamped values and sums
+    // are all exact integers. Shape:
+    // one per-source ranking window (partitioned), a tiny per-source
+    // bounds table joined back broadcast, map-side clamp, one
+    // aggregate.
+    Q("q_winsorize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy("n_chars", "doc_id")
+        val ranked = Tables.load(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        val bounds = ranked.groupBy("source").agg(
+          max(when(col("rn") === expr("(n + 9) div 10"), col("n_chars")))
+            .as("lo"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_chars")))
+            .as("hi"))
+        Tables.load(s, d, "documents")
+          .select(col("source"), col("n_chars"))
+          .join(broadcast(bounds), "source")
+          .withColumn("clamped",
+            greatest(col("lo"), least(col("hi"), col("n_chars"))))
+          .groupBy("source")
+          .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+            sum(col("clamped")).as("win_sum"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH r AS (
+             |  SELECT source, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS n
+             |  FROM documents),
+             |b AS (
+             |  SELECT source,
+             |    max(CASE WHEN rn = (n + 9) // 10
+             |        THEN n_chars END) AS lo,
+             |    max(CASE WHEN rn = (9 * n + 9) // 10
+             |        THEN n_chars END) AS hi
+             |  FROM r GROUP BY source)
+             |SELECT d.source, max(b.lo) AS lo, max(b.hi) AS hi,
+             |  sum(greatest(b.lo, least(b.hi, d.n_chars))) AS win_sum,
+             |  count(*) AS n_docs
+             |FROM documents d JOIN b ON d.source = b.source
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     // the 100 TB form of q_quantiles: a single-pass mergeable quantile
     // sketch (Greenwald-Khanna via percentile_approx) instead of the
     // exact window+rank plan, whose per-group sort re-shuffles the data
