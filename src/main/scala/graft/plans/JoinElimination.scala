@@ -110,8 +110,12 @@ case class JoinEliminationRule(session: SparkSession)
                        dimKey: Option[AttributeReference]): Option[String] =
     p match {
       case l: LogicalRelation => l.relation match {
-        case h: HadoopFsRelation =>
-          h.location.rootPaths.headOption.map(_.toString)
+        // EXACTLY one root path: a multi-path scan whose first root
+        // happens to match the declared path can still read extra
+        // files that duplicate keys, which would break the "missed
+        // rewrite, never a wrong answer" invariant
+        case h: HadoopFsRelation if h.location.rootPaths.lengthCompare(1) == 0 =>
+          Some(h.location.rootPaths.head.toString)
         case _ => None
       }
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
@@ -245,8 +249,10 @@ case class DistinctEliminationRule(session: SparkSession)
     * other child shape could duplicate key values. */
   private def scanOf(p: LogicalPlan): Option[String] = p match {
     case l: LogicalRelation => l.relation match {
-      case h: HadoopFsRelation =>
-        h.location.rootPaths.headOption.map(_.toString)
+      // exactly one root path, same reasoning as JoinEliminationRule:
+      // extra paths could duplicate the declared key
+      case h: HadoopFsRelation if h.location.rootPaths.lengthCompare(1) == 0 =>
+        Some(h.location.rootPaths.head.toString)
       case _ => None
     }
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
