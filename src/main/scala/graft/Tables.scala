@@ -1,20 +1,20 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Parquet table loader for the driver-generated testdata
   * (see /root/repo/TESTDATA.md). One parquet file per table under
   * `sfDir`. Explicit-path loads keep Catalyst's parquet pushdown
   * (predicate + column pruning) fully effective.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-  * reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as a raw
-  * nanosecond long (legacy conf) and rebuild a TimestampType column.
-  * The testdata has zero sub-microsecond content (verified: ns%1000==0
-  * for every row), so `ts div 1000` is lossless and `div` (integer
-  * division) avoids the double round-trip that would corrupt 1.7e18-ns
-  * epochs.
+  * `events.ts` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false):
+  * the explicit `ts TIMESTAMP` schema pins the session-timezone
+  * TimestampType (every graft session runs UTC, so values equal the
+  * oracle's naive reading) instead of letting NTZ inference pick
+  * TimestampNTZType and fork the downstream window/interval types.
+  * (Earlier generator versions wrote TIMESTAMP(NANOS), which needed a
+  * raw-long read + `div 1000` rebuild; with MICROS the native reader
+  * path is exact as-is.)
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -23,17 +23,9 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // the explicit schema is the whole mechanism, scoped to THIS scan
-      // (never spark.conf.set): it skips driver-side inference (which
-      // would reject NANOS) and its LongType for `ts` reaches the
-      // executor-side parquet converter as a sparkReadType hint, so the
-      // NANOS column decodes as a raw long. (A per-read
-      // nanosAsLong option would NOT work: ParquetFileFormat overwrites
-      // that hadoopConf key from the session conf before broadcast.)
       spark.read
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
         .parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** target/tmp materialization dir for write-once artifacts, keyed by

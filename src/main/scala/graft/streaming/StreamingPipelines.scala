@@ -398,17 +398,15 @@ object StreamingPipelines {
   }
 
   /** File-source streaming read of the events table with the same
-    * nanos-handling as Tables.load. Targets the events parquet
-    * specifically — pointing a schema'd file stream at the whole
-    * testdata dir would silently ingest every OTHER table's files as
-    * all-null rows (caught by driving this end-to-end). */
+    * timestamp handling as Tables.load (explicit `ts TIMESTAMP` pins
+    * session-timezone TimestampType over NTZ inference). Targets the
+    * events parquet specifically — pointing a schema'd file stream at
+    * the whole testdata dir would silently ingest every OTHER table's
+    * files as all-null rows (caught by driving this end-to-end). */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    // no session-conf mutation: as in Tables.load, the explicit schema's
-    // LongType for `ts` is what lets the parquet TIMESTAMP(NANOS) column
-    // decode as a raw long (sparkReadType hint in the converter)
     import org.apache.spark.sql.types._
     val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // file streams need a DIRECTORY path; pathGlobFilter narrows it to
@@ -416,6 +414,5 @@ object StreamingPipelines {
     spark.readStream.schema(raw)
       .option("pathGlobFilter", "events*.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -296,18 +296,19 @@ class StreamingPipelinesSpec extends SparkSpec {
     // closes every real session in-batch; the sentinel sessions
     // themselves stay open in state and are never emitted.
     val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val dir = java.nio.file.Files.createTempDirectory("sessfull")
     val src = java.nio.file.Paths.get(sf0001, "events.parquet")
     java.nio.file.Files.copy(src, dir.resolve("events_a.parquet"))
     val rawEvents = spark.read.schema(raw).parquet(src.toString)
-    val maxTsNanos = rawEvents.agg(max(col("ts"))).head.getLong(0)
+    val maxTs = rawEvents.agg(max(col("ts"))).head.getTimestamp(0)
     val users = rawEvents.select("user_id").distinct()
       .collect().map(_.getLong(0))
     val sentinels = users.toSeq.map(u =>
-      (10_000_000L + u, maxTsNanos + 7200L * 1000000000L, u, "flush", 0.0, "{}"))
+      (10_000_000L + u, new java.sql.Timestamp(maxTs.getTime + 7200_000L),
+        u, "flush", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val stage = dir.resolve("stage")
     sentinels.coalesce(1).write.parquet(stage.toString)
