@@ -56,6 +56,15 @@ object ExtCheck {
       s"top=${if (mg.nonEmpty) mg.head.getString(0) else "-"}")
     assert(mg.nonEmpty && mg.length <= 8)
 
+    val ng = spark.sql(
+      """SELECT g, count(*) n FROM (
+        |  SELECT ngrams(split(text, ' '), 3) AS g FROM docs)
+        |GROUP BY g ORDER BY n DESC, g LIMIT 3""".stripMargin)
+      .collect()
+    println(s"[ext] ngrams generator top-3 trigrams: " +
+      ng.map(r => s"'${r.getString(0)}'x${r.getLong(1)}").mkString(", "))
+    assert(ng.length == 3 && ng.head.getString(0).split(" ").length == 3)
+
     val topk = spark.sql(
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSimilarity, DotLong, MisraGriesAgg, SimHash64Agg}
+import graft.functions.{CosineSimilarity, DotLong, MisraGriesAgg, NGramsGen, SimHash64Agg}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0),
         // k must be a foldable literal (like percentile_approx's
         // accuracy argument)
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[NGramsGen].getName, "ngrams"),
+      (exprs: Seq[Expression]) => NGramsGen(exprs(0),
+        // n must be a foldable literal, like misra_gries' k
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)

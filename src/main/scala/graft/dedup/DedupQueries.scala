@@ -762,6 +762,87 @@ object DedupQueries {
              |WHERE dot * dot * 25 >= 16 * na.n2 * nb.n2
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // ASYMMETRIC set containment C(A→B) = |A∩B| / |A| over distinct
+    // trigram shingles — the subset-duplicate detector the symmetric
+    // families (Jaccard/cosine) structurally miss: a short doc pasted
+    // verbatim inside a much longer one scores near-zero Jaccard
+    // (union is dominated by the long doc) but containment ~1. Output
+    // is DIRECTED: (a_id, b_id) at C(A→B) >= 0.8, so a row says "a is
+    // mostly inside b" and the reverse direction is its own row iff it
+    // independently clears the threshold.
+    //
+    // Plan: distinct trigrams per doc (set semantics — one tokenize,
+    // window leads, no HOF re-tokenization), df <= 50 postings cap
+    // bounding every per-gram join block to 2,500 rows at ANY corpus
+    // size (the same fixed ABSOLUTE cap q_dedup_sparse_cosine
+    // documents — a boilerplate gram shared by everything can't pair
+    // the corpus quadratically), intersection counts from one postings
+    // self-join, threshold division-free by cross-multiplication
+    // (5·inter >= 4·|A|). Both directions come from the SAME ordered
+    // join output (a<b evaluated once, each direction tested on its
+    // own side's size) — no doubled join.
+    Q("q_dedup_containment",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val sets = Tables.load(s, d, "documents")
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("t2", lead(col("tok"), 2).over(w))
+          .withColumn("g", concat_ws(" ",
+            col("tok"), lead(col("tok"), 1).over(w), col("t2")))
+          .filter(col("t2").isNotNull)
+          .select("doc_id", "g").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val rare = sets.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50)
+        val kept = sets.join(rare.select("g"), "g")
+        val inter = kept.select(col("g"), col("doc_id").as("a_id"))
+          .join(kept.select(col("g"), col("doc_id").as("b_id")), "g")
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        inter.filter(col("inter") * 5 >= col("na") * 4)
+          .select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+            col("inter"), col("na").as("n_src"))
+          .union(inter.filter(col("inter") * 5 >= col("nb") * 4)
+            .select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+              col("inter"), col("nb").as("n_src")))
+          .orderBy("src_id", "dst_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sets AS (
+             |  SELECT DISTINCT doc_id, g FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+             |        i -> array_to_string(tk[i:i+2], ' '))) AS g
+             |    FROM toks WHERE len(tk) >= 3) x),
+             |sizes AS (
+             |  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+             |kept AS (
+             |  SELECT s.* FROM sets s JOIN (
+             |    SELECT g FROM sets GROUP BY g
+             |    HAVING count(*) <= 50) r USING (g)),
+             |inter AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(count(*) AS BIGINT) AS inter
+             |  FROM kept a JOIN kept b
+             |    ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sized AS (
+             |  SELECT i.a_id, i.b_id, i.inter, sa.n AS na, sb.n AS nb
+             |  FROM inter i
+             |  JOIN sizes sa ON i.a_id = sa.doc_id
+             |  JOIN sizes sb ON i.b_id = sb.doc_id)
+             |SELECT a_id AS src_id, b_id AS dst_id, inter, na AS n_src
+             |FROM sized WHERE inter * 5 >= na * 4
+             |UNION ALL
+             |SELECT b_id, a_id, inter, nb
+             |FROM sized WHERE inter * 5 >= nb * 4
+             |ORDER BY src_id, dst_id""".stripMargin)),
+
     // EXACT SPAN dedup (the Lee et al., "Deduplicating Training Data
     // Makes Language Models Better" family): near-dup operators above
     // match whole documents; this one finds VERBATIM REPEATED SPANS —
@@ -1046,6 +1127,113 @@ object DedupQueries {
              |  UNION ALL SELECT z FROM tri)
              |SELECT doc_id, count(*) AS n_triangles
              |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // 2-CORE decomposition of the near-dup graph — the graph-cleaning
+    // pass that runs BEFORE clustering at scale: degree-1 pendants
+    // (coincidental one-off matches) are peeled iteratively until only
+    // the densely-connected duplicate families remain, so the
+    // connected-components rounds and every per-cluster pass after
+    // them run on the 2-core instead of the full edge list. Peeling is
+    // the standard iterative-filter plan: per round, degree-count the
+    // current edge set, keep nodes with deg >= 2, semi-join the edge
+    // list to the survivors on BOTH endpoints. Each round shuffles
+    // only on uniform node ids over a shrinking edge list, with a
+    // lineage cut per round like ConnectedComponents/PageRank.
+    //
+    // Cross-engine exactness for an iterative fixpoint: both sides run
+    // a FIXED 6 rounds (peeling is idempotent at the fixpoint, so any
+    // round count >= the convergence round gives the identical edge
+    // set — KCoreSpec asserts round 7 == round 6 on real data, and a
+    // worst-case path graph shows why the bound is diameter-shaped).
+    // The oracle unrolls the same 6 peels as CTE layers.
+    Q("q_kcore",
+      (s, d) => {
+        val p = simhash64Pairs(s, d).select("a_id", "b_id")
+        val edges = p.select(col("a_id").as("u"), col("b_id").as("v"))
+          .union(p.select(col("b_id").as("u"), col("a_id").as("v")))
+        KCore.coreDegrees(edges, k = 2, rounds = 6).orderBy("doc_id")
+      },
+      Some {
+        // every layer is referenced twice by its successor (degree
+        // count + both-endpoint filter); MATERIALIZED stops DuckDB
+        // from inlining the chain into a 3^rounds plan blowup
+        val layers = (1 to 6).map { k =>
+          s"""k$k AS MATERIALIZED (
+             |  SELECT u FROM e${k - 1} GROUP BY u HAVING count(*) >= 2),
+             |e$k AS MATERIALIZED (
+             |  SELECT e.u, e.v FROM e${k - 1} e
+             |  JOIN k$k a ON e.u = a.u
+             |  JOIN k$k b ON e.v = b.u)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $simhash64FpCte,
+           |pairs AS MATERIALIZED (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+           |e0 AS MATERIALIZED (
+           |  SELECT a_id AS u, b_id AS v FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |$layers
+           |SELECT u AS doc_id, count(*) AS core_deg
+           |FROM e6 GROUP BY u ORDER BY doc_id""".stripMargin
+      }),
+
+    // per-node clustering coefficient over the near-dup graph — the
+    // local-density refinement of q_triangles: a node whose neighbors
+    // are all pairwise-linked (coefficient 1) sits inside a template
+    // family; a high-degree node with coefficient ~0 is a hub of
+    // COINCIDENTAL matches that clustering should not fuse through.
+    // Reported as the exact rational (n_tri, n_wedges) per node — the
+    // coefficient is n_tri/n_wedges, and keeping numerator/denominator
+    // as integers makes the row hash-gateable where a float ratio is
+    // not (same convention as q_group_ols' slope). Plan: the degree
+    // aggregate and the per-corner triangle credits both come from the
+    // shared pair table (two joins + three tiny aggregates); nodes
+    // with deg < 2 have no wedges and are excluded by definition.
+    Q("q_clustering_coef",
+      (s, d) => {
+        val p = simhash64Pairs(s, d).select("a_id", "b_id")
+        val ends = p.select(col("a_id").as("u"))
+          .union(p.select(col("b_id").as("u")))
+        val deg = ends.groupBy("u").agg(count(lit(1)).as("deg"))
+        val tri = p.select(col("a_id").as("x"), col("b_id").as("y"))
+          .join(p.select(col("a_id").as("y"), col("b_id").as("z")), "y")
+          .join(p.select(col("a_id").as("x"), col("b_id").as("z")),
+            Seq("x", "z"))
+          .select(explode(array(col("x"), col("y"), col("z"))).as("u"))
+          .groupBy("u").agg(count(lit(1)).as("n_tri"))
+        deg.filter(col("deg") >= 2)
+          .join(tri, Seq("u"), "left")
+          .select(col("u").as("doc_id"), col("deg"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+            expr("(deg * (deg - 1)) div 2").as("n_wedges"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $simhash64FpCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |ends AS (
+             |  SELECT a_id AS u FROM pairs
+             |  UNION ALL SELECT b_id FROM pairs),
+             |dg AS (SELECT u, count(*) AS deg FROM ends GROUP BY u),
+             |tri AS (
+             |  SELECT w1.a_id AS x, w1.b_id AS y, w2.b_id AS z
+             |  FROM pairs w1
+             |  JOIN pairs w2 ON w1.b_id = w2.a_id
+             |  JOIN pairs cl ON cl.a_id = w1.a_id AND cl.b_id = w2.b_id),
+             |tc AS (
+             |  SELECT u, count(*) AS n_tri FROM (
+             |    SELECT x AS u FROM tri
+             |    UNION ALL SELECT y FROM tri
+             |    UNION ALL SELECT z FROM tri) c GROUP BY u)
+             |SELECT dg.u AS doc_id, dg.deg,
+             |  coalesce(tc.n_tri, 0) AS n_tri,
+             |  (dg.deg * (dg.deg - 1)) // 2 AS n_wedges
+             |FROM dg LEFT JOIN tc ON dg.u = tc.u
+             |WHERE dg.deg >= 2
+             |ORDER BY doc_id""".stripMargin)),
 
     // EDIT-DISTANCE near-dup (field-level entity resolution): the
     // character-edit complement of the token-set families above —

@@ -1,0 +1,45 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative k-core peeling over a SYMMETRIC edge list (u, v): per
+  * round, count degrees on the current edge set, keep nodes with
+  * deg >= k, and semi-join the edges to the survivors on both
+  * endpoints. Peeling is monotone (edges only leave) and idempotent at
+  * the fixpoint, so running any round count >= the convergence round
+  * yields the identical edge set — which is what lets q_kcore hash-gate
+  * an iterative algorithm against a fixed-depth unrolled SQL oracle.
+  *
+  * Scale shape: each round is one hash aggregate plus two equi-joins on
+  * uniform node ids over a shrinking edge list, with a lineage cut per
+  * round (same posture as [[ConnectedComponents]]); nothing
+  * corpus-sized ever reaches the driver. Convergence needs at most
+  * (peel-depth) rounds — the longest chain of "removing him drops her
+  * under k" dependencies — which for the pendant-trimming k=2 case is
+  * bounded by the longest path hanging off any core, not the graph
+  * size.
+  */
+object KCore {
+
+  /** The edge set of the k-core after `rounds` peels (fixpoint if
+    * `rounds` >= peel depth). Input must already be symmetric. */
+  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+      e = e.join(keep, "u")
+        .join(keep.select(col("u").as("v")), "v")
+        .select("u", "v")
+        .localCheckpoint()
+    }
+    e
+  }
+
+  /** (doc_id, core_deg) for every node surviving the k-core peel. */
+  def coreDegrees(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    peel(edges, k, rounds)
+      .groupBy("u").agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("doc_id"), col("core_deg"))
+}

@@ -108,6 +108,31 @@ object TextQueries {
              |  FROM documents) t
              |GROUP BY token ORDER BY token""".stripMargin)),
 
+    // word-trigram frequency table through the custom ngrams()
+    // GENERATOR ([[graft.functions.NGramsGen]]) — the n-gram emission
+    // every shingle-based stage needs, produced MAP-SIDE inside
+    // GenerateExec with zero shuffle before the counting aggregate.
+    // The dedup family's window-lead construction (posexplode + lead
+    // over a per-doc window) shuffles the whole exploded token table
+    // by doc_id first; at 100 TB that exchange dwarfs the aggregate
+    // this query exists for. `NGramsGenSpec` proves both constructions
+    // emit the identical gram multiset on real data; the oracle is the
+    // DuckDB list-slide. Deterministic top-40 by (count desc, gram).
+    Q("q_ngram_freq",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(graft.functions.NGramsGen.ngrams(tokens(col("text")), 3).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g"))
+        .limit(40),
+      Some("""WITH toks AS (
+             |  SELECT string_split(text, ' ') AS tk FROM documents),
+             |g AS (
+             |  SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+             |    i -> array_to_string(tk[i:i+2], ' '))) AS g
+             |  FROM toks WHERE len(tk) >= 3)
+             |SELECT g, count(*) AS n FROM g
+             |GROUP BY g ORDER BY n DESC, g LIMIT 40""".stripMargin)),
+
     // The reference's whole-pipeline shape on plain text: extract terms,
     // filter a needle set, count DISTINCT source docs per term, sort.
     // (== extractLinks -> countDistinct -> orderBy of WikiPipeline.)
@@ -544,6 +569,63 @@ object TextQueries {
              |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
              |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
              |FROM r GROUP BY stage ORDER BY stage""".stripMargin)),
+
+    // vocabulary growth curve (Heaps' law monitor): after ingesting
+    // docs 0..d in corpus order, how many distinct token types has the
+    // tokenizer seen? The curve flattening is the standard signal that
+    // a corpus slice stops contributing new vocabulary (and that a
+    // tokenizer's vocab budget is saturated). Computed WITHOUT any
+    // cumulative-distinct state: a type is "new" exactly at the doc
+    // holding its FIRST occurrence, so min(doc_id) per token (one
+    // uniform-key aggregate over the exploded tokens — the only
+    // corpus-sized stage) gives new-types-per-doc, and the running
+    // vocab size is a prefix sum over doc order via the two-phase
+    // shape (range repartition + broadcast per-partition offsets +
+    // partition-local running sum) — the corpus never funnels through
+    // a single-partition window.
+    Q("q_vocab_growth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+        val newTypes = docs
+          .select(col("doc_id"),
+            explode(array_distinct(tokens(col("text")))).as("tok"))
+          .groupBy("tok").agg(min(col("doc_id")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("new_types"))
+        val perDoc = docs.select("doc_id")
+          .join(newTypes, Seq("doc_id"), "left")
+          .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+          .repartitionByRange(32, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val offsets = perDoc.groupBy("pid")
+          .agg(sum(col("new_types")).as("psum"))
+          .withColumn("off",
+            coalesce(sum(col("psum")).over(
+              Window.orderBy("pid")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("pid", "off")
+        perDoc.join(broadcast(offsets), "pid")
+          .withColumn("vocab_size",
+            sum(col("new_types")).over(
+              Window.partitionBy("pid").orderBy("doc_id")) + col("off"))
+          .select("doc_id", "new_types", "vocab_size")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(string_split(text, ' '))) AS tok
+             |  FROM documents),
+             |firsts AS (
+             |  SELECT tok, min(doc_id) AS doc_id FROM tk GROUP BY tok),
+             |nt AS (
+             |  SELECT doc_id, count(*) AS new_types
+             |  FROM firsts GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(nt.new_types, 0) AS new_types,
+             |  CAST(sum(coalesce(nt.new_types, 0))
+             |    OVER (ORDER BY d.doc_id) AS BIGINT) AS vocab_size
+             |FROM documents d LEFT JOIN nt USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     // same md5 bucketing as q_deterministic_sample — the reproducible
     // way to rebalance a training corpus (e.g. downsample the dominant
