@@ -1235,6 +1235,70 @@ object DedupQueries {
              |WHERE dg.deg >= 2
              |ORDER BY doc_id""".stripMargin)),
 
+    // per-EDGE neighborhood Jaccard over the near-dup graph — the
+    // link-prediction / cluster-merge signal that decides whether an
+    // edge is structural (its endpoints share most of their neighbors:
+    // one template family) or incidental (a lone match between two
+    // otherwise-unrelated families that clustering must not fuse
+    // through). Complements q_clustering_coef, which scores NODES:
+    // an edge with n_common = 0 inside two high-coefficient
+    // neighborhoods is exactly the bridge a cluster-quality audit cuts.
+    // Reported as the exact rational (n_common, n_union) per edge —
+    // J = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| with open neighborhoods, so
+    // n_union = deg(a) + deg(b) - n_common (a and b are each other's
+    // neighbors but never their own) — integers end-to-end, so the row
+    // hash-gates where a float ratio would not (q_clustering_coef's
+    // convention).
+    //
+    // Plan: 10th reader of the shared pair table. Common neighbors per
+    // edge = equi-join of the undirected edge list to itself through
+    // the pair's two endpoints meeting on the third node — per-edge
+    // cost bounded by endpoint degree (the q_graph_degree diagnostic
+    // prices it; a degree cap belongs BEFORE this stage at 100 TB,
+    // same note as the triangle counter). Everything shuffles on
+    // uniform node ids; the final assembly joins are edge-table-sized.
+    Q("q_graph_jaccard",
+      (s, d) => {
+        val p = simhash64Pairs(s, d).select("a_id", "b_id")
+        val e = p.select(col("a_id").as("u"), col("b_id").as("v"))
+          .union(p.select(col("b_id").as("u"), col("a_id").as("v")))
+        val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+        val common = p
+          .join(e.select(col("u").as("a_id"), col("v").as("w")), "a_id")
+          .join(e.select(col("u").as("b_id"), col("v").as("w")),
+            Seq("b_id", "w"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+        p.join(common, Seq("a_id", "b_id"), "left")
+          .join(deg.select(col("u").as("a_id"), col("deg").as("deg_a")),
+            "a_id")
+          .join(deg.select(col("u").as("b_id"), col("deg").as("deg_b")),
+            "b_id")
+          .select(col("a_id"), col("b_id"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            (col("deg_a") + col("deg_b") -
+              coalesce(col("n_common"), lit(0L))).as("n_union"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $sharedPairsCte,
+             |e AS (
+             |  SELECT a_id AS u, b_id AS v FROM pairs
+             |  UNION ALL SELECT b_id, a_id FROM pairs),
+             |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+             |cm AS (
+             |  SELECT p.a_id, p.b_id, count(*) AS n_common
+             |  FROM pairs p
+             |  JOIN e ea ON ea.u = p.a_id
+             |  JOIN e eb ON eb.u = p.b_id AND eb.v = ea.v
+             |  GROUP BY p.a_id, p.b_id)
+             |SELECT p.a_id, p.b_id,
+             |  coalesce(cm.n_common, 0) AS n_common,
+             |  da.deg + db.deg - coalesce(cm.n_common, 0) AS n_union
+             |FROM pairs p
+             |LEFT JOIN cm ON cm.a_id = p.a_id AND cm.b_id = p.b_id
+             |JOIN dg da ON da.u = p.a_id
+             |JOIN dg db ON db.u = p.b_id
+             |ORDER BY p.a_id, p.b_id""".stripMargin)),
+
     // EDIT-DISTANCE near-dup (field-level entity resolution): the
     // character-edit complement of the token-set families above —
     // catches small in-place mutations (typo farms, template fills)
