@@ -664,6 +664,30 @@ object CoreQueries {
              |FROM documents WHERE n_chars BETWEEN 100 AND 180
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // SCHEMA EVOLUTION read (sources/SchemaEvolution.scala): the
+    // two-generation layout — gen=1 files written WITHOUT `lang`,
+    // gen=2 files with it — reconciled in ONE merged-footer scan;
+    // generation-1 rows surface lang IS NULL (the add-nullable-column
+    // contract), so count(lang) vs count(*) is exactly the backfill
+    // progress monitor. The oracle replays generation membership
+    // (doc_id parity) arithmetically against the original table —
+    // a hash match proves the merged read loses nothing and
+    // null-fills precisely the legacy rows.
+    Q("q_schema_evolution",
+      (s, d) => {
+        val root = graft.sources.SchemaEvolution.ensureLayout(s, d)
+        graft.sources.SchemaEvolution.readMerged(s, root)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            count(col("lang")).as("n_with_lang"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_with_lang
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // MATERIALIZED-VIEW rewrite: the query is written against the
     // BASE lineitem table; MvRewriteRule (injected via
     // SparkSessionExtensions) redirects it to the registered pricing
