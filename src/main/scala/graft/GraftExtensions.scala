@@ -44,5 +44,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => graft.plans.MvRewriteRule(s))
     e.injectOptimizerRule(s => graft.plans.JoinEliminationRule(s))
     e.injectOptimizerRule(s => graft.plans.DistinctEliminationRule(s))
+    e.injectOptimizerRule(s => graft.plans.SelfJoinEliminationRule(s))
   }
 }

@@ -174,6 +174,115 @@ case class JoinEliminationRule(session: SparkSession)
   }
 }
 
+object SelfJoinEliminationRule {
+  def ensure(spark: SparkSession): Unit = {
+    val r = SelfJoinEliminationRule(spark)
+    if (!spark.experimental.extraOptimizations.contains(r))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ r
+  }
+}
+
+/** SELF-join elimination on a declared primary key — the third RELY
+  * payoff: generated SQL routinely assembles a wide row by computing
+  * column subsets of the SAME table in separate subqueries and
+  * re-joining them on the key (metric CTEs, BI semantic layers,
+  * dbt-style staging models). On a declared PK the self-join is a
+  * bijection — each left row meets exactly the one right row with its
+  * own key — so the merged plan is ONE scan with both sides' columns
+  * and both sides' filters ANDed; the join, the second corpus scan,
+  * and the key shuffle all disappear. At 100 TB that halves the I/O
+  * and deletes the plan's only exchange. SQL Server ("table
+  * elimination") and Oracle perform exactly this rewrite on unique
+  * constraints.
+  *
+  * Soundness: PK uniqueness makes the join at-most-one-to-one;
+  * non-nullness (part of the PK declaration) makes an inner join on
+  * pk=pk keep precisely the rows surviving both sides' filters —
+  * which is what the AND of the remapped filters computes. Each
+  * side's filter conjuncts are collected on the walk down (any
+  * non-Filter/Project shape disqualifies), so a row dropped by ONE
+  * side drops from the merge exactly as the join would have dropped
+  * it. A FALSE declaration (duplicate "pk" values) yields wrong
+  * answers — the RELY contract, same as the siblings above; the
+  * battery gate's oracle executes the real self-join so the hash
+  * match proves the honest case.
+  *
+  * Conservative by construction: only Project-over-Inner-Join with a
+  * single pk=pk equi-predicate where both sides walk down (through
+  * attribute-only Projects and arbitrary Filters) to single-root-path
+  * scans of the SAME declared path. Anything else — renamed keys,
+  * joins/generators on a side, multi-path scans — is left untouched:
+  * a missed rewrite is a performance miss, never a wrong answer.
+  */
+case class SelfJoinEliminationRule(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, ExprId, Expression}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(_, j: Join) => tryMerge(p, j).getOrElse(p)
+  }
+
+  /** Walk down through attribute-only Projects and Filters to a
+    * single-root-path scan, collecting filter conjuncts. */
+  private def walk(p: LogicalPlan)
+      : Option[(LogicalRelation, Seq[Expression])] = p match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation if h.location.rootPaths.lengthCompare(1) == 0 =>
+        Some((l, Nil))
+      case _ => None
+    }
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      walk(c)
+    case Filter(cond, c) =>
+      walk(c).map { case (l, cs) =>
+        (l, cs ++ splitConjunctivePredicates(cond))
+      }
+    case _ => None
+  }
+
+  private def pathOf(l: LogicalRelation): String =
+    l.relation.asInstanceOf[HadoopFsRelation]
+      .location.rootPaths.head.toString
+
+  private def tryMerge(p: Project, j: Join): Option[LogicalPlan] = {
+    if (j.joinType != Inner) return None
+    val pkName = j.condition match {
+      case Some(EqualTo(x: AttributeReference, y: AttributeReference))
+          if x.name == y.name &&
+            (j.left.outputSet.contains(x) != j.left.outputSet.contains(y)) =>
+        x.name
+      case _ => return None
+    }
+    for {
+      (lRel, lConds) <- walk(j.left)
+      (rRel, rConds) <- walk(j.right)
+      if pathOf(lRel) == pathOf(rRel)
+      if FkCatalog.isPk(session, pathOf(lRel), pkName)
+      // right-relation attributes map to the left relation's by name
+      // (same table ⇒ same column set, exprIds differ per read); a
+      // schema divergence between the two reads disqualifies
+      byName = lRel.output.map(o => o.name -> o).toMap
+      if rRel.output.forall(r => byName.contains(r.name))
+    } yield {
+      val mapping: Map[ExprId, AttributeReference] = rRel.output.map(r =>
+        r.exprId -> byName(r.name).asInstanceOf[AttributeReference]).toMap
+      def remap(e: Expression): Expression = e.transform {
+        case ar: AttributeReference => mapping.getOrElse(ar.exprId, ar)
+      }
+      val cond = (lConds ++ rConds.map(remap)).reduceOption(And)
+      val base: LogicalPlan = cond.map(Filter(_, lRel)).getOrElse(lRel)
+      val projected: Seq[NamedExpression] = p.projectList.map {
+        case ar: AttributeReference if mapping.contains(ar.exprId) =>
+          // keep the ORIGINAL exprId so parent references stay valid
+          Alias(mapping(ar.exprId), ar.name)(exprId = ar.exprId)
+        case ne => remap(ne).asInstanceOf[NamedExpression]
+      }
+      Project(projected, base)
+    }
+  }
+}
+
 object DistinctEliminationRule {
   def ensure(spark: SparkSession): Unit = {
     val r = DistinctEliminationRule(spark)

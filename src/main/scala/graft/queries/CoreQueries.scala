@@ -740,6 +740,33 @@ object CoreQueries {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |ORDER BY c_custkey""".stripMargin)),
 
+    // SELF-join elimination on a declared PK (SelfJoinEliminationRule,
+    // plans/JoinElimination.scala): the generated-SQL shape where two
+    // column subsets of the SAME table — one filtered — are re-joined
+    // on the key to assemble a wide row. Under the declared doc_id PK
+    // the join is a bijection, so the rule merges both sides into ONE
+    // scan with the filters ANDed: no join, no second corpus scan, no
+    // key shuffle (plan-asserted in PlanShapeSpec; disqualifiers in
+    // SelfJoinEliminationSpec). The oracle EXECUTES the real
+    // self-join, so the hash match proves answer-identity.
+    Q("q_selfjoin_elim",
+      (s, d) => {
+        graft.plans.SelfJoinEliminationRule.ensure(s)
+        graft.plans.FkCatalog.declarePk(s, s"$d/documents.parquet", "doc_id")
+        val l = Tables.load(s, d, "documents")
+          .select("doc_id", "n_chars")
+          .filter(col("n_chars") >= 50)
+        val r = Tables.load(s, d, "documents")
+          .select("doc_id", "lang", "source")
+        l.join(r, l("doc_id") === r("doc_id"))
+          .select(l("doc_id"), col("n_chars"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT a.doc_id, a.n_chars, b.lang, b.source
+             |FROM documents a JOIN documents b ON a.doc_id = b.doc_id
+             |WHERE a.n_chars >= 50
+             |ORDER BY a.doc_id""".stripMargin)),
+
     // DISTINCT ELIMINATION on a declared primary key (the second RELY
     // payoff, plans/JoinElimination.scala): SELECT DISTINCT over a
     // column set containing the PK is a per-row identity, yet Spark

@@ -167,6 +167,15 @@ class PlanShapeSpec extends SparkSpec {
       s"q_join_elim still scans the dimension:\n$plan")
   }
 
+  test("q_selfjoin_elim: the PK self-join is merged into one scan") {
+    val plan = plans("q_selfjoin_elim")
+    assert(!plan.contains("Join"),
+      s"SelfJoinEliminationRule did not fire:\n$plan")
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents.parquet"))
+    assert(scans === 1, s"expected one documents scan, got $scans:\n$plan")
+  }
+
   test("q_range_join_auto: the naive theta join is auto-rewritten") {
     // the user wrote abs(Δt) <= W with no equi key; the optimizer must
     // have injected the 3-bin explode + equi-join (the global
