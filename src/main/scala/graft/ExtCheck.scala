@@ -114,6 +114,24 @@ object ExtCheck {
     println(s"[ext] PK distinct eliminated: ${!dePlan.contains("Aggregate")}")
     assert(!dePlan.contains("Aggregate"), dePlan)
 
+    // nfc through the extensions path: decomposed e + U+0301 -> U+00E9
+    val nfc = spark.sql("SELECT nfc('é') AS n, length(nfc('é')) AS l")
+      .collect()(0)
+    println(s"[ext] nfc recomposed to ${nfc.getString(0)} " +
+      s"(len ${nfc.getInt(1)}, expect 1)")
+    assert(nfc.getString(0) == "é" && nfc.getInt(1) == 1)
+
+    // self-join elimination through the extensions path
+    plans.FkCatalog.declarePk(spark, s"$sfDir/documents.parquet", "doc_id")
+    val sl = Tables.load(spark, sfDir, "documents").select("doc_id", "n_chars")
+    val sr = Tables.load(spark, sfDir, "documents").select("doc_id", "lang")
+    val sj = sl.join(sr, sl("doc_id") === sr("doc_id"))
+      .select(sl("doc_id"), sl("n_chars"), sr("lang"))
+    val sjPlan = sj.queryExecution.optimizedPlan.toString
+    println(s"[ext] declared-PK self-join merged: ${!sjPlan.contains("Join")}")
+    assert(!sjPlan.contains("Join"), sjPlan)
+    println(s"[ext] self-join-elim rows: ${sj.count()}")
+
     println("[ext] all extension surfaces OK")
     spark.stop()
   }

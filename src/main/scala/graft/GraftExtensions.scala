@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSimilarity, DotLong, MisraGriesAgg, NGramsGen, SimHash64Agg}
+import graft.functions.{CosineSimilarity, DotLong, MisraGriesAgg, NGramsGen, NfcNormalize, SimHash64Agg}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => NGramsGen(exprs(0),
         // n must be a foldable literal, like misra_gries' k
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)

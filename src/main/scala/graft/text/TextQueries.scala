@@ -46,6 +46,37 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Unicode NFC canonicalization (functions/NfcNormalize.scala — a
+    // custom codegen'd scalar Expression): the same visible text
+    // arrives precomposed or decomposed per source, and exact dedup /
+    // fingerprinting sees DIFFERENT strings until normalized. The
+    // synthetic corpus is ASCII, so the decomposed form is
+    // INJECTED deterministically (every 'e' becomes e + U+0301, the
+    // combining acute) and the query reports the canonicalization
+    // delta (n_raw vs n_nfc: each recombination shrinks the string by
+    // one code point) plus the md5 of the normalized text — a hash
+    // match against DuckDB's nfc_normalize proves both engines emit
+    // the identical TR-15 canonical form byte-for-byte.
+    Q("q_text_normalize",
+      (s, d) => {
+        import graft.functions.NfcNormalize.nfc_norm
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "e", "é").as("raw"))
+          .select(col("doc_id"),
+            length(col("raw")).as("n_raw"),
+            length(nfc_norm(col("raw"))).as("n_nfc"),
+            md5(nfc_norm(col("raw"))).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dec AS (
+             |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS raw
+             |  FROM documents)
+             |SELECT doc_id, length(raw) AS n_raw,
+             |  length(nfc_normalize(raw)) AS n_nfc,
+             |  md5(nfc_normalize(raw)) AS fp
+             |FROM dec ORDER BY doc_id""".stripMargin)),
+
     // token counting: whitespace tokenizer, distinct count, and a
     // BPE-ish regex segmentation (letter-runs | digit-runs | other) —
     // the pattern avoids lookaheads so java.util.regex and RE2 agree
