@@ -527,6 +527,132 @@ object SimilarityQueries {
              |SELECT query_id, neighbor_id, rank, cos FROM r
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // PRODUCT QUANTIZATION ANN (Jégou et al., PAMI'11) — the
+    // COMPRESSION-based search family beside the partitioning ones
+    // (bucketed/IVF), the sketch one (SRP) and the element-wise one
+    // (int8): each vector is stored as M=2 one-byte codes (its nearest
+    // codebook centroid per 32-dim subspace), and query-time distance
+    // is the Asymmetric Distance Computation — a per-query lookup
+    // table of query-to-centroid distances, summed over subspaces.
+    // The codebook here is the deterministic seed codebook (the 8
+    // lowest vec_ids' sub-vectors, the q_ann_ivf convention); Lloyd
+    // refinement per subspace would plug in IvfIndex.train unchanged.
+    //
+    // Scale shape: the codebook is M*K*32 longs of driver/broadcast
+    // state at ANY corpus size; ENCODE is one map-only pass (argmin of
+    // K codegen'd dot_long scores per subspace — the vector's own norm
+    // is constant across codes and drops out of the argmin); the ADC
+    // tables are 5 queries x 8 codes x 2 subspaces = 80 driver-built
+    // rows broadcast onto the encoded corpus (two broadcast hash
+    // joins, no shuffle), and the top-5 heap is TopKPerGroupExec. At
+    // 100 TB the encoded corpus is 2 bytes/vector where the raw
+    // vectors are 256 — the memory ratio that makes billion-scale
+    // in-RAM search possible. All-integer arithmetic end-to-end, so
+    // the ADC estimates hash-gate exactly.
+    Q("q_ann_pq",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val e = scaled(s, d)
+        val seeds = e.orderBy("vec_id").limit(8)
+          .select("vec_id", "sv").collect()
+          .map(_.getSeq[Long](1).toArray)
+        // books(m)(c) = the 32-dim centroid for code c of subspace m
+        val books: Seq[Array[Array[Long]]] =
+          Seq(seeds.map(_.slice(0, 32)), seeds.map(_.slice(32, 64)))
+        def encCol(sub: org.apache.spark.sql.Column,
+                   m: Int): org.apache.spark.sql.Column = {
+          val entries = books(m).zipWithIndex.map { case (cv, c) =>
+            struct(
+              (lit(cv.map(x => x * x).sum) -
+                lit(2L) * dotLong(sub, typedLit(cv))).as("score"),
+              lit(c).as("c"))
+          }
+          array_min(array(entries.toIndexedSeq: _*)).getField("c")
+        }
+        val encd = e.select(col("vec_id"),
+          encCol(slice(col("sv"), 1, 32), 0).as("c0"),
+          encCol(slice(col("sv"), 33, 32), 1).as("c1"))
+        // ADC lookup tables (FAISS's per-query dtable), driver-built
+        val queries = e.filter(col("vec_id") < 5)
+          .select("vec_id", "sv").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        def d2(a: Array[Long], b: Array[Long]): Long = {
+          var acc = 0L; var i = 0
+          while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+          acc
+        }
+        val dt0 = (for ((qid, qv) <- queries.toSeq; c <- 0 until 8)
+          yield (qid, c, d2(qv.slice(0, 32), books(0)(c))))
+          .toDF("query_id", "code0", "d0")
+        val dt1 = (for ((qid, qv) <- queries.toSeq; c <- 0 until 8)
+          yield (qid, c, d2(qv.slice(32, 64), books(1)(c))))
+          .toDF("q1", "code1", "d1")
+        val est = encd
+          .join(broadcast(dt0), encd("c0") === dt0("code0"))
+          .join(broadcast(dt1),
+            col("query_id") === col("q1") && encd("c1") === dt1("code1"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (col("d0") + col("d1")).as("est"))
+        val top = graft.plans.TopKPerGroup.topKPerGroup(est,
+          Seq(col("query_id")), Seq(asc("est"), asc("neighbor_id")), 5)
+        val w = Window.partitionBy("query_id")
+          .orderBy(asc("est"), asc("neighbor_id"))
+        top.withColumn("rank", row_number().over(w).cast(LongType))
+          .select("query_id", "neighbor_id", "rank", "est")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $scaledCte,
+             |seed AS (SELECT CAST(vec_id AS INT) AS c, sv FROM nrm
+             |         WHERE vec_id < 8),
+             |cb0 AS (SELECT c, sv[1:32] AS cv FROM seed),
+             |cb1 AS (SELECT c, sv[33:64] AS cv FROM seed),
+             |enc0 AS (
+             |  SELECT vec_id, c AS c0 FROM (
+             |    SELECT e.vec_id, b.c,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_sum(list_transform(range(1, 33),
+             |          i -> (e.sv[i] - b.cv[i]) * (e.sv[i] - b.cv[i]))),
+             |        b.c) AS rn
+             |    FROM nrm e CROSS JOIN cb0 b) t WHERE rn = 1),
+             |enc1 AS (
+             |  SELECT vec_id, c AS c1 FROM (
+             |    SELECT e.vec_id, b.c,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_sum(list_transform(range(1, 33),
+             |          i -> (e.sv[i + 32] - b.cv[i]) * (e.sv[i + 32] - b.cv[i]))),
+             |        b.c) AS rn
+             |    FROM nrm e CROSS JOIN cb1 b) t WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, sv FROM nrm WHERE vec_id < 5),
+             |dt0 AS (
+             |  SELECT q.query_id, b.c AS code0,
+             |    CAST(list_sum(list_transform(range(1, 33),
+             |      i -> (q.sv[i] - b.cv[i]) * (q.sv[i] - b.cv[i])))
+             |      AS BIGINT) AS d0
+             |  FROM q CROSS JOIN cb0 b),
+             |dt1 AS (
+             |  SELECT q.query_id, b.c AS code1,
+             |    CAST(list_sum(list_transform(range(1, 33),
+             |      i -> (q.sv[i + 32] - b.cv[i]) * (q.sv[i + 32] - b.cv[i])))
+             |      AS BIGINT) AS d1
+             |  FROM q CROSS JOIN cb1 b),
+             |est AS (
+             |  SELECT dt0.query_id, e0.vec_id AS neighbor_id,
+             |    dt0.d0 + dt1.d1 AS est
+             |  FROM enc0 e0 JOIN enc1 e1 ON e0.vec_id = e1.vec_id
+             |  JOIN dt0 ON dt0.code0 = e0.c0
+             |  JOIN dt1 ON dt1.query_id = dt0.query_id
+             |    AND dt1.code1 = e1.c1
+             |  WHERE e0.vec_id <> dt0.query_id),
+             |r AS (
+             |  SELECT query_id, neighbor_id, est,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY est, neighbor_id) AS BIGINT) AS rank
+             |  FROM est)
+             |SELECT query_id, neighbor_id, rank, est FROM r
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // CONTRASTIVE TRAINING-PAIR GENERATION — the step that turns a
     // corpus + an ANN index into embedding-model training data
     // (SimCSE/CLIP-style): for each anchor, one POSITIVE (its exact
