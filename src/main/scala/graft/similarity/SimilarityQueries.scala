@@ -653,6 +653,133 @@ object SimilarityQueries {
              |SELECT query_id, neighbor_id, rank, est FROM r
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // MMR DIVERSIFIED RE-RANK (Carbonell & Goldstein, SIGIR'98) — the
+    // post-retrieval step that turns a similarity top-k into a USEFUL
+    // top-k: greedy selection of 5 results per query maximizing
+    // λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) at λ = 1/2 — near
+    // duplicates of an already-selected result are penalized by
+    // exactly their redundancy. This is the de-dup-at-read-time
+    // complement of the corpus dedup family: RAG and eval pipelines
+    // run it on every retrieval.
+    //
+    // Scale shape: the DISTRIBUTED stage is candidate generation
+    // (brute-force top-20 per query through TopKPerGroupExec — swap in
+    // the IVF probe at 100 TB); the greedy rounds then operate on the
+    // BOUNDED candidate table (queries × 20 rows, persisted once) — 5
+    // unrolled join+argmax rounds over KB-sized frames, never the
+    // corpus. Determinism: rel and sim are single exactly-rounded
+    // IEEE divisions of exact integers (bit-identical cross-engine),
+    // λ = 1/2 makes both MMR terms exact halvings, and ties break on
+    // cand_id — so the greedy trajectory hash-gates despite doubles.
+    Q("q_mmr_rerank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = scaled(s, d)
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("sv").as("qv"),
+            col("nn").as("qn"))
+        val cands = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("rel", cosineFromScaled(
+            col("qv"), col("sv"), col("qn"), col("nn")))
+        val top20 = graft.plans.TopKPerGroup.topKPerGroup(cands,
+          Seq(col("query_id")), Seq(desc("rel"), asc("vec_id")), 20)
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            col("rel"), col("sv"), col("nn"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rel = top20.select("query_id", "cand_id", "rel")
+        val psim = top20.select(col("query_id"), col("cand_id").as("a_id"),
+            col("sv").as("a_sv"), col("nn").as("a_nn"))
+          .join(top20.select(col("query_id"), col("cand_id").as("b_id"),
+            col("sv").as("b_sv"), col("nn").as("b_nn")), "query_id")
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("query_id"), col("a_id"), col("b_id"),
+            cosineFromScaled(col("a_sv"), col("b_sv"),
+              col("a_nn"), col("b_nn")).as("sim"))
+        def pick1(df: org.apache.spark.sql.DataFrame, rank: Int,
+                  score: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.DataFrame = {
+          val w = Window.partitionBy("query_id")
+            .orderBy(desc("score"), asc("cand_id"))
+          df.withColumn("score", score)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("query_id"), col("cand_id"),
+              lit(rank.toLong).as("rank"), col("score"))
+        }
+        var selected = pick1(rel, 1, col("rel"))
+        for (t <- 2 to 5) {
+          val rem = rel.join(selected.select("query_id", "cand_id"),
+            Seq("query_id", "cand_id"), "left_anti")
+          val ms = psim.join(
+              selected.select(col("query_id"), col("cand_id").as("b_id")),
+              Seq("query_id", "b_id"))
+            .groupBy(col("query_id"), col("a_id").as("cand_id"))
+            .agg(max(col("sim")).as("ms"))
+          selected = selected.union(
+            pick1(rem.join(ms, Seq("query_id", "cand_id")), t,
+              lit(0.5) * col("rel") - lit(0.5) * col("ms")))
+        }
+        selected.orderBy("query_id", "rank")
+      },
+      Some {
+        def cos(a: String, b: String, an: String, bn: String) =
+          s"""CAST(list_sum(list_transform(range(1, 65),
+             |      i -> $a[i] * $b[i])) AS DOUBLE)
+             |      / sqrt(CAST($an AS DOUBLE) * CAST($bn AS DOUBLE))""".stripMargin
+        val layers = (2 to 5).map { t =>
+          s"""sel$t AS (
+             |  SELECT query_id, cand_id, CAST($t AS BIGINT) AS rank, score
+             |  FROM (
+             |    SELECT r.query_id, r.cand_id,
+             |      CAST(0.5 AS DOUBLE) * r.rel
+             |        - CAST(0.5 AS DOUBLE) * m.ms AS score,
+             |      row_number() OVER (PARTITION BY r.query_id
+             |        ORDER BY CAST(0.5 AS DOUBLE) * r.rel
+             |          - CAST(0.5 AS DOUBLE) * m.ms DESC, r.cand_id) AS rn
+             |    FROM top r
+             |    JOIN (SELECT p.query_id, p.a_id, max(p.sim) AS ms
+             |          FROM ps p JOIN all${t - 1} s
+             |            ON p.query_id = s.query_id AND p.b_id = s.cand_id
+             |          GROUP BY p.query_id, p.a_id) m
+             |      ON r.query_id = m.query_id AND r.cand_id = m.a_id
+             |    WHERE NOT EXISTS (SELECT 1 FROM all${t - 1} s2
+             |      WHERE s2.query_id = r.query_id
+             |        AND s2.cand_id = r.cand_id)) t
+             |  WHERE rn = 1),
+             |all$t AS (SELECT * FROM all${t - 1}
+             |          UNION ALL SELECT * FROM sel$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $scaledCte,
+           |q AS (SELECT vec_id AS query_id, sv AS qv, nn AS qn
+           |      FROM nrm WHERE vec_id < 3),
+           |c0 AS (
+           |  SELECT query_id, vec_id AS cand_id,
+           |    ${cos("qv", "sv", "qn", "nn")} AS rel, sv, nn
+           |  FROM nrm JOIN q ON vec_id <> query_id),
+           |top AS (
+           |  SELECT query_id, cand_id, rel, sv, nn FROM (
+           |    SELECT c0.*, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rel DESC, cand_id) AS rn FROM c0) t
+           |  WHERE rn <= 20),
+           |ps AS (
+           |  SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+           |    ${cos("a.sv", "b.sv", "a.nn", "b.nn")} AS sim
+           |  FROM top a JOIN top b ON a.query_id = b.query_id
+           |    AND a.cand_id <> b.cand_id),
+           |sel1 AS (
+           |  SELECT query_id, cand_id, CAST(1 AS BIGINT) AS rank,
+           |    rel AS score
+           |  FROM (
+           |    SELECT query_id, cand_id, rel,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY rel DESC, cand_id) AS rn FROM top) t
+           |  WHERE rn = 1),
+           |all1 AS (SELECT * FROM sel1),
+           |$layers
+           |SELECT query_id, cand_id, rank, score FROM all5
+           |ORDER BY query_id, rank""".stripMargin
+      }),
+
     // CONTRASTIVE TRAINING-PAIR GENERATION — the step that turns a
     // corpus + an ANN index into embedding-model training data
     // (SimCSE/CLIP-style): for each anchor, one POSITIVE (its exact
