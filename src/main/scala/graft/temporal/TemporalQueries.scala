@@ -193,6 +193,66 @@ object TemporalQueries {
              |  AND abs(epoch_us(CAST(c.ts AS TIMESTAMP))
              |        - epoch_us(CAST(e.ts AS TIMESTAMP))) <= 600000000
              |WHERE e.event_type = 'error'
-             |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin))
+             |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)),
+
+    // EXPONENTIALLY-WEIGHTED moving average per user — the smoothing
+    // primitive of every metric/drift monitor, in EXACT integer form:
+    // the usual recursive s_t = α·v_t + (1-α)·s_{t-1} accumulates a
+    // float whose value depends on history length, so two engines (or
+    // two partitionings) disagree in the last bits. Here α = 1/2 and
+    // the history is truncated at 8 lags (weight 2^-8 < 0.4% — below
+    // any monitoring threshold), which turns the smoother into a
+    // FINITE weighted window: num = Σ_i v_{t-i}·2^(7-i) and
+    // den = Σ_i 2^(7-i) over the lags present, both exact BIGINTs on
+    // cent-scaled values (the q_event_anomaly convention). num/den IS
+    // the EWMA; reporting the exact rational hash-gates it (the
+    // q_group_ols (num, den) convention). Plan: ONE window over the
+    // per-user shuffle — 8 lag() reads of the same frame, no
+    // self-join, no recursive state; at 100 TB this is the same
+    // sessionization-shaped shuffle every per-user window pays.
+    Q("q_ewma",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val e = Tables.load(s, d, "events")
+          .filter(col("user_id") < 25)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+        val num = (0 to 7).map {
+          case 0 => coalesce(col("cents"), lit(0L)) * lit(128L)
+          case i => coalesce(lag(col("cents"), i).over(w), lit(0L)) *
+            lit(1L << (7 - i))
+        }.reduce(_ + _)
+        val den = (0 to 7).map {
+          case 0 => when(col("cents").isNotNull, lit(128L)).otherwise(lit(0L))
+          case i => when(lag(col("cents"), i).over(w).isNotNull,
+            lit(1L << (7 - i))).otherwise(lit(0L))
+        }.reduce(_ + _)
+        e.withColumn("num", num).withColumn("den", den)
+          .select("user_id", "event_id", "cents", "num", "den")
+          .orderBy("user_id", "event_id")
+      },
+      Some {
+        val numSql = (0 to 7).map {
+          case 0 => "coalesce(cents, 0) * 128"
+          case i => s"coalesce(lag(cents, $i) OVER win, 0) * ${1L << (7 - i)}"
+        }.mkString("\n|    + ")
+        val denSql = (0 to 7).map {
+          case 0 => "CASE WHEN cents IS NOT NULL THEN 128 ELSE 0 END"
+          case i => s"CASE WHEN lag(cents, $i) OVER win IS NOT NULL " +
+            s"THEN ${1L << (7 - i)} ELSE 0 END"
+        }.mkString("\n|    + ")
+        s"""WITH e AS (
+           |  SELECT user_id, event_id,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           |    CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events WHERE user_id < 25)
+           |SELECT user_id, event_id, cents,
+           |  CAST($numSql AS BIGINT) AS num,
+           |  CAST($denSql AS BIGINT) AS den
+           |FROM e
+           |WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id)
+           |ORDER BY user_id, event_id""".stripMargin
+      })
   )
 }
