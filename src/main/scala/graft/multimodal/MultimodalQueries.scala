@@ -151,6 +151,31 @@ object MultimodalQueries {
              |  CAST(2 AS BIGINT) AS n_chunks
              |FROM s ORDER BY media_id""".stripMargin)),
 
+    // REAL JPEG/JFIF parse through the same seam (JpegCodec): the
+    // MARKER-STREAM complement of PNG's BE chunks and WAV's LE RIFF —
+    // variable segment walk to SOF0 for the geometry, then a
+    // byte-stuffing-aware scan to EOI. Every parsed field is
+    // recomputed by the oracle from the doc columns, so a wrong
+    // offset/endianness in writer OR parser breaks the hash gate.
+    Q("q_multimodal_jpeg",
+      (s, d) => {
+        import s.implicits._
+        val jpegs = JpegCodec.syntheticJpegs(Tables.load(s, d, "documents"))
+          .as[JpegCodec.JpegRow]
+        JpegCodec.decode(jpegs).toDF()
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CAST(n_chars % 512 + 32 AS BIGINT) AS width,
+             |CAST(n_chars % 384 + 24 AS BIGINT) AS height,
+             |CAST(8 AS INT) AS sample_bits,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT)
+             |  AS n_components,
+             |CAST(1 AS BIGINT) AS n_dqt,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS scan_bytes,
+             |CAST(4 AS BIGINT) AS n_segments
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // video-style FRAME SAMPLING over an opaque payload: the payload is
     // a sequence of fixed-size 16-byte frames; sample every 4th frame
     // and emit per-frame metadata (offset, content hash, head byte).
