@@ -843,6 +843,40 @@ object TextQueries {
              |  FROM documents) t
              |WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
 
+    // PER-GROUP UNIFORM SAMPLE via bottom-k-by-hash — "8 random docs
+    // per source" for eval sets and manual audits, done the
+    // distributed-safe way: each row draws a seeded md5 and the k
+    // SMALLEST draws per group win. Unlike %-threshold stratified
+    // sampling (q_stratified_sample), bottom-k needs NO per-group
+    // count first to hit an exact k, and the selection is a
+    // MERGEABLE monoid — the bottom-k of a union is the bottom-k of
+    // the per-partition bottom-k's — which is exactly the bounded-heap
+    // shape TopKPerGroupExec executes: one pass, k rows of state per
+    // group, deterministic under any partitioning or rerun (the
+    // no-leakage property of every md5-draw sampler in the battery).
+    Q("q_group_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            md5(concat(lit("smp1_"), col("doc_id").cast(StringType)))
+              .as("draw"))
+        val top = graft.plans.TopKPerGroup.topKPerGroup(docs,
+          Seq(col("source")), Seq(asc("draw"), asc("doc_id")), 8)
+        val w = Window.partitionBy("source").orderBy(asc("draw"), asc("doc_id"))
+        top.withColumn("rank", row_number().over(w).cast(LongType))
+          .select("source", "doc_id", "lang", "draw", "rank")
+          .orderBy("source", "rank")
+      },
+      Some("""SELECT source, doc_id, lang, draw, rank FROM (
+             |  SELECT source, doc_id, lang,
+             |    md5('smp1_' || CAST(doc_id AS VARCHAR)) AS draw,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('smp1_' || CAST(doc_id AS VARCHAR)), doc_id)
+             |      AS BIGINT) AS rank
+             |  FROM documents) t
+             |WHERE rank <= 8 ORDER BY source, rank""".stripMargin)),
+
     // BPE merge-candidate counting (the inner loop of byte-pair-
     // encoding tokenizer training): global frequencies of adjacent
     // character pairs within whitespace tokens, top-50. One explode to

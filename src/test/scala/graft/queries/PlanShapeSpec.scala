@@ -32,7 +32,10 @@ class PlanShapeSpec extends SparkSpec {
     // deliberately-broadcast theta join on the staircase-pruned set;
     // q_event_pairs / q_ks_drift broadcast singleton frames (basket
     // count / sample sizes)
-    "q_skyline", "q_event_pairs", "q_ks_drift")
+    "q_skyline", "q_event_pairs", "q_ks_drift",
+    // q_mmr_rerank's candidate stage broadcasts 3 query vectors onto
+    // the corpus scan (the q_ann_bruteforce shape)
+    "q_mmr_rerank")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
