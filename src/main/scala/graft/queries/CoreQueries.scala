@@ -20,6 +20,24 @@ object CoreQueries {
                fn: (SparkSession, String) => DataFrame,
                sql: Option[String])
 
+  /** q_cow_merge's merged manifest, built ONCE per (session, sf dir):
+    * layout + one file-grain CoW merge of the deterministic batch
+    * (the write-once convention of every persisted stage). */
+  private val cowCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private[graft] def cowMergedManifest(s: SparkSession, d: String): String =
+    cowCache.computeIfAbsent((s, d), { _ =>
+      val root = graft.sources.ManifestPrune.ensureLayout(s, d)
+      val docs = Tables.load(s, d, "documents")
+      val updates = docs.filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id"), lit("xx").as("new_lang"))
+      val inserts = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit("new").as("lang"), col("source"), col("n_chars"))
+      graft.sources.ManifestPrune.cowMerge(s, root, updates, inserts, "v2")._2
+    })
+
   val all: Seq[Q] = Seq(
 
     // S-scan + projection + predicate (pushed to parquet: check
@@ -663,6 +681,42 @@ object CoreQueries {
              |CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents WHERE n_chars BETWEEN 100 AND 180
              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // COPY-ON-WRITE MERGE (ManifestPrune.cowMerge): the lakehouse
+    // mutation path — an upsert batch (updates: every 23rd doc's lang
+    // re-tagged 'xx'; inserts: 10 new rows) folded into the clustered
+    // layout by rewriting ONLY the files containing a matched key,
+    // committed as a NEW manifest version referencing untouched files
+    // at their old paths (swap-by-path; old version stays readable).
+    // The aggregate runs over the POST-MERGE reader
+    // (ManifestPrune.readVersion), and the oracle replays the merge
+    // semantics arithmetically over the original table — the hash
+    // match proves the file-grain rewrite lost nothing, updated
+    // exactly the matched rows, and appended exactly the inserts.
+    // CowMergeSpec asserts the file-level contract (only hit files
+    // rewritten, old layout untouched).
+    Q("q_cow_merge",
+      (s, d) => {
+        val mf = cowMergedManifest(s, d)
+        graft.sources.ManifestPrune.readVersion(s, mf)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("doc_id")).as("sum_ids"))
+          .orderBy("lang")
+      },
+      Some("""WITH merged AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 23 = 0 THEN 'xx' ELSE lang END AS lang,
+             |    n_chars
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, 'new', n_chars
+             |  FROM documents WHERE doc_id < 10)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // SCHEMA EVOLUTION read (sources/SchemaEvolution.scala): the
     // two-generation layout — gen=1 files written WITHOUT `lang`,

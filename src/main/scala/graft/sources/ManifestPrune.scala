@@ -98,4 +98,71 @@ object ManifestPrune {
       .write.mode("overwrite").parquet(mfDir)
     (dataDir, mfDir)
   }
+
+  /** COPY-ON-WRITE MERGE — the lakehouse write path that completes the
+    * manifest family (prune = read, compact = maintenance, merge =
+    * mutation): fold an upsert batch into the layout by rewriting ONLY
+    * the files that contain a matched key, exactly what Delta/Hudi
+    * CoW MERGE does. Steps, all Iceberg-planner-shaped:
+    *   1. plan: join the batch's keys against the layout once to find
+    *      the HIT files — a driver-held file list (KBs: one row per
+    *      touched file, never per row);
+    *   2. rewrite: re-read only the hit files, apply the update
+    *      (coalesce of the batch's new value over the old), append the
+    *      insert rows, write to a NEW versioned data dir;
+    *   3. commit: a NEW manifest referencing untouched files AT THEIR
+    *      OLD PATHS plus the rewritten files — swap-by-path, so
+    *      concurrent readers of the old manifest keep a consistent
+    *      pre-merge view and nothing is mutated in place.
+    * At 100 TB the cost is proportional to the TOUCHED data (hit
+    * files + batch), not the table — the entire point of CoW over
+    * rewrite-the-world. Caller contract (as in a real MERGE ... WHEN
+    * MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT): `updates`
+    * carries (doc_id, new_lang) for existing keys, `inserts` carries
+    * full new rows with keys absent from the table. Returns
+    * (dataV2Dir, manifestV2Dir). */
+  def cowMerge(s: SparkSession, root: String, updates: DataFrame,
+               inserts: DataFrame, version: String): (String, String) = {
+    val dataV2 = s"$root/data_$version"
+    val mfV2 = s"$root/manifest_$version"
+    val table = s.read.parquet(s"$root/data")
+    // 1. plan: which files hold a matched key? (driver-held, file-grain)
+    val hitFiles = table
+      .select(col("_metadata.file_path").as("file"), col("doc_id"))
+      .join(updates.select("doc_id"), "doc_id")
+      .select("file").distinct().collect().map(_.getString(0))
+    // 2. rewrite hit files with the update applied + append inserts
+    val hit =
+      if (hitFiles.isEmpty) table.limit(0)
+      else s.read.parquet(hitFiles.toIndexedSeq: _*)
+    hit.join(updates.withColumnRenamed("new_lang", "__nl"), Seq("doc_id"),
+        "left")
+      .withColumn("lang", coalesce(col("__nl"), col("lang")))
+      .drop("__nl")
+      .unionByName(inserts)
+      .write.mode("overwrite").parquet(dataV2)
+    // 3. commit: new manifest = untouched old rows + fresh v2 stats
+    // (both sides carry _metadata.file_path URIs, so plain equality
+    // works; an empty hit list keeps every old row)
+    val untouched = s.read.parquet(s"$root/manifest")
+      .filter(if (hitFiles.isEmpty) lit(true)
+        else !col("file").isInCollection(hitFiles.toIndexedSeq))
+    val v2Stats = s.read.parquet(dataV2)
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(min(col("n_chars")).as("min_key"),
+        max(col("n_chars")).as("max_key"),
+        count(lit(1)).as("n_rows"))
+    untouched.unionByName(v2Stats).write.mode("overwrite").parquet(mfV2)
+    (dataV2, mfV2)
+  }
+
+  /** Read the table a manifest version describes (the post-merge
+    * reader: untouched files at their old paths + rewritten files). */
+  def readVersion(s: SparkSession, manifestDir: String): DataFrame = {
+    val files = s.read.parquet(manifestDir)
+      .select("file").collect().map(_.getString(0))
+    s.read.parquet(files.toIndexedSeq: _*)
+  }
+
 }
