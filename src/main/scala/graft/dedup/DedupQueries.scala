@@ -1250,23 +1250,31 @@ object DedupQueries {
     // hash-gates where a float ratio would not (q_clustering_coef's
     // convention).
     //
-    // Plan: 10th reader of the shared pair table. Common neighbors per
-    // edge = equi-join of the undirected edge list to itself through
-    // the pair's two endpoints meeting on the third node — per-edge
-    // cost bounded by endpoint degree (the q_graph_degree diagnostic
-    // prices it; a degree cap belongs BEFORE this stage at 100 TB,
-    // same note as the triangle counter). Everything shuffles on
-    // uniform node ids; the final assembly joins are edge-table-sized.
+    // Plan: 10th reader of the shared pair table. A common neighbor c
+    // of edge (a, b) is exactly a triangle {a, b, c}, so per-edge
+    // common-neighbor counts come from the ORDERED node-iterator
+    // triangle enumeration (the q_triangles plan — x<y<z, quarter the
+    // fan-out of an undirected wedge join; measured 6.2 s → the
+    // triangle cost class at sf0.1): each triangle credits its three
+    // ordered edges once. Per-edge cost bounded by endpoint degree
+    // (q_graph_degree prices it; a degree cap belongs BEFORE this
+    // stage at 100 TB, same note as the triangle counter). Everything
+    // shuffles on uniform node ids.
     Q("q_graph_jaccard",
       (s, d) => {
         val p = simhash64Pairs(s, d).select("a_id", "b_id")
         val e = p.select(col("a_id").as("u"), col("b_id").as("v"))
           .union(p.select(col("b_id").as("u"), col("a_id").as("v")))
         val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
-        val common = p
-          .join(e.select(col("u").as("a_id"), col("v").as("w")), "a_id")
-          .join(e.select(col("u").as("b_id"), col("v").as("w")),
-            Seq("b_id", "w"))
+        val tri = p.select(col("a_id").as("x"), col("b_id").as("y"))
+          .join(p.select(col("a_id").as("y"), col("b_id").as("z")), "y")
+          .join(p.select(col("a_id").as("x"), col("b_id").as("z")),
+            Seq("x", "z"))
+        val common = tri.select(explode(array(
+            struct(col("x").as("a_id"), col("y").as("b_id")),
+            struct(col("x").as("a_id"), col("z").as("b_id")),
+            struct(col("y").as("a_id"), col("z").as("b_id")))).as("e"))
+          .select(col("e.a_id").as("a_id"), col("e.b_id").as("b_id"))
           .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
         p.join(common, Seq("a_id", "b_id"), "left")
           .join(deg.select(col("u").as("a_id"), col("deg").as("deg_a")),

@@ -664,16 +664,21 @@ object SimilarityQueries {
     //
     // Scale shape: the DISTRIBUTED stage is candidate generation
     // (brute-force top-20 per query through TopKPerGroupExec — swap in
-    // the IVF probe at 100 TB); the greedy rounds then operate on the
-    // BOUNDED candidate table (queries × 20 rows, persisted once) — 5
-    // unrolled join+argmax rounds over KB-sized frames, never the
-    // corpus. Determinism: rel and sim are single exactly-rounded
-    // IEEE divisions of exact integers (bit-identical cross-engine),
-    // λ = 1/2 makes both MMR terms exact halvings, and ties break on
-    // cand_id — so the greedy trajectory hash-gates despite doubles.
+    // the IVF probe at 100 TB); the greedy rounds then run DRIVER-SIDE
+    // over the collected candidate set, which is ≤ queries × 20 rows
+    // BY CONSTRUCTION — the K-bounded driver-state precedent of
+    // IvfIndex (≤ 257 rows) — because 5 rounds of join+argmax over
+    // KB-sized frames cost ~25 scheduled stages of pure planning
+    // overhead (measured 14.4 s at sf0.1 vs 0.9 s for this form; the
+    // corpus-side cost is identical). Determinism: rel comes out of
+    // the distributed stage's exactly-rounded IEEE division; the
+    // driver sim mirrors the oracle's expression op-for-op (exact
+    // long dot → one cast, one product of casts, sqrt, divide — all
+    // correctly rounded, so bit-identical cross-engine); λ = 1/2
+    // makes both MMR terms exact halvings; ties break on cand_id —
+    // the greedy trajectory hash-gates despite doubles.
     Q("q_mmr_rerank",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val e = scaled(s, d)
         val q = e.filter(col("vec_id") < 3)
           .select(col("vec_id").as("query_id"), col("sv").as("qv"),
@@ -685,41 +690,33 @@ object SimilarityQueries {
           Seq(col("query_id")), Seq(desc("rel"), asc("vec_id")), 20)
           .select(col("query_id"), col("vec_id").as("cand_id"),
             col("rel"), col("sv"), col("nn"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val rel = top20.select("query_id", "cand_id", "rel")
-        val psim = top20.select(col("query_id"), col("cand_id").as("a_id"),
-            col("sv").as("a_sv"), col("nn").as("a_nn"))
-          .join(top20.select(col("query_id"), col("cand_id").as("b_id"),
-            col("sv").as("b_sv"), col("nn").as("b_nn")), "query_id")
-          .filter(col("a_id") =!= col("b_id"))
-          .select(col("query_id"), col("a_id"), col("b_id"),
-            cosineFromScaled(col("a_sv"), col("b_sv"),
-              col("a_nn"), col("b_nn")).as("sim"))
-        def pick1(df: org.apache.spark.sql.DataFrame, rank: Int,
-                  score: org.apache.spark.sql.Column)
-            : org.apache.spark.sql.DataFrame = {
-          val w = Window.partitionBy("query_id")
-            .orderBy(desc("score"), asc("cand_id"))
-          df.withColumn("score", score)
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("query_id"), col("cand_id"),
-              lit(rank.toLong).as("rank"), col("score"))
+          .collect() // bounded: queries × 20 rows by construction
+        case class C(id: Long, rel: Double, sv: Array[Long], nn: Long)
+        def sim(a: C, b: C): Double = {
+          var dot = 0L; var i = 0
+          while (i < a.sv.length) { dot += a.sv(i) * b.sv(i); i += 1 }
+          dot.toDouble / math.sqrt(a.nn.toDouble * b.nn.toDouble)
         }
-        var selected = pick1(rel, 1, col("rel"))
-        for (t <- 2 to 5) {
-          val rem = rel.join(selected.select("query_id", "cand_id"),
-            Seq("query_id", "cand_id"), "left_anti")
-          val ms = psim.join(
-              selected.select(col("query_id"), col("cand_id").as("b_id")),
-              Seq("query_id", "b_id"))
-            .groupBy(col("query_id"), col("a_id").as("cand_id"))
-            .agg(max(col("sim")).as("ms"))
-          selected = selected.union(
-            pick1(rem.join(ms, Seq("query_id", "cand_id")), t,
-              lit(0.5) * col("rel") - lit(0.5) * col("ms")))
-        }
-        selected.orderBy("query_id", "rank")
+        val rows = top20
+          .map(r => (r.getLong(0), C(r.getLong(1), r.getDouble(2),
+            r.getSeq[Long](3).toArray, r.getLong(4))))
+          .groupBy(_._1).toSeq.flatMap { case (qid, arr) =>
+            val cs = arr.map(_._2).sortBy(c => (-c.rel, c.id)).toVector
+            var selected = Vector(cs.head)
+            var out = Vector((qid, cs.head.id, 1L, cs.head.rel))
+            for (t <- 2 to 5) {
+              val rem = cs.filterNot(c => selected.exists(_.id == c.id))
+              val best = rem
+                .map(c => (c, 0.5 * c.rel - 0.5 * selected.map(sim(c, _)).max))
+                .minBy { case (c, sc) => (-sc, c.id) }
+              selected :+= best._1
+              out :+= ((qid, best._1.id, t.toLong, best._2))
+            }
+            out
+          }
+        import s.implicits._
+        rows.toDF("query_id", "cand_id", "rank", "score")
+          .orderBy("query_id", "rank")
       },
       Some {
         def cos(a: String, b: String, an: String, bn: String) =

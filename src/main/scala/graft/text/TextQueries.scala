@@ -471,6 +471,47 @@ object TextQueries {
     // OOM this ordering avoids. Postings serialize as a comma-joined
     // string (tf desc, doc_id asc), giving the hash gate a stable
     // cross-engine representation.
+    // POSITIONAL PHRASE SEARCH — the RETRIEVAL complement of
+    // q_inverted_index's construction: find every occurrence of the
+    // exact phrase "big order scan" by intersecting positional
+    // postings. The plan reads ONLY the query terms' postings (a
+    // selective filter here; at 100 TB the same three posting lists
+    // come out of the persisted inverted index, term-pruned) and
+    // verifies adjacency with two equi-joins on (doc_id, pos) —
+    // uniform keys, candidate volume bounded by the rarest term's
+    // posting length, the standard IR phrase plan. Never a regex over
+    // the corpus, never a per-doc window. first_pos is 1-based (the
+    // posting convention); counts and positions are exact integers.
+    Q("q_phrase_search",
+      (s, d) => {
+        val post = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+          .filter(col("tok").isin("big", "order", "scan"))
+        val t1 = post.filter(col("tok") === "big")
+          .select(col("doc_id"), col("pos"))
+        val t2 = post.filter(col("tok") === "order")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        val t3 = post.filter(col("tok") === "scan")
+          .select(col("doc_id"), (col("pos") - 2).as("pos"))
+        t1.join(t2, Seq("doc_id", "pos")).join(t3, Seq("doc_id", "pos"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"),
+            (min(col("pos")) + 1).cast(LongType).as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |hits AS (
+             |  SELECT doc_id,
+             |    list_filter(range(1, len(tk) - 1),
+             |      i -> tk[i] = 'big' AND tk[i+1] = 'order'
+             |        AND tk[i+2] = 'scan') AS ps
+             |  FROM toks WHERE len(tk) >= 3)
+             |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_hits,
+             |  CAST(ps[1] AS BIGINT) AS first_pos
+             |FROM hits WHERE len(ps) > 0 ORDER BY doc_id""".stripMargin)),
+
     Q("q_inverted_index",
       (s, d) => {
         val tf = Tables.load(s, d, "documents")
