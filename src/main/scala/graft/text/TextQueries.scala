@@ -1446,6 +1446,125 @@ object TextQueries {
     // estimates are broadcast-joined lookups against KBs. The exact
     // per-token counts computed alongside exist only to grade the
     // sketch — production keeps the grid and drops the GROUP BY.
+    // KMV (bottom-k) SKETCH SET-INTERSECTION — the fifth sketch family
+    // and the one that does what HLL structurally CANNOT: estimate the
+    // overlap of two sets from their sketches alone (Beyer et al.,
+    // SIGMOD'07: θ = bottom-k of the union, J ≈ |θ ∩ A ∩ B| / k).
+    // Here: estimated shingle-profile Jaccard between every source
+    // pair — the "how much does source X's vocabulary overlap Y's"
+    // monitor — next to the EXACT intersection/union in the same row,
+    // so the estimator's quality is itself part of the gated result.
+    // KMV with a deterministic hash (md5, ordered lexicographically —
+    // the engine-portable order used by the simhash family) needs no
+    // RNG, so the oracle replays the sketch digit-for-digit and the
+    // row hash-gates — the same determinism trick as q_cms_counts.
+    //
+    // Scale shape: the ONLY corpus-sized stages are the distinct
+    // (source, token) pass and the exact-ground-truth self-join
+    // (per-token fan-out bounded by sources² — drop it in production
+    // and the query is sketch-only); the sketches are sources × 64
+    // rows via bounded heaps (TopKPerGroupExec — bottom-k is a
+    // mergeable monoid, the q_group_sample note), and all pairwise
+    // work runs on KB-sized frames.
+    Q("q_kmv_jaccard",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val K = 64
+        // sketch universe: character trigram shingles (the dedup
+        // family's), ~360 per source here — the word vocabulary is
+        // only 31 tokens, which would fit inside the sketch whole
+        val st = Tables.load(s, d, "documents")
+          .filter(length(col("text")) >= 3)
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, length(text) - 2)," +
+              " i -> substring(text, i, 3))")).as("g"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val km = graft.plans.TopKPerGroup.topKPerGroup(
+          st.withColumn("h", md5(col("g"))),
+          Seq(col("source")), Seq(asc("h")), K).select("source", "h")
+        val srcs = st.select("source").distinct()
+        val pr = srcs.select(col("source").as("a_src"))
+          .join(srcs.select(col("source").as("b_src")),
+            col("a_src") < col("b_src"))
+        val ua = pr.join(km.select(col("source").as("a_src"), col("h")),
+          "a_src").select(col("a_src"), col("b_src"), col("h"),
+          lit(1).as("ina"), lit(0).as("inb"))
+        val ub = pr.join(km.select(col("source").as("b_src"), col("h")),
+          "b_src").select(col("a_src"), col("b_src"), col("h"),
+          lit(0).as("ina"), lit(1).as("inb"))
+        val u = ua.unionByName(ub)
+          .groupBy("a_src", "b_src", "h")
+          .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+        val w = Window.partitionBy("a_src", "b_src").orderBy("h")
+        val est = u.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= K)
+          .groupBy("a_src", "b_src")
+          .agg(count(lit(1)).as("k_used"),
+            sum(col("ina") * col("inb")).as("j_num"))
+        val sz = st.groupBy("source").agg(count(lit(1)).as("n"))
+        val iv = st.select(col("source").as("a_src"), col("g"))
+          .join(st.select(col("source").as("b_src"), col("g")), "g")
+          .filter(col("a_src") < col("b_src"))
+          .groupBy("a_src", "b_src").agg(count(lit(1)).as("n_inter"))
+        pr.join(est, Seq("a_src", "b_src"))
+          .join(iv, Seq("a_src", "b_src"), "left")
+          .join(sz.select(col("source").as("a_src"), col("n").as("na")),
+            "a_src")
+          .join(sz.select(col("source").as("b_src"), col("n").as("nb")),
+            "b_src")
+          .select(col("a_src"), col("b_src"), col("k_used"), col("j_num"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            (col("na") + col("nb") -
+              coalesce(col("n_inter"), lit(0L))).as("n_union"))
+          .orderBy("a_src", "b_src")
+      },
+      Some("""WITH st AS (
+             |  SELECT DISTINCT source, g FROM (
+             |    SELECT source, unnest(list_transform(
+             |      range(1, length(text) - 1),
+             |      i -> substr(text, i, 3))) AS g
+             |    FROM documents WHERE length(text) >= 3) t),
+             |km AS (
+             |  SELECT source, h FROM (
+             |    SELECT source, md5(g) AS h,
+             |      row_number() OVER (PARTITION BY source
+             |        ORDER BY md5(g)) AS rn
+             |    FROM st) t WHERE rn <= 64),
+             |srcs AS (SELECT DISTINCT source FROM st),
+             |pr AS (
+             |  SELECT a.source AS a_src, b.source AS b_src
+             |  FROM srcs a JOIN srcs b ON a.source < b.source),
+             |u AS (
+             |  SELECT pr.a_src, pr.b_src, k.h,
+             |    max(CASE WHEN k.source = pr.a_src THEN 1 ELSE 0 END) AS ina,
+             |    max(CASE WHEN k.source = pr.b_src THEN 1 ELSE 0 END) AS inb
+             |  FROM pr JOIN km k ON k.source IN (pr.a_src, pr.b_src)
+             |  GROUP BY pr.a_src, pr.b_src, k.h),
+             |bk AS (
+             |  SELECT * FROM (
+             |    SELECT u.*, row_number() OVER (PARTITION BY a_src, b_src
+             |      ORDER BY h) AS rn FROM u) t WHERE rn <= 64),
+             |est AS (
+             |  SELECT a_src, b_src, count(*) AS k_used,
+             |    CAST(sum(ina * inb) AS BIGINT) AS j_num
+             |  FROM bk GROUP BY a_src, b_src),
+             |sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+             |iv AS (
+             |  SELECT a.source AS a_src, b.source AS b_src,
+             |    count(*) AS n_inter
+             |  FROM st a JOIN st b ON a.g = b.g AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT pr.a_src, pr.b_src, est.k_used, est.j_num,
+             |  coalesce(iv.n_inter, 0) AS n_inter,
+             |  sa.n + sb.n - coalesce(iv.n_inter, 0) AS n_union
+             |FROM pr
+             |JOIN est ON est.a_src = pr.a_src AND est.b_src = pr.b_src
+             |LEFT JOIN iv ON iv.a_src = pr.a_src AND iv.b_src = pr.b_src
+             |JOIN sz sa ON sa.source = pr.a_src
+             |JOIN sz sb ON sb.source = pr.b_src
+             |ORDER BY pr.a_src, pr.b_src""".stripMargin)),
+
     Q("q_cms_counts",
       (s, d) => {
         val W = 8

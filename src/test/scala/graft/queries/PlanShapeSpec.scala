@@ -34,8 +34,10 @@ class PlanShapeSpec extends SparkSpec {
     // count / sample sizes)
     "q_skyline", "q_event_pairs", "q_ks_drift",
     // q_mmr_rerank's candidate stage broadcasts 3 query vectors onto
-    // the corpus scan (the q_ann_bruteforce shape)
-    "q_mmr_rerank")
+    // the corpus scan (the q_ann_bruteforce shape); q_kmv_jaccard's
+    // source-pair table is a broadcast a<b theta join of a ~20-row
+    // frame with itself
+    "q_mmr_rerank", "q_kmv_jaccard")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
