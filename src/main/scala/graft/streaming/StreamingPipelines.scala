@@ -87,6 +87,50 @@ object StreamingPipelines {
     Session(userId, new Timestamp(st.start), new Timestamp(st.lastTs),
             st.nEvents, (st.lastTs - st.start) / 1000)
 
+  case class EwmaEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                       value: Option[Double])
+  case class EwmaState(vs: List[Long], ps: List[Boolean])
+  case class EwmaPoint(user_id: Long, event_id: Long, num: Long, den: Long)
+
+  /** The q_ewma batch operator's STREAMING face: per-event
+    * exponentially-weighted smoothing emitted as the exact rational
+    * (num, den) — identical arithmetic to the batch window (α = 1/2,
+    * 8-lag truncated history, cent-scaled HALF_UP rounding mirroring
+    * Spark's `round`), so batch and stream rows are equal
+    * long-for-long (proven in StreamingPipelinesSpec). Per-user state
+    * is the last ≤ 7 (value, present) lags — a FIXED-size ring
+    * regardless of stream length, the strongest state bound in this
+    * file (sessionization's state is bounded by activity; this one is
+    * constant). Where the batch form needs the whole per-user
+    * partition shuffled and window-sorted, the stream pays one
+    * groupByKey shuffle per micro-batch and never re-reads history —
+    * the per-event monitor a metric pipeline actually deploys. */
+  def streamingEwma(events: Dataset[EwmaEvent]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(EwmaState(Nil, Nil))
+          val out = sorted.map { e =>
+            val cents = e.value.map(v =>
+              java.math.BigDecimal.valueOf(v * 100)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+            var num = cents.map(_ * 128L).getOrElse(0L)
+            var den = if (cents.isDefined) 128L else 0L
+            st.vs.zip(st.ps).zipWithIndex.foreach { case ((v, p), i) =>
+              if (p) { num += v * (1L << (6 - i)); den += 1L << (6 - i) }
+            }
+            st = EwmaState((cents.getOrElse(0L) :: st.vs).take(7),
+              (cents.isDefined :: st.ps).take(7))
+            EwmaPoint(uid, e.event_id, num, den)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup for an ingest pipeline: drop repeated
     * payloads by content fingerprint within the watermark horizon.
     * State holds one md5 per unique document seen inside the event-time

@@ -463,4 +463,32 @@ class StreamingPipelinesSpec extends SparkSpec {
       StreamingPipelines.mvAsOf(spark, dir, 99)
     }
   }
+
+  test("streamingEwma over 3 micro-batches equals the batch q_ewma rows") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val evs = graft.Tables.load(spark, sf0001, "events")
+      .filter(col("user_id") < 25)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[EwmaEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    assert(evs.nonEmpty)
+    val in = MemoryStream[EwmaEvent]
+    val third = evs.length / 3
+    in.addData(evs.take(third).toIndexedSeq)
+    in.addData(evs.slice(third, 2 * third).toIndexedSeq)
+    in.addData(evs.drop(2 * third).toIndexedSeq)
+    val q = streamingEwma(in.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000); q.stop()
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "event_id", "num", "den").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = asTuples(spark.table("ewma_out"))
+    val exp = asTuples(graft.SparkEntry.queries("q_ewma")(spark, sf0001))
+    assert(got.size === evs.length)
+    assert(got === exp)
+  }
 }
