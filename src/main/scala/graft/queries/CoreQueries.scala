@@ -38,6 +38,19 @@ object CoreQueries {
       graft.sources.ManifestPrune.cowMerge(s, root, updates, inserts, "v2")._2
     })
 
+  /** q_dpp_join's hive-partitioned events layout (partition column =
+    * event_type), written once per (session, sf dir). */
+  private val dppCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def dppLayout(s: SparkSession, d: String): String =
+    dppCache.computeIfAbsent((s, d), { _ =>
+      val dir = Tables.matDir("dpp_events", s, d)
+      graft.sources.SourcesSinks.writePartitionedParquet(
+        Tables.load(s, d, "events"), dir, "event_type")
+      dir
+    })
+
   val all: Seq[Q] = Seq(
 
     // S-scan + projection + predicate (pushed to parquet: check
@@ -681,6 +694,37 @@ object CoreQueries {
              |CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents WHERE n_chars BETWEEN 100 AND 180
              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // DYNAMIC PARTITION PRUNING — the star-schema scan optimization
+    // that matters most at 100 TB: the fact side is a hive-partitioned
+    // layout on the join key, the dimension side's qualifying keys are
+    // only known at RUNTIME (they come from a computed filter over a
+    // scan, not a literal list), and Catalyst injects the dim's key
+    // set as a runtime subquery into the fact scan's PartitionFilters
+    // — the petabyte fact table reads 3 of its 5 partitions without
+    // any static predicate existing. Plan-asserted in PlanShapeSpec
+    // (`dynamicpruningexpression` on the fact scan); the oracle
+    // computes the same join semantics directly, so the hash gate
+    // proves pruning changed nothing.
+    Q("q_dpp_join",
+      (s, d) => {
+        val fact = s.read.parquet(dppLayout(s, d))
+        val dim = Tables.load(s, d, "events")
+          .select("event_type").distinct()
+          .filter(substring(md5(concat(lit("tier_"), col("event_type"))),
+            1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"))
+        fact.join(dim, "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast(LongType)).as("cents"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events
+             |WHERE substr(md5('tier_' || event_type), 1, 1)
+             |  IN ('0','1','2','3','4','5','6','7')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // COPY-ON-WRITE MERGE (ManifestPrune.cowMerge): the lakehouse
     // mutation path — an upsert batch (updates: every 23rd doc's lang

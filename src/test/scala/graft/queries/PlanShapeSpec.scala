@@ -172,6 +172,12 @@ class PlanShapeSpec extends SparkSpec {
       s"q_join_elim still scans the dimension:\n$plan")
   }
 
+  test("q_dpp_join: the fact scan carries a dynamic pruning subquery") {
+    val plan = plans("q_dpp_join").toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n${plans("q_dpp_join")}")
+  }
+
   test("q_selfjoin_elim: the PK self-join is merged into one scan") {
     val plan = plans("q_selfjoin_elim")
     assert(!plan.contains("Join"),
