@@ -695,6 +695,30 @@ object CoreQueries {
              |FROM documents WHERE n_chars BETWEEN 100 AND 180
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ordered LISTAGG / string_agg surface: the reporting primitive
+    // (sorted comma-joined group members). Spark lacks a native
+    // ordered string_agg; the deterministic form is collect_list →
+    // array_sort → concat_ws, which is exactly what makes it
+    // hash-gateable against DuckDB's string_agg(... ORDER BY) — an
+    // UNORDERED collect_list would be partitioning-dependent. Bounded
+    // output per group (dimension-sized input); a corpus-sized
+    // string_agg belongs behind a per-group cap (q_source_cap).
+    Q("q_string_agg",
+      (s, d) => {
+        val n = Tables.load(s, d, "nation")
+        val r = Tables.load(s, d, "region")
+        n.join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+            .as("nations"), count(lit(1)).as("n_nations"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name,
+             |string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |count(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
     // DYNAMIC PARTITION PRUNING — the star-schema scan optimization
     // that matters most at 100 TB: the fact side is a hive-partitioned
     // layout on the join key, the dimension side's qualifying keys are
@@ -761,6 +785,53 @@ object CoreQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
              |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // TABLE-VERSION DIFF — the audit/CDC read over the CoW manifest
+    // versions: "what changed between v1 and v2" computed from the two
+    // version readers alone (no change log needed — the swap-by-path
+    // commit keeps v1 fully readable). Inserted = keys only in v2,
+    // updated = keys in both with different payload, unchanged = the
+    // rest; FULL OUTER join on the key, aggregated to per-kind counts
+    // with id sums binding the row sets. At scale the join cost is
+    // two version scans — and the untouched files are SHARED between
+    // versions (same paths in both manifests), so a file-level
+    // short-circuit can skip them entirely; the row-level form here
+    // is the semantics contract. Oracle replays both versions
+    // arithmetically from the base table.
+    Q("q_version_diff",
+      (s, d) => {
+        val mf2 = cowMergedManifest(s, d)
+        val root = graft.sources.ManifestPrune.ensureLayout(s, d)
+        val v1 = graft.sources.ManifestPrune
+          .readVersion(s, s"$root/manifest")
+          .select(col("doc_id"), col("lang").as("lang1"))
+        val v2 = graft.sources.ManifestPrune.readVersion(s, mf2)
+          .select(col("doc_id"), col("lang").as("lang2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("lang1").isNull, "inserted")
+              .when(col("lang1") =!= col("lang2"), "updated")
+              .otherwise("unchanged").as("kind"))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
+          .orderBy("kind")
+      },
+      Some("""WITH v2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 23 = 0 THEN 'xx' ELSE lang END AS lang2
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, 'new' FROM documents
+             |  WHERE doc_id < 10),
+             |d AS (
+             |  SELECT v2.doc_id,
+             |    CASE WHEN v1.doc_id IS NULL THEN 'inserted'
+             |         WHEN v1.lang <> v2.lang2 THEN 'updated'
+             |         ELSE 'unchanged' END AS kind
+             |  FROM v2 LEFT JOIN documents v1 ON v1.doc_id = v2.doc_id)
+             |SELECT kind, count(*) AS n_rows,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM d GROUP BY kind ORDER BY kind""".stripMargin)),
 
     // SCHEMA EVOLUTION read (sources/SchemaEvolution.scala): the
     // two-generation layout — gen=1 files written WITHOUT `lang`,
