@@ -80,6 +80,32 @@ object DedupQueries {
       dir
     }))
 
+  /** The PERSISTED ordered-triangle table (x < y < z) of the near-dup
+    * graph — the third shared graph materialization beside the pair
+    * and cluster tables: q_triangles, q_clustering_coef and
+    * q_graph_jaccard all consume the same wedge-close join, so it is
+    * computed once per (session, sf dir) and written as parquet (the
+    * pair-table convention; the cache holds only the path). At 100 TB
+    * the triangle enumeration is the most expensive graph stage by
+    * far — recomputing it per consumer triples the dominant cost. */
+  private val triDirCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def simhash64Triangles(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(triDirCache.computeIfAbsent((s, d), { _ =>
+      val p = simhash64Pairs(s, d).select("a_id", "b_id")
+      val tri = p.select(col("a_id").as("x"), col("b_id").as("y"))
+        .join(p.select(col("a_id").as("y"), col("b_id").as("z")), "y")
+        .join(p.select(col("a_id").as("x"), col("b_id").as("z")),
+          Seq("x", "z"))
+        .select("x", "y", "z")
+      val dir = matDir("simhash_triangles", s, d)
+      tri.repartition(1).write.mode("overwrite").parquet(dir)
+      dir
+    }))
+
   private val fpDirCache =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), String]()
@@ -1102,11 +1128,7 @@ object DedupQueries {
 
     Q("q_triangles",
       (s, d) => {
-        val p = simhash64Pairs(s, d).select("a_id", "b_id")
-        val tri = p.select(col("a_id").as("x"), col("b_id").as("y"))
-          .join(p.select(col("a_id").as("y"), col("b_id").as("z")), "y")
-          .join(p.select(col("a_id").as("x"), col("b_id").as("z")),
-            Seq("x", "z"))
+        val tri = simhash64Triangles(s, d)
         tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
           .orderBy("doc_id")
@@ -1196,10 +1218,7 @@ object DedupQueries {
         val ends = p.select(col("a_id").as("u"))
           .union(p.select(col("b_id").as("u")))
         val deg = ends.groupBy("u").agg(count(lit(1)).as("deg"))
-        val tri = p.select(col("a_id").as("x"), col("b_id").as("y"))
-          .join(p.select(col("a_id").as("y"), col("b_id").as("z")), "y")
-          .join(p.select(col("a_id").as("x"), col("b_id").as("z")),
-            Seq("x", "z"))
+        val tri = simhash64Triangles(s, d)
           .select(explode(array(col("x"), col("y"), col("z"))).as("u"))
           .groupBy("u").agg(count(lit(1)).as("n_tri"))
         deg.filter(col("deg") >= 2)
@@ -1266,10 +1285,7 @@ object DedupQueries {
         val e = p.select(col("a_id").as("u"), col("b_id").as("v"))
           .union(p.select(col("b_id").as("u"), col("a_id").as("v")))
         val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
-        val tri = p.select(col("a_id").as("x"), col("b_id").as("y"))
-          .join(p.select(col("a_id").as("y"), col("b_id").as("z")), "y")
-          .join(p.select(col("a_id").as("x"), col("b_id").as("z")),
-            Seq("x", "z"))
+        val tri = simhash64Triangles(s, d)
         val common = tri.select(explode(array(
             struct(col("x").as("a_id"), col("y").as("b_id")),
             struct(col("x").as("a_id"), col("z").as("b_id")),
