@@ -695,6 +695,39 @@ object CoreQueries {
              |FROM documents WHERE n_chars BETWEEN 100 AND 180
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // K-ANONYMITY AUDIT — the privacy-side release gate (complement
+    // of q_pii_scrub's redaction): under a quasi-identifier tuple
+    // (event_type × coarse value bucket), how many equivalence
+    // classes have fewer than k = 5 members — each a re-identifiable
+    // group a release must generalize or suppress. Output is the
+    // class-size histogram with violation flags, plus the member
+    // count those classes expose. Two cheap aggregates over uniform
+    // keys (classes, then class sizes) — the audit costs one
+    // corpus-sized hash-agg at any scale.
+    Q("q_k_anonymity",
+      (s, d) => {
+        val cls = Tables.load(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") / 25).cast(LongType).as("vb"))
+          .groupBy("event_type", "vb").agg(count(lit(1)).as("n"))
+        cls.groupBy(col("n").as("class_size"))
+          .agg(count(lit(1)).as("n_classes"),
+            max(when(col("n") < 5, 1L).otherwise(0L)).as("violates_k5"),
+            sum(when(col("n") < 5, col("n")).otherwise(lit(0L)))
+              .as("n_exposed"))
+          .orderBy("class_size")
+      },
+      Some("""WITH cls AS (
+             |  SELECT event_type,
+             |    CAST(floor(value / 25) AS BIGINT) AS vb, count(*) AS n
+             |  FROM events GROUP BY event_type, vb)
+             |SELECT n AS class_size, count(*) AS n_classes,
+             |  CAST(max(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS violates_k5,
+             |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             |    AS n_exposed
+             |FROM cls GROUP BY n ORDER BY class_size""".stripMargin)),
+
     // ordered LISTAGG / string_agg surface: the reporting primitive
     // (sorted comma-joined group members). Spark lacks a native
     // ordered string_agg; the deterministic form is collect_list →
