@@ -132,6 +132,19 @@ object ExtCheck {
     assert(!sjPlan.contains("Join"), sjPlan)
     println(s"[ext] self-join-elim rows: ${sj.count()}")
 
+    // DataSource V2 connector from pure SQL DDL (no Scala API): the
+    // splittable XML scanner as a USING clause
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW wiki_dump
+        |USING `graft-xml`
+        |OPTIONS (
+        |  path '/root/reference/result/i/itwiki-latest-pages-articles1-10pages.xml',
+        |  rowTag 'page')""".stripMargin)
+    val nPages = spark.sql("SELECT count(*) AS n FROM wiki_dump")
+      .collect()(0).getLong(0)
+    println(s"[ext] graft-xml DSv2 via SQL DDL: $nPages pages (expect 10)")
+    assert(nPages == 10L)
+
     println("[ext] all extension surfaces OK")
     spark.stop()
   }
