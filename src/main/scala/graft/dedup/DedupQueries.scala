@@ -88,6 +88,34 @@ object DedupQueries {
     * pair-table convention; the cache holds only the path). At 100 TB
     * the triangle enumeration is the most expensive graph stage by
     * far — recomputing it per consumer triples the dominant cost. */
+  /** The PERSISTED word-trigram TF postings (doc_id, g, tf) — shared
+    * by the weighted sparse-cosine and asymmetric-containment dedups:
+    * both derive their df cap, sizes and join sides from this table,
+    * and the per-doc window construction over the exploded corpus is
+    * their dominant cost — paid once, written as parquet (pair-table
+    * convention; tf rows double as the distinct (doc, gram) set). */
+  private val tfDirCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def trigramTf(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(tfDirCache.computeIfAbsent((s, d), { _ =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val tf = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("t2", lead(col("tok"), 2).over(w))
+        .withColumn("g", concat_ws(" ",
+          col("tok"), lead(col("tok"), 1).over(w), col("t2")))
+        .filter(col("t2").isNotNull)
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      val dir = matDir("trigram_tf", s, d)
+      tf.write.mode("overwrite").parquet(dir)
+      dir
+    }))
+
   private val triDirCache =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), String]()
@@ -725,16 +753,7 @@ object DedupQueries {
     // 2^63). No division, no sqrt, hash-exact across engines.
     Q("q_dedup_sparse_cosine",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val tf = Tables.load(s, d, "documents")
-          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-          .withColumn("t2", lead(col("tok"), 2).over(w))
-          .withColumn("g", concat_ws(" ",
-            col("tok"), lead(col("tok"), 1).over(w), col("t2")))
-          // t2 null <=> fewer than 3 tokens remain at this position
-          .filter(col("t2").isNotNull)
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+        val tf = trigramTf(s, d)
         val rare = tf.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 50)
         val kept = tf.join(rare.select("g"), "g")
@@ -809,16 +828,8 @@ object DedupQueries {
     // own side's size) — no doubled join.
     Q("q_dedup_containment",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val sets = Tables.load(s, d, "documents")
-          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-          .withColumn("t2", lead(col("tok"), 2).over(w))
-          .withColumn("g", concat_ws(" ",
-            col("tok"), lead(col("tok"), 1).over(w), col("t2")))
-          .filter(col("t2").isNotNull)
-          .select("doc_id", "g").distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // tf rows ARE the distinct (doc, gram) pairs — shared table
+        val sets = trigramTf(s, d).select("doc_id", "g")
         val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val rare = sets.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 50)
