@@ -122,10 +122,17 @@ object ManifestPrune {
     * full new rows with keys absent from the table. Returns
     * (dataV2Dir, manifestV2Dir). */
   def cowMerge(s: SparkSession, root: String, updates: DataFrame,
-               inserts: DataFrame, version: String): (String, String) = {
+               inserts: DataFrame, version: String): (String, String) =
+    cowMergeFrom(s, root, s"$root/manifest", updates, inserts, version)
+
+  /** [[cowMerge]] against an arbitrary committed base manifest (the
+    * commit-protocol entry point merges against the current one). */
+  def cowMergeFrom(s: SparkSession, root: String, baseManifest: String,
+                   updates: DataFrame, inserts: DataFrame,
+                   version: String): (String, String) = {
     val dataV2 = s"$root/data_$version"
     val mfV2 = s"$root/manifest_$version"
-    val table = s.read.parquet(s"$root/data")
+    val table = readVersion(s, baseManifest)
     // 1. plan: which files hold a matched key? (driver-held, file-grain)
     val hitFiles = table
       .select(col("_metadata.file_path").as("file"), col("doc_id"))
@@ -144,7 +151,7 @@ object ManifestPrune {
     // 3. commit: new manifest = untouched old rows + fresh v2 stats
     // (both sides carry _metadata.file_path URIs, so plain equality
     // works; an empty hit list keeps every old row)
-    val untouched = s.read.parquet(s"$root/manifest")
+    val untouched = s.read.parquet(baseManifest)
       .filter(if (hitFiles.isEmpty) lit(true)
         else !col("file").isInCollection(hitFiles.toIndexedSeq))
     val v2Stats = s.read.parquet(dataV2)
@@ -155,6 +162,60 @@ object ManifestPrune {
         count(lit(1)).as("n_rows"))
     untouched.unionByName(v2Stats).write.mode("overwrite").parquet(mfV2)
     (dataV2, mfV2)
+  }
+
+  /** OPTIMISTIC CONCURRENCY for the swap-by-path commit — the ACID
+    * piece that turns the versioned manifests into a real table
+    * protocol (what Delta's `_delta_log/N.json` PUT-if-absent and
+    * Iceberg's metadata-pointer CAS do): writers prepare data +
+    * manifest under version N+1, then COMMIT by atomically creating
+    * the commit marker `_commits/N+1` — exactly one writer can create
+    * it, so two merges racing from the same base cannot both publish;
+    * the loser gets a ConcurrentModificationException and must retry
+    * on the new base (re-plan its hit files — its rewrite may be
+    * stale). `currentVersion` follows the highest committed marker,
+    * so readers always see a complete, winner-consistent view and
+    * never a half-published one. Uncommitted prepared directories are
+    * garbage, never truth — the crash-safety property the MV version
+    * pointer established for the streaming leg. */
+  def currentVersion(s: SparkSession, root: String): Long = {
+    val dir = new java.io.File(s"$root/_commits")
+    if (!dir.isDirectory) 0L
+    else dir.list().filter(_.forall(_.isDigit)).map(_.toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Manifest dir of a committed version (0 = the base layout; the
+    * `c` prefix keeps protocol versions apart from ad-hoc
+    * [[cowMerge]] suffixes). */
+  def manifestOf(root: String, version: Long): String =
+    if (version == 0L) s"$root/manifest" else s"$root/manifest_c$version"
+
+  /** [[cowMerge]] under the commit protocol: merges against the
+    * CURRENT committed version and publishes the next one atomically.
+    * Throws ConcurrentModificationException if another writer
+    * committed first (caller retries against the new base). Returns
+    * the committed version number. */
+  def cowMergeCommit(s: SparkSession, root: String, updates: DataFrame,
+                     inserts: DataFrame): Long = {
+    val base = currentVersion(s, root)
+    val next = base + 1
+    cowMergeFrom(s, root, manifestOf(root, base), updates, inserts,
+      s"c$next")
+    if (!tryCommit(root, next))
+      throw new java.util.ConcurrentModificationException(
+        s"version $next already committed by another writer " +
+          s"(base was $base); re-plan against the new base")
+    next
+  }
+
+  /** The CAS primitive: atomic PUT-if-absent of the commit marker
+    * (File.createNewFile — exactly one writer of `version` succeeds;
+    * on object stores this is the conditional PUT / metadata swap). */
+  def tryCommit(root: String, version: Long): Boolean = {
+    val marker = new java.io.File(s"$root/_commits/$version")
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
   }
 
   /** Read the table a manifest version describes (the post-merge

@@ -57,4 +57,66 @@ class CowMergeSpec extends SparkSpec {
     assert(old.filter(col("lang") === "zz").count() === 0)
     assert(old.filter(col("lang") === "new").count() === 0)
   }
+
+  test("commit protocol: chained commits each read the previous version") {
+    // own root so _commits state is isolated from the other tests
+    val root2 = graft.Tables.matDir("cow_occ", spark, sf0001)
+    docs.repartitionByRange(8, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$root2/data")
+    spark.read.parquet(s"$root2/data")
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(min(col("n_chars")).as("min_key"),
+        max(col("n_chars")).as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$root2/manifest")
+    assert(ManifestPrune.currentVersion(spark, root2) === 0L)
+    val u1 = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit("aa").as("new_lang"))
+    val none = docs.limit(0)
+    val v1 = ManifestPrune.cowMergeCommit(spark, root2, u1, none)
+    assert(v1 === 1L && ManifestPrune.currentVersion(spark, root2) === 1L)
+    val u2 = docs.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), lit("bb").as("new_lang"))
+    val v2 = ManifestPrune.cowMergeCommit(spark, root2, u2, none)
+    assert(v2 === 2L)
+    // v2 sees BOTH commits: bb wins where both touched, aa elsewhere
+    val cur = ManifestPrune.readVersion(spark,
+      ManifestPrune.manifestOf(root2, 2))
+    assert(cur.filter(col("doc_id") % 11 === 0 &&
+      col("lang") =!= "bb").count() === 0)
+    assert(cur.filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0 &&
+      col("lang") =!= "aa").count() === 0)
+    assert(cur.count() === docs.count())
+  }
+
+  test("commit protocol: a racing writer loses the CAS and must retry") {
+    // both writers read base N and PREPARE version N+1 concurrently;
+    // only one marker create can succeed
+    val root2 = graft.Tables.matDir("cow_occ", spark, sf0001)
+    val base = ManifestPrune.currentVersion(spark, root2)
+    val baseMf = ManifestPrune.manifestOf(root2, base)
+    val none = docs.limit(0)
+    val uA = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit("cc").as("new_lang"))
+    val uB = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), lit("dd").as("new_lang"))
+    ManifestPrune.cowMergeFrom(spark, root2, baseMf, uA, none,
+      s"c${base + 1}")
+    val (_, loserMf) = ManifestPrune.cowMergeFrom(spark, root2, baseMf,
+      uB, none, s"race_loser_${base + 1}")
+    assert(ManifestPrune.tryCommit(root2, base + 1))        // A wins
+    assert(!ManifestPrune.tryCommit(root2, base + 1))       // B loses
+    // published state is A's merge; B's prepared dirs are garbage
+    assert(ManifestPrune.currentVersion(spark, root2) === base + 1)
+    val cur = ManifestPrune.readVersion(spark,
+      ManifestPrune.manifestOf(root2, base + 1))
+    assert(cur.filter(col("lang") === "dd").count() === 0)
+    assert(cur.filter(col("doc_id") % 13 === 0 &&
+      col("lang") =!= "cc").count() === 0)
+    // B retries against the NEW base and now publishes cleanly
+    val v = ManifestPrune.cowMergeCommit(spark, root2, uB, none)
+    assert(v === base + 2)
+    assert(loserMf.nonEmpty) // (the garbage dirs simply go unreferenced)
+  }
 }
