@@ -126,23 +126,42 @@ object ManifestPrune {
     cowMergeFrom(s, root, s"$root/manifest", updates, inserts, version)
 
   /** [[cowMerge]] against an arbitrary committed base manifest (the
-    * commit-protocol entry point merges against the current one). */
+    * commit-protocol entry point merges against the current one).
+    * `deletes` (optional, key rows) completes the MERGE triad — WHEN
+    * MATCHED THEN DELETE: deleted keys' files count as hit files and
+    * the rewrite drops their rows (an anti-join inside the rewritten
+    * subset only — copy-on-write deletion, the eager complement of
+    * Delta/Iceberg deletion vectors, which defer the same anti-join
+    * to read time). */
   def cowMergeFrom(s: SparkSession, root: String, baseManifest: String,
                    updates: DataFrame, inserts: DataFrame,
-                   version: String): (String, String) = {
+                   version: String,
+                   deletes: Option[DataFrame] = None): (String, String) = {
     val dataV2 = s"$root/data_$version"
     val mfV2 = s"$root/manifest_$version"
     val table = readVersion(s, baseManifest)
     // 1. plan: which files hold a matched key? (driver-held, file-grain)
+    val touchedKeys = deletes match {
+      case Some(del) => updates.select("doc_id")
+        .unionByName(del.select("doc_id"))
+      case None => updates.select("doc_id")
+    }
     val hitFiles = table
       .select(col("_metadata.file_path").as("file"), col("doc_id"))
-      .join(updates.select("doc_id"), "doc_id")
+      .join(touchedKeys, "doc_id")
       .select("file").distinct().collect().map(_.getString(0))
-    // 2. rewrite hit files with the update applied + append inserts
+    // 2. rewrite hit files with updates applied and deletes dropped,
+    //    then append inserts
     val hit =
       if (hitFiles.isEmpty) table.limit(0)
       else s.read.parquet(hitFiles.toIndexedSeq: _*)
-    hit.join(updates.withColumnRenamed("new_lang", "__nl"), Seq("doc_id"),
+    val afterDelete = deletes match {
+      case Some(del) => hit.join(del.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      case None => hit
+    }
+    afterDelete
+      .join(updates.withColumnRenamed("new_lang", "__nl"), Seq("doc_id"),
         "left")
       .withColumn("lang", coalesce(col("__nl"), col("lang")))
       .drop("__nl")

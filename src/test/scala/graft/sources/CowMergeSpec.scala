@@ -58,6 +58,25 @@ class CowMergeSpec extends SparkSpec {
     assert(old.filter(col("lang") === "new").count() === 0)
   }
 
+  test("deletes drop exactly the matched keys, file-grain") {
+    val del = docs.filter(col("doc_id") % 97 === 0).select("doc_id")
+    val nDel = del.count()
+    assert(nDel > 0)
+    val (_, mfDel) = ManifestPrune.cowMergeFrom(spark, root,
+      s"$root/manifest", docs.limit(0).select(col("doc_id"),
+        col("lang").as("new_lang")), docs.limit(0), "spec_del",
+      deletes = Some(del))
+    val merged = ManifestPrune.readVersion(spark, mfDel)
+    assert(merged.count() === docs.count() - nDel)
+    assert(merged.join(del, Seq("doc_id")).count() === 0)
+    // untouched files survive at their old paths
+    val oldFiles = spark.read.parquet(s"$root/manifest")
+      .select("file").collect().map(_.getString(0)).toSet
+    val newFiles = spark.read.parquet(mfDel)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert((newFiles & oldFiles).nonEmpty)
+  }
+
   test("commit protocol: chained commits each read the previous version") {
     // own root so _commits state is isolated from the other tests
     val root2 = graft.Tables.matDir("cow_occ", spark, sf0001)
