@@ -232,9 +232,27 @@ object ManifestPrune {
     * (File.createNewFile — exactly one writer of `version` succeeds;
     * on object stores this is the conditional PUT / metadata swap). */
   def tryCommit(root: String, version: Long): Boolean = {
-    val marker = new java.io.File(s"$root/_commits/$version")
+    val marker = new java.io.File(markerPath(root, version))
     marker.getParentFile.mkdirs()
     marker.createNewFile()
+  }
+
+  def markerPath(root: String, version: Long): String =
+    s"$root/_commits/$version"
+
+  /** Attach a note (e.g. the source batch id) to a committed marker —
+    * written AFTER the CAS; the marker's existence is the commit, the
+    * note is idempotency metadata for the writer that owns it. */
+  def noteCommit(root: String, version: Long, note: String): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(markerPath(root, version)), note)
+
+  def commitNote(root: String, version: Long): Option[String] = {
+    val p = java.nio.file.Paths.get(markerPath(root, version))
+    if (java.nio.file.Files.exists(p)) {
+      val c = java.nio.file.Files.readString(p).trim
+      if (c.nonEmpty) Some(c) else None
+    } else None
   }
 
   /** Read the table a manifest version describes (the post-merge

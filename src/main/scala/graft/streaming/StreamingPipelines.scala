@@ -87,6 +87,40 @@ object StreamingPipelines {
     Session(userId, new Timestamp(st.start), new Timestamp(st.lastTs),
             st.nEvents, (st.lastTs - st.start) / 1000)
 
+  /** STREAMING CDC APPLY onto the versioned CoW table — the
+    * "continuous MERGE" leg of the lakehouse family: each micro-batch
+    * of (doc_id, new_lang) updates is folded into the manifest table
+    * via [[graft.sources.ManifestPrune.cowMergeCommit]]-style
+    * prepare-then-CAS, with the SOURCE BATCH ID recorded in the
+    * commit marker. Exactly-once under replay comes from the marker
+    * note alone: a replayed batch finds its id already on the current
+    * version's marker and skips; a crash BEFORE the CAS left only
+    * unreferenced prepared dirs, so the replay re-prepares and
+    * commits once — the same two crash windows the MV version
+    * protocol proves, now on the file-grain merge path. */
+  def applyCdcStream(updates: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode("update")
+      .foreachBatch((b: DataFrame, id: Long) => applyCdcBatch(b, id, root))
+
+  private[streaming] def applyCdcBatch(batch: DataFrame, batchId: Long,
+                                       root: String): Unit = {
+    import graft.sources.ManifestPrune
+    val s = batch.sparkSession
+    val cur = ManifestPrune.currentVersion(s, root)
+    val lastApplied = if (cur == 0) -1L
+      else ManifestPrune.commitNote(root, cur).map(_.toLong).getOrElse(-1L)
+    if (batchId <= lastApplied) return // replay of a committed batch
+    val next = cur + 1
+    val baseMf = ManifestPrune.manifestOf(root, cur)
+    val empty = ManifestPrune.readVersion(s, baseMf).limit(0)
+    ManifestPrune.cowMergeFrom(s, root, baseMf, batch, empty, s"c$next")
+    if (!ManifestPrune.tryCommit(root, next))
+      throw new java.util.ConcurrentModificationException(
+        s"version $next committed concurrently; batch $batchId must retry")
+    ManifestPrune.noteCommit(root, next, batchId.toString)
+  }
+
   case class EwmaEvent(event_id: Long, ts: Timestamp, user_id: Long,
                        value: Option[Double])
   case class EwmaState(vs: List[Long], ps: List[Boolean])

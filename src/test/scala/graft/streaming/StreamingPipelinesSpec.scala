@@ -464,6 +464,44 @@ class StreamingPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("CDC apply: batches commit versions; replay and crash are safe") {
+    import graft.sources.ManifestPrune
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val root = graft.Tables.matDir("cdc_apply", spark, sf0001)
+    docs.repartitionByRange(8, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/data")
+    spark.read.parquet(s"$root/data")
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(min(col("n_chars")).as("min_key"),
+        max(col("n_chars")).as("max_key"), count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$root/manifest")
+    def upd(mod: Int, tag: String) = docs
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"), lit(tag).as("new_lang"))
+    StreamingPipelines.applyCdcBatch(upd(7, "b0"), 0L, root)
+    StreamingPipelines.applyCdcBatch(upd(11, "b1"), 1L, root)
+    assert(ManifestPrune.currentVersion(spark, root) === 2L)
+    val after2 = ManifestPrune.readVersion(spark,
+      ManifestPrune.manifestOf(root, 2)).collect()
+    // REPLAY of committed batch 1: no new version, state unchanged
+    StreamingPipelines.applyCdcBatch(upd(11, "b1"), 1L, root)
+    assert(ManifestPrune.currentVersion(spark, root) === 2L)
+    // CRASH before CAS: prepared dirs exist but no marker — replaying
+    // the batch prepares again and commits exactly once
+    val baseMf = ManifestPrune.manifestOf(root, 2)
+    ManifestPrune.cowMergeFrom(spark, root, baseMf, upd(13, "b2"),
+      ManifestPrune.readVersion(spark, baseMf).limit(0), "c3")
+    assert(ManifestPrune.currentVersion(spark, root) === 2L) // not committed
+    StreamingPipelines.applyCdcBatch(upd(13, "b2"), 2L, root)
+    assert(ManifestPrune.currentVersion(spark, root) === 3L)
+    val v3 = ManifestPrune.readVersion(spark,
+      ManifestPrune.manifestOf(root, 3))
+    assert(v3.filter(col("doc_id") % 13 === 0 &&
+      col("lang") =!= "b2").count() === 0)
+    assert(v3.count() === after2.length)
+  }
+
   test("streamingEwma over 3 micro-batches equals the batch q_ewma rows") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
