@@ -45,6 +45,31 @@ class NfcNormalizeSpec extends SparkSpec {
     assert(r === "é")
   }
 
+  test("property: idempotent and JDK-identical on arbitrary unicode") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // mix ASCII, precomposed accents, combining marks and multi-byte
+    // chars — the inputs that stress both the fast path and recompose
+    val charGen = Gen.frequency(
+      (6, Gen.alphaNumChar.map(_.toString)),
+      (2, Gen.oneOf("é", "Å", "ü", "ß", "ñ")),
+      (2, Gen.oneOf("́", "̊", "̈")), // combining marks
+      (1, Gen.oneOf("中", "𝔊", "Ω"))) // incl. surrogate pair
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val samples = Gen.listOfN(200, strGen)
+      .apply(Gen.Parameters.default, Seed(42L)).get
+    val df = samples.toDF("s")
+    val rows = df.select(col("s"), nfc_norm(col("s")).as("once"),
+      nfc_norm(nfc_norm(col("s"))).as("twice")).collect()
+    rows.foreach { r =>
+      val (in, once, twice) = (r.getString(0), r.getString(1), r.getString(2))
+      val jdk = java.text.Normalizer.normalize(
+        in, java.text.Normalizer.Form.NFC)
+      assert(once === jdk, s"engine != JDK for ${in.map(_.toInt)}")
+      assert(twice === once, s"not idempotent for ${in.map(_.toInt)}")
+    }
+  }
+
   test("codegen path active: plan stays in WholeStageCodegen") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = docs.select(nfc_norm(col("text")).as("n"))
