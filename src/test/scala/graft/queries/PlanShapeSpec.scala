@@ -90,11 +90,18 @@ class PlanShapeSpec extends SparkSpec {
       "q_dedup_simhash64" -> "simhash_pairs",
       "q_dedup_source_matrix" -> "simhash_pairs",
       "q_dedup_incremental" -> "simhash_pairs",
-      "q_triangles" -> "simhash_pairs",
+      // the triangle trio reads the DEEPER shared materialization
+      // (itself derived once from simhash_pairs)
+      "q_triangles" -> "simhash_triangles",
+      "q_clustering_coef" -> "simhash_triangles",
+      "q_graph_jaccard" -> "simhash_triangles",
       "q_graph_degree" -> "simhash_pairs",
       "q_prep_pipeline" -> "simhash_pairs",
       "q_dedup_cluster" -> "simhash_clusters",
-      "q_dedup_keep_one" -> "simhash_clusters")
+      "q_dedup_keep_one" -> "simhash_clusters",
+      // the weighted-dedup pair reads the shared trigram TF postings
+      "q_dedup_sparse_cosine" -> "trigram_tf",
+      "q_dedup_containment" -> "trigram_tf")
     for ((name, table) <- readers) {
       assert(plans(name).contains(table),
         s"$name does not scan the $table materialization:\n${plans(name)}")
