@@ -819,6 +819,62 @@ object CoreQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
              |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // COLUMN BACKFILL over the evolved layout — the job the
+    // q_schema_evolution monitor exists to track: generation-1 rows
+    // (lang IS NULL under the merged read) get the language-ID
+    // heuristic applied, generation-2 rows keep their native value.
+    // The scale-critical shape: the raw text payloads are joined in
+    // ONLY for the missing subset (at 100 TB the backfill reads the
+    // null-row fraction of the corpus, never all of it), the filled
+    // table is the union of untouched + predicted rows, and the
+    // output is the per-(source, lang) census with id sums binding
+    // the row sets. Oracle replays generation membership and the
+    // heuristic arithmetically.
+    Q("q_backfill",
+      (s, d) => {
+        val root = graft.sources.SchemaEvolution.ensureLayout(s, d)
+        val m = graft.sources.SchemaEvolution.readMerged(s, root)
+        val tok = tokens(col("text"))
+        def hits(ws: Seq[String]) =
+          size(filter(tok, t => t.isInCollection(ws))).cast(LongType)
+        val preds = m.filter(col("lang").isNull).select("doc_id", "source")
+          .join(Tables.load(s, d, "documents").select("doc_id", "text"),
+            "doc_id")
+          .withColumn("en_hits", hits(Seq("the", "a", "of", "and")))
+          .withColumn("fr_hits", hits(Seq("le", "la", "et", "de")))
+          .select(col("doc_id"), col("source"),
+            when(col("en_hits") >= col("fr_hits") && col("en_hits") > 0,
+              "en").when(col("fr_hits") > 0, "fr").otherwise("und")
+              .as("lang"))
+        m.filter(col("lang").isNotNull)
+          .select("doc_id", "source", "lang")
+          .unionByName(preds)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH pred AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+             |         WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang
+             |  FROM (
+             |    SELECT doc_id, source,
+             |      CAST(len(list_filter(string_split(text, ' '),
+             |        t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT)
+             |        AS en_hits,
+             |      CAST(len(list_filter(string_split(text, ' '),
+             |        t -> t IN ('le', 'la', 'et', 'de'))) AS BIGINT)
+             |        AS fr_hits
+             |    FROM documents WHERE doc_id % 2 = 0) t),
+             |filled AS (
+             |  SELECT doc_id, source, lang FROM documents
+             |  WHERE doc_id % 2 = 1
+             |  UNION ALL SELECT doc_id, source, lang FROM pred)
+             |SELECT source, lang, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM filled GROUP BY source, lang
+             |ORDER BY source, lang""".stripMargin)),
+
     // TABLE-VERSION DIFF — the audit/CDC read over the CoW manifest
     // versions: "what changed between v1 and v2" computed from the two
     // version readers alone (no change log needed — the swap-by-path
