@@ -1265,6 +1265,62 @@ object DedupQueries {
              |WHERE dg.deg >= 2
              |ORDER BY doc_id""".stripMargin)),
 
+    // PERCEPTUAL-HASH near-dup over the image payload bytes — the
+    // multimodal×dedup intersection: an average-hash (aHash) over the
+    // first 64 payload bytes of each document's image (the synthetic
+    // PNGs' IDAT stream is the UTF-8 text, so the oracle can replay
+    // byte-for-byte via ord()): bit i set iff 64·byte_i > Σ bytes —
+    // the mean threshold in integer cross-multiplication, no
+    // division. The 64-bit fingerprint then rides the SAME
+    // corpus-parameterized banding machinery as simhash64
+    // (SimhashBanding probe tables, lossless at hamming ≤ 3) — one
+    // fingerprint definition swap turns text near-dup into image
+    // near-dup, which is exactly the reuse the banding stage was
+    // built for. Pairs at hamming ≤ 3; the oracle brute-forces the
+    // same threshold.
+    Q("q_dedup_phash",
+      (s, d) => {
+        val fp = Tables.load(s, d, "documents")
+          .filter(length(col("text")) >= 64)
+          .withColumn("bs", expr(
+            "transform(sequence(1, 64), i -> ascii(substring(text, i, 1)))"))
+          .withColumn("sm", expr("aggregate(bs, 0L, (a, x) -> a + x)"))
+          .select(col("doc_id"),
+            expr("""aggregate(sequence(33, 64), 0L, (a, i) ->
+                   |  a + CASE WHEN 64L * bs[i - 1] > sm
+                   |  THEN shiftleft(CAST(1 AS BIGINT), i - 33)
+                   |  ELSE 0L END)""".stripMargin).as("hi"),
+            expr("""aggregate(sequence(1, 32), 0L, (a, i) ->
+                   |  a + CASE WHEN 64L * bs[i - 1] > sm
+                   |  THEN shiftleft(CAST(1 AS BIGINT), i - 1)
+                   |  ELSE 0L END)""".stripMargin).as("lo"))
+        val plan = SimhashBanding.choose(fp.count())
+        bandedPairs(fp, plan).orderBy("a_id", "b_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, list_transform(range(1, 65),
+             |    i -> ord(substr(text, i, 1))) AS bs
+             |  FROM documents WHERE length(text) >= 64),
+             |t AS (SELECT doc_id, bs, list_sum(bs) AS s FROM f),
+             |fp AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(range(33, 65),
+             |      i -> CASE WHEN 64 * bs[i] > s
+             |      THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END))
+             |      AS BIGINT) AS hi,
+             |    CAST(list_sum(list_transform(range(1, 33),
+             |      i -> CASE WHEN 64 * bs[i] > s
+             |      THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END))
+             |      AS BIGINT) AS lo
+             |  FROM t)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(bit_count(xor(a.hi, b.hi))
+             |    + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.hi, b.hi))
+             |  + bit_count(xor(a.lo, b.lo)) <= 3
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // per-EDGE neighborhood Jaccard over the near-dup graph — the
     // link-prediction / cluster-merge signal that decides whether an
     // edge is structural (its endpoints share most of their neighbors:
