@@ -1265,6 +1265,63 @@ object DedupQueries {
              |WHERE dg.deg >= 2
              |ORDER BY doc_id""".stripMargin)),
 
+    // CLUSTER-DENSITY audit over the duplicate clusters — the quality
+    // gate on connected components' one weakness: CC merges through
+    // TRANSITIVE chains, so a cluster can be a true template family
+    // (near-clique: n_edges ≈ n_possible) or an artifact of weak
+    // links (chain: n_edges ≈ n_nodes − 1) and keep-one dedup treats
+    // both the same. Reporting (n_edges, n_possible = C(n,2)) as
+    // exact integers per cluster is the density rational that decides
+    // whether a family needs re-verification before deletion. Plan:
+    // joins the two shared materializations (pair table + cluster
+    // assignment) — per-cluster edge counts are one join + aggregate
+    // on uniform node ids; nothing new touches the corpus.
+    Q("q_cluster_density",
+      (s, d) => {
+        val cl = simhash64Clusters(s, d)
+          .select(col("id"), col("cluster_id"))
+        val sz = cl.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_doc"))
+        val ec = simhash64Pairs(s, d).select(col("a_id").as("id"))
+          .join(cl, "id")
+          .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+        sz.join(ec, Seq("cluster_id"), "left")
+          .select(col("cluster_id"), col("n_nodes"),
+            coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+            expr("(n_nodes * (n_nodes - 1)) div 2").as("n_possible"),
+            col("min_doc"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $simhash64FpCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |edges AS (
+             |  SELECT a_id AS u, b_id AS v FROM pairs
+             |  UNION SELECT b_id, a_id FROM pairs),
+             |walk(id, lab) AS (
+             |  SELECT u, u FROM edges
+             |  UNION
+             |  SELECT e.u, w.lab FROM edges e JOIN walk w ON e.v = w.id),
+             |comp AS (
+             |  SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id
+             |  FROM walk GROUP BY id),
+             |sz AS (
+             |  SELECT cluster_id, count(*) AS n_nodes,
+             |    CAST(min(id) AS BIGINT) AS min_doc
+             |  FROM comp GROUP BY cluster_id),
+             |ec AS (
+             |  SELECT c.cluster_id, count(*) AS n_edges
+             |  FROM pairs p JOIN comp c ON p.a_id = c.id
+             |  GROUP BY c.cluster_id)
+             |SELECT s.cluster_id, s.n_nodes,
+             |  coalesce(e.n_edges, 0) AS n_edges,
+             |  (s.n_nodes * (s.n_nodes - 1)) // 2 AS n_possible,
+             |  s.min_doc
+             |FROM sz s LEFT JOIN ec e ON s.cluster_id = e.cluster_id
+             |ORDER BY s.cluster_id""".stripMargin)),
+
     // PERCEPTUAL-HASH near-dup over the image payload bytes — the
     // multimodal×dedup intersection: an average-hash (aHash) over the
     // first 64 payload bytes of each document's image (the synthetic
