@@ -1337,20 +1337,29 @@ object DedupQueries {
     // same threshold.
     Q("q_dedup_phash",
       (s, d) => {
-        val fp = Tables.load(s, d, "documents")
+        import org.apache.spark.sql.expressions.Window
+        // ROW-based bit votes (the simhash64 fingerprint shape): the
+        // byte array explodes to (pos, byte) rows and the mean
+        // threshold + bit composition are one window + one aggregate.
+        // An array-HOF formulation (aggregate over sequence with
+        // bs[i] lookups) re-inlines the 64-substring transform PER
+        // LAMBDA ELEMENT — measured 23 s at sf0.1 vs ~1 s for this
+        // form; the same no-CSE trap the MinHash comment documents.
+        val bytes = Tables.load(s, d, "documents")
           .filter(length(col("text")) >= 64)
-          .withColumn("bs", expr(
+          .select(col("doc_id"), posexplode(expr(
             "transform(sequence(1, 64), i -> ascii(substring(text, i, 1)))"))
-          .withColumn("sm", expr("aggregate(bs, 0L, (a, x) -> a + x)"))
-          .select(col("doc_id"),
-            expr("""aggregate(sequence(33, 64), 0L, (a, i) ->
-                   |  a + CASE WHEN 64L * bs[i - 1] > sm
-                   |  THEN shiftleft(CAST(1 AS BIGINT), i - 33)
-                   |  ELSE 0L END)""".stripMargin).as("hi"),
-            expr("""aggregate(sequence(1, 32), 0L, (a, i) ->
-                   |  a + CASE WHEN 64L * bs[i - 1] > sm
-                   |  THEN shiftleft(CAST(1 AS BIGINT), i - 1)
-                   |  ELSE 0L END)""".stripMargin).as("lo"))
+            .as(Seq("pos", "bv")))
+        val w = Window.partitionBy("doc_id")
+        val bit = expr("shiftleft(CAST(1 AS BIGINT), pos % 32)")
+        val set = lit(64L) * col("bv") > col("sm")
+        val fp = bytes.withColumn("sm", sum(col("bv")).over(w))
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("pos") >= 32 && set, bit).otherwise(lit(0L)))
+              .as("hi"),
+            sum(when(col("pos") < 32 && set, bit).otherwise(lit(0L)))
+              .as("lo"))
         val plan = SimhashBanding.choose(fp.count())
         bandedPairs(fp, plan).orderBy("a_id", "b_id")
       },

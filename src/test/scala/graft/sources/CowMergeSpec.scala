@@ -77,9 +77,14 @@ class CowMergeSpec extends SparkSpec {
     assert((newFiles & oldFiles).nonEmpty)
   }
 
+  // own root, unique per JVM run: matDir's session-identity suffix can
+  // COLLIDE across JVM restarts (identityHashCode reuse), and _commits
+  // markers persist on disk — a stale root would start at version > 0
+  private lazy val occRoot =
+    graft.Tables.matDir(s"cow_occ_${System.nanoTime}", spark, sf0001)
+
   test("commit protocol: chained commits each read the previous version") {
-    // own root so _commits state is isolated from the other tests
-    val root2 = graft.Tables.matDir("cow_occ", spark, sf0001)
+    val root2 = occRoot
     docs.repartitionByRange(8, col("n_chars"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$root2/data")
     spark.read.parquet(s"$root2/data")
@@ -112,7 +117,7 @@ class CowMergeSpec extends SparkSpec {
   test("commit protocol: a racing writer loses the CAS and must retry") {
     // both writers read base N and PREPARE version N+1 concurrently;
     // only one marker create can succeed
-    val root2 = graft.Tables.matDir("cow_occ", spark, sf0001)
+    val root2 = occRoot
     val base = ManifestPrune.currentVersion(spark, root2)
     val baseMf = ManifestPrune.manifestOf(root2, base)
     val none = docs.limit(0)

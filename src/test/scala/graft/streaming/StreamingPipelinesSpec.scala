@@ -467,7 +467,10 @@ class StreamingPipelinesSpec extends SparkSpec {
   test("CDC apply: batches commit versions; replay and crash are safe") {
     import graft.sources.ManifestPrune
     val docs = graft.Tables.load(spark, sf0001, "documents")
-    val root = graft.Tables.matDir("cdc_apply", spark, sf0001)
+    // unique per JVM run: identityHashCode suffixes can collide across
+    // restarts and _commits markers persist (see CowMergeSpec)
+    val root = graft.Tables.matDir(s"cdc_apply_${System.nanoTime}",
+      spark, sf0001)
     docs.repartitionByRange(8, col("n_chars"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$root/data")
     spark.read.parquet(s"$root/data")
