@@ -695,6 +695,37 @@ object CoreQueries {
              |FROM documents WHERE n_chars BETWEEN 100 AND 180
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM): the SQL
+    // surface piece plain equi-joins silently get wrong — NULL keys
+    // never match under `=`, so a dimension keyed by a nullable
+    // attribute drops every NULL-keyed fact row. Both sides derive a
+    // nullable key (nullif on the error type), and the null-safe join
+    // matches the NULL group across sides — Spark plans it as a real
+    // hash join (<=> is an equi-key), not a nested loop. The oracle
+    // uses DuckDB's IS NOT DISTINCT FROM.
+    Q("q_nullsafe_join",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+          .select(nullif(col("event_type"), lit("error")).as("k"),
+            col("event_id"))
+        val dim = Tables.load(s, d, "events")
+          .select(nullif(col("event_type"), lit("error")).as("dk"))
+          .distinct()
+        ev.join(dim, col("k") <=> col("dk"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      Some("""WITH ev AS (
+             |  SELECT nullif(event_type, 'error') AS k, event_id
+             |  FROM events),
+             |dim AS (SELECT DISTINCT nullif(event_type, 'error') AS dk
+             |        FROM events)
+             |SELECT k, count(*) AS n,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM ev JOIN dim ON k IS NOT DISTINCT FROM dk
+             |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin)),
+
     // K-ANONYMITY AUDIT — the privacy-side release gate (complement
     // of q_pii_scrub's redaction): under a quasi-identifier tuple
     // (event_type × coarse value bucket), how many equivalence
