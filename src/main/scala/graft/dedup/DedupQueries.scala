@@ -1265,6 +1265,86 @@ object DedupQueries {
              |WHERE dg.deg >= 2
              |ORDER BY doc_id""".stripMargin)),
 
+    // CROSS-FAMILY AGREEMENT audit — do the TEXT near-dup pairs
+    // (simhash64 over tokens) and the IMAGE near-dup pairs (aHash over
+    // payload bytes) find the same duplicates? The modality-agreement
+    // matrix is how a production pipeline calibrates thresholds: pairs
+    // flagged by both families are near-certain duplicates, pairs
+    // flagged by exactly one localize each family's blind spot (token
+    // shuffles preserve the byte histogram; byte-level edits preserve
+    // token sets). One FULL OUTER join of the two KB-sized pair
+    // tables (both already materialized/shared) — nothing re-touches
+    // the corpus. Counts + id sums bind the three partitions exactly.
+    Q("q_dedup_agreement",
+      (s, d) => {
+        val tp = simhash64Pairs(s, d).select("a_id", "b_id")
+          .withColumn("t", lit(1))
+        val ip = {
+          import org.apache.spark.sql.expressions.Window
+          val bytes = Tables.load(s, d, "documents")
+            .filter(length(col("text")) >= 64)
+            .select(col("doc_id"), posexplode(expr(
+              "transform(sequence(1, 64), i -> ascii(substring(text, i, 1)))"))
+              .as(Seq("pos", "bv")))
+          val w = Window.partitionBy("doc_id")
+          val bit = expr("shiftleft(CAST(1 AS BIGINT), pos % 32)")
+          val set = lit(64L) * col("bv") > col("sm")
+          val fp = bytes.withColumn("sm", sum(col("bv")).over(w))
+            .groupBy("doc_id")
+            .agg(sum(when(col("pos") >= 32 && set, bit).otherwise(lit(0L)))
+              .as("hi"),
+              sum(when(col("pos") < 32 && set, bit).otherwise(lit(0L)))
+                .as("lo"))
+          bandedPairs(fp, SimhashBanding.choose(fp.count()))
+            .select("a_id", "b_id").withColumn("i", lit(1))
+        }
+        tp.join(ip, Seq("a_id", "b_id"), "full_outer")
+          .select(
+            when(col("t").isNotNull && col("i").isNotNull, "both")
+              .when(col("t").isNotNull, "text_only")
+              .otherwise("image_only").as("found_by"),
+            col("a_id"), col("b_id"))
+          .groupBy("found_by")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("a_id") + col("b_id")).as("id_sum"))
+          .orderBy("found_by")
+      },
+      Some(s"""WITH $sharedPairsCte,
+             |bf AS (
+             |  SELECT doc_id, list_transform(range(1, 65),
+             |    i -> ord(substr(text, i, 1))) AS bs
+             |  FROM documents WHERE length(text) >= 64),
+             |bt AS (SELECT doc_id, bs, list_sum(bs) AS s FROM bf),
+             |ifp AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(range(33, 65),
+             |      i -> CASE WHEN 64 * bs[i] > s
+             |      THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END))
+             |      AS BIGINT) AS hi,
+             |    CAST(list_sum(list_transform(range(1, 33),
+             |      i -> CASE WHEN 64 * bs[i] > s
+             |      THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END))
+             |      AS BIGINT) AS lo
+             |  FROM bt),
+             |ipairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM ifp a JOIN ifp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi))
+             |    + bit_count(xor(a.lo, b.lo)) <= 3),
+             |j AS (
+             |  SELECT coalesce(t.a_id, i.a_id) AS a_id,
+             |    coalesce(t.b_id, i.b_id) AS b_id,
+             |    CASE WHEN t.a_id IS NOT NULL AND i.a_id IS NOT NULL
+             |      THEN 'both'
+             |      WHEN t.a_id IS NOT NULL THEN 'text_only'
+             |      ELSE 'image_only' END AS found_by
+             |  FROM pairs t
+             |  FULL OUTER JOIN ipairs i
+             |    ON t.a_id = i.a_id AND t.b_id = i.b_id)
+             |SELECT found_by, count(*) AS n_pairs,
+             |  CAST(sum(a_id + b_id) AS BIGINT) AS id_sum
+             |FROM j GROUP BY found_by ORDER BY found_by""".stripMargin)),
+
     // CLUSTER-DENSITY audit over the duplicate clusters — the quality
     // gate on connected components' one weakness: CC merges through
     // TRANSITIVE chains, so a cluster can be a true template family
