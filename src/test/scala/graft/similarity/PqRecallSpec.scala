@@ -43,6 +43,54 @@ class PqRecallSpec extends SparkSpec {
     }
   }
 
+  test("Lloyd refinement of the subspace codebooks reduces distortion") {
+    // the claim the battery query documents ("Lloyd refinement plugs
+    // in unchanged") made numeric: k-means training minimizes exactly
+    // the quantization error ADC pays, so 3 rounds per subspace must
+    // not increase total distortion Σ_m d2(v_m, book_m[code(v_m)]).
+    // JVM reference implementation (the spec convention), floor-mean
+    // centroids like q_kmeans.
+    val rows = scaledAll.collect()
+      .map(r => r.getSeq[Long](1).toArray).sortBy(_ => 0) // stable order
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    def half(m: Int)(v: Array[Long]) =
+      if (m == 0) v.slice(0, 32) else v.slice(32, 64)
+    def distortion(books: Seq[Array[Array[Long]]]): Double =
+      rows.map { v =>
+        (0 to 1).map { m =>
+          books(m).map(c => d2(half(m)(v), c)).min
+        }.sum.toDouble
+      }.sum / rows.length
+    val seeds = rows.take(8)
+    var books: Seq[Array[Array[Long]]] =
+      Seq(seeds.map(half(0)), seeds.map(half(1)))
+    val seedDist = distortion(books)
+    for (_ <- 1 to 3) {
+      books = (0 to 1).map { m =>
+        val assigned = rows.map(v => half(m)(v))
+          .groupBy(sub => books(m).zipWithIndex
+            .minBy { case (c, i) => (d2(sub, c), i) }._2)
+        books(m).zipWithIndex.map { case (old, c) =>
+          assigned.get(c) match {
+            case Some(members) =>
+              Array.tabulate(32)(i =>
+                math.floorDiv(members.map(_(i)).sum, members.length))
+            case None => old
+          }
+        }
+      }
+    }
+    val trainedDist = distortion(books)
+    info(f"mean quantization distortion: seed $seedDist%.3e -> " +
+      f"trained $trainedDist%.3e (${trainedDist / seedDist * 100}%.1f%%)")
+    assert(trainedDist <= seedDist * 1.001,
+      s"training increased distortion: $seedDist -> $trainedDist")
+  }
+
   test("recall@5 vs exact scaled-L2 top-5 stays above the floor") {
     val e = scaledAll
     val q = e.filter(col("vec_id") < 5)
