@@ -759,6 +759,43 @@ object CoreQueries {
              |    AS n_exposed
              |FROM cls GROUP BY n ORDER BY class_size""".stripMargin)),
 
+    // l-diversity — k-anonymity's complement: a class of identical
+    // quasi-identifiers can be large (k-safe) yet still leak if every
+    // member shares the SAME sensitive value. l = distinct sensitive
+    // values per equivalence class; the audit reports the class count
+    // and exposed-row mass per l, flagging l<3. Same two-level
+    // aggregate shape as q_k_anonymity (class agg, then distribution
+    // agg over the class table — the second aggregate touches only
+    // class-count-many rows), so it scales exactly as far. Sensitive
+    // attribute surrogate: user_id mod 7 (the synthetic substrate has
+    // no payroll column; the bucketing is the operator, not the
+    // domain mapping).
+    Q("q_l_diversity",
+      (s, d) => {
+        val cls = Tables.load(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") / 25).cast(LongType).as("vb"),
+            (col("user_id") % 7).as("sens"))
+          .groupBy("event_type", "vb")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("sens")).as("l"))
+        cls.groupBy(col("l").as("l_value"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(col("n")).as("n_rows"),
+            max(when(col("l") < 3, 1L).otherwise(0L)).as("violates_l3"))
+          .orderBy("l_value")
+      },
+      Some("""WITH cls AS (
+             |  SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS vb,
+             |    count(*) AS n,
+             |    count(DISTINCT user_id % 7) AS l
+             |  FROM events GROUP BY event_type, vb)
+             |SELECT l AS l_value, count(*) AS n_classes,
+             |  CAST(sum(n) AS BIGINT) AS n_rows,
+             |  CAST(max(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS violates_l3
+             |FROM cls GROUP BY l ORDER BY l_value""".stripMargin)),
+
     // ordered LISTAGG / string_agg surface: the reporting primitive
     // (sorted comma-joined group members). Spark lacks a native
     // ordered string_agg; the deterministic form is collect_list →
@@ -1410,6 +1447,32 @@ object CoreQueries {
              |count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS R
              |FROM lineitem GROUP BY l_linestatus
              |ORDER BY l_linestatus""".stripMargin)),
+
+    // pivot's inverse — UNPIVOT/melt wide metric columns into long
+    // (key, metric, val) form, the normalization step feeding any
+    // per-metric aggregation or plotting pipeline. Spark's native
+    // melt operator (Dataset.unpivot, an Expand under the hood) emits
+    // the 3 rows per input row MAP-SIDE with zero shuffle — the
+    // orderBy is the only exchange in the plan. Values are read
+    // untouched (no arithmetic), so doubles hash bit-exact against
+    // the oracle's stacked UNION ALL.
+    Q("q_unpivot",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             |  l_quantity AS val FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
 
     // string function bank (lpad/rpad/reverse/repeat/translate/replace)
     Q("q_string_funcs",

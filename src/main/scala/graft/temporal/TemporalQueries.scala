@@ -195,6 +195,67 @@ object TemporalQueries {
              |WHERE e.event_type = 'error'
              |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)),
 
+    // INTERVAL-OVERLAP join — the third member of the temporal-join
+    // family (as-of matches points to latest-point, range join matches
+    // points within a distance; this matches INTERVALS that overlap:
+    // [a_s,a_e] ∩ [b_s,b_e] ≠ ∅, the incident-correlation / genomics
+    // shape). Naive form is a theta join (quadratic). Binned plan:
+    // with bin width W ≥ max interval length, each interval covers at
+    // most 2 bins; explode both sides to their covered bins (sequence
+    // + explode, ≤2 rows each), hash-join on bin equality, verify the
+    // exact overlap predicate. A pair sharing 2 bins would
+    // dedup-duplicate — instead of DISTINCT, each pair is counted ONLY
+    // in the bin holding the overlap's own start (greatest(a_s, b_s)
+    // div W — inside both intervals whenever they overlap, hence among
+    // the joined bins, and unique per pair) — the dedup-free guard
+    // that keeps the join bijective and the plan distinct-free. Scale:
+    // shuffle on uniform bin keys, ≤2× fan-out per side, never
+    // all-pairs; the
+    // synthetic intervals (1–7 / 1–11 min from event_id) bound W at
+    // 12 min. Integer µs end-to-end — exact in both engines.
+    Q("q_interval_join",
+      (s, d) => {
+        val W = 720L * 1000 * 1000 // 12 min in µs ≥ max interval length
+        val ev = Tables.load(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val a = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("a_id"), col("us").as("a_s"),
+            (col("us") + (col("event_id") % 7 + 1) * 60000000L).as("a_e"))
+          .withColumn("bin",
+            explode(sequence(expr(s"a_s div $W"), expr(s"a_e div $W"))))
+        val b = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("b_id"), col("us").as("b_s"),
+            (col("us") + (col("event_id") % 11 + 1) * 60000000L).as("b_e"))
+          .withColumn("bin",
+            explode(sequence(expr(s"b_s div $W"), expr(s"b_e div $W"))))
+        // equi-join on the shared bin; overlap-start bin covered by
+        // BOTH intervals ⇒ the guard admits each true pair exactly once
+        a.join(b, Seq("bin"))
+          .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+            col("bin") === expr(s"greatest(a_s, b_s) div $W"))
+          .select(col("a_id"), col("b_id"),
+            (least(col("a_e"), col("b_e")) -
+              greatest(col("a_s"), col("b_s"))).as("ov_us"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT event_id AS a_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS a_s,
+             |    epoch_us(CAST(ts AS TIMESTAMP))
+             |      + (event_id % 7 + 1) * 60000000 AS a_e
+             |  FROM events WHERE event_type = 'error'),
+             |b AS (
+             |  SELECT event_id AS b_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS b_s,
+             |    epoch_us(CAST(ts AS TIMESTAMP))
+             |      + (event_id % 11 + 1) * 60000000 AS b_e
+             |  FROM events WHERE event_type = 'click')
+             |SELECT a_id, b_id,
+             |  CAST(least(a_e, b_e) - greatest(a_s, b_s) AS BIGINT) AS ov_us
+             |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // EXPONENTIALLY-WEIGHTED moving average per user — the smoothing
     // primitive of every metric/drift monitor, in EXACT integer form:
     // the usual recursive s_t = α·v_t + (1-α)·s_{t-1} accumulates a

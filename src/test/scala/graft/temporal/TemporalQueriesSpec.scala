@@ -59,6 +59,27 @@ class TemporalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("interval join: binned plan ≡ naive theta join, and no nested loop") {
+    // recompute the overlap set naively from the collected events map
+    def ivals(t: String, m: Int) = events.toSeq.collect {
+      case (id, (_, us, `t`)) => (id, us, us + (id % m + 1) * 60000000L)
+    }
+    val expected = (for {
+      (aId, aS, aE) <- ivals("error", 7)
+      (bId, bS, bE) <- ivals("click", 11)
+      if aS <= bE && bS <= aE
+    } yield (aId, bId, math.min(aE, bE) - math.max(aS, bS))).toSet
+    val df = q("q_interval_join")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === got.distinct.length, "duplicate pairs emitted")
+    assert(got.toSet === expected)
+    // the scale contract: an equi-join on bin, not a nested loop
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to a nested loop:\n$plan")
+  }
+
   test("asof is a window plan, not a join: no Join node, one hash shuffle") {
     for (name <- Seq("q_asof_join", "q_window_range")) {
       val plan = q(name).queryExecution.executedPlan.toString
