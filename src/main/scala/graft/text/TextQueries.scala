@@ -1356,6 +1356,107 @@ object TextQueries {
     // oracle can hash-gate a sketch-based plan. The candidate handoff
     // is a <= k-row driver collect (same K-bounded pattern as the IVF
     // centroids). cnt * (k+1) > N keeps the threshold in integers.
+    // TEXTRANK keyword scoring (Mihalcea & Tarau 2004) — the
+    // graph-based sibling of the PMI collocations: words vote for
+    // their neighbors. Graph: nodes are alpha words of length >= 4
+    // (the regex prunes stopword/noise mass up front), undirected
+    // edges are ADJACENT-word co-occurrences weighted by corpus
+    // count. Score: weighted PageRank, each round moving
+    // rank_u * 85% * w(u,v) / wdeg(u) along every edge. Arithmetic is
+    // the q_pagerank integer convention — ranks in 1e-12 units,
+    // integer div — so three engines' floats can't drift and the
+    // oracle is the same layered CTE, here 3 rounds (keyword ordering
+    // stabilizes in 2–3; more rounds only polish low bits). Scale
+    // shape: the corpus pass is one map-side bigram explode + count;
+    // every iteration then touches only the VOCABULARY-sized edge
+    // list (words, not documents — bounded by language, not corpus),
+    // joins on uniform word keys, lineage cut per round. The rank*w
+    // product stays far under Long range (1e12 * 85 * corpus bigram
+    // count << 2^63 while edge weights stay < 1e5; at larger N drop
+    // Scale a decade per weight decade).
+    Q("q_textrank",
+      (s, d) => {
+        val Scale = 1000000000000L // ranks in units of 1e-12
+        val iters = 3
+        val bgs = Tables.load(s, d, "documents")
+          .select(explode(shingles(
+            regexp_extract_all(col("text"), lit("[a-z]{4,}"), lit(0)), 2))
+            .as("bg"))
+          .select(substring_index(col("bg"), " ", 1).as("w1"),
+            substring_index(col("bg"), " ", -1).as("w2"))
+          .filter(col("w1") =!= col("w2"))
+        val pw = bgs
+          .select(least(col("w1"), col("w2")).as("u"),
+            greatest(col("w1"), col("w2")).as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        val edges = pw.union(pw.select(col("v"), col("u"), col("w")))
+          .localCheckpoint()
+        val deg = edges.groupBy("u").agg(sum(col("w")).as("wdeg"))
+        val nCnt = deg.agg(count(lit(1)).as("n"))
+        val nodes = deg.select(col("u").as("id"))
+          .crossJoin(broadcast(nCnt))
+          .select(col("id"),
+            expr(s"($Scale * 15) div (100 * n)").as("base"))
+          .localCheckpoint()
+        var r = nodes.select(col("id"), col("base").as("rank"))
+        for (_ <- 1 to iters) {
+          val contribs = edges
+            .join(r, edges("u") === r("id"))
+            .join(deg, "u")
+            .select(col("v"),
+              expr("(rank * 85 * w) div (100 * wdeg)").as("c"))
+            .groupBy("v").agg(sum(col("c")).as("s"))
+          r = nodes.join(contribs, nodes("id") === contribs("v"), "left")
+            .select(col("id"),
+              (col("base") + coalesce(col("s"), lit(0L))).as("rank"))
+            .localCheckpoint()
+        }
+        r.select(col("id").as("word"), col("rank").as("trank"))
+          .orderBy("word")
+      },
+      Some {
+        val layers = (1 to 3).map { k =>
+          s"""r$k AS (
+             |  SELECT nd.id, nd.base + coalesce(c.s, 0) AS rank
+             |  FROM nd LEFT JOIN (
+             |    SELECT e.v AS id,
+             |      CAST(sum((r.rank * 85 * e.w) // (100 * dg.wdeg))
+             |        AS BIGINT) AS s
+             |    FROM edges e
+             |    JOIN r${k - 1} r ON e.u = r.id
+             |    JOIN dg ON dg.u = e.u
+             |    GROUP BY e.v) c ON nd.id = c.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tk AS (
+           |  SELECT regexp_extract_all(text, '[a-z]{4,}') AS sp
+           |  FROM documents),
+           |bg AS (
+           |  SELECT unnest(list_transform(range(1, len(sp)),
+           |    i -> sp[i] || ' ' || sp[i + 1])) AS bg
+           |  FROM tk),
+           |pw AS (
+           |  SELECT least(split_part(bg, ' ', 1), split_part(bg, ' ', 2))
+           |      AS u,
+           |    greatest(split_part(bg, ' ', 1), split_part(bg, ' ', 2))
+           |      AS v,
+           |    count(*) AS w
+           |  FROM bg WHERE split_part(bg, ' ', 1) <> split_part(bg, ' ', 2)
+           |  GROUP BY u, v),
+           |edges AS (
+           |  SELECT u, v, w FROM pw UNION ALL SELECT v, u, w FROM pw),
+           |dg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wdeg
+           |       FROM edges GROUP BY u),
+           |nd AS (
+           |  SELECT u AS id,
+           |    (CAST(1000000000000 AS BIGINT) * 15)
+           |      // (100 * (SELECT count(*) FROM dg)) AS base
+           |  FROM dg),
+           |r0 AS (SELECT id, base AS rank FROM nd),
+           |$layers
+           |SELECT id AS word, CAST(rank AS BIGINT) AS trank
+           |FROM r3 ORDER BY word""".stripMargin
+      }),
+
     Q("q_heavy_hitters",
       (s, d) => {
         val k = 32
