@@ -96,12 +96,46 @@ object SimilarityQueries {
       .select(col("vec_id").cast(IntegerType).as("centroid_id"),
         col("sv").as("cv"))
 
+  /** PQ demo codebook shared by q_ann_pq and q_ann_ivfpq:
+    * books(m)(c) = the 32-dim centroid for code c of subspace m, cut
+    * from the 8 lowest vec_ids' scaled sub-vectors (the ivfCentroids
+    * convention; Lloyd refinement would plug in IvfIndex.train per
+    * subspace unchanged). Driver state: 2 x 8 x 32 longs. */
+  private def pqBooks(
+      e: org.apache.spark.sql.DataFrame): Seq[Array[Array[Long]]] = {
+    val seeds = e.orderBy("vec_id").limit(8)
+      .select("vec_id", "sv").collect()
+      .map(_.getSeq[Long](1).toArray)
+    Seq(seeds.map(_.slice(0, 32)), seeds.map(_.slice(32, 64)))
+  }
+
+  /** Map-side PQ encoder for subspace m: argmin over the 8 codes of
+    * ||sub - book[c]||^2, the vector's own (code-constant) norm
+    * dropped out of the argmin. */
+  private def pqEncCol(books: Seq[Array[Array[Long]]])(
+      sub: org.apache.spark.sql.Column, m: Int): org.apache.spark.sql.Column = {
+    val entries = books(m).zipWithIndex.map { case (cv, c) =>
+      struct(
+        (lit(cv.map(x => x * x).sum) -
+          lit(2L) * dotLong(sub, typedLit(cv))).as("score"),
+        lit(c).as("c"))
+    }
+    array_min(array(entries.toIndexedSeq: _*)).getField("c")
+  }
+
+  /** Exact squared L2 between two long vectors (ADC table entries). */
+  private def pqD2(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+    acc
+  }
+
   /** Shared oracle CTE chain for the IVF search path (assign corpus to
     * centroids, probe the query's top-2 lists, rank candidates) —
     * consumed by q_ann_ivf (the result itself) and q_ann_recall (the
     * result compared against the exact baseline). Expects `nrm` from
     * [[scaledCte]]; yields `r` = (query_id, neighbor_id, sim, rank). */
-  private val ivfSearchCtes: String =
+  private val ivfProbeCtes: String =
     s"""cent AS (SELECT CAST(vec_id AS INT) AS centroid_id,
        |    sv AS c_sv, nn AS c_nn FROM nrm WHERE vec_id < 8),
        |asg AS (
@@ -124,7 +158,10 @@ object SimilarityQueries {
        |          / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
        |        c.centroid_id) AS prn
        |    FROM nrm q CROSS JOIN cent c WHERE q.vec_id < 5) t
-       |  WHERE prn <= 2),
+       |  WHERE prn <= 2)""".stripMargin
+
+  private val ivfSearchCtes: String =
+    s"""$ivfProbeCtes,
        |s AS (
        |  SELECT p.query_id, e.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(range(1, 65),
@@ -554,39 +591,19 @@ object SimilarityQueries {
         import org.apache.spark.sql.expressions.Window
         import s.implicits._
         val e = scaled(s, d)
-        val seeds = e.orderBy("vec_id").limit(8)
-          .select("vec_id", "sv").collect()
-          .map(_.getSeq[Long](1).toArray)
-        // books(m)(c) = the 32-dim centroid for code c of subspace m
-        val books: Seq[Array[Array[Long]]] =
-          Seq(seeds.map(_.slice(0, 32)), seeds.map(_.slice(32, 64)))
-        def encCol(sub: org.apache.spark.sql.Column,
-                   m: Int): org.apache.spark.sql.Column = {
-          val entries = books(m).zipWithIndex.map { case (cv, c) =>
-            struct(
-              (lit(cv.map(x => x * x).sum) -
-                lit(2L) * dotLong(sub, typedLit(cv))).as("score"),
-              lit(c).as("c"))
-          }
-          array_min(array(entries.toIndexedSeq: _*)).getField("c")
-        }
+        val books = pqBooks(e)
         val encd = e.select(col("vec_id"),
-          encCol(slice(col("sv"), 1, 32), 0).as("c0"),
-          encCol(slice(col("sv"), 33, 32), 1).as("c1"))
+          pqEncCol(books)(slice(col("sv"), 1, 32), 0).as("c0"),
+          pqEncCol(books)(slice(col("sv"), 33, 32), 1).as("c1"))
         // ADC lookup tables (FAISS's per-query dtable), driver-built
         val queries = e.filter(col("vec_id") < 5)
           .select("vec_id", "sv").collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        def d2(a: Array[Long], b: Array[Long]): Long = {
-          var acc = 0L; var i = 0
-          while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
-          acc
-        }
         val dt0 = (for ((qid, qv) <- queries.toSeq; c <- 0 until 8)
-          yield (qid, c, d2(qv.slice(0, 32), books(0)(c))))
+          yield (qid, c, pqD2(qv.slice(0, 32), books(0)(c))))
           .toDF("query_id", "code0", "d0")
         val dt1 = (for ((qid, qv) <- queries.toSeq; c <- 0 until 8)
-          yield (qid, c, d2(qv.slice(32, 64), books(1)(c))))
+          yield (qid, c, pqD2(qv.slice(32, 64), books(1)(c))))
           .toDF("q1", "code1", "d1")
         val est = encd
           .join(broadcast(dt0), encd("c0") === dt0("code0"))
@@ -651,6 +668,125 @@ object SimilarityQueries {
              |      ORDER BY est, neighbor_id) AS BIGINT) AS rank
              |  FROM est)
              |SELECT query_id, neighbor_id, rank, est FROM r
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF-PQ — the two ANN halves COMPOSED the way FAISS's flagship
+    // IndexIVFPQ does it (Jégou et al., PAMI'11 §IV): the IVF coarse
+    // quantizer prunes WHICH vectors are scored (read only the
+    // probed inverted lists out of the persisted partitioned index —
+    // same static partition filter as q_ann_ivf), and PQ compresses
+    // HOW each survivor is scored (2-byte codes + per-query ADC
+    // tables instead of raw vectors). At 100 TB both cuts multiply:
+    // nProbe/K of the corpus is read, and each read row costs a
+    // 2-lookup integer add instead of a 64-dim dot — the shape that
+    // serves billion-vector search from RAM. Candidate restriction
+    // is the broadcast probe join; ADC tables are 80 driver-built
+    // rows; the top-5 heap is TopKPerGroupExec. All-integer, so the
+    // composed estimates hash-gate exactly against the oracle, whose
+    // CTEs are literally the IVF probe chain + the PQ encode chain
+    // joined on the candidate set.
+    Q("q_ann_ivfpq",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val e = scaled(s, d)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("sv").as("qv"))
+        // probe ranking: identical to IvfIndex.searchIndexed
+        val wp = Window.partitionBy("query_id")
+          .orderBy(desc("csim"), asc("centroid_id"))
+        val probes = qs.crossJoin(broadcast(ivfCentroids(e)))
+          .withColumn("csim", simScaled(col("qv"), col("cv")))
+          .withColumn("prn", row_number().over(wp))
+          .filter(col("prn") <= 2)
+          .select(col("query_id"), col("centroid_id"))
+        val probedIds = probes.select("centroid_id").distinct()
+          .collect().map(_.getInt(0)).toSeq // bounded by K
+        val lists = s.read.parquet(ivfIndexDir(s, d))
+          .filter(col("centroid_id").isin(probedIds: _*))
+        val books = pqBooks(e)
+        // PQ-encode only the probed lists (build-time encode at scale;
+        // same codes either way — the encoder is per-row)
+        val encd = lists.select(col("vec_id"), col("centroid_id"),
+          pqEncCol(books)(slice(col("embedding"), 1, 32), 0).as("c0"),
+          pqEncCol(books)(slice(col("embedding"), 33, 32), 1).as("c1"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select("vec_id", "sv").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        val dt0 = (for ((qid, qv) <- queries.toSeq; c <- 0 until 8)
+          yield (qid, c, pqD2(qv.slice(0, 32), books(0)(c))))
+          .toDF("q0", "code0", "d0")
+        val dt1 = (for ((qid, qv) <- queries.toSeq; c <- 0 until 8)
+          yield (qid, c, pqD2(qv.slice(32, 64), books(1)(c))))
+          .toDF("q1", "code1", "d1")
+        val est = encd.join(broadcast(probes), Seq("centroid_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .join(broadcast(dt0),
+            col("query_id") === col("q0") && col("c0") === col("code0"))
+          .join(broadcast(dt1),
+            col("query_id") === col("q1") && col("c1") === col("code1"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (col("d0") + col("d1")).as("est"))
+        val top = graft.plans.TopKPerGroup.topKPerGroup(est,
+          Seq(col("query_id")), Seq(asc("est"), asc("neighbor_id")), 5)
+        val w = Window.partitionBy("query_id")
+          .orderBy(asc("est"), asc("neighbor_id"))
+        top.withColumn("rank", row_number().over(w).cast(LongType))
+          .select("query_id", "neighbor_id", "rank", "est")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $scaledCte,
+             |$ivfProbeCtes,
+             |seed AS (SELECT CAST(vec_id AS INT) AS c, sv FROM nrm
+             |         WHERE vec_id < 8),
+             |cb0 AS (SELECT c, sv[1:32] AS cv FROM seed),
+             |cb1 AS (SELECT c, sv[33:64] AS cv FROM seed),
+             |enc0 AS (
+             |  SELECT vec_id, c AS c0 FROM (
+             |    SELECT e.vec_id, b.c,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_sum(list_transform(range(1, 33),
+             |          i -> (e.sv[i] - b.cv[i]) * (e.sv[i] - b.cv[i]))),
+             |        b.c) AS rn
+             |    FROM nrm e CROSS JOIN cb0 b) t WHERE rn = 1),
+             |enc1 AS (
+             |  SELECT vec_id, c AS c1 FROM (
+             |    SELECT e.vec_id, b.c,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_sum(list_transform(range(1, 33),
+             |          i -> (e.sv[i + 32] - b.cv[i]) * (e.sv[i + 32] - b.cv[i]))),
+             |        b.c) AS rn
+             |    FROM nrm e CROSS JOIN cb1 b) t WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, sv FROM nrm WHERE vec_id < 5),
+             |dt0 AS (
+             |  SELECT q.query_id, b.c AS code0,
+             |    CAST(list_sum(list_transform(range(1, 33),
+             |      i -> (q.sv[i] - b.cv[i]) * (q.sv[i] - b.cv[i])))
+             |      AS BIGINT) AS d0
+             |  FROM q CROSS JOIN cb0 b),
+             |dt1 AS (
+             |  SELECT q.query_id, b.c AS code1,
+             |    CAST(list_sum(list_transform(range(1, 33),
+             |      i -> (q.sv[i + 32] - b.cv[i]) * (q.sv[i + 32] - b.cv[i])))
+             |      AS BIGINT) AS d1
+             |  FROM q CROSS JOIN cb1 b),
+             |cand AS (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id
+             |  FROM asg a JOIN probes p ON a.centroid_id = p.centroid_id
+             |  WHERE a.vec_id <> p.query_id),
+             |est AS (
+             |  SELECT ca.query_id, ca.neighbor_id, dt0.d0 + dt1.d1 AS est
+             |  FROM cand ca
+             |  JOIN enc0 e0 ON ca.neighbor_id = e0.vec_id
+             |  JOIN enc1 e1 ON ca.neighbor_id = e1.vec_id
+             |  JOIN dt0 ON dt0.query_id = ca.query_id AND dt0.code0 = e0.c0
+             |  JOIN dt1 ON dt1.query_id = ca.query_id AND dt1.code1 = e1.c1),
+             |r2 AS (
+             |  SELECT query_id, neighbor_id, est,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY est, neighbor_id) AS BIGINT) AS rank
+             |  FROM est)
+             |SELECT query_id, neighbor_id, rank, est FROM r2
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // MMR DIVERSIFIED RE-RANK (Carbonell & Goldstein, SIGIR'98) — the

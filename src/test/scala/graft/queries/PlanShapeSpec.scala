@@ -24,7 +24,7 @@ class PlanShapeSpec extends SparkSpec {
     * lost equi-key. */
   private val bnljAllowed = Set(
     "q_ann_bruteforce", "q_ann_quantized", "q_ann_ivf", "q_ann_recall",
-    "q_ann_srp", "q_contrastive_pairs",
+    "q_ann_ivfpq", "q_ann_srp", "q_contrastive_pairs",
     "q_tfidf", "q_corpus_mix", "q_corpus_mix_temp", "q_collocations",
     "q_zorder",
     "q_curriculum",
@@ -223,6 +223,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanLine.contains("PartitionFilters: [centroid_id") &&
       !scanLine.contains("PartitionFilters: []"),
       s"index scan is not partition-pruned:\n$scanLine")
+  }
+
+  test("q_ann_ivfpq composes the pruned index scan with ADC-only scoring") {
+    // IVF half: same static partition filter as q_ann_ivf
+    val plan = plans("q_ann_ivfpq")
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("ivf_index_"))
+      .getOrElse(fail(s"no index FileScan in plan:\n$plan"))
+    assert(scanLine.contains("PartitionFilters: [centroid_id") &&
+      !scanLine.contains("PartitionFilters: []"),
+      s"index scan is not partition-pruned:\n$scanLine")
+    // PQ half: scored through broadcast ADC-table joins and the
+    // bounded-heap exec — never a corpus-side shuffle join
+    assert(plan.contains("TopKPerGroup"),
+      s"q_ann_ivfpq lost the bounded-heap top-k:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_ann_ivfpq shuffle-joins the corpus:\n$plan")
   }
 
   test("q_profile_approx plans one pass: HLL sketches, no Expand") {
