@@ -1093,6 +1093,72 @@ object DedupQueries {
            |FROM r5 ORDER BY doc_id""".stripMargin
       }),
 
+    // LABEL-PROPAGATION community detection (Raghavan et al. 2007) —
+    // the graph clustering that, unlike connected components, does
+    // NOT merge everything reachable: each node repeatedly adopts the
+    // label most common among its neighbors, so a thin accidental
+    // bridge between two dense duplicate families stays two
+    // communities where CC collapses them into one. Deterministic
+    // SYNCHRONOUS variant: 3 fixed rounds, every node initialized to
+    // its own id, vote ties broken toward the SMALLEST label — no RNG
+    // and no visit-order dependence, which is what makes a layered
+    // SQL oracle possible at all (classic async LPA is
+    // partition-order-dependent and could never hash-gate). Scale
+    // shape per round: join labels to edges on node id + one
+    // (node, label) count aggregate + one argmax aggregate — all on
+    // uniform id keys, lineage cut per round; state is one label per
+    // node, nothing corpus-sized on the driver. Ninth consumer of the
+    // shared pair materialization.
+    Q("q_label_prop",
+      (s, d) => {
+        val iters = 3
+        val e = simhash64Pairs(s, d)
+        val edges = e.select(col("a_id").as("u"), col("b_id").as("v"))
+          .union(e.select(col("b_id").as("u"), col("a_id").as("v")))
+          .localCheckpoint()
+        var lab = edges.select(col("u").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl"))
+          .localCheckpoint()
+        for (_ <- 1 to iters) {
+          val votes = edges.join(lab, edges("u") === lab("id"))
+            .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          // max votes, then smallest label: max_by on (cnt, -lbl)
+          lab = votes.groupBy(col("v").as("id"))
+            .agg(max_by(col("lbl"),
+              struct(col("cnt").as("c"), (-col("lbl")).as("neg")))
+              .as("lbl"))
+            .localCheckpoint()
+        }
+        lab.select(col("id").as("doc_id"), col("lbl").as("community"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val layers = (1 to 3).map { k =>
+          s"""l$k AS (
+             |  SELECT v AS id, lbl FROM (
+             |    SELECT v, lbl,
+             |      row_number() OVER (PARTITION BY v
+             |        ORDER BY cnt DESC, lbl) AS rn
+             |    FROM (
+             |      SELECT e.v, l.lbl, count(*) AS cnt
+             |      FROM edges e JOIN l${k - 1} l ON e.u = l.id
+             |      GROUP BY e.v, l.lbl) g) t
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $simhash64FpCte,
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+           |edges AS (
+           |  SELECT a_id AS u, b_id AS v FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM edges),
+           |$layers
+           |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community
+           |FROM l3 ORDER BY doc_id""".stripMargin
+      }),
+
     // triangle counting over the near-dup graph — the third graph
     // operator (clusters find groups, PageRank ranks members,
     // triangles measure how DENSELY a duplicate neighborhood is knit:

@@ -42,4 +42,14 @@ object SourcesSinks {
                               partitionCols: String*): Unit =
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(dir)
+
+  /** ORC sink/scan pair — the second columnar format (native Spark
+    * OrcFileFormat: same predicate-pushdown/column-pruning/row-group
+    * skipping contract as parquet, so a layout written here keeps the
+    * engine's scan posture on ORC-standardized lakes). */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(dir)
+
+  def readOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
 }

@@ -19,6 +19,25 @@ class SourcesSinksSpec extends SparkSpec {
       === df.orderBy("n_nationkey").collect())
   }
 
+  test("ORC round-trip preserves rows and pushes filters to the scan") {
+    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val dir = tmp() + "/lineitem_orc"
+    SourcesSinks.writeOrc(df, dir)
+    val back = SourcesSinks.readOrc(spark, dir)
+    assert(back.schema === df.schema)
+    assert(back.orderBy("l_orderkey", "l_linenumber").collect()
+      === df.orderBy("l_orderkey", "l_linenumber").collect())
+    // the columnar contract must survive the format switch: predicate
+    // reaches the ORC scan and the projection prunes columns
+    val plan = back.filter(col("l_quantity") >= 45)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"ORC scan lost filter pushdown:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"ORC scan reads more than the projection:\n$plan")
+  }
+
   test("CSV round-trip with header (reference W2 format)") {
     val df = spark.read.parquet(s"$sf0001/region.parquet")
     val dir = tmp() + "/region_csv"
