@@ -1159,6 +1159,58 @@ object DedupQueries {
            |FROM l3 ORDER BY doc_id""".stripMargin
       }),
 
+    // RECURSIVE-CTE BFS — iterative graph reachability expressed in
+    // SQL (WITH RECURSIVE, Spark 4's UnionLoop operator) instead of a
+    // driver-side loop: hop distance from a deterministic seed set
+    // (node id % 50 = 0) over the near-dup graph, depth-capped at 3.
+    // This covers the engine feature the q_pagerank/q_label_prop
+    // driver loops deliberately avoid — recursion handled INSIDE one
+    // query execution, so a user can ship iterative logic as plain
+    // SQL. The depth cap (dist < 3) is the cycle guard: each
+    // iteration is a uniform id equi-join + the running union, and
+    // the min-aggregate at the end collapses the path multiplicity
+    // (paths, not nodes, is what the loop materializes — bounded here
+    // by deg³ per seed; unbounded-depth closure on a cyclic graph
+    // belongs to the large-star/small-star operator instead, which is
+    // why q_dedup_cluster exists). Tenth consumer of the shared pair
+    // table; DuckDB replays the identical WITH RECURSIVE.
+    Q("q_recursive_bfs",
+      (s, d) => {
+        simhash64Pairs(s, d).select("a_id", "b_id")
+          .createOrReplaceTempView("np_pairs")
+        s.sql("""
+          WITH RECURSIVE edges AS (
+            SELECT a_id AS u, b_id AS v FROM np_pairs
+            UNION ALL
+            SELECT b_id AS u, a_id AS v FROM np_pairs
+          ),
+          reach(id, dist) AS (
+            SELECT DISTINCT u AS id, 0 AS dist FROM edges WHERE u % 50 = 0
+            UNION ALL
+            SELECT e.v, r.dist + 1
+            FROM reach r JOIN edges e ON e.u = r.id
+            WHERE r.dist < 3
+          )
+          SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS hops
+          FROM reach GROUP BY id ORDER BY doc_id""")
+      },
+      Some(s"""WITH RECURSIVE $simhash64FpCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |edges AS (
+             |  SELECT a_id AS u, b_id AS v FROM pairs
+             |  UNION ALL SELECT b_id, a_id FROM pairs),
+             |reach(id, dist) AS (
+             |  SELECT DISTINCT u AS id, 0 AS dist FROM edges WHERE u % 50 = 0
+             |  UNION ALL
+             |  SELECT e.v, r.dist + 1
+             |  FROM reach r JOIN edges e ON e.u = r.id
+             |  WHERE r.dist < 3)
+             |SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS hops
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // triangle counting over the near-dup graph — the third graph
     // operator (clusters find groups, PageRank ranks members,
     // triangles measure how DENSELY a duplicate neighborhood is knit:
