@@ -1388,6 +1388,50 @@ object CoreQueries {
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              |count(*) AS cnt FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
 
+    // SEMI-STRUCTURED VARIANT ingestion (Spark 4's VARIANT type) —
+    // the open-schema path for logs/telemetry: build a nested JSON
+    // document (object + array), parse it ONCE into the binary
+    // variant encoding, then pull typed values out by path
+    // (variant_get with object fields and array indexing). Against
+    // string-based get_json_object (q_json_extract), the variant is
+    // parsed a single time however many paths are read, and the
+    // binary encoding skips to fields without re-scanning text — the
+    // 100 TB posture for wide telemetry rows. All extracted values
+    // are strings/longs, so the aggregate hash-gates against DuckDB's
+    // JSON path functions over the same reconstructed document.
+    Q("q_variant",
+      (s, d) => Tables.load(s, d, "events")
+        .withColumn("doc", concat(
+          lit("{\"meta\":{\"type\":\""), col("event_type"),
+          lit("\",\"k\":"), get_json_object(col("props"), "$.k"),
+          lit("},\"ids\":["), col("event_id"), lit(","), col("user_id"),
+          lit("]}")))
+        .withColumn("v", parse_json(col("doc")))
+        .select(
+          variant_get(col("v"), "$.meta.type", "string").as("etype"),
+          variant_get(col("v"), "$.meta.k", "long").as("k"),
+          variant_get(col("v"), "$.ids[1]", "long").as("uid"))
+        .groupBy("etype")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("k")).as("k_sum"),
+          countDistinct(col("uid")).as("n_users"))
+        .orderBy("etype"),
+      Some("""WITH j AS (
+             |  SELECT '{"meta":{"type":"' || event_type || '","k":'
+             |    || json_extract_string(props, '$.k')
+             |    || '},"ids":[' || event_id || ',' || user_id || ']}'
+             |    AS doc
+             |  FROM events),
+             |x AS (
+             |  SELECT json_extract_string(doc, '$.meta.type') AS etype,
+             |    CAST(json_extract(doc, '$.meta.k') AS BIGINT) AS k,
+             |    CAST(json_extract(doc, '$.ids[1]') AS BIGINT) AS uid
+             |  FROM j)
+             |SELECT etype, count(*) AS cnt,
+             |  CAST(sum(k) AS BIGINT) AS k_sum,
+             |  count(DISTINCT uid) AS n_users
+             |FROM x GROUP BY etype ORDER BY etype""".stripMargin)),
+
     // date/time functions over timestamp columns
     Q("q_date_parts",
       (s, d) => Tables.load(s, d, "orders")
@@ -1594,6 +1638,47 @@ object CoreQueries {
              |    OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              |  count(*) AS n_events
              |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // NATIVE SESSION WINDOWS — the q_events_sessionize gap cut again,
+    // but through Spark's session_window AGGREGATION (the
+    // UpdatingSessions/MergingSessions exec pair) instead of a
+    // hand-built lag+running-sum island id, and emitting the actual
+    // session BOUNDARIES, not just counts: (user, [start, max+gap),
+    // n_events). This is the operator the streaming sessionization
+    // shares its semantics with — covering it in batch pins those
+    // semantics under the oracle, incl. the boundary rule (a gap of
+    // EXACTLY 30 min starts a new session; merge requires
+    // next < current end strictly). One shuffle on user_id, sessions
+    // merge map-side. The oracle replays it as gaps-and-islands over
+    // integer microseconds.
+    Q("q_session_window",
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us"),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |l AS (
+             |  SELECT user_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w >= 1800000000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |g AS (
+             |  SELECT user_id, us,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM l)
+             |SELECT user_id, min(us) AS start_us,
+             |  max(us) + 1800000000 AS end_us, count(*) AS n_events
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin)),
 
     // Z-SCORE ANOMALY FLAGGING over event values — the monitoring
     // query every ingest pipeline runs, made hash-gateable by
