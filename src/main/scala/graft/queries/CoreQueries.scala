@@ -130,6 +130,27 @@ object CoreQueries {
              |CAST(1 AS BIGINT) AS within_5pct FROM lineitem
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // BITMAP exact distinct (the OLAP engines' groupBitmap /
+    // BITMAP_UNION_COUNT) — the third sibling in the distinct-count
+    // family: exact countDistinct beside other aggregates costs an
+    // Expand (row multiplication), the HLL sibling (q_approx_distinct)
+    // is approximate; the mergeable bitmap aggregate
+    // ([[graft.functions.BitmapDistinctAgg]]) is EXACT with one-pass,
+    // Expand-free state bounded by the ID DOMAIN, not the row count —
+    // the right tool for id-bounded dims like users. PlanShapeSpec
+    // asserts the no-Expand plan; the oracle is plain
+    // COUNT(DISTINCT ...) because the bitmap's answer is exact.
+    Q("q_bitmap_distinct",
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy("event_type")
+        .agg(graft.functions.BitmapDistinctAgg
+            .bitmapDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             |count(*) AS n_rows FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // O1: global sort (range-partitioned in Spark; total order)
     Q("q_global_sort",
       (s, d) => Tables.load(s, d, "customer")

@@ -242,6 +242,17 @@ class PlanShapeSpec extends SparkSpec {
       s"q_ann_ivfpq shuffle-joins the corpus:\n$plan")
   }
 
+  test("q_bitmap_distinct plans exact distinct without an Expand") {
+    // the bitmap aggregate's whole point: exact distinct beside a
+    // plain count in ONE pass — no Expand row multiplication, no
+    // second distinct shuffle of raw ids
+    val plan = plans("q_bitmap_distinct")
+    assert(plan.contains("bitmap_distinct"),
+      s"q_bitmap_distinct lost the custom aggregate:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"q_bitmap_distinct plans an Expand:\n$plan")
+  }
+
   test("q_profile_approx plans one pass: HLL sketches, no Expand") {
     // exact multi-column countDistinct costs an Expand that multiplies
     // rows (k+1)x before the aggregate; the approximate sibling must
