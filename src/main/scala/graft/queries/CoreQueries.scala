@@ -1668,8 +1668,10 @@ object CoreQueries {
     // n_events). This is the operator the streaming sessionization
     // shares its semantics with — covering it in batch pins those
     // semantics under the oracle, incl. the boundary rule (a gap of
-    // EXACTLY 30 min starts a new session; merge requires
-    // next < current end strictly). One shuffle on user_id, sessions
+    // EXACTLY 30 min still MERGES — the next event lands on the open
+    // window's inclusive end; only a strictly larger gap splits —
+    // verified against the exec on boundary data in the streaming
+    // spec). One shuffle on user_id, sessions
     // merge map-side. The oracle replays it as gaps-and-islands over
     // integer microseconds.
     Q("q_session_window",
@@ -1688,7 +1690,7 @@ object CoreQueries {
              |l AS (
              |  SELECT user_id, us,
              |    CASE WHEN lag(us) OVER w IS NULL
-             |      OR us - lag(us) OVER w >= 1800000000
+             |      OR us - lag(us) OVER w > 1800000000
              |    THEN 1 ELSE 0 END AS brk
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
              |g AS (

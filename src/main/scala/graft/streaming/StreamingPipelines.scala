@@ -42,6 +42,24 @@ object StreamingPipelines {
       .select(col("window.start").as("window_start"),
               col("event_type"), col("n"), col("sum_value"))
 
+  /** NATIVE session windows in streaming — the built-in
+    * session_window aggregation over a watermarked stream, the
+    * declarative sibling of [[sessionize]]'s explicit-state form (and
+    * the streaming twin of the batch q_session_window, which pins the
+    * exact-gap boundary rule under the DuckDB oracle). State is
+    * merged-session-per-(user, window) and bounded by the watermark;
+    * append mode emits a session only when the watermark passes its
+    * end — the semantics the spec checks against the batch plan. */
+  def sessionWindowAgg(events: DataFrame,
+                       gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("w.start").as("start_ts"), col("w.end").as("end_ts"),
+        col("n_events"))
+
   /** Gap-based sessionization (30-minute inactivity) via
     * flatMapGroupsWithState: one state record per active user, flushed
     * as soon as a gap is observed in event-time order within the batch,

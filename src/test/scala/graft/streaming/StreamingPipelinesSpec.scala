@@ -186,6 +186,45 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(streamed.toSet === batch.toSet)
   }
 
+  test("streaming sessionWindowAgg: append emits watermark-closed " +
+      "sessions with the exact-gap boundary rule") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 1: 0s,100s merge; 3000s is a new session (gap 2900 >= 1800)
+    // user 2: a single event
+    // user 3: 0s and EXACTLY 1800s — the boundary rule MERGES them
+    //         (the event lands on the open window's inclusive end;
+    //         only a strictly larger gap splits), the same rule the
+    //         batch q_session_window oracle encodes as diff > gap
+    in.addData(
+      ev(1, 0, 1, "click"), ev(2, 100, 1, "click"), ev(3, 3000, 1, "click"),
+      ev(4, 500, 2, "click"),
+      ev(5, 0, 3, "click"), ev(6, 1800, 3, "click"))
+    val q = sessionWindowAgg(in.toDF()).writeStream.format("memory")
+      .queryName("sess_win").outputMode("append").start()
+    q.processAllAvailable()
+    // watermark sentinel: far-future event closes every session above;
+    // its own session stays open and must NOT emit
+    in.addData(ev(7, 100000, 99, "click"))
+    q.processAllAvailable()
+    // one more batch so the advanced watermark flushes closed state
+    in.addData(ev(8, 100001, 99, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_win")
+      .select(col("user_id"),
+        col("start_ts").cast("long").as("s"),
+        col("end_ts").cast("long").as("e"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expected = Set(
+      (1L, 0L, 1900L, 2L), (1L, 3000L, 4800L, 1L),
+      (2L, 500L, 2300L, 1L),
+      (3L, 0L, 3600L, 2L))
+    assert(got === expected)
+  }
+
   test("stream-stream interval join matches hand-computed pairs") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
