@@ -1877,6 +1877,127 @@ object TextQueries {
              |WHERE rn <= 5
              |ORDER BY lang, rrf DESC, doc_id""".stripMargin)),
 
+    // BM25 RANKED RETRIEVAL — the scoring complement of
+    // q_phrase_search's exact match and q_inverted_index's
+    // construction: rank documents for the query {big, order, scan}
+    // by Okapi BM25 (k1=1.2, b=0.75). All arithmetic is exact
+    // integers so the hash gate holds bit-for-bit: idf is the house
+    // linear weight (1e6·N div df, the q_tfidf convention — a log idf
+    // would hinge on libm ulp agreement), and the length-normalized
+    // quotient tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) is cleared of
+    // fractions by multiplying through by 10·T (T = Σdl, avgdl = T/N):
+    //   score = (22·w·tf·T) div (10·T·tf + 3·T + 9·dl·N)
+    // Scale shape: ONE corpus pass computes (dl, matched-term
+    // occurrences) together; corpus stats are a 1-row broadcast
+    // crossJoin; df is an aggregate of the tiny matched tf table. At
+    // 100 TB the tf side comes term-pruned out of the persisted
+    // inverted index — the plan only ever joins query-term postings,
+    // never the corpus against itself. Top-20 via TakeOrdered.
+    Q("q_bm25",
+      (s, d) => {
+        val base = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast(LongType).as("dl"),
+            tokens(col("text")).as("tk"))
+        val stats = broadcast(base.agg(
+          count(lit(1)).as("n"), sum(col("dl")).as("t")))
+        val tf = base
+          .select(col("doc_id"), col("dl"),
+            explode(filter(col("tk"),
+              t => t.isin("big", "order", "scan"))).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(df_, "term").crossJoin(stats)
+          .withColumn("w", expr("(1000000 * n) div df"))
+          .withColumn("sc", expr(
+            "(22 * w * tf * t) div (10 * t * tf + 3 * t + 9 * dl * n)"))
+          .groupBy("doc_id").agg(sum(col("sc")).as("bm25"))
+          .orderBy(desc("bm25"), asc("doc_id")).limit(20)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             |    string_split(text, ' ') AS tk
+             |  FROM documents),
+             |stats AS (
+             |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM base),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf, CAST(min(dl) AS BIGINT) AS dl
+             |  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM base) x
+             |  WHERE term IN ('big', 'order', 'scan')
+             |  GROUP BY doc_id, term),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |scored AS (
+             |  SELECT tf.doc_id,
+             |    (22 * ((1000000 * s.n) // df.df) * tf.tf * s.t)
+             |      // (10 * s.t * tf.tf + 3 * s.t + 9 * tf.dl * s.n) AS sc
+             |  FROM tf JOIN df USING (term) CROSS JOIN stats s)
+             |SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25
+             |FROM scored GROUP BY doc_id
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // DSIR IMPORTANCE RESAMPLING (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): select raw
+    // docs that look like a target domain by likelihood ratio over
+    // HASHED n-gram features. Target = the 'en' subset; features =
+    // bigrams hashed into 1024 md5 buckets (the deterministic-sample
+    // md5 convention, so both engines bucket identically); per-doc
+    // weight = Σ over bigram occurrences of the Laplace-smoothed
+    // ratio (ct+1)·1e6 div (cr+1) — DSIR's log-ratio replaced by the
+    // exact-integer linear ratio so the hash gate holds — then
+    // length-normalized by the doc's bigram count. Top-20 docs.
+    // Scale shape: BOTH model tables are bucket-sized (≤1024 rows —
+    // constant, independent of corpus size) and broadcast; the corpus
+    // is featurized in ONE map pass and aggregated per doc_id with
+    // map-side combine. This is exactly DSIR's production shape:
+    // hashed-feature models fit in memory, selection is a single
+    // linear scan — no corpus-vs-corpus join anywhere.
+    Q("q_dsir_weight",
+      (s, d) => {
+        val bg = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(shingles(tokens(col("text")), 2)).as("bg"))
+          .withColumn("b",
+            pmod(conv(substring(md5(col("bg")), 1, 8), 16, 10)
+              .cast(LongType), lit(1024L)))
+        val raw = bg.groupBy("b").agg(count(lit(1)).as("cr"))
+        val tgt = bg.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val ratio = broadcast(raw.join(tgt, Seq("b"), "left")
+          .withColumn("r", expr(
+            "((coalesce(ct, 0) + 1) * 1000000) div (cr + 1)")))
+        bg.join(ratio.select("b", "r"), "b")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("w_sum"))
+          .withColumn("w_score", expr("w_sum div n_bigrams"))
+          .select("doc_id", "lang", "n_bigrams", "w_score")
+          .orderBy(desc("w_score"), asc("doc_id")).limit(20)
+      },
+      Some("""WITH bg AS (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS b
+             |  FROM (
+             |    SELECT doc_id, lang,
+             |      unnest(list_transform(range(1, len(sp)),
+             |        i -> sp[i] || ' ' || sp[i + 1])) AS g
+             |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS sp
+             |          FROM documents) t) u),
+             |raw AS (SELECT b, count(*) AS cr FROM bg GROUP BY b),
+             |tgt AS (SELECT b, count(*) AS ct FROM bg
+             |        WHERE lang = 'en' GROUP BY b),
+             |ratio AS (
+             |  SELECT raw.b,
+             |    ((coalesce(tgt.ct, 0) + 1) * 1000000) // (raw.cr + 1) AS r
+             |  FROM raw LEFT JOIN tgt USING (b)),
+             |w AS (
+             |  SELECT doc_id, lang, count(*) AS n_bigrams,
+             |    CAST(sum(r) AS BIGINT) AS w_sum
+             |  FROM bg JOIN ratio USING (b)
+             |  GROUP BY doc_id, lang)
+             |SELECT doc_id, lang, n_bigrams,
+             |  CAST(w_sum // n_bigrams AS BIGINT) AS w_score
+             |FROM w ORDER BY w_score DESC, doc_id LIMIT 20""".stripMargin)),
+
     // HLL SKETCH TABLE — the warehouse "sketch column" pattern
     // (Datasketches HLL, the native Spark 3.5+ surface): distinct
     // counts at 100 TB are not recomputed per dashboard query; a
