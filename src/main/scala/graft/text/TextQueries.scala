@@ -1527,6 +1527,131 @@ object TextQueries {
              |    AS keep
              |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // EXACT AUC (Mann-Whitney / rank-sum) — the EVALUATION side of
+    // q_quality_classifier: how well does the hashed-feature linear
+    // logit separate the 'en' subset from the rest? AUC is a pure
+    // rank statistic, so it hash-gates exactly: with tie groups of
+    // size c at min-rank r, the DOUBLED midrank sum 2·R1 =
+    // Σ npos·(2r + c − 1) is an integer, 2U = 2·R1 − n1·(n1+1), and
+    // auc = 2U / (2·n1·n2) is ONE final IEEE division of exact longs
+    // (the q_lm_bigram_score convention).
+    // Scale shape: the corpus collapses to the per-doc logit (the
+    // classifier's own two aggregates), then to the SCORE-DISTRIBUTION
+    // table (one row per distinct logit) — the only window in the plan
+    // runs over that distribution, whose size is bounded by the
+    // score's quantization (integer logits here; production buckets
+    // real-valued scores), not by the corpus. Nothing corpus-sized is
+    // ever globally sorted.
+    Q("q_classifier_auc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("tok"))
+        val bucket = pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast(LongType), lit(64L))
+        val weight = pmod(conv(substring(md5(col("b").cast(StringType)),
+          1, 1), 16, 10).cast(LongType), lit(5L)) - 2L
+        val scored = toks.withColumn("b", bucket)
+          .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("f"))
+          .withColumn("w", weight)
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("f") * col("w")).as("logit"))
+          .withColumn("label",
+            (col("lang") === "en").cast("int").cast(LongType))
+        val groups = scored.groupBy("logit")
+          .agg(count(lit(1)).as("cnt"), sum(col("label")).as("npos"))
+        val rmin = groups.withColumn("rmin",
+          lit(1L) + coalesce(sum(col("cnt")).over(
+            Window.orderBy("logit")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        rmin.agg(
+            sum(col("npos") * (lit(2L) * col("rmin") + col("cnt") - 1L))
+              .as("r1_2"),
+            sum(col("npos")).as("n_pos"),
+            sum(col("cnt") - col("npos")).as("n_neg"))
+          .withColumn("u2", col("r1_2") - col("n_pos") * (col("n_pos") + 1L))
+          .withColumn("auc", col("u2").cast(DoubleType) /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast(DoubleType))
+          .select("n_pos", "n_neg", "u2", "auc")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
+             |    count(*) AS f
+             |  FROM t GROUP BY doc_id, lang, b),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+             |      AS label,
+             |    CAST(sum(f * (CAST(('0x' || substr(md5(CAST(b AS VARCHAR)),
+             |      1, 1)) AS BIGINT) % 5 - 2)) AS BIGINT) AS logit
+             |  FROM f GROUP BY doc_id, lang),
+             |g AS (
+             |  SELECT logit, count(*) AS cnt,
+             |    CAST(sum(label) AS BIGINT) AS npos
+             |  FROM sc GROUP BY logit),
+             |r AS (
+             |  SELECT logit, cnt, npos,
+             |    1 + coalesce(sum(cnt) OVER (ORDER BY logit
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS rmin
+             |  FROM g),
+             |agg AS (
+             |  SELECT
+             |    CAST(sum(npos * (2 * rmin + cnt - 1)) AS BIGINT) AS r1_2,
+             |    CAST(sum(npos) AS BIGINT) AS n_pos,
+             |    CAST(sum(cnt - npos) AS BIGINT) AS n_neg
+             |  FROM r)
+             |SELECT n_pos, n_neg,
+             |  r1_2 - n_pos * (n_pos + 1) AS u2,
+             |  CAST(r1_2 - n_pos * (n_pos + 1) AS DOUBLE)
+             |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+             |FROM agg""".stripMargin)),
+
+    // HHI TOKEN CONCENTRATION — the corpus-diversity monitor: per
+    // source, the Herfindahl index of its token distribution and the
+    // inverse-Simpson "effective vocabulary" (total² div Σcnt² — how
+    // many equally-common tokens would produce the same concentration;
+    // collapses toward 1 as a source degenerates to repeated boiler-
+    // plate). Pure integers: hhi_ppm = 1e6·Σcnt² div total². The
+    // training-data use: a source whose effective vocabulary falls off
+    // a cliff between snapshots has been contaminated by templated
+    // text — the cheap scalar the Gopher-repetition pass is then run
+    // on. Scale shape: one explode + (source, tok) hash aggregate with
+    // map-side combine, then a source-sized (constant) aggregate;
+    // no window, no join, nothing corpus-sized past the first shuffle.
+    Q("q_hhi_diversity",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_vocab"),
+          sum(col("cnt") * col("cnt")).as("sum_sq"))
+        .withColumn("hhi_ppm", expr(
+          "(1000000 * sum_sq) div (n_tokens * n_tokens)"))
+        .withColumn("eff_vocab", expr("(n_tokens * n_tokens) div sum_sq"))
+        .orderBy("source"),
+      Some("""WITH t AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, tok, count(*) AS cnt
+             |  FROM t GROUP BY source, tok),
+             |a AS (
+             |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |    count(*) AS n_vocab,
+             |    CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+             |  FROM c GROUP BY source)
+             |SELECT source, n_tokens, n_vocab, sum_sq,
+             |  (1000000 * sum_sq) // (n_tokens * n_tokens) AS hhi_ppm,
+             |  (n_tokens * n_tokens) // sum_sq AS eff_vocab
+             |FROM a ORDER BY source""".stripMargin)),
+
     // COUNT-MIN SKETCH: the third frequency sketch beside Misra-Gries
     // (q_heavy_hitters, deterministic top-k) and HLL
     // (q_approx_distinct, cardinality) — CMS answers point frequency

@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Value-level checks of the evaluation statistics beyond the DuckDB
+  * hash gate: the rank-formula AUC must equal the DEFINITION of AUC
+  * (pairwise pos-vs-neg comparison), and the HHI/effective-vocabulary
+  * numbers must satisfy their analytic bounds. */
+class EvalStatsSpec extends SparkSpec {
+
+  test("q_classifier_auc matches brute-force pairwise AUC (definition)") {
+    // recompute per-doc (label, logit) exactly as the query does, then
+    // count pairs directly: 2U = 2*#(pos>neg) + #(pos==neg)
+    import graft.functions.GraftFunctions.tokens
+    val scored = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+      .withColumn("b", pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast("long"), lit(64L)))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("f"))
+      .withColumn("w", pmod(conv(substring(md5(col("b").cast("string")),
+        1, 1), 16, 10).cast("long"), lit(5L)) - 2L)
+      .groupBy("doc_id", "lang").agg(sum(col("f") * col("w")).as("logit"))
+      .collect().map(r => (r.getString(1) == "en", r.getLong(2)))
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filterNot(_._1).map(_._2)
+    var u2 = 0L
+    for (p <- pos; n <- neg) {
+      if (p > n) u2 += 2L else if (p == n) u2 += 1L
+    }
+    val row = SparkEntry.queries("q_classifier_auc")(spark, sf0001)
+      .collect().head
+    assert(row.getLong(0) === pos.length.toLong)
+    assert(row.getLong(1) === neg.length.toLong)
+    assert(row.getLong(2) === u2)
+    val auc = row.getDouble(3)
+    assert(auc === u2.toDouble / (2.0 * pos.length * neg.length))
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
+  test("q_hhi_diversity: analytic bounds hold per source") {
+    val rows = SparkEntry.queries("q_hhi_diversity")(spark, sf001).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (nTok, nVocab, sumSq) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (hhi, eff) = (r.getLong(4), r.getLong(5))
+      // Cauchy-Schwarz: n_tokens^2 / n_vocab <= sum_sq <= n_tokens^2
+      assert(sumSq * nVocab >= nTok * nTok)
+      assert(sumSq <= nTok * nTok)
+      // => 1 <= eff_vocab <= n_vocab, and hhi in [1e6/n_vocab, 1e6]
+      assert(eff >= 1L && eff <= nVocab)
+      assert(hhi >= 1000000L / nVocab - 1 && hhi <= 1000000L)
+      // the two integer quotients are floor-consistent inverses
+      assert(eff === (nTok * nTok) / sumSq)
+    }
+  }
+}
