@@ -36,8 +36,9 @@ class PlanShapeSpec extends SparkSpec {
     // q_mmr_rerank's candidate stage broadcasts 3 query vectors onto
     // the corpus scan (the q_ann_bruteforce shape); q_kmv_jaccard's
     // source-pair table is a broadcast a<b theta join of a ~20-row
-    // frame with itself
-    "q_mmr_rerank", "q_kmv_jaccard")
+    // frame with itself; q_bm25 broadcasts the 1-row (N, T) corpus
+    // stats onto the query-term postings (the q_tfidf shape)
+    "q_mmr_rerank", "q_kmv_jaccard", "q_bm25")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
@@ -311,6 +312,24 @@ class PlanShapeSpec extends SparkSpec {
     val joins = plans("q_kmeans").linesIterator.count(_.contains("Join"))
     assert(joins == 1,
       s"q_kmeans expected 1 join, found $joins:\n${plans("q_kmeans")}")
+  }
+
+  test("q_dsir_weight: the bucket-ratio model joins as a broadcast") {
+    // DSIR's whole scale story is that both hashed-feature model
+    // tables are bucket-sized (<= 1024 rows) and BROADCAST — the
+    // corpus featurization pass must never shuffle for the model join
+    assert(plans("q_dsir_weight").contains("BroadcastHashJoin"),
+      s"q_dsir_weight lost its broadcast model join:\n${plans("q_dsir_weight")}")
+  }
+
+  test("q_bm25 / q_dsir_weight: top-k via TakeOrdered, no global sort") {
+    // both rankers end in orderBy().limit(k) — the plan must be a
+    // TakeOrderedAndProject (per-partition heaps + driver merge of k
+    // rows), never a full Sort of the scored frame
+    for (name <- Seq("q_bm25", "q_dsir_weight")) {
+      assert(plans(name).contains("TakeOrderedAndProject"),
+        s"$name lost its TakeOrdered plan:\n${plans(name)}")
+    }
   }
 
   test("parquet scans prune columns (no SELECT * reaching the scan)") {
