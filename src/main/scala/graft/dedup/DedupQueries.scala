@@ -264,6 +264,47 @@ object DedupQueries {
       dir
     }))
 
+  /** The PERSISTED 3-iteration label-propagation community assignment
+    * (doc_id, community) — the pair/cluster-table convention applied
+    * to the community structure: the iterative voting loop runs once
+    * per (session, sf dir) and is written as parquet; q_label_prop
+    * reports it and q_modularity grades it, so recomputing the loop
+    * per consumer would double the only iterative stage either one
+    * needs. Per round: join labels to edges on node id + a (node,
+    * label) count + an argmax aggregate, lineage cut per round —
+    * nothing corpus-sized on the driver. */
+  private val commDirCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def labelPropCommunities(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(commDirCache.computeIfAbsent((s, d), { _ =>
+      val iters = 3
+      val e = simhash64Pairs(s, d)
+      val edges = e.select(col("a_id").as("u"), col("b_id").as("v"))
+        .union(e.select(col("b_id").as("u"), col("a_id").as("v")))
+        .localCheckpoint()
+      var lab = edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val votes = edges.join(lab, edges("u") === lab("id"))
+          .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        // max votes, then smallest label: max_by on (cnt, -lbl)
+        lab = votes.groupBy(col("v").as("id"))
+          .agg(max_by(col("lbl"),
+            struct(col("cnt").as("c"), (-col("lbl")).as("neg")))
+            .as("lbl"))
+          .localCheckpoint()
+      }
+      val dir = matDir("simhash_communities", s, d)
+      lab.select(col("id").as("doc_id"), col("lbl").as("community"))
+        .repartition(1).write.mode("overwrite").parquet(dir)
+      dir
+    }))
+
   /** Cross-family access to the shared pair materialization (e.g. the
     * end-to-end prep pipeline in TextQueries) — same single
     * computation per (session, dir) as the in-family consumers. */
@@ -279,6 +320,38 @@ object DedupQueries {
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
+
+  /** Oracle CTE chain replaying the 3-iteration label propagation:
+    * fp + pairs + edges + voting layers l1..l3, ending in
+    * `com(doc_id, community)` — shared by q_label_prop (reports the
+    * assignment) and q_modularity (grades it), mirroring the shared
+    * [[labelPropCommunities]] materialization on the Spark side. */
+  private lazy val labelPropOracleCtes: String = {
+    val layers = (1 to 3).map { k =>
+      s"""l$k AS (
+         |  SELECT v AS id, lbl FROM (
+         |    SELECT v, lbl,
+         |      row_number() OVER (PARTITION BY v
+         |        ORDER BY cnt DESC, lbl) AS rn
+         |    FROM (
+         |      SELECT e.v, l.lbl, count(*) AS cnt
+         |      FROM edges e JOIN l${k - 1} l ON e.u = l.id
+         |      GROUP BY e.v, l.lbl) g) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$simhash64FpCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+       |edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM edges),
+       |$layers,
+       |com AS (SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community
+       |        FROM l3)""".stripMargin
+  }
 
   /** Shared DuckDB CTE chain computing the same 64-bit fingerprints
     * (tk/hs/votes/fp) — the oracle spells out the expression form the
@@ -1110,54 +1183,78 @@ object DedupQueries {
     // node, nothing corpus-sized on the driver. Ninth consumer of the
     // shared pair materialization.
     Q("q_label_prop",
+      (s, d) => labelPropCommunities(s, d)
+        .select(col("doc_id"), col("community"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $labelPropOracleCtes
+           |SELECT doc_id, community FROM com ORDER BY doc_id""".stripMargin)),
+
+    // EXACT MODULARITY — the quality grade of the label-propagation
+    // partition above (Newman: Q = Σ_c [L_c/m − (D_c/2m)²], L_c =
+    // intra-community edges, D_c = community degree mass, m = total
+    // edges). Multiplying through by 4m² clears every fraction:
+    // contrib_c = 4·m·L_c − D_c², so the per-community rows hash-gate
+    // as exact integers (Q itself = Σ contrib / 4m² if a float is
+    // wanted — deliberately left to the consumer). The training-data
+    // use: a near-dup graph whose communities carry high modularity
+    // has real cluster structure (template families); near-zero
+    // modularity says the hamming threshold is admitting noise edges.
+    // Scale shape: BOTH upstream stages come from persisted parquet
+    // (pair table + community table, plan-gated); the new work is two
+    // uniform-key equi-joins of the edge list against the KB-sized
+    // assignment plus community-sized aggregates, and m enters as a
+    // broadcast 1-row crossJoin (the q_tfidf singleton shape).
+    Q("q_modularity",
       (s, d) => {
-        val iters = 3
-        val e = simhash64Pairs(s, d)
-        val edges = e.select(col("a_id").as("u"), col("b_id").as("v"))
-          .union(e.select(col("b_id").as("u"), col("a_id").as("v")))
-          .localCheckpoint()
-        var lab = edges.select(col("u").as("id")).distinct()
-          .select(col("id"), col("id").as("lbl"))
-          .localCheckpoint()
-        for (_ <- 1 to iters) {
-          val votes = edges.join(lab, edges("u") === lab("id"))
-            .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
-          // max votes, then smallest label: max_by on (cnt, -lbl)
-          lab = votes.groupBy(col("v").as("id"))
-            .agg(max_by(col("lbl"),
-              struct(col("cnt").as("c"), (-col("lbl")).as("neg")))
-              .as("lbl"))
-            .localCheckpoint()
-        }
-        lab.select(col("id").as("doc_id"), col("lbl").as("community"))
-          .orderBy("doc_id")
+        val e = simhash64Pairs(s, d).select("a_id", "b_id")
+        val com = labelPropCommunities(s, d)
+        val m = broadcast(e.agg(count(lit(1)).as("m")))
+        val lab = e
+          .join(com.select(col("doc_id").as("a_id"),
+            col("community").as("ca")), "a_id")
+          .join(com.select(col("doc_id").as("b_id"),
+            col("community").as("cb")), "b_id")
+        val intra = lab.filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("community"))
+          .agg(count(lit(1)).as("l_c"))
+        val deg = e.select(col("a_id").as("id"))
+          .union(e.select(col("b_id").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        val dsum = com.join(deg, com("doc_id") === deg("id"))
+          .groupBy("community")
+          .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
+        dsum.join(intra, Seq("community"), "left")
+          .withColumn("l_c", coalesce(col("l_c"), lit(0L)))
+          .crossJoin(m)
+          .withColumn("contrib", expr("4 * m * l_c - d_c * d_c"))
+          .select("community", "n_nodes", "l_c", "d_c", "contrib")
+          .orderBy("community")
       },
-      Some {
-        val layers = (1 to 3).map { k =>
-          s"""l$k AS (
-             |  SELECT v AS id, lbl FROM (
-             |    SELECT v, lbl,
-             |      row_number() OVER (PARTITION BY v
-             |        ORDER BY cnt DESC, lbl) AS rn
-             |    FROM (
-             |      SELECT e.v, l.lbl, count(*) AS cnt
-             |      FROM edges e JOIN l${k - 1} l ON e.u = l.id
-             |      GROUP BY e.v, l.lbl) g) t
-             |  WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $simhash64FpCte,
-           |pairs AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-           |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-           |edges AS (
-           |  SELECT a_id AS u, b_id AS v FROM pairs
-           |  UNION ALL SELECT b_id, a_id FROM pairs),
-           |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM edges),
-           |$layers
-           |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community
-           |FROM l3 ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""WITH $labelPropOracleCtes,
+           |m AS (SELECT count(*) AS m FROM pairs),
+           |intra AS (
+           |  SELECT ca.community, count(*) AS l_c
+           |  FROM pairs p
+           |    JOIN com ca ON p.a_id = ca.doc_id
+           |    JOIN com cb ON p.b_id = cb.doc_id
+           |  WHERE ca.community = cb.community
+           |  GROUP BY ca.community),
+           |deg AS (
+           |  SELECT id, count(*) AS deg FROM (
+           |    SELECT a_id AS id FROM pairs
+           |    UNION ALL SELECT b_id FROM pairs) u
+           |  GROUP BY id),
+           |ds AS (
+           |  SELECT c.community, count(*) AS n_nodes,
+           |    CAST(sum(d.deg) AS BIGINT) AS d_c
+           |  FROM com c JOIN deg d ON c.doc_id = d.id
+           |  GROUP BY c.community)
+           |SELECT ds.community, ds.n_nodes,
+           |  CAST(coalesce(i.l_c, 0) AS BIGINT) AS l_c, ds.d_c,
+           |  CAST(4 * m.m * coalesce(i.l_c, 0) - ds.d_c * ds.d_c AS BIGINT)
+           |    AS contrib
+           |FROM ds LEFT JOIN intra i USING (community) CROSS JOIN m
+           |ORDER BY community""".stripMargin)),
 
     // RECURSIVE-CTE BFS — iterative graph reachability expressed in
     // SQL (WITH RECURSIVE, Spark 4's UnionLoop operator) instead of a

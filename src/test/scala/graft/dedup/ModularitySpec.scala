@@ -1,0 +1,40 @@
+package graft.dedup
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Value-level invariants of q_modularity beyond the DuckDB hash gate:
+  * the scaled per-community contributions must recombine into a
+  * modularity Q inside Newman's analytic range, and the community
+  * totals must be consistent with the pair table they grade. */
+class ModularitySpec extends SparkSpec {
+
+  test("q_modularity: totals consistent, Q within Newman bounds") {
+    val rows = SparkEntry.queries("q_modularity")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val pairs = SparkEntry.queries("q_dedup_simhash64")(spark, sf001).count()
+    val m = pairs
+    // Σ D_c = 2m (every edge endpoint is in exactly one community)
+    assert(rows.map(_.getLong(3)).sum === 2 * m)
+    // Σ L_c <= m (intra edges are a subset of all edges)
+    val intra = rows.map(_.getLong(2)).sum
+    assert(intra <= m && intra >= 0)
+    // contributions recombine: contrib = 4mL_c - D_c², Q = Σ/4m²
+    rows.foreach { r =>
+      assert(r.getLong(4) === 4 * m * r.getLong(2) - r.getLong(3) * r.getLong(3))
+    }
+    val q = rows.map(_.getLong(4)).sum.toDouble / (4.0 * m * m)
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q outside [-1/2, 1]")
+    // label propagation on a near-dup graph should find real structure
+    assert(q > 0.0, s"modularity $q not positive on the near-dup graph")
+  }
+
+  test("q_label_prop and q_modularity agree on the community partition") {
+    val lp = SparkEntry.queries("q_label_prop")(spark, sf001).collect()
+    val nodesPerCommunity = lp.groupBy(_.getLong(1)).map { case (c, rs) =>
+      c -> rs.length.toLong
+    }
+    val mod = SparkEntry.queries("q_modularity")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nodesPerCommunity === mod)
+  }
+}

@@ -38,7 +38,9 @@ class PlanShapeSpec extends SparkSpec {
     // source-pair table is a broadcast a<b theta join of a ~20-row
     // frame with itself; q_bm25 broadcasts the 1-row (N, T) corpus
     // stats onto the query-term postings (the q_tfidf shape)
-    "q_mmr_rerank", "q_kmv_jaccard", "q_bm25")
+    "q_mmr_rerank", "q_kmv_jaccard", "q_bm25",
+    // q_modularity broadcasts the 1-row edge count m
+    "q_modularity")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
@@ -102,7 +104,12 @@ class PlanShapeSpec extends SparkSpec {
       "q_dedup_keep_one" -> "simhash_clusters",
       // the weighted-dedup pair reads the shared trigram TF postings
       "q_dedup_sparse_cosine" -> "trigram_tf",
-      "q_dedup_containment" -> "trigram_tf")
+      "q_dedup_containment" -> "trigram_tf",
+      // the community pair: q_label_prop reports the persisted
+      // assignment, q_modularity grades it — neither may re-run the
+      // label-propagation loop
+      "q_label_prop" -> "simhash_communities",
+      "q_modularity" -> "simhash_communities")
     for ((name, table) <- readers) {
       assert(plans(name).contains(table),
         s"$name does not scan the $table materialization:\n${plans(name)}")
