@@ -817,6 +817,79 @@ object CoreQueries {
              |    AS violates_l3
              |FROM cls GROUP BY l ORDER BY l_value""".stripMargin)),
 
+    // t-closeness — the third member of the privacy triad: a class can
+    // be k-large and l-diverse yet still leak if its sensitive-value
+    // DISTRIBUTION deviates from the global one. Distance metric:
+    // total variation (the EMD special case for categorical domains),
+    // kept exact by clearing denominators — for class c,
+    //   TV(c) = ½ Σ_s |n_cs/n_c − n_s/N| = tv_num / (2·n_c·N),
+    //   tv_num = Σ_s |n_cs·N − n_s·n_c|  (pure integers),
+    // and the t=0.2 threshold becomes 5·tv_num > 2·n_c·N. Absent
+    // sensitive values contribute |0 − n_s·n_c| — the class × domain
+    // grid makes that explicit instead of silently dropping them.
+    // Scale shape: the grid is class-table × |domain| (7 broadcast
+    // rows), never corpus-sized; the global distribution and N are a
+    // 7-row and 1-row broadcast. Same substrate and equivalence
+    // classes as q_k_anonymity / q_l_diversity, so the three audits
+    // compose into one privacy report over identical classes.
+    Q("q_t_closeness",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") / 25).cast(LongType).as("vb"),
+            (col("user_id") % 7).as("sens"))
+        val cs = ev.groupBy("event_type", "vb", "sens")
+          .agg(count(lit(1)).as("n_cs"))
+        val cls = cs.groupBy("event_type", "vb")
+          .agg(sum(col("n_cs")).as("n"))
+        val sdist = broadcast(ev.groupBy("sens")
+          .agg(count(lit(1)).as("n_s")))
+        val tot = broadcast(ev.agg(count(lit(1)).as("n_tot")))
+        cls.crossJoin(sdist)
+          .join(cs, Seq("event_type", "vb", "sens"), "left")
+          .withColumn("n_cs", coalesce(col("n_cs"), lit(0L)))
+          .crossJoin(tot)
+          .withColumn("term",
+            abs(col("n_cs") * col("n_tot") - col("n_s") * col("n")))
+          .groupBy("event_type", "vb")
+          .agg(max(col("n")).as("n"), sum(col("term")).as("tv_num"),
+            (lit(2L) * max(col("n")) * max(col("n_tot"))).as("denom"))
+          .withColumn("violates_t02",
+            (lit(5L) * col("tv_num") > col("denom")).cast("int")
+              .cast(LongType))
+          .select("event_type", "vb", "n", "tv_num", "denom",
+            "violates_t02")
+          .orderBy("event_type", "vb")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS vb,
+             |    user_id % 7 AS sens
+             |  FROM events),
+             |cs AS (
+             |  SELECT event_type, vb, sens, count(*) AS n_cs
+             |  FROM ev GROUP BY event_type, vb, sens),
+             |cls AS (
+             |  SELECT event_type, vb, CAST(sum(n_cs) AS BIGINT) AS n
+             |  FROM cs GROUP BY event_type, vb),
+             |sd AS (SELECT sens, count(*) AS n_s FROM ev GROUP BY sens),
+             |tot AS (SELECT count(*) AS n_tot FROM ev),
+             |grid AS (
+             |  SELECT c.event_type, c.vb, c.n, s.sens, s.n_s,
+             |    coalesce(x.n_cs, 0) AS n_cs
+             |  FROM cls c CROSS JOIN sd s
+             |  LEFT JOIN cs x ON x.event_type = c.event_type
+             |    AND x.vb = c.vb AND x.sens = s.sens)
+             |SELECT g.event_type, g.vb, CAST(max(g.n) AS BIGINT) AS n,
+             |  CAST(sum(abs(g.n_cs * t.n_tot - g.n_s * g.n)) AS BIGINT)
+             |    AS tv_num,
+             |  CAST(2 * max(g.n) * max(t.n_tot) AS BIGINT) AS denom,
+             |  CAST(CASE WHEN 5 * sum(abs(g.n_cs * t.n_tot - g.n_s * g.n))
+             |    > 2 * max(g.n) * max(t.n_tot) THEN 1 ELSE 0 END AS BIGINT)
+             |    AS violates_t02
+             |FROM grid g CROSS JOIN tot t
+             |GROUP BY g.event_type, g.vb
+             |ORDER BY g.event_type, g.vb""".stripMargin)),
+
     // ordered LISTAGG / string_agg surface: the reporting primitive
     // (sorted comma-joined group members). Spark lacks a native
     // ordered string_agg; the deterministic form is collect_list →

@@ -33,6 +33,9 @@ class PlanShapeSpec extends SparkSpec {
     // q_event_pairs / q_ks_drift broadcast singleton frames (basket
     // count / sample sizes)
     "q_skyline", "q_event_pairs", "q_ks_drift",
+    // q_t_closeness broadcasts the 7-row sensitive-value distribution
+    // and the 1-row total onto the class table
+    "q_t_closeness",
     // q_mmr_rerank's candidate stage broadcasts 3 query vectors onto
     // the corpus scan (the q_ann_bruteforce shape); q_kmv_jaccard's
     // source-pair table is a broadcast a<b theta join of a ~20-row
