@@ -1,0 +1,276 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage, SupportsTruncate}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tab-separated sink/source as a **DataSource V2 WRITE path** — the
+  * missing half of the connector story (graft-xml covers V2 read):
+  *
+  * {{{
+  *   df.write.format("graft-tsv").mode("overwrite").save("/out/t")
+  *   spark.read.format("graft-tsv").load("/out/t")   // c0..cn: string
+  * }}}
+  *
+  * The reference's tab-text output (SURVEY W1,
+  * `src/mr/CountReference.java:337,352` TextOutputFormat) re-expressed
+  * through Spark's connector commit protocol — the part that matters
+  * at 1000 executors, where task retries and speculative duplicates
+  * are routine:
+  *
+  *  - each task's [[DataWriter]] streams rows to a STAGED file
+  *    (`_staging-<queryId>/part-<partition>-<task>.tsv`) — task
+  *    attempts never touch the visible directory;
+  *  - `DataWriter.commit()` returns a [[WriterCommitMessage]] naming
+  *    the staged file and its row count — a speculative attempt that
+  *    loses the race is aborted and its file deleted; only WINNING
+  *    messages reach the driver;
+  *  - `BatchWrite.commit()` (driver, once, after every task succeeded)
+  *    promotes exactly the files named in the messages to
+  *    `part-NNNNN.tsv`, writes a `_SUCCESS` manifest with the total
+  *    row count, and removes staging — readers never observe a partial
+  *    write (the same visibility contract as the CoW manifest commit);
+  *  - `BatchWrite.abort()` deletes the staging dir — a failed query
+  *    leaves the target exactly as it was (with `truncate()`, the old
+  *    files are removed inside commit, AFTER the new files are staged).
+  *
+  * Read-back infers an all-string `c0..cn` schema from the first data
+  * line (the tab-text convention has no header) and plans one
+  * partition per part file — the files were sized by the writing
+  * query's partitioning; in-file line splitting would buy nothing the
+  * upstream `spark.sql.files.maxPartitionBytes` didn't already decide.
+  */
+class TsvSinkV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tsv"
+  // writes hand the DATAFRAME's schema to getTable (a write-only
+  // target has nothing to infer from); reads still infer below
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TsvSinkV2.inferFrom(options.get("path"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new TsvTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object TsvSinkV2 {
+  /** All-string c0..cn schema from the first line of the first part
+    * file; a single zero-column schema for an empty/missing target
+    * (a write-only use never reads it). */
+  private[sources] def inferFrom(path: String): StructType = {
+    if (path == null) return StructType(Nil)
+    val spark = SparkSession.active
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an empty-partition task legitimately commits a zero-byte part
+    // file — walk the parts until a data line appears
+    val n = listParts(fs, p).iterator.map { f =>
+      val in = fs.open(f)
+      try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      finally in.close()
+    }.collectFirst { case line if line != null =>
+      line.split("\t", -1).length
+    }.getOrElse(0)
+    StructType((0 until n).map(i =>
+      StructField(s"c$i", StringType, nullable = true)))
+  }
+
+  private[sources] def listParts(fs: FileSystem, dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+}
+
+private[sources] class TsvTable(userSchema: StructType,
+                                options: CaseInsensitiveStringMap)
+    extends Table with SupportsWrite with SupportsRead {
+  override def name(): String = s"graft-tsv:${options.get("path")}"
+  override def schema(): StructType = userSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.BATCH_READ)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TsvWriteBuilder(options.get("path"), info)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new TsvScanBuilder(Option(opts.get("path"))
+      .getOrElse(options.get("path")), userSchema)
+}
+
+private[sources] class TsvWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new TsvBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
+        new SerializableHadoopConf(
+          SparkSession.active.sparkContext.hadoopConfiguration))
+  }
+}
+
+private[sources] case class TsvCommit(stagedFile: String, rows: Long)
+    extends WriterCommitMessage
+
+private[sources] class TsvBatchWrite(path: String, schema: StructType,
+                                     queryId: String, truncateFirst: Boolean,
+                                     conf: SerializableHadoopConf)
+    extends BatchWrite {
+  private def stagingDir = new Path(path, s"_staging-$queryId")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new TsvWriterFactory(path, stagingDir.toString, schema, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    // 1) new data is fully staged at this point; for overwrite, clear
+    //    the PREVIOUS generation now (crash before this line leaves
+    //    the old table intact; crash after leaves a clean target the
+    //    promote below completes on driver retry)
+    if (truncateFirst)
+      TsvSinkV2.listParts(fs, dir).foreach(fs.delete(_, false))
+    // 2) promote exactly the committed task files — losers of
+    //    speculative races are not in `messages` and stay in staging
+    //    until the cleanup in (4)
+    var total = 0L
+    messages.zipWithIndex.foreach { case (m, i) =>
+      val c = m.asInstanceOf[TsvCommit]
+      fs.rename(new Path(c.stagedFile), new Path(dir, f"part-$i%05d.tsv"))
+      total += c.rows
+    }
+    // 3) visibility marker with the row count (the _SUCCESS contract)
+    val out = fs.create(new Path(dir, "_SUCCESS"), true)
+    out.write(s"$total\n".getBytes("UTF-8"))
+    out.close()
+    // 4) drop staging (and any orphaned loser files inside it)
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(conf.value)
+    fs.delete(stagingDir, true) // target untouched
+  }
+}
+
+private[sources] class TsvWriterFactory(path: String, stagingDir: String,
+                                        schema: StructType,
+                                        conf: SerializableHadoopConf)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new TsvDataWriter(
+      new Path(stagingDir, s"part-$partitionId-$taskId.tsv"),
+      schema, conf)
+}
+
+private[sources] class TsvDataWriter(file: Path, schema: StructType,
+                                     conf: SerializableHadoopConf)
+    extends DataWriter[InternalRow] {
+  private val fs = file.getFileSystem(conf.value)
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(file, true), "UTF-8"))
+  private var rows = 0L
+
+  private def cell(row: InternalRow, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) ""
+    else dt match {
+      case StringType => row.getUTF8String(i).toString
+      case LongType => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case other => row.get(i, other).toString
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append('\t')
+      sb.append(cell(row, i, schema(i).dataType))
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    TsvCommit(file.toString, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(file, false) // this attempt's bytes vanish
+  }
+
+  override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------- read
+
+private[sources] class TsvScanBuilder(path: String, schema: StructType)
+    extends ScanBuilder {
+  override def build(): Scan = new TsvScan(path, schema)
+}
+
+private[sources] case class TsvFilePartition(file: String)
+    extends InputPartition
+
+private[sources] class TsvScan(path: String, schema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    TsvSinkV2.listParts(fs, p)
+      .map(f => TsvFilePartition(f.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TsvReaderFactory(
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      schema.length)
+}
+
+private[sources] class TsvReaderFactory(conf: SerializableHadoopConf,
+                                        nCols: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = new Path(p.asInstanceOf[TsvFilePartition].file)
+    val fs = file.getFileSystem(conf.value)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(file), "UTF-8"))
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        val line = reader.readLine()
+        if (line == null) false
+        else {
+          val parts = line.split("\t", -1)
+          cur = InternalRow.fromSeq((0 until nCols).map(i =>
+            if (i < parts.length) UTF8String.fromString(parts(i)) else null))
+          true
+        }
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = reader.close()
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The graft-tsv V2 write path: round-trip fidelity, the atomic-commit
+  * visibility contract, speculative-duplicate exclusion, and abort
+  * hygiene — the behaviors that make a sink safe under task retries. */
+class TsvSinkV2Spec extends SparkSpec {
+
+  private def tmpDir(): String = {
+    val f = java.nio.file.Files.createTempDirectory("tsv_v2_").toFile
+    f.deleteOnExit(); f.getAbsolutePath
+  }
+
+  test("write + read round-trip through the connector") {
+    val out = tmpDir()
+    val df = graft.Tables.load(spark, sf0001, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    df.write.format("graft-tsv").mode("overwrite").save(out)
+
+    // visibility contract: _SUCCESS with the row count, no staging dir
+    val root = new java.io.File(out)
+    val names = root.listFiles().map(_.getName).toSet
+    assert(names.contains("_SUCCESS"))
+    assert(!names.exists(_.startsWith("_staging")))
+    val recorded = scala.io.Source.fromFile(s"$out/_SUCCESS").mkString.trim
+    assert(recorded === df.count().toString)
+
+    val back = spark.read.format("graft-tsv").load(out)
+      .select(col("c0").cast("long").as("n_nationkey"),
+        col("c1").as("n_name"), col("c2").cast("long").as("n_regionkey"))
+    val a = df.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("overwrite replaces the previous generation atomically") {
+    val out = tmpDir()
+    spark.range(10).select(col("id"), (col("id") * 2).as("v"))
+      .write.format("graft-tsv").mode("overwrite").save(out)
+    spark.range(3).select(col("id"), (col("id") * 7).as("v"))
+      .write.format("graft-tsv").mode("overwrite").save(out)
+    val back = spark.read.format("graft-tsv").load(out)
+    assert(back.count() === 3)
+    assert(back.select(sum(col("c1").cast("long"))).collect()
+      .head.getLong(0) === 0 + 7 + 14)
+  }
+
+  test("nulls and tab-free strings survive; empty cells read back null-safe") {
+    val out = tmpDir()
+    val schema = StructType(Seq(StructField("a", StringType, true),
+      StructField("b", LongType, true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row("x", 1L),
+      org.apache.spark.sql.Row(null, 2L),
+      org.apache.spark.sql.Row("z", null))
+    spark.createDataFrame(rows, schema)
+      .write.format("graft-tsv").mode("overwrite").save(out)
+    val back = spark.read.format("graft-tsv").load(out).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // nulls serialize as empty cells (the tab-text convention)
+    assert(back === Set(("x", "1"), ("", "2"), ("z", "")))
+  }
+
+  test("only committed task attempts are promoted (speculative loser)") {
+    val out = tmpDir()
+    val schema = StructType(Seq(StructField("v", LongType, false)))
+    val conf = SparkSpec.session.sparkContext.hadoopConfiguration
+    val bw = new TsvBatchWrite(out, schema, "q-test", false,
+      new SerializableHadoopConf(conf))
+    val factory = bw.createBatchWriterFactory(null)
+    // two attempts of partition 0 race; both stage their bytes
+    val attempt1 = factory.createWriter(0, 100L)
+    val attempt2 = factory.createWriter(0, 200L)
+    attempt1.write(InternalRow(1L))
+    attempt2.write(InternalRow(99L))
+    val winner = attempt1.commit()
+    attempt2.abort() // the driver aborts the loser
+    bw.commit(Array[WriterCommitMessage](winner))
+    val back = spark.read.format("graft-tsv").load(out).collect()
+    assert(back.map(_.getString(0)).toSeq === Seq("1"))
+    // staging fully cleaned
+    assert(!new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("_staging")))
+  }
+
+  test("job abort leaves the previous table generation untouched") {
+    val out = tmpDir()
+    spark.range(5).select(col("id"))
+      .write.format("graft-tsv").mode("overwrite").save(out)
+    val schema = StructType(Seq(StructField("v", LongType, false)))
+    val conf = SparkSpec.session.sparkContext.hadoopConfiguration
+    val bw = new TsvBatchWrite(out, schema, "q-abort", true,
+      new SerializableHadoopConf(conf))
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 1L)
+    w.write(InternalRow(42L))
+    val msg = w.commit()
+    bw.abort(Array[WriterCommitMessage](msg)) // job fails post-staging
+    val back = spark.read.format("graft-tsv").load(out)
+    assert(back.count() === 5) // old generation intact, no staging
+    assert(!new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("_staging")))
+  }
+
+  test("DataWriter.abort removes the attempt's staged file") {
+    val out = tmpDir()
+    val schema = StructType(Seq(StructField("v", LongType, false)))
+    val conf = SparkSpec.session.sparkContext.hadoopConfiguration
+    val shc = new SerializableHadoopConf(conf)
+    val w = new TsvDataWriter(
+      new Path(s"$out/_staging-x/part-0-1.tsv"), schema, shc)
+    w.write(InternalRow(7L))
+    w.abort()
+    val fs = new Path(out).getFileSystem(conf)
+    assert(!fs.exists(new Path(s"$out/_staging-x/part-0-1.tsv")))
+  }
+}
