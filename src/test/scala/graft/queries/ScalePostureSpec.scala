@@ -101,4 +101,54 @@ class ScalePostureSpec extends SparkSpec {
       assert(joined.collect().map(_.getLong(1)).sum > 0)
     }
   }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // The third leg of the skew story: q_salted_agg/q_salted_join are
+    // the EXPLICIT mitigation (known-hot keys, rewritten plan); this
+    // is the RUNTIME one — AQE measures the shuffle output, sees one
+    // partition dwarfing the advisory size, and splits the skewed side
+    // into subpartitions joined against a replicated other side, with
+    // NO query rewrite. Thresholds are production-sized; shrink them
+    // so the local fixture's deliberate 90%-one-key skew qualifies.
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // 90k of 100k rows carry key 0 — the hot-vertex profile a
+      // follower-graph join hits at scale
+      // the md5 payload is incompressible and flows THROUGH the join,
+      // so the hot key's shuffle partition is megabytes, not the few
+      // KB a key-only row would compress to
+      val fact = spark.range(100000)
+        .select(when(col("id") < 90000, 0L).otherwise(col("id")).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(1000).select(col("id").as("k"),
+        (col("id") * 3).as("v"))
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(length(col("payload"))).as("p"))
+      val Array(row) = joined.collect()
+      // correctness first: the 90000 hot-key rows match dim key 0
+      // (v=0); the tail keys [90000, 100000) have no dim partner
+      assert(row.getLong(0) === 90000L)
+      assert(row.getLong(1) === 0L)
+      assert(row.getLong(2) === 90000L * 32)
+      // the adaptive wrapper's toString hides the re-planned tree —
+      // unwrap to the FINAL plan AQE actually executed
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), s"expected shuffled join:\n$plan")
+      assert(plan.contains("isSkew=true") || plan.contains("skewed"),
+        s"AQE did not mark the skewed partition split:\n$plan")
+    }
+  }
 }
