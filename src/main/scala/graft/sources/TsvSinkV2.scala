@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage, SupportsTruncate}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -96,7 +97,8 @@ private[sources] class TsvTable(userSchema: StructType,
   override def schema(): StructType = userSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TsvWriteBuilder(options.get("path"), info)
@@ -115,7 +117,100 @@ private[sources] class TsvWriteBuilder(path: String, info: LogicalWriteInfo)
       new TsvBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
         new SerializableHadoopConf(
           SparkSession.active.sparkContext.hadoopConfiguration))
+    override def toStreaming: StreamingWrite =
+      new TsvStreamingWrite(path, info.schema(), info.queryId(),
+        new SerializableHadoopConf(
+          SparkSession.active.sparkContext.hadoopConfiguration))
   }
+}
+
+/** The STREAMING face of the sink — `writeStream.format("graft-tsv")`
+  * with the exactly-once contract done at the connector layer instead
+  * of inside a foreachBatch body (the `writeExactlyOnce` pattern in
+  * [[graft.streaming.StreamingPipelines]] — same idea, now behind the
+  * standard API): each epoch stages under
+  * `_staging-<queryId>/epoch-<id>/`, `commit(epoch, msgs)` promotes
+  * the winners to `part-<epoch>-NNNNN.tsv` and APPENDS the epoch id to
+  * the `_epochs` ledger FIRST — a replayed epoch (failure between
+  * commit and checkpoint advance) finds its id in the ledger and
+  * discards its staged files instead of promoting duplicates. */
+private[sources] class TsvStreamingWrite(path: String, schema: StructType,
+                                         queryId: String,
+                                         conf: SerializableHadoopConf)
+    extends StreamingWrite {
+  private def stagingDir(epochId: Long) =
+    new Path(path, s"_staging-$queryId/epoch-$epochId")
+
+  /** Remove the epoch's staging subdir, and the per-query staging root
+    * once no other epoch is mid-flight under it. */
+  private def dropStaging(fs: FileSystem, epochId: Long): Unit = {
+    fs.delete(stagingDir(epochId), true)
+    val root = new Path(path, s"_staging-$queryId")
+    if (fs.exists(root) && fs.listStatus(root).isEmpty)
+      fs.delete(root, false)
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new TsvStreamingWriterFactory(path, s"$path/_staging-$queryId",
+      schema, conf)
+
+  private def committedEpochs(fs: FileSystem): Set[Long] = {
+    val ledger = new Path(path, "_epochs")
+    if (!fs.exists(ledger)) Set.empty
+    else {
+      val in = fs.open(ledger)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (committedEpochs(fs).contains(epochId)) {
+      // epoch replay after a commit-then-crash: the data is already
+      // visible — drop this attempt's staged bytes, promote nothing
+      dropStaging(fs, epochId)
+      return
+    }
+    messages.zipWithIndex.foreach { case (m, i) =>
+      val c = m.asInstanceOf[TsvCommit]
+      fs.rename(new Path(c.stagedFile),
+        new Path(dir, f"part-$epochId-$i%05d.tsv"))
+    }
+    // ledger append AFTER the renames: a crash mid-promote replays the
+    // epoch, the renames are idempotent per staged file, and only a
+    // fully-promoted epoch is recorded
+    val ledger = new Path(path, "_epochs")
+    val prev = committedEpochs(fs)
+    val out = fs.create(ledger, true)
+    out.write(((prev + epochId).toSeq.sorted.mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    out.close()
+    dropStaging(fs, epochId)
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir(epochId).getFileSystem(conf.value)
+    dropStaging(fs, epochId)
+  }
+}
+
+private[sources] class TsvStreamingWriterFactory(path: String,
+                                                 stagingRoot: String,
+                                                 schema: StructType,
+                                                 conf: SerializableHadoopConf)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new TsvDataWriter(
+      new Path(s"$stagingRoot/epoch-$epochId",
+        s"part-$partitionId-$taskId.tsv"),
+      schema, conf)
 }
 
 private[sources] case class TsvCommit(stagedFile: String, rows: Long)
