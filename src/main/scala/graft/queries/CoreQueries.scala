@@ -51,6 +51,25 @@ object CoreQueries {
       dir
     })
 
+  /** q_mv_refresh's historical partial-aggregate table (l_shipdate
+    * before the cutoff), written once per (session, sf dir) with
+    * MERGEABLE columns: DECIMAL partial sums + partial counts. */
+  private val mvBaseCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def mvRefreshBase(s: SparkSession, d: String,
+                            cutoff: String): String =
+    mvBaseCache.computeIfAbsent((s, d), { _ =>
+      val dir = Tables.matDir("mv_pricing_base", s, d)
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("p_qty"),
+          count(lit(1)).as("p_cnt"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   val all: Seq[Q] = Seq(
 
     // S-scan + projection + predicate (pushed to parquet: check
@@ -1132,6 +1151,44 @@ object CoreQueries {
       Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
              |count(*) AS n_rows FROM lineitem
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // INCREMENTAL MV refresh — the complement of q_mv_rewrite's
+    // query-side redirect: the MAINTENANCE side. The historical
+    // partial aggregate (l_shipdate < 1997-01-01, ~75% of the fact
+    // table) is materialized ONCE as parquet holding MERGEABLE
+    // partials (DECIMAL sums + counts — associative, so any partial
+    // tree is bit-identical: the dsum discipline); each refresh then
+    // aggregates only the DELTA (shipdate >= cutoff, reaching the
+    // scan as a pushed filter — plan-gated) and merges partials.
+    // The DuckDB oracle aggregates the WHOLE table from scratch, so
+    // the hash gate proves merge(base, delta) ≡ full recompute — the
+    // invariant that lets a 100 TB deployment never rescan history.
+    Q("q_mv_refresh",
+      (s, d) => {
+        val cutoff = "1997-01-01"
+        val baseDir = mvRefreshBase(s, d, cutoff)
+        val delta = Tables.load(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit(cutoff).cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .as("p_qty"),
+            count(lit(1)).as("p_cnt"))
+        s.read.parquet(baseDir).unionByName(delta)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("p_qty")).cast(DoubleType).as("sum_qty"),
+            sum(col("p_cnt")).as("count_order"))
+          .withColumn("avg_qty",
+            col("sum_qty") / col("count_order").cast(DoubleType))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS sum_qty,
+             |count(*) AS count_order,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |  / count(*) AS avg_qty
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
     // PK–FK join ELIMINATION (plans/JoinElimination.scala): the query
     // joins customer to nation but reads only customer columns plus

@@ -342,6 +342,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_mv_refresh merges persisted partials; delta filter is pushed") {
+    val plan = plans("q_mv_refresh")
+    assert(plan.contains("mv_pricing_base"),
+      s"refresh does not read the persisted partials:\n$plan")
+    // the fact scan must carry the cutoff as a PUSHED filter — the
+    // whole point is that history is never rescanned
+    val factScan = plan.linesIterator
+      .find(l => l.contains("lineitem.parquet")).getOrElse("")
+    assert(factScan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"delta cutoff not pushed to the fact scan:\n$factScan")
+  }
+
   test("parquet scans prune columns (no SELECT * reaching the scan)") {
     // q_scan_filter_project reads 3 of 11 lineitem columns; the scan's
     // ReadSchema must not contain the unprojected l_comment-class cols
