@@ -1256,6 +1256,72 @@ object DedupQueries {
            |FROM ds LEFT JOIN intra i USING (community) CROSS JOIN m
            |ORDER BY community""".stripMargin)),
 
+    // RAND INDEX between the two persisted graph partitions — do the
+    // exact connected components (q_dedup_cluster) and the heuristic
+    // label-propagation communities (q_label_prop) agree on which
+    // nodes belong together? Rand = (pairs same in both + pairs apart
+    // in both) / all pairs; every term is computed from the DOUBLED
+    // pair counts n·(n−1) so the whole statistic stays integral
+    // (rand_ppm is one integer division). This is the partition-level
+    // counterpart of q_dedup_agreement's per-pair family audit: CC is
+    // a refinement upper bound (every community is a subset of a
+    // component), so disagreement measures exactly how much label
+    // propagation under-merges in 3 iterations.
+    // Scale shape: BOTH inputs are KB-sized persisted parquet
+    // (plan-gated); the contingency table is bounded by
+    // #clusters × #communities; the three scalar frames meet in
+    // singleton crossJoins (the q_tfidf broadcast shape).
+    Q("q_partition_agreement",
+      (s, d) => {
+        val cc = simhash64Clusters(s, d)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val j = cc.join(labelPropCommunities(s, d), "doc_id")
+        val cont = j.groupBy("cluster_id", "community")
+          .agg(count(lit(1)).as("n"))
+        val sij = broadcast(cont.agg(
+          sum(col("n") * (col("n") - 1)).as("same_both2")))
+        val sa = broadcast(j.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * (col("n") - 1)).as("same_a2")))
+        val sb = broadcast(j.groupBy("community")
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * (col("n") - 1)).as("same_b2")))
+        j.agg(count(lit(1)).as("n_nodes"))
+          .withColumn("total2",
+            col("n_nodes") * (col("n_nodes") - 1))
+          .crossJoin(sij).crossJoin(sa).crossJoin(sb)
+          .withColumn("rand_ppm", expr(
+            "(1000000 * (total2 - same_a2 - same_b2 + 2 * same_both2))" +
+              " div total2"))
+          .select("n_nodes", "same_both2", "same_a2", "same_b2",
+            "total2", "rand_ppm")
+      },
+      Some(s"""WITH RECURSIVE $labelPropOracleCtes,
+             |walk(id, lab) AS (
+             |  SELECT u, u FROM edges
+             |  UNION
+             |  SELECT e.u, w.lab FROM edges e JOIN walk w ON e.v = w.id),
+             |comp AS (
+             |  SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+             |j AS (
+             |  SELECT c.id AS doc_id, c.cluster_id, m.community
+             |  FROM comp c JOIN com m ON c.id = m.doc_id),
+             |cont AS (
+             |  SELECT cluster_id, community, count(*) AS n
+             |  FROM j GROUP BY cluster_id, community),
+             |sij AS (SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS v FROM cont),
+             |sa AS (SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS v FROM (
+             |  SELECT cluster_id, count(*) AS n FROM j GROUP BY cluster_id) t),
+             |sb AS (SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS v FROM (
+             |  SELECT community, count(*) AS n FROM j GROUP BY community) t),
+             |tot AS (SELECT count(*) AS n_nodes,
+             |  CAST(count(*) * (count(*) - 1) AS BIGINT) AS total2 FROM j)
+             |SELECT tot.n_nodes, sij.v AS same_both2, sa.v AS same_a2,
+             |  sb.v AS same_b2, tot.total2,
+             |  (1000000 * (tot.total2 - sa.v - sb.v + 2 * sij.v))
+             |    // tot.total2 AS rand_ppm
+             |FROM tot, sij, sa, sb""".stripMargin)),
+
     // RECURSIVE-CTE BFS — iterative graph reachability expressed in
     // SQL (WITH RECURSIVE, Spark 4's UnionLoop operator) instead of a
     // driver-side loop: hop distance from a deterministic seed set
@@ -1265,12 +1331,17 @@ object DedupQueries {
     // query execution, so a user can ship iterative logic as plain
     // SQL. The depth cap (dist < 3) is the cycle guard: each
     // iteration is a uniform id equi-join + the running union, and
-    // the min-aggregate at the end collapses the path multiplicity
-    // (paths, not nodes, is what the loop materializes — bounded here
-    // by deg³ per seed; unbounded-depth closure on a cyclic graph
-    // belongs to the large-star/small-star operator instead, which is
-    // why q_dedup_cluster exists). Tenth consumer of the shared pair
-    // table; DuckDB replays the identical WITH RECURSIVE.
+    // the min-aggregate at the end collapses the path multiplicity.
+    // The recursive step dedups its FRONTIER (SELECT DISTINCT (v,
+    // dist)): without it the loop materializes PATHS — deg³ per seed,
+    // which a dense template family turns into 10⁸ rows at sf0.1
+    // (measured: 269 s); with it each level is bounded by the node
+    // count and the same query runs in well under a second. min(dist)
+    // is unchanged by the dedup, so the result — and the DuckDB
+    // mirror, which carries the identical DISTINCT — is identical.
+    // Unbounded-depth closure on a cyclic graph still belongs to the
+    // large-star/small-star operator (q_dedup_cluster). Tenth consumer
+    // of the shared pair table.
     Q("q_recursive_bfs",
       (s, d) => {
         simhash64Pairs(s, d).select("a_id", "b_id")
@@ -1284,7 +1355,7 @@ object DedupQueries {
           reach(id, dist) AS (
             SELECT DISTINCT u AS id, 0 AS dist FROM edges WHERE u % 50 = 0
             UNION ALL
-            SELECT e.v, r.dist + 1
+            SELECT DISTINCT e.v, r.dist + 1
             FROM reach r JOIN edges e ON e.u = r.id
             WHERE r.dist < 3
           )
@@ -1302,7 +1373,7 @@ object DedupQueries {
              |reach(id, dist) AS (
              |  SELECT DISTINCT u AS id, 0 AS dist FROM edges WHERE u % 50 = 0
              |  UNION ALL
-             |  SELECT e.v, r.dist + 1
+             |  SELECT DISTINCT e.v, r.dist + 1
              |  FROM reach r JOIN edges e ON e.u = r.id
              |  WHERE r.dist < 3)
              |SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS hops

@@ -2079,21 +2079,30 @@ object TextQueries {
     // linear scan — no corpus-vs-corpus join anywhere.
     Q("q_dsir_weight",
       (s, d) => {
-        val bg = Tables.load(s, d, "documents")
+        // ONE explode pass, aggregated straight down to the compact
+        // (doc, bucket, cnt) feature table and persisted — its three
+        // consumers (raw model, target model, scoring join) would
+        // otherwise each re-run the corpus tokenization (measured 3×
+        // the cost at sf0.1). At 100 TB this table is the persisted
+        // featurization DSIR computes once per corpus snapshot.
+        val db = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("lang"),
             explode(shingles(tokens(col("text")), 2)).as("bg"))
           .withColumn("b",
             pmod(conv(substring(md5(col("bg")), 1, 8), 16, 10)
               .cast(LongType), lit(1024L)))
-        val raw = bg.groupBy("b").agg(count(lit(1)).as("cr"))
-        val tgt = bg.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("ct"))
+          .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val raw = db.groupBy("b").agg(sum(col("cnt")).as("cr"))
+        val tgt = db.filter(col("lang") === "en")
+          .groupBy("b").agg(sum(col("cnt")).as("ct"))
         val ratio = broadcast(raw.join(tgt, Seq("b"), "left")
           .withColumn("r", expr(
             "((coalesce(ct, 0) + 1) * 1000000) div (cr + 1)")))
-        bg.join(ratio.select("b", "r"), "b")
+        db.join(ratio.select("b", "r"), "b")
           .groupBy("doc_id", "lang")
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("w_sum"))
+          .agg(sum(col("cnt")).as("n_bigrams"),
+            sum(col("cnt") * col("r")).as("w_sum"))
           .withColumn("w_score", expr("w_sum div n_bigrams"))
           .select("doc_id", "lang", "n_bigrams", "w_score")
           .orderBy(desc("w_score"), asc("doc_id")).limit(20)

@@ -28,6 +28,23 @@ class ModularitySpec extends SparkSpec {
     assert(q > 0.0, s"modularity $q not positive on the near-dup graph")
   }
 
+  test("q_partition_agreement: refinement identity and Rand bounds") {
+    val r = SparkEntry.queries("q_partition_agreement")(spark, sf001)
+      .collect().head
+    val (n, sij, sa, sb, t2, rand) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(t2 === n * (n - 1))
+    // every label-prop community is a SUBSET of a connected component,
+    // so each same-community pair is also same-cluster: S_ij == S_b
+    assert(sij === sb, s"communities not a refinement: S_ij=$sij S_b=$sb")
+    // and the coarser partition holds at least as many pairs
+    assert(sa >= sb)
+    assert(rand >= 0 && rand <= 1000000L)
+    // refinement means only under-merging can disagree: rand misses
+    // exactly the (S_a - S_b) cluster pairs split across communities
+    assert(rand === (1000000L * (t2 - sa + sb)) / t2)
+  }
+
   test("q_label_prop and q_modularity agree on the community partition") {
     val lp = SparkEntry.queries("q_label_prop")(spark, sf001).collect()
     val nodesPerCommunity = lp.groupBy(_.getLong(1)).map { case (c, rs) =>

@@ -42,8 +42,10 @@ class PlanShapeSpec extends SparkSpec {
     // frame with itself; q_bm25 broadcasts the 1-row (N, T) corpus
     // stats onto the query-term postings (the q_tfidf shape)
     "q_mmr_rerank", "q_kmv_jaccard", "q_bm25",
-    // q_modularity broadcasts the 1-row edge count m
-    "q_modularity")
+    // q_modularity broadcasts the 1-row edge count m;
+    // q_partition_agreement meets its three scalar frames (S_ij, S_a,
+    // S_b) in singleton crossJoins
+    "q_modularity", "q_partition_agreement")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
@@ -112,7 +114,9 @@ class PlanShapeSpec extends SparkSpec {
       // assignment, q_modularity grades it — neither may re-run the
       // label-propagation loop
       "q_label_prop" -> "simhash_communities",
-      "q_modularity" -> "simhash_communities")
+      "q_modularity" -> "simhash_communities",
+      // the Rand-index audit reads BOTH persisted partitions
+      "q_partition_agreement" -> "simhash_clusters")
     for ((name, table) <- readers) {
       assert(plans(name).contains(table),
         s"$name does not scan the $table materialization:\n${plans(name)}")
