@@ -1612,6 +1612,62 @@ object TextQueries {
              |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
              |FROM agg""".stripMargin)),
 
+    // CALIBRATION RELIABILITY BINS — the companion diagnostic to
+    // q_classifier_auc: AUC says the ranking separates the target
+    // class; calibration says WHERE the score is trustworthy. Docs are
+    // binned by FIXED-WIDTH logit intervals (floor(logit/8) — fixed
+    // width, not quantiles, so the binning is a map-side expression
+    // with no global rank and bins are comparable across corpus
+    // snapshots), and each bin reports its observed target rate as an
+    // exact ppm integer. A well-calibrated score shows obs_ppm rising
+    // monotonically with the bin; plateaus locate the score ranges
+    // where thresholding is arbitrary. Scale shape: the corpus
+    // collapses to per-doc logits (two uniform-key aggregates), then
+    // to bin-count rows — nothing after the classifier's own
+    // aggregates exceeds the bin table.
+    Q("q_calibration",
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("tok"))
+        val bucket = pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast(LongType), lit(64L))
+        val weight = pmod(conv(substring(md5(col("b").cast(StringType)),
+          1, 1), 16, 10).cast(LongType), lit(5L)) - 2L
+        toks.withColumn("b", bucket)
+          .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("f"))
+          .withColumn("w", weight)
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("f") * col("w")).as("logit"))
+          .withColumn("bin", floor(col("logit") / 8).cast(LongType))
+          .withColumn("label",
+            (col("lang") === "en").cast("int").cast(LongType))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
+          .withColumn("obs_ppm", expr("(1000000 * n_pos) div n"))
+          .orderBy("bin")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
+             |    count(*) AS f
+             |  FROM t GROUP BY doc_id, lang, b),
+             |sc AS (
+             |  SELECT doc_id, lang,
+             |    CAST(sum(f * (CAST(('0x' || substr(md5(CAST(b AS VARCHAR)),
+             |      1, 1)) AS BIGINT) % 5 - 2)) AS BIGINT) AS logit
+             |  FROM f GROUP BY doc_id, lang)
+             |SELECT CAST(floor(logit / 8.0) AS BIGINT) AS bin,
+             |  count(*) AS n,
+             |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_pos,
+             |  (1000000 * CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |    AS BIGINT)) // count(*) AS obs_ppm
+             |FROM sc GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // HHI TOKEN CONCENTRATION — the corpus-diversity monitor: per
     // source, the Herfindahl index of its token distribution and the
     // inverse-Simpson "effective vocabulary" (total² div Σcnt² — how

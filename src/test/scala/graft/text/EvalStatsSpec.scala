@@ -39,6 +39,21 @@ class EvalStatsSpec extends SparkSpec {
     assert(auc >= 0.0 && auc <= 1.0)
   }
 
+  test("q_calibration: bins partition the corpus; rates are exact ppm") {
+    val rows = SparkEntry.queries("q_calibration")(spark, sf001).collect()
+    assert(rows.length >= 4, "bin width too coarse to diagnose anything")
+    val (n, nPos) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    // every doc lands in exactly one bin; positives = the en subset
+    assert(n === 500L)
+    val enDocs = graft.Tables.load(spark, sf001, "documents")
+      .filter(col("lang") === "en").count()
+    assert(nPos === enDocs)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) === 1000000L * r.getLong(2) / r.getLong(1))
+    }
+  }
+
   test("q_hhi_diversity: analytic bounds hold per source") {
     val rows = SparkEntry.queries("q_hhi_diversity")(spark, sf001).collect()
     assert(rows.length === 20)
