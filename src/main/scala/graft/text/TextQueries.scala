@@ -1241,6 +1241,79 @@ object TextQueries {
              |  JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
 
+    // INTERPOLATED KNESER-NEY bigram scoring — the PRODUCTION n-gram
+    // smoother beside q_lm_bigram_score's raw MLE: unseen bigrams get
+    // continuation mass instead of zero, so the score is usable as a
+    // fluency filter on text the model tables never saw. Discount
+    // D = 3/4 (the standard KN constant), cleared of fractions:
+    //   P(w2|w1) = (max(c12−D, 0) + D·T1·L2/B) / c1
+    //   p_ppb    = 1e9·(max(4·c12−3, 0)·B + 3·T1·L2) div (4·c1·B)
+    // where T1 = distinct continuations of w1, L2 = distinct left
+    // contexts of w2 (the Kneser-Ney continuation count — how many
+    // contexts a word COMPLETES, not how often it occurs), B = total
+    // distinct bigram types. The integer division is the documented
+    // fixed-point (sub-ppb truncation), deterministic in both engines.
+    // Scale shape: one corpus pass collapses to the compact persisted
+    // (doc, bigram, occ) table (the q_dsir_weight convention); all
+    // four model tables are VOCABULARY-sized derivations of it and the
+    // scoring join touches models only — never corpus × corpus.
+    Q("q_lm_kneser_ney",
+      (s, d) => {
+        val db = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(shingles(tokens(col("text")), 2)).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("occ"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c12 = db.groupBy("bg").agg(sum(col("occ")).as("c12"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .withColumn("w2", substring_index(col("bg"), " ", -1))
+        val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"),
+          count(lit(1)).as("t1"))
+        val l2 = c12.groupBy("w2").agg(count(lit(1)).as("l2"))
+        val b = broadcast(c12.agg(count(lit(1)).as("b")))
+        val model = c12.join(c1, "w1").join(l2, "w2").crossJoin(b)
+          .withColumn("p_ppb", expr(
+            "(1000000000 * (greatest(4 * c12 - 3, 0) * b + 3 * t1 * l2))" +
+              " div (4 * c1 * b)"))
+          .select("bg", "p_ppb")
+        db.join(model, "bg")
+          .groupBy("doc_id")
+          .agg(sum(col("occ")).as("n_bigrams"),
+            sum(col("occ") * col("p_ppb")).as("score_sum"),
+            min(col("p_ppb")).as("min_p_ppb"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH db AS (
+             |  SELECT doc_id, bg, count(*) AS occ FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, len(sp)),
+             |        i -> sp[i] || ' ' || sp[i + 1])) AS bg
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS sp
+             |          FROM documents) t) u
+             |  GROUP BY doc_id, bg),
+             |c12 AS (
+             |  SELECT bg, split_part(bg, ' ', 1) AS w1,
+             |    split_part(bg, ' ', 2) AS w2,
+             |    CAST(sum(occ) AS BIGINT) AS c12
+             |  FROM db GROUP BY bg),
+             |c1 AS (
+             |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             |    count(*) AS t1
+             |  FROM c12 GROUP BY w1),
+             |l2 AS (SELECT w2, count(*) AS l2 FROM c12 GROUP BY w2),
+             |b AS (SELECT count(*) AS b FROM c12),
+             |model AS (
+             |  SELECT c12.bg,
+             |    (1000000000 * (greatest(4 * c12.c12 - 3, 0) * b.b
+             |      + 3 * c1.t1 * l2.l2)) // (4 * c1.c1 * b.b) AS p_ppb
+             |  FROM c12 JOIN c1 USING (w1) JOIN l2 USING (w2)
+             |    CROSS JOIN b)
+             |SELECT db.doc_id, CAST(sum(db.occ) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(db.occ * m.p_ppb) AS BIGINT) AS score_sum,
+             |  CAST(min(m.p_ppb) AS BIGINT) AS min_p_ppb
+             |FROM db JOIN model m USING (bg)
+             |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin)),
+
     // the WHOLE corpus-prep pipeline as ONE lazy plan — quality
     // filter -> exact dedup (keep lowest id per content hash) ->
     // near-dup drop (keep the lower id of every simhash64 pair;
