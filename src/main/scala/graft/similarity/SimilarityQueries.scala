@@ -59,6 +59,31 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), vecScaled(col("embedding")).as("sv"))
       .withColumn("nn", dotLong(col("sv"), col("sv")))
 
+  /** One Lloyd round from the deterministic seeds, shared by q_kmeans
+    * (membership report) and q_kmeans_quality (SS decomposition):
+    * returns (a1 = post-round assignment carrying sv/nn, c1 = the
+    * trained floor-mean centroid table). Both assignment passes are
+    * map-only literal-argmax projections — the corpus is scanned,
+    * never shuffled; only the KB centroid frames move. */
+  private def kmeansRound1(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = scaled(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a0 = IvfIndex.withCentroid(e, col("sv"),
+      ivfCentroids(e), simScaled)
+    val c1 = a0
+      .select(col("centroid_id"),
+        posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("centroid_id", "pos")
+      .agg(floor(sum(col("v")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).cast(LongType).as("m"))
+      .groupBy("centroid_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+    (IvfIndex.withCentroid(e, col("sv"), c1, simScaled), c1)
+  }
+
   /** Exact scaled-integer cosine with per-pair norms — the oracle-
     * verifiable sim passed through the IVF train/assign/search path
     * (the production float path precomputes norms per row instead). */
@@ -1069,21 +1094,7 @@ object SimilarityQueries {
     // floor, or tie-break anywhere in the round breaks the hash.
     Q("q_kmeans",
       (s, d) => {
-        val e = scaled(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val a0 = IvfIndex.withCentroid(e, col("sv"),
-          ivfCentroids(e), simScaled)
-        val c1 = a0
-          .select(col("centroid_id"),
-            posexplode(col("sv")).as(Seq("pos", "v")))
-          .groupBy("centroid_id", "pos")
-          .agg(floor(sum(col("v")).cast(DoubleType) /
-            count(lit(1)).cast(DoubleType)).cast(LongType).as("m"))
-          .groupBy("centroid_id")
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => x.getField("m")).as("cv"))
-        val a1 = IvfIndex.withCentroid(e, col("sv"), c1, simScaled)
+        val (a1, c1) = kmeansRound1(s, d)
         a1.join(broadcast(c1.select(col("centroid_id"),
             element_at(col("cv"), 1).as("c0"))), "centroid_id")
           .groupBy("centroid_id")
@@ -1092,48 +1103,106 @@ object SimilarityQueries {
                max(col("c0")).as("c0"))
           .orderBy("centroid_id")
       },
-      Some(s"""WITH $scaledCte,
-             |cent0 AS (SELECT CAST(vec_id AS INT) AS centroid_id,
-             |    sv AS c_sv, nn AS c_nn FROM nrm WHERE vec_id < 8),
-             |asg0 AS (
-             |  SELECT vec_id, centroid_id FROM (
-             |    SELECT e.vec_id, c.centroid_id,
-             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |        CAST(list_sum(list_transform(range(1, 65),
-             |          i -> e.sv[i] * c.c_sv[i])) AS DOUBLE)
-             |          / sqrt(CAST(e.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
-             |        c.centroid_id) AS rn
-             |    FROM nrm e CROSS JOIN cent0 c) t
-             |  WHERE rn = 1),
-             |m1 AS (
-             |  SELECT a.centroid_id, i.i AS pos,
-             |    CAST(floor(CAST(sum(e.sv[i.i]) AS DOUBLE)
-             |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
-             |  FROM nrm e JOIN asg0 a ON e.vec_id = a.vec_id,
-             |    (SELECT unnest(range(1, 65)) AS i) i
-             |  GROUP BY a.centroid_id, i.i),
-             |cent1 AS (
-             |  SELECT centroid_id, list(m ORDER BY pos) AS c_sv
-             |  FROM m1 GROUP BY centroid_id),
-             |cent1n AS (
-             |  SELECT centroid_id, c_sv,
-             |    CAST(list_sum(list_transform(range(1, 65),
-             |      i -> c_sv[i] * c_sv[i])) AS BIGINT) AS c_nn
-             |  FROM cent1),
-             |asg1 AS (
-             |  SELECT vec_id, centroid_id FROM (
-             |    SELECT e.vec_id, c.centroid_id,
-             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |        CAST(list_sum(list_transform(range(1, 65),
-             |          i -> e.sv[i] * c.c_sv[i])) AS DOUBLE)
-             |          / sqrt(CAST(e.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
-             |        c.centroid_id) AS rn
-             |    FROM nrm e CROSS JOIN cent1n c) t
-             |  WHERE rn = 1)
+      Some(s"""WITH $kmeansAsg1Cte
              |SELECT a.centroid_id, count(*) AS n,
              |  CAST(sum(a.vec_id) AS BIGINT) AS id_sum,
              |  max(c.c_sv[1]) AS c0
              |FROM asg1 a JOIN cent1n c ON a.centroid_id = c.centroid_id
-             |GROUP BY a.centroid_id ORDER BY a.centroid_id""".stripMargin))
+             |GROUP BY a.centroid_id ORDER BY a.centroid_id""".stripMargin)),
+
+    // K-MEANS SS DECOMPOSITION — the numeric analog of q_modularity's
+    // graph grade: how tight are the trained clusters? The within-
+    // cluster sum of squares is cleared of the rational mean:
+    //   n_c · Σ_i |x_i − μ_c|²  =  n_c · Σ_i |x_i|² − |Σ_i x_i|²
+    // (|·|² over the 64 scaled-int dims), so ssw2 is an EXACT integer
+    // per cluster — no float mean ever materializes. A cluster whose
+    // ssw2/n_c² dwarfs the others is the "junk drawer" an IVF layout
+    // would split before sharding. Scale shape: the assignment is the
+    // shared map-only Lloyd round; the decomposition is one posexplode
+    // aggregate to (cluster, dim) sums — K·64 rows — plus a per-
+    // cluster count/nn aggregate; nothing beyond K-sized frames after
+    // the corpus scan.
+    Q("q_kmeans_quality",
+      (s, d) => {
+        val (a1, _) = kmeansRound1(s, d)
+        val base = a1.groupBy("centroid_id")
+          .agg(count(lit(1)).as("n"), sum(col("nn")).as("sum_nn"))
+        val dims = a1
+          .select(col("centroid_id"),
+            posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy("centroid_id", "pos")
+          .agg(sum(col("v")).as("sdim"))
+          .groupBy("centroid_id")
+          .agg(sum(col("sdim") * col("sdim")).as("ss2"))
+        base.join(dims, "centroid_id")
+          .withColumn("ssw2", col("n") * col("sum_nn") - col("ss2"))
+          .select("centroid_id", "n", "sum_nn", "ss2", "ssw2")
+          .orderBy("centroid_id")
+      },
+      Some(s"""WITH $kmeansAsg1Cte,
+             |j AS (
+             |  SELECT a.centroid_id, e.sv, e.nn
+             |  FROM asg1 a JOIN nrm e USING (vec_id)),
+             |base AS (
+             |  SELECT centroid_id, count(*) AS n,
+             |    CAST(sum(nn) AS BIGINT) AS sum_nn
+             |  FROM j GROUP BY centroid_id),
+             |dims AS (
+             |  SELECT centroid_id, i.i AS pos,
+             |    CAST(sum(sv[i.i]) AS BIGINT) AS sdim
+             |  FROM j, (SELECT unnest(range(1, 65)) AS i) i
+             |  GROUP BY centroid_id, i.i),
+             |persq AS (
+             |  SELECT centroid_id, CAST(sum(sdim * sdim) AS BIGINT) AS ss2
+             |  FROM dims GROUP BY centroid_id)
+             |SELECT b.centroid_id, b.n, b.sum_nn, p.ss2,
+             |  b.n * b.sum_nn - p.ss2 AS ssw2
+             |FROM base b JOIN persq p USING (centroid_id)
+             |ORDER BY b.centroid_id""".stripMargin))
   )
+
+  /** Oracle CTE chain for the shared Lloyd round: scaled vectors →
+    * deterministic seeds (cent0) → argmax assignment (asg0) →
+    * floor-mean retrain (cent1/cent1n) → re-assignment (asg1) —
+    * mirrors [[kmeansRound1]] and is shared by the q_kmeans and
+    * q_kmeans_quality oracles. */
+  private lazy val kmeansAsg1Cte: String =
+    s"""$scaledCte,
+       |cent0 AS (SELECT CAST(vec_id AS INT) AS centroid_id,
+       |    sv AS c_sv, nn AS c_nn FROM nrm WHERE vec_id < 8),
+       |asg0 AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          i -> e.sv[i] * c.c_sv[i])) AS DOUBLE)
+       |          / sqrt(CAST(e.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
+       |        c.centroid_id) AS rn
+       |    FROM nrm e CROSS JOIN cent0 c) t
+       |  WHERE rn = 1),
+       |m1 AS (
+       |  SELECT a.centroid_id, i.i AS pos,
+       |    CAST(floor(CAST(sum(e.sv[i.i]) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+       |  FROM nrm e JOIN asg0 a ON e.vec_id = a.vec_id,
+       |    (SELECT unnest(range(1, 65)) AS i) i
+       |  GROUP BY a.centroid_id, i.i),
+       |cent1 AS (
+       |  SELECT centroid_id, list(m ORDER BY pos) AS c_sv
+       |  FROM m1 GROUP BY centroid_id),
+       |cent1n AS (
+       |  SELECT centroid_id, c_sv,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> c_sv[i] * c_sv[i])) AS BIGINT) AS c_nn
+       |  FROM cent1),
+       |asg1 AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          i -> e.sv[i] * c.c_sv[i])) AS DOUBLE)
+       |          / sqrt(CAST(e.nn AS DOUBLE) * CAST(c.c_nn AS DOUBLE)) DESC,
+       |        c.centroid_id) AS rn
+       |    FROM nrm e CROSS JOIN cent1n c) t
+       |  WHERE rn = 1)""".stripMargin
 }

@@ -44,8 +44,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_mmr_rerank", "q_kmv_jaccard", "q_bm25",
     // q_modularity broadcasts the 1-row edge count m;
     // q_partition_agreement meets its three scalar frames (S_ij, S_a,
-    // S_b) in singleton crossJoins
-    "q_modularity", "q_partition_agreement")
+    // S_b) in singleton crossJoins; q_lm_kneser_ney broadcasts the
+    // 1-row bigram-type count B onto the vocabulary-sized model
+    "q_modularity", "q_partition_agreement", "q_lm_kneser_ney")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
