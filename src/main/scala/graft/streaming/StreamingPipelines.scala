@@ -42,6 +42,28 @@ object StreamingPipelines {
       .select(col("window.start").as("window_start"),
               col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed APPROXIMATE QUANTILES over a watermarked stream — the
+    * latency-dashboard primitive (p50/p95/max per window) at streaming
+    * scale: approx_percentile's GK sketch is a MERGEABLE partial
+    * aggregate, so it composes with streaming state exactly like
+    * count/sum — bounded per-(window, type) state, append-mode
+    * finalization when the watermark passes. An exact percentile would
+    * need every value retained in state (unbounded); the sketch is the
+    * only shape that survives a hot window. The spec pins streaming
+    * output ≡ the BATCH plan of the same aggregate on the same data —
+    * the mergeable-monoid equivalence, same design as the HLL/MG
+    * sketch families. */
+  def windowedQuantiles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50"),
+        approx_percentile(col("value"), lit(0.95), lit(1000)).as("p95"),
+        max(col("value")).as("vmax"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("p50"), col("p95"), col("vmax"), col("n"))
+
   /** NATIVE session windows in streaming — the built-in
     * session_window aggregation over a watermarked stream, the
     * declarative sibling of [[sessionize]]'s explicit-state form (and

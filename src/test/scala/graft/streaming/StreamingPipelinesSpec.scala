@@ -50,6 +50,35 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(rows === Set((0L, "click", 2L, 2.0), (3600L, "view", 1L, 1.0)))
   }
 
+  test("streaming windowedQuantiles ≡ batch aggregate on same data") {
+    // the GK sketch is a mergeable monoid, so the streaming state
+    // machine must land exactly where one batch aggregate does
+    val src = readEventsStream(spark, sf0001).select(
+      "event_id", "ts", "user_id", "event_type", "value")
+    val q = windowedQuantiles(src)
+      .writeStream.format("memory").queryName("wq_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000); q.stop()
+    val streamed = spark.table("wq_out").collect().map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    val batch = graft.Tables.load(spark, sf0001, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50"),
+        approx_percentile(col("value"), lit(0.95), lit(1000)).as("p95"),
+        max(col("value")).as("vmax"), count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("p50"),
+        col("p95"), col("vmax"), col("n"))
+      .collect().map(r =>
+        (r.getTimestamp(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(streamed === batch)
+    // sanity: the quantiles are ordered and bounded per row
+    streamed.foreach { case (_, _, p50, p95, vmax, n) =>
+      assert(p50 <= p95 && p95 <= vmax && n > 0)
+    }
+  }
+
   test("windowedHeavyHitters: k-bounded sketch state keeps the guarantee") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
