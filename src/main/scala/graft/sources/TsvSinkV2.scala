@@ -280,7 +280,8 @@ private[sources] class TsvDataWriter(file: Path, schema: StructType,
   private def cell(row: InternalRow, i: Int, dt: DataType): String =
     if (row.isNullAt(i)) ""
     else dt match {
-      case StringType => row.getUTF8String(i).toString
+      case StringType =>
+        TsvEscape.escape(row.getUTF8String(i).toString)
       case LongType => row.getLong(i).toString
       case IntegerType => row.getInt(i).toString
       case DoubleType => row.getDouble(i).toString
@@ -312,6 +313,54 @@ private[sources] class TsvDataWriter(file: Path, schema: StructType,
   }
 
   override def close(): Unit = ()
+}
+
+/** Cell-level escaping — a string cell carrying a literal tab or
+  * newline would otherwise shift every later column / split the row
+  * (the classic TSV corruption): `\` → `\\`, TAB → `\t`, LF → `\n`,
+  * CR → `\r` on write, inverted on read. Delimiter bytes in the FILE
+  * are therefore always structural, so the reader's split stays a
+  * plain `split('\t')` — no quoting state machine. */
+private[sources] object TsvEscape {
+  def escape(s: String): String =
+    if (s.indexOf('\\') < 0 && s.indexOf('\t') < 0 &&
+        s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+    else {
+      val sb = new StringBuilder(s.length + 4)
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' => sb.append("\\\\")
+          case '\t' => sb.append("\\t")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+
+  def unescape(s: String): String =
+    if (s.indexOf('\\') < 0) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\'); i += 1
+            case 't' => sb.append('\t'); i += 1
+            case 'n' => sb.append('\n'); i += 1
+            case 'r' => sb.append('\r'); i += 1
+            case _ => sb.append(c)
+          }
+        } else sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
 }
 
 // ---------------------------------------------------------------- read
@@ -360,7 +409,9 @@ private[sources] class TsvReaderFactory(conf: SerializableHadoopConf,
         else {
           val parts = line.split("\t", -1)
           cur = InternalRow.fromSeq((0 until nCols).map(i =>
-            if (i < parts.length) UTF8String.fromString(parts(i)) else null))
+            if (i < parts.length)
+              UTF8String.fromString(TsvEscape.unescape(parts(i)))
+            else null))
           true
         }
       }

@@ -68,6 +68,32 @@ class TsvSinkV2Spec extends SparkSpec {
     assert(back === Set(("x", "1"), ("", "2"), ("z", "")))
   }
 
+  test("cells containing tabs, newlines, and backslashes round-trip") {
+    val out = tmpDir()
+    val schema = StructType(Seq(StructField("a", StringType, true),
+      StructField("b", StringType, true)))
+    val dirty = Seq(
+      ("tab\there", "plain"),
+      ("line\nbreak", "cr\rhere"),
+      ("back\\slash", "\\t is not a tab"),
+      ("\t\n\\", ""))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    dirty.foreach { case (a, b) =>
+      rows.add(org.apache.spark.sql.Row(a, b))
+    }
+    spark.createDataFrame(rows, schema)
+      .write.format("graft-tsv").mode("overwrite").save(out)
+    // structural invariant: every physical line has exactly one tab
+    val fileLines = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+    assert(fileLines.forall(_.count(_ == '\t') == 1),
+      "escaping failed: delimiter count drifted")
+    val back = spark.read.format("graft-tsv").load(out).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back === dirty.toSet)
+  }
+
   test("only committed task attempts are promoted (speculative loser)") {
     val out = tmpDir()
     val schema = StructType(Seq(StructField("v", LongType, false)))
