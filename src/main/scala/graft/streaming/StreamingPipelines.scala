@@ -64,6 +64,34 @@ object StreamingPipelines {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("p50"), col("p95"), col("vmax"), col("n"))
 
+  /** STREAMING SIMILARITY SEARCH — a stream of query vectors answered
+    * per micro-batch against the PERSISTED IVF index: each batch runs
+    * the identical partition-pruned [[graft.similarity.IvfIndex
+    * .searchIndexed]] plan the batch q_ann_ivf verifies (probe
+    * ranking, STATIC partition filter on the probed lists, bounded
+    * TopK heaps), so the index is built once and serves BOTH batch
+    * analytics and the online query stream — the production ANN
+    * serving shape. foreachBatch is the right seam: the search is a
+    * per-batch finite join against static state, not a stateful
+    * streaming aggregate, and the sink callback keeps the function
+    * testable (batch ≡ stream, StreamingPipelinesSpec). */
+  def streamingAnnSearch(queries: DataFrame, indexDir: String,
+      centroids: DataFrame, topK: Int, nProbe: Int,
+      sim: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column,
+      onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          onBatch(graft.similarity.IvfIndex.searchIndexed(
+            batch.sparkSession, indexDir, centroids, batch.toDF(),
+            topK, nProbe, sim))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** NATIVE session windows in streaming — the built-in
     * session_window aggregation over a watermarked stream, the
     * declarative sibling of [[sessionize]]'s explicit-state form (and

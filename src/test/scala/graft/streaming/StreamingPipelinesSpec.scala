@@ -79,6 +79,40 @@ class StreamingPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streamingAnnSearch ≡ batch searchIndexed against the same index") {
+    import org.apache.spark.sql.functions.col
+    val (dir, centroids, sim, e) =
+      graft.similarity.SimilarityQueries.sharedIvfSearchState(spark, sf001)
+    val queryVecs = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("sv").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Long])]
+    val streamed = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int)]
+    def run(): Unit = {
+      val q = streamingAnnSearch(
+        in.toDF().selectExpr("_1 AS query_id", "_2 AS qv"),
+        dir, centroids, topK = 5, nProbe = 2, sim,
+        res => streamed.synchronized {
+          streamed ++= res.select("query_id", "neighbor_id", "rank")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        })
+      q.awaitTermination(120000); q.stop()
+    }
+    // two separate arrivals — the index serves each batch independently
+    in.addData(queryVecs.take(3): _*); run()
+    in.addData(queryVecs.drop(3): _*); run()
+    val batch = graft.similarity.IvfIndex.searchIndexed(spark, dir,
+        centroids, e.filter(col("vec_id") < 6)
+          .select(col("vec_id").as("query_id"), col("sv").as("qv")),
+        topK = 5, nProbe = 2, sim)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed.toSet === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("windowedHeavyHitters: k-bounded sketch state keeps the guarantee") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
