@@ -1685,6 +1685,61 @@ object TextQueries {
              |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
              |FROM agg""".stripMargin)),
 
+    // DISTINCTIVE VOCABULARY per source — "what words make src7
+    // src7?": the exact-integer variant of Monroe et al.'s log-odds
+    // keyword extraction. For token t in source s, the odds ratio of
+    // in-source rate vs rest-of-corpus rate is cleared of fractions
+    // with +1 smoothing:
+    //   score = 1e6 · (c_st+1) · (N−N_s+V) div ((N_s+V) · (c_t−c_st+1))
+    // (N_s tokens in s, N total, V vocabulary size for the smoothing
+    // mass). Top-3 tokens per source through TopKPerGroupExec — the
+    // bounded-heap path, plan-gated — never a per-source sort of the
+    // vocabulary. Scale shape: one (source, token) aggregate with
+    // map-side combine; everything after is vocabulary-sized; the
+    // scalar totals ride a broadcast singleton.
+    Q("q_distinctive_terms",
+      (s, d) => {
+        val st = Tables.load(s, d, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+        val perSrc = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+        val perTok = st.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
+        val tot = broadcast(st.agg(sum(col("c_st")).as("n"))
+          .crossJoin(perTok.agg(count(lit(1)).as("v"))))
+        val scored = st.join(perSrc, "source").join(perTok, "tok")
+          .crossJoin(tot)
+          .withColumn("score", expr(
+            "(1000000 * (c_st + 1) * (n - n_s + v))" +
+              " div ((n_s + v) * (c_t - c_st + 1))"))
+        graft.plans.TopKPerGroup.topKPerGroup(scored,
+            Seq(col("source")), Seq(desc("score"), asc("tok")), 3)
+          .select("source", "tok", "c_st", "score")
+          .orderBy(col("source"), desc("score"), asc("tok"))
+      },
+      Some("""WITH st AS (
+             |  SELECT source, tok, count(*) AS c_st FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents) t
+             |  GROUP BY source, tok),
+             |ps AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+             |       FROM st GROUP BY source),
+             |pt AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t
+             |       FROM st GROUP BY tok),
+             |tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS n,
+             |  count(DISTINCT tok) AS v FROM st),
+             |scored AS (
+             |  SELECT st.source, st.tok, st.c_st,
+             |    (1000000 * (st.c_st + 1) * (tot.n - ps.n_s + tot.v))
+             |      // ((ps.n_s + tot.v) * (pt.c_t - st.c_st + 1)) AS score,
+             |    row_number() OVER (PARTITION BY st.source
+             |      ORDER BY (1000000 * (st.c_st + 1) * (tot.n - ps.n_s + tot.v))
+             |        // ((ps.n_s + tot.v) * (pt.c_t - st.c_st + 1)) DESC,
+             |      st.tok) AS rn
+             |  FROM st JOIN ps USING (source) JOIN pt USING (tok)
+             |    CROSS JOIN tot)
+             |SELECT source, tok, c_st, score FROM scored WHERE rn <= 3
+             |ORDER BY source, score DESC, tok""".stripMargin)),
+
     // CALIBRATION RELIABILITY BINS — the companion diagnostic to
     // q_classifier_auc: AUC says the ranking separates the target
     // class; calibration says WHERE the score is trustworthy. Docs are

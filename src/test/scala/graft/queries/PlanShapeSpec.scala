@@ -46,7 +46,9 @@ class PlanShapeSpec extends SparkSpec {
     // q_partition_agreement meets its three scalar frames (S_ij, S_a,
     // S_b) in singleton crossJoins; q_lm_kneser_ney broadcasts the
     // 1-row bigram-type count B onto the vocabulary-sized model
-    "q_modularity", "q_partition_agreement", "q_lm_kneser_ney")
+    "q_modularity", "q_partition_agreement", "q_lm_kneser_ney",
+    // q_distinctive_terms broadcasts the 1-row (N, V) totals
+    "q_distinctive_terms")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
@@ -82,7 +84,7 @@ class PlanShapeSpec extends SparkSpec {
   test("top-k queries run through the custom TopKPerGroupExec") {
     for (name <- Seq("q_ann_bruteforce", "q_ann_quantized", "q_ann_ivf",
         "q_source_cap", "q_inverted_index", "q_ann_recall",
-        "q_group_mode"))
+        "q_group_mode", "q_distinctive_terms"))
       assert(plans(name).contains("TopKPerGroup"),
         s"$name bypasses TopKPerGroupExec:\n${plans(name)}")
   }
