@@ -365,18 +365,62 @@ private[sources] object TsvEscape {
 
 // ---------------------------------------------------------------- read
 
+/** Read-side planning with EQUALITY filter pushdown
+  * (SupportsPushDownFilters): `c3 = 'click'`-class predicates are
+  * evaluated inside the line reader BEFORE a row materializes —
+  * non-matching lines cost one string compare instead of a full
+  * InternalRow + downstream filter eval. Only exactly-enforceable
+  * predicates are accepted (EqualTo / IsNotNull on the string
+  * columns); everything else is returned as residual for Spark to
+  * re-evaluate above the scan. The accepted set is reported via
+  * pushedFilters() and echoed in the scan description so a plan test
+  * can assert the pushdown actually happened. */
 private[sources] class TsvScanBuilder(path: String, schema: StructType)
-    extends ScanBuilder {
-  override def build(): Scan = new TsvScan(path, schema)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+
+  private var pushed: Array[Filter] = Array.empty
+
+  private def colIndex(attr: String): Option[Int] =
+    schema.fieldNames.indexOf(attr) match {
+      case -1 => None
+      case i => Some(i)
+    }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accept, residual) = filters.partition {
+      case EqualTo(attr, v: String) => colIndex(attr).isDefined && v != null
+      case IsNotNull(attr) => colIndex(attr).isDefined
+      case _ => false
+    }
+    pushed = accept
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val evals: Array[(Int, Option[String])] = pushed.map {
+      case EqualTo(attr, v: String) => (colIndex(attr).get, Some(v))
+      case IsNotNull(attr) => (colIndex(attr).get, None)
+      case f => throw new IllegalStateException(s"unpushable $f")
+    }
+    new TsvScan(path, schema, evals, pushed.mkString(", "))
+  }
 }
 
 private[sources] case class TsvFilePartition(file: String)
     extends InputPartition
 
-private[sources] class TsvScan(path: String, schema: StructType)
+private[sources] class TsvScan(path: String, schema: StructType,
+                               filters: Array[(Int, Option[String])],
+                               pushedDesc: String)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tsv $path PushedFilters: [$pushedDesc]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -390,11 +434,12 @@ private[sources] class TsvScan(path: String, schema: StructType)
     new TsvReaderFactory(
       new SerializableHadoopConf(
         SparkSession.active.sparkContext.hadoopConfiguration),
-      schema.length)
+      schema.length, filters)
 }
 
 private[sources] class TsvReaderFactory(conf: SerializableHadoopConf,
-                                        nCols: Int)
+                                        nCols: Int,
+                                        filters: Array[(Int, Option[String])])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = new Path(p.asInstanceOf[TsvFilePartition].file)
@@ -403,17 +448,36 @@ private[sources] class TsvReaderFactory(conf: SerializableHadoopConf,
       new java.io.InputStreamReader(fs.open(file), "UTF-8"))
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
-      override def next(): Boolean = {
-        val line = reader.readLine()
-        if (line == null) false
-        else {
-          val parts = line.split("\t", -1)
-          cur = InternalRow.fromSeq((0 until nCols).map(i =>
-            if (i < parts.length)
-              UTF8String.fromString(TsvEscape.unescape(parts(i)))
-            else null))
-          true
+
+      private def passes(parts: Array[String]): Boolean = {
+        var k = 0
+        while (k < filters.length) {
+          val (i, want) = filters(k)
+          val cell =
+            if (i < parts.length) TsvEscape.unescape(parts(i)) else null
+          want match {
+            case Some(v) => if (cell != v) return false
+            case None => if (cell == null) return false
+          }
+          k += 1
         }
+        true
+      }
+
+      override def next(): Boolean = {
+        var line = reader.readLine()
+        while (line != null) {
+          val parts = line.split("\t", -1)
+          if (passes(parts)) {
+            cur = InternalRow.fromSeq((0 until nCols).map(i =>
+              if (i < parts.length)
+                UTF8String.fromString(TsvEscape.unescape(parts(i)))
+              else null))
+            return true
+          }
+          line = reader.readLine()
+        }
+        false
       }
       override def get(): InternalRow = cur
       override def close(): Unit = reader.close()

@@ -186,6 +186,33 @@ class TsvSinkV2Spec extends SparkSpec {
     assert(finalRows === Seq("1", "2"))
   }
 
+  test("equality filters push into the line reader (and stay exact)") {
+    val out = tmpDir()
+    graft.Tables.load(spark, sf0001, "nation")
+      .select(col("n_name"), col("n_regionkey").cast("string").as("rk"))
+      .write.format("graft-tsv").mode("overwrite").save(out)
+    val q = spark.read.format("graft-tsv").load(out)
+      .filter(col("c1") === "2")
+    // plan evidence: the scan description carries the pushed filter
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("c1"),
+      s"filter not pushed into the TSV scan:\n$plan")
+    // result identical to the unpushed evaluation
+    val expect = graft.Tables.load(spark, sf0001, "nation")
+      .filter(col("n_regionkey") === 2).select("n_name")
+      .collect().map(_.getString(0)).toSet
+    assert(q.collect().map(_.getString(0)).toSet === expect)
+    // residual (non-equality) predicates still evaluate correctly
+    // above the scan
+    val like = spark.read.format("graft-tsv").load(out)
+      .filter(col("c0").startsWith("NATION_1"))
+      .collect().map(_.getString(0)).toSet
+    val likeExpect = graft.Tables.load(spark, sf0001, "nation")
+      .filter(col("n_name").startsWith("NATION_1")).select("n_name")
+      .collect().map(_.getString(0)).toSet
+    assert(like === likeExpect && like.nonEmpty)
+  }
+
   test("DataWriter.abort removes the attempt's staged file") {
     val out = tmpDir()
     val schema = StructType(Seq(StructField("v", LongType, false)))
