@@ -87,6 +87,15 @@ object Demo {
       Tables.load(spark, sfDir, "events"))
     println(s"[demo] click-attribution pairs: ${attr.count()}")
 
+    // 8. graft-tsv V2 connector: atomic staged write, read back with
+    // an inferred all-string schema
+    val tsvOut = java.nio.file.Files
+      .createTempDirectory("demo_tsv_").toString
+    asof.limit(50).write.format("graft-tsv").mode("overwrite").save(tsvOut)
+    val tsvBack = spark.read.format("graft-tsv").load(tsvOut).count()
+    println(s"[demo] graft-tsv round-trip: $tsvBack rows, _SUCCESS=" +
+      new java.io.File(s"$tsvOut/_SUCCESS").exists())
+
     spark.stop()
   }
 }
