@@ -1836,6 +1836,90 @@ object TextQueries {
              |  (n_tokens * n_tokens) // sum_sq AS eff_vocab
              |FROM a ORDER BY source""".stripMargin)),
 
+    // POISSON BOOTSTRAP confidence intervals — error bars on corpus
+    // metrics at 100 TB scale. A classical bootstrap resamples the
+    // corpus R times (R full shuffles — impossible); the Poisson
+    // bootstrap (Chamandy et al., Google 2012) gives each row an
+    // INDEPENDENT Poisson(1) replicate weight, so all R replicates
+    // are computed in ONE pass as a weighted aggregate. Weights are
+    // deterministic md5 buckets quantized to Poisson(1) ppm mass
+    // (P(0)=P(1)=.367879, P(2)=.183940, P(3)=.061313, tail lumped
+    // into 4), so both engines draw the identical "randomness" and
+    // the whole statistic hash-gates. Per source: the exact mean
+    // n_chars (milli-units, integer div) and the [2nd, 31st] order
+    // statistics of the 32 replicate means as a ~94% CI. Scale
+    // shape: explode ×32 then ONE (source, rep) aggregate with
+    // map-side combine; everything after is sources × reps rows.
+    Q("q_bootstrap_ci",
+      (s, d) => {
+        val reps = 32
+        val bucket = pmod(conv(substring(md5(concat(
+          col("doc_id").cast(StringType), lit("_"),
+          col("rep").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType), lit(1000000L))
+        val w = when(bucket < 367879L, 0L)
+          .when(bucket < 735758L, 1L)
+          .when(bucket < 919698L, 2L)
+          .when(bucket < 981011L, 3L).otherwise(4L)
+        val repEst = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+          .withColumn("w", w)
+          .groupBy("source", "rep")
+          .agg(sum(col("w") * col("n_chars")).as("ws"),
+            sum(col("w")).as("wn"))
+          .filter(col("wn") > 0)
+          .withColumn("est", expr("(1000 * ws) div wn"))
+        val point = Tables.load(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("(1000 * sum(n_chars)) div count(*)").as("mean_milli"))
+        point.join(repEst.groupBy("source")
+            .agg(count(lit(1)).as("n_reps"),
+              sort_array(collect_list(col("est"))).as("ests")),
+            "source")
+          .withColumn("ci_lo", element_at(col("ests"), 2))
+          .withColumn("ci_hi", element_at(col("ests"), -2))
+          .select("source", "n_docs", "mean_milli", "n_reps",
+            "ci_lo", "ci_hi")
+          .orderBy("source")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, source, n_chars, unnest(range(0, 32)) AS rep
+             |  FROM documents),
+             |wtd AS (
+             |  SELECT source, rep, n_chars,
+             |    CASE
+             |      WHEN b < 367879 THEN 0 WHEN b < 735758 THEN 1
+             |      WHEN b < 919698 THEN 2 WHEN b < 981011 THEN 3
+             |      ELSE 4 END AS w
+             |  FROM (
+             |    SELECT *, CAST(('0x' || substr(md5(
+             |      CAST(doc_id AS VARCHAR) || '_' || CAST(rep AS VARCHAR)),
+             |      1, 8)) AS BIGINT) % 1000000 AS b
+             |    FROM r) t),
+             |est AS (
+             |  SELECT source, rep,
+             |    (1000 * CAST(sum(w * n_chars) AS BIGINT))
+             |      // CAST(sum(w) AS BIGINT) AS est
+             |  FROM wtd GROUP BY source, rep
+             |  HAVING sum(w) > 0),
+             |ci AS (
+             |  SELECT source, count(*) AS n_reps,
+             |    (list(est ORDER BY est))[2] AS ci_lo,
+             |    (list(est ORDER BY est))[-2] AS ci_hi
+             |  FROM est GROUP BY source),
+             |pt AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    (1000 * CAST(sum(n_chars) AS BIGINT)) // count(*)
+             |      AS mean_milli
+             |  FROM documents GROUP BY source)
+             |SELECT pt.source, pt.n_docs, pt.mean_milli,
+             |  ci.n_reps, CAST(ci.ci_lo AS BIGINT) AS ci_lo,
+             |  CAST(ci.ci_hi AS BIGINT) AS ci_hi
+             |FROM pt JOIN ci USING (source)
+             |ORDER BY pt.source""".stripMargin)),
+
     // COUNT-MIN SKETCH: the third frequency sketch beside Misra-Gries
     // (q_heavy_hitters, deterministic top-k) and HLL
     // (q_approx_distinct, cardinality) — CMS answers point frequency

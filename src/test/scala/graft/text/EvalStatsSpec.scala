@@ -54,6 +54,38 @@ class EvalStatsSpec extends SparkSpec {
     }
   }
 
+  test("q_bootstrap_ci: intervals bracket sanely and weights are Poisson-ish") {
+    val rows = SparkEntry.queries("q_bootstrap_ci")(spark, sf001).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (mean, nReps, lo, hi) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nReps === 32L, "a replicate lost all its weight at n=25 docs")
+      assert(lo <= hi)
+      // the CI must bracket a neighborhood of the point estimate: the
+      // order stats are means of ~same-sized resamples of the same
+      // rows, so the interval straddles the mean
+      assert(lo <= mean && mean <= hi,
+        s"${r.getString(0)}: CI [$lo, $hi] misses the mean $mean")
+      // and it is a genuine interval, not collapsed to a point
+      assert(hi > lo, s"${r.getString(0)}: degenerate CI")
+    }
+    // Poisson(1) mass check on the deterministic weights: over all
+    // (doc, rep) draws, the w=0 fraction must sit near e^-1
+    import org.apache.spark.sql.functions._
+    val draws = graft.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(31))).as("rep"))
+      .withColumn("b", pmod(conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit("_"),
+        col("rep").cast("string"))), 1, 8), 16, 10)
+        .cast("long"), lit(1000000L)))
+      .withColumn("z", (col("b") < 367879L).cast("int"))
+      .agg(avg(col("z"))).collect().head.getDouble(0)
+    assert(math.abs(draws - math.exp(-1)) < 0.01,
+      s"w=0 mass $draws far from e^-1")
+  }
+
   test("q_hhi_diversity: analytic bounds hold per source") {
     val rows = SparkEntry.queries("q_hhi_diversity")(spark, sf001).collect()
     assert(rows.length === 20)
