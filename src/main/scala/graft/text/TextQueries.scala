@@ -1004,6 +1004,67 @@ object TextQueries {
              |FROM w JOIN e USING (word)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // TOKENIZER FERTILITY per language — the multilingual-equity
+    // metric for a trained vocabulary (how many subword symbols a
+    // word costs, per language): a language with milli_sym_per_word
+    // far above the corpus norm is under-served by the merge table
+    // and pays more sequence length for the same text — the disparity
+    // the tokenizer-fairness literature measures. Reuses the
+    // q_bpe_encode machinery (corpus-trained top-30 merges, rank-fold
+    // expression encoder, encode-once-per-DISTINCT-word + broadcast
+    // join); the per-language rollup is sources-of-truth identical to
+    // the per-doc one, and fertility ratios are exact integer
+    // millis. Scale: vocabulary-sized encode table, one corpus-join
+    // + lang aggregate.
+    Q("q_bpe_fertility",
+      (s, d) => {
+        val words = Tables.load(s, d, "documents")
+          .select(col("lang"), explode(tokens(col("text"))).as("word"))
+        val merges = bpeMerges(s, d)
+        val encoded = words.select("word").distinct()
+          .select(col("word"),
+            length(col("word")).cast(LongType).as("n_char"),
+            size(split(bpeEncode(merges), " ")).cast(LongType).as("n_sym"))
+        words.join(broadcast(encoded), "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_char")).as("n_chars"),
+            sum(col("n_sym")).as("n_bpe"))
+          .withColumn("milli_sym_per_word",
+            expr("(1000 * n_bpe) div n_words"))
+          .withColumn("milli_chars_per_sym",
+            expr("(1000 * n_chars) div n_bpe"))
+          .orderBy("lang")
+      },
+      Some("""WITH w AS (
+             |  SELECT lang, unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |b AS (
+             |  SELECT unnest(list_transform(range(1, length(word)),
+             |    i -> substr(word, CAST(i AS INT), 2))) AS bg
+             |  FROM w WHERE length(word) >= 2),
+             |mrg AS (SELECT list(bg ORDER BY cnt DESC, bg) AS ms FROM (
+             |  SELECT bg, count(*) AS cnt FROM b GROUP BY bg
+             |  ORDER BY cnt DESC, bg LIMIT 30)),
+             |v AS (SELECT DISTINCT word FROM w),
+             |e AS (SELECT word, length(word) AS n_char,
+             |  len(string_split(list_reduce(
+             |    list_concat([rtrim(regexp_replace(word, '(.)', '#\1# ', 'g'))],
+             |      ms),
+             |    (acc, m) -> replace(acc,
+             |      '#' || substr(m, 1, 1) || '# #' || substr(m, 2, 1) || '#',
+             |      '#' || m || '#')), ' ')) AS n_sym
+             |  FROM v, mrg)
+             |SELECT lang, count(*) AS n_words,
+             |  CAST(sum(e.n_char) AS BIGINT) AS n_chars,
+             |  CAST(sum(e.n_sym) AS BIGINT) AS n_bpe,
+             |  (1000 * CAST(sum(e.n_sym) AS BIGINT)) // count(*)
+             |    AS milli_sym_per_word,
+             |  (1000 * CAST(sum(e.n_char) AS BIGINT))
+             |    // CAST(sum(e.n_sym) AS BIGINT) AS milli_chars_per_sym
+             |FROM w JOIN e USING (word)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // context-window chunking: split each document's token stream into
     // overlapping windows of C=64 tokens at stride S=48 (16-token
     // overlap) — the pretraining step that turns variable-length
