@@ -660,6 +660,51 @@ object DedupQueries {
              |GROUP BY src_a, src_b
              |ORDER BY src_a, src_b""".stripMargin)),
 
+    // CROSS-LANGUAGE near-dup matrix — the lang-axis sibling of the
+    // source matrix above, answering a different question: same-lang
+    // pairs are ordinary duplication, but a hamming<=3 SimHash match
+    // ACROSS languages means the "translation" is so token-identical
+    // it is almost certainly boilerplate/templated markup shared
+    // between language editions (or mislabeled lang metadata) — the
+    // families a multilingual corpus must catch before per-language
+    // quotas are computed. Adds the within/cross split so the
+    // off-diagonal mass is one glance. Same cost shape: two uniform
+    // hash joins of the persisted pair table against a (doc_id, lang)
+    // projection.
+    Q("q_dedup_lang_matrix",
+      (s, d) => {
+        val lg = graft.Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"))
+        simhash64Pairs(s, d)
+          .join(lg.select(col("doc_id").as("a_id"),
+            col("lang").as("la")), "a_id")
+          .join(lg.select(col("doc_id").as("b_id"),
+            col("lang").as("lb")), "b_id")
+          .select(least(col("la"), col("lb")).as("lang_a"),
+            greatest(col("la"), col("lb")).as("lang_b"))
+          .groupBy("lang_a", "lang_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            max((col("lang_a") =!= col("lang_b")).cast("int")
+              .cast(LongType)).as("is_cross"))
+          .orderBy("lang_a", "lang_b")
+      },
+      Some(s"""WITH $simhash64FpCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |l AS (SELECT doc_id, lang FROM documents)
+             |SELECT least(la.lang, lb.lang) AS lang_a,
+             |  greatest(la.lang, lb.lang) AS lang_b,
+             |  count(*) AS n_pairs,
+             |  CAST(max(CASE WHEN la.lang <> lb.lang THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS is_cross
+             |FROM pairs p
+             |JOIN l la ON p.a_id = la.doc_id
+             |JOIN l lb ON p.b_id = lb.doc_id
+             |GROUP BY lang_a, lang_b
+             |ORDER BY lang_a, lang_b""".stripMargin)),
+
     // incremental ingest dedup: the daily-batch production pattern —
     // new documents (source != 'src0') are dropped when they near-dup
     // match the HISTORICAL corpus ('src0'), never each other (within-

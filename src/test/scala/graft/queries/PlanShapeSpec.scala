@@ -119,7 +119,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_label_prop" -> "simhash_communities",
       "q_modularity" -> "simhash_communities",
       // the Rand-index audit reads BOTH persisted partitions
-      "q_partition_agreement" -> "simhash_clusters")
+      "q_partition_agreement" -> "simhash_clusters",
+      "q_dedup_lang_matrix" -> "simhash_pairs")
     for ((name, table) <- readers) {
       assert(plans(name).contains(table),
         s"$name does not scan the $table materialization:\n${plans(name)}")
