@@ -151,6 +151,48 @@ object MultimodalQueries {
              |  CAST(2 AS BIGINT) AS n_chunks
              |FROM s ORDER BY media_id""".stripMargin)),
 
+    // AUDIO FEATURE EXTRACTION over the parsed PCM — the step after
+    // q_multimodal_wav's header decode: per file, sample-point count,
+    // L1 energy Σ|s|, peak amplitude, and the exact milli mean of a
+    // 16-bit LE walk over the data chunk (WavCodec.features, the
+    // mapPartitions codec seam). All integers, so the oracle replays
+    // the arithmetic from the synthetic payload's SOURCE bytes
+    // (sample k = byte(2k) + 256·byte(2k+1); ASCII source keeps the
+    // high byte < 0x80, so sign extension is the identity — the
+    // codec still implements it for real payloads). At scale this is
+    // the map-only per-asset feature pass a filter like "drop silent/
+    // clipped audio" runs on — nothing leaves the row but 4 numbers.
+    Q("q_multimodal_audio_features",
+      (s, d) => {
+        import s.implicits._
+        val wavs = WavCodec.syntheticWavs(Tables.load(s, d, "documents"))
+          .as[WavCodec.WavRow]
+        WavCodec.features(wavs).toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, text,
+             |    (1 + doc_id % 2) * 2 AS block_align,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS raw_len
+             |  FROM documents),
+             |sz AS (
+             |  SELECT doc_id, text,
+             |    (raw_len - raw_len % block_align) // 2 AS n_points
+             |  FROM m),
+             |f AS (
+             |  SELECT doc_id, n_points,
+             |    list_transform(range(0, n_points),
+             |      k -> ascii(substr(text, CAST(2 * k + 1 AS INT), 1))
+             |        + 256 * ascii(substr(text, CAST(2 * k + 2 AS INT), 1)))
+             |      AS vals
+             |  FROM sz)
+             |SELECT doc_id AS media_id, n_points,
+             |  CAST(coalesce(list_sum(vals), 0) AS BIGINT) AS sum_abs,
+             |  CAST(coalesce(list_max(vals), 0) AS BIGINT) AS peak,
+             |  CASE WHEN n_points > 0
+             |    THEN (1000 * CAST(list_sum(vals) AS BIGINT)) // n_points
+             |    ELSE 0 END AS mean_milli
+             |FROM f ORDER BY media_id""".stripMargin)),
+
     // REAL JPEG/JFIF parse through the same seam (JpegCodec): the
     // MARKER-STREAM complement of PNG's BE chunks and WAV's LE RIFF —
     // variable segment walk to SOF0 for the geometry, then a

@@ -88,6 +88,51 @@ object WavCodec {
     rows.mapPartitions(_.flatMap(r => parseOption(r.media_id, r.payload)))
   }
 
+  case class WavFeatures(media_id: Long, n_points: Long, sum_abs: Long,
+                         peak: Long, mean_milli: Long)
+
+  /** 16-bit LE PCM feature pass over the data chunk — the audio
+    * analog of PngCodec's pixel stats: per file, the count of sample
+    * points (channels interleaved, counted individually), the L1
+    * energy Σ|s|, the peak |s|, and the exact mean in millis
+    * (1000·Σ|s| div n). One sequential walk per payload at the codec
+    * seam; every number is an exact integer, so the DuckDB oracle
+    * recomputes the identical values from the synthetic payload's
+    * source bytes. */
+  def features(rows: Dataset[WavRow]): Dataset[WavFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.flatMap { r =>
+      parseOption(r.media_id, r.payload).map { info =>
+        // locate the data chunk again (payload walk, same rules)
+        val b = r.payload
+        var off = 12L
+        var dataOff = -1L
+        var dataLen = 0L
+        while (off + 8 <= b.length && dataOff < 0) {
+          val t = tag(b, off.toInt)
+          val len = le32(b, off.toInt + 4)
+          if (t == "data") { dataOff = off + 8; dataLen = len }
+          off += 8 + len + (len & 1)
+        }
+        var i = 0L
+        var sumAbs = 0L
+        var peak = 0L
+        val nPoints = dataLen / 2
+        while (i < nPoints) {
+          val o = (dataOff + 2 * i).toInt
+          val raw = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+          val s = if (raw >= 0x8000) raw - 0x10000 else raw
+          val a = math.abs(s).toLong
+          sumAbs += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        WavFeatures(r.media_id, nPoints, sumAbs, peak,
+          if (nPoints > 0) 1000L * sumAbs / nPoints else 0L)
+      }
+    })
+  }
+
   // little-endian field writers (hex emits big-endian; swap byte pairs)
   private def le32w(c: Column): Column = {
     val h = lpad(hex(c), 8, "0")

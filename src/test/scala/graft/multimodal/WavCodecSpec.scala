@@ -27,6 +27,25 @@ class WavCodecSpec extends SparkSpec {
       "WAVE".getBytes("US-ASCII") ++ chunks
   }
 
+  test("features: sign extension, peak, and exact milli mean") {
+    import spark.implicits._
+    // samples: +1, -1 (0xFFFF), -32768 (0x0080 LE => 0x8000), +258
+    val data = le16(1) ++ le16(0xFFFF) ++ le16(0x8000) ++ le16(258)
+    val rows = Seq(WavCodec.WavRow(3L, wav(1, 8000, data))).toDS()
+    val f = WavCodec.features(rows).collect().head
+    // |1| + |-1| + |-32768| + |258| = 33028
+    assert(f === WavCodec.WavFeatures(3L, 4L, 33028L, 32768L,
+      1000L * 33028 / 4))
+  }
+
+  test("features: empty data chunk yields zeroed stats, not a crash") {
+    import spark.implicits._
+    val rows = Seq(WavCodec.WavRow(4L,
+      wav(1, 8000, Array.empty[Byte]))).toDS()
+    val f = WavCodec.features(rows).collect().head
+    assert(f === WavCodec.WavFeatures(4L, 0L, 0L, 0L, 0L))
+  }
+
   test("golden parse: hand-built stereo 16kHz WAV") {
     val data = Array.tabulate(64)(_.toByte) // 16 stereo 16-bit frames
     val info = WavCodec.parse(7L, wav(2, 16000, data))
