@@ -151,6 +151,45 @@ object MultimodalQueries {
              |  CAST(2 AS BIGINT) AS n_chunks
              |FROM s ORDER BY media_id""".stripMargin)),
 
+    // FULL PIXEL DECODE through REAL zlib — the upgrade over
+    // q_multimodal_png's header triage: the writer DEFLATES filter-0
+    // grayscale scanlines into a genuinely decodable IDAT (JDK zlib at
+    // the build seam) and the reader INFLATES it, strips the filter
+    // bytes, and reduces to exact-integer luminance stats. Because
+    // deflate is lossless, the stats equal those of the pre-compression
+    // source bytes — which is what the oracle recomputes straight from
+    // the document text, so a single wrong byte anywhere in the
+    // compress → chunk → walk → inflate → defilter path breaks the
+    // hash. At 100 TB this is the map-only decode+featurize pass of an
+    // image-quality filter; only 4 numbers per asset leave the row.
+    Q("q_multimodal_pixels",
+      (s, d) => {
+        import s.implicits._
+        val src = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+        PngCodec.decodePixels(PngCodec.syntheticCompressedPngs(src))
+          .toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, text,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+             |  FROM documents),
+             |v AS (
+             |  SELECT doc_id, len,
+             |    greatest(1, (len + 31) // 32) AS h,
+             |    list_transform(range(1, CAST(len + 1 AS INT)),
+             |      i -> ascii(substr(text, CAST(i AS INT), 1))) AS vals
+             |  FROM m)
+             |SELECT doc_id AS media_id, CAST(32 AS INT) AS width,
+             |  CAST(h AS INT) AS height,
+             |  CAST(32 * h AS BIGINT) AS n_pixels,
+             |  CAST(coalesce(list_sum(vals), 0) AS BIGINT) AS sum_lum,
+             |  CAST(coalesce(list_max(vals), 0) AS BIGINT) AS peak,
+             |  (1000 * CAST(coalesce(list_sum(vals), 0) AS BIGINT))
+             |    // (32 * h) AS mean_milli
+             |FROM v ORDER BY media_id""".stripMargin)),
+
     // AUDIO FEATURE EXTRACTION over the parsed PCM — the step after
     // q_multimodal_wav's header decode: per file, sample-point count,
     // L1 energy Σ|s|, peak amplitude, and the exact milli mean of a

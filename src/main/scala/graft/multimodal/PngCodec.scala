@@ -86,6 +86,121 @@ object PngCodec {
     rows.mapPartitions(_.flatMap(r => parseOption(r.media_id, r.payload)))
   }
 
+  case class PixelStats(media_id: Long, width: Int, height: Int,
+                        n_pixels: Long, sum_lum: Long, peak: Long,
+                        mean_milli: Long)
+
+  /** REAL zlib round-trip through the seam: build a grayscale
+    * (color type 0, bit depth 8, width 32) PNG whose scanlines are
+    * filter-0 rows of the document's UTF-8 bytes (last row
+    * zero-padded), DEFLATED with the JDK's zlib — an actually
+    * decodable IDAT stream, unlike [[syntheticPngs]]' raw stand-in. */
+  def syntheticCompressedPngs(docs: Dataset[(Long, String)])
+      : Dataset[PngRow] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions(_.map { case (id, text) =>
+      val raw = text.getBytes("UTF-8")
+      val w = 32
+      val h = math.max(1, (raw.length + w - 1) / w)
+      // filter byte 0 + w pixels per scanline, zero-padded tail
+      val filtered = new Array[Byte](h * (w + 1))
+      var r = 0
+      while (r < h) {
+        filtered(r * (w + 1)) = 0
+        var c = 0
+        while (c < w) {
+          val src = r * w + c
+          filtered(r * (w + 1) + 1 + c) =
+            if (src < raw.length) raw(src) else 0
+          c += 1
+        }
+        r += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(filtered); defl.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val idat = out.toByteArray
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      val payload =
+        Signature ++
+          be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+          be32(w.toLong) ++ be32(h.toLong) ++
+          Array(8.toByte, 0.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+          be32(0) ++
+          be32(idat.length.toLong) ++ "IDAT".getBytes("US-ASCII") ++
+          idat ++ be32(0) ++
+          be32(0) ++ "IEND".getBytes("US-ASCII") ++
+          Array(0xAE, 0x42, 0x60, 0x82).map(_.toByte)
+      PngRow(id, payload)
+    })
+  }
+
+  /** FULL pixel decode: walk the chunks, INFLATE the concatenated
+    * IDAT stream with the JDK's zlib, strip the per-scanline filter
+    * bytes (only filter 0 accepted — the profile the writer above
+    * emits), and reduce to exact-integer luminance stats. The
+    * compression is lossless, so the stats equal those of the
+    * pre-deflate bytes — which is exactly what the DuckDB oracle
+    * recomputes from the document text, making a real
+    * compress→decompress round-trip hash-gateable. */
+  def decodePixels(rows: Dataset[PngRow]): Dataset[PixelStats] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.flatMap { r =>
+      parseOption(r.media_id, r.payload).flatMap { info =>
+        val b = r.payload
+        // collect IDAT payloads
+        val idat = new java.io.ByteArrayOutputStream()
+        var off = 8L
+        while (off + 12 <= b.length) {
+          val len = be32(b, off.toInt)
+          if (tag(b, off.toInt + 4) == "IDAT")
+            idat.write(b, off.toInt + 8, len.toInt)
+          off += 12 + len
+        }
+        val infl = new java.util.zip.Inflater()
+        infl.setInput(idat.toByteArray)
+        val w = info.width.toInt
+        val h = info.height.toInt
+        val filtered = new Array[Byte](h * (w + 1))
+        try {
+          var got = 0
+          while (got < filtered.length && !infl.finished())
+            got += infl.inflate(filtered, got, filtered.length - got)
+          infl.end()
+          if (got < filtered.length) None
+          else {
+            var sum = 0L
+            var peak = 0L
+            var ok = true
+            var r2 = 0
+            while (r2 < h) {
+              if (filtered(r2 * (w + 1)) != 0) ok = false
+              var c = 0
+              while (c < w) {
+                val v = (filtered(r2 * (w + 1) + 1 + c) & 0xff).toLong
+                sum += v
+                if (v > peak) peak = v
+                c += 1
+              }
+              r2 += 1
+            }
+            val n = w.toLong * h
+            if (!ok) None
+            else Some(PixelStats(r.media_id, w, h, n, sum, peak,
+              if (n > 0) 1000L * sum / n else 0L))
+          }
+        } catch {
+          case _: java.util.zip.DataFormatException => None
+        }
+      }
+    })
+  }
+
   /** Synthesize a VALID PNG per document, entirely with Catalyst
     * binary expressions (concat of unhex'd big-endian fields): IHDR
     * dimensions derive from doc metadata, the text bytes stand in for

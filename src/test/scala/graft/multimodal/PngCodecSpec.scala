@@ -55,6 +55,29 @@ class PngCodecSpec extends SparkSpec {
     }
   }
 
+  test("zlib pixel decode round-trips exactly; corruption is rejected") {
+    import spark.implicits._
+    val src = Seq((9L, "hello png pixels"), (10L, "")).toDS()
+    val rows = PngCodec.syntheticCompressedPngs(src)
+    val stats = PngCodec.decodePixels(rows).collect()
+      .map(s => s.media_id -> s).toMap
+    val bytes = "hello png pixels".getBytes("UTF-8").map(_ & 0xff)
+    val s9 = stats(9L)
+    assert(s9.width === 32 && s9.height === 1 && s9.n_pixels === 32)
+    assert(s9.sum_lum === bytes.map(_.toLong).sum)
+    assert(s9.peak === bytes.max.toLong)
+    assert(s9.mean_milli === 1000L * bytes.map(_.toLong).sum / 32)
+    // empty doc: one zero-padded scanline
+    assert(stats(10L) === PngCodec.PixelStats(10L, 32, 1, 32, 0, 0, 0))
+    // corrupt one IDAT byte -> inflate fails -> row dropped, no throw
+    val corrupted = rows.collect().map { r =>
+      val b = r.payload.clone()
+      b(8 + 25 + 8 + 4) = (b(8 + 25 + 8 + 4) ^ 0x55).toByte
+      PngCodec.PngRow(r.media_id, b)
+    }.toSeq.toDS()
+    assert(PngCodec.decodePixels(corrupted).count() === 0)
+  }
+
   test("synthetic payloads are byte-valid PNGs (signature + framing)") {
     val docs = Seq((7L, "hello png", 9L)).toDF("doc_id", "text", "n_chars")
     val payload = PngCodec.syntheticPngs(docs)
