@@ -64,6 +64,19 @@ object WikiScale {
     println(f"[scale] raw scan: $nRecs records in $scanSecs%.1f s " +
       f"(${bytes / 1e6 / scanSecs}%.1f MB/s)")
 
+    // the same byte ranges through the DataSource V2 face — must plan
+    // the identical splits and count the identical records (count(*)
+    // prunes to a zero-width schema, so this is the connector's
+    // record-walk overhead vs the raw RDD path)
+    val tV2 = System.nanoTime()
+    val nV2 = spark.read.format("graft-xml").option("rowTag", "page")
+      .load(xml).count()
+    val v2Secs = (System.nanoTime() - tV2) / 1e9
+    println(f"[scale] DSv2 scan: $nV2 records in $v2Secs%.1f s " +
+      f"(${bytes / 1e6 / v2Secs}%.1f MB/s)")
+    require(nV2 == nRecs,
+      s"DSv2 face diverged from the RDD path: $nV2 vs $nRecs")
+
     val t0 = System.nanoTime()
     val counts = WikiPipeline.incomingReferenceCounts(
       WikiPipeline.links(pages)).cache()
