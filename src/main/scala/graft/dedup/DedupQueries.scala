@@ -1301,6 +1301,67 @@ object DedupQueries {
            |FROM ds LEFT JOIN intra i USING (community) CROSS JOIN m
            |ORDER BY community""".stripMargin)),
 
+    // DEGREE ASSORTATIVITY (Newman 2002) of the near-dup graph — does
+    // heavy duplication attach to heavy duplication? Positive r means
+    // template families interlink (one family hub explains many
+    // pairs); negative means hub-and-spoke boilerplate. The Pearson
+    // correlation over edge-endpoint degrees is cleared of every
+    // fraction: with S1 = Σ(da+db), Sab = Σ(da·db), S2 = Σ(da²+db²)
+    // over the m undirected edges,
+    //   num = 4·m·Sab − S1²,  den = 2·m·S2 − S1²,  r = num/den
+    // — num and den are EXACT integers (hash-gated); r is one final
+    // IEEE division (the house convention). Scale shape: a degree
+    // aggregate over the persisted pair table, two uniform joins to
+    // decorate the edges, one scalar aggregate — nothing beyond the
+    // KB-sized pair list anywhere.
+    Q("q_assortativity",
+      (s, d) => {
+        val e = simhash64Pairs(s, d).select("a_id", "b_id")
+        val deg = e.select(col("a_id").as("id"))
+          .union(e.select(col("b_id").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        e.join(deg.select(col("id").as("a_id"), col("deg").as("da")),
+            "a_id")
+          .join(deg.select(col("id").as("b_id"), col("deg").as("db")),
+            "b_id")
+          .agg(count(lit(1)).as("m"),
+            sum(col("da") + col("db")).as("s1"),
+            sum(col("da") * col("db")).as("sab"),
+            sum(col("da") * col("da") + col("db") * col("db")).as("s2"))
+          .withColumn("num", expr("4 * m * sab - s1 * s1"))
+          .withColumn("den", expr("2 * m * s2 - s1 * s1"))
+          .withColumn("r", col("num").cast(DoubleType) /
+            col("den").cast(DoubleType))
+          .select("m", "s1", "sab", "s2", "num", "den", "r")
+      },
+      Some(s"""WITH $simhash64FpCte,
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |deg AS (
+             |  SELECT id, count(*) AS deg FROM (
+             |    SELECT a_id AS id FROM pairs
+             |    UNION ALL SELECT b_id FROM pairs) u
+             |  GROUP BY id),
+             |dd AS (
+             |  SELECT p.a_id, p.b_id, x.deg AS da, y.deg AS db
+             |  FROM pairs p
+             |    JOIN deg x ON p.a_id = x.id
+             |    JOIN deg y ON p.b_id = y.id),
+             |agg AS (
+             |  SELECT count(*) AS m,
+             |    CAST(sum(da + db) AS BIGINT) AS s1,
+             |    CAST(sum(da * db) AS BIGINT) AS sab,
+             |    CAST(sum(da * da + db * db) AS BIGINT) AS s2
+             |  FROM dd)
+             |SELECT m, s1, sab, s2,
+             |  4 * m * sab - s1 * s1 AS num,
+             |  2 * m * s2 - s1 * s1 AS den,
+             |  CAST(4 * m * sab - s1 * s1 AS DOUBLE)
+             |    / CAST(2 * m * s2 - s1 * s1 AS DOUBLE) AS r
+             |FROM agg""".stripMargin)),
+
     // RAND INDEX between the two persisted graph partitions — do the
     // exact connected components (q_dedup_cluster) and the heuristic
     // label-propagation communities (q_label_prop) agree on which

@@ -909,6 +909,46 @@ object CoreQueries {
              |GROUP BY g.event_type, g.vb
              |ORDER BY g.event_type, g.vb""".stripMargin)),
 
+    // DETERMINISTIC PSEUDONYMIZATION audit — the fourth privacy
+    // operator: replace user_id with a keyed md5 pseudonym that is
+    // STABLE (same id → same pseudonym, every table, every run — joins
+    // still work on masked data) and verify the two properties a
+    // masking deployment must prove: injectivity on the observed
+    // domain (distinct pseudonyms == distinct ids per class — a
+    // collision silently merges two users' histories) and coverage
+    // (no raw id survives). The salt is a pipeline constant; rotating
+    // it re-keys every table consistently. Scale shape: one map-side
+    // expression plus the same two-level class aggregate as the
+    // k-anonymity audit — the mask itself never shuffles anything.
+    Q("q_pseudonymize",
+      (s, d) => Tables.load(s, d, "events")
+        .withColumn("pseudo",
+          substring(md5(concat(lit("salt-v1:"),
+            col("user_id").cast("string"))), 1, 16))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("pseudo")).as("n_pseudo"),
+          max(when(col("pseudo").rlike("^[0-9]+$"), 1L).otherwise(0L))
+            .as("raw_id_leaked"))
+        .withColumn("injective",
+          (col("n_users") === col("n_pseudo")).cast("int").cast(LongType))
+        .orderBy("event_type"),
+      Some("""WITH p AS (
+             |  SELECT event_type, user_id,
+             |    substr(md5('salt-v1:' || CAST(user_id AS VARCHAR)),
+             |      1, 16) AS pseudo
+             |  FROM events)
+             |SELECT event_type, count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users,
+             |  count(DISTINCT pseudo) AS n_pseudo,
+             |  CAST(max(CASE WHEN regexp_matches(pseudo, '^[0-9]+$')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS raw_id_leaked,
+             |  CAST(CASE WHEN count(DISTINCT user_id)
+             |      = count(DISTINCT pseudo) THEN 1 ELSE 0 END AS BIGINT)
+             |    AS injective
+             |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ordered LISTAGG / string_agg surface: the reporting primitive
     // (sorted comma-joined group members). Spark lacks a native
     // ordered string_agg; the deterministic form is collect_list →

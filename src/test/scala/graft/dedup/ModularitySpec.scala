@@ -45,6 +45,27 @@ class ModularitySpec extends SparkSpec {
     assert(rand === (1000000L * (t2 - sa + sb)) / t2)
   }
 
+  test("q_assortativity: sufficient statistics self-consistent, |r| <= 1") {
+    val r = SparkEntry.queries("q_assortativity")(spark, sf001)
+      .collect().head
+    val (m, s1, sab, s2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (num, den, rr) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+    assert(num === 4 * m * sab - s1 * s1)
+    assert(den === 2 * m * s2 - s1 * s1)
+    // Cauchy-Schwarz on endpoint degrees: den >= 0; |r| <= 1
+    assert(den > 0)
+    assert(rr >= -1.0 - 1e-12 && rr <= 1.0 + 1e-12, s"r=$rr")
+    // Σ(da+db) over edges counts each node's degree once per incident
+    // edge: S1 = Σ_v deg(v)² — cross-check against the degree table
+    val e = SparkEntry.queries("q_dedup_simhash64")(spark, sf001)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+      .map(_._2.length.toLong)
+    assert(m === e.length.toLong)
+    assert(s1 === deg.map(x => x * x).sum)
+  }
+
   test("q_label_prop and q_modularity agree on the community partition") {
     val lp = SparkEntry.queries("q_label_prop")(spark, sf001).collect()
     val nodesPerCommunity = lp.groupBy(_.getLong(1)).map { case (c, rs) =>

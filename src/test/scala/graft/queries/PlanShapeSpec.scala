@@ -120,7 +120,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_modularity" -> "simhash_communities",
       // the Rand-index audit reads BOTH persisted partitions
       "q_partition_agreement" -> "simhash_clusters",
-      "q_dedup_lang_matrix" -> "simhash_pairs")
+      "q_dedup_lang_matrix" -> "simhash_pairs",
+      "q_assortativity" -> "simhash_pairs")
     for ((name, table) <- readers) {
       assert(plans(name).contains(table),
         s"$name does not scan the $table materialization:\n${plans(name)}")
