@@ -909,6 +909,56 @@ object CoreQueries {
              |GROUP BY g.event_type, g.vb
              |ORDER BY g.event_type, g.vb""".stripMargin)),
 
+    // BOUNDED-CONTRIBUTION aggregation — the differential-privacy
+    // PREP step (and the fifth privacy operator): before any DP noise
+    // can be calibrated, each user's contribution to every aggregate
+    // cell must be CLAMPED to a fixed cap, else one hyperactive user
+    // makes the sensitivity — and the noise — unbounded. Per (user,
+    // event_type) keep the C=3 earliest events (deterministic order:
+    // ts, then event_id), via the bounded-heap TopKPerGroupExec — the
+    // same plan that caps per-source quotas, never a full per-user
+    // sort. The output compares the clamped aggregate against the raw
+    // one: rows_dropped is exactly the sensitivity mass the cap
+    // removed. Scale: heap state is C entries per (user, type) group;
+    // everything downstream is class-sized.
+    Q("q_bounded_contribution",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), col("value"))
+        val capped = graft.plans.TopKPerGroup.topKPerGroup(ev,
+          Seq(col("user_id"), col("event_type")),
+          Seq(asc("ts"), asc("event_id")), 3)
+        val agg = capped.groupBy("event_type")
+          .agg(count(lit(1)).as("n_capped"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_capped"))
+        val raw = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n_raw"))
+        agg.join(raw, "event_type")
+          .withColumn("rows_dropped", col("n_raw") - col("n_capped"))
+          .select("event_type", "n_raw", "n_capped", "rows_dropped",
+            "sum_capped")
+          .orderBy("event_type")
+      },
+      Some("""WITH r AS (
+             |  SELECT event_type, user_id, value,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |c AS (
+             |  SELECT event_type, count(*) AS n_capped,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS sum_capped
+             |  FROM r WHERE rn <= 3 GROUP BY event_type),
+             |w AS (
+             |  SELECT event_type, count(*) AS n_raw
+             |  FROM events GROUP BY event_type)
+             |SELECT c.event_type, w.n_raw, c.n_capped,
+             |  w.n_raw - c.n_capped AS rows_dropped, c.sum_capped
+             |FROM c JOIN w USING (event_type)
+             |ORDER BY c.event_type""".stripMargin)),
+
     // DETERMINISTIC PSEUDONYMIZATION audit — the fourth privacy
     // operator: replace user_id with a keyed md5 pseudonym that is
     // STABLE (same id → same pseudonym, every table, every run — joins
