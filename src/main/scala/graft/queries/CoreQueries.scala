@@ -909,6 +909,51 @@ object CoreQueries {
              |GROUP BY g.event_type, g.vb
              |ORDER BY g.event_type, g.vb""".stripMargin)),
 
+    // RECENCY-DECAYED scoring — the feature-store aggregate ("how
+    // active was this user, weighted toward now") made exactly
+    // reproducible: the usual exp(-λ·age) is float-order-dependent,
+    // so the decay is a POWER-OF-2 half-life — weight = 2^-age_days
+    // (age from the corpus max ts, capped at 30) applied as an exact
+    // integer shift-divide on cent-scaled values. Every engine and
+    // every partitioning produces the identical score, which is what
+    // lets a daily feature job be diffed byte-for-byte against
+    // yesterday's. (Shift-divide relies on value >= 0 — true for this
+    // magnitude column; signed inputs would need floor-division on
+    // both sides since Spark's `div` truncates and DuckDB's floors.)
+    // Scale: one map-side expression + per-user hash
+    // aggregate; the corpus max ts rides a broadcast singleton, and
+    // the final per-user sum is a TakeOrdered top-15.
+    Q("q_decay_score",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val mx = broadcast(ev.agg(max(col("ts")).as("mx")))
+        ev.crossJoin(mx)
+          .withColumn("age", least(lit(30L),
+            datediff(to_date(col("mx")), to_date(col("ts")))
+              .cast(LongType)))
+          .withColumn("cents",
+            round(col("value") * 100).cast(LongType))
+          .withColumn("wv", expr("cents div shiftleft(1L, int(age))"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("wv")).as("decayed_cents"),
+            max(col("age")).as("oldest_age"))
+          .orderBy(desc("decayed_cents"), asc("user_id")).limit(15)
+      },
+      Some("""WITH mx AS (SELECT max(ts) AS mx FROM events),
+             |w AS (
+             |  SELECT user_id,
+             |    least(30, date_diff('day', CAST(e.ts AS DATE),
+             |      CAST(mx.mx AS DATE))) AS age,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events e CROSS JOIN mx)
+             |SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(cents // (1::BIGINT << age)) AS BIGINT)
+             |    AS decayed_cents,
+             |  CAST(max(age) AS BIGINT) AS oldest_age
+             |FROM w GROUP BY user_id
+             |ORDER BY decayed_cents DESC, user_id LIMIT 15""".stripMargin)),
+
     // BOUNDED-CONTRIBUTION aggregation — the differential-privacy
     // PREP step (and the fifth privacy operator): before any DP noise
     // can be calibrated, each user's contribution to every aggregate
