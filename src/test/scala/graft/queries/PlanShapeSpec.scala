@@ -47,8 +47,9 @@ class PlanShapeSpec extends SparkSpec {
     // S_b) in singleton crossJoins; q_lm_kneser_ney broadcasts the
     // 1-row bigram-type count B onto the vocabulary-sized model
     "q_modularity", "q_partition_agreement", "q_lm_kneser_ney",
-    // q_distinctive_terms broadcasts the 1-row (N, V) totals
-    "q_distinctive_terms")
+    // q_distinctive_terms broadcasts the 1-row (N, V) totals;
+    // q_decay_score broadcasts the 1-row corpus max-ts anchor
+    "q_distinctive_terms", "q_decay_score")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
