@@ -23,7 +23,13 @@ class ConfigInvarianceSpec extends SparkSpec {
     "q_deterministic_sample", // md5-bucket sampling
     "q_bm25",               // integer ranking + TakeOrdered
     "q_bootstrap_ci",       // md5-driven replicate weights
-    "q_quantiles")          // per-group exact order stats
+    "q_quantiles",          // per-group exact order stats
+    "q_asof_join",          // union + keyed window
+    "q_window_rank",        // rank/dense_rank surface
+    "q_t_closeness",        // class × domain grid + broadcasts
+    "q_kmeans",             // broadcast-argmax Lloyd round
+    "q_decay_score",        // shift-divide decay + TakeOrdered
+    "q_dedup_simhash64")    // persisted pair table read-back
 
   private def rows(name: String): Seq[Seq[Any]] =
     SparkEntry.queries(name)(spark, sf0001)
