@@ -70,6 +70,75 @@ object CoreQueries {
       dir
     })
 
+  /** The SCD2 versioned dimension (q_scd2_merge's history), shared
+    * with the point-in-time lookup q_pit_join: (c_custkey, segment,
+    * valid_from, valid_to, is_current). See q_scd2_merge's comment
+    * for the change-detection rules. */
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cur = Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val bucket = pmod(conv(substring(md5(col("c_custkey")
+      .cast(StringType)), 1, 8), 16, 10).cast(LongType), lit(100L))
+    val rot = when(col("c_mktsegment") === "BUILDING", "MACHINERY")
+      .when(col("c_mktsegment") === "MACHINERY", "AUTOMOBILE")
+      .when(col("c_mktsegment") === "AUTOMOBILE", "HOUSEHOLD")
+      .when(col("c_mktsegment") === "HOUSEHOLD", "FURNITURE")
+      .otherwise("BUILDING")
+    val upd = cur.filter(bucket < 20)
+      .select(col("c_custkey"),
+        when(bucket < 10, rot).otherwise(col("c_mktsegment"))
+          .as("segment"),
+        col("c_mktsegment"))
+      .filter(col("segment") =!= col("c_mktsegment")) // drop no-ops
+      .select(col("c_custkey"), col("segment"), lit(1L).as("version"))
+    val hist = cur
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        lit(0L).as("version"))
+      .unionByName(upd)
+    val w = Window.partitionBy("c_custkey").orderBy("version")
+    hist
+      .withColumn("valid_to", lead(col("version"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast(LongType))
+      .select(col("c_custkey"), col("segment"),
+        col("version").as("valid_from"), col("valid_to"),
+        col("is_current"))
+  }
+
+  /** The matching oracle CTE chain ending in hist2(c_custkey, segment,
+    * valid_from, valid_to, is_current). */
+  private val scd2OracleCtes: String =
+    """cur AS (SELECT c_custkey, c_mktsegment FROM customer),
+      |b AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 100 AS bucket,
+      |    CASE c_mktsegment
+      |      WHEN 'BUILDING' THEN 'MACHINERY'
+      |      WHEN 'MACHINERY' THEN 'AUTOMOBILE'
+      |      WHEN 'AUTOMOBILE' THEN 'HOUSEHOLD'
+      |      WHEN 'HOUSEHOLD' THEN 'FURNITURE'
+      |      ELSE 'BUILDING' END AS rot
+      |  FROM cur),
+      |upd AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN bucket < 10 THEN rot ELSE c_mktsegment END AS segment,
+      |    c_mktsegment
+      |  FROM b WHERE bucket < 20),
+      |hist AS (
+      |  SELECT c_custkey, c_mktsegment AS segment,
+      |    CAST(0 AS BIGINT) AS version FROM cur
+      |  UNION ALL
+      |  SELECT c_custkey, segment, CAST(1 AS BIGINT) AS version
+      |  FROM upd WHERE segment <> c_mktsegment),
+      |hist2 AS (
+      |  SELECT c_custkey, segment, version AS valid_from,
+      |    lead(version) OVER (PARTITION BY c_custkey ORDER BY version)
+      |      AS valid_to,
+      |    CAST(lead(version) OVER (PARTITION BY c_custkey ORDER BY version)
+      |      IS NULL AS BIGINT) AS is_current
+      |  FROM hist)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // S-scan + projection + predicate (pushed to parquet: check
@@ -2300,66 +2369,50 @@ object CoreQueries {
     // the dimension), and the window runs per key over <= 2 rows —
     // one hash shuffle on the dimension key, never a global sort.
     Q("q_scd2_merge",
+      (s, d) => scd2History(s, d).orderBy("c_custkey", "valid_from"),
+      Some(s"""WITH $scd2OracleCtes
+             |SELECT c_custkey, segment, valid_from, valid_to, is_current
+             |FROM hist2 ORDER BY c_custkey, valid_from""".stripMargin)),
+
+    // POINT-IN-TIME (PIT) LOOKUP against the SCD2 dimension — the
+    // warehouse temporal join q_asof_join's event-to-event form can't
+    // express: "which segment was this customer in AS OF version v?"
+    // resolved by equi-joining the fact's key and filtering the
+    // validity interval (valid_from <= v < valid_to, open-ended
+    // current rows). Orders are observed at BOTH versions, so a
+    // customer whose segment rotated contributes to different cells
+    // per observation — any off-by-one in the interval logic moves
+    // rows between cells and breaks the hash. Scale shape: the join
+    // is a HASH join on the dimension key (the validity predicate is
+    // a residual filter, never the join condition — no range-join
+    // machinery needed because the equi key carries the selectivity);
+    // the dimension holds <= 2 rows per key by construction.
+    Q("q_pit_join",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val cur = Tables.load(s, d, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))
-        val bucket = pmod(conv(substring(md5(col("c_custkey")
-          .cast(StringType)), 1, 8), 16, 10).cast(LongType), lit(100L))
-        val rot = when(col("c_mktsegment") === "BUILDING", "MACHINERY")
-          .when(col("c_mktsegment") === "MACHINERY", "AUTOMOBILE")
-          .when(col("c_mktsegment") === "AUTOMOBILE", "HOUSEHOLD")
-          .when(col("c_mktsegment") === "HOUSEHOLD", "FURNITURE")
-          .otherwise("BUILDING")
-        val upd = cur.filter(bucket < 20)
-          .select(col("c_custkey"),
-            when(bucket < 10, rot).otherwise(col("c_mktsegment"))
-              .as("segment"),
-            col("c_mktsegment"))
-          .filter(col("segment") =!= col("c_mktsegment")) // drop no-ops
-          .select(col("c_custkey"), col("segment"), lit(1L).as("version"))
-        val hist = cur
-          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
-            lit(0L).as("version"))
-          .unionByName(upd)
-        val w = Window.partitionBy("c_custkey").orderBy("version")
-        hist
-          .withColumn("valid_to", lead(col("version"), 1).over(w))
-          .withColumn("is_current", col("valid_to").isNull.cast(LongType))
-          .select(col("c_custkey"), col("segment"),
-            col("version").as("valid_from"), col("valid_to"),
-            col("is_current"))
-          .orderBy("c_custkey", "valid_from")
+        val dim = scd2History(s, d)
+        val obs = Tables.load(s, d, "orders")
+          .select(col("o_custkey"),
+            explode(array(lit(0L), lit(1L))).as("as_of"))
+        obs.join(dim, obs("o_custkey") === dim("c_custkey") &&
+            dim("valid_from") <= obs("as_of") &&
+            (dim("valid_to").isNull || dim("valid_to") > obs("as_of")))
+          .groupBy("as_of", "segment")
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_customers"))
+          .orderBy("as_of", "segment")
       },
-      Some("""WITH cur AS (SELECT c_custkey, c_mktsegment FROM customer),
-             |b AS (
-             |  SELECT c_custkey, c_mktsegment,
-             |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
-             |      AS BIGINT) % 100 AS bucket,
-             |    CASE c_mktsegment
-             |      WHEN 'BUILDING' THEN 'MACHINERY'
-             |      WHEN 'MACHINERY' THEN 'AUTOMOBILE'
-             |      WHEN 'AUTOMOBILE' THEN 'HOUSEHOLD'
-             |      WHEN 'HOUSEHOLD' THEN 'FURNITURE'
-             |      ELSE 'BUILDING' END AS rot
-             |  FROM cur),
-             |upd AS (
-             |  SELECT c_custkey,
-             |    CASE WHEN bucket < 10 THEN rot ELSE c_mktsegment END AS segment,
-             |    c_mktsegment
-             |  FROM b WHERE bucket < 20),
-             |hist AS (
-             |  SELECT c_custkey, c_mktsegment AS segment,
-             |    CAST(0 AS BIGINT) AS version FROM cur
-             |  UNION ALL
-             |  SELECT c_custkey, segment, CAST(1 AS BIGINT) AS version
-             |  FROM upd WHERE segment <> c_mktsegment)
-             |SELECT c_custkey, segment, version AS valid_from,
-             |  lead(version) OVER (PARTITION BY c_custkey ORDER BY version)
-             |    AS valid_to,
-             |  CAST(lead(version) OVER (PARTITION BY c_custkey ORDER BY version)
-             |    IS NULL AS BIGINT) AS is_current
-             |FROM hist ORDER BY c_custkey, valid_from""".stripMargin)),
+      Some(s"""WITH $scd2OracleCtes,
+             |obs AS (
+             |  SELECT o_custkey, unnest([CAST(0 AS BIGINT),
+             |    CAST(1 AS BIGINT)]) AS as_of
+             |  FROM orders)
+             |SELECT o.as_of, h.segment, count(*) AS n_orders,
+             |  count(DISTINCT o.o_custkey) AS n_customers
+             |FROM obs o JOIN hist2 h ON h.c_custkey = o.o_custkey
+             |  AND h.valid_from <= o.as_of
+             |  AND (h.valid_to IS NULL OR h.valid_to > o.as_of)
+             |GROUP BY o.as_of, h.segment
+             |ORDER BY o.as_of, h.segment""".stripMargin)),
 
     // COHORT RETENTION over the event stream — the product-analytics
     // staple: bucket users by the week of their first PURCHASE (the
