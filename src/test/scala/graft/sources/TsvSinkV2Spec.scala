@@ -156,6 +156,30 @@ class TsvSinkV2Spec extends SparkSpec {
     assert(!names.exists(_.startsWith("_staging")))
   }
 
+  test("streaming restart resumes from the checkpoint without duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val out = tmpDir()
+    val ckpt = tmpDir()
+    val in = MemoryStream[Long](spark, 1)
+    def runOnce(): Unit = {
+      val q = in.toDF().selectExpr("value AS v")
+        .writeStream.format("graft-tsv")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    in.addData(1L to 10L: _*)
+    runOnce()
+    // restart the QUERY (same checkpoint): already-committed batches
+    // must not re-land; only the new data may
+    in.addData(11L to 15L: _*)
+    runOnce()
+    val back = spark.read.format("graft-tsv").load(out)
+      .collect().map(_.getString(0).toLong).sorted.toSeq
+    assert(back === (1L to 15L))
+  }
+
   test("a replayed epoch promotes nothing (ledger idempotence)") {
     val out = tmpDir()
     val schema = StructType(Seq(StructField("v", LongType, false)))
