@@ -538,7 +538,8 @@ object CoreQueries {
              |        THEN n_chars END) AS hi
              |  FROM r GROUP BY source)
              |SELECT d.source, max(b.lo) AS lo, max(b.hi) AS hi,
-             |  sum(greatest(b.lo, least(b.hi, d.n_chars))) AS win_sum,
+             |  CAST(sum(greatest(b.lo, least(b.hi, d.n_chars)))
+             |    AS BIGINT) AS win_sum,
              |  count(*) AS n_docs
              |FROM documents d JOIN b ON d.source = b.source
              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
@@ -2223,8 +2224,10 @@ object CoreQueries {
              |      ROWS UNBOUNDED PRECEDING) AS ccb
              |  FROM c)
              |SELECT n_chars AS at_value,
-             |  abs(cca * n2 - ccb * n1) AS ks_num, n1, n2,
-             |  (10000 * abs(cca * n2 - ccb * n1)) // (n1 * n2) AS ks_bp
+             |  CAST(abs(cca * n2 - ccb * n1) AS BIGINT) AS ks_num,
+             |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             |  CAST((10000 * abs(cca * n2 - ccb * n1)) // (n1 * n2)
+             |    AS BIGINT) AS ks_bp
              |FROM k, s
              |ORDER BY ks_num DESC, n_chars LIMIT 1""".stripMargin)),
 
@@ -2531,10 +2534,12 @@ object CoreQueries {
     Q("q_group_ols",
       (s, d) => {
         val d18 = DecimalType(18, 0)
-        // one side of each product widened to (20,0): DuckDB executes
-        // (18,0)x(18,0) in the 64-bit physical type and overflows,
-        // while (20,0)x(18,0) runs in int128 — and the 38-digit result
-        // precision stays exact on both engines
+        // one side of each product widened to (20,0) so Spark's
+        // decimal multiply lands at DECIMAL(38,0) with exact 36-digit
+        // products; the ORACLE side computes the same cross-products
+        // in HUGEINT (int128 — version-stable, no widened-decimal
+        // multiply whose physical type differs across DuckDB
+        // releases) and casts once to DECIMAL(38,0)
         val d20 = DecimalType(20, 0)
         val e = Tables.load(s, d, "events")
           .select(col("event_type"),
@@ -2567,12 +2572,12 @@ object CoreQueries {
              |    CAST(sum(CAST(x * x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sxx
              |  FROM e GROUP BY event_type)
              |SELECT event_type, n,
-             |  CAST(CAST(n AS DECIMAL(20,0)) * sxy
-             |    - CAST(sx AS DECIMAL(20,0)) * sy AS DECIMAL(38,0))
-             |    AS slope_num,
-             |  CAST(CAST(n AS DECIMAL(20,0)) * sxx
-             |    - CAST(sx AS DECIMAL(20,0)) * sx AS DECIMAL(38,0))
-             |    AS slope_den
+             |  CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+             |    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
+             |    AS DECIMAL(38,0)) AS slope_num,
+             |  CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+             |    - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+             |    AS DECIMAL(38,0)) AS slope_den
              |FROM m ORDER BY event_type""".stripMargin)),
 
     // TOP SESSION PATHS — sequence mining one level up from the

@@ -36,18 +36,32 @@ import org.apache.spark.unsafe.types.UTF8String
   *    messages reach the driver;
   *  - `BatchWrite.commit()` (driver, once, after every task succeeded)
   *    promotes exactly the files named in the messages to
-  *    `part-NNNNN.tsv`, writes a `_SUCCESS` manifest with the total
-  *    row count, and removes staging — readers never observe a partial
-  *    write (the same visibility contract as the CoW manifest commit);
+  *    `part-<queryId>-NNNNN.tsv` — names are UNIQUE PER JOB, so an
+  *    append never collides with a previous generation's files — then
+  *    switches visibility with ONE atomic write: a new
+  *    `_manifest-<gen>` (rename of a fully-written temp to a name that
+  *    does not yet exist — atomic on POSIX and HDFS alike) listing
+  *    exactly the visible files and their total row count. Readers
+  *    resolve the HIGHEST generation manifest, so a crash anywhere
+  *    before the manifest rename leaves the previous generation fully
+  *    visible, and a crash anywhere after it leaves the new one —
+  *    no reader ever observes a partial write. Stale part files, older
+  *    manifests, `_SUCCESS` (kept as an advisory row-count marker; the
+  *    manifest is the visibility authority) and staging are cleaned
+  *    AFTER the switch;
   *  - `BatchWrite.abort()` deletes the staging dir — a failed query
-  *    leaves the target exactly as it was (with `truncate()`, the old
-  *    files are removed inside commit, AFTER the new files are staged).
+  *    leaves the target exactly as it was. Every promote-rename is
+  *    `require`-checked: a filesystem that reports rename failure by
+  *    returning false (HDFS onto an existing destination, a vanished
+  *    source) fails the job instead of fabricating a success.
   *
   * Read-back infers an all-string `c0..cn` schema from the first data
   * line (the tab-text convention has no header) and plans one
-  * partition per part file — the files were sized by the writing
+  * partition per visible file — the files were sized by the writing
   * query's partitioning; in-file line splitting would buy nothing the
   * upstream `spark.sql.files.maxPartitionBytes` didn't already decide.
+  * Directories with no manifest (a streaming target, a hand-built
+  * dir) fall back to listing `part-*`.
   */
 class TsvSinkV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-tsv"
@@ -62,7 +76,7 @@ class TsvSinkV2 extends TableProvider with DataSourceRegister {
 }
 
 object TsvSinkV2 {
-  /** All-string c0..cn schema from the first line of the first part
+  /** All-string c0..cn schema from the first line of the first visible
     * file; a single zero-column schema for an empty/missing target
     * (a write-only use never reads it). */
   private[sources] def inferFrom(path: String): StructType = {
@@ -72,7 +86,7 @@ object TsvSinkV2 {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // an empty-partition task legitimately commits a zero-byte part
     // file — walk the parts until a data line appears
-    val n = listParts(fs, p).iterator.map { f =>
+    val n = visibleFiles(fs, p).iterator.map { f =>
       val in = fs.open(f)
       try new java.io.BufferedReader(
         new java.io.InputStreamReader(in, "UTF-8")).readLine()
@@ -88,6 +102,40 @@ object TsvSinkV2 {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+
+  private[sources] val ManifestName = "_manifest-(\\d+)".r
+
+  /** (generation, manifestPath) of the highest-numbered manifest, if
+    * any — the batch commit's visibility authority. */
+  private[sources] def currentManifest(fs: FileSystem,
+                                       dir: Path): Option[(Long, Path)] =
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+      p.getName match {
+        case ManifestName(g) => Some((g.toLong, p))
+        case _ => None
+      }
+    }.sortBy(_._1).lastOption
+
+  /** (total row count, visible file names) recorded by a manifest:
+    * first line the count, one file name per following line. */
+  private[sources] def readManifest(fs: FileSystem,
+                                    m: Path): (Long, Seq[String]) = {
+    val in = fs.open(m)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    (lines.head.toLong, lines.tail.filter(_.nonEmpty))
+  }
+
+  /** The files a reader must see: the highest manifest's list when one
+    * exists (batch commits), else every `part-*` in the directory
+    * (streaming targets and hand-built dirs have no manifest). */
+  private[sources] def visibleFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    currentManifest(fs, dir) match {
+      case Some((_, m)) => readManifest(fs, m)._2.map(new Path(dir, _))
+      case None => listParts(fs, dir)
+    }
 }
 
 private[sources] class TsvTable(userSchema: StructType,
@@ -130,10 +178,15 @@ private[sources] class TsvWriteBuilder(path: String, info: LogicalWriteInfo)
   * [[graft.streaming.StreamingPipelines]] — same idea, now behind the
   * standard API): each epoch stages under
   * `_staging-<queryId>/epoch-<id>/`, `commit(epoch, msgs)` promotes
-  * the winners to `part-<epoch>-NNNNN.tsv` and APPENDS the epoch id to
-  * the `_epochs` ledger FIRST — a replayed epoch (failure between
-  * commit and checkpoint advance) finds its id in the ledger and
-  * discards its staged files instead of promoting duplicates. */
+  * the winners to `part-<epoch>-NNNNN.tsv` and then RECORDS the epoch
+  * in the `_epochs` ledger — a replayed epoch (failure between commit
+  * and checkpoint advance) finds its id in the ledger and discards its
+  * staged files instead of promoting duplicates. The ledger is a
+  * DIRECTORY of per-epoch marker files (`_epochs/e-<id>`): recording
+  * an epoch creates one new empty file and never rewrites prior
+  * state, so no crash window can truncate the committed-epoch history
+  * (a single rewritten ledger file would forget every prior epoch if
+  * the writer died between create and close). */
 private[sources] class TsvStreamingWrite(path: String, schema: StructType,
                                          queryId: String,
                                          conf: SerializableHadoopConf)
@@ -155,15 +208,13 @@ private[sources] class TsvStreamingWrite(path: String, schema: StructType,
     new TsvStreamingWriterFactory(path, s"$path/_staging-$queryId",
       schema, conf)
 
+  private def ledgerDir = new Path(path, "_epochs")
+
   private def committedEpochs(fs: FileSystem): Set[Long] = {
-    val ledger = new Path(path, "_epochs")
-    if (!fs.exists(ledger)) Set.empty
-    else {
-      val in = fs.open(ledger)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).map(_.toLong).toSet
-      finally in.close()
-    }
+    if (!fs.exists(ledgerDir)) Set.empty
+    else fs.listStatus(ledgerDir).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("e-") => n.drop(2).toLong
+    }.toSet
   }
 
   override def commit(epochId: Long,
@@ -178,18 +229,21 @@ private[sources] class TsvStreamingWrite(path: String, schema: StructType,
     }
     messages.zipWithIndex.foreach { case (m, i) =>
       val c = m.asInstanceOf[TsvCommit]
-      fs.rename(new Path(c.stagedFile),
-        new Path(dir, f"part-$epochId-$i%05d.tsv"))
+      val dst = new Path(dir, f"part-$epochId-$i%05d.tsv")
+      // a crash mid-promote replays the epoch before it was recorded:
+      // the same epoch id re-stages the same logical data, so an
+      // already-promoted destination is this epoch's own partial
+      // attempt — replace it (HDFS rename returns false onto an
+      // existing destination; POSIX would overwrite silently)
+      if (fs.exists(dst))
+        require(fs.delete(dst, false), s"stale replace failed: $dst")
+      require(fs.rename(new Path(c.stagedFile), dst),
+        s"promote failed: ${c.stagedFile} -> $dst")
     }
-    // ledger append AFTER the renames: a crash mid-promote replays the
-    // epoch, the renames are idempotent per staged file, and only a
-    // fully-promoted epoch is recorded
-    val ledger = new Path(path, "_epochs")
-    val prev = committedEpochs(fs)
-    val out = fs.create(ledger, true)
-    out.write(((prev + epochId).toSeq.sorted.mkString("\n") + "\n")
-      .getBytes("UTF-8"))
-    out.close()
+    // ledger record AFTER the renames: only a fully-promoted epoch is
+    // recorded; creating the marker touches no prior epoch's state
+    fs.mkdirs(ledgerDir)
+    fs.create(new Path(ledgerDir, s"e-$epochId"), true).close()
     dropStaging(fs, epochId)
   }
 
@@ -229,25 +283,69 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
-    // 1) new data is fully staged at this point; for overwrite, clear
-    //    the PREVIOUS generation now (crash before this line leaves
-    //    the old table intact; crash after leaves a clean target the
-    //    promote below completes on driver retry)
-    if (truncateFirst)
-      TsvSinkV2.listParts(fs, dir).foreach(fs.delete(_, false))
-    // 2) promote exactly the committed task files — losers of
-    //    speculative races are not in `messages` and stay in staging
-    //    until the cleanup in (4)
-    var total = 0L
-    messages.zipWithIndex.foreach { case (m, i) =>
+    val preExisting = TsvSinkV2.listParts(fs, dir).map(_.getName)
+    // 1) promote the committed task files FIRST (losers of speculative
+    //    races are not in `messages` and stay in staging until (4)),
+    //    under names UNIQUE TO THIS JOB — an append cannot collide
+    //    with a previous generation, and the old generation remains
+    //    fully intact and visible until the switch in (2). Every
+    //    rename is require-checked: HDFS reports failure by returning
+    //    false, which must fail the job, not fabricate a success.
+    var batchRows = 0L
+    val newNames = messages.zipWithIndex.map { case (m, i) =>
       val c = m.asInstanceOf[TsvCommit]
-      fs.rename(new Path(c.stagedFile), new Path(dir, f"part-$i%05d.tsv"))
-      total += c.rows
-    }
-    // 3) visibility marker with the row count (the _SUCCESS contract)
+      val dst = new Path(dir, f"part-$queryId-$i%05d.tsv")
+      require(fs.rename(new Path(c.stagedFile), dst),
+        s"promote failed: ${c.stagedFile} -> $dst")
+      batchRows += c.rows
+      dst.getName
+    }.toSeq
+    // 2) visibility switch: ONE atomic rename of a fully-written temp
+    //    to the NEXT-generation manifest name (which does not exist
+    //    yet — rename-to-fresh-name is atomic on POSIX and HDFS).
+    //    Readers resolve the highest generation, so this rename is the
+    //    only instant at which the visible file set changes: a crash
+    //    before it leaves the previous generation visible, after it
+    //    the new one. For a manifest-less append target (a legacy or
+    //    streaming-written dir) the pre-existing part files are
+    //    carried into the first manifest; their row count is unknown
+    //    (best-effort 0) — the FILE LIST is the authority, the count
+    //    advisory.
+    val prev = TsvSinkV2.currentManifest(fs, dir)
+    val (visible, total) =
+      if (truncateFirst) (newNames, batchRows)
+      else prev match {
+        case Some((_, m)) =>
+          val (prevRows, prevFiles) = TsvSinkV2.readManifest(fs, m)
+          (prevFiles ++ newNames, prevRows + batchRows)
+        case None => (preExisting ++ newNames, batchRows)
+      }
+    val gen = prev.map(_._1 + 1).getOrElse(0L)
+    val tmp = new Path(stagingDir, "manifest.tmp")
+    val mout = fs.create(tmp, true)
+    mout.write((total.toString +: visible)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    mout.close()
+    val manifest = new Path(dir, f"_manifest-$gen%010d")
+    require(fs.rename(tmp, manifest),
+      s"manifest switch failed: $tmp -> $manifest")
+    // 3) post-switch housekeeping, all crash-safe to skip (the next
+    //    commit collects the same garbage): advisory _SUCCESS marker,
+    //    stale part files of older generations, older manifests
     val out = fs.create(new Path(dir, "_SUCCESS"), true)
     out.write(s"$total\n".getBytes("UTF-8"))
     out.close()
+    val keep = visible.toSet
+    TsvSinkV2.listParts(fs, dir)
+      .filterNot(p => keep.contains(p.getName))
+      .foreach(fs.delete(_, false))
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      p.getName match {
+        case TsvSinkV2.ManifestName(g) if g.toLong < gen =>
+          fs.delete(p, false)
+        case _ => ()
+      }
+    }
     // 4) drop staging (and any orphaned loser files inside it)
     fs.delete(stagingDir, true)
   }
@@ -286,6 +384,14 @@ private[sources] class TsvDataWriter(file: Path, schema: StructType,
       case IntegerType => row.getInt(i).toString
       case DoubleType => row.getDouble(i).toString
       case BooleanType => row.getBoolean(i).toString
+      // temporal internals are raw Long micros / Int days — a bare
+      // toString would emit meaningless integers; format the logical
+      // value (UTC instant / ISO date) like the csv sink does
+      case org.apache.spark.sql.types.TimestampType =>
+        java.time.Instant.EPOCH.plus(row.getLong(i),
+          java.time.temporal.ChronoUnit.MICROS).toString
+      case org.apache.spark.sql.types.DateType =>
+        java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
       case other => row.get(i, other).toString
     }
 
@@ -426,7 +532,7 @@ private[sources] class TsvScan(path: String, schema: StructType,
     val p = new Path(path)
     val fs = p.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    TsvSinkV2.listParts(fs, p)
+    TsvSinkV2.visibleFiles(fs, p)
       .map(f => TsvFilePartition(f.toString): InputPartition).toArray
   }
 

@@ -64,8 +64,8 @@ object TextQueries {
           .select(col("doc_id"),
             regexp_replace(col("text"), "e", "é").as("raw"))
           .select(col("doc_id"),
-            length(col("raw")).as("n_raw"),
-            length(nfc_norm(col("raw"))).as("n_nfc"),
+            length(col("raw")).cast(LongType).as("n_raw"),
+            length(nfc_norm(col("raw"))).cast(LongType).as("n_nfc"),
             md5(nfc_norm(col("raw"))).as("fp"))
           .orderBy("doc_id")
       },
@@ -2266,8 +2266,9 @@ object TextQueries {
              |      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
              |    sum(n_tokens) OVER (PARTITION BY source) AS total_tokens
              |  FROM d)
-             |SELECT source, doc_id, n_chars, n_tokens, cum_tokens,
-             |  total_tokens
+             |SELECT source, doc_id, n_chars, n_tokens,
+             |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             |  CAST(total_tokens AS BIGINT) AS total_tokens
              |FROM c
              |WHERE (cum_tokens - n_tokens) * 10 < total_tokens * 3
              |ORDER BY source, cum_tokens""".stripMargin)),

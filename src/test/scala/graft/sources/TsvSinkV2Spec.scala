@@ -52,6 +52,49 @@ class TsvSinkV2Spec extends SparkSpec {
       .head.getLong(0) === 0 + 7 + 14)
   }
 
+  test("append accumulates generations without filename collisions") {
+    val out = tmpDir()
+    spark.range(10).select(col("id"))
+      .write.format("graft-tsv").mode("overwrite").save(out)
+    spark.range(100, 103).select(col("id"))
+      .write.format("graft-tsv").mode("append").save(out)
+    val back = spark.read.format("graft-tsv").load(out)
+      .collect().map(_.getString(0).toLong).sorted.toSeq
+    assert(back === ((0L to 9L) ++ (100L to 102L)))
+    // _SUCCESS records the CUMULATIVE visible count after an append
+    val recorded = scala.io.Source.fromFile(s"$out/_SUCCESS").mkString.trim
+    assert(recorded === "13")
+    // both generations' files coexist — job-unique names, no clobber
+    val parts = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(parts.length >= 2 && parts.distinct.length === parts.length)
+  }
+
+  test("the manifest is the visibility authority: orphans stay invisible") {
+    val out = tmpDir()
+    spark.range(4).select(col("id"))
+      .write.format("graft-tsv").mode("overwrite").save(out)
+    // a crashed job's promoted-but-never-manifested file
+    val orphan = new java.io.FileWriter(s"$out/part-orphan-00000.tsv")
+    orphan.write("999\n"); orphan.close()
+    assert(spark.read.format("graft-tsv").load(out).count() === 4)
+    // the next commit garbage-collects it
+    spark.range(2).select(col("id"))
+      .write.format("graft-tsv").mode("overwrite").save(out)
+    assert(!new java.io.File(s"$out/part-orphan-00000.tsv").exists())
+    assert(spark.read.format("graft-tsv").load(out).count() === 2)
+  }
+
+  test("timestamp and date cells serialize as logical values, not internals") {
+    val out = tmpDir()
+    spark.sql("""SELECT TIMESTAMP'2024-03-05 06:07:08.25' AS ts,
+                 DATE'2024-03-05' AS d""")
+      .write.format("graft-tsv").mode("overwrite").save(out)
+    val row = spark.read.format("graft-tsv").load(out).collect().head
+    assert(row.getString(0) === "2024-03-05T06:07:08.250Z")
+    assert(row.getString(1) === "2024-03-05")
+  }
+
   test("nulls and tab-free strings survive; empty cells read back null-safe") {
     val out = tmpDir()
     val schema = StructType(Seq(StructField("a", StringType, true),

@@ -43,6 +43,19 @@ def main(sf_dir, out_dir):
         if g_cols != e_cols:
             failures.append((name, f"columns differ: {g_cols} vs {e_cols}"))
             continue
+        # Arrow TYPE equality per column — the driver's hash is typed,
+        # so a DuckDB HUGEINT (decimal128) vs Spark int64 mismatch is a
+        # driver-red even when every value compares equal in Python.
+        type_diffs = []
+        for c in g_cols:
+            gt = got.schema.field(c).type
+            et = exp.schema.field(c).type
+            if gt != et:
+                type_diffs.append(f"{c}: spark={gt} duckdb={et}")
+        if type_diffs:
+            failures.append((name, "arrow types differ: "
+                             + "; ".join(type_diffs)))
+            continue
         if got.num_rows != exp.num_rows:
             failures.append(
                 (name, f"row count {got.num_rows} vs {exp.num_rows}"))
