@@ -66,16 +66,26 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // ALSO land the complete metric JSON on disk: the driver captures a
+    // land the complete metric JSON on disk: the driver captures a
     // bounded log TAIL, and a 60+-query map printed as one line has
-    // been cut mid-JSON two rounds running (BENCH_r06/r07 "parsed:
-    // null"). A file survives truncation; stdout stays the contract.
+    // been cut mid-JSON repeatedly (BENCH_r06..r09 "parsed: null").
+    // A file survives truncation; stdout stays the contract.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // and make the LAST stdout line a compact same-schema JSON (values
+    // rounded to ms) — ~2.5x shorter than the full-precision line, so
+    // a bounded tail capture that would cut the long line mid-JSON
+    // still holds one complete parseable line at the very end
+    def r3(v: Double): String =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,22 @@ object CoreQueries {
       graft.sources.ManifestPrune.cowMerge(s, root, updates, inserts, "v2")._2
     })
 
+  /** q_dv_delete's (manifest, dv) pair, built ONCE per (session, sf
+    * dir): layout + one merge-on-read delete of a deterministic key
+    * set — no data file is touched (DvDeleteSpec pins that). */
+  private val dvCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+
+  private[graft] def dvDeletedVersion(s: SparkSession,
+                                      d: String): (String, String) =
+    dvCache.computeIfAbsent((s, d), { _ =>
+      val root = graft.sources.ManifestPrune.ensureLayout(s, d)
+      val deletes = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 7 === 3).select("doc_id")
+      graft.sources.ManifestPrune.dvDeleteFrom(s, root,
+        s"$root/manifest", None, deletes, "dv1")
+    })
+
   /** q_dpp_join's hive-partitioned events layout (partition column =
     * event_type), written once per (session, sf dir). */
   private val dppCache = new java.util.concurrent.ConcurrentHashMap[
@@ -1204,6 +1220,34 @@ object CoreQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
              |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // MERGE-ON-READ DELETE via DELETION VECTORS
+    // (ManifestPrune.dvDeleteFrom) — the lazy complement of
+    // q_cow_merge's eager rewrite: deleting every doc_id ≡ 3 (mod 7)
+    // touches NO data file; the rows' (file, row_index) positions land
+    // in a sidecar and the read path hides them with a positional
+    // anti-join. The aggregate runs over the DV-applied reader and
+    // the oracle replays the delete arithmetically on the original
+    // table — the hash match proves the position planning and the
+    // read-time anti-join hide exactly the doomed rows and nothing
+    // else. DvDeleteSpec pins the file-level contract (zero data
+    // files rewritten, byte-identical layout, DV accumulation across
+    // versions, live-count arithmetic).
+    Q("q_dv_delete",
+      (s, d) => {
+        val (mf, dv) = dvDeletedVersion(s, d)
+        graft.sources.ManifestPrune.readVersionWithDv(s, mf, Some(dv))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents WHERE doc_id % 7 <> 3
+             |GROUP BY source ORDER BY source""".stripMargin)),
 
     // COLUMN BACKFILL over the evolved layout — the job the
     // q_schema_evolution monitor exists to track: generation-1 rows

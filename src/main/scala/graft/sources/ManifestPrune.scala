@@ -136,10 +136,11 @@ object ManifestPrune {
   def cowMergeFrom(s: SparkSession, root: String, baseManifest: String,
                    updates: DataFrame, inserts: DataFrame,
                    version: String,
-                   deletes: Option[DataFrame] = None): (String, String) = {
+                   deletes: Option[DataFrame] = None,
+                   baseDv: Option[String] = None): (String, String) = {
     val dataV2 = s"$root/data_$version"
     val mfV2 = s"$root/manifest_$version"
-    val table = readVersion(s, baseManifest)
+    val table = readVersionWithDv(s, baseManifest, baseDv)
     // 1. plan: which files hold a matched key? (driver-held, file-grain)
     val touchedKeys = deletes match {
       case Some(del) => updates.select("doc_id")
@@ -151,10 +152,11 @@ object ManifestPrune {
       .join(touchedKeys, "doc_id")
       .select("file").distinct().collect().map(_.getString(0))
     // 2. rewrite hit files with updates applied and deletes dropped,
-    //    then append inserts
+    //    then append inserts; rows the base version's deletion
+    //    vectors already hide must not be resurrected by the rewrite
     val hit =
       if (hitFiles.isEmpty) table.limit(0)
-      else s.read.parquet(hitFiles.toIndexedSeq: _*)
+      else applyDv(s, s.read.parquet(hitFiles.toIndexedSeq: _*), baseDv)
     val afterDelete = deletes match {
       case Some(del) => hit.join(del.select("doc_id"), Seq("doc_id"),
         "left_anti")
@@ -169,7 +171,11 @@ object ManifestPrune {
       .write.mode("overwrite").parquet(dataV2)
     // 3. commit: new manifest = untouched old rows + fresh v2 stats
     // (both sides carry _metadata.file_path URIs, so plain equality
-    // works; an empty hit list keeps every old row)
+    // works; an empty hit list keeps every old row). Base DV entries
+    // for UNTOUCHED files carry forward into this version's DV
+    // sidecar; entries for rewritten files are dropped — the rewrite
+    // materialized those deletes (the Iceberg rewrite-drops-its-
+    // position-deletes rule).
     val untouched = s.read.parquet(baseManifest)
       .filter(if (hitFiles.isEmpty) lit(true)
         else !col("file").isInCollection(hitFiles.toIndexedSeq))
@@ -180,7 +186,98 @@ object ManifestPrune {
         max(col("n_chars")).as("max_key"),
         count(lit(1)).as("n_rows"))
     untouched.unionByName(v2Stats).write.mode("overwrite").parquet(mfV2)
+    baseDv.foreach { dv =>
+      val carried = s.read.parquet(dv)
+        .filter(if (hitFiles.isEmpty) lit(true)
+          else !col("file").isInCollection(hitFiles.toIndexedSeq))
+      if (carried.limit(1).count() > 0)
+        carried.write.mode("overwrite").parquet(s"$root/dv_$version")
+    }
     (dataV2, mfV2)
+  }
+
+  // ------------------------------------------------ deletion vectors
+
+  /** MERGE-ON-READ DELETE via positional DELETION VECTORS — the lazy
+    * complement of [[cowMergeFrom]]'s eager row rewrite: a DELETE
+    * touches NO data file. Instead the deleted rows' positions are
+    * recorded in a sidecar table of `(file, pos)` rows (pos =
+    * `_metadata.row_index`, the row's ordinal inside its parquet
+    * file — stable for an immutable file), and the read path hides
+    * them with a positional anti-join ([[readVersionWithDv]]).
+    *
+    * Why this matters at 100 TB: frequent small deletes (GDPR erasure
+    * over a petabyte corpus) under copy-on-write rewrite ~every file
+    * over time; under deletion vectors each delete costs one
+    * distributed position-planning join + a sidecar write
+    * proportional to the DELETED rows, and the data files are never
+    * touched until a compaction or CoW merge materializes the
+    * deletes (a rewrite drops the rewritten files' DV entries). The
+    * sidecar accumulates: version N's DV dir holds ALL positions
+    * hidden as of N (base DVs ∪ this delete), so a reader needs only
+    * its own version's sidecar, never the chain.
+    *
+    * Returns (manifestDir, dvDir) for the new version; the manifest
+    * is a copy of the base (same file list, same stats — `n_rows`
+    * stays the PHYSICAL count, live = n_rows − dv hits, as in
+    * Iceberg). */
+  def dvDeleteFrom(s: SparkSession, root: String, baseManifest: String,
+                   baseDv: Option[String], deletes: DataFrame,
+                   version: String): (String, String) = {
+    val mfV = s"$root/manifest_$version"
+    val dvV = s"$root/dv_$version"
+    // plan: positions of doomed rows, a distributed join on the key —
+    // never a driver-side row list (only FILES are ever driver-held
+    // in this layer, and a DV delete holds none at all)
+    val doomed = readVersionWithDv(s, baseManifest, baseDv)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"), col("doc_id"))
+      .join(deletes.select("doc_id"), "doc_id")
+      .select("file", "pos")
+    val merged = baseDv match {
+      case Some(dv) => s.read.parquet(dv).unionByName(doomed).distinct()
+      case None => doomed.distinct()
+    }
+    merged.write.mode("overwrite").parquet(dvV)
+    // manifest: identical file list — the no-rewrite contract
+    s.read.parquet(baseManifest).write.mode("overwrite").parquet(mfV)
+    (mfV, dvV)
+  }
+
+  /** Hide DV-recorded positions: positional anti-join on
+    * (file, row_index). The DV side is sized by deleted rows, the
+    * join key is uniform (file path × ordinal), and the scan side
+    * needs no sort — this is a plain shuffled anti-join at any
+    * scale (broadcast when the sidecar is small enough for AQE to
+    * notice). */
+  private def applyDv(s: SparkSession, data: DataFrame,
+                      dvDir: Option[String]): DataFrame = dvDir match {
+    case None => data
+    case Some(dv) =>
+      data
+        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(s.read.parquet(dv),
+          col("__file") === col("file") && col("__pos") === col("pos"),
+          "left_anti")
+        .drop("__file", "__pos")
+  }
+
+  /** [[readVersion]] with a deletion-vector sidecar applied. */
+  def readVersionWithDv(s: SparkSession, manifestDir: String,
+                        dvDir: Option[String]): DataFrame =
+    applyDv(s, readVersion(s, manifestDir), dvDir)
+
+  /** Live row count under a DV sidecar without touching data files:
+    * manifest physical counts minus DV hits — the planner-side
+    * arithmetic a DV design buys (Iceberg's `live = n_rows −
+    * position_deletes`). */
+  def liveRowCount(s: SparkSession, manifestDir: String,
+                   dvDir: Option[String]): Long = {
+    val physical = s.read.parquet(manifestDir)
+      .agg(sum(col("n_rows"))).collect().head.getLong(0)
+    val hidden = dvDir.map(dv => s.read.parquet(dv).count()).getOrElse(0L)
+    physical - hidden
   }
 
   /** OPTIMISTIC CONCURRENCY for the swap-by-path commit — the ACID
@@ -210,17 +307,49 @@ object ManifestPrune {
   def manifestOf(root: String, version: Long): String =
     if (version == 0L) s"$root/manifest" else s"$root/manifest_c$version"
 
+  /** DV sidecar dir of a committed version, when one exists (version
+    * 0 and purely-CoW versions have none). */
+  def dvOf(root: String, version: Long): Option[String] = {
+    val p = s"$root/dv_c$version"
+    if (version > 0L && new java.io.File(p).isDirectory) Some(p) else None
+  }
+
+  /** Read the table at a committed version, deletion vectors
+    * applied — the one entry point that is correct whether the
+    * version chain contains CoW merges, DV deletes, or both. */
+  def readCommitted(s: SparkSession, root: String,
+                    version: Long): DataFrame =
+    readVersionWithDv(s, manifestOf(root, version), dvOf(root, version))
+
   /** [[cowMerge]] under the commit protocol: merges against the
-    * CURRENT committed version and publishes the next one atomically.
-    * Throws ConcurrentModificationException if another writer
-    * committed first (caller retries against the new base). Returns
-    * the committed version number. */
+    * CURRENT committed version (deletion vectors applied and carried
+    * forward for untouched files) and publishes the next one
+    * atomically. Throws ConcurrentModificationException if another
+    * writer committed first (caller retries against the new base).
+    * Returns the committed version number. */
   def cowMergeCommit(s: SparkSession, root: String, updates: DataFrame,
                      inserts: DataFrame): Long = {
     val base = currentVersion(s, root)
     val next = base + 1
     cowMergeFrom(s, root, manifestOf(root, base), updates, inserts,
-      s"c$next")
+      s"c$next", baseDv = dvOf(root, base))
+    if (!tryCommit(root, next))
+      throw new java.util.ConcurrentModificationException(
+        s"version $next already committed by another writer " +
+          s"(base was $base); re-plan against the new base")
+    next
+  }
+
+  /** [[dvDeleteFrom]] under the commit protocol: records the delete
+    * against the CURRENT committed version and publishes the next one
+    * through the same CAS marker — merge-on-read and copy-on-write
+    * commits interleave freely on one version chain. */
+  def dvDeleteCommit(s: SparkSession, root: String,
+                     deletes: DataFrame): Long = {
+    val base = currentVersion(s, root)
+    val next = base + 1
+    dvDeleteFrom(s, root, manifestOf(root, base), dvOf(root, base),
+      deletes, s"c$next")
     if (!tryCommit(root, next))
       throw new java.util.ConcurrentModificationException(
         s"version $next already committed by another writer " +
