@@ -257,6 +257,40 @@ object MultimodalQueries {
              |CAST(4 AS BIGINT) AS n_segments
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // REAL VIDEO CONTAINER parse through the same seam (Mp4Codec):
+    // ISO-BMFF is a recursive box TREE — the fourth structural family
+    // after PNG's flat BE chunks, WAV's flat LE RIFF, and JPEG's
+    // marker stream — so the walker is a recursive descent honoring
+    // the u64-largesize and to-end-of-file size encodings. Every
+    // container-level field a video indexer needs (brand, movie
+    // timescale/duration, track count, 16.16 track geometry, handler
+    // type, mdat size, box census) is parsed from the tree and
+    // recomputed independently by the oracle from the doc columns —
+    // a wrong box size, offset, or fixed-point shift in writer OR
+    // parser breaks the hash. Completes the modality set on real
+    // formats: image, audio, video.
+    Q("q_multimodal_mp4",
+      (s, d) => {
+        import s.implicits._
+        val mp4s = Mp4Codec.syntheticMp4s(Tables.load(s, d, "documents"))
+          .as[Mp4Codec.Mp4Row]
+        Mp4Codec.decode(mp4s).toDF()
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'isom' AS brand,
+             |CAST(1000 + (doc_id % 5) * 200 AS BIGINT) AS timescale,
+             |CAST(n_chars * 40 AS BIGINT) AS duration,
+             |(n_chars * 40 * 1000) // (1000 + (doc_id % 5) * 200)
+             |  AS duration_ms,
+             |CAST(1 AS BIGINT) AS n_tracks,
+             |CAST(n_chars % 640 + 16 AS BIGINT) AS width,
+             |CAST(n_chars % 360 + 9 AS BIGINT) AS height,
+             |CASE WHEN doc_id % 2 = 0 THEN 'vide' ELSE 'soun' END
+             |  AS handler,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS mdat_bytes,
+             |CAST(9 AS BIGINT) AS n_boxes
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // video-style FRAME SAMPLING over an opaque payload: the payload is
     // a sequence of fixed-size 16-byte frames; sample every 4th frame
     // and emit per-frame metadata (offset, content hash, head byte).
