@@ -62,6 +62,17 @@ object DedupQueries {
   private def matDir(kind: String, s: org.apache.spark.sql.SparkSession,
                      d: String): String = Tables.matDir(kind, s, d)
 
+  /** Output-layout knob for the persisted dedup stages: files sized
+    * to ~2M rows each. At battery scale every stage lands in ONE
+    * compact file (hashes unchanged vs the old repartition(1)); at
+    * 10⁹ docs the banding design keeps pair mass O(N), so the pair
+    * table writes ~N/2M files instead of funneling a corpus-sized
+    * result through a single task — the knob the r9 review called
+    * out. An empty result still writes one file (schema preserved). */
+  private val RowsPerFile = 2L * 1000 * 1000
+  private def compactFiles(rowEstimate: Long): Int =
+    math.max(1L, (rowEstimate + RowsPerFile - 1) / RowsPerFile).toInt
+
   private def simhash64Pairs(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(pairDirCache.computeIfAbsent((s, d), { _ =>
@@ -70,13 +81,15 @@ object DedupQueries {
       // parquet back instead of each recomputing the tokenize + md5 +
       // vote aggregate over the full corpus
       val fp = persistedFingerprints(s, d)
-      // the count parameterizes the bands (tiny parquet scan)
-      val plan = SimhashBanding.choose(fp.count())
+      // the count parameterizes the bands (tiny parquet scan) AND the
+      // output layout: banding keeps candidate/pair mass O(N), so the
+      // fingerprint count is the right file-count estimator
+      val n = fp.count()
+      val plan = SimhashBanding.choose(n)
       val pairs = bandedPairs(fp, plan)
       val dir = matDir("simhash_pairs", s, d)
-      // repartition(1): the pair table is tiny relative to the corpus;
-      // one compact file, and an empty result still writes a schema
-      pairs.repartition(1).write.mode("overwrite").parquet(dir)
+      pairs.repartition(compactFiles(n))
+        .write.mode("overwrite").parquet(dir)
       dir
     }))
 
@@ -130,7 +143,10 @@ object DedupQueries {
           Seq("x", "z"))
         .select("x", "y", "z")
       val dir = matDir("simhash_triangles", s, d)
-      tri.repartition(1).write.mode("overwrite").parquet(dir)
+      // triangles are bounded by the pair table; its parquet count is
+      // a metadata read and sizes the output layout
+      tri.repartition(compactFiles(p.count()))
+        .write.mode("overwrite").parquet(dir)
       dir
     }))
 
@@ -150,7 +166,11 @@ object DedupQueries {
       d: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(fpDirCache.computeIfAbsent((s, d), { _ =>
       val dir = matDir("simhash_fps", s, d)
-      fingerprints(s, d).repartition(1).write.mode("overwrite").parquet(dir)
+      // one row per document; the source parquet's row count is a
+      // metadata read and sizes the output layout
+      val n = Tables.load(s, d, "documents").count()
+      fingerprints(s, d).repartition(compactFiles(n))
+        .write.mode("overwrite").parquet(dir)
       dir
     }))
 

@@ -22,6 +22,39 @@ import org.apache.spark.sql.functions._
   */
 object ManifestPrune {
 
+  /** DRIVER-HELD FILE-LIST BOUND. Every planning path here ends in a
+    * path-list read (`spark.read.parquet(files: _*)`), so the file
+    * list itself must fit on the driver — the same design point as an
+    * Iceberg planner, which is comfortable to ~10⁶ manifest entries
+    * (a 100 TB table at a healthy 128 MB/file is ~8·10⁵ files). The
+    * bound is enforced, not assumed: a manifest that exceeds it fails
+    * fast with a pointer to [[compactLayout]] instead of silently
+    * OOMing the driver — at that point the table needs compaction (or
+    * an Iceberg-style manifest TREE, which shards the list and prunes
+    * at the manifest-file grain before any leaf list materializes).
+    * Overridable per session via `graft.manifest.maxDriverFiles` (the
+    * spec's adversarial-count lever). */
+  private def maxDriverFiles(s: SparkSession): Long =
+    s.conf.getOption("graft.manifest.maxDriverFiles")
+      .map(_.toLong).getOrElse(1000000L)
+
+  /** Collect a one-string-column frame of file paths under the bound;
+    * the collect itself is capped at bound+1 rows, so an oversized
+    * manifest costs one truncated scan, never an unbounded collect. */
+  private def collectFileList(s: SparkSession,
+                              files: org.apache.spark.sql.DataFrame,
+                              what: String): Seq[String] = {
+    val cap = maxDriverFiles(s)
+    val got = files.limit((cap + 1).min(Int.MaxValue.toLong).toInt)
+      .collect().map(_.getString(0)).toSeq
+    if (got.length > cap)
+      throw new IllegalStateException(
+        s"$what exceeds graft.manifest.maxDriverFiles=$cap files — " +
+          "compact the layout (ManifestPrune.compactLayout) or raise " +
+          "the bound")
+    got
+  }
+
   private val layoutCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
@@ -50,9 +83,11 @@ object ManifestPrune {
     * the same bounded state an Iceberg planner keeps. */
   def planFiles(s: SparkSession, root: String, lo: Long,
                 hi: Long): Seq[String] =
-    s.read.parquet(s"$root/manifest")
-      .filter(col("min_key") <= hi && col("max_key") >= lo)
-      .select("file").collect().map(_.getString(0)).toSeq
+    collectFileList(s,
+      s.read.parquet(s"$root/manifest")
+        .filter(col("min_key") <= hi && col("max_key") >= lo)
+        .select("file"),
+      s"range plan [$lo, $hi]")
 
   /** Total file count in the layout (for the pruning assertion). */
   def totalFiles(s: SparkSession, root: String): Long =
@@ -147,10 +182,12 @@ object ManifestPrune {
         .unionByName(del.select("doc_id"))
       case None => updates.select("doc_id")
     }
-    val hitFiles = table
-      .select(col("_metadata.file_path").as("file"), col("doc_id"))
-      .join(touchedKeys, "doc_id")
-      .select("file").distinct().collect().map(_.getString(0))
+    val hitFiles = collectFileList(s,
+      table
+        .select(col("_metadata.file_path").as("file"), col("doc_id"))
+        .join(touchedKeys, "doc_id")
+        .select("file").distinct(),
+      "CoW merge hit-file plan").toArray
     // 2. rewrite hit files with updates applied and deletes dropped,
     //    then append inserts; rows the base version's deletion
     //    vectors already hide must not be resurrected by the rewrite
@@ -387,9 +424,10 @@ object ManifestPrune {
   /** Read the table a manifest version describes (the post-merge
     * reader: untouched files at their old paths + rewritten files). */
   def readVersion(s: SparkSession, manifestDir: String): DataFrame = {
-    val files = s.read.parquet(manifestDir)
-      .select("file").collect().map(_.getString(0))
-    s.read.parquet(files.toIndexedSeq: _*)
+    val files = collectFileList(s,
+      s.read.parquet(manifestDir).select("file"),
+      s"version read of $manifestDir")
+    s.read.parquet(files: _*)
   }
 
 }

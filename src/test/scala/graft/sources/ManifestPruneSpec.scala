@@ -52,4 +52,27 @@ class ManifestPruneSpec extends SparkSpec {
     // the old layout is untouched (swap-by-path, readers stay valid)
     assert(ManifestPrune.totalFiles(spark, root) === 8L)
   }
+
+  test("planning fails fast past the driver file-list bound") {
+    val root = ManifestPrune.ensureLayout(spark, sf0001)
+    // adversarial count: bound below the layout's 8 files — every
+    // list-materializing plan must refuse with the compaction pointer
+    // instead of collecting an unbounded manifest onto the driver
+    spark.conf.set("graft.manifest.maxDriverFiles", "2")
+    try {
+      val e1 = intercept[IllegalStateException] {
+        ManifestPrune.readVersion(spark, s"$root/manifest")
+      }
+      assert(e1.getMessage.contains("compact"))
+      val e2 = intercept[IllegalStateException] {
+        ManifestPrune.planFiles(spark, root, Long.MinValue, Long.MaxValue)
+      }
+      assert(e2.getMessage.contains("maxDriverFiles"))
+      // a SELECTIVE plan under the same bound still succeeds — the
+      // bound applies to what is actually collected, so pruning keeps
+      // a huge table plannable when the predicate is tight
+      val narrow = ManifestPrune.planFiles(spark, root, 100, 110)
+      assert(narrow.nonEmpty && narrow.size <= 2)
+    } finally spark.conf.unset("graft.manifest.maxDriverFiles")
+  }
 }
