@@ -288,6 +288,43 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("session windows survive a query restart through the checkpoint") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val out = java.nio.file.Files
+      .createTempDirectory("sess_restart_out_").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("sess_restart_ck_").toString
+    def runOnce(): Unit = {
+      val q = sessionWindowAgg(in.toDF()).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    // run 1: user 11's session closes under the sentinel's watermark
+    in.addData(ev(1, 0, 11, "click"), ev(2, 100, 11, "click"))
+    in.addData(ev(3, 100000, 99, "click"))
+    in.addData(ev(4, 100001, 99, "click")) // flush batch
+    runOnce()
+    // run 2 (same checkpoint): committed session state and sink
+    // batches must not replay; the new session emits exactly once
+    in.addData(ev(5, 200000, 12, "click"), ev(6, 200100, 12, "click"))
+    in.addData(ev(7, 300000, 98, "click"))
+    in.addData(ev(8, 300001, 98, "click"))
+    runOnce()
+    val got = spark.read.parquet(out)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("start_ts").cast("long"),
+        col("end_ts").cast("long"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === got.toSet.size, s"duplicate sessions: ${got.toSeq}")
+    assert(got.toSet === Set(
+      (11L, 0L, 1900L, 2L),
+      (12L, 200000L, 201900L, 2L)))
+  }
+
   test("stream-stream interval join matches hand-computed pairs") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
