@@ -421,6 +421,75 @@ object ManifestPrune {
     } else None
   }
 
+  /** What [[expireVersions]] removed and kept, for audit logs. */
+  case class ExpireStats(keptVersions: Seq[Long], removedDataFiles: Long,
+                         removedManifestDirs: Long, removedDvDirs: Long)
+
+  /** SNAPSHOT EXPIRY / VACUUM — the lifecycle end of the version
+    * chain (Iceberg `expire_snapshots` + `remove_orphan_files`, Delta
+    * VACUUM): keep the last `keepLast` committed versions and
+    * physically remove everything only older versions reference.
+    * Swap-by-path makes this the ONLY place data is ever destroyed,
+    * so the algorithm is reachability, not bookkeeping:
+    *
+    *   1. the KEEP set is the union of the kept manifests' file lists
+    *      (files are SHARED across versions — an untouched file
+    *      referenced by v0 and v9 survives as long as either is
+    *      kept), resolved to filesystem paths;
+    *   2. every parquet under the root's `data*` dirs that is not in
+    *      the keep set is an orphan — deleted at file grain (a dir
+    *      can hold a mix of live and dead files after CoW merges);
+    *   3. expired versions' manifest dirs, DV sidecars, and commit
+    *      markers are dropped whole — `currentVersion` still resolves
+    *      (max marker is kept by construction).
+    *
+    * At 100 TB the keep set is bounded by `keepLast ×
+    * maxDriverFiles` manifest rows (the same driver bound as
+    * planning); the orphan scan is a listing, not a data read.
+    * Time travel to an expired version becomes impossible — that is
+    * the contract being bought: bounded storage. */
+  def expireVersions(s: SparkSession, root: String,
+                     keepLast: Int): ExpireStats = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val cur = currentVersion(s, root)
+    val keepFrom = math.max(0L, cur - keepLast + 1)
+    val kept = (keepFrom to cur).filter(v =>
+      new java.io.File(manifestOf(root, v)).isDirectory)
+    def localPath(uri: String): String =
+      new org.apache.hadoop.fs.Path(uri).toUri.getPath
+    val keep: Set[String] = kept.flatMap { v =>
+      collectFileList(s, s.read.parquet(manifestOf(root, v))
+        .select("file"), s"expiry keep-set of v$v")
+    }.map(localPath).toSet
+    // 2. orphan data files, at file grain
+    var removedData = 0L
+    val rootDir = new java.io.File(root)
+    rootDir.listFiles().filter(f => f.isDirectory &&
+      f.getName.startsWith("data")).foreach { dir =>
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        if (!keep.contains(f.getAbsolutePath)) {
+          if (f.delete()) removedData += 1
+        }
+      }
+    }
+    // 3. expired versions' metadata
+    def rmTree(p: java.io.File): Boolean =
+      if (!p.exists()) false
+      else {
+        if (p.isDirectory) p.listFiles().foreach(rmTree)
+        p.delete()
+      }
+    var removedMf = 0L
+    var removedDv = 0L
+    (0L until keepFrom).foreach { v =>
+      if (rmTree(new java.io.File(manifestOf(root, v)))) removedMf += 1
+      dvOf(root, v).foreach(d => if (rmTree(new java.io.File(d)))
+        removedDv += 1)
+      if (v > 0L) new java.io.File(markerPath(root, v)).delete()
+    }
+    ExpireStats(kept, removedData, removedMf, removedDv)
+  }
+
   /** Read the table a manifest version describes (the post-merge
     * reader: untouched files at their old paths + rewritten files). */
   def readVersion(s: SparkSession, manifestDir: String): DataFrame = {

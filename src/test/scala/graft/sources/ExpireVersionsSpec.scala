@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Snapshot expiry / vacuum over the versioned manifest chain: only
+  * files UNREACHABLE from every kept version are destroyed, shared
+  * files survive (the swap-by-path sharing is exactly what makes
+  * reachability the correct deletion rule), kept versions read
+  * byte-identically afterwards, and expired versions' metadata
+  * (manifests, DV sidecars, markers) disappears. */
+class ExpireVersionsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+
+  /** Fresh protocol root: 4-file clustered layout + manifest. */
+  private def freshRoot(tag: String): String = {
+    val root = graft.Tables.matDir(s"expire_$tag", spark, sf0001)
+    docs.repartitionByRange(4, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/data")
+    spark.read.parquet(s"$root/data")
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(min(col("n_chars")).as("min_key"),
+        max(col("n_chars")).as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$root/manifest")
+    root
+  }
+
+  test("expiry destroys only unreachable files; kept versions read " +
+    "identically") {
+    val root = freshRoot("main")
+    // v1: DV delete (no data files written)
+    ManifestPrune.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 19 === 7).select("doc_id"))
+    // v2: CoW merge rewriting SOME files (narrow update batch)
+    ManifestPrune.cowMergeCommit(spark, root,
+      docs.filter(col("doc_id") === 0)
+        .select(col("doc_id"), lit("vv").as("new_lang")),
+      docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+    val cur = ManifestPrune.currentVersion(spark, root)
+    assert(cur === 2L)
+    val before = ManifestPrune.readCommitted(spark, root, cur)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val v2Files = spark.read
+      .parquet(ManifestPrune.manifestOf(root, cur))
+      .select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+        .toUri.getPath).toSet
+    val rewrittenAway = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .filterNot(f => v2Files.contains(f.getAbsolutePath))
+    assert(rewrittenAway.nonEmpty,
+      "test setup: the merge should have rewritten at least one file")
+
+    val stats = ManifestPrune.expireVersions(spark, root, keepLast = 1)
+    assert(stats.keptVersions === Seq(2L))
+    // exactly the rewritten-away originals were destroyed
+    assert(stats.removedDataFiles === rewrittenAway.length.toLong)
+    rewrittenAway.foreach(f => assert(!f.exists(), s"orphan survived: $f"))
+    // every file v2 references survives — including SHARED ones in
+    // the original data/ dir
+    v2Files.foreach(p => assert(new java.io.File(p).exists(),
+      s"live file destroyed: $p"))
+    // expired metadata is gone; the kept version's remains
+    assert(!new java.io.File(ManifestPrune.manifestOf(root, 0L)).exists())
+    assert(!new java.io.File(ManifestPrune.manifestOf(root, 1L)).exists())
+    assert(ManifestPrune.dvOf(root, 1L).isEmpty)
+    assert(new java.io.File(ManifestPrune.manifestOf(root, 2L)).isDirectory)
+    assert(ManifestPrune.currentVersion(spark, root) === 2L)
+    // the kept version reads byte-identically, deletes still hidden
+    val after = ManifestPrune.readCommitted(spark, root, cur)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(after === before)
+    assert(ManifestPrune.readCommitted(spark, root, cur)
+      .filter(col("doc_id") % 19 === 7).count() === 0L)
+  }
+
+  test("keepLast spanning every version removes nothing") {
+    val root = freshRoot("noop")
+    ManifestPrune.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 31 === 1).select("doc_id"))
+    val files = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val stats = ManifestPrune.expireVersions(spark, root, keepLast = 5)
+    assert(stats.removedDataFiles === 0L)
+    assert(stats.removedManifestDirs === 0L)
+    assert(new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      === files)
+    assert(new java.io.File(ManifestPrune.manifestOf(root, 0L)).isDirectory)
+  }
+}
