@@ -171,22 +171,79 @@ object StreamingPipelines {
     updates.writeStream.outputMode("update")
       .foreachBatch((b: DataFrame, id: Long) => applyCdcBatch(b, id, root))
 
+  /** Latest batch id a stream KIND committed on the chain: scan the
+    * markers newest-first for a note bearing our tag. Interleaved
+    * commits from OTHER kinds (CDC updates vs erasure deletes — their
+    * micro-batch id sequences are incomparable) are skipped, so each
+    * writer keeps an independent replay cursor on the shared chain.
+    * Untagged legacy notes parse as CDC's (the original single-writer
+    * format). */
+  private def lastAppliedBatch(root: String, cur: Long,
+                               tag: String): Long = {
+    import graft.sources.ManifestPrune
+    var v = cur
+    while (v >= 1) {
+      ManifestPrune.commitNote(root, v) match {
+        case Some(n) if n.startsWith(tag) =>
+          return n.stripPrefix(tag).toLong
+        case Some(n) if tag == "cdc:" && n.forall(_.isDigit) =>
+          return n.toLong
+        case _ => v -= 1
+      }
+    }
+    -1L
+  }
+
   private[streaming] def applyCdcBatch(batch: DataFrame, batchId: Long,
                                        root: String): Unit = {
     import graft.sources.ManifestPrune
     val s = batch.sparkSession
     val cur = ManifestPrune.currentVersion(s, root)
-    val lastApplied = if (cur == 0) -1L
-      else ManifestPrune.commitNote(root, cur).map(_.toLong).getOrElse(-1L)
-    if (batchId <= lastApplied) return // replay of a committed batch
+    if (batchId <= lastAppliedBatch(root, cur, "cdc:"))
+      return // replay of a committed batch
     val next = cur + 1
     val baseMf = ManifestPrune.manifestOf(root, cur)
     val empty = ManifestPrune.readVersion(s, baseMf).limit(0)
-    ManifestPrune.cowMergeFrom(s, root, baseMf, batch, empty, s"c$next")
+    ManifestPrune.cowMergeFrom(s, root, baseMf, batch, empty, s"c$next",
+      baseDv = ManifestPrune.dvOf(root, cur))
     if (!ManifestPrune.tryCommit(root, next))
       throw new java.util.ConcurrentModificationException(
         s"version $next committed concurrently; batch $batchId must retry")
-    ManifestPrune.noteCommit(root, next, batchId.toString)
+    ManifestPrune.noteCommit(root, next, s"cdc:$batchId")
+  }
+
+  /** STREAMING ERASURE — the GDPR leg of the lakehouse family, pairing
+    * [[applyCdcStream]]'s continuous MERGE with the deletion-vector
+    * path: each micro-batch of doc_id keys becomes one
+    * [[graft.sources.ManifestPrune.dvDeleteFrom]] version on the same
+    * CAS chain, so a delete batch touches NO data file (position
+    * sidecar only) and interleaves freely with CDC update batches.
+    * Exactly-once under replay is the identical marker-note argument:
+    * a replayed batch finds its id on the current marker and skips; a
+    * crash before the CAS left only an unreferenced prepared sidecar,
+    * so the replay re-prepares and commits once. At 100 TB this is
+    * how a right-to-be-forgotten queue drains continuously without
+    * write-amplifying the corpus — compaction or the next CoW merge
+    * materializes the accumulated vectors. */
+  def applyDeleteStream(deletes: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deletes.writeStream.outputMode("update")
+      .foreachBatch((b: DataFrame, id: Long) => applyDeleteBatch(b, id, root))
+
+  private[streaming] def applyDeleteBatch(batch: DataFrame, batchId: Long,
+                                          root: String): Unit = {
+    import graft.sources.ManifestPrune
+    val s = batch.sparkSession
+    val cur = ManifestPrune.currentVersion(s, root)
+    if (batchId <= lastAppliedBatch(root, cur, "del:"))
+      return // replay of a committed batch
+    val next = cur + 1
+    ManifestPrune.dvDeleteFrom(s, root, ManifestPrune.manifestOf(root, cur),
+      ManifestPrune.dvOf(root, cur), batch, s"c$next")
+    if (!ManifestPrune.tryCommit(root, next))
+      throw new java.util.ConcurrentModificationException(
+        s"version $next committed concurrently; batch $batchId must retry")
+    ManifestPrune.noteCommit(root, next, s"del:$batchId")
   }
 
   case class EwmaEvent(event_id: Long, ts: Timestamp, user_id: Long,

@@ -644,6 +644,95 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(v3.count() === after2.length)
   }
 
+  test("DV erasure stream interleaves with CDC on one chain, " +
+    "replay- and crash-safe") {
+    import graft.sources.ManifestPrune
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val root = graft.Tables.matDir(s"del_apply_${System.nanoTime}",
+      spark, sf0001)
+    docs.repartitionByRange(8, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/data")
+    spark.read.parquet(s"$root/data")
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(min(col("n_chars")).as("min_key"),
+        max(col("n_chars")).as("max_key"), count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$root/manifest")
+    def del(mod: Int) = docs.filter(col("doc_id") % mod === 0)
+      .select("doc_id")
+    def upd(mod: Int, tag: String) = docs
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"), lit(tag).as("new_lang"))
+    val dataFilesBefore = new java.io.File(s"$root/data").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    // delete batch 0, then a CDC update batch 0 from a DIFFERENT
+    // stream — the two id sequences are incomparable and must keep
+    // independent replay cursors
+    StreamingPipelines.applyDeleteBatch(del(7), 0L, root)
+    assert(ManifestPrune.currentVersion(spark, root) === 1L)
+    // the erasure touched no data file (merge-on-read)
+    assert(new java.io.File(s"$root/data").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap === dataFilesBefore)
+    StreamingPipelines.applyCdcBatch(upd(11, "u0"), 0L, root)
+    assert(ManifestPrune.currentVersion(spark, root) === 2L)
+    // REPLAYS of both batch 0s: no new versions even though the
+    // current marker carries the OTHER stream's note
+    StreamingPipelines.applyDeleteBatch(del(7), 0L, root)
+    StreamingPipelines.applyCdcBatch(upd(11, "u0"), 0L, root)
+    assert(ManifestPrune.currentVersion(spark, root) === 2L)
+    // state: deletes hidden THROUGH the later CoW merge, update applied
+    val v2 = ManifestPrune.readCommitted(spark, root, 2L)
+    assert(v2.filter(col("doc_id") % 7 === 0).count() === 0L)
+    assert(v2.filter(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0
+      && col("lang") =!= "u0").count() === 0L)
+    assert(v2.count() === docs.filter(col("doc_id") % 7 =!= 0).count())
+    // CRASH before CAS on the delete path: prepared sidecar exists but
+    // no marker — the replay prepares again and commits exactly once
+    ManifestPrune.dvDeleteFrom(spark, root,
+      ManifestPrune.manifestOf(root, 2L), ManifestPrune.dvOf(root, 2L),
+      del(13), "c3")
+    assert(ManifestPrune.currentVersion(spark, root) === 2L)
+    StreamingPipelines.applyDeleteBatch(del(13), 1L, root)
+    assert(ManifestPrune.currentVersion(spark, root) === 3L)
+    val v3 = ManifestPrune.readCommitted(spark, root, 3L)
+    assert(v3.filter(col("doc_id") % 13 === 0).count() === 0L)
+    assert(v3.count() === docs.filter(col("doc_id") % 7 =!= 0 &&
+      col("doc_id") % 13 =!= 0).count())
+  }
+
+  test("applyDeleteStream drains a key stream through foreachBatch") {
+    import graft.sources.ManifestPrune
+    implicit val sc = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val root = graft.Tables.matDir(s"del_stream_${System.nanoTime}",
+      spark, sf0001)
+    docs.repartitionByRange(4, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/data")
+    spark.read.parquet(s"$root/data")
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(min(col("n_chars")).as("min_key"),
+        max(col("n_chars")).as("max_key"), count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$root/manifest")
+    val in = MemoryStream[Long]
+    in.addData(1L, 2L, 3L)
+    val q = StreamingPipelines.applyDeleteStream(
+      in.toDF().withColumnRenamed("value", "doc_id"), root)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("del_stream_ck_").toString)
+      .start()
+    q.processAllAvailable()
+    in.addData(10L, 11L)
+    q.processAllAvailable()
+    q.stop()
+    val cur = ManifestPrune.currentVersion(spark, root)
+    assert(cur === 2L)
+    val live = ManifestPrune.readCommitted(spark, root, cur)
+    assert(live.filter(col("doc_id").isin(1L, 2L, 3L, 10L, 11L))
+      .count() === 0L)
+    assert(live.count() === docs.count() - 5L)
+  }
+
   test("streamingEwma over 3 micro-batches equals the batch q_ewma rows") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
