@@ -185,6 +185,16 @@ class PlanShapeSpec extends SparkSpec {
       s"q_sketch_table rescans the corpus:\n$plan")
   }
 
+  test("q_dv_delete: pruned scan + hashed anti-join, text never read") {
+    val plan = plans("q_dv_delete")
+    assert(plan.contains("LeftAnti"),
+      s"the DV positional anti-join is missing:\n$plan")
+    assert(!plan.contains("text"),
+      s"q_dv_delete reads the text column it never uses:\n$plan")
+    assert(plan.contains("row_index"),
+      s"the positional key is not sourced from file metadata:\n$plan")
+  }
+
   test("q_distinct_elim: no distinct aggregation, no corpus shuffle") {
     val plan = plans("q_distinct_elim")
     assert(!plan.contains("distinct"),
