@@ -107,6 +107,70 @@ object ManifestPrune {
     base.filter(col("n_chars") >= lo && col("n_chars") <= hi)
   }
 
+  // ------------------------------------------------- manifest tree
+
+  /** TWO-LEVEL MANIFEST TREE — the scale path past the flat
+    * driver-held list (what [[maxDriverFiles]] fails fast toward):
+    * Iceberg's manifest-list design. The flat manifest's rows are
+    * range-sharded by `min_key` into SHARD manifests (each a parquet
+    * of per-file stats), and a tiny MANIFEST LIST records one row per
+    * shard: (shard path, shard min_key, shard max_key, n_files).
+    * Planning a range predicate then prunes TWICE: the manifest list
+    * (shard-count rows — KBs even at 10⁸ files) names the shards
+    * whose key interval overlaps, and only THOSE shard manifests are
+    * read to name files. Driver memory holds overlapping shards'
+    * rows, never the full file list: a selective query over a
+    * 10⁸-file table reads a handful of shard manifests; a full scan
+    * still pays the full list, which is the honest cost of planning a
+    * full scan. Shards are key-ranged (not hashed) so shard pruning
+    * inherits the layout's clustering. */
+  def buildManifestTree(s: SparkSession, root: String,
+                        flatManifest: String, nShards: Int): String = {
+    val treeDir = s"$root/manifest_tree"
+    val shards = s.read.parquet(flatManifest)
+      .repartitionByRange(nShards, col("min_key"), col("file"))
+    shards.write.mode("overwrite").parquet(s"$treeDir/shards")
+    s.read.parquet(s"$treeDir/shards")
+      .groupBy(col("_metadata.file_path").as("shard"))
+      .agg(min(col("min_key")).as("min_key"),
+        max(col("max_key")).as("max_key"),
+        count(lit(1)).as("n_files"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$treeDir/list")
+    treeDir
+  }
+
+  /** Shard-pruned range plan through the tree: read the manifest list
+    * (shard-count rows), keep overlapping shards, then read ONLY
+    * those shard manifests for the file list. The driver bound
+    * applies to what is actually planned — the overlapping subset —
+    * so a selective predicate stays plannable at any table size. */
+  def planFilesTree(s: SparkSession, treeDir: String, lo: Long,
+                    hi: Long): Seq[String] = {
+    val shardPaths = collectFileList(s,
+      s.read.parquet(s"$treeDir/list")
+        .filter(col("min_key") <= hi && col("max_key") >= lo)
+        .select(col("shard").as("file")),
+      s"manifest-list shard plan [$lo, $hi]")
+    if (shardPaths.isEmpty) Seq.empty
+    else collectFileList(s,
+      s.read.parquet(shardPaths: _*)
+        .filter(col("min_key") <= hi && col("max_key") >= lo)
+        .select("file"),
+      s"sharded file plan [$lo, $hi]")
+  }
+
+  /** [[readRange]] through the manifest tree: same exactness contract
+    * (predicate re-applied after the pruned read). */
+  def readRangeTree(s: SparkSession, root: String, treeDir: String,
+                    lo: Long, hi: Long): DataFrame = {
+    val files = planFilesTree(s, treeDir, lo, hi)
+    val base =
+      if (files.isEmpty) s.read.parquet(s"$root/data").limit(0)
+      else s.read.parquet(files: _*)
+    base.filter(col("n_chars") >= lo && col("n_chars") <= hi)
+  }
+
   /** COMPACTION — the maintenance sibling of the pruned scan: many
     * small files (the steady state of incremental ingest) are
     * rewritten into `nFiles` range-clustered files WITH a rebuilt

@@ -53,6 +53,46 @@ class ManifestPruneSpec extends SparkSpec {
     assert(ManifestPrune.totalFiles(spark, root) === 8L)
   }
 
+  test("manifest tree: shard-pruned planning matches the flat plan " +
+    "and stays inside the driver bound where flat planning cannot") {
+    val root = ManifestPrune.ensureLayout(spark, sf0001)
+    val tree = ManifestPrune.buildManifestTree(spark, root,
+      s"$root/manifest", nShards = 4)
+    // list is shard-count-sized and covers the full key span
+    val list = spark.read.parquet(s"$tree/list").collect()
+    assert(list.length === 4)
+    assert(list.map(_.getLong(3)).sum === 8L) // n_files adds up
+    // equivalence: tree planning names the same files as flat planning
+    for ((lo, hi) <- Seq((100L, 180L), (0L, 10000L), (-5L, -1L))) {
+      assert(ManifestPrune.planFilesTree(spark, tree, lo, hi).toSet ===
+        ManifestPrune.planFiles(spark, root, lo, hi).toSet)
+      val treeRead = ManifestPrune
+        .readRangeTree(spark, root, tree, lo, hi)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val plain = graft.Tables.load(spark, sf0001, "documents")
+        .filter(col("n_chars") >= lo && col("n_chars") <= hi)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(treeRead === plain)
+    }
+    // the scale point: under a bound the FULL 8-file list exceeds,
+    // the tree still plans a selective range (only overlapping
+    // shards' rows materialize), while the flat plan of the same
+    // whole table refuses
+    spark.conf.set("graft.manifest.maxDriverFiles", "3")
+    try {
+      intercept[IllegalStateException] {
+        ManifestPrune.planFiles(spark, root, Long.MinValue, Long.MaxValue)
+      }
+      val narrow = ManifestPrune.planFilesTree(spark, tree, 100L, 110L)
+      assert(narrow.nonEmpty && narrow.size <= 3)
+      // a full scan through the tree pays the full list — and says so
+      intercept[IllegalStateException] {
+        ManifestPrune.planFilesTree(spark, tree, Long.MinValue,
+          Long.MaxValue)
+      }
+    } finally spark.conf.unset("graft.manifest.maxDriverFiles")
+  }
+
   test("planning fails fast past the driver file-list bound") {
     val root = ManifestPrune.ensureLayout(spark, sf0001)
     // adversarial count: bound below the layout's 8 files — every
