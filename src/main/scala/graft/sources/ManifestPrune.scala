@@ -291,8 +291,10 @@ object ManifestPrune {
       val carried = s.read.parquet(dv)
         .filter(if (hitFiles.isEmpty) lit(true)
           else !col("file").isInCollection(hitFiles.toIndexedSeq))
-      if (carried.limit(1).count() > 0)
+      if (carried.limit(1).count() > 0) {
         carried.write.mode("overwrite").parquet(s"$root/dv_$version")
+        writeDvPointer(root, mfV2, s"$root/dv_$version")
+      }
     }
     (dataV2, mfV2)
   }
@@ -340,8 +342,10 @@ object ManifestPrune {
       case None => doomed.distinct()
     }
     merged.write.mode("overwrite").parquet(dvV)
-    // manifest: identical file list — the no-rewrite contract
+    // manifest: identical file list — the no-rewrite contract; the
+    // sidecar reference rides inside it so one rename publishes both
     s.read.parquet(baseManifest).write.mode("overwrite").parquet(mfV)
+    writeDvPointer(root, mfV, dvV)
     (mfV, dvV)
   }
 
@@ -409,11 +413,32 @@ object ManifestPrune {
     if (version == 0L) s"$root/manifest" else s"$root/manifest_c$version"
 
   /** DV sidecar dir of a committed version, when one exists (version
-    * 0 and purely-CoW versions have none). */
+    * 0 and purely-CoW versions have none). Resolution order: the
+    * `_dv` pointer file INSIDE the manifest dir (written by
+    * [[dvDeleteFrom]]/[[cowMergeFrom]] before the manifest is
+    * published, so the atomic manifest rename publishes the sidecar
+    * reference with it — the property the concurrent-writer protocol
+    * needs), else the legacy `dv_c<version>` name convention. */
   def dvOf(root: String, version: Long): Option[String] = {
+    if (version <= 0L) return None
+    val ptr = new java.io.File(s"${manifestOf(root, version)}/_dv")
+    if (ptr.isFile) {
+      val named = new java.io.File(root,
+        java.nio.file.Files.readString(ptr.toPath).trim)
+      if (named.isDirectory) return Some(named.getPath)
+    }
     val p = s"$root/dv_c$version"
-    if (version > 0L && new java.io.File(p).isDirectory) Some(p) else None
+    if (new java.io.File(p).isDirectory) Some(p) else None
   }
+
+  /** Record the sidecar reference inside a PREPARED manifest dir, so
+    * publishing the manifest (one atomic rename) publishes the DV
+    * reference with it. */
+  private def writeDvPointer(root: String, manifestDir: String,
+                             dvDir: String): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$manifestDir/_dv"),
+      new java.io.File(dvDir).getName + "\n")
 
   /** Read the table at a committed version, deletion vectors
     * applied — the one entry point that is correct whether the
@@ -422,40 +447,113 @@ object ManifestPrune {
                     version: Long): DataFrame =
     readVersionWithDv(s, manifestOf(root, version), dvOf(root, version))
 
+  /** PUBLISH a prepared version: one atomic directory rename of the
+    * writer-unique prepared manifest onto the canonical
+    * `manifest_c<next>` name decides the race — exactly one of any
+    * number of concurrently-preparing writers can win, because
+    * rename-to-a-fresh-name is atomic and fails when the destination
+    * exists. (The previous protocol prepared under the
+    * version-DETERMINISTIC name, so two writers racing from one base
+    * overwrote each other's prepared dirs BEFORE the CAS — the race
+    * was only safe when serialized.) The marker is then created by
+    * the rename winner for [[currentVersion]] discovery; a crash in
+    * the window between rename and marker is recovered by the NEXT
+    * writer, which finds the published manifest without its marker
+    * and ADOPTS it (creates the marker) before retrying on top — a
+    * fully-renamed manifest is complete by construction, so adoption
+    * publishes nothing partial. Losers' prepared dirs are
+    * unreferenced garbage for [[expireVersions]]. */
+  private[graft] def publish(root: String, base: Long,
+                             preparedManifest: String): Long = {
+    val next = base + 1
+    val canonical = new java.io.File(manifestOf(root, next))
+    if (new java.io.File(preparedManifest).renameTo(canonical)) {
+      require(tryCommit(root, next) ||
+        new java.io.File(markerPath(root, next)).exists(),
+        s"marker write failed for committed version $next")
+      next
+    } else {
+      if (canonical.isDirectory &&
+          !new java.io.File(markerPath(root, next)).exists())
+        tryCommit(root, next) // adopt a rename-then-crash winner
+      throw new java.util.ConcurrentModificationException(
+        s"version $next already published by another writer " +
+          s"(base was $base); re-plan against the new base")
+    }
+  }
+
+  /** Retry loop for optimistic commits: re-run `attempt` (which must
+    * re-read the current version each time — all the *Commit methods
+    * do) until it publishes or the retry budget is exhausted. */
+  def withCommitRetry[T](maxRetries: Int = 5)(attempt: () => T): T = {
+    var tries = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1
+          if (tries > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private[graft] def prepareToken(): String =
+    "u" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
   /** [[cowMerge]] under the commit protocol: merges against the
     * CURRENT committed version (deletion vectors applied and carried
-    * forward for untouched files) and publishes the next one
-    * atomically. Throws ConcurrentModificationException if another
-    * writer committed first (caller retries against the new base).
-    * Returns the committed version number. */
+    * forward for untouched files), prepares under a writer-unique
+    * name, and publishes atomically. Throws
+    * ConcurrentModificationException if another writer published
+    * first (caller retries against the new base — see
+    * [[withCommitRetry]]). Returns the committed version number. */
   def cowMergeCommit(s: SparkSession, root: String, updates: DataFrame,
                      inserts: DataFrame): Long = {
     val base = currentVersion(s, root)
-    val next = base + 1
-    cowMergeFrom(s, root, manifestOf(root, base), updates, inserts,
-      s"c$next", baseDv = dvOf(root, base))
-    if (!tryCommit(root, next))
-      throw new java.util.ConcurrentModificationException(
-        s"version $next already committed by another writer " +
-          s"(base was $base); re-plan against the new base")
-    next
+    val tok = prepareToken()
+    val (_, mf) = cowMergeFrom(s, root, manifestOf(root, base), updates,
+      inserts, tok, baseDv = dvOf(root, base))
+    publish(root, base, mf)
+  }
+
+  /** COMPACTION under the commit protocol — the maintenance step that
+    * closes the deletion-vector lifecycle (delete cheaply → vectors
+    * accumulate → compaction materializes them all at once): the
+    * CURRENT version's LIVE rows (DVs applied) are rewritten into
+    * `nFiles` range-clustered files and published as the next version
+    * with NO sidecar and restored clustering. Whole-table rewrite is
+    * the honest cost — it is paid ONCE per maintenance window instead
+    * of per delete, which is the entire economics of merge-on-read.
+    * Returns the committed version. */
+  def compactCommit(s: SparkSession, root: String, nFiles: Int): Long = {
+    val base = currentVersion(s, root)
+    val tok = prepareToken()
+    val dataDir = s"$root/data_$tok"
+    readCommitted(s, root, base)
+      .repartitionByRange(nFiles, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(dataDir)
+    s.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(min(col("n_chars")).as("min_key"),
+        max(col("n_chars")).as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$root/manifest_$tok")
+    publish(root, base, s"$root/manifest_$tok")
   }
 
   /** [[dvDeleteFrom]] under the commit protocol: records the delete
     * against the CURRENT committed version and publishes the next one
-    * through the same CAS marker — merge-on-read and copy-on-write
+    * through the same rename-publish — merge-on-read and copy-on-write
     * commits interleave freely on one version chain. */
   def dvDeleteCommit(s: SparkSession, root: String,
                      deletes: DataFrame): Long = {
     val base = currentVersion(s, root)
-    val next = base + 1
-    dvDeleteFrom(s, root, manifestOf(root, base), dvOf(root, base),
-      deletes, s"c$next")
-    if (!tryCommit(root, next))
-      throw new java.util.ConcurrentModificationException(
-        s"version $next already committed by another writer " +
-          s"(base was $base); re-plan against the new base")
-    next
+    val tok = prepareToken()
+    val (mf, _) = dvDeleteFrom(s, root, manifestOf(root, base),
+      dvOf(root, base), deletes, tok)
+    publish(root, base, mf)
   }
 
   /** The CAS primitive: atomic PUT-if-absent of the commit marker
@@ -546,10 +644,28 @@ object ManifestPrune {
     var removedMf = 0L
     var removedDv = 0L
     (0L until keepFrom).foreach { v =>
-      if (rmTree(new java.io.File(manifestOf(root, v)))) removedMf += 1
       dvOf(root, v).foreach(d => if (rmTree(new java.io.File(d)))
         removedDv += 1)
+      if (rmTree(new java.io.File(manifestOf(root, v)))) removedMf += 1
       if (v > 0L) new java.io.File(markerPath(root, v)).delete()
+    }
+    // 4. loser garbage from rename-publish races: prepared manifests
+    //    that never won the canonical name, their sidecars (unless a
+    //    kept version's pointer references one), and u-named data
+    //    dirs whose files were all collected by reachability above
+    val keptDv = kept.flatMap(v => dvOf(root, v))
+      .map(p => new java.io.File(p).getName).toSet
+    rootDir.listFiles().filter(_.isDirectory).foreach { d =>
+      d.getName match {
+        case n if n.startsWith("manifest_u") =>
+          if (rmTree(d)) removedMf += 1
+        case n if n.startsWith("dv_u") && !keptDv.contains(n) =>
+          if (rmTree(d)) removedDv += 1
+        case n if n.startsWith("data_u") &&
+            d.listFiles().forall(!_.getName.endsWith(".parquet")) =>
+          rmTree(d)
+        case _ => ()
+      }
     }
     ExpireStats(kept, removedData, removedMf, removedDv)
   }

@@ -198,18 +198,22 @@ object StreamingPipelines {
                                        root: String): Unit = {
     import graft.sources.ManifestPrune
     val s = batch.sparkSession
-    val cur = ManifestPrune.currentVersion(s, root)
-    if (batchId <= lastAppliedBatch(root, cur, "cdc:"))
-      return // replay of a committed batch
-    val next = cur + 1
-    val baseMf = ManifestPrune.manifestOf(root, cur)
-    val empty = ManifestPrune.readVersion(s, baseMf).limit(0)
-    ManifestPrune.cowMergeFrom(s, root, baseMf, batch, empty, s"c$next",
-      baseDv = ManifestPrune.dvOf(root, cur))
-    if (!ManifestPrune.tryCommit(root, next))
-      throw new java.util.ConcurrentModificationException(
-        s"version $next committed concurrently; batch $batchId must retry")
-    ManifestPrune.noteCommit(root, next, s"cdc:$batchId")
+    // the whole prepare+publish re-runs on a publish race (prepared
+    // state is writer-unique, so a retry leaks only garbage dirs);
+    // the replay check re-reads the chain each attempt, so a batch
+    // that lost to its own adopted crash-twin is caught here
+    ManifestPrune.withCommitRetry() { () =>
+      val cur = ManifestPrune.currentVersion(s, root)
+      if (batchId <= lastAppliedBatch(root, cur, "cdc:"))
+        return // replay of a committed batch
+      val baseMf = ManifestPrune.manifestOf(root, cur)
+      val empty = ManifestPrune.readVersion(s, baseMf).limit(0)
+      val (_, mf) = ManifestPrune.cowMergeFrom(s, root, baseMf, batch,
+        empty, ManifestPrune.prepareToken(),
+        baseDv = ManifestPrune.dvOf(root, cur))
+      val next = ManifestPrune.publish(root, cur, mf)
+      ManifestPrune.noteCommit(root, next, s"cdc:$batchId")
+    }
   }
 
   /** STREAMING ERASURE — the GDPR leg of the lakehouse family, pairing
@@ -234,16 +238,16 @@ object StreamingPipelines {
                                           root: String): Unit = {
     import graft.sources.ManifestPrune
     val s = batch.sparkSession
-    val cur = ManifestPrune.currentVersion(s, root)
-    if (batchId <= lastAppliedBatch(root, cur, "del:"))
-      return // replay of a committed batch
-    val next = cur + 1
-    ManifestPrune.dvDeleteFrom(s, root, ManifestPrune.manifestOf(root, cur),
-      ManifestPrune.dvOf(root, cur), batch, s"c$next")
-    if (!ManifestPrune.tryCommit(root, next))
-      throw new java.util.ConcurrentModificationException(
-        s"version $next committed concurrently; batch $batchId must retry")
-    ManifestPrune.noteCommit(root, next, s"del:$batchId")
+    ManifestPrune.withCommitRetry() { () =>
+      val cur = ManifestPrune.currentVersion(s, root)
+      if (batchId <= lastAppliedBatch(root, cur, "del:"))
+        return // replay of a committed batch
+      val (mf, _) = ManifestPrune.dvDeleteFrom(s, root,
+        ManifestPrune.manifestOf(root, cur), ManifestPrune.dvOf(root, cur),
+        batch, ManifestPrune.prepareToken())
+      val next = ManifestPrune.publish(root, cur, mf)
+      ManifestPrune.noteCommit(root, next, s"del:$batchId")
+    }
   }
 
   case class EwmaEvent(event_id: Long, ts: Timestamp, user_id: Long,

@@ -103,6 +103,45 @@ class DvDeleteSpec extends SparkSpec {
     assert(carried.isEmpty) // dvOf guards non-protocol versions
   }
 
+  test("compactCommit materializes accumulated DVs and restores " +
+    "clustering") {
+    val proot = graft.Tables.matDir(s"dv_compact_${System.nanoTime}",
+      spark, sf0001)
+    docs.repartitionByRange(6, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$proot/data")
+    spark.read.parquet(s"$proot/data")
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(min(col("n_chars")).as("min_key"),
+        max(col("n_chars")).as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$proot/manifest")
+    ManifestPrune.dvDeleteCommit(spark, proot,
+      docs.filter(col("doc_id") % 5 === 2).select("doc_id"))
+    ManifestPrune.dvDeleteCommit(spark, proot,
+      docs.filter(col("doc_id") % 9 === 4).select("doc_id"))
+    val before = ManifestPrune.readCommitted(spark, proot, 2L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val v3 = ManifestPrune.compactCommit(spark, proot, nFiles = 2)
+    assert(v3 === 3L)
+    // no sidecar: the deletes are materialized into the data files
+    assert(ManifestPrune.dvOf(proot, v3).isEmpty)
+    val mf = spark.read.parquet(ManifestPrune.manifestOf(proot, v3))
+      .collect()
+    assert(mf.length === 2)
+    // physical row counts now EQUAL live counts (nothing hidden)
+    assert(mf.map(_.getLong(3)).sum === before.length.toLong)
+    assert(ManifestPrune.liveRowCount(spark,
+      ManifestPrune.manifestOf(proot, v3), None) === before.length.toLong)
+    // clustering restored: compacted files' key ranges do not overlap
+    val ranges = mf.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges(0)._2 <= ranges(1)._1)
+    // reads identical to the pre-compaction DV-applied view
+    val after = ManifestPrune.readCommitted(spark, proot, v3)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(after === before)
+  }
+
   test("dvDeleteCommit and cowMergeCommit interleave on one CAS chain") {
     // fresh root so protocol versions start at 0
     val proot = graft.Tables.matDir("dv_protocol", spark, sf0001)

@@ -629,11 +629,14 @@ class StreamingPipelinesSpec extends SparkSpec {
     // REPLAY of committed batch 1: no new version, state unchanged
     StreamingPipelines.applyCdcBatch(upd(11, "b1"), 1L, root)
     assert(ManifestPrune.currentVersion(spark, root) === 2L)
-    // CRASH before CAS: prepared dirs exist but no marker — replaying
-    // the batch prepares again and commits exactly once
+    // CRASH before publish: writer-unique prepared dirs exist but the
+    // canonical rename never happened — replaying the batch prepares
+    // again and commits exactly once (the rename-then-crash window is
+    // adoption, pinned in CommitRaceSpec)
     val baseMf = ManifestPrune.manifestOf(root, 2)
     ManifestPrune.cowMergeFrom(spark, root, baseMf, upd(13, "b2"),
-      ManifestPrune.readVersion(spark, baseMf).limit(0), "c3")
+      ManifestPrune.readVersion(spark, baseMf).limit(0),
+      ManifestPrune.prepareToken())
     assert(ManifestPrune.currentVersion(spark, root) === 2L) // not committed
     StreamingPipelines.applyCdcBatch(upd(13, "b2"), 2L, root)
     assert(ManifestPrune.currentVersion(spark, root) === 3L)
@@ -686,11 +689,12 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(v2.filter(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0
       && col("lang") =!= "u0").count() === 0L)
     assert(v2.count() === docs.filter(col("doc_id") % 7 =!= 0).count())
-    // CRASH before CAS on the delete path: prepared sidecar exists but
-    // no marker — the replay prepares again and commits exactly once
+    // CRASH before publish on the delete path: writer-unique prepared
+    // sidecar exists but the canonical rename never happened — the
+    // replay prepares again and commits exactly once
     ManifestPrune.dvDeleteFrom(spark, root,
       ManifestPrune.manifestOf(root, 2L), ManifestPrune.dvOf(root, 2L),
-      del(13), "c3")
+      del(13), ManifestPrune.prepareToken())
     assert(ManifestPrune.currentVersion(spark, root) === 2L)
     StreamingPipelines.applyDeleteBatch(del(13), 1L, root)
     assert(ManifestPrune.currentVersion(spark, root) === 3L)
