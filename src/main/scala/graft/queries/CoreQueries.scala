@@ -38,6 +38,18 @@ object CoreQueries {
       graft.sources.ManifestPrune.cowMerge(s, root, updates, inserts, "v2")._2
     })
 
+  /** q_manifest_tree's two-level manifest tree, built ONCE per
+    * (session, sf dir) over the shared clustered layout. */
+  private val treeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def manifestTree(s: SparkSession, d: String): String =
+    treeCache.computeIfAbsent((s, d), { _ =>
+      val root = graft.sources.ManifestPrune.ensureLayout(s, d)
+      graft.sources.ManifestPrune.buildManifestTree(s, root,
+        s"$root/manifest", nShards = 4)
+    })
+
   /** q_dv_delete's (manifest, dv) pair, built ONCE per (session, sf
     * dir): layout + one merge-on-read delete of a deterministic key
     * set — no data file is touched (DvDeleteSpec pins that). */
@@ -1220,6 +1232,33 @@ object CoreQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
              |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // TWO-LEVEL MANIFEST TREE scan (ManifestPrune.buildManifestTree /
+    // readRangeTree): the same exactness contract as q_manifest_prune
+    // but planned through the Iceberg-style manifest LIST — shard
+    // key-intervals prune first, only overlapping shard manifests are
+    // read for the file list, and the exact predicate re-applies
+    // after the pruned read. The oracle runs the plain filter on the
+    // original table, so the hash gate proves shard build + two-level
+    // prune + pruned read are exact end-to-end; ManifestPruneSpec
+    // pins that tree planning equals flat planning and stays inside a
+    // driver bound the flat plan cannot satisfy. The 100 TB story:
+    // the driver holds overlapping shards' rows, never the table's
+    // full file list.
+    Q("q_manifest_tree",
+      (s, d) => {
+        val root = graft.sources.ManifestPrune.ensureLayout(s, d)
+        val tree = manifestTree(s, d)
+        graft.sources.ManifestPrune.readRangeTree(s, root, tree, 120, 200)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE n_chars BETWEEN 120 AND 200
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // MERGE-ON-READ DELETE via DELETION VECTORS
     // (ManifestPrune.dvDeleteFrom) — the lazy complement of
