@@ -472,21 +472,27 @@ private[sources] object TsvEscape {
 // ---------------------------------------------------------------- read
 
 /** Read-side planning with EQUALITY filter pushdown
-  * (SupportsPushDownFilters): `c3 = 'click'`-class predicates are
-  * evaluated inside the line reader BEFORE a row materializes —
+  * (SupportsPushDownFilters) and COLUMN PRUNING
+  * (SupportsPushDownRequiredColumns): `c3 = 'click'`-class predicates
+  * are evaluated inside the line reader BEFORE a row materializes —
   * non-matching lines cost one string compare instead of a full
-  * InternalRow + downstream filter eval. Only exactly-enforceable
-  * predicates are accepted (EqualTo / IsNotNull on the string
-  * columns); everything else is returned as residual for Spark to
-  * re-evaluate above the scan. The accepted set is reported via
-  * pushedFilters() and echoed in the scan description so a plan test
-  * can assert the pushdown actually happened. */
+  * InternalRow + downstream filter eval — and a projection reaching
+  * the scan materializes ONLY the requested cells (the line is split
+  * once either way; pruning saves the per-cell unescape + UTF8String
+  * allocation for dropped columns, the dominant per-row cost on wide
+  * tables). Only exactly-enforceable predicates are accepted
+  * (EqualTo / IsNotNull on the string columns); everything else is
+  * returned as residual for Spark to re-evaluate above the scan. The
+  * accepted set and the pruned schema are echoed in the scan
+  * description so a plan test can assert both pushdowns happened. */
 private[sources] class TsvScanBuilder(path: String, schema: StructType)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
 
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = schema
 
   private def colIndex(attr: String): Option[Int] =
     schema.fieldNames.indexOf(attr) match {
@@ -506,13 +512,22 @@ private[sources] class TsvScanBuilder(path: String, schema: StructType)
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the full-schema field order (projection indexes stay
+    // monotone); Spark's required set is always a subset of `schema`
+    required = StructType(schema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
   override def build(): Scan = {
     val evals: Array[(Int, Option[String])] = pushed.map {
       case EqualTo(attr, v: String) => (colIndex(attr).get, Some(v))
       case IsNotNull(attr) => (colIndex(attr).get, None)
       case f => throw new IllegalStateException(s"unpushable $f")
     }
-    new TsvScan(path, schema, evals, pushed.mkString(", "))
+    // filter indexes address the full line split; projection indexes
+    // name the cells that materialize
+    val projection = required.fieldNames.map(n => colIndex(n).get)
+    new TsvScan(path, required, projection, evals, pushed.mkString(", "))
   }
 }
 
@@ -520,13 +535,15 @@ private[sources] case class TsvFilePartition(file: String)
     extends InputPartition
 
 private[sources] class TsvScan(path: String, schema: StructType,
+                               projection: Array[Int],
                                filters: Array[(Int, Option[String])],
                                pushedDesc: String)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-tsv $path PushedFilters: [$pushedDesc]"
+    s"graft-tsv $path PushedFilters: [$pushedDesc] " +
+      s"ReadColumns: [${schema.fieldNames.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -540,11 +557,11 @@ private[sources] class TsvScan(path: String, schema: StructType,
     new TsvReaderFactory(
       new SerializableHadoopConf(
         SparkSession.active.sparkContext.hadoopConfiguration),
-      schema.length, filters)
+      projection, filters)
 }
 
 private[sources] class TsvReaderFactory(conf: SerializableHadoopConf,
-                                        nCols: Int,
+                                        projection: Array[Int],
                                         filters: Array[(Int, Option[String])])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -575,7 +592,8 @@ private[sources] class TsvReaderFactory(conf: SerializableHadoopConf,
         while (line != null) {
           val parts = line.split("\t", -1)
           if (passes(parts)) {
-            cur = InternalRow.fromSeq((0 until nCols).map(i =>
+            // only projected cells unescape + allocate
+            cur = InternalRow.fromSeq(projection.toIndexedSeq.map(i =>
               if (i < parts.length)
                 UTF8String.fromString(TsvEscape.unescape(parts(i)))
               else null))

@@ -280,6 +280,33 @@ class TsvSinkV2Spec extends SparkSpec {
     assert(like === likeExpect && like.nonEmpty)
   }
 
+  test("projection prunes columns at the scan; filters compose with it") {
+    val out = tmpDir()
+    graft.Tables.load(spark, sf0001, "nation")
+      .select(col("n_nationkey").cast("string"), col("n_name"),
+        col("n_regionkey").cast("string"))
+      .write.format("graft-tsv").mode("overwrite").save(out)
+    val q = spark.read.format("graft-tsv").load(out).select("c1")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadColumns: [c1]"),
+      s"projection did not reach the TSV scan:\n$plan")
+    assert(q.collect().map(_.getString(0)).toSet ===
+      graft.Tables.load(spark, sf0001, "nation")
+        .select("n_name").collect().map(_.getString(0)).toSet)
+    // pruned projection + pushed filter together: the filter column
+    // need not be in the output
+    val both = spark.read.format("graft-tsv").load(out)
+      .filter(col("c2") === "2").select("c1")
+    val bothPlan = both.queryExecution.executedPlan.toString
+    assert(bothPlan.contains("ReadColumns: [c1]") ||
+      bothPlan.contains("ReadColumns: [c1, c2]"),
+      s"pruning lost under a pushed filter:\n$bothPlan")
+    assert(both.collect().map(_.getString(0)).toSet ===
+      graft.Tables.load(spark, sf0001, "nation")
+        .filter(col("n_regionkey") === 2).select("n_name")
+        .collect().map(_.getString(0)).toSet)
+  }
+
   test("DataWriter.abort removes the attempt's staged file") {
     val out = tmpDir()
     val schema = StructType(Seq(StructField("v", LongType, false)))
