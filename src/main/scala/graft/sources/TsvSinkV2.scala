@@ -146,7 +146,7 @@ private[sources] class TsvTable(userSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TsvWriteBuilder(options.get("path"), info)
@@ -531,6 +531,68 @@ private[sources] class TsvScanBuilder(path: String, schema: StructType)
   }
 }
 
+/** STREAMING READ of a graft-tsv directory — the source face that
+  * closes the connector loop: the sink's exactly-once epoch ledger
+  * (`_epochs/e-<id>` markers, recorded only after an epoch's files
+  * are fully promoted) doubles as the SOURCE's offset log. An offset
+  * is simply "highest committed epoch consumed"; a micro-batch
+  * (start, end] plans exactly the part files of the epochs committed
+  * in that window (`part-<epoch>-NNNNN.tsv` — the sink's naming), so
+  * the source sees every epoch atomically, exactly once, and never
+  * observes a half-promoted epoch (its marker does not exist yet).
+  * Restart replays nothing: the consumed watermark lives in the
+  * reading query's checkpoint. Batch-written files (no epoch ledger)
+  * are not visible to this face — stream-in/stream-out dirs are the
+  * contract, the same one the sink's scaladoc states. */
+private[sources] case class TsvEpochOffset(epoch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = epoch.toString
+}
+
+private[sources] class TsvMicroBatchStream(path: String,
+                                           projection: Array[Int],
+                                           filters: Array[(Int, Option[String])],
+                                           conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def fs = new Path(path).getFileSystem(conf.value)
+
+  private def committedEpochs(): Seq[Long] = {
+    val ledger = new Path(path, "_epochs")
+    if (!fs.exists(ledger)) Seq.empty
+    else fs.listStatus(ledger).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("e-") => n.drop(2).toLong
+    }.sorted
+  }
+
+  override def initialOffset(): Offset = TsvEpochOffset(-1L)
+  override def latestOffset(): Offset =
+    TsvEpochOffset(committedEpochs().lastOption.getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset =
+    TsvEpochOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private val EpochPart = "part-(\\d+)-\\d+\\.tsv".r
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[TsvEpochOffset].epoch
+    val hi = end.asInstanceOf[TsvEpochOffset].epoch
+    val inWindow = committedEpochs().filter(e => e > lo && e <= hi).toSet
+    TsvSinkV2.listParts(fs, new Path(path)).filter { f =>
+      f.getName match {
+        case EpochPart(e) => inWindow.contains(e.toLong)
+        case _ => false
+      }
+    }.map(f => TsvFilePartition(f.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TsvReaderFactory(conf, projection, filters)
+}
+
 private[sources] case class TsvFilePartition(file: String)
     extends InputPartition
 
@@ -558,6 +620,12 @@ private[sources] class TsvScan(path: String, schema: StructType,
       new SerializableHadoopConf(
         SparkSession.active.sparkContext.hadoopConfiguration),
       projection, filters)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TsvMicroBatchStream(path, projection, filters,
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 private[sources] class TsvReaderFactory(conf: SerializableHadoopConf,
