@@ -66,6 +66,34 @@ object CoreQueries {
         s"$root/manifest", None, deletes, "dv1")
     })
 
+  /** q_compact_commit's committed chain (fresh root → DV delete →
+    * compaction), built ONCE per (session, sf dir): the full
+    * merge-on-read lifecycle whose read-back the oracle replays. */
+  private val compactCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def compactedChain(s: SparkSession, d: String): String =
+    compactCache.computeIfAbsent((s, d), { _ =>
+      // nanoTime suffix: _commits markers persist on disk and the
+      // session-identity suffix can collide across JVM restarts (the
+      // CDC spec's lesson) — a fresh chain must start at version 0
+      val root = Tables.matDir(s"compact_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      docs.repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/data")
+      s.read.parquet(s"$root/data")
+        .select(col("_metadata.file_path").as("file"), col("n_chars"))
+        .groupBy("file")
+        .agg(min(col("n_chars")).as("min_key"),
+          max(col("n_chars")).as("max_key"),
+          count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(s"$root/manifest")
+      graft.sources.ManifestPrune.dvDeleteCommit(s, root,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      graft.sources.ManifestPrune.compactCommit(s, root, nFiles = 4)
+      root
+    })
+
   /** q_dpp_join's hive-partitioned events layout (partition column =
     * event_type), written once per (session, sf dir). */
   private val dppCache = new java.util.concurrent.ConcurrentHashMap[
@@ -1287,6 +1315,32 @@ object CoreQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM documents WHERE doc_id % 7 <> 3
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // FULL MERGE-ON-READ LIFECYCLE under the hash gate
+    // (dvDeleteCommit → compactCommit → readCommitted): the DV delete
+    // hides every doc_id ≡ 3 (mod 7) without touching a data file,
+    // then compaction materializes the vectors into 4 re-clustered
+    // files with no sidecar — and the committed read-back must equal
+    // the oracle's arithmetic replay of the delete. One wrong
+    // position anywhere in plan → sidecar → anti-join → rewrite
+    // breaks the hash. (q_dv_delete gates the pre-compaction read;
+    // DvDeleteSpec pins the file-level contracts.)
+    Q("q_compact_commit",
+      (s, d) => {
+        val root = compactedChain(s, d)
+        graft.sources.ManifestPrune.readCommitted(s, root,
+          graft.sources.ManifestPrune.currentVersion(s, root))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents WHERE doc_id % 7 <> 3
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // COLUMN BACKFILL over the evolved layout — the job the
     // q_schema_evolution monitor exists to track: generation-1 rows
