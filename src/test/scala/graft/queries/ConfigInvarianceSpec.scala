@@ -29,7 +29,10 @@ class ConfigInvarianceSpec extends SparkSpec {
     "q_t_closeness",        // class × domain grid + broadcasts
     "q_kmeans",             // broadcast-argmax Lloyd round
     "q_decay_score",        // shift-divide decay + TakeOrdered
-    "q_dedup_simhash64")    // persisted pair table read-back
+    "q_dedup_simhash64",    // persisted pair table read-back
+    "q_dv_delete",          // positional deletion-vector anti-join
+    "q_manifest_tree",      // two-level shard-pruned planning
+    "q_multimodal_mp4")     // recursive box-tree codec seam
 
   private def rows(name: String): Seq[Seq[Any]] =
     SparkEntry.queries(name)(spark, sf0001)
