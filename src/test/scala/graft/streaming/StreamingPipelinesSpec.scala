@@ -737,6 +737,44 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(live.count() === docs.count() - 5L)
   }
 
+  test("an adopted version's empty note is skipped by replay cursors") {
+    import graft.sources.ManifestPrune
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val root = graft.Tables.matDir(s"note_${System.nanoTime}",
+      spark, sf0001)
+    docs.repartitionByRange(4, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/data")
+    spark.read.parquet(s"$root/data")
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(min(col("n_chars")).as("min_key"),
+        max(col("n_chars")).as("max_key"), count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$root/manifest")
+    // stream writer commits batch 0 (note "del:0")
+    StreamingPipelines.applyDeleteBatch(
+      docs.filter(col("doc_id") % 23 === 1).select("doc_id"), 0L, root)
+    // a crashed anonymous writer's version gets adopted (empty note)
+    val tok = graft.sources.ManifestPrune.prepareToken()
+    val (mf, _) = graft.sources.ManifestPrune.dvDeleteFrom(spark, root,
+      graft.sources.ManifestPrune.manifestOf(root, 1L), graft.sources.ManifestPrune.dvOf(root, 1L),
+      docs.filter(col("doc_id") % 29 === 2).select("doc_id"), tok)
+    assert(new java.io.File(mf)
+      .renameTo(new java.io.File(graft.sources.ManifestPrune.manifestOf(root, 2L))))
+    // stream writer's batch 1: publish races the orphan, adopts it,
+    // retries, and lands as v3 — the adopted v2's EMPTY note must not
+    // truncate the cursor scan (batch 0's note sits below it)
+    StreamingPipelines.applyDeleteBatch(
+      docs.filter(col("doc_id") % 31 === 3).select("doc_id"), 1L, root)
+    assert(graft.sources.ManifestPrune.currentVersion(spark, root) === 3L)
+    // and a REPLAY of batch 1 finds its note through the chain
+    StreamingPipelines.applyDeleteBatch(
+      docs.filter(col("doc_id") % 31 === 3).select("doc_id"), 1L, root)
+    assert(graft.sources.ManifestPrune.currentVersion(spark, root) === 3L)
+    val t = graft.sources.ManifestPrune.readCommitted(spark, root, 3L)
+    assert(t.filter(col("doc_id") % 23 === 1 ||
+      col("doc_id") % 29 === 2 || col("doc_id") % 31 === 3).count() === 0L)
+  }
+
   test("streamingEwma over 3 micro-batches equals the batch q_ewma rows") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
