@@ -153,7 +153,10 @@ private[sources] class TsvTable(userSchema: StructType,
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new TsvScanBuilder(Option(opts.get("path"))
-      .getOrElse(options.get("path")), userSchema)
+      .getOrElse(options.get("path")), userSchema,
+      Option(opts.get("maxEpochsPerTrigger"))
+        .orElse(Option(options.get("maxEpochsPerTrigger")))
+        .map(_.toInt))
 }
 
 private[sources] class TsvWriteBuilder(path: String, info: LogicalWriteInfo)
@@ -485,7 +488,8 @@ private[sources] object TsvEscape {
   * returned as residual for Spark to re-evaluate above the scan. The
   * accepted set and the pruned schema are echoed in the scan
   * description so a plan test can assert both pushdowns happened. */
-private[sources] class TsvScanBuilder(path: String, schema: StructType)
+private[sources] class TsvScanBuilder(path: String, schema: StructType,
+                                      maxEpochsPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -527,7 +531,8 @@ private[sources] class TsvScanBuilder(path: String, schema: StructType)
     // filter indexes address the full line split; projection indexes
     // name the cells that materialize
     val projection = required.fieldNames.map(n => colIndex(n).get)
-    new TsvScan(path, required, projection, evals, pushed.mkString(", "))
+    new TsvScan(path, required, projection, evals, pushed.mkString(", "),
+      maxEpochsPerTrigger)
   }
 }
 
@@ -552,9 +557,11 @@ private[sources] case class TsvEpochOffset(epoch: Long)
 private[sources] class TsvMicroBatchStream(path: String,
                                            projection: Array[Int],
                                            filters: Array[(Int, Option[String])],
+                                           maxEpochsPerTrigger: Option[Int],
                                            conf: SerializableHadoopConf)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def fs = new Path(path).getFileSystem(conf.value)
 
@@ -569,6 +576,25 @@ private[sources] class TsvMicroBatchStream(path: String,
   override def initialOffset(): Offset = TsvEpochOffset(-1L)
   override def latestOffset(): Offset =
     TsvEpochOffset(committedEpochs().lastOption.getOrElse(-1L))
+
+  // ---- admission control (backpressure): cap how many committed
+  // epochs one micro-batch may consume, so a reader catching up on a
+  // long backlog processes it in bounded steps instead of one giant
+  // batch (`maxEpochsPerTrigger` read option; default unbounded)
+  override def getDefaultReadLimit: ReadLimit =
+    maxEpochsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[TsvEpochOffset].epoch
+    val pending = committedEpochs().filter(_ > start)
+    val capped = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        pending.take(m.maxFiles())
+      case _ => pending
+    }
+    TsvEpochOffset(capped.lastOption.getOrElse(start))
+  }
   override def deserializeOffset(json: String): Offset =
     TsvEpochOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
@@ -599,7 +625,8 @@ private[sources] case class TsvFilePartition(file: String)
 private[sources] class TsvScan(path: String, schema: StructType,
                                projection: Array[Int],
                                filters: Array[(Int, Option[String])],
-                               pushedDesc: String)
+                               pushedDesc: String,
+                               maxEpochsPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -624,6 +651,7 @@ private[sources] class TsvScan(path: String, schema: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new TsvMicroBatchStream(path, projection, filters,
+      maxEpochsPerTrigger,
       new SerializableHadoopConf(
         SparkSession.active.sparkContext.hadoopConfiguration))
 }

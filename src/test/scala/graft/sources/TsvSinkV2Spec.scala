@@ -344,6 +344,41 @@ class TsvSinkV2Spec extends SparkSpec {
     assert(all === (1L to 9L), s"duplicates or loss: $all")
   }
 
+  test("maxEpochsPerTrigger rate-limits the streaming read (admission " +
+    "control)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = tmpDir()
+    val wCkpt = tmpDir()
+    val in = MemoryStream[Long](spark, 1)
+    // three committed epochs before the reader starts
+    (1 to 3).foreach { i =>
+      in.addData(i.toLong * 10, i.toLong * 10 + 1)
+      val w = in.toDF().selectExpr("value AS v")
+        .writeStream.format("graft-tsv")
+        .option("path", dir).option("checkpointLocation", wCkpt)
+        .outputMode("append").start()
+      try w.processAllAvailable() finally w.stop()
+    }
+    val rCkpt = tmpDir()
+    val rOut = tmpDir()
+    val r = spark.readStream.format("graft-tsv")
+      .option("maxEpochsPerTrigger", "1").load(dir)
+      .writeStream.format("parquet").option("path", rOut)
+      .option("checkpointLocation", rCkpt)
+      .outputMode("append").start()
+    try r.processAllAvailable() finally r.stop()
+    // every row arrived, and the backlog drained in bounded steps —
+    // one epoch per micro-batch, so >= 3 offsets were committed
+    val all = spark.read.parquet(rOut).collect()
+      .map(_.getString(0).toLong).sorted.toSeq
+    assert(all === Seq(10L, 11L, 20L, 21L, 30L, 31L))
+    val batches = new java.io.File(s"$rCkpt/offsets").listFiles()
+      .count(_.getName.forall(_.isDigit))
+    assert(batches >= 3, s"backlog consumed in $batches batches — " +
+      "the rate limit did not bound the catch-up step")
+  }
+
   test("DataWriter.abort removes the attempt's staged file") {
     val out = tmpDir()
     val schema = StructType(Seq(StructField("v", LongType, false)))
