@@ -96,6 +96,32 @@ object Demo {
     println(s"[demo] graft-tsv round-trip: $tsvBack rows, _SUCCESS=" +
       new java.io.File(s"$tsvOut/_SUCCESS").exists())
 
+    // 9. table layer: merge-on-read DELETE (deletion vectors, no data
+    // file rewritten) then compaction materializing the vectors — the
+    // committed chain end-to-end
+    val docs = Tables.load(spark, sfDir, "documents")
+    val root = java.nio.file.Files
+      .createTempDirectory("demo_table_").toString
+    docs.repartitionByRange(4, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/data")
+    spark.read.parquet(s"$root/data")
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(org.apache.spark.sql.functions.min(col("n_chars")).as("min_key"),
+        org.apache.spark.sql.functions.max(col("n_chars")).as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$root/manifest")
+    import graft.sources.ManifestPrune
+    val v1 = ManifestPrune.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 10 === 0).select("doc_id"))
+    val live = ManifestPrune.liveRowCount(spark,
+      ManifestPrune.manifestOf(root, v1), ManifestPrune.dvOf(root, v1))
+    val v2 = ManifestPrune.compactCommit(spark, root, nFiles = 2)
+    println(s"[demo] table chain: ${docs.count()} rows -> dv-delete v$v1 " +
+      s"(live=$live, zero files rewritten) -> compact v$v2 " +
+      s"(${ManifestPrune.readCommitted(spark, root, v2).count()} rows, " +
+      "vectors materialized)")
+
     spark.stop()
   }
 }
