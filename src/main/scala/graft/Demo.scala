@@ -102,16 +102,8 @@ object Demo {
     val docs = Tables.load(spark, sfDir, "documents")
     val root = java.nio.file.Files
       .createTempDirectory("demo_table_").toString
-    docs.repartitionByRange(4, col("n_chars"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$root/data")
-    spark.read.parquet(s"$root/data")
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(org.apache.spark.sql.functions.min(col("n_chars")).as("min_key"),
-        org.apache.spark.sql.functions.max(col("n_chars")).as("max_key"),
-        count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(s"$root/manifest")
     import graft.sources.ManifestPrune
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
     val v1 = ManifestPrune.dvDeleteCommit(spark, root,
       docs.filter(col("doc_id") % 10 === 0).select("doc_id"))
     val live = ManifestPrune.liveRowCount(spark,

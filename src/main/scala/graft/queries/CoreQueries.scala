@@ -79,15 +79,7 @@ object CoreQueries {
       // CDC spec's lesson) — a fresh chain must start at version 0
       val root = Tables.matDir(s"compact_chain_${System.nanoTime}", s, d)
       val docs = Tables.load(s, d, "documents")
-      docs.repartitionByRange(8, col("n_chars"), col("doc_id"))
-        .write.mode("overwrite").parquet(s"$root/data")
-      s.read.parquet(s"$root/data")
-        .select(col("_metadata.file_path").as("file"), col("n_chars"))
-        .groupBy("file")
-        .agg(min(col("n_chars")).as("min_key"),
-          max(col("n_chars")).as("max_key"),
-          count(lit(1)).as("n_rows"))
-        .write.mode("overwrite").parquet(s"$root/manifest")
+      graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
       graft.sources.ManifestPrune.dvDeleteCommit(s, root,
         docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
       graft.sources.ManifestPrune.compactCommit(s, root, nFiles = 4)

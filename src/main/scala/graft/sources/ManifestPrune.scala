@@ -583,6 +583,24 @@ object ManifestPrune {
     } else None
   }
 
+  /** Write a fresh range-clustered layout + its stats manifest — the
+    * shared bootstrap every chain starts from (battery stages, specs,
+    * the demo): `root/data` holds the clustered files, `root/manifest`
+    * one (file, min_key, max_key, n_rows) row per file. */
+  def buildLayout(df: DataFrame, root: String, nFiles: Int): String = {
+    val s = df.sparkSession
+    df.repartitionByRange(nFiles, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/data")
+    s.read.parquet(s"$root/data")
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(min(col("n_chars")).as("min_key"),
+        max(col("n_chars")).as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$root/manifest")
+    root
+  }
+
   /** What [[expireVersions]] removed and kept, for audit logs. */
   case class ExpireStats(keptVersions: Seq[Long], removedDataFiles: Long,
                          removedManifestDirs: Long, removedDvDirs: Long)
@@ -610,9 +628,19 @@ object ManifestPrune {
     * planning); the orphan scan is a listing, not a data read.
     * Time travel to an expired version becomes impossible — that is
     * the contract being bought: bounded storage. */
+  /** `graceMs`: files/dirs YOUNGER than this are never collected —
+    * the retention threshold every production expiry needs, because a
+    * concurrently PREPARING writer's not-yet-published state is
+    * indistinguishable from a race loser's garbage by reachability
+    * alone (Iceberg's remove_orphan_files has the same
+    * older-than guard). Pass 0 only when no writer can be in flight
+    * (single-threaded tests). */
   def expireVersions(s: SparkSession, root: String,
-                     keepLast: Int): ExpireStats = {
+                     keepLast: Int,
+                     graceMs: Long = 10L * 60 * 1000): ExpireStats = {
     require(keepLast >= 1, "must keep at least the current version")
+    val cutoff = System.currentTimeMillis() - graceMs
+    def oldEnough(f: java.io.File): Boolean = f.lastModified() <= cutoff
     val cur = currentVersion(s, root)
     val keepFrom = math.max(0L, cur - keepLast + 1)
     val kept = (keepFrom to cur).filter(v =>
@@ -629,7 +657,7 @@ object ManifestPrune {
     rootDir.listFiles().filter(f => f.isDirectory &&
       f.getName.startsWith("data")).foreach { dir =>
       dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-        if (!keep.contains(f.getAbsolutePath)) {
+        if (!keep.contains(f.getAbsolutePath) && oldEnough(f)) {
           if (f.delete()) removedData += 1
         }
       }
@@ -655,18 +683,19 @@ object ManifestPrune {
     //    dirs whose files were all collected by reachability above
     val keptDv = kept.flatMap(v => dvOf(root, v))
       .map(p => new java.io.File(p).getName).toSet
-    rootDir.listFiles().filter(_.isDirectory).foreach { d =>
-      d.getName match {
-        case n if n.startsWith("manifest_u") =>
-          if (rmTree(d)) removedMf += 1
-        case n if n.startsWith("dv_u") && !keptDv.contains(n) =>
-          if (rmTree(d)) removedDv += 1
-        case n if n.startsWith("data_u") &&
-            d.listFiles().forall(!_.getName.endsWith(".parquet")) =>
-          rmTree(d)
-        case _ => ()
+    rootDir.listFiles().filter(d => d.isDirectory && oldEnough(d))
+      .foreach { d =>
+        d.getName match {
+          case n if n.startsWith("manifest_u") =>
+            if (rmTree(d)) removedMf += 1
+          case n if n.startsWith("dv_u") && !keptDv.contains(n) =>
+            if (rmTree(d)) removedDv += 1
+          case n if n.startsWith("data_u") &&
+              d.listFiles().forall(!_.getName.endsWith(".parquet")) =>
+            rmTree(d)
+          case _ => ()
+        }
       }
-    }
     ExpireStats(kept, removedData, removedMf, removedDv)
   }
 

@@ -39,8 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `part-<queryId>-NNNNN.tsv` — names are UNIQUE PER JOB, so an
   *    append never collides with a previous generation's files — then
   *    switches visibility with ONE atomic write: a new
-  *    `_manifest-<gen>` (rename of a fully-written temp to a name that
-  *    does not yet exist — atomic on POSIX and HDFS alike) listing
+  *    `_manifest-<gen>` (a lock-guarded rename of a fully-written
+  *    temp — the generation's `.lock` is exclusive-created first, so
+  *    two committers of the same generation cannot silently replace
+  *    each other's manifest on POSIX, where a bare file rename
+  *    overwrites an existing destination) listing
   *    exactly the visible files and their total row count. Readers
   *    resolve the HIGHEST generation manifest, so a crash anywhere
   *    before the manifest rename leaves the previous generation fully
@@ -104,6 +107,8 @@ object TsvSinkV2 {
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
 
   private[sources] val ManifestName = "_manifest-(\\d+)".r
+  private[sources] val ManifestLockName = "_manifest-(\\d+)\\.lock".r
+  private[sources] val EpochPartName = "part-(\\d+)-\\d+\\.tsv".r
 
   /** (generation, manifestPath) of the highest-numbered manifest, if
     * any — the batch commit's visibility authority. */
@@ -136,6 +141,23 @@ object TsvSinkV2 {
       case Some((_, m)) => readManifest(fs, m)._2.map(new Path(dir, _))
       case None => listParts(fs, dir)
     }
+
+  /** Committed epoch ids of a streaming target: the marker-dir layout,
+    * with the legacy single-file ledger read transparently (it is
+    * migrated in place by the next streaming commit). */
+  private[sources] def committedEpochs(fs: FileSystem,
+                                       dir: Path): Set[Long] = {
+    val ledger = new Path(dir, "_epochs")
+    if (!fs.exists(ledger)) Set.empty
+    else if (fs.getFileStatus(ledger).isFile) {
+      val in = fs.open(ledger)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    } else fs.listStatus(ledger).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("e-") => n.drop(2).toLong
+    }.toSet
+  }
 }
 
 private[sources] class TsvTable(userSchema: StructType,
@@ -213,33 +235,54 @@ private[sources] class TsvStreamingWrite(path: String, schema: StructType,
 
   private def ledgerDir = new Path(path, "_epochs")
 
-  private def committedEpochs(fs: FileSystem): Set[Long] = {
-    if (!fs.exists(ledgerDir)) Set.empty
-    else fs.listStatus(ledgerDir).toSeq.map(_.getPath.getName).collect {
-      case n if n.startsWith("e-") => n.drop(2).toLong
-    }.toSet
+  private def committedEpochs(fs: FileSystem): Set[Long] =
+    TsvSinkV2.committedEpochs(fs, new Path(path))
+
+  /** A pre-marker-directory target carried `_epochs` as a single
+    * rewritten FILE of ids; migrate it to the marker layout (one
+    * `e-<id>` file per epoch) so its committed history survives the
+    * upgrade instead of being silently forgotten — and so the next
+    * commit's mkdirs does not fail over the existing file. */
+  private def migrateLegacyLedger(fs: FileSystem): Unit = {
+    if (fs.exists(ledgerDir) && fs.getFileStatus(ledgerDir).isFile) {
+      val in = fs.open(ledgerDir)
+      val ids =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).map(_.toLong).toSeq
+        finally in.close()
+      require(fs.delete(ledgerDir, false),
+        s"legacy ledger migration failed: cannot remove $ledgerDir")
+      fs.mkdirs(ledgerDir)
+      ids.foreach(id =>
+        fs.create(new Path(ledgerDir, s"e-$id"), true).close())
+    }
   }
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
+    migrateLegacyLedger(fs)
     if (committedEpochs(fs).contains(epochId)) {
       // epoch replay after a commit-then-crash: the data is already
       // visible — drop this attempt's staged bytes, promote nothing
       dropStaging(fs, epochId)
       return
     }
+    // a crash mid-promote replays the epoch before it was recorded:
+    // everything already promoted under this epoch id is the dead
+    // attempt's output — remove ALL of it first, not just colliding
+    // indexes, because the replay may run with FEWER partitions and a
+    // same-index-only replace would leave the dead attempt's higher-
+    // index files visible as duplicates
+    val stalePrefix = s"part-$epochId-"
+    TsvSinkV2.listParts(fs, dir)
+      .filter(_.getName.startsWith(stalePrefix))
+      .foreach(p => require(fs.delete(p, false),
+        s"stale replace failed: $p"))
     messages.zipWithIndex.foreach { case (m, i) =>
       val c = m.asInstanceOf[TsvCommit]
       val dst = new Path(dir, f"part-$epochId-$i%05d.tsv")
-      // a crash mid-promote replays the epoch before it was recorded:
-      // the same epoch id re-stages the same logical data, so an
-      // already-promoted destination is this epoch's own partial
-      // attempt — replace it (HDFS rename returns false onto an
-      // existing destination; POSIX would overwrite silently)
-      if (fs.exists(dst))
-        require(fs.delete(dst, false), s"stale replace failed: $dst")
       require(fs.rename(new Path(c.stagedFile), dst),
         s"promote failed: ${c.stagedFile} -> $dst")
     }
@@ -283,11 +326,62 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory =
     new TsvWriterFactory(path, stagingDir.toString, schema, conf)
 
+  /** Locks older than this with no published manifest are a crashed
+    * committer's leftovers and may be stolen; younger ones mean a
+    * LIVE concurrent committer and must fail this job — losing to a
+    * fresh lock is what prevents two same-base appends from silently
+    * dropping each other's rows (the lost-update race a bare rename
+    * cannot decide on POSIX, where renaming over an existing file
+    * silently replaces it). */
+  private val StaleLockMs = 10L * 60 * 1000
+
+  /** Publish one manifest generation: exclusive-create the LOCK for
+    * the generation number (exactly one committer of a generation can
+    * win), then rename the fully-written temp onto the canonical
+    * name. The lock is removed after the rename; a crash in between
+    * leaves a stale lock the next committer steals after
+    * [[StaleLockMs]]. */
+  private def publishManifest(fs: FileSystem, dir: Path, gen: Long,
+                              total: Long, visible: Seq[String],
+                              tmpName: String): Unit = {
+    val tmp = new Path(stagingDir, tmpName)
+    val mout = fs.create(tmp, true)
+    mout.write((total.toString +: visible)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    mout.close()
+    val lock = new Path(dir, f"_manifest-$gen%010d.lock")
+    if (!fs.createNewFile(lock)) {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime
+      require(age > StaleLockMs,
+        s"generation $gen already claimed by a concurrent committer " +
+          "— re-run this write against the new table state")
+      fs.delete(lock, false)
+      require(fs.createNewFile(lock),
+        s"generation $gen re-claimed while stealing a stale lock")
+    }
+    val manifest = new Path(dir, f"_manifest-$gen%010d")
+    require(fs.rename(tmp, manifest),
+      s"manifest switch failed: $tmp -> $manifest")
+    fs.delete(lock, false)
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     val preExisting = TsvSinkV2.listParts(fs, dir).map(_.getName)
-    // 1) promote the committed task files FIRST (losers of speculative
+    // 0) BOOTSTRAP a manifest-less target (legacy or stream-written
+    //    dir): publish a generation with exactly the PRE-existing
+    //    files BEFORE anything changes, so readers switch to manifest
+    //    authority now — a crash mid-promote below can then never
+    //    expose this job's partial output through the listing
+    //    fallback, and a later commit can never bake it into a
+    //    generation (only manifest-chained and ledger-committed files
+    //    propagate). Pre-existing row count is unknown (best-effort
+    //    0) — the FILE LIST is the authority, the count advisory.
+    if (TsvSinkV2.currentManifest(fs, dir).isEmpty && preExisting.nonEmpty)
+      publishManifest(fs, dir, 0L, 0L, preExisting, "manifest-boot.tmp")
+    // 1) promote the committed task files (losers of speculative
     //    races are not in `messages` and stay in staging until (4)),
     //    under names UNIQUE TO THIS JOB — an append cannot collide
     //    with a previous generation, and the old generation remains
@@ -303,38 +397,37 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
       batchRows += c.rows
       dst.getName
     }.toSeq
-    // 2) visibility switch: ONE atomic rename of a fully-written temp
-    //    to the NEXT-generation manifest name (which does not exist
-    //    yet — rename-to-fresh-name is atomic on POSIX and HDFS).
-    //    Readers resolve the highest generation, so this rename is the
-    //    only instant at which the visible file set changes: a crash
-    //    before it leaves the previous generation visible, after it
-    //    the new one. For a manifest-less append target (a legacy or
-    //    streaming-written dir) the pre-existing part files are
-    //    carried into the first manifest; their row count is unknown
-    //    (best-effort 0) — the FILE LIST is the authority, the count
-    //    advisory.
+    // 2) visibility switch: one LOCKED atomic manifest publish (see
+    //    publishManifest). Readers resolve the highest generation, so
+    //    the rename is the only instant at which the visible file set
+    //    changes: a crash before it leaves the previous generation
+    //    visible, after it the new one. An append also carries
+    //    forward files of LEDGER-COMMITTED streaming epochs that
+    //    landed since the last batch generation — they are committed
+    //    data under the sink's other protocol, not garbage.
     val prev = TsvSinkV2.currentManifest(fs, dir)
+    val ledgered = TsvSinkV2.committedEpochs(fs, dir)
+    def epochFiles(names: Seq[String]): Seq[String] = names.filter {
+      case TsvSinkV2.EpochPartName(e) => ledgered.contains(e.toLong)
+      case _ => false
+    }
     val (visible, total) =
       if (truncateFirst) (newNames, batchRows)
       else prev match {
         case Some((_, m)) =>
           val (prevRows, prevFiles) = TsvSinkV2.readManifest(fs, m)
-          (prevFiles ++ newNames, prevRows + batchRows)
+          val sinceEpochs =
+            epochFiles(preExisting).filterNot(prevFiles.contains)
+          (prevFiles ++ sinceEpochs ++ newNames, prevRows + batchRows)
         case None => (preExisting ++ newNames, batchRows)
       }
     val gen = prev.map(_._1 + 1).getOrElse(0L)
-    val tmp = new Path(stagingDir, "manifest.tmp")
-    val mout = fs.create(tmp, true)
-    mout.write((total.toString +: visible)
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    mout.close()
-    val manifest = new Path(dir, f"_manifest-$gen%010d")
-    require(fs.rename(tmp, manifest),
-      s"manifest switch failed: $tmp -> $manifest")
+    publishManifest(fs, dir, gen, total, visible, "manifest.tmp")
     // 3) post-switch housekeeping, all crash-safe to skip (the next
     //    commit collects the same garbage): advisory _SUCCESS marker,
-    //    stale part files of older generations, older manifests
+    //    stale part files of older generations, older manifests and
+    //    orphaned locks; a TRUNCATE also retires the streaming-epoch
+    //    ledger, because its files are gone by contract
     val out = fs.create(new Path(dir, "_SUCCESS"), true)
     out.write(s"$total\n".getBytes("UTF-8"))
     out.close()
@@ -346,9 +439,13 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
       p.getName match {
         case TsvSinkV2.ManifestName(g) if g.toLong < gen =>
           fs.delete(p, false)
+        case TsvSinkV2.ManifestLockName(g) if g.toLong < gen =>
+          fs.delete(p, false)
         case _ => ()
       }
     }
+    if (truncateFirst)
+      fs.delete(new Path(dir, "_epochs"), true)
     // 4) drop staging (and any orphaned loser files inside it)
     fs.delete(stagingDir, true)
   }
@@ -565,13 +662,8 @@ private[sources] class TsvMicroBatchStream(path: String,
 
   private def fs = new Path(path).getFileSystem(conf.value)
 
-  private def committedEpochs(): Seq[Long] = {
-    val ledger = new Path(path, "_epochs")
-    if (!fs.exists(ledger)) Seq.empty
-    else fs.listStatus(ledger).toSeq.map(_.getPath.getName).collect {
-      case n if n.startsWith("e-") => n.drop(2).toLong
-    }.sorted
-  }
+  private def committedEpochs(): Seq[Long] =
+    TsvSinkV2.committedEpochs(fs, new Path(path)).toSeq.sorted
 
   override def initialOffset(): Offset = TsvEpochOffset(-1L)
   override def latestOffset(): Offset =
@@ -600,8 +692,6 @@ private[sources] class TsvMicroBatchStream(path: String,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  private val EpochPart = "part-(\\d+)-\\d+\\.tsv".r
-
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[TsvEpochOffset].epoch
@@ -609,7 +699,7 @@ private[sources] class TsvMicroBatchStream(path: String,
     val inWindow = committedEpochs().filter(e => e > lo && e <= hi).toSet
     TsvSinkV2.listParts(fs, new Path(path)).filter { f =>
       f.getName match {
-        case EpochPart(e) => inWindow.contains(e.toLong)
+        case TsvSinkV2.EpochPartName(e) => inWindow.contains(e.toLong)
         case _ => false
       }
     }.map(f => TsvFilePartition(f.toString): InputPartition).toArray

@@ -20,15 +20,7 @@ class CommitRaceSpec extends SparkSpec {
   private def freshRoot(tag: String): String = {
     val root = graft.Tables.matDir(s"race_${tag}_${System.nanoTime}",
       spark, sf0001)
-    docs.repartitionByRange(4, col("n_chars"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$root/data")
-    spark.read.parquet(s"$root/data")
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"),
-        count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(s"$root/manifest")
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
     root
   }
 
@@ -95,7 +87,7 @@ class CommitRaceSpec extends SparkSpec {
     // a winner on the same chain
     ManifestPrune.dvDeleteCommit(spark, root,
       docs.filter(col("doc_id") % 17 === 2).select("doc_id"))
-    ManifestPrune.expireVersions(spark, root, keepLast = 2)
+    ManifestPrune.expireVersions(spark, root, keepLast = 2, graceMs = 0)
     assert(!new java.io.File(s"$root/manifest_$tok").exists(),
       "loser prepared manifest survived expiry")
     assert(!new java.io.File(s"$root/dv_$tok").exists(),

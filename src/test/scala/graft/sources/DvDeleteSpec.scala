@@ -107,15 +107,7 @@ class DvDeleteSpec extends SparkSpec {
     "clustering") {
     val proot = graft.Tables.matDir(s"dv_compact_${System.nanoTime}",
       spark, sf0001)
-    docs.repartitionByRange(6, col("n_chars"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$proot/data")
-    spark.read.parquet(s"$proot/data")
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"),
-        count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(s"$proot/manifest")
+    ManifestPrune.buildLayout(docs, proot, nFiles = 6)
     ManifestPrune.dvDeleteCommit(spark, proot,
       docs.filter(col("doc_id") % 5 === 2).select("doc_id"))
     ManifestPrune.dvDeleteCommit(spark, proot,
@@ -145,15 +137,7 @@ class DvDeleteSpec extends SparkSpec {
   test("dvDeleteCommit and cowMergeCommit interleave on one CAS chain") {
     // fresh root so protocol versions start at 0
     val proot = graft.Tables.matDir("dv_protocol", spark, sf0001)
-    docs.repartitionByRange(4, col("n_chars"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$proot/data")
-    spark.read.parquet(s"$proot/data")
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"),
-        count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(s"$proot/manifest")
+    ManifestPrune.buildLayout(docs, proot, nFiles = 4)
     val v1 = ManifestPrune.dvDeleteCommit(spark, proot,
       docs.filter(col("doc_id") % 19 === 7).select("doc_id"))
     assert(v1 === 1L)

@@ -16,15 +16,7 @@ class ExpireVersionsSpec extends SparkSpec {
   /** Fresh protocol root: 4-file clustered layout + manifest. */
   private def freshRoot(tag: String): String = {
     val root = graft.Tables.matDir(s"expire_$tag", spark, sf0001)
-    docs.repartitionByRange(4, col("n_chars"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$root/data")
-    spark.read.parquet(s"$root/data")
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"),
-        count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(s"$root/manifest")
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
     root
   }
 
@@ -55,7 +47,7 @@ class ExpireVersionsSpec extends SparkSpec {
     assert(rewrittenAway.nonEmpty,
       "test setup: the merge should have rewritten at least one file")
 
-    val stats = ManifestPrune.expireVersions(spark, root, keepLast = 1)
+    val stats = ManifestPrune.expireVersions(spark, root, keepLast = 1, graceMs = 0)
     assert(stats.keptVersions === Seq(2L))
     // exactly the rewritten-away originals were destroyed
     assert(stats.removedDataFiles === rewrittenAway.length.toLong)
@@ -78,13 +70,37 @@ class ExpireVersionsSpec extends SparkSpec {
       .filter(col("doc_id") % 19 === 7).count() === 0L)
   }
 
+  test("the default grace window protects an in-flight writer's " +
+    "prepared state") {
+    val root = freshRoot("grace")
+    ManifestPrune.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 37 === 1).select("doc_id"))
+    // an in-flight writer: fully prepared seconds ago, publish pending
+    val tok = ManifestPrune.prepareToken()
+    ManifestPrune.dvDeleteFrom(spark, root,
+      ManifestPrune.manifestOf(root, 1L), ManifestPrune.dvOf(root, 1L),
+      docs.filter(col("doc_id") % 41 === 2).select("doc_id"), tok)
+    // default grace: reachability alone must NOT collect young state —
+    // it is indistinguishable from a loser until the window passes
+    ManifestPrune.expireVersions(spark, root, keepLast = 1)
+    assert(new java.io.File(s"$root/manifest_$tok").isDirectory,
+      "in-flight prepared manifest was collected inside the grace window")
+    assert(new java.io.File(s"$root/dv_$tok").isDirectory,
+      "in-flight prepared sidecar was collected inside the grace window")
+    // the writer can still publish after the sweep
+    val v = ManifestPrune.publish(root, 1L, s"$root/manifest_$tok")
+    assert(v === 2L)
+    assert(ManifestPrune.readCommitted(spark, root, v)
+      .filter(col("doc_id") % 41 === 2).count() === 0L)
+  }
+
   test("keepLast spanning every version removes nothing") {
     val root = freshRoot("noop")
     ManifestPrune.dvDeleteCommit(spark, root,
       docs.filter(col("doc_id") % 31 === 1).select("doc_id"))
     val files = new java.io.File(s"$root/data").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
-    val stats = ManifestPrune.expireVersions(spark, root, keepLast = 5)
+    val stats = ManifestPrune.expireVersions(spark, root, keepLast = 5, graceMs = 0)
     assert(stats.removedDataFiles === 0L)
     assert(stats.removedManifestDirs === 0L)
     assert(new java.io.File(s"$root/data").listFiles()

@@ -379,6 +379,143 @@ class TsvSinkV2Spec extends SparkSpec {
       "the rate limit did not bound the catch-up step")
   }
 
+  test("epoch replay with fewer partitions removes the dead attempt's " +
+    "higher-index files") {
+    val out = tmpDir()
+    val schema = StructType(Seq(StructField("v", LongType, false)))
+    val conf = SparkSpec.session.sparkContext.hadoopConfiguration
+    val sw = new TsvStreamingWrite(out, schema, "q-shrink",
+      new SerializableHadoopConf(conf))
+    val factory = sw.createStreamingWriterFactory(null)
+    def attempt(epoch: Long, vals: Seq[Long]): Array[WriterCommitMessage] =
+      vals.zipWithIndex.map { case (v, pid) =>
+        val w = factory.createWriter(pid, epoch * 100 + pid, epoch)
+        w.write(InternalRow(v)); w.commit()
+      }.toArray
+    // crashed 4-partition attempt of epoch 3: promote by hand (what a
+    // mid-promote crash leaves behind — files visible, no ledger entry)
+    attempt(3, Seq(1L, 2L, 3L, 4L)).zipWithIndex.foreach { case (m, i) =>
+      val c = m.asInstanceOf[TsvCommit]
+      val fs = new Path(out).getFileSystem(conf)
+      fs.rename(new Path(c.stagedFile),
+        new Path(out, f"part-3-$i%05d.tsv"))
+    }
+    // the replay runs with TWO partitions; its commit must remove ALL
+    // four stale files, not just the two colliding indexes
+    sw.commit(3, attempt(3, Seq(10L, 20L)))
+    val vals = spark.read.format("graft-tsv").load(out)
+      .collect().map(_.getString(0).toLong).sorted.toSeq
+    assert(vals === Seq(10L, 20L), s"stale attempt leaked: $vals")
+  }
+
+  test("batch append carries ledgered streaming epochs; truncate " +
+    "retires them with the ledger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = tmpDir()
+    // batch generation first
+    spark.range(3).select(col("id"))
+      .write.format("graft-tsv").mode("overwrite").save(dir)
+    // then committed streaming epochs land OUTSIDE the manifest chain
+    val in = MemoryStream[Long](spark, 1)
+    in.addData(100L, 101L)
+    val w = in.toDF().selectExpr("value AS v")
+      .writeStream.format("graft-tsv")
+      .option("path", dir).option("checkpointLocation", tmpDir())
+      .outputMode("append").start()
+    try w.processAllAvailable() finally w.stop()
+    // an append must keep them — they are committed data under the
+    // sink's streaming protocol, not stale-generation garbage
+    spark.range(200, 202).select(col("id"))
+      .write.format("graft-tsv").mode("append").save(dir)
+    val vals = spark.read.format("graft-tsv").load(dir)
+      .collect().map(_.getString(0).toLong).sorted.toSeq
+    assert(vals === Seq(0L, 1L, 2L, 100L, 101L, 200L, 201L))
+    // a truncate replaces everything and retires the epoch ledger
+    spark.range(5, 7).select(col("id"))
+      .write.format("graft-tsv").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-tsv").load(dir)
+      .collect().map(_.getString(0).toLong).sorted.toSeq === Seq(5L, 6L))
+    assert(!new java.io.File(s"$dir/_epochs").exists())
+  }
+
+  test("a legacy single-file epoch ledger is migrated, history intact") {
+    val out = tmpDir()
+    val schema = StructType(Seq(StructField("v", LongType, false)))
+    val conf = SparkSpec.session.sparkContext.hadoopConfiguration
+    // the pre-marker-directory layout: _epochs is a FILE of ids
+    val legacy = new java.io.FileWriter(s"$out/_epochs")
+    legacy.write("0\n1\n"); legacy.close()
+    val fw = new java.io.FileWriter(s"$out/part-0-00000.tsv")
+    fw.write("7\n"); fw.close()
+    val sw = new TsvStreamingWrite(out, schema, "q-migrate",
+      new SerializableHadoopConf(conf))
+    val factory = sw.createStreamingWriterFactory(null)
+    // a REPLAY of ledgered epoch 1 must still be recognized (promote
+    // nothing), and the commit must not crash over the legacy file
+    val w1 = factory.createWriter(0, 100L, 1L)
+    w1.write(InternalRow(99L))
+    sw.commit(1L, Array[WriterCommitMessage](w1.commit()))
+    assert(new java.io.File(s"$out/_epochs").isDirectory)
+    assert(new java.io.File(s"$out/_epochs/e-0").exists())
+    assert(new java.io.File(s"$out/_epochs/e-1").exists())
+    // epoch 1 was already committed: nothing new promoted
+    assert(spark.read.format("graft-tsv").load(out)
+      .collect().map(_.getString(0)).toSeq === Seq("7"))
+    // a genuinely new epoch still lands
+    val w2 = factory.createWriter(0, 200L, 2L)
+    w2.write(InternalRow(8L))
+    sw.commit(2L, Array[WriterCommitMessage](w2.commit()))
+    assert(spark.read.format("graft-tsv").load(out)
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("7", "8"))
+  }
+
+  test("a held generation lock fails the racing committer instead of " +
+    "silently replacing its manifest") {
+    val out = tmpDir()
+    spark.range(4).select(col("id"))
+      .write.format("graft-tsv").mode("overwrite").save(out)
+    // a concurrent committer holds the lock for the next generation
+    val cur = TsvSinkV2.currentManifest(
+      new Path(out).getFileSystem(
+        SparkSpec.session.sparkContext.hadoopConfiguration),
+      new Path(out)).get._1
+    val lock = new java.io.File(out, f"_manifest-${cur + 1}%010d.lock")
+    assert(lock.createNewFile())
+    val e = intercept[Exception] {
+      spark.range(9).select(col("id"))
+        .write.format("graft-tsv").mode("append").save(out)
+    }
+    def chainMessages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chainMessages(t.getCause)
+    assert(chainMessages(e).exists(_.contains("claimed")),
+      s"unexpected failure: $e")
+    // the held generation stays unpublished; the table is untouched
+    assert(spark.read.format("graft-tsv").load(out).count() === 4)
+    lock.delete()
+    // with the lock gone the append proceeds (burned gen is skipped)
+    spark.range(9, 10).select(col("id"))
+      .write.format("graft-tsv").mode("append").save(out)
+    assert(spark.read.format("graft-tsv").load(out).count() === 5)
+  }
+
+  test("first batch contact with a hand-built dir bootstraps a manifest " +
+    "before promoting") {
+    val out = tmpDir()
+    val fw = new java.io.FileWriter(s"$out/part-legacy.tsv")
+    fw.write("41\n42\n"); fw.close()
+    spark.range(100, 101).select(col("id"))
+      .write.format("graft-tsv").mode("append").save(out)
+    val vals = spark.read.format("graft-tsv").load(out)
+      .collect().map(_.getString(0).toLong).sorted.toSeq
+    assert(vals === Seq(41L, 42L, 100L))
+    // two generations exist... at most one survives cleanup; the
+    // CURRENT one must list legacy + new
+    val names = new java.io.File(out).listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("_manifest-")))
+  }
+
   test("DataWriter.abort removes the attempt's staged file") {
     val out = tmpDir()
     val schema = StructType(Seq(StructField("v", LongType, false)))

@@ -610,14 +610,7 @@ class StreamingPipelinesSpec extends SparkSpec {
     // restarts and _commits markers persist (see CowMergeSpec)
     val root = graft.Tables.matDir(s"cdc_apply_${System.nanoTime}",
       spark, sf0001)
-    docs.repartitionByRange(8, col("n_chars"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$root/data")
-    spark.read.parquet(s"$root/data")
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"), count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(s"$root/manifest")
+    graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
     def upd(mod: Int, tag: String) = docs
       .filter(col("doc_id") % mod === 0)
       .select(col("doc_id"), lit(tag).as("new_lang"))
@@ -653,14 +646,7 @@ class StreamingPipelinesSpec extends SparkSpec {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val root = graft.Tables.matDir(s"del_apply_${System.nanoTime}",
       spark, sf0001)
-    docs.repartitionByRange(8, col("n_chars"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$root/data")
-    spark.read.parquet(s"$root/data")
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"), count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(s"$root/manifest")
+    graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
     def del(mod: Int) = docs.filter(col("doc_id") % mod === 0)
       .select("doc_id")
     def upd(mod: Int, tag: String) = docs
@@ -710,14 +696,7 @@ class StreamingPipelinesSpec extends SparkSpec {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val root = graft.Tables.matDir(s"del_stream_${System.nanoTime}",
       spark, sf0001)
-    docs.repartitionByRange(4, col("n_chars"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$root/data")
-    spark.read.parquet(s"$root/data")
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"), count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(s"$root/manifest")
+    graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 4)
     val in = MemoryStream[Long]
     in.addData(1L, 2L, 3L)
     val q = StreamingPipelines.applyDeleteStream(
@@ -742,14 +721,7 @@ class StreamingPipelinesSpec extends SparkSpec {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val root = graft.Tables.matDir(s"note_${System.nanoTime}",
       spark, sf0001)
-    docs.repartitionByRange(4, col("n_chars"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$root/data")
-    spark.read.parquet(s"$root/data")
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"), count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(s"$root/manifest")
+    graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 4)
     // stream writer commits batch 0 (note "del:0")
     StreamingPipelines.applyDeleteBatch(
       docs.filter(col("doc_id") % 23 === 1).select("doc_id"), 0L, root)
