@@ -64,18 +64,8 @@ object ManifestPrune {
     * (file, min_key, max_key, n_rows). */
   def ensureLayout(s: SparkSession, d: String): String =
     layoutCache.computeIfAbsent((s, d), { _ =>
-      val root = graft.Tables.matDir("manifest_docs", s, d)
-      graft.Tables.load(s, d, "documents")
-        .repartitionByRange(8, col("n_chars"), col("doc_id"))
-        .write.mode("overwrite").parquet(s"$root/data")
-      s.read.parquet(s"$root/data")
-        .select(col("_metadata.file_path").as("file"), col("n_chars"))
-        .groupBy("file")
-        .agg(min(col("n_chars")).as("min_key"),
-          max(col("n_chars")).as("max_key"),
-          count(lit(1)).as("n_rows"))
-        .write.mode("overwrite").parquet(s"$root/manifest")
-      root
+      buildLayout(graft.Tables.load(s, d, "documents"),
+        graft.Tables.matDir("manifest_docs", s, d), nFiles = 8)
     })
 
   /** Plan a range scan: the manifest names the files whose stats
@@ -633,11 +623,13 @@ object ManifestPrune {
     * concurrently PREPARING writer's not-yet-published state is
     * indistinguishable from a race loser's garbage by reachability
     * alone (Iceberg's remove_orphan_files has the same
-    * older-than guard). Pass 0 only when no writer can be in flight
+    * older-than guard; its default is days, because the window must
+    * exceed the LONGEST plausible prepare — a whole-table compaction,
+    * not a quick delete). Pass 0 only when no writer can be in flight
     * (single-threaded tests). */
   def expireVersions(s: SparkSession, root: String,
                      keepLast: Int,
-                     graceMs: Long = 10L * 60 * 1000): ExpireStats = {
+                     graceMs: Long = 24L * 60 * 60 * 1000): ExpireStats = {
     require(keepLast >= 1, "must keep at least the current version")
     val cutoff = System.currentTimeMillis() - graceMs
     def oldEnough(f: java.io.File): Boolean = f.lastModified() <= cutoff

@@ -147,16 +147,22 @@ object TsvSinkV2 {
     * migrated in place by the next streaming commit). */
   private[sources] def committedEpochs(fs: FileSystem,
                                        dir: Path): Set[Long] = {
-    val ledger = new Path(dir, "_epochs")
-    if (!fs.exists(ledger)) Set.empty
-    else if (fs.getFileStatus(ledger).isFile) {
-      val in = fs.open(ledger)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map(_.toLong).toSet
-      finally in.close()
-    } else fs.listStatus(ledger).toSeq.map(_.getPath.getName).collect {
-      case n if n.startsWith("e-") => n.drop(2).toLong
-    }.toSet
+    def once(): Set[Long] = {
+      val ledger = new Path(dir, "_epochs")
+      if (!fs.exists(ledger)) Set.empty
+      else if (fs.getFileStatus(ledger).isFile) {
+        val in = fs.open(ledger)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map(_.toLong).toSet
+        finally in.close()
+      } else fs.listStatus(ledger).toSeq.map(_.getPath.getName).collect {
+        case n if n.startsWith("e-") => n.drop(2).toLong
+      }.toSet
+    }
+    // the legacy-ledger migration swaps file -> dir with one delete +
+    // rename; a reader landing in that instant retries once and sees
+    // the completed marker dir
+    try once() catch { case _: java.io.FileNotFoundException => once() }
   }
 }
 
@@ -250,11 +256,19 @@ private[sources] class TsvStreamingWrite(path: String, schema: StructType,
         try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().filter(_.nonEmpty).map(_.toLong).toSeq
         finally in.close()
+      // build the marker dir COMPLETE under a temp name, then swap:
+      // concurrent readers see either the legacy file or the full
+      // marker set — never a partially-migrated subset (which a
+      // racing batch commit would misread as "epoch uncommitted" and
+      // garbage-collect committed files on)
+      val tmp = new Path(path, "_epochs.migrating")
+      fs.delete(tmp, true)
+      fs.mkdirs(tmp)
+      ids.foreach(id => fs.create(new Path(tmp, s"e-$id"), true).close())
       require(fs.delete(ledgerDir, false),
         s"legacy ledger migration failed: cannot remove $ledgerDir")
-      fs.mkdirs(ledgerDir)
-      ids.foreach(id =>
-        fs.create(new Path(ledgerDir, s"e-$id"), true).close())
+      require(fs.rename(tmp, ledgerDir),
+        s"legacy ledger migration failed: cannot install $ledgerDir")
     }
   }
 
@@ -351,16 +365,38 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
     mout.close()
     val lock = new Path(dir, f"_manifest-$gen%010d.lock")
     if (!fs.createNewFile(lock)) {
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(lock).getModificationTime
+      // a held lock is a live committer unless provably stale; the
+      // STEAL is an atomic rename of the stale lock to a name unique
+      // to this job (two stealers cannot both win a rename of the
+      // same source), after which we claim a fresh lock ourselves
+      val age = try {
+        System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+      } catch {
+        case _: java.io.FileNotFoundException => 0L // freed just now
+      }
       require(age > StaleLockMs,
         s"generation $gen already claimed by a concurrent committer " +
           "— re-run this write against the new table state")
-      fs.delete(lock, false)
+      require(fs.rename(lock, new Path(dir,
+          s"${lock.getName}.stolen-$queryId")),
+        s"stale lock for generation $gen stolen by another committer")
       require(fs.createNewFile(lock),
         s"generation $gen re-claimed while stealing a stale lock")
     }
+    // RE-VALIDATE under the lock: a slower committer that acquired
+    // the lock only after the winner published (and freed it) must
+    // not rename onto the published manifest — POSIX rename would
+    // silently replace it and this job's stale visible set would
+    // erase the winner's rows
     val manifest = new Path(dir, f"_manifest-$gen%010d")
+    if (fs.exists(manifest)) {
+      fs.delete(lock, false)
+      throw new IllegalStateException(
+        s"generation $gen was published by a concurrent committer " +
+          "while this write was preparing — re-run against the new " +
+          "table state")
+    }
     require(fs.rename(tmp, manifest),
       s"manifest switch failed: $tmp -> $manifest")
     fs.delete(lock, false)
@@ -370,17 +406,30 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     val preExisting = TsvSinkV2.listParts(fs, dir).map(_.getName)
+    // epoch-named files carry only while their epoch is in the
+    // LEDGER: an epoch-named file without a marker is a crashed
+    // streaming attempt's partial promote — baking it into a
+    // generation would pin files a later epoch REPLAY legitimately
+    // deletes. Anything not epoch-named (legacy hand-built data,
+    // manifest-chained batch files) always carries.
+    def carryable(names: Seq[String]): Seq[String] = {
+      lazy val ledger = TsvSinkV2.committedEpochs(fs, dir)
+      names.filter {
+        case TsvSinkV2.EpochPartName(e) => ledger.contains(e.toLong)
+        case _ => true
+      }
+    }
     // 0) BOOTSTRAP a manifest-less target (legacy or stream-written
-    //    dir): publish a generation with exactly the PRE-existing
-    //    files BEFORE anything changes, so readers switch to manifest
-    //    authority now — a crash mid-promote below can then never
-    //    expose this job's partial output through the listing
-    //    fallback, and a later commit can never bake it into a
-    //    generation (only manifest-chained and ledger-committed files
-    //    propagate). Pre-existing row count is unknown (best-effort
+    //    dir): publish a generation with exactly the carryable
+    //    PRE-existing files BEFORE anything changes, so readers switch
+    //    to manifest authority now — a crash mid-promote below can
+    //    then never expose this job's partial output through the
+    //    listing fallback, and a later commit can never bake it into
+    //    a generation. Pre-existing row count is unknown (best-effort
     //    0) — the FILE LIST is the authority, the count advisory.
     if (TsvSinkV2.currentManifest(fs, dir).isEmpty && preExisting.nonEmpty)
-      publishManifest(fs, dir, 0L, 0L, preExisting, "manifest-boot.tmp")
+      publishManifest(fs, dir, 0L, 0L, carryable(preExisting),
+        "manifest-boot.tmp")
     // 1) promote the committed task files (losers of speculative
     //    races are not in `messages` and stay in staging until (4)),
     //    under names UNIQUE TO THIS JOB — an append cannot collide
@@ -419,7 +468,7 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
           val sinceEpochs =
             epochFiles(preExisting).filterNot(prevFiles.contains)
           (prevFiles ++ sinceEpochs ++ newNames, prevRows + batchRows)
-        case None => (preExisting ++ newNames, batchRows)
+        case None => (carryable(preExisting) ++ newNames, batchRows)
       }
     val gen = prev.map(_._1 + 1).getOrElse(0L)
     publishManifest(fs, dir, gen, total, visible, "manifest.tmp")
@@ -432,8 +481,19 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
     out.write(s"$total\n".getBytes("UTF-8"))
     out.close()
     val keep = visible.toSet
+    // the ledger is RE-READ here, after the manifest publish: a
+    // streaming epoch that committed while this batch ran is neither
+    // in the t0 listing nor in `visible`, but its files are committed
+    // data — only a TRUNCATE may remove ledgered-epoch files
+    val ledgerNow =
+      if (truncateFirst) Set.empty[Long]
+      else TsvSinkV2.committedEpochs(fs, dir)
     TsvSinkV2.listParts(fs, dir)
       .filterNot(p => keep.contains(p.getName))
+      .filterNot(p => p.getName match {
+        case TsvSinkV2.EpochPartName(e) => ledgerNow.contains(e.toLong)
+        case _ => false
+      })
       .foreach(fs.delete(_, false))
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       p.getName match {
@@ -629,7 +689,7 @@ private[sources] class TsvScanBuilder(path: String, schema: StructType,
     // name the cells that materialize
     val projection = required.fieldNames.map(n => colIndex(n).get)
     new TsvScan(path, required, projection, evals, pushed.mkString(", "),
-      maxEpochsPerTrigger)
+      maxEpochsPerTrigger, tableHasColumns = schema.fields.nonEmpty)
   }
 }
 
@@ -716,7 +776,8 @@ private[sources] class TsvScan(path: String, schema: StructType,
                                projection: Array[Int],
                                filters: Array[(Int, Option[String])],
                                pushedDesc: String,
-                               maxEpochsPerTrigger: Option[Int] = None)
+                               maxEpochsPerTrigger: Option[Int] = None,
+                               tableHasColumns: Boolean = true)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -739,11 +800,19 @@ private[sources] class TsvScan(path: String, schema: StructType,
       projection, filters)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a stream started on an empty/not-yet-written dir would freeze a
+    // ZERO-COLUMN inferred schema for the query's lifetime and emit
+    // field-less rows for every later epoch — fail loudly instead
+    require(tableHasColumns,
+      "cannot start a streaming read on an empty graft-tsv target: " +
+        "no schema to infer — write the first epoch before starting " +
+        "the reader, or supply an explicit .schema(...)")
     new TsvMicroBatchStream(path, projection, filters,
       maxEpochsPerTrigger,
       new SerializableHadoopConf(
         SparkSession.active.sparkContext.hadoopConfiguration))
+  }
 }
 
 private[sources] class TsvReaderFactory(conf: SerializableHadoopConf,
@@ -757,6 +826,7 @@ private[sources] class TsvReaderFactory(conf: SerializableHadoopConf,
       new java.io.InputStreamReader(fs.open(file), "UTF-8"))
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
+      private val proj = projection.toIndexedSeq
 
       private def passes(parts: Array[String]): Boolean = {
         var k = 0
@@ -779,7 +849,7 @@ private[sources] class TsvReaderFactory(conf: SerializableHadoopConf,
           val parts = line.split("\t", -1)
           if (passes(parts)) {
             // only projected cells unescape + allocate
-            cur = InternalRow.fromSeq(projection.toIndexedSeq.map(i =>
+            cur = InternalRow.fromSeq(proj.map(i =>
               if (i < parts.length)
                 UTF8String.fromString(TsvEscape.unescape(parts(i)))
               else null))

@@ -516,6 +516,38 @@ class TsvSinkV2Spec extends SparkSpec {
     assert(names.exists(_.startsWith("_manifest-")))
   }
 
+  test("un-ledgered epoch partials never enter a manifest and are GC'd") {
+    val out = tmpDir()
+    // a crashed streaming attempt's partial promote (no e-3 marker)
+    // next to genuine legacy data
+    val p1 = new java.io.FileWriter(s"$out/part-3-00000.tsv")
+    p1.write("666\n"); p1.close()
+    val p2 = new java.io.FileWriter(s"$out/part-legacy.tsv")
+    p2.write("42\n"); p2.close()
+    spark.range(7, 8).select(col("id"))
+      .write.format("graft-tsv").mode("append").save(out)
+    val vals = spark.read.format("graft-tsv").load(out)
+      .collect().map(_.getString(0).toLong).sorted.toSeq
+    assert(vals === Seq(7L, 42L), s"partial epoch leaked: $vals")
+    // the partial file is garbage-collected, not pinned by a manifest
+    assert(!new java.io.File(s"$out/part-3-00000.tsv").exists())
+  }
+
+  test("a streaming read on an empty target fails fast instead of " +
+    "freezing a zero-column schema") {
+    val dir = tmpDir()
+    val q = spark.readStream.format("graft-tsv").load(dir)
+      .writeStream.format("memory").queryName("tsv_empty")
+      .outputMode("append").start()
+    val e = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("empty graft-tsv")),
+      s"unexpected failure: $e")
+  }
+
   test("DataWriter.abort removes the attempt's staged file") {
     val out = tmpDir()
     val schema = StructType(Seq(StructField("v", LongType, false)))
