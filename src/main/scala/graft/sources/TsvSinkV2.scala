@@ -64,7 +64,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * query's partitioning; in-file line splitting would buy nothing the
   * upstream `spark.sql.files.maxPartitionBytes` didn't already decide.
   * Directories with no manifest (a streaming target, a hand-built
-  * dir) fall back to listing `part-*`.
+  * dir) fall back to listing `part-*` (minus un-ledgered epoch
+  * files).
+  *
+  * Known single-writer contracts (shared with Spark's own file sink):
+  * ONE streaming query per target — the epoch ledger is keyed by
+  * epoch id, so two queries with independent epoch counters would
+  * mistake each other's ids for replays; and old-generation files are
+  * garbage-collected at commit, so a batch reader that planned
+  * against generation N can hit FileNotFound if an overwrite lands
+  * mid-scan (atomic visibility, no retained read snapshots — a
+  * deferred vacuum would buy retention at the cost of unbounded
+  * storage).
   */
 class TsvSinkV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-tsv"
@@ -135,11 +146,20 @@ object TsvSinkV2 {
 
   /** The files a reader must see: the highest manifest's list when one
     * exists (batch commits), else every `part-*` in the directory
-    * (streaming targets and hand-built dirs have no manifest). */
+    * (streaming targets and hand-built dirs have no manifest) —
+    * minus epoch-named files whose epoch the ledger does not record:
+    * those are a crashed streaming attempt's half-promoted output,
+    * and the batch-read fallback must apply the same ledger filter
+    * the streaming read face and the batch carry-forward already do. */
   private[sources] def visibleFiles(fs: FileSystem, dir: Path): Seq[Path] =
     currentManifest(fs, dir) match {
       case Some((_, m)) => readManifest(fs, m)._2.map(new Path(dir, _))
-      case None => listParts(fs, dir)
+      case None =>
+        lazy val ledger = committedEpochs(fs, dir)
+        listParts(fs, dir).filter(_.getName match {
+          case EpochPartName(e) => ledger.contains(e.toLong)
+          case _ => true
+        })
     }
 
   /** Committed epoch ids of a streaming target: the marker-dir layout,
@@ -191,7 +211,26 @@ private[sources] class TsvWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
+  override def build(): Write = {
+    // tab-text cells are scalar strings; a nested/binary column would
+    // silently serialize as a JVM object-identity string — reject it
+    // here, where the user sees a clear error before any byte lands
+    info.schema().fields.foreach { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType |
+             org.apache.spark.sql.types.BinaryType =>
+          throw new UnsupportedOperationException(
+            s"graft-tsv cannot represent column '${f.name}' of type " +
+              s"${f.dataType.simpleString}: cast or serialize it to a " +
+              "scalar (e.g. to_json / base64) before writing")
+        case _ => ()
+      }
+    }
+    buildChecked()
+  }
+  private def buildChecked(): Write = new Write {
     override def toBatch: BatchWrite =
       new TsvBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
         new SerializableHadoopConf(
@@ -199,7 +238,8 @@ private[sources] class TsvWriteBuilder(path: String, info: LogicalWriteInfo)
     override def toStreaming: StreamingWrite =
       new TsvStreamingWrite(path, info.schema(), info.queryId(),
         new SerializableHadoopConf(
-          SparkSession.active.sparkContext.hadoopConfiguration))
+          SparkSession.active.sparkContext.hadoopConfiguration),
+        truncateEachEpoch = truncateFirst)
   }
 }
 
@@ -220,7 +260,8 @@ private[sources] class TsvWriteBuilder(path: String, info: LogicalWriteInfo)
   * the writer died between create and close). */
 private[sources] class TsvStreamingWrite(path: String, schema: StructType,
                                          queryId: String,
-                                         conf: SerializableHadoopConf)
+                                         conf: SerializableHadoopConf,
+                                         truncateEachEpoch: Boolean = false)
     extends StreamingWrite {
   private def stagingDir(epochId: Long) =
     new Path(path, s"_staging-$queryId/epoch-$epochId")
@@ -304,6 +345,22 @@ private[sources] class TsvStreamingWrite(path: String, schema: StructType,
     // recorded; creating the marker touches no prior epoch's state
     fs.mkdirs(ledgerDir)
     fs.create(new Path(ledgerDir, s"e-$epochId"), true).close()
+    if (truncateEachEpoch) {
+      // Complete output mode: this epoch's state REPLACES the
+      // previous one — retire older epochs' files and markers now
+      // that the new epoch is promoted and recorded (a crash in
+      // between leaves both visible for one replay window; the next
+      // commit retires them)
+      TsvSinkV2.listParts(fs, dir).foreach { p =>
+        p.getName match {
+          case TsvSinkV2.EpochPartName(e) if e.toLong != epochId =>
+            fs.delete(p, false)
+          case _ => ()
+        }
+      }
+      committedEpochs(fs).filter(_ != epochId).foreach(e =>
+        fs.delete(new Path(ledgerDir, s"e-$e"), false))
+    }
     dropStaging(fs, epochId)
   }
 
@@ -427,7 +484,10 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
     //    listing fallback, and a later commit can never bake it into
     //    a generation. Pre-existing row count is unknown (best-effort
     //    0) — the FILE LIST is the authority, the count advisory.
-    if (TsvSinkV2.currentManifest(fs, dir).isEmpty && preExisting.nonEmpty)
+    //    An EMPTY target bootstraps too (an empty generation-0): a
+    //    first write that dies mid-promote must not expose its
+    //    partials through the listing fallback either.
+    if (TsvSinkV2.currentManifest(fs, dir).isEmpty)
       publishManifest(fs, dir, 0L, 0L, carryable(preExisting),
         "manifest-boot.tmp")
     // 1) promote the committed task files (losers of speculative
@@ -488,10 +548,17 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
     val ledgerNow =
       if (truncateFirst) Set.empty[Long]
       else TsvSinkV2.committedEpochs(fs, dir)
+    val cutoff = System.currentTimeMillis() - StaleLockMs
     TsvSinkV2.listParts(fs, dir)
       .filterNot(p => keep.contains(p.getName))
       .filterNot(p => p.getName match {
-        case TsvSinkV2.EpochPartName(e) => ledgerNow.contains(e.toLong)
+        case TsvSinkV2.EpochPartName(e) =>
+          // ledgered epochs are committed data; a YOUNG un-ledgered
+          // epoch file may belong to a streaming commit in its
+          // promote-then-record window right now — only provably
+          // stale partials are garbage (same grace idea as the lock)
+          ledgerNow.contains(e.toLong) || (!truncateFirst &&
+            fs.getFileStatus(p).getModificationTime > cutoff)
         case _ => false
       })
       .foreach(fs.delete(_, false))
@@ -501,6 +568,8 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
           fs.delete(p, false)
         case TsvSinkV2.ManifestLockName(g) if g.toLong < gen =>
           fs.delete(p, false)
+        case n if n.contains(".lock.stolen-") =>
+          fs.delete(p, false) // steal tombstones are garbage once renamed
         case _ => ()
       }
     }
@@ -581,7 +650,13 @@ private[sources] class TsvDataWriter(file: Path, schema: StructType,
   override def close(): Unit = ()
 }
 
-/** Cell-level escaping — a string cell carrying a literal tab or
+/** Cell-level escaping. NOTE the tab-text convention cannot
+  * distinguish NULL from the empty string: nulls serialize as empty
+  * cells and read back as "" (the reference's TextOutputFormat has
+  * the same property) — round-trip fidelity for null-bearing columns
+  * needs a richer format (parquet) or an out-of-band null marker.
+  *
+  * A string cell carrying a literal tab or
   * newline would otherwise shift every later column / split the row
   * (the classic TSV corruption): `\` → `\\`, TAB → `\t`, LF → `\n`,
   * CR → `\r` on write, inverted on read. Delimiter bytes in the FILE

@@ -522,6 +522,10 @@ class TsvSinkV2Spec extends SparkSpec {
     // next to genuine legacy data
     val p1 = new java.io.FileWriter(s"$out/part-3-00000.tsv")
     p1.write("666\n"); p1.close()
+    // age the partial past the in-flight grace window, else cleanup
+    // rightly spares it as a possibly-mid-commit streaming epoch
+    new java.io.File(s"$out/part-3-00000.tsv")
+      .setLastModified(System.currentTimeMillis() - 11L * 60 * 1000)
     val p2 = new java.io.FileWriter(s"$out/part-legacy.tsv")
     p2.write("42\n"); p2.close()
     spark.range(7, 8).select(col("id"))
@@ -546,6 +550,50 @@ class TsvSinkV2Spec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ chain(t.getCause)
     assert(chain(e).exists(_.contains("empty graft-tsv")),
       s"unexpected failure: $e")
+  }
+
+  test("complete output mode replaces each trigger instead of " +
+    "accumulating epochs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val out = tmpDir()
+    val ckpt = tmpDir()
+    val in = MemoryStream[Long](spark, 1)
+    def runOnce(): Unit = {
+      val q = in.toDF().groupBy((col("value") % 2).as("k"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("graft-tsv")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    in.addData(1L, 2L, 3L)
+    runOnce()
+    in.addData(4L, 5L)
+    runOnce()
+    // the dir holds ONLY the latest aggregate state: two groups,
+    // counts 0->2 (2,4), 1->3 (1,3,5) — not the first trigger's rows
+    // stacked under it
+    val back = spark.read.format("graft-tsv").load(out)
+      .collect().map(r => (r.getString(0).toLong, r.getString(1).toLong))
+      .sortBy(_._1).toSeq
+    assert(back === Seq((0L, 2L), (1L, 3L)), s"accumulated: $back")
+  }
+
+  test("nested and binary columns are rejected at write planning") {
+    val out = tmpDir()
+    val e = intercept[Exception] {
+      spark.range(3).select(array(col("id")).as("a"))
+        .write.format("graft-tsv").mode("overwrite").save(out)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("cannot represent")),
+      s"unexpected failure: $e")
+    // nothing landed
+    assert(!new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("part-")))
   }
 
   test("DataWriter.abort removes the attempt's staged file") {
