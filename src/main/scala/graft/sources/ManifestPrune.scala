@@ -37,6 +37,10 @@ object ManifestPrune {
   private def maxDriverFiles(s: SparkSession): Long =
     s.conf.getOption("graft.manifest.maxDriverFiles")
       .map(_.toLong).getOrElse(1000000L)
+      // clamp so cap+1 can neither overflow (limit(0) would silently
+      // return EMPTY plans) nor exceed the Int limit() takes (which
+      // would disable the fail-fast guard entirely)
+      .max(1L).min(Int.MaxValue - 1L)
 
   /** Collect a one-string-column frame of file paths under the bound;
     * the collect itself is capped at bound+1 rows, so an oversized
@@ -178,13 +182,7 @@ object ManifestPrune {
     s.read.parquet(s"$root/data")
       .repartitionByRange(nFiles, col("n_chars"), col("doc_id"))
       .write.mode("overwrite").parquet(dataDir)
-    s.read.parquet(dataDir)
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"),
-        count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(mfDir)
+    statsManifest(s, dataDir).write.mode("overwrite").parquet(mfDir)
     (dataDir, mfDir)
   }
 
@@ -253,13 +251,23 @@ object ManifestPrune {
         "left_anti")
       case None => hit
     }
-    afterDelete
+    val mergedRows = afterDelete
       .join(updates.withColumnRenamed("new_lang", "__nl"), Seq("doc_id"),
         "left")
       .withColumn("lang", coalesce(col("__nl"), col("lang")))
       .drop("__nl")
       .unionByName(inserts)
-      .write.mode("overwrite").parquet(dataV2)
+    // a merge that empties EVERY hit file (and the untouched set)
+    // would write a file-less parquet dir and an unreadable version —
+    // refuse up front with a usable message (an empty table is
+    // expressed by truncation, not by a merge)
+    require(hitFiles.isEmpty || mergedRows.limit(1).count() > 0 ||
+        s.read.parquet(baseManifest)
+          .filter(!col("file").isInCollection(hitFiles.toIndexedSeq))
+          .limit(1).count() > 0,
+      "this merge would delete every live row — an empty table " +
+        "cannot be represented by a merged version; truncate instead")
+    mergedRows.write.mode("overwrite").parquet(dataV2)
     // 3. commit: new manifest = untouched old rows + fresh v2 stats
     // (both sides carry _metadata.file_path URIs, so plain equality
     // works; an empty hit list keeps every old row). Base DV entries
@@ -270,12 +278,7 @@ object ManifestPrune {
     val untouched = s.read.parquet(baseManifest)
       .filter(if (hitFiles.isEmpty) lit(true)
         else !col("file").isInCollection(hitFiles.toIndexedSeq))
-    val v2Stats = s.read.parquet(dataV2)
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"),
-        count(lit(1)).as("n_rows"))
+    val v2Stats = statsManifest(s, dataV2)
     untouched.unionByName(v2Stats).write.mode("overwrite").parquet(mfV2)
     baseDv.foreach { dv =>
       val carried = s.read.parquet(dv)
@@ -370,7 +373,8 @@ object ManifestPrune {
   def liveRowCount(s: SparkSession, manifestDir: String,
                    dvDir: Option[String]): Long = {
     val physical = s.read.parquet(manifestDir)
-      .agg(sum(col("n_rows"))).collect().head.getLong(0)
+      .agg(coalesce(sum(col("n_rows")), lit(0L)))
+      .collect().head.getLong(0)
     val hidden = dvDir.map(dv => s.read.parquet(dv).count()).getOrElse(0L)
     physical - hidden
   }
@@ -415,7 +419,15 @@ object ManifestPrune {
     if (ptr.isFile) {
       val named = new java.io.File(root,
         java.nio.file.Files.readString(ptr.toPath).trim)
-      if (named.isDirectory) return Some(named.getPath)
+      // a pointer whose target vanished must FAIL the read, not
+      // silently degrade to "no sidecar" — that would resurrect every
+      // row the version's deletion vectors hide
+      if (!named.isDirectory)
+        throw new IllegalStateException(
+          s"version $version's DV sidecar ${named.getPath} is " +
+            "missing — the table metadata is corrupt (was it vacuumed " +
+            "by an external process?)")
+      return Some(named.getPath)
     }
     val p = s"$root/dv_c$version"
     if (new java.io.File(p).isDirectory) Some(p) else None
@@ -462,13 +474,20 @@ object ManifestPrune {
         new java.io.File(markerPath(root, next)).exists(),
         s"marker write failed for committed version $next")
       next
-    } else {
-      if (canonical.isDirectory &&
-          !new java.io.File(markerPath(root, next)).exists())
+    } else if (canonical.isDirectory) {
+      if (!new java.io.File(markerPath(root, next)).exists())
         tryCommit(root, next) // adopt a rename-then-crash winner
       throw new java.util.ConcurrentModificationException(
         s"version $next already published by another writer " +
           s"(base was $base); re-plan against the new base")
+    } else {
+      // rename failed but nothing occupies the canonical name: this
+      // is an IO/environment failure (EXDEV, permissions, vanished
+      // prepared dir), not a race — retrying the same commit would
+      // fail identically, so do not dress it as one
+      throw new IllegalStateException(
+        s"manifest publish rename failed for non-race reasons: " +
+          s"$preparedManifest -> $canonical")
     }
   }
 
@@ -523,12 +542,7 @@ object ManifestPrune {
     readCommitted(s, root, base)
       .repartitionByRange(nFiles, col("n_chars"), col("doc_id"))
       .write.mode("overwrite").parquet(dataDir)
-    s.read.parquet(dataDir)
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"),
-        count(lit(1)).as("n_rows"))
+    statsManifest(s, dataDir)
       .write.mode("overwrite").parquet(s"$root/manifest_$tok")
     publish(root, base, s"$root/manifest_$tok")
   }
@@ -573,6 +587,18 @@ object ManifestPrune {
     } else None
   }
 
+  /** Per-file (file, min_key, max_key, n_rows) stats of a data dir —
+    * the ONE definition of the manifest schema; every writer goes
+    * through it so the schema cannot drift between paths. */
+  private def statsManifest(s: SparkSession,
+                            dataDir: String): DataFrame =
+    s.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .groupBy("file")
+      .agg(min(col("n_chars")).as("min_key"),
+        max(col("n_chars")).as("max_key"),
+        count(lit(1)).as("n_rows"))
+
   /** Write a fresh range-clustered layout + its stats manifest — the
     * shared bootstrap every chain starts from (battery stages, specs,
     * the demo): `root/data` holds the clustered files, `root/manifest`
@@ -581,12 +607,7 @@ object ManifestPrune {
     val s = df.sparkSession
     df.repartitionByRange(nFiles, col("n_chars"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$root/data")
-    s.read.parquet(s"$root/data")
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
-      .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"),
-        count(lit(1)).as("n_rows"))
+    statsManifest(s, s"$root/data")
       .write.mode("overwrite").parquet(s"$root/manifest")
     root
   }
@@ -633,15 +654,39 @@ object ManifestPrune {
     require(keepLast >= 1, "must keep at least the current version")
     val cutoff = System.currentTimeMillis() - graceMs
     def oldEnough(f: java.io.File): Boolean = f.lastModified() <= cutoff
+    // ADOPT a rename-then-crash winner first: a published-but-unmarked
+    // manifest_c{cur+1} is a complete committed state publish() would
+    // adopt on the next commit — expiry must see it as the chain head,
+    // or it would vacuum the crashed winner's files and the later
+    // adoption would commit a version referencing deleted data
+    val curPre = currentVersion(s, root)
+    if (new java.io.File(manifestOf(root, curPre + 1)).isDirectory &&
+        !new java.io.File(markerPath(root, curPre + 1)).exists())
+      tryCommit(root, curPre + 1)
     val cur = currentVersion(s, root)
     val keepFrom = math.max(0L, cur - keepLast + 1)
     val kept = (keepFrom to cur).filter(v =>
       new java.io.File(manifestOf(root, v)).isDirectory)
     def localPath(uri: String): String =
       new org.apache.hadoop.fs.Path(uri).toUri.getPath
-    val keep: Set[String] = kept.flatMap { v =>
-      collectFileList(s, s.read.parquet(manifestOf(root, v))
-        .select("file"), s"expiry keep-set of v$v")
+    val rootDir0 = new java.io.File(root)
+    // AD-HOC manifests (cowMerge/compactLayout outputs, spec stages —
+    // any `manifest*` dir that is not a protocol version, a loser
+    // prepare, or the tree) are live references too: their files must
+    // not be vacuumed just because no commit marker points at them
+    val protocolNames = ((0L to cur).map(v =>
+      new java.io.File(manifestOf(root, v)).getName)).toSet
+    val adHocManifests =
+      if (!rootDir0.isDirectory) Seq.empty[java.io.File]
+      else rootDir0.listFiles().toSeq.filter(d => d.isDirectory &&
+        d.getName.startsWith("manifest") &&
+        !d.getName.startsWith("manifest_u") &&
+        d.getName != "manifest_tree" &&
+        !protocolNames.contains(d.getName))
+    val keep: Set[String] = (kept.map(v => manifestOf(root, v)) ++
+      adHocManifests.map(_.getPath)).flatMap { m =>
+      collectFileList(s, s.read.parquet(m).select("file"),
+        s"expiry keep-set of $m")
     }.map(localPath).toSet
     // 2. orphan data files, at file grain
     var removedData = 0L
@@ -664,10 +709,16 @@ object ManifestPrune {
     var removedMf = 0L
     var removedDv = 0L
     (0L until keepFrom).foreach { v =>
-      dvOf(root, v).foreach(d => if (rmTree(new java.io.File(d)))
-        removedDv += 1)
+      // a crash in a PRIOR expiry between sidecar and manifest
+      // deletion leaves a dangling pointer — for an EXPIRED version
+      // that is fine, there is nothing left to protect
+      scala.util.Try(dvOf(root, v)).toOption.flatten
+        .foreach(d => if (rmTree(new java.io.File(d))) removedDv += 1)
       if (rmTree(new java.io.File(manifestOf(root, v)))) removedMf += 1
-      if (v > 0L) new java.io.File(markerPath(root, v)).delete()
+      // markers are RETAINED: they are bytes-sized, currentVersion
+      // needs only the max, and their notes carry the streaming
+      // replay cursors (lastAppliedBatch scans them) — deleting an
+      // expired marker could re-apply a committed CDC batch
     }
     // 4. loser garbage from rename-publish races: prepared manifests
     //    that never won the canonical name, their sidecars (unless a

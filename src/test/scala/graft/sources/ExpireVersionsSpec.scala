@@ -94,6 +94,54 @@ class ExpireVersionsSpec extends SparkSpec {
       .filter(col("doc_id") % 41 === 2).count() === 0L)
   }
 
+  test("expiry adopts a rename-then-crash winner instead of vacuuming " +
+    "its files") {
+    val root = freshRoot("adoptvac")
+    ManifestPrune.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 43 === 1).select("doc_id"))
+    // crashed writer: published manifest_c2, died before its marker
+    val tok = ManifestPrune.prepareToken()
+    val (mf, dv) = ManifestPrune.dvDeleteFrom(spark, root,
+      ManifestPrune.manifestOf(root, 1L), ManifestPrune.dvOf(root, 1L),
+      docs.filter(col("doc_id") % 47 === 2).select("doc_id"), tok)
+    assert(new java.io.File(mf)
+      .renameTo(new java.io.File(ManifestPrune.manifestOf(root, 2L))))
+    assert(ManifestPrune.currentVersion(spark, root) === 1L)
+    // expiry must treat the published-but-unmarked v2 as the chain
+    // head (adopt it), NOT vacuum its sidecar as loser garbage and
+    // let a later publish() adopt a corrupted version
+    ManifestPrune.expireVersions(spark, root, keepLast = 1, graceMs = 0)
+    assert(ManifestPrune.currentVersion(spark, root) === 2L)
+    assert(new java.io.File(dv).isDirectory,
+      "the adopted version's sidecar was vacuumed")
+    val t = ManifestPrune.readCommitted(spark, root, 2L)
+    assert(t.filter(col("doc_id") % 43 === 1).count() === 0L)
+    assert(t.filter(col("doc_id") % 47 === 2).count() === 0L)
+  }
+
+  test("ad-hoc manifests' files survive expiry") {
+    val root = freshRoot("adhoc")
+    // an ad-hoc CoW merge (non-protocol version name) shares the
+    // base data files and adds its own rewrite dir
+    val (_, mfV2) = ManifestPrune.cowMergeFrom(spark, root,
+      s"$root/manifest",
+      docs.filter(col("doc_id") === 1)
+        .select(col("doc_id"), lit("qq").as("new_lang")),
+      docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")), "adhoc_v2")
+    val before = ManifestPrune.readVersion(spark, mfV2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    // a protocol delete + expiry with keepLast=1 (expires version 0)
+    ManifestPrune.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 53 === 3).select("doc_id"))
+    ManifestPrune.expireVersions(spark, root, keepLast = 1, graceMs = 0)
+    // the ad-hoc version still reads identically — its manifest is a
+    // live reference even though no commit marker points at it
+    val after = ManifestPrune.readVersion(spark, mfV2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(after === before)
+  }
+
   test("keepLast spanning every version removes nothing") {
     val root = freshRoot("noop")
     ManifestPrune.dvDeleteCommit(spark, root,
