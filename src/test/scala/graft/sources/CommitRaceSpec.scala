@@ -78,6 +78,18 @@ class CommitRaceSpec extends SparkSpec {
       col("doc_id") % 11 =!= 6).count())
   }
 
+  test("publish reports IO failures as terminal, not as races") {
+    val root = freshRoot("ioerr")
+    // a prepared path that does not exist: rename fails and nothing
+    // occupies the canonical name — retrying cannot help, so the
+    // error must NOT be the retryable ConcurrentModificationException
+    val e = intercept[IllegalStateException] {
+      ManifestPrune.publish(root, 0L, s"$root/manifest_never_written")
+    }
+    assert(e.getMessage.contains("non-race"))
+    assert(ManifestPrune.currentVersion(spark, root) === 0L)
+  }
+
   test("expiry collects race losers' prepared garbage") {
     val root = freshRoot("gc")
     // a loser: fully prepared, never published

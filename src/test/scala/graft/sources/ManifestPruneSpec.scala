@@ -93,6 +93,18 @@ class ManifestPruneSpec extends SparkSpec {
     } finally spark.conf.unset("graft.manifest.maxDriverFiles")
   }
 
+  test("an absurd driver file bound clamps instead of emptying plans") {
+    val root = ManifestPrune.ensureLayout(spark, sf0001)
+    spark.conf.set("graft.manifest.maxDriverFiles",
+      Long.MaxValue.toString)
+    try {
+      // pre-clamp, cap+1 overflowed into limit(0) and planning
+      // silently returned ZERO files — wrong answers with no error
+      val files = ManifestPrune.planFiles(spark, root, 100, 180)
+      assert(files.nonEmpty)
+    } finally spark.conf.unset("graft.manifest.maxDriverFiles")
+  }
+
   test("planning fails fast past the driver file-list bound") {
     val root = ManifestPrune.ensureLayout(spark, sf0001)
     // adversarial count: bound below the layout's 8 files — every
