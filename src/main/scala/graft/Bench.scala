@@ -65,27 +65,30 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // land the complete metric JSON on disk: the driver captures a
-    // bounded log TAIL, and a 60+-query map printed as one line has
-    // been cut mid-JSON repeatedly (BENCH_r06..r09 "parsed: null").
-    // A file survives truncation; stdout stays the contract.
+    // land the complete full-precision JSON on disk ONLY (not stdout:
+    // the driver captures a bounded log TAIL, and a 200-query map
+    // printed as one line has been cut mid-JSON every round,
+    // BENCH_r01..r10 "parsed: null"; a second stdout line with the
+    // same {"metric":"total",...} shape was also flagged as ambiguous
+    // for first-match consumers). A file survives truncation.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
-    // and make the LAST stdout line a compact same-schema JSON (values
-    // rounded to ms) — ~2.5x shorter than the full-precision line, so
-    // a bounded tail capture that would cut the long line mid-JSON
-    // still holds one complete parseable line at the very end
+    // stdout contract, two lines: (1) a compact per-query JSON (values
+    // rounded to ms, ~2.5x shorter than full precision) for any capture
+    // window wide enough to hold it; (2) LAST, a ~60-byte total-only
+    // line — small enough that SOME complete JSON survives ANY capture
+    // window, even one that cuts line (1) mid-JSON.
     def r3(v: Double): String =
       java.math.BigDecimal.valueOf(v)
         .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,14 +28,24 @@ object Tables {
         .parquet(s"$sfDir/events.parquet")
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Random per-JVM-run id. `identityHashCode(spark)` alone is NOT
+    * unique across JVM runs (object addresses recur), and a collision
+    * lands a "fresh" root on a leftover target/tmp dir from a previous
+    * run whose stale commit chain survives a data overwrite — the
+    * exact failure that made ExpireVersionsSpec/DvDeleteSpec flaky. */
+  private val jvmRunId: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   /** target/tmp materialization dir for write-once artifacts, keyed by
-    * (kind, sf dir, session identity) so concurrent sessions and sf
-    * scales never collide — the ONE path scheme every persisted stage
-    * (dedup pair/fingerprint tables, pricing MV, manifest layout, IVF
-    * index) uses; a change to sanitization or session-keying lands
-    * everywhere at once. */
+    * (kind, sf dir, JVM run, session identity) so concurrent sessions,
+    * sf scales, AND successive JVM runs never collide — the ONE path
+    * scheme every persisted stage (dedup pair/fingerprint tables,
+    * pricing MV, manifest layout, IVF index) uses; a change to
+    * sanitization or session-keying lands everywhere at once. The
+    * session-identity suffix preserves write-once reuse WITHIN a
+    * session while isolating concurrent sessions in one JVM. */
   def matDir(kind: String, spark: SparkSession, sfDir: String): String =
     s"/root/repo/target/tmp/${kind}_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + jvmRunId + "_" +
       java.lang.Integer.toHexString(System.identityHashCode(spark))
 }

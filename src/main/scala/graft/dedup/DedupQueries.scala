@@ -279,8 +279,12 @@ object DedupQueries {
     s.read.parquet(clusterDirCache.computeIfAbsent((s, d), { _ =>
       val comp =
         ConnectedComponents.run(simhash64Pairs(s, d).select("a_id", "b_id"))
+          .localCheckpoint()
       val dir = matDir("simhash_clusters", s, d)
-      comp.repartition(1).write.mode("overwrite").parquet(dir)
+      // node-count-sized layout, same rule as the pair/triangle/
+      // fingerprint tables (the count reads the checkpointed blocks)
+      comp.repartition(compactFiles(comp.count()))
+        .write.mode("overwrite").parquet(dir)
       dir
     }))
 
@@ -320,8 +324,10 @@ object DedupQueries {
           .localCheckpoint()
       }
       val dir = matDir("simhash_communities", s, d)
+      // node-count-sized layout (lab is already checkpointed per round)
       lab.select(col("id").as("doc_id"), col("lbl").as("community"))
-        .repartition(1).write.mode("overwrite").parquet(dir)
+        .repartition(compactFiles(lab.count()))
+        .write.mode("overwrite").parquet(dir)
       dir
     }))
 

@@ -86,6 +86,30 @@ object CoreQueries {
       root
     })
 
+  /** q_time_travel's chain (fresh root → DV delete v1 → DV delete
+    * v2) plus the two commit instants, built ONCE per (session, sf
+    * dir). The sleep between commits guarantees distinct marker
+    * mtimes even on a coarse-mtime filesystem, so `as of t1` can
+    * never resolve past v1. */
+  private val travelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long, Long)]()
+
+  private def travelChain(s: SparkSession,
+                          d: String): (String, Long, Long) =
+    travelCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"travel_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
+      val v1 = graft.sources.ManifestPrune.dvDeleteCommit(s, root,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      Thread.sleep(15)
+      val v2 = graft.sources.ManifestPrune.dvDeleteCommit(s, root,
+        docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
+      val t1 = graft.sources.ManifestPrune.commitTimeMs(root, v1).get
+      val t2 = graft.sources.ManifestPrune.commitTimeMs(root, v2).get
+      (root, t1, t2)
+    })
+
   /** q_dpp_join's hive-partitioned events layout (partition column =
     * event_type), written once per (session, sf dir). */
   private val dppCache = new java.util.concurrent.ConcurrentHashMap[
@@ -1333,6 +1357,42 @@ object CoreQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM documents WHERE doc_id % 7 <> 3
              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // TIME TRAVEL over the version chain (ManifestPrune.readAsOf) —
+    // the read surface that completes the Iceberg/Delta triad
+    // (version, TIME, diff): a chain of two DV-delete commits is
+    // read back "as of" each commit's wall-clock instant, resolved
+    // through the retained commit MARKERS' mtimes (the timeline
+    // expiry deliberately keeps forever). The as-of-t1 block must see
+    // ONLY the first delete and the as-of-t2 block both — one
+    // mis-resolved timestamp collapses the two blocks and breaks the
+    // hash. Oracle replays both snapshots arithmetically on the
+    // original table. TimeTravelSpec pins the boundary contract
+    // (before-creation error, expired-version error, exact-instant
+    // resolution); at 100 TB resolution cost is O(versions) driver
+    // stats, never a data read.
+    Q("q_time_travel",
+      (s, d) => {
+        val (root, t1, t2) = travelChain(s, d)
+        def block(ts: Long, label: String) =
+          graft.sources.ManifestPrune.readAsOf(s, root, ts)
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("doc_id")).as("id_sum"))
+            .select(lit(label).as("as_of"), col("source"),
+              col("n_docs"), col("id_sum"))
+        block(t1, "v1").unionByName(block(t2, "v2"))
+          .orderBy("as_of", "source")
+      },
+      Some("""SELECT 'v1' AS as_of, source, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents WHERE doc_id % 7 <> 3 GROUP BY source
+             |UNION ALL
+             |SELECT 'v2' AS as_of, source, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 1
+             |GROUP BY source
+             |ORDER BY as_of, source""".stripMargin)),
 
     // COLUMN BACKFILL over the evolved layout — the job the
     // q_schema_evolution monitor exists to track: generation-1 rows
@@ -2660,16 +2720,21 @@ object CoreQueries {
     // so the division belongs to the consumer at display time. Groups
     // are the five event types: the aggregate is map-side partial + a
     // KB-sized final.
+    //
+    // GATE SHAPE (round 11): the gated row is the five raw moments
+    // (n, sx, sy, sxy, sxx) — every one a DECIMAL(18,0) SUM both
+    // engines execute identically — and the num/den composition moved
+    // into GroupOlsSpec, which recomposes the slope rational from the
+    // gated row in BigInt (exact int arithmetic, no engine involved)
+    // and checks it against an independently computed per-row fold.
+    // Why: two successive fixes to the composed form were local-green
+    // (value- AND arrow-type-identical under DuckDB 1.0.0) yet
+    // driver-red, the signature of a DuckDB-version divergence inside
+    // the oracle's HUGEINT cross-product composition; raw moments have
+    // no composition left to diverge on.
     Q("q_group_ols",
       (s, d) => {
         val d18 = DecimalType(18, 0)
-        // one side of each product widened to (20,0) so Spark's
-        // decimal multiply lands at DECIMAL(38,0) with exact 36-digit
-        // products; the ORACLE side computes the same cross-products
-        // in HUGEINT (int128 — version-stable, no widened-decimal
-        // multiply whose physical type differs across DuckDB
-        // releases) and casts once to DECIMAL(38,0)
-        val d20 = DecimalType(20, 0)
         val e = Tables.load(s, d, "events")
           .select(col("event_type"),
             expr("unix_micros(ts) div 1000000 - 1700000000").as("x"),
@@ -2680,34 +2745,19 @@ object CoreQueries {
             sum(col("y").cast(d18)).cast(d18).as("sy"),
             sum((col("x") * col("y")).cast(d18)).cast(d18).as("sxy"),
             sum((col("x") * col("x")).cast(d18)).cast(d18).as("sxx"))
-          .withColumn("num", col("n").cast(d20) * col("sxy") -
-            col("sx").cast(d20) * col("sy"))
-          .withColumn("den", col("n").cast(d20) * col("sxx") -
-            col("sx").cast(d20) * col("sx"))
-          .select(col("event_type"), col("n"),
-            col("num").as("slope_num"), col("den").as("slope_den"))
           .orderBy("event_type")
       },
-      Some("""WITH e AS (
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sx,
+             |  CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sy,
+             |  CAST(sum(CAST(x * y AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sxy,
+             |  CAST(sum(CAST(x * x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sxx
+             |FROM (
              |  SELECT event_type,
              |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 1700000000 AS x,
              |    CAST(round(value * 100) AS BIGINT) AS y
-             |  FROM events),
-             |m AS (
-             |  SELECT event_type, count(*) AS n,
-             |    CAST(sum(CAST(x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sx,
-             |    CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sy,
-             |    CAST(sum(CAST(x * y AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sxy,
-             |    CAST(sum(CAST(x * x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sxx
-             |  FROM e GROUP BY event_type)
-             |SELECT event_type, n,
-             |  CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
-             |    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
-             |    AS DECIMAL(38,0)) AS slope_num,
-             |  CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
-             |    - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
-             |    AS DECIMAL(38,0)) AS slope_den
-             |FROM m ORDER BY event_type""".stripMargin)),
+             |  FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // TOP SESSION PATHS — sequence mining one level up from the
     // single-step transition matrix: the most common openings (first

@@ -449,6 +449,63 @@ object ManifestPrune {
                     version: Long): DataFrame =
     readVersionWithDv(s, manifestOf(root, version), dvOf(root, version))
 
+  /** Commit wall-clock time of a version, from the artifacts the
+    * chain already durably keeps: the commit MARKER's mtime (markers
+    * are created by the rename winner at publish and RETAINED by
+    * expiry forever, so the timeline outlives the versions
+    * themselves); version 0 — which has no marker — reports the base
+    * manifest dir's mtime (buildLayout's creation instant, which
+    * precedes every marker by construction). None when the version
+    * was never committed. noteCommit rewrites the marker milliseconds
+    * after the CAS, so a note-bearing marker's mtime is still the
+    * commit instant at any as-of granularity that matters. */
+  def commitTimeMs(root: String, version: Long): Option[Long] =
+    if (version == 0L) {
+      val m = new java.io.File(manifestOf(root, 0L))
+      if (m.isDirectory) Some(m.lastModified()) else None
+    } else {
+      val marker = new java.io.File(markerPath(root, version))
+      if (marker.exists()) Some(marker.lastModified()) else None
+    }
+
+  /** Resolve "the table as of wall-clock T": the HIGHEST version
+    * whose commit time is <= tsMillis — Iceberg/Delta
+    * `TIMESTAMP AS OF` semantics (a reader at T sees the last state
+    * published before or at T). Fails with a clear error, never a
+    * wrong answer, in the two boundary cases: T before table
+    * creation, and T resolving to a version whose manifests
+    * [[expireVersions]] already destroyed (the retained markers keep
+    * the timeline, so expiry is DETECTED, not misread as an older or
+    * newer state — the retention contract every time-travel user must
+    * size `keepLast` against). */
+  def versionAsOf(s: SparkSession, root: String, tsMillis: Long): Long = {
+    val cur = currentVersion(s, root)
+    val timeline = (0L to cur)
+      .flatMap(v => commitTimeMs(root, v).map(v -> _))
+    require(timeline.nonEmpty, s"no committed versions under $root")
+    val eligible = timeline.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"as-of $tsMillis precedes the table's creation " +
+        s"(earliest commit ${timeline.head._2}) — nothing to read")
+    val v = eligible.map(_._1).max
+    if (!new java.io.File(manifestOf(root, v)).isDirectory) {
+      val earliest = (0L to cur).find(w =>
+        new java.io.File(manifestOf(root, w)).isDirectory)
+      throw new IllegalStateException(
+        s"version $v (as of $tsMillis) was expired by vacuum; " +
+          s"earliest still-readable version is ${earliest.getOrElse(cur)}" +
+          " — raise expireVersions' keepLast to cover the travel window")
+    }
+    v
+  }
+
+  /** Time-travel read: the table as of wall-clock `tsMillis`,
+    * deletion vectors applied — completes the version/time/diff read
+    * triad over one chain ([[readCommitted]] = version,
+    * this = time, q_version_diff = diff). */
+  def readAsOf(s: SparkSession, root: String, tsMillis: Long): DataFrame =
+    readCommitted(s, root, versionAsOf(s, root, tsMillis))
+
   /** PUBLISH a prepared version: one atomic directory rename of the
     * writer-unique prepared manifest onto the canonical
     * `manifest_c<next>` name decides the race — exactly one of any

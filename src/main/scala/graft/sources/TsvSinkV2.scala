@@ -167,21 +167,43 @@ object TsvSinkV2 {
     * migrated in place by the next streaming commit). */
   private[sources] def committedEpochs(fs: FileSystem,
                                        dir: Path): Set[Long] = {
-    def once(): Set[Long] = {
-      val ledger = new Path(dir, "_epochs")
-      if (!fs.exists(ledger)) Set.empty
-      else if (fs.getFileStatus(ledger).isFile) {
-        val in = fs.open(ledger)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).map(_.toLong).toSet
-        finally in.close()
-      } else fs.listStatus(ledger).toSeq.map(_.getPath.getName).collect {
+    val ledger = new Path(dir, "_epochs")
+    val migrating = new Path(dir, "_epochs.migrating")
+    def readMarkers(p: Path): Set[Long] =
+      fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
         case n if n.startsWith("e-") => n.drop(2).toLong
       }.toSet
-    }
-    // the legacy-ledger migration swaps file -> dir with one delete +
-    // rename; a reader landing in that instant retries once and sees
-    // the completed marker dir
+    def once(): Set[Long] =
+      if (fs.exists(ledger)) {
+        if (fs.getFileStatus(ledger).isFile) {
+          val in = fs.open(ledger)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).map(_.toLong).toSet
+          finally in.close()
+        } else readMarkers(ledger)
+      } else if (fs.exists(migrating)) {
+        // the legacy-file→marker-dir migration's delete+rename window:
+        // `_epochs` is briefly absent while `_epochs.migrating` already
+        // holds the COMPLETE marker set (built in full BEFORE the
+        // legacy file is deleted). exists()==false here is NOT "no
+        // ledger" — returning empty would let a concurrent batch
+        // commit treat every ledgered epoch file as un-ledgered, drop
+        // it from carryable/visible, and delete committed streaming
+        // data in cleanup. Give the rename a moment, then read the
+        // completed tmp set directly (correct even if the migrator
+        // died mid-swap; the next commit adopts it by rename).
+        var i = 0
+        while (i < 20 && !fs.exists(ledger) && fs.exists(migrating)) {
+          Thread.sleep(25); i += 1
+        }
+        if (fs.exists(ledger)) once()
+        else if (fs.exists(migrating)) readMarkers(migrating)
+        else if (fs.exists(ledger)) once()
+        else Set.empty
+      } else Set.empty
+    // a marker file/dir can still vanish between exists() and open()
+    // (concurrent migration completing); one retry sees the settled
+    // layout
     try once() catch { case _: java.io.FileNotFoundException => once() }
   }
 }
@@ -291,6 +313,16 @@ private[sources] class TsvStreamingWrite(path: String, schema: StructType,
     * upgrade instead of being silently forgotten — and so the next
     * commit's mkdirs does not fail over the existing file. */
   private def migrateLegacyLedger(fs: FileSystem): Unit = {
+    val tmpExisting = new Path(path, "_epochs.migrating")
+    if (!fs.exists(ledgerDir) && fs.exists(tmpExisting)) {
+      // a prior migrator died between delete(legacy) and
+      // rename(tmp→_epochs): tmp was built COMPLETE before the delete,
+      // so adopt it — without this, the mkdirs below would install an
+      // EMPTY marker dir and silently forget the committed history
+      require(fs.rename(tmpExisting, ledgerDir),
+        s"legacy ledger adoption failed: cannot install $ledgerDir")
+      return
+    }
     if (fs.exists(ledgerDir) && fs.getFileStatus(ledgerDir).isFile) {
       val in = fs.open(ledgerDir)
       val ids =
@@ -421,25 +453,42 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     mout.close()
     val lock = new Path(dir, f"_manifest-$gen%010d.lock")
-    if (!fs.createNewFile(lock)) {
+    var acquired = fs.createNewFile(lock)
+    var spins = 0
+    while (!acquired) {
       // a held lock is a live committer unless provably stale; the
       // STEAL is an atomic rename of the stale lock to a name unique
       // to this job (two stealers cannot both win a rename of the
       // same source), after which we claim a fresh lock ourselves
       val age = try {
-        System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime
+        Some(System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime)
       } catch {
-        case _: java.io.FileNotFoundException => 0L // freed just now
+        // the lock vanished between createNewFile failing and the
+        // stat: the holder just FREED it (benign), so loop back and
+        // retry the claim — treating this as age=0 would fail the
+        // whole job with "claimed by a concurrent committer" when a
+        // retry would simply win the now-free lock
+        case _: java.io.FileNotFoundException =>
+          spins += 1
+          require(spins < 100,
+            s"generation $gen lock thrashing: freed/re-claimed " +
+              s"$spins times without this committer winning")
+          None
       }
-      require(age > StaleLockMs,
-        s"generation $gen already claimed by a concurrent committer " +
-          "— re-run this write against the new table state")
-      require(fs.rename(lock, new Path(dir,
-          s"${lock.getName}.stolen-$queryId")),
-        s"stale lock for generation $gen stolen by another committer")
-      require(fs.createNewFile(lock),
-        s"generation $gen re-claimed while stealing a stale lock")
+      age match {
+        case None => acquired = fs.createNewFile(lock)
+        case Some(a) =>
+          require(a > StaleLockMs,
+            s"generation $gen already claimed by a concurrent " +
+              "committer — re-run this write against the new table state")
+          require(fs.rename(lock, new Path(dir,
+              s"${lock.getName}.stolen-$queryId")),
+            s"stale lock for generation $gen stolen by another committer")
+          require(fs.createNewFile(lock),
+            s"generation $gen re-claimed while stealing a stale lock")
+          acquired = true
+      }
     }
     // RE-VALIDATE under the lock: a slower committer that acquired
     // the lock only after the winner published (and freed it) must

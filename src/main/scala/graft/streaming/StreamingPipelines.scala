@@ -178,20 +178,38 @@ object StreamingPipelines {
     * writer keeps an independent replay cursor on the shared chain.
     * Untagged legacy notes parse as CDC's (the original single-writer
     * format). */
+  private val batchCursor =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+
   private def lastAppliedBatch(root: String, cur: Long,
                                tag: String): Long = {
     import graft.sources.ManifestPrune
+    // markers are retained forever (expiry keeps them by design), so a
+    // cold scan is O(all versions ever committed) marker reads and
+    // grows without bound on a long-lived CDC/delete stream; the
+    // per-(root, tag) in-memory cursor records the highest version
+    // already inspected, bounding each micro-batch to the versions
+    // committed SINCE the last look. Correct under interleaved writers
+    // because the chain is monotonic and a tag's batch ids commit in
+    // order: no version at-or-below the cursor can carry a newer batch
+    // id for this tag. A cold JVM (restart) just pays one full scan.
+    val key = (root, tag)
+    val cached = Option(batchCursor.get(key))
+    val floor = cached.map(_._1).getOrElse(0L)
     var v = cur
-    while (v >= 1) {
+    var found = -1L
+    while (found < 0 && v > floor) {
       ManifestPrune.commitNote(root, v) match {
         case Some(n) if n.startsWith(tag) =>
-          return n.stripPrefix(tag).toLong
+          found = n.stripPrefix(tag).toLong
         case Some(n) if tag == "cdc:" && n.forall(_.isDigit) =>
-          return n.toLong
+          found = n.toLong
         case _ => v -= 1
       }
     }
-    -1L
+    val b = if (found >= 0) found else cached.map(_._2).getOrElse(-1L)
+    batchCursor.put(key, (math.max(cur, floor), b))
+    b
   }
 
   private[streaming] def applyCdcBatch(batch: DataFrame, batchId: Long,

@@ -135,8 +135,10 @@ class DvDeleteSpec extends SparkSpec {
   }
 
   test("dvDeleteCommit and cowMergeCommit interleave on one CAS chain") {
-    // fresh root so protocol versions start at 0
-    val proot = graft.Tables.matDir("dv_protocol", spark, sf0001)
+    // fresh root so protocol versions start at 0; nanoTime suffix so a
+    // leftover dir from a prior JVM run can never seed a stale chain
+    val proot = graft.Tables.matDir(s"dv_protocol_${System.nanoTime}",
+      spark, sf0001)
     ManifestPrune.buildLayout(docs, proot, nFiles = 4)
     val v1 = ManifestPrune.dvDeleteCommit(spark, proot,
       docs.filter(col("doc_id") % 19 === 7).select("doc_id"))

@@ -13,9 +13,13 @@ class ExpireVersionsSpec extends SparkSpec {
 
   private lazy val docs = Tables.load(spark, sf0001, "documents")
 
-  /** Fresh protocol root: 4-file clustered layout + manifest. */
+  /** Fresh protocol root: 4-file clustered layout + manifest. The
+    * nanoTime suffix guarantees a virgin commit chain even if a
+    * leftover target/tmp dir from a prior run shares the matDir key
+    * (same hermeticity rule as CommitRaceSpec/CowMergeSpec). */
   private def freshRoot(tag: String): String = {
-    val root = graft.Tables.matDir(s"expire_$tag", spark, sf0001)
+    val root = graft.Tables.matDir(s"expire_${tag}_${System.nanoTime}",
+      spark, sf0001)
     ManifestPrune.buildLayout(docs, root, nFiles = 4)
     root
   }
