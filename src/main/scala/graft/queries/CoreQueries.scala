@@ -86,6 +86,32 @@ object CoreQueries {
       root
     })
 
+  /** q_gdpr_erase's drained chain (fresh root → two erasure-stream
+    * batches → compaction → expiry), built ONCE per (session, sf
+    * dir): the full right-to-be-forgotten lifecycle — the DV deletes
+    * land as sidecar-only versions via the SAME applyDeleteBatch the
+    * streaming face's foreachBatch drives, compaction materializes
+    * the accumulated vectors into clustered files, and vacuum
+    * reclaims every pre-compaction file so the erased bytes are
+    * physically gone, not merely hidden. */
+  private val gdprCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def gdprChain(s: SparkSession, d: String): String =
+    gdprCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"gdpr_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
+      graft.streaming.StreamingPipelines.applyDeleteBatch(
+        docs.filter(col("doc_id") % 13 === 2).select("doc_id"), 0L, root)
+      graft.streaming.StreamingPipelines.applyDeleteBatch(
+        docs.filter(col("doc_id") % 17 === 4).select("doc_id"), 1L, root)
+      graft.sources.ManifestPrune.compactCommit(s, root, nFiles = 4)
+      graft.sources.ManifestPrune.expireVersions(s, root,
+        keepLast = 1, graceMs = 0L)
+      root
+    })
+
   /** q_time_travel's chain (fresh root → DV delete v1 → DV delete
     * v2) plus the two commit instants, built ONCE per (session, sf
     * dir). The sleep between commits guarantees distinct marker
@@ -1393,6 +1419,37 @@ object CoreQueries {
              |FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 1
              |GROUP BY source
              |ORDER BY as_of, source""".stripMargin)),
+
+    // STREAMING GDPR ERASURE, END TO END (applyDeleteBatch →
+    // compactCommit → expireVersions → readCommitted): the three
+    // lakehouse operators the battery proves separately, composed
+    // into the lifecycle a right-to-be-forgotten queue actually runs —
+    // stream-batch deletes land as sidecar-only versions on the CAS
+    // chain, compaction materializes the accumulated vectors into
+    // clustered files, vacuum physically reclaims every
+    // pre-compaction file (erased bytes GONE, not hidden), and the
+    // surviving head must still read arithmetically exact. The hash
+    // gate catches the composition failures the piecewise specs
+    // can't: a vacuum eating a live file, a replay cursor misread
+    // across the compaction commit, a DV lost between stream batches.
+    // GdprPipelineSpec drives the same lifecycle through a real
+    // MemoryStream + checkpoint and pins the file-level reclaim.
+    Q("q_gdpr_erase",
+      (s, d) => {
+        val root = gdprChain(s, d)
+        graft.sources.ManifestPrune.readCommitted(s, root,
+          graft.sources.ManifestPrune.currentVersion(s, root))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents WHERE doc_id % 13 <> 2 AND doc_id % 17 <> 4
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // COLUMN BACKFILL over the evolved layout — the job the
     // q_schema_evolution monitor exists to track: generation-1 rows

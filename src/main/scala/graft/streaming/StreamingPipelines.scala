@@ -252,8 +252,8 @@ object StreamingPipelines {
     deletes.writeStream.outputMode("update")
       .foreachBatch((b: DataFrame, id: Long) => applyDeleteBatch(b, id, root))
 
-  private[streaming] def applyDeleteBatch(batch: DataFrame, batchId: Long,
-                                          root: String): Unit = {
+  private[graft] def applyDeleteBatch(batch: DataFrame, batchId: Long,
+                                      root: String): Unit = {
     import graft.sources.ManifestPrune
     val s = batch.sparkSession
     ManifestPrune.withCommitRetry() { () =>
