@@ -687,15 +687,21 @@ object ManifestPrune {
     *   2. every parquet under the root's `data*` dirs that is not in
     *      the keep set is an orphan — deleted at file grain (a dir
     *      can hold a mix of live and dead files after CoW merges);
-    *   3. expired versions' manifest dirs, DV sidecars, and commit
-    *      markers are dropped whole — `currentVersion` still resolves
-    *      (max marker is kept by construction).
+    *   3. expired versions' manifest dirs and DV sidecars are dropped
+    *      whole; the byte-sized commit MARKERS are RETAINED — they
+    *      carry the time-travel timeline ([[versionAsOf]]) and the
+    *      streaming replay cursors, and `currentVersion` needs only
+    *      the max.
     *
     * At 100 TB the keep set is bounded by `keepLast ×
     * maxDriverFiles` manifest rows (the same driver bound as
     * planning); the orphan scan is a listing, not a data read.
-    * Time travel to an expired version becomes impossible — that is
-    * the contract being bought: bounded storage. */
+    * Time travel to an expired version fails CLEANLY at resolution
+    * (the retained markers make expiry detectable, [[versionAsOf]]) —
+    * bounded storage is the contract being bought, and `keepLast` /
+    * `olderThanMs` are how a deployment sizes it against its longest
+    * reader or travel window (VacuumReaderSpec pins the
+    * reader-vs-vacuum behavior). */
   /** `graceMs`: files/dirs YOUNGER than this are never collected —
     * the retention threshold every production expiry needs, because a
     * concurrently PREPARING writer's not-yet-published state is
@@ -704,10 +710,18 @@ object ManifestPrune {
     * older-than guard; its default is days, because the window must
     * exceed the LONGEST plausible prepare — a whole-table compaction,
     * not a quick delete). Pass 0 only when no writer can be in flight
-    * (single-threaded tests). */
+    * (single-threaded tests).
+    *
+    * `olderThanMs`: Iceberg `expire_snapshots(older_than, retain_last)`
+    * semantics — a version is expired only if it is BOTH beyond
+    * `keepLast` AND was committed at-or-before `olderThanMs` (resolved
+    * through the marker timeline, monotonic by construction). The
+    * default (`Long.MaxValue`) imposes no time floor, i.e. pure
+    * count-based retention. */
   def expireVersions(s: SparkSession, root: String,
                      keepLast: Int,
-                     graceMs: Long = 24L * 60 * 60 * 1000): ExpireStats = {
+                     graceMs: Long = 24L * 60 * 60 * 1000,
+                     olderThanMs: Long = Long.MaxValue): ExpireStats = {
     require(keepLast >= 1, "must keep at least the current version")
     val cutoff = System.currentTimeMillis() - graceMs
     def oldEnough(f: java.io.File): Boolean = f.lastModified() <= cutoff
@@ -721,7 +735,16 @@ object ManifestPrune {
         !new java.io.File(markerPath(root, curPre + 1)).exists())
       tryCommit(root, curPre + 1)
     val cur = currentVersion(s, root)
-    val keepFrom = math.max(0L, cur - keepLast + 1)
+    val countKeepFrom = math.max(0L, cur - keepLast + 1)
+    // time floor: the first version committed AFTER olderThanMs (and
+    // everything above it) is retained regardless of keepLast — the
+    // marker timeline is monotonic, so one scan finds the boundary
+    val timeKeepFrom =
+      if (olderThanMs == Long.MaxValue) countKeepFrom
+      else (0L to cur).find(v =>
+        commitTimeMs(root, v).exists(_ > olderThanMs))
+        .getOrElse(countKeepFrom)
+    val keepFrom = math.min(countKeepFrom, timeKeepFrom)
     val kept = (keepFrom to cur).filter(v =>
       new java.io.File(manifestOf(root, v)).isDirectory)
     def localPath(uri: String): String =
