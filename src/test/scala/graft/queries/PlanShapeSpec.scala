@@ -195,6 +195,24 @@ class PlanShapeSpec extends SparkSpec {
       s"the positional key is not sourced from file metadata:\n$plan")
   }
 
+  test("q_time_travel: both as-of blocks anti-join their DVs; text " +
+    "never read") {
+    val plan = plans("q_time_travel")
+    assert("LeftAnti".r.findAllIn(plan).size >= 2,
+      s"each resolved version must apply its own DV anti-join:\n$plan")
+    assert(!plan.contains("text"),
+      s"q_time_travel reads the text column it never uses:\n$plan")
+  }
+
+  test("q_gdpr_erase: the compacted head reads sidecar-free and " +
+    "column-pruned") {
+    val plan = plans("q_gdpr_erase")
+    assert(!plan.contains("LeftAnti"),
+      s"post-compaction read must have NO DV anti-join left:\n$plan")
+    assert(!plan.contains("text"),
+      s"q_gdpr_erase reads the text column it never uses:\n$plan")
+  }
+
   test("q_distinct_elim: no distinct aggregation, no corpus shuffle") {
     val plan = plans("q_distinct_elim")
     assert(!plan.contains("distinct"),
