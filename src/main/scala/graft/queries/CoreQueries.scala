@@ -112,6 +112,35 @@ object CoreQueries {
       root
     })
 
+  /** q_change_feed's chain (fresh root → CoW merge with update AND
+    * insert batches → DV delete → compaction), built ONCE per
+    * (session, sf dir): one commit of each kind, so the feed must
+    * emit all three ops — and NOTHING for the compaction, whose
+    * physical motion is not change. */
+  private val feedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def changeFeedChain(s: SparkSession, d: String): String =
+    feedCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"feed_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
+      // v1: update lang of doc_id ≡ 0 (mod 11) to a value no real row
+      // carries, + insert shifted twins of doc_id ≡ 1 (mod 13)
+      graft.sources.ManifestPrune.cowMergeCommit(s, root,
+        docs.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id"), lit("zz").as("new_lang")),
+        docs.filter(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      // v2: DV delete of doc_id ≡ 3 (mod 7) among the ORIGINAL ids
+      graft.sources.ManifestPrune.dvDeleteCommit(s, root,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      // v3: compaction — physical rewrite, zero logical change
+      graft.sources.ManifestPrune.compactCommit(s, root, nFiles = 4)
+      root
+    })
+
   /** q_time_travel's chain (fresh root → DV delete v1 → DV delete
     * v2) plus the two commit instants, built ONCE per (session, sf
     * dir). The sleep between commits guarantees distinct marker
@@ -1419,6 +1448,41 @@ object CoreQueries {
              |FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 1
              |GROUP BY source
              |ORDER BY as_of, source""".stripMargin)),
+
+    // CHANGE FEED over the version chain (ManifestPrune.changeFeed) —
+    // the PRODUCE side of CDC, closing the loop with the streaming
+    // APPLY side (applyCdcStream): a chain holding one commit of each
+    // kind (CoW merge with updates AND inserts, DV delete,
+    // compaction) must emit exactly the three op groups — updates
+    // with post-images, inserts, positional deletes with pre-images —
+    // and NOTHING for the compaction (physical motion is not change;
+    // the no-op-update drop is what a downstream consumer's
+    // correctness depends on). File-grain: each step reads only the
+    // commit's own removed/added files and DV delta, never the
+    // table — the property that makes tailing a 100 TB chain
+    // affordable. Oracle replays all three ops arithmetically.
+    Q("q_change_feed",
+      (s, d) => {
+        val root = changeFeedChain(s, d)
+        graft.sources.ManifestPrune.changeFeed(s, root, 0L, 3L)
+          .groupBy("version", "op")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("version", "op")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS version, 'insert' AS op,
+             |  count(*) AS n_rows,
+             |  CAST(sum(doc_id + 20000000) AS BIGINT) AS id_sum
+             |FROM documents WHERE doc_id % 13 = 1
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), 'update', count(*),
+             |  CAST(sum(doc_id) AS BIGINT)
+             |FROM documents WHERE doc_id % 11 = 0
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), 'delete', count(*),
+             |  CAST(sum(doc_id) AS BIGINT)
+             |FROM documents WHERE doc_id % 7 = 3
+             |ORDER BY version, op""".stripMargin)),
 
     // STREAMING GDPR ERASURE, END TO END (applyDeleteBatch →
     // compactCommit → expireVersions → readCommitted): the three

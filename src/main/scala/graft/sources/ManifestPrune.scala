@@ -506,6 +506,109 @@ object ManifestPrune {
   def readAsOf(s: SparkSession, root: String, tsMillis: Long): DataFrame =
     readCommitted(s, root, versionAsOf(s, root, tsMillis))
 
+  /** CHANGE FEED of one version step (v−1 → v) — the PRODUCE side of
+    * CDC (Delta's table_changes / Iceberg's changelog scan), closing
+    * the loop with [[graft.streaming.StreamingPipelines.applyCdcStream]]'s
+    * apply side: emits `(version, op, <row>)` rows with op ∈
+    * insert|update|delete, where update carries the post-image and
+    * delete the pre-image.
+    *
+    * The chain's swap-by-path structure makes this FILE-GRAIN — cost
+    * is O(files touched by the commit), never O(table):
+    *   - removed/added file sets come from the two manifests alone;
+    *   - rows newly hidden by the DV sidecar delta on CARRIED files
+    *     are deletes (read by positional join, only affected files);
+    *   - removed-file live rows vs added-file rows full-outer-join on
+    *     `key`: only-new → insert, only-old → delete, both with a
+    *     changed payload → update — and both with an IDENTICAL
+    *     payload are dropped, which is exactly why a pure compaction
+    *     or Z-order rewrite emits an EMPTY feed (physical motion is
+    *     not change).
+    *
+    * Assumes `key` is unique per version (the table-layer contract
+    * everywhere else — CoW merge joins on it). */
+  def changeFeedStep(s: SparkSession, root: String, v: Long,
+                     key: String = "doc_id"): DataFrame = {
+    require(v >= 1, s"version step needs v >= 1, got $v")
+    val m0 = manifestOf(root, v - 1)
+    val m1 = manifestOf(root, v)
+    val d0 = dvOf(root, v - 1)
+    val d1 = dvOf(root, v)
+    val f0 = s.read.parquet(m0).select("file")
+    val f1 = s.read.parquet(m1).select("file")
+    val removed = collectFileList(s, f0.except(f1),
+      s"change-feed removed files of v$v")
+    val added = collectFileList(s, f1.except(f0),
+      s"change-feed added files of v$v")
+    // template for empty frames + the payload column list
+    val schemaRow = readVersion(s, m1).limit(0)
+    val payloadCols = schemaRow.columns.filterNot(_ == key).toSeq
+    def readLive(files: Seq[String], dv: Option[String]): DataFrame =
+      if (files.isEmpty) schemaRow
+      else applyDv(s, s.read.parquet(files: _*), dv)
+    // 1. DV delta on carried files → deletes (pre-image rows)
+    val dvDelta: Option[DataFrame] = (d0, d1) match {
+      case (_, None) => None // rewrite dropped its DVs → no positional delta
+      case (None, Some(b)) => Some(s.read.parquet(b))
+      case (Some(a), Some(b)) =>
+        Some(s.read.parquet(b).except(s.read.parquet(a)))
+    }
+    val dvDeletes = dvDelta match {
+      case None => schemaRow
+      case Some(delta0) =>
+        // positions always reference carried files (a rewrite drops
+        // its files' DV entries); the semi-join pins that invariant
+        val delta = delta0.join(f1.intersect(f0), Seq("file"),
+          "left_semi")
+        val files = collectFileList(s, delta.select("file").distinct(),
+          s"change-feed DV-delta files of v$v")
+        if (files.isEmpty) schemaRow
+        else s.read.parquet(files: _*)
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(delta, col("__file") === col("file") &&
+            col("__pos") === col("pos"))
+          .select(schemaRow.columns.map(col).toIndexedSeq: _*)
+    }
+    // 2. removed-vs-added key diff (bounded by the commit's own files)
+    val oldS = readLive(removed, d0)
+      .select(col(key).as("__k"),
+        struct(payloadCols.map(col): _*).as("__old"))
+    val newS = readLive(added, d1)
+      .select(col(key).as("__k"),
+        struct(payloadCols.map(col): _*).as("__new"))
+    val joined = oldS.join(newS, Seq("__k"), "full_outer")
+    def emit(opName: String, img: String) = joined
+      .filter(opName match {
+        case "insert" => col("__old").isNull && col("__new").isNotNull
+        case "delete" => col("__new").isNull && col("__old").isNotNull
+        case _ => col("__old").isNotNull && col("__new").isNotNull &&
+          !(col("__old") <=> col("__new"))
+      })
+      .select(lit(opName).as("op") +: col("__k").as(key) +:
+        payloadCols.map(c => col(s"$img.$c").as(c)): _*)
+    val keyDiff = emit("insert", "__new")
+      .unionByName(emit("update", "__new"))
+      .unionByName(emit("delete", "__old"))
+    dvDeletes.withColumn("op", lit("delete"))
+      .select("op", schemaRow.columns.toIndexedSeq: _*)
+      .unionByName(keyDiff)
+      .withColumn("version", lit(v))
+  }
+
+  /** Change feed over a version RANGE (fromV, toV]: the union of the
+    * per-step feeds, each stamped with its version. Driver cost is
+    * O(steps) metadata reads; data cost stays the sum of the steps'
+    * touched files. An incremental consumer tails the chain with
+    * `changeFeed(s, root, lastSeen, currentVersion(s, root))`. */
+  def changeFeed(s: SparkSession, root: String, fromV: Long, toV: Long,
+                 key: String = "doc_id"): DataFrame = {
+    require(0 <= fromV && fromV < toV,
+      s"need 0 <= fromV < toV, got ($fromV, $toV]")
+    (fromV + 1 to toV).map(v => changeFeedStep(s, root, v, key))
+      .reduce(_ unionByName _)
+  }
+
   /** PUBLISH a prepared version: one atomic directory rename of the
     * writer-unique prepared manifest onto the canonical
     * `manifest_c<next>` name decides the race — exactly one of any
