@@ -439,6 +439,49 @@ class TsvSinkV2Spec extends SparkSpec {
     assert(!new java.io.File(s"$dir/_epochs").exists())
   }
 
+  test("a migration crashed between delete and rename is neither " +
+    "misread as empty nor forgotten by the next commit") {
+    val out = tmpDir()
+    val schema = StructType(Seq(StructField("v", LongType, false)))
+    val conf = SparkSpec.session.sparkContext.hadoopConfiguration
+    // crash window: the legacy _epochs FILE was deleted, the COMPLETE
+    // marker set still sits under the tmp name — the instant a reader
+    // used to see exists()==false and silently return Set.empty,
+    // letting a concurrent committer garbage-collect ledgered epochs
+    new java.io.File(s"$out/_epochs.migrating").mkdirs()
+    new java.io.File(s"$out/_epochs.migrating/e-0").createNewFile()
+    new java.io.File(s"$out/_epochs.migrating/e-1").createNewFile()
+    val fw = new java.io.FileWriter(s"$out/part-1-00000.tsv")
+    fw.write("7\n"); fw.close()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(conf)
+    // the reader falls back to the completed tmp set
+    assert(TsvSinkV2.committedEpochs(fs,
+      new org.apache.hadoop.fs.Path(out)) === Set(0L, 1L))
+    // and the epoch-1 file stays visible to the batch read face
+    assert(spark.read.format("graft-tsv").load(out)
+      .collect().map(_.getString(0)).toSeq === Seq("7"))
+    // the next commit ADOPTS the migrated dir instead of mkdirs-ing
+    // an empty one over the history
+    val sw = new TsvStreamingWrite(out, schema, "q-adopt",
+      new SerializableHadoopConf(conf))
+    val factory = sw.createStreamingWriterFactory(null)
+    val w1 = factory.createWriter(0, 100L, 1L)
+    w1.write(InternalRow(99L))
+    sw.commit(1L, Array[WriterCommitMessage](w1.commit())) // replay: no-op
+    assert(new java.io.File(s"$out/_epochs").isDirectory)
+    assert(!new java.io.File(s"$out/_epochs.migrating").exists())
+    assert(new java.io.File(s"$out/_epochs/e-0").exists())
+    assert(new java.io.File(s"$out/_epochs/e-1").exists())
+    assert(spark.read.format("graft-tsv").load(out)
+      .collect().map(_.getString(0)).toSeq === Seq("7"))
+    val w2 = factory.createWriter(0, 200L, 2L)
+    w2.write(InternalRow(8L))
+    sw.commit(2L, Array[WriterCommitMessage](w2.commit()))
+    assert(spark.read.format("graft-tsv").load(out)
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("7", "8"))
+  }
+
   test("a legacy single-file epoch ledger is migrated, history intact") {
     val out = tmpDir()
     val schema = StructType(Seq(StructField("v", LongType, false)))
