@@ -747,6 +747,58 @@ object ManifestPrune {
     } else None
   }
 
+  // ------------------------------------------------------ named tags
+
+  /** TAG a committed version under an immutable name (Iceberg refs):
+    * `_refs/<name>` holds the version number. Tags are the retention
+    * anchor — [[expireVersions]] NEVER expires a tagged version, so
+    * "the corpus snapshot we trained run X on" survives any keepLast
+    * while the untagged chain around it is vacuumed. Immutable by
+    * PUT-if-absent (re-pointing a name is a delete + create, visible
+    * in the audit trail as two operations). */
+  def tagVersion(root: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '.' || c == '_' || c == '-'),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    require(version == 0L ||
+      new java.io.File(markerPath(root, version)).exists(),
+      s"cannot tag uncommitted version $version")
+    require(new java.io.File(manifestOf(root, version)).isDirectory,
+      s"cannot tag expired version $version")
+    val dir = new java.io.File(s"$root/_refs")
+    dir.mkdirs()
+    val f = new java.io.File(dir, name)
+    require(f.createNewFile(),
+      s"tag '$name' already exists (tags are immutable; delete first)")
+    java.nio.file.Files.writeString(f.toPath, version.toString)
+  }
+
+  def taggedVersion(root: String, name: String): Option[Long] = {
+    val f = new java.io.File(s"$root/_refs/$name")
+    if (f.isFile)
+      Some(java.nio.file.Files.readString(f.toPath).trim.toLong)
+    else None
+  }
+
+  def deleteTag(root: String, name: String): Boolean =
+    new java.io.File(s"$root/_refs/$name").delete()
+
+  def listTags(root: String): Map[String, Long] = {
+    val dir = new java.io.File(s"$root/_refs")
+    if (!dir.isDirectory) Map.empty
+    else dir.listFiles().filter(_.isFile).map(f =>
+      f.getName ->
+        java.nio.file.Files.readString(f.toPath).trim.toLong).toMap
+  }
+
+  /** Read the table at a tagged version — the stable-name read face
+    * (`readTagged(root, "train-v3")`) on top of [[readCommitted]]. */
+  def readTagged(s: SparkSession, root: String, name: String): DataFrame =
+    readCommitted(s, root, taggedVersion(root, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no tag '$name' under $root (tags: ${listTags(root).keys
+          .toSeq.sorted.mkString(", ")})")))
+
   /** Per-file (file, min_key, max_key, n_rows) stats of a data dir —
     * the ONE definition of the manifest schema; every writer goes
     * through it so the schema cannot drift between paths. */
@@ -848,8 +900,12 @@ object ManifestPrune {
         commitTimeMs(root, v).exists(_ > olderThanMs))
         .getOrElse(countKeepFrom)
     val keepFrom = math.min(countKeepFrom, timeKeepFrom)
-    val kept = (keepFrom to cur).filter(v =>
-      new java.io.File(manifestOf(root, v)).isDirectory)
+    // tagged versions are retention anchors: never expired, whatever
+    // keepLast/olderThanMs say (Iceberg's never-expire-a-ref rule)
+    val tagged = listTags(root).values.toSet
+    val kept = ((keepFrom to cur) ++ tagged.filter(_ < keepFrom))
+      .distinct.sorted.filter(v =>
+        new java.io.File(manifestOf(root, v)).isDirectory)
     def localPath(uri: String): String =
       new org.apache.hadoop.fs.Path(uri).toUri.getPath
     val rootDir0 = new java.io.File(root)
@@ -891,7 +947,7 @@ object ManifestPrune {
       }
     var removedMf = 0L
     var removedDv = 0L
-    (0L until keepFrom).foreach { v =>
+    (0L until keepFrom).filterNot(tagged).foreach { v =>
       // a crash in a PRIOR expiry between sidecar and manifest
       // deletion leaves a dangling pointer — for an EXPIRED version
       // that is fine, there is nothing left to protect
