@@ -1453,9 +1453,12 @@ object CoreQueries {
     // the PRODUCE side of CDC, closing the loop with the streaming
     // APPLY side (applyCdcStream): a chain holding one commit of each
     // kind (CoW merge with updates AND inserts, DV delete,
-    // compaction) must emit exactly the three op groups — updates
-    // with post-images, inserts, positional deletes with pre-images —
-    // and NOTHING for the compaction (physical motion is not change;
+    // compaction) must emit exactly the four op groups of the Delta
+    // CDF convention — update_preimage AND update_postimage (both
+    // images is what lets a consumer maintain aggregates
+    // incrementally, q_mv_feed_refresh), inserts, positional deletes
+    // with pre-images — and NOTHING for the compaction (physical
+    // motion is not change;
     // the no-op-update drop is what a downstream consumer's
     // correctness depends on). File-grain: each step reads only the
     // commit's own removed/added files and DV delta, never the
@@ -1475,7 +1478,11 @@ object CoreQueries {
              |  CAST(sum(doc_id + 20000000) AS BIGINT) AS id_sum
              |FROM documents WHERE doc_id % 13 = 1
              |UNION ALL
-             |SELECT CAST(1 AS BIGINT), 'update', count(*),
+             |SELECT CAST(1 AS BIGINT), 'update_preimage', count(*),
+             |  CAST(sum(doc_id) AS BIGINT)
+             |FROM documents WHERE doc_id % 11 = 0
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), 'update_postimage', count(*),
              |  CAST(sum(doc_id) AS BIGINT)
              |FROM documents WHERE doc_id % 11 = 0
              |UNION ALL
@@ -1483,6 +1490,49 @@ object CoreQueries {
              |  CAST(sum(doc_id) AS BIGINT)
              |FROM documents WHERE doc_id % 7 = 3
              |ORDER BY version, op""".stripMargin)),
+
+    // INCREMENTAL MV MAINTENANCE FROM THE CHANGE FEED — what the
+    // two-image CDF convention buys: a per-lang (count, char-sum)
+    // materialization at v0 is brought to the head state by APPLYING
+    // THE FEED'S INCREMENTS (+1 for insert/update_postimage, −1 for
+    // delete/update_preimage — updates MOVE mass between lang groups
+    // because v1 rewrites lang), never rescanning the base. One
+    // missing pre-image, one no-op update leaking through, or one
+    // compaction row in the feed and the refreshed MV diverges from
+    // the oracle's direct head-state replay. At 100 TB this is the
+    // difference between an MV refresh costing O(changed rows) and
+    // O(corpus).
+    Q("q_mv_feed_refresh",
+      (s, d) => {
+        val root = changeFeedChain(s, d)
+        val base = graft.sources.ManifestPrune.readCommitted(s, root, 0L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n0"),
+            sum(col("n_chars")).as("c0"))
+        val sign = when(col("op").isin("insert", "update_postimage"),
+          lit(1L)).otherwise(lit(-1L))
+        val delta = graft.sources.ManifestPrune.changeFeed(s, root, 0L, 3L)
+          .groupBy("lang")
+          .agg(sum(sign).as("dn"),
+            sum(sign * col("n_chars")).as("dc"))
+        base.join(delta, Seq("lang"), "full_outer")
+          .select(col("lang"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_docs"),
+            (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .as("sum_chars"))
+          .filter(col("n_docs") > 0)
+          .orderBy("lang")
+      },
+      Some("""WITH head AS (
+             |  SELECT CASE WHEN doc_id % 11 = 0 THEN 'zz' ELSE lang END
+             |    AS lang, n_chars
+             |  FROM documents WHERE doc_id % 7 <> 3
+             |  UNION ALL
+             |  SELECT lang, n_chars FROM documents WHERE doc_id % 13 = 1)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM head GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // STREAMING GDPR ERASURE, END TO END (applyDeleteBatch →
     // compactCommit → expireVersions → readCommitted): the three

@@ -510,8 +510,11 @@ object ManifestPrune {
     * CDC (Delta's table_changes / Iceberg's changelog scan), closing
     * the loop with [[graft.streaming.StreamingPipelines.applyCdcStream]]'s
     * apply side: emits `(version, op, <row>)` rows with op ∈
-    * insert|update|delete, where update carries the post-image and
-    * delete the pre-image.
+    * insert|update_preimage|update_postimage|delete (the Delta CDF
+    * `_change_type` convention — an updated key yields BOTH images,
+    * which is what lets a consumer maintain aggregates incrementally:
+    * subtract the pre-image, add the post-image); delete carries the
+    * pre-image.
     *
     * The chain's swap-by-path structure makes this FILE-GRAIN — cost
     * is O(files touched by the commit), never O(table):
@@ -588,7 +591,8 @@ object ManifestPrune {
       .select(lit(opName).as("op") +: col("__k").as(key) +:
         payloadCols.map(c => col(s"$img.$c").as(c)): _*)
     val keyDiff = emit("insert", "__new")
-      .unionByName(emit("update", "__new"))
+      .unionByName(emit("update_preimage", "__old"))
+      .unionByName(emit("update_postimage", "__new"))
       .unionByName(emit("delete", "__old"))
     dvDeletes.withColumn("op", lit("delete"))
       .select("op", schemaRow.columns.toIndexedSeq: _*)

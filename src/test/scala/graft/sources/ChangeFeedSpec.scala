@@ -33,11 +33,14 @@ class ChangeFeedSpec extends SparkSpec {
     "DV step emits pre-image deletes; compaction emits nothing") {
     val root = chain()
     val s1 = ManifestPrune.changeFeedStep(spark, root, 1L).cache()
-    // updates: every doc_id ≡ 0 (mod 11), post-image lang = zz
-    val upd = s1.filter(col("op") === "update")
-    assert(upd.count() ===
-      docs.filter(col("doc_id") % 11 === 0).count())
-    assert(upd.filter(col("lang") =!= "zz").count() === 0L)
+    // updates: every doc_id ≡ 0 (mod 11), BOTH images (Delta CDF
+    // convention) — post lang = zz, pre lang = the original (never zz)
+    val nUpd = docs.filter(col("doc_id") % 11 === 0).count()
+    val post = s1.filter(col("op") === "update_postimage")
+    val pre = s1.filter(col("op") === "update_preimage")
+    assert(post.count() === nUpd && pre.count() === nUpd)
+    assert(post.filter(col("lang") =!= "zz").count() === 0L)
+    assert(pre.filter(col("lang") === "zz").count() === 0L)
     // inserts: the shifted twins, payload intact
     val ins = s1.filter(col("op") === "insert")
     assert(ins.count() ===
@@ -46,7 +49,7 @@ class ChangeFeedSpec extends SparkSpec {
     // no deletes in a pure upsert commit; untouched rows of rewritten
     // files must NOT surface as no-op updates
     assert(s1.filter(col("op") === "delete").count() === 0L)
-    assert(s1.count() === upd.count() + ins.count())
+    assert(s1.count() === 2 * nUpd + ins.count())
 
     // DV step: pre-image deletes, and ONLY those
     val s2 = ManifestPrune.changeFeedStep(spark, root, 2L).cache()
@@ -66,7 +69,8 @@ class ChangeFeedSpec extends SparkSpec {
     val feed = ManifestPrune.changeFeed(spark, root, 0L, 3L).cache()
     val v0 = ManifestPrune.readCommitted(spark, root, 0L)
     val dels = feed.filter(col("op") === "delete").select("doc_id")
-    val upserts = feed.filter(col("op").isin("insert", "update"))
+    val upserts = feed
+      .filter(col("op").isin("insert", "update_postimage"))
       .drop("op", "version")
     // last-writer-wins replay: upserts replace, deletes remove
     // (ops never collide on a key in this chain, so plain set algebra)
