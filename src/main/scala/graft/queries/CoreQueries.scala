@@ -141,6 +141,22 @@ object CoreQueries {
       root
     })
 
+  /** q_replicate's replica chain, built ONCE per (session, sf dir):
+    * same base layout as the (cached) change-feed source chain, then
+    * converged purely by replicateFeed over the source's 3 steps. */
+  private val replicaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def replicaChain(s: SparkSession, d: String): String =
+    replicaCache.computeIfAbsent((s, d), { _ =>
+      val src = changeFeedChain(s, d)
+      val dst = Tables.matDir(s"replica_chain_${System.nanoTime}", s, d)
+      graft.sources.ManifestPrune.buildLayout(
+        Tables.load(s, d, "documents"), dst, nFiles = 8)
+      graft.sources.ManifestPrune.replicateFeed(s, src, dst, 0L, 3L)
+      dst
+    })
+
   /** q_time_travel's chain (fresh root → DV delete v1 → DV delete
     * v2) plus the two commit instants, built ONCE per (session, sf
     * dir). The sleep between commits guarantees distinct marker
@@ -1490,6 +1506,39 @@ object CoreQueries {
              |  CAST(sum(doc_id) AS BIGINT)
              |FROM documents WHERE doc_id % 7 = 3
              |ORDER BY version, op""".stripMargin)),
+
+    // FEED-DRIVEN REPLICATION (ManifestPrune.replicateFeed) — the
+    // feed as a replication transport: a replica chain starting from
+    // the same base receives ONLY the source's change images (deletes
+    // + pre-image keys as DV-delete commits, inserts + post-images as
+    // insert-only CoW commits) and must converge to the source head,
+    // hash-checked against the oracle's direct head replay. Per step
+    // the wire and the replica write both cost O(changed rows) —
+    // mirroring a 100 TB table never rescans it. ReplicationSpec pins
+    // row-exact convergence and that the replica stays a first-class
+    // chain (own compaction + vacuum).
+    Q("q_replicate",
+      (s, d) => {
+        val root = replicaChain(s, d)
+        graft.sources.ManifestPrune.readCommitted(s, root,
+          graft.sources.ManifestPrune.currentVersion(s, root))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH head AS (
+             |  SELECT source,
+             |    CASE WHEN doc_id % 11 = 0 THEN 'zz' ELSE lang END
+             |      AS lang, doc_id
+             |  FROM documents WHERE doc_id % 7 <> 3
+             |  UNION ALL
+             |  SELECT source, lang, doc_id + 20000000
+             |  FROM documents WHERE doc_id % 13 = 1)
+             |SELECT source, lang, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM head GROUP BY source, lang
+             |ORDER BY source, lang""".stripMargin)),
 
     // INCREMENTAL MV MAINTENANCE FROM THE CHANGE FEED — what the
     // two-image CDF convention buys: a per-lang (count, char-sum)

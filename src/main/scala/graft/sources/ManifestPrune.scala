@@ -613,6 +613,36 @@ object ManifestPrune {
       .reduce(_ unionByName _)
   }
 
+  /** REPLICATE a feed range onto a second chain — the feed as a
+    * replication transport (Delta's CDF-driven mirror): each source
+    * step's images are applied to the replica as delete-then-insert
+    * (pre-image keys and delete keys via one DV-delete commit;
+    * post-images and inserts via one insert-only CoW commit), so
+    * replication works for ANY column change, costs O(changed rows)
+    * per step, and the replica's own chain stays a first-class
+    * versioned table (taggable, travel-able, vacuum-able). The
+    * replica converges to the source HEAD state; its version numbers
+    * are its own. */
+  def replicateFeed(s: SparkSession, srcRoot: String, dstRoot: String,
+                    fromV: Long, toV: Long,
+                    key: String = "doc_id"): Unit =
+    (fromV + 1 to toV).foreach { v =>
+      val step = changeFeedStep(s, srcRoot, v, key)
+        .localCheckpoint()
+      val dels = step
+        .filter(col("op").isin("delete", "update_preimage"))
+        .select(key)
+      if (dels.limit(1).count() > 0) dvDeleteCommit(s, dstRoot, dels)
+      val ins = step
+        .filter(col("op").isin("insert", "update_postimage"))
+        .drop("op", "version")
+      if (ins.limit(1).count() > 0)
+        cowMergeCommit(s, dstRoot,
+          ins.select(col(key)).limit(0)
+            .withColumn("new_lang", lit(null).cast("string")),
+          ins)
+    }
+
   /** PUBLISH a prepared version: one atomic directory rename of the
     * writer-unique prepared manifest onto the canonical
     * `manifest_c<next>` name decides the race — exactly one of any

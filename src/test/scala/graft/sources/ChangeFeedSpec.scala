@@ -64,6 +64,36 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ManifestPrune.changeFeedStep(spark, root, 3L).count() === 0L)
   }
 
+  test("a CoW rewrite of DV-carrying files neither re-emits their " +
+    "deletes nor resurrects hidden rows in the feed") {
+    val root = graft.Tables.matDir(s"feed_dvcow_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
+    // v1: hide doc_id ≡ 3 (mod 7) behind deletion vectors
+    ManifestPrune.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    // v2: CoW update touching keys spread over every file — the
+    // rewrite materializes the touched files' DVs and DROPS their
+    // sidecar entries (the Iceberg rewrite rule), the exact window
+    // where a naive feed would re-emit old deletes (sidecar shrank)
+    // or resurrect hidden rows (rewrite re-reads the files)
+    ManifestPrune.cowMergeCommit(spark, root,
+      docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit("zz").as("new_lang")),
+      docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+    val s2 = ManifestPrune.changeFeedStep(spark, root, 2L).cache()
+    // only live updated keys appear — hidden keys (≡3 mod 7) stay
+    // invisible even where both predicates overlap
+    assert(s2.filter(col("op") === "delete").count() === 0L)
+    assert(s2.filter(col("op") === "insert").count() === 0L)
+    val expectUpd = docs.filter(col("doc_id") % 11 === 0 &&
+      col("doc_id") % 7 =!= 3).count()
+    assert(s2.filter(col("op") === "update_postimage").count()
+      === expectUpd)
+    assert(s2.filter(col("doc_id") % 7 === 3).count() === 0L)
+  }
+
   test("replaying the feed over v0 reproduces v3 exactly") {
     val root = chain()
     val feed = ManifestPrune.changeFeed(spark, root, 0L, 3L).cache()
