@@ -164,6 +164,29 @@ object CoreQueries {
       dir
     }))
 
+  /** q_merge_into's chain (fresh root → ONE general MERGE INTO
+    * commit: multi-column SET + inserts + deletes), built ONCE per
+    * (session, sf dir). */
+  private val mergeIntoCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def mergeIntoChain(s: SparkSession, d: String): String =
+    mergeIntoCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"mi_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
+      graft.sources.ManifestPrune.mergeIntoCommit(s, root,
+        docs.filter(col("doc_id") % 9 === 2)
+          .select(col("doc_id"), lit("mm").as("lang"),
+            lit("merged").as("source")),
+        docs.filter(col("doc_id") % 31 === 3)
+          .select((col("doc_id") + 30000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")),
+        deletes = Some(docs.filter(col("doc_id") % 17 === 4)
+          .select("doc_id")))
+      root
+    })
+
   /** q_replicate's replica chain, built ONCE per (session, sf dir):
     * same base layout as the (cached) change-feed source chain, then
     * converged purely by replicateFeed over the source's 3 steps. */
@@ -1528,6 +1551,42 @@ object CoreQueries {
              |  CAST(sum(doc_id) AS BIGINT)
              |FROM documents WHERE doc_id % 7 = 3
              |ORDER BY version, op""".stripMargin)),
+
+    // GENERAL MERGE INTO (ManifestPrune.mergeIntoCommit) — the full
+    // three-clause MERGE a warehouse user writes, in ONE committed
+    // CoW version: WHEN MATCHED THEN UPDATE SET over MULTIPLE
+    // arbitrary columns (lang AND source here — the old path could
+    // only rewrite lang), WHEN NOT MATCHED THEN INSERT, WHEN MATCHED
+    // THEN DELETE. File-grain cost as ever (hit files only), and the
+    // oracle replays all three clauses arithmetically — one clause
+    // leaking into another's row set (e.g. an update applied to a
+    // deleted key) breaks the hash. MergeIntoSpec pins the
+    // guardrails, the NULL-keeps-old contract, and clustering-stat
+    // refresh when SET touches the range key.
+    Q("q_merge_into",
+      (s, d) => {
+        val root = mergeIntoChain(s, d)
+        graft.sources.ManifestPrune.readCommitted(s, root,
+          graft.sources.ManifestPrune.currentVersion(s, root))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH head AS (
+             |  SELECT
+             |    CASE WHEN doc_id % 9 = 2 THEN 'merged' ELSE source END
+             |      AS source,
+             |    CASE WHEN doc_id % 9 = 2 THEN 'mm' ELSE lang END
+             |      AS lang, doc_id
+             |  FROM documents WHERE doc_id % 17 <> 4
+             |  UNION ALL
+             |  SELECT source, lang, doc_id + 30000000
+             |  FROM documents WHERE doc_id % 31 = 3)
+             |SELECT source, lang, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM head GROUP BY source, lang
+             |ORDER BY source, lang""".stripMargin)),
 
     // FEED-DRIVEN REPLICATION (ManifestPrune.replicateFeed) — the
     // feed as a replication transport: a replica chain starting from

@@ -251,11 +251,29 @@ object ManifestPrune {
         "left_anti")
       case None => hit
     }
-    val mergedRows = afterDelete
-      .join(updates.withColumnRenamed("new_lang", "__nl"), Seq("doc_id"),
-        "left")
-      .withColumn("lang", coalesce(col("__nl"), col("lang")))
-      .drop("__nl")
+    // general MERGE SET application: every non-key column of `updates`
+    // overwrites the matched row's column (NULL update values keep the
+    // old value — coalesce semantics); the legacy `new_lang` spelling
+    // keeps meaning SET lang
+    val upd0 =
+      if (updates.columns.contains("new_lang"))
+        updates.withColumnRenamed("new_lang", "lang")
+      else updates
+    val setCols = upd0.columns.filterNot(_ == "doc_id").toSeq
+    require(setCols.nonEmpty,
+      "MERGE updates carry no SET columns (only the key)")
+    require(setCols.forall(afterDelete.columns.contains),
+      s"MERGE SET columns ${setCols.filterNot(afterDelete.columns
+        .contains).mkString(", ")} do not exist in the table")
+    val prefixed = setCols.foldLeft(upd0) { (d, c) =>
+      d.withColumnRenamed(c, s"__u_$c")
+    }
+    val tableCols = afterDelete.columns.toSeq
+    val mergedRows = setCols.foldLeft(
+        afterDelete.join(prefixed, Seq("doc_id"), "left")) { (d, c) =>
+        d.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
+      }
+      .select(tableCols.map(col): _*)
       .unionByName(inserts)
     // a merge that empties EVERY hit file (and the untouched set)
     // would write a file-less parquet dir and an unreadable version —
@@ -712,11 +730,22 @@ object ManifestPrune {
     * first (caller retries against the new base — see
     * [[withCommitRetry]]). Returns the committed version number. */
   def cowMergeCommit(s: SparkSession, root: String, updates: DataFrame,
-                     inserts: DataFrame): Long = {
+                     inserts: DataFrame): Long =
+    mergeIntoCommit(s, root, updates, inserts, None)
+
+  /** The full MERGE INTO face on the version chain: one committed
+    * version applying WHEN MATCHED THEN UPDATE SET (every non-key
+    * column of `updates` — any columns, not just lang), WHEN NOT
+    * MATCHED THEN INSERT (`inserts`), and WHEN MATCHED [by `deletes`
+    * keys] THEN DELETE, all in a single file-grain CoW rewrite with
+    * the usual CAS publish. */
+  def mergeIntoCommit(s: SparkSession, root: String, updates: DataFrame,
+                      inserts: DataFrame,
+                      deletes: Option[DataFrame] = None): Long = {
     val base = currentVersion(s, root)
     val tok = prepareToken()
     val (_, mf) = cowMergeFrom(s, root, manifestOf(root, base), updates,
-      inserts, tok, baseDv = dvOf(root, base))
+      inserts, tok, deletes = deletes, baseDv = dvOf(root, base))
     publish(root, base, mf)
   }
 
