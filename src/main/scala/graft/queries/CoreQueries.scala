@@ -1552,6 +1552,48 @@ object CoreQueries {
              |FROM documents WHERE doc_id % 7 = 3
              |ORDER BY version, op""".stripMargin)),
 
+    // TABLE HISTORY (ManifestPrune.describeHistory) — the operator
+    // dashboard over the chain: one row per version with the commit
+    // KIND inferred from the chain itself (file-set signature
+    // unchanged + sidecar = dv-delete; changed = rewrite) and the
+    // planner's row arithmetic (physical from manifest sums, hidden
+    // from the sidecar, live = difference) — NO data file is read.
+    // Runs over the shared 4-version chain (base → CoW merge → DV
+    // delete → compaction); the oracle replays every row count
+    // arithmetically, so a wrong DV carry, a compaction that loses
+    // rows, or a misclassified commit kind all break the hash.
+    // Timestamps/notes are operator metadata and stay out of the
+    // gated projection (nondeterministic). File counts are layout-
+    // dependent (shuffle width), so the gate uses row arithmetic.
+    Q("q_table_history",
+      (s, d) => {
+        val root = changeFeedChain(s, d)
+        graft.sources.ManifestPrune.describeHistory(s, root)
+          .select("version", "kind", "physical_rows", "hidden_rows",
+            "live_rows")
+          .orderBy("version")
+      },
+      Some("""WITH n AS (SELECT count(*) AS base FROM documents),
+             |ins AS (SELECT count(*) AS c FROM documents
+             |        WHERE doc_id % 13 = 1),
+             |del AS (SELECT count(*) AS c FROM documents
+             |        WHERE doc_id % 7 = 3)
+             |SELECT CAST(0 AS BIGINT) AS version, 'base' AS kind,
+             |  CAST(base AS BIGINT) AS physical_rows,
+             |  CAST(0 AS BIGINT) AS hidden_rows,
+             |  CAST(base AS BIGINT) AS live_rows FROM n
+             |UNION ALL
+             |SELECT 1, 'rewrite', CAST(base + ins.c AS BIGINT),
+             |  0, CAST(base + ins.c AS BIGINT) FROM n, ins
+             |UNION ALL
+             |SELECT 2, 'dv-delete', CAST(base + ins.c AS BIGINT),
+             |  CAST(del.c AS BIGINT),
+             |  CAST(base + ins.c - del.c AS BIGINT) FROM n, ins, del
+             |UNION ALL
+             |SELECT 3, 'rewrite', CAST(base + ins.c - del.c AS BIGINT),
+             |  0, CAST(base + ins.c - del.c AS BIGINT) FROM n, ins, del
+             |ORDER BY version""".stripMargin)),
+
     // GENERAL MERGE INTO (ManifestPrune.mergeIntoCommit) — the full
     // three-clause MERGE a warehouse user writes, in ONE committed
     // CoW version: WHEN MATCHED THEN UPDATE SET over MULTIPLE

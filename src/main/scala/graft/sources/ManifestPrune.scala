@@ -631,6 +631,56 @@ object ManifestPrune {
       .reduce(_ unionByName _)
   }
 
+  /** TABLE HISTORY (Iceberg snapshot-summary / Delta DESCRIBE HISTORY
+    * analogue): one row per still-readable version with the planner
+    * arithmetic a operator dashboard needs — physical row count
+    * (manifest sums, no data read), DV-hidden count, live count, and
+    * the commit KIND inferred from the chain itself: `base` (v0),
+    * `dv-delete` (identical file set, sidecar grew) or `rewrite`
+    * (file set changed: CoW merge / compaction / Z-order). Commit
+    * wall-clock and marker note ride along for operators; they are
+    * excluded from oracle gates (timestamps are nondeterministic).
+    * Cost: O(versions) manifest metadata reads — never a data scan. */
+  def describeHistory(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    val cur = currentVersion(s, root)
+    // the file SET is compared by (count, hash-sum) signature so the
+    // driver never holds a version's file list (the same clamp
+    // discipline as planning); a signature collision would need two
+    // same-sized sets with colliding xxhash64 sums
+    var prevSig: Option[(Long, String)] = None
+    val rows = (0L to cur).flatMap { v =>
+      val mf = new java.io.File(manifestOf(root, v))
+      if (!mf.isDirectory) { prevSig = None; None }
+      else {
+        val m = s.read.parquet(mf.getPath)
+        // hash-sum in decimal: a long sum of xxhash64 values overflows
+        // under ANSI arithmetic
+        val agg = m.agg(count(lit(1)),
+          coalesce(sum(col("n_rows")), lit(0L)),
+          coalesce(sum(xxhash64(col("file"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+            lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .collect().head
+        val nFiles = agg.getLong(0)
+        val physical = agg.getLong(1)
+        val sig = (nFiles, agg.getDecimal(2).toPlainString)
+        val hidden = dvOf(root, v)
+          .map(dv => s.read.parquet(dv).count()).getOrElse(0L)
+        val kind =
+          if (v == 0L || prevSig.isEmpty) "base"
+          else if (sig == prevSig.get) "dv-delete"
+          else "rewrite"
+        prevSig = Some(sig)
+        Some((v, kind, nFiles, physical, hidden, physical - hidden,
+          commitTimeMs(root, v).getOrElse(0L),
+          commitNote(root, v).getOrElse("")))
+      }
+    }
+    rows.toDF("version", "kind", "n_files", "physical_rows",
+      "hidden_rows", "live_rows", "committed_at_ms", "note")
+  }
+
   /** REPLICATE a feed range onto a second chain — the feed as a
     * replication transport (Delta's CDF-driven mirror): each source
     * step's images are applied to the replica as delete-then-insert
