@@ -286,6 +286,10 @@ object ManifestPrune {
       "this merge would delete every live row — an empty table " +
         "cannot be represented by a merged version; truncate instead")
     mergedRows.write.mode("overwrite").parquet(dataV2)
+    // CHECK constraints over exactly the newly written rows (untouched
+    // files were validated when written; a violation aborts BEFORE the
+    // manifest exists, leaving only prepared garbage for expiry)
+    enforceConstraints(root, s.read.parquet(dataV2))
     // 3. commit: new manifest = untouched old rows + fresh v2 stats
     // (both sides carry _metadata.file_path URIs, so plain equality
     // works; an empty hit list keeps every old row). Base DV entries
@@ -630,6 +634,57 @@ object ManifestPrune {
     (fromV + 1 to toV).map(v => changeFeedStep(s, root, v, key))
       .reduce(_ unionByName _)
   }
+
+  // ------------------------------------------------ CHECK constraints
+
+  /** Register a named CHECK constraint (Delta `ADD CONSTRAINT`
+    * analogue): a SQL boolean expression every row of every LATER
+    * commit's NEWLY WRITTEN data must satisfy. Enforcement is at the
+    * cheapest correct point — the rewritten/inserted files of a CoW
+    * merge (untouched files were validated when THEY were written,
+    * and a DV delete writes no rows) — so the cost is O(new rows) per
+    * commit, never a table scan. Existing data is NOT retro-checked
+    * (Delta's rule: adding a constraint validates the table; here the
+    * caller opts in via [[validateConstraints]] when wanted). */
+  def addConstraint(root: String, name: String, sqlExpr: String): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '.' || c == '_' || c == '-'),
+      s"constraint name must be [A-Za-z0-9._-]+, got '$name'")
+    val dir = new java.io.File(s"$root/_constraints")
+    dir.mkdirs()
+    val f = new java.io.File(dir, name)
+    require(f.createNewFile(),
+      s"constraint '$name' already exists; drop it first")
+    java.nio.file.Files.writeString(f.toPath, sqlExpr)
+  }
+
+  def dropConstraint(root: String, name: String): Boolean =
+    new java.io.File(s"$root/_constraints/$name").delete()
+
+  def listConstraints(root: String): Map[String, String] = {
+    val dir = new java.io.File(s"$root/_constraints")
+    if (!dir.isDirectory) Map.empty
+    else dir.listFiles().filter(_.isFile).map(f =>
+      f.getName -> java.nio.file.Files.readString(f.toPath)).toMap
+  }
+
+  /** Enforce every registered constraint over `rows`; throws naming
+    * the violated constraint and a sample offending row. */
+  private[sources] def enforceConstraints(root: String,
+                                          rows: DataFrame): Unit =
+    listConstraints(root).toSeq.sortBy(_._1).foreach { case (name, e) =>
+      val bad = rows.filter(!expr(e)).limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"CHECK constraint '$name' ($e) violated by written row: " +
+            bad.head.toString)
+    }
+
+  /** Full-table validation (the opt-in retro-check when a constraint
+    * is added over existing data). */
+  def validateConstraints(s: SparkSession, root: String,
+                          version: Long): Unit =
+    enforceConstraints(root, readCommitted(s, root, version))
 
   /** TABLE HISTORY (Iceberg snapshot-summary / Delta DESCRIBE HISTORY
     * analogue): one row per still-readable version with the planner

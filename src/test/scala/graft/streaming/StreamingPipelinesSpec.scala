@@ -603,6 +603,27 @@ class StreamingPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("CDC apply accepts multi-column SET batches (general merge)") {
+    import graft.sources.ManifestPrune
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val root = graft.Tables.matDir(s"cdc_mc_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
+    // a CDC batch carrying TWO payload columns — the streaming face
+    // inherits the generalized SET application for free
+    StreamingPipelines.applyCdcBatch(
+      docs.filter(col("doc_id") % 9 === 2)
+        .select(col("doc_id"), lit("mc").as("lang"),
+          lit("cdc").as("source")), 0L, root)
+    val t = ManifestPrune.readCommitted(spark, root, 1L)
+    val n = docs.filter(col("doc_id") % 9 === 2).count()
+    assert(t.filter(col("lang") === "mc" &&
+      col("source") === "cdc").count() === n)
+    assert(t.filter(col("lang") === "mc" &&
+      col("source") =!= "cdc").count() === 0L)
+    assert(t.count() === docs.count())
+  }
+
   test("CDC apply: batches commit versions; replay and crash are safe") {
     import graft.sources.ManifestPrune
     val docs = graft.Tables.load(spark, sf0001, "documents")
