@@ -187,6 +187,39 @@ object CoreQueries {
       root
     })
 
+  /** q_branch_merge's chain (fresh root → branch at v0 → ONE general
+    * MERGE on the BRANCH: update+insert+DV-delete → audit via the
+    * table's CHECK constraint → fast-forward onto main), built ONCE
+    * per (session, sf dir). The branch commit interleaves a CoW
+    * rewrite with a deletion-vector sidecar, so the fast-forward
+    * also proves the sidecar rehoming path. */
+  private val branchCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def branchChain(s: SparkSession, d: String): String =
+    branchCache.computeIfAbsent((s, d), { _ =>
+      val MP = graft.sources.ManifestPrune
+      val root = Tables.matDir(s"br_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      MP.buildLayout(docs, root, nFiles = 8)
+      MP.addConstraint(root, "ids-positive", "doc_id >= 0")
+      MP.createBranch(s, root, "wap", fromVersion = 0L)
+      val br = MP.branchRoot(root, "wap")
+      MP.mergeIntoCommit(s, br,
+        docs.filter(col("doc_id") % 11 === 5)
+          .select(col("doc_id"), lit("bb").as("lang"),
+            lit("branch").as("source")),
+        docs.filter(col("doc_id") % 41 === 6)
+          .select((col("doc_id") + 40000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      MP.dvDeleteCommit(s, br,
+        docs.filter(col("doc_id") % 23 === 9).select("doc_id"))
+      // audit-then-publish: the WAP gate before main adopts anything
+      MP.validateConstraints(s, br, MP.currentVersion(s, br))
+      MP.fastForward(s, root, "wap")
+      root
+    })
+
   /** q_replicate's replica chain, built ONCE per (session, sf dir):
     * same base layout as the (cached) change-feed source chain, then
     * converged purely by replicateFeed over the source's 3 steps. */
@@ -1625,6 +1658,44 @@ object CoreQueries {
              |  UNION ALL
              |  SELECT source, lang, doc_id + 30000000
              |  FROM documents WHERE doc_id % 31 = 3)
+             |SELECT source, lang, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM head GROUP BY source, lang
+             |ORDER BY source, lang""".stripMargin)),
+
+    // BRANCH + FAST-FORWARD (ManifestPrune.createBranch/fastForward)
+    // — the Iceberg-refs/WAP write path: a writable branch forks main
+    // at v0 for O(manifest) metadata cost, takes a general MERGE and
+    // a DV delete in ISOLATION (main stays byte-identical at the fork
+    // until publish — BranchSpec pins that), passes the table's CHECK
+    // constraints as the audit gate, and fast-forwards onto main as
+    // ONE squash commit through the same CAS rename-publish every
+    // writer uses (sidecar rehomed under main so merge-on-read
+    // deletes survive the publish). The gated row is main's HEAD
+    // after publish; the oracle replays merge-then-delete
+    // arithmetically, so a clause leaking across the publish, a
+    // resurrected DV-hidden row, or a branch commit bleeding into
+    // main pre-publish all break the hash.
+    Q("q_branch_merge",
+      (s, d) => {
+        val root = branchChain(s, d)
+        graft.sources.ManifestPrune.readCommitted(s, root,
+          graft.sources.ManifestPrune.currentVersion(s, root))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH head AS (
+             |  SELECT
+             |    CASE WHEN doc_id % 11 = 5 THEN 'branch' ELSE source END
+             |      AS source,
+             |    CASE WHEN doc_id % 11 = 5 THEN 'bb' ELSE lang END
+             |      AS lang, doc_id
+             |  FROM documents WHERE doc_id % 23 <> 9
+             |  UNION ALL
+             |  SELECT source, lang, doc_id + 40000000
+             |  FROM documents WHERE doc_id % 41 = 6)
              |SELECT source, lang, count(*) AS n_docs,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM head GROUP BY source, lang

@@ -434,9 +434,13 @@ object ManifestPrune {
     * [[dvDeleteFrom]]/[[cowMergeFrom]] before the manifest is
     * published, so the atomic manifest rename publishes the sidecar
     * reference with it — the property the concurrent-writer protocol
-    * needs), else the legacy `dv_c<version>` name convention. */
+    * needs), else the legacy `dv_c<version>` name convention. Version
+    * 0 checks ONLY the pointer: [[buildLayout]] never writes one, but
+    * a BRANCH's version 0 is a byte-copy of its fork version's
+    * manifest ([[createBranch]]) and must keep hiding the fork's
+    * deleted rows. */
   def dvOf(root: String, version: Long): Option[String] = {
-    if (version <= 0L) return None
+    if (version < 0L) return None
     val ptr = new java.io.File(s"${manifestOf(root, version)}/_dv")
     if (ptr.isFile) {
       val named = new java.io.File(root,
@@ -451,6 +455,7 @@ object ManifestPrune {
             "by an external process?)")
       return Some(named.getPath)
     }
+    if (version == 0L) return None // no legacy dv_c0 ever existed
     val p = s"$root/dv_c$version"
     if (new java.io.File(p).isDirectory) Some(p) else None
   }
@@ -966,6 +971,165 @@ object ManifestPrune {
       throw new IllegalArgumentException(
         s"no tag '$name' under $root (tags: ${listTags(root).keys
           .toSeq.sorted.mkString(", ")})")))
+
+  // -------------------------------------------------- named branches
+
+  /** Sub-root a branch's own version chain lives under. A branch IS a
+    * root: every chain face (the *Commit writers, [[readCommitted]],
+    * [[describeHistory]], [[changeFeed]], [[expireVersions]]) works on
+    * it unchanged, because nothing in the protocol is special-cased
+    * for branches — the fork manifest references the parent's data
+    * files by absolute path (the same swap-by-path sharing CoW
+    * versions already rely on), and branch commits write NEW files
+    * under the branch root only. */
+  def branchRoot(root: String, name: String): String =
+    s"$root/_branches/$name"
+
+  /** CREATE a writable branch at `fromVersion` (Iceberg branch refs /
+    * the WAP staging area): the branch's version 0 is a byte-copy of
+    * the fork manifest (plus its DV sidecar and the table's CHECK
+    * constraints), so branch HEAD == fork state at creation and
+    * O(cost) is manifest metadata, never data. PUT-if-absent by
+    * `mkdirs` on the branch dir: exactly one creator of a name wins.
+    *
+    * Lifecycle contract: write/audit on the branch, [[fastForward]]
+    * to publish, then [[compactCommit]] on main (rehomes live rows
+    * into main-owned files) before [[dropBranch]]. Running
+    * [[expireVersions]] on a branch AFTER it was fast-forwarded is
+    * the same hazard as any external vacuum of shared files —
+    * [[dropBranch]] is the guarded teardown. */
+  def createBranch(s: SparkSession, root: String, name: String,
+                   fromVersion: Long): String = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '.' || c == '_' || c == '-'),
+      s"branch name must be [A-Za-z0-9._-]+, got '$name'")
+    require(fromVersion == 0L ||
+      new java.io.File(markerPath(root, fromVersion)).exists(),
+      s"cannot branch from uncommitted version $fromVersion")
+    val srcMf = new java.io.File(manifestOf(root, fromVersion))
+    require(srcMf.isDirectory,
+      s"cannot branch from expired version $fromVersion")
+    val broot = new java.io.File(branchRoot(root, name))
+    require(broot.mkdirs(),
+      s"branch '$name' already exists under $root")
+    copyDirFlat(srcMf, new java.io.File(broot, "manifest"))
+    // carry the fork's deletion vectors: copy the sidecar under the
+    // branch root with the SAME name the copied `_dv` pointer holds
+    dvOf(root, fromVersion).foreach { dv =>
+      val d = new java.io.File(dv)
+      copyDirFlat(d, new java.io.File(broot, d.getName))
+    }
+    // branch writes obey the table's CHECK constraints
+    val cons = new java.io.File(s"$root/_constraints")
+    if (cons.isDirectory) copyDirFlat(cons,
+      new java.io.File(broot, "_constraints"))
+    java.nio.file.Files.writeString(
+      new java.io.File(broot, "_fork").toPath, s"$fromVersion\n")
+    broot.getPath
+  }
+
+  /** The main-chain version a branch was forked from. */
+  def forkVersion(root: String, name: String): Long = {
+    val f = new java.io.File(s"${branchRoot(root, name)}/_fork")
+    require(f.isFile, s"no branch '$name' under $root")
+    java.nio.file.Files.readString(f.toPath).trim.toLong
+  }
+
+  def listBranches(root: String): Seq[String] = {
+    val dir = new java.io.File(s"$root/_branches")
+    if (!dir.isDirectory) Seq.empty
+    else dir.listFiles().filter(d => d.isDirectory &&
+      new java.io.File(d, "_fork").isFile).map(_.getName).toSeq.sorted
+  }
+
+  /** Read a branch's HEAD — the stable-name read face for staged
+    * state (audit queries point here before [[fastForward]]). */
+  def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
+    val br = branchRoot(root, name)
+    readCommitted(s, br, currentVersion(s, br))
+  }
+
+  /** FAST-FORWARD a branch onto main (Iceberg `fast_forward` / the
+    * WAP publish step): main's next version becomes a byte-copy of
+    * the branch HEAD's manifest (+ sidecar), through the SAME CAS
+    * rename-publish every writer uses. Squash semantics: the branch's
+    * intermediate versions stay on the branch; main gains ONE commit.
+    * Requires main to still sit at the fork version — a diverged main
+    * needs conflict resolution, not a publish, so that is an
+    * IllegalStateException (NOT the retryable
+    * ConcurrentModificationException: retrying cannot help). Returns
+    * the committed main version. */
+  def fastForward(s: SparkSession, root: String, name: String): Long = {
+    val br = branchRoot(root, name)
+    val bcur = currentVersion(s, br)
+    require(bcur >= 1L,
+      s"branch '$name' has no commits to fast-forward")
+    val fork = forkVersion(root, name)
+    val mainCur = currentVersion(s, root)
+    if (mainCur != fork)
+      throw new IllegalStateException(
+        s"main has diverged (at $mainCur, branch '$name' forked at " +
+          s"$fork) — fast-forward needs conflict resolution; " +
+          "re-create the branch from the current version and replay")
+    val tok = prepareToken()
+    val prepared = new java.io.File(s"$root/manifest_$tok")
+    copyDirFlat(new java.io.File(manifestOf(br, bcur)), prepared)
+    // rehome the sidecar reference: copy the branch sidecar under
+    // MAIN's root (dv_u* names are expiry-protected while a kept
+    // version's pointer references them) and repoint `_dv`
+    dvOf(br, bcur).foreach { dv =>
+      val dst = new java.io.File(s"$root/dv_$tok")
+      copyDirFlat(new java.io.File(dv), dst)
+      java.nio.file.Files.writeString(
+        new java.io.File(prepared, "_dv").toPath, dst.getName + "\n")
+    }
+    val v = publish(root, fork, prepared.getPath)
+    noteCommit(root, v, s"fast-forward:$name@$bcur")
+    v
+  }
+
+  /** DROP a branch. Guarded: refuses while any still-readable main
+    * version's manifest references data files under the branch root
+    * (a fast-forwarded branch's files stay shared until a
+    * [[compactCommit]] + [[expireVersions]] cycle rehomes main), so a
+    * drop can never strand a reader — `force = true` overrides for
+    * the abandoned-branch case where main never adopted anything. */
+  def dropBranch(s: SparkSession, root: String, name: String,
+                 force: Boolean = false): Unit = {
+    val br = new java.io.File(branchRoot(root, name))
+    require(br.isDirectory, s"no branch '$name' under $root")
+    if (!force) {
+      val prefix = br.getAbsolutePath + "/"
+      val cur = currentVersion(s, root)
+      val live = (0L to cur).map(v => new java.io.File(manifestOf(root, v)))
+        .filter(_.isDirectory)
+      val shared = live.iterator.map { mf =>
+        s.read.parquet(mf.getPath).select("file")
+          .filter(col("file").contains(prefix)).limit(1).count()
+      }.sum
+      require(shared == 0L,
+        s"main still references data files under branch '$name' — " +
+          "compactCommit + expireVersions on main first, or force=true")
+    }
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete()
+    }
+    rm(br)
+  }
+
+  /** Byte-copy every regular file of `src` into a fresh `dst` (flat:
+    * manifest/sidecar dirs have no subdirs) — copies preserve parquet
+    * bytes AND rider files (`_dv`, `_SUCCESS`, checksums) exactly. */
+  private def copyDirFlat(src: java.io.File, dst: java.io.File): Unit = {
+    require(src.isDirectory, s"copyDirFlat source missing: $src")
+    require(dst.mkdirs() || (dst.isDirectory &&
+      dst.listFiles().isEmpty), s"copyDirFlat destination exists: $dst")
+    src.listFiles().filter(_.isFile).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(dst, f.getName).toPath)
+    }
+  }
 
   /** Per-file (file, min_key, max_key, n_rows) stats of a data dir —
     * the ONE definition of the manifest schema; every writer goes
