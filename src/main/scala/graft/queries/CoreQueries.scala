@@ -220,6 +220,34 @@ object CoreQueries {
       root
     })
 
+  /** q_branch_rebase's chain (fresh root → branch updates ODD keys →
+    * main diverges deleting EVEN keys → in-place rebase applies
+    * main's feed onto the branch → fast-forward), built ONCE per
+    * (session, sf dir). */
+  private val rebaseCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def rebaseChain(s: SparkSession, d: String): String =
+    rebaseCache.computeIfAbsent((s, d), { _ =>
+      val MP = graft.sources.ManifestPrune
+      val root = Tables.matDir(s"rb_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      MP.buildLayout(docs, root, nFiles = 8)
+      MP.createBranch(s, root, "feat", fromVersion = 0L)
+      val br = MP.branchRoot(root, "feat")
+      MP.mergeIntoCommit(s, br,
+        docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 2)
+          .select(col("doc_id"), lit("rb").as("lang")),
+        docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+      MP.dvDeleteCommit(s, root,
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 13 === 4)
+          .select("doc_id"))
+      MP.rebaseBranch(s, root, "feat")
+      MP.fastForward(s, root, "feat")
+      root
+    })
+
   /** q_replicate's replica chain, built ONCE per (session, sf dir):
     * same base layout as the (cached) change-feed source chain, then
     * converged purely by replicateFeed over the source's 3 steps. */
@@ -1700,6 +1728,38 @@ object CoreQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM head GROUP BY source, lang
              |ORDER BY source, lang""".stripMargin)),
+
+    // BRANCH REBASE (ManifestPrune.rebaseBranch) — concurrent-writer
+    // convergence at KEY grain: main diverges (DV delete of even
+    // keys) while the branch holds a CoW merge of odd keys; the
+    // rebase PROVES disjointness from the two change feeds (refusing
+    // on overlap), then applies main's images onto the branch in
+    // place — legal exactly because disjoint deltas commute — and
+    // the fast-forward publishes BOTH sides' changes as main's next
+    // version. The oracle composes delete-then-update arithmetic;
+    // a lost delete, a lost update, or a double-applied image all
+    // break the hash. BranchSpec pins the conflict refusal and the
+    // crash-resume cursor.
+    Q("q_branch_rebase",
+      (s, d) => {
+        val root = rebaseChain(s, d)
+        graft.sources.ManifestPrune.readCommitted(s, root,
+          graft.sources.ManifestPrune.currentVersion(s, root))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH head AS (
+             |  SELECT
+             |    CASE WHEN doc_id % 2 = 1 AND doc_id % 5 = 2
+             |      THEN 'rb' ELSE lang END AS lang, doc_id
+             |  FROM documents
+             |  WHERE NOT (doc_id % 2 = 0 AND doc_id % 13 = 4))
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM head GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
 
     // FEED-DRIVEN REPLICATION (ManifestPrune.replicateFeed) — the
     // feed as a replication transport: a replica chain starting from

@@ -755,21 +755,29 @@ object ManifestPrune {
                     fromV: Long, toV: Long,
                     key: String = "doc_id"): Unit =
     (fromV + 1 to toV).foreach { v =>
-      val step = changeFeedStep(s, srcRoot, v, key)
-        .localCheckpoint()
-      val dels = step
-        .filter(col("op").isin("delete", "update_preimage"))
-        .select(key)
-      if (dels.limit(1).count() > 0) dvDeleteCommit(s, dstRoot, dels)
-      val ins = step
-        .filter(col("op").isin("insert", "update_postimage"))
-        .drop("op", "version")
-      if (ins.limit(1).count() > 0)
-        cowMergeCommit(s, dstRoot,
-          ins.select(col(key)).limit(0)
-            .withColumn("new_lang", lit(null).cast("string")),
-          ins)
+      applyImages(s, dstRoot, changeFeedStep(s, srcRoot, v, key), key)
     }
+
+  /** Apply ONE feed step's images to a chain: pre-image/delete keys
+    * as a DV-delete commit, insert/post-image rows as an insert-only
+    * CoW commit (an update therefore lands as delete+insert) — the
+    * shared applier behind [[replicateFeed]] and [[rebaseBranch]]. */
+  private def applyImages(s: SparkSession, dstRoot: String,
+                          step0: DataFrame, key: String): Unit = {
+    val step = step0.localCheckpoint()
+    val dels = step
+      .filter(col("op").isin("delete", "update_preimage"))
+      .select(key)
+    if (dels.limit(1).count() > 0) dvDeleteCommit(s, dstRoot, dels)
+    val ins = step
+      .filter(col("op").isin("insert", "update_postimage"))
+      .drop("op", "version")
+    if (ins.limit(1).count() > 0)
+      cowMergeCommit(s, dstRoot,
+        ins.select(col(key)).limit(0)
+          .withColumn("new_lang", lit(null).cast("string")),
+        ins)
+  }
 
   /** PUBLISH a prepared version: one atomic directory rename of the
     * writer-unique prepared manifest onto the canonical
@@ -1086,6 +1094,67 @@ object ManifestPrune {
     val v = publish(root, fork, prepared.getPath)
     noteCommit(root, v, s"fast-forward:$name@$bcur")
     v
+  }
+
+  /** REBASE a branch whose main has diverged, IN PLACE: apply main's
+    * change feed since the fork onto the branch, then advance the
+    * recorded fork to main's head so [[fastForward]] publishes
+    * cleanly. Conflict detection is at KEY grain — finer than
+    * Iceberg/Delta's file-grain check: the rebase REFUSES (listing
+    * samples) when any key was touched by BOTH sides since the fork.
+    * That disjointness is also what makes in-place application
+    * CORRECT: on disjoint key sets the two deltas commute, so
+    * `(fork ⊕ branch) ⊕ main == (fork ⊕ main) ⊕ branch` — the
+    * branch ends at exactly the state replaying it onto main's head
+    * would produce, without moving a single existing file (a
+    * chain's manifests hold absolute paths, so a rebuild-and-rename
+    * would dangle them). Cost is O(changed rows on both sides) — the
+    * two feeds — never a table scan.
+    *
+    * Crash contract: a `_rebase` cursor (the same idea as the
+    * streaming CDC replay cursors) records each applied main version
+    * AFTER it commits on the branch; a re-run resumes past it and
+    * skips the conflict check (it passed before the first apply —
+    * the branch's own feed now legitimately contains main's keys).
+    * Requires main's fork..head manifests to still be readable (not
+    * expired). Returns the rebased branch's head version. */
+  def rebaseBranch(s: SparkSession, root: String, name: String,
+                   key: String = "doc_id"): Long = {
+    val br = branchRoot(root, name)
+    val bcur = currentVersion(s, br)
+    require(bcur >= 1L, s"branch '$name' has no commits to rebase")
+    val fork = forkVersion(root, name)
+    val mainCur = currentVersion(s, root)
+    require(mainCur > fork,
+      s"main has not diverged (at $mainCur, branch '$name' forked " +
+        s"there too) — fastForward instead")
+    val cursorF = new java.io.File(s"$br/_rebase")
+    if (!cursorF.isFile) {
+      val branchKeys = changeFeed(s, br, 0L, bcur, key)
+        .select(key).distinct()
+      val mainKeys = changeFeed(s, root, fork, mainCur, key)
+        .select(key).distinct()
+      val sample = branchKeys.join(mainKeys, Seq(key), "inner")
+        .limit(11).collect()
+      if (sample.nonEmpty)
+        throw new IllegalStateException(
+          s"rebase of '$name' conflicts: ${key}s touched by BOTH " +
+            s"main (since fork $fork) and the branch — e.g. " +
+            sample.take(10).map(_.get(0)).mkString(", ") +
+            (if (sample.length > 10) ", …" else "") +
+            " — resolve by re-authoring the branch against main's head")
+      java.nio.file.Files.writeString(cursorF.toPath, s"$fork\n")
+    }
+    val start = math.max(fork,
+      java.nio.file.Files.readString(cursorF.toPath).trim.toLong)
+    (start + 1 to mainCur).foreach { v =>
+      applyImages(s, br, changeFeedStep(s, root, v, key), key)
+      java.nio.file.Files.writeString(cursorF.toPath, s"$v\n")
+    }
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$br/_fork").toPath, s"$mainCur\n")
+    cursorF.delete()
+    currentVersion(s, br)
   }
 
   /** DROP a branch. Guarded: refuses while any still-readable main

@@ -147,6 +147,62 @@ class BranchSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("rebaseBranch replays the branch onto a diverged main's head " +
+    "and fastForward then publishes both sides' changes") {
+    val root = freshRoot("rebase")
+    MP.createBranch(spark, root, "feat", fromVersion = 0L)
+    val br = MP.branchRoot(root, "feat")
+    // branch touches ODD keys only
+    MP.mergeIntoCommit(spark, br,
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 2)
+        .select(col("doc_id"), lit("rb").as("lang")),
+      docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+    // main diverges, touching EVEN keys only
+    MP.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 13 === 4)
+        .select("doc_id"))
+    val head = MP.rebaseBranch(spark, root, "feat")
+    assert(head >= 1L)
+    assert(MP.forkVersion(root, "feat") === 1L)
+    // rebased branch = main's deletes AND the branch's updates
+    val b = MP.readBranch(spark, root, "feat")
+    assert(b.filter(col("doc_id") % 2 === 0 &&
+      col("doc_id") % 13 === 4).count() === 0L)
+    assert(b.filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 2 &&
+      col("lang") =!= "rb").count() === 0L)
+    // no leftover temp branch after the swap
+    assert(MP.listBranches(root) === Seq("feat"))
+    // and the publish now goes through
+    val v = MP.fastForward(spark, root, "feat")
+    val main = MP.readCommitted(spark, root, v)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(main === b.orderBy("doc_id").collect().map(_.toSeq))
+  }
+
+  test("rebaseBranch refuses at key grain when both sides touched " +
+    "the same key, naming samples") {
+    val root = freshRoot("conflict")
+    MP.createBranch(spark, root, "clash", fromVersion = 0L)
+    val br = MP.branchRoot(root, "clash")
+    MP.mergeIntoCommit(spark, br,
+      docs.filter(col("doc_id").isin(7L, 21L))
+        .select(col("doc_id"), lit("xx").as("lang")),
+      docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+    MP.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id").isin(21L, 30L)).select("doc_id"))
+    val e = intercept[IllegalStateException] {
+      MP.rebaseBranch(spark, root, "clash")
+    }
+    assert(e.getMessage.contains("conflicts"))
+    assert(e.getMessage.contains("21"))
+    // nothing was swapped or dropped
+    assert(MP.listBranches(root) === Seq("clash"))
+    assert(MP.readBranch(spark, root, "clash")
+      .filter(col("lang") === "xx").count() === 2L)
+  }
+
   test("branch commits enforce the table's CHECK constraints copied " +
     "at creation") {
     val root = freshRoot("check")
