@@ -114,6 +114,26 @@ object Demo {
       s"(${ManifestPrune.readCommitted(spark, root, v2).count()} rows, " +
       "vectors materialized)")
 
+    // 10. write-audit-publish on a BRANCH: fork main, merge on the
+    // branch in isolation, rebase over a concurrent main commit,
+    // fast-forward-publish both sides' changes as one version
+    ManifestPrune.createBranch(spark, root, "wap", v2)
+    val br = ManifestPrune.branchRoot(root, "wap")
+    ManifestPrune.mergeIntoCommit(spark, br,
+      docs.filter(col("doc_id") % 7 === 1)
+        .select(col("doc_id"), lit("wap").as("lang")),
+      docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+    ManifestPrune.dvDeleteCommit(spark, root,         // main diverges
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    ManifestPrune.rebaseBranch(spark, root, "wap")
+    val vPub = ManifestPrune.fastForward(spark, root, "wap")
+    val pub = ManifestPrune.readCommitted(spark, root, vPub)
+    println(s"[demo] branch WAP: merge on 'wap' + diverged main -> " +
+      s"rebase -> fast-forward v$vPub " +
+      s"(${pub.count()} rows, ${pub.filter(col("lang") === "wap").count()} " +
+      "merged, both sides' changes published)")
+
     spark.stop()
   }
 }
