@@ -248,6 +248,29 @@ object CoreQueries {
       root
     })
 
+  /** q_restore's chain (fresh root → DV delete → "bad" CoW merge →
+    * RESTORE of the pre-merge version as the new head), built ONCE
+    * per (session, sf dir). */
+  private val restoreCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def restoreChain(s: SparkSession, d: String): String =
+    restoreCache.computeIfAbsent((s, d), { _ =>
+      val MP = graft.sources.ManifestPrune
+      val root = Tables.matDir(s"rs_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      MP.buildLayout(docs, root, nFiles = 8)
+      MP.dvDeleteCommit(s, root,
+        docs.filter(col("doc_id") % 7 === 2).select("doc_id"))
+      MP.mergeIntoCommit(s, root,
+        docs.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id"), lit("bad").as("lang")),
+        docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+      MP.restoreVersion(s, root, 1L)
+      root
+    })
+
   /** q_replicate's replica chain, built ONCE per (session, sf dir):
     * same base layout as the (cached) change-feed source chain, then
     * converged purely by replicateFeed over the source's 3 steps. */
@@ -1728,6 +1751,30 @@ object CoreQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM head GROUP BY source, lang
              |ORDER BY source, lang""".stripMargin)),
+
+    // RESTORE (ManifestPrune.restoreVersion) — rollback as an
+    // auditable commit: a "bad" merge lands at v2, restore publishes
+    // v1's manifest byte-copy as v3 through the normal CAS (history
+    // intact — v2 stays readable until expiry), and the restored
+    // head carries v1's deletion vectors via the verbatim sidecar
+    // pointer (the shared-sidecar expiry interplay RestoreSpec
+    // pins). The gated row is the head: a leaked "bad" update, a
+    // resurrected DV-hidden row, or a restore that grabbed the wrong
+    // version all break the hash.
+    Q("q_restore",
+      (s, d) => {
+        val root = restoreChain(s, d)
+        graft.sources.ManifestPrune.readCommitted(s, root,
+          graft.sources.ManifestPrune.currentVersion(s, root))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents WHERE doc_id % 7 <> 2
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // BRANCH REBASE (ManifestPrune.rebaseBranch) — concurrent-writer
     // convergence at KEY grain: main diverges (DV delete of even

@@ -980,6 +980,34 @@ object ManifestPrune {
         s"no tag '$name' under $root (tags: ${listTags(root).keys
           .toSeq.sorted.mkString(", ")})")))
 
+  /** RESTORE an older version as the NEW head (Delta `RESTORE` /
+    * Iceberg rollback): publishes a byte-copy of `version`'s manifest
+    * as the next version through the normal CAS, so the rollback is
+    * itself an auditable commit (history is never rewritten — the
+    * bad versions stay readable until expiry). The copied `_dv`
+    * pointer is carried VERBATIM: both versions then reference one
+    * sidecar dir, which [[expireVersions]] must and does respect
+    * (a sidecar is destroyed only when NO kept version references
+    * it). Restoring an expired version fails cleanly. */
+  def restoreVersion(s: SparkSession, root: String,
+                     version: Long): Long = {
+    val base = currentVersion(s, root)
+    require(version < base,
+      s"restore target must be an older version (head is $base, " +
+        s"got $version)")
+    val src = new java.io.File(manifestOf(root, version))
+    require(src.isDirectory,
+      s"cannot restore expired version $version — its manifests " +
+        "were vacuumed (see expireVersions retention)")
+    dvOf(root, version) // fail fast on a corrupt sidecar pointer
+    val tok = prepareToken()
+    val prepared = new java.io.File(s"$root/manifest_$tok")
+    copyDirFlat(src, prepared)
+    val v = publish(root, base, prepared.getPath)
+    noteCommit(root, v, s"restore:$version")
+    v
+  }
+
   // -------------------------------------------------- named branches
 
   /** Sub-root a branch's own version chain lives under. A branch IS a
@@ -1348,11 +1376,18 @@ object ManifestPrune {
       }
     var removedMf = 0L
     var removedDv = 0L
+    // sidecars a KEPT version still references must survive the
+    // expiry of any OTHER version pointing at them — restoreVersion
+    // publishes a verbatim pointer copy, so the restored head and its
+    // (expirable) source share one sidecar dir
+    val keptDvPaths = kept.flatMap(v =>
+      scala.util.Try(dvOf(root, v)).toOption.flatten).toSet
     (0L until keepFrom).filterNot(tagged).foreach { v =>
       // a crash in a PRIOR expiry between sidecar and manifest
       // deletion leaves a dangling pointer — for an EXPIRED version
       // that is fine, there is nothing left to protect
       scala.util.Try(dvOf(root, v)).toOption.flatten
+        .filterNot(keptDvPaths)
         .foreach(d => if (rmTree(new java.io.File(d))) removedDv += 1)
       if (rmTree(new java.io.File(manifestOf(root, v)))) removedMf += 1
       // markers are RETAINED: they are bytes-sized, currentVersion
