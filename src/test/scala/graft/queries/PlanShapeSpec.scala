@@ -204,6 +204,26 @@ class PlanShapeSpec extends SparkSpec {
       s"q_time_travel reads the text column it never uses:\n$plan")
   }
 
+  test("q_branch_merge / q_branch_rebase / q_restore: published heads " +
+    "read DV-applied and column-pruned") {
+    for (name <- Seq("q_branch_merge", "q_branch_rebase", "q_restore")) {
+      val plan = plans(name)
+      assert(plan.contains("LeftAnti"),
+        s"$name's head carries deletion vectors — the anti-join is " +
+          s"missing:\n$plan")
+      assert(!plan.contains("text"),
+        s"$name reads the text column it never uses:\n$plan")
+    }
+  }
+
+  test("q_table_history: metadata-only — the documents data is never " +
+    "scanned") {
+    val plan = plans("q_table_history")
+    assert(!plan.contains("text") && !plan.contains("n_chars"),
+      s"q_table_history must plan over collected manifest arithmetic, " +
+        s"not a table scan:\n$plan")
+  }
+
   test("q_gdpr_erase: the compacted head reads sidecar-free and " +
     "column-pruned") {
     val plan = plans("q_gdpr_erase")
