@@ -624,6 +624,39 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(t.count() === docs.count())
   }
 
+  test("CDC streams into a BRANCH (a branch is a full root) and " +
+    "fast-forward publishes the drained stream onto main") {
+    import graft.sources.ManifestPrune
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val root = graft.Tables.matDir(s"cdc_branch_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
+    ManifestPrune.createBranch(spark, root, "ingest", 0L)
+    val br = ManifestPrune.branchRoot(root, "ingest")
+    // two CDC batches drain onto the branch; main stays at v0
+    StreamingPipelines.applyCdcBatch(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit("s0").as("new_lang")), 0L, br)
+    StreamingPipelines.applyCdcBatch(
+      docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit("s1").as("new_lang")), 1L, br)
+    assert(ManifestPrune.currentVersion(spark, root) === 0L)
+    assert(ManifestPrune.currentVersion(spark, br) === 2L)
+    // replay idempotency holds on the branch's own cursor
+    StreamingPipelines.applyCdcBatch(
+      docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit("s1").as("new_lang")), 1L, br)
+    assert(ManifestPrune.currentVersion(spark, br) === 2L)
+    // publish: main's head equals the drained branch state
+    val v = ManifestPrune.fastForward(spark, root, "ingest")
+    val main = ManifestPrune.readCommitted(spark, root, v)
+    assert(main.filter(col("doc_id") % 11 === 0 &&
+      col("lang") =!= "s1").count() === 0L)
+    assert(main.filter(col("doc_id") % 7 === 0 &&
+      col("doc_id") % 11 =!= 0 && col("lang") =!= "s0").count() === 0L)
+    assert(main.count() === docs.count())
+  }
+
   test("CDC apply: batches commit versions; replay and crash are safe") {
     import graft.sources.ManifestPrune
     val docs = graft.Tables.load(spark, sf0001, "documents")
