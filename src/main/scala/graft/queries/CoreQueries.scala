@@ -289,25 +289,35 @@ object CoreQueries {
 
   /** q_time_travel's chain (fresh root → DV delete v1 → DV delete
     * v2) plus the two commit instants, built ONCE per (session, sf
-    * dir). The sleep between commits guarantees distinct marker
-    * mtimes even on a coarse-mtime filesystem, so `as of t1` can
-    * never resolve past v1. */
+    * dir). A fixed sleep between commits can NOT guarantee distinct
+    * marker mtimes on a coarse-granularity filesystem (1 s mtimes
+    * would stamp both commits into the same second no matter how the
+    * sleep is sized), so instead the v2 marker is nudged FORWARD
+    * until the timeline actually orders the commits — `as of t1`
+    * then provably resolves to v1 at any mtime granularity. */
   private val travelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, Long, Long)]()
 
   private def travelChain(s: SparkSession,
                           d: String): (String, Long, Long) =
     travelCache.computeIfAbsent((s, d), { _ =>
+      import graft.sources.ManifestPrune
       val root = Tables.matDir(s"travel_chain_${System.nanoTime}", s, d)
       val docs = Tables.load(s, d, "documents")
-      graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
-      val v1 = graft.sources.ManifestPrune.dvDeleteCommit(s, root,
+      ManifestPrune.buildLayout(docs, root, nFiles = 8)
+      val v1 = ManifestPrune.dvDeleteCommit(s, root,
         docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
-      Thread.sleep(15)
-      val v2 = graft.sources.ManifestPrune.dvDeleteCommit(s, root,
+      val t1 = ManifestPrune.commitTimeMs(root, v1).get
+      val v2 = ManifestPrune.dvDeleteCommit(s, root,
         docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
-      val t1 = graft.sources.ManifestPrune.commitTimeMs(root, v1).get
-      val t2 = graft.sources.ManifestPrune.commitTimeMs(root, v2).get
+      var t2 = ManifestPrune.commitTimeMs(root, v2).get
+      var bump = 1000L
+      while (t2 <= t1) {
+        new java.io.File(ManifestPrune.markerPath(root, v2))
+          .setLastModified(t1 + bump)
+        bump += 1000L
+        t2 = ManifestPrune.commitTimeMs(root, v2).get
+      }
       (root, t1, t2)
     })
 
@@ -3242,17 +3252,21 @@ object CoreQueries {
     // are the five event types: the aggregate is map-side partial + a
     // KB-sized final.
     //
-    // GATE SHAPE (round 11): the gated row is the five raw moments
-    // (n, sx, sy, sxy, sxx) — every one a DECIMAL(18,0) SUM both
-    // engines execute identically — and the num/den composition moved
-    // into GroupOlsSpec, which recomposes the slope rational from the
-    // gated row in BigInt (exact int arithmetic, no engine involved)
-    // and checks it against an independently computed per-row fold.
-    // Why: two successive fixes to the composed form were local-green
-    // (value- AND arrow-type-identical under DuckDB 1.0.0) yet
-    // driver-red, the signature of a DuckDB-version divergence inside
-    // the oracle's HUGEINT cross-product composition; raw moments have
-    // no composition left to diverge on.
+    // GATE SHAPE (round 12): the gated row is the five raw moments
+    // (n, sx, sy, sxy, sxx), with the INTERNAL sums still DECIMAL(18,0)
+    // (Spark's raw int64 Σx² would be within 4x of wrapping at sf0.1 —
+    // the decimal accumulator is the overflow-safe path) but every
+    // OUTPUT cast to BIGINT: all five moments fit int64 with >15x
+    // headroom (max observed |sxx| = 5.94e17 at sf0.1 vs 2^63 ≈
+    // 9.2e18; GroupOlsSpec asserts the |sxx| < 2^62 guard so a bigger
+    // SF fails loudly instead of wrapping). Rounds 9-11 gated the
+    // decimal128 values directly and were local-green yet driver-red
+    // three rounds running — a decimal canonicalization divergence in
+    // the driver's DuckDB/arrow hash path that int64 removes entirely
+    // (the same cast-to-BIGINT move that greened q_winsorize /
+    // q_token_budget / q_ks_drift in r10). The num/den slope
+    // composition stays in GroupOlsSpec (exact BigInt recompose vs an
+    // independent per-row fold).
     Q("q_group_ols",
       (s, d) => {
         val d18 = DecimalType(18, 0)
@@ -3262,17 +3276,17 @@ object CoreQueries {
             round(col("value") * 100).cast(LongType).as("y"))
         e.groupBy("event_type")
           .agg(count(lit(1)).as("n"),
-            sum(col("x").cast(d18)).cast(d18).as("sx"),
-            sum(col("y").cast(d18)).cast(d18).as("sy"),
-            sum((col("x") * col("y")).cast(d18)).cast(d18).as("sxy"),
-            sum((col("x") * col("x")).cast(d18)).cast(d18).as("sxx"))
+            sum(col("x").cast(d18)).cast(LongType).as("sx"),
+            sum(col("y").cast(d18)).cast(LongType).as("sy"),
+            sum((col("x") * col("y")).cast(d18)).cast(LongType).as("sxy"),
+            sum((col("x") * col("x")).cast(d18)).cast(LongType).as("sxx"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, count(*) AS n,
-             |  CAST(sum(CAST(x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sx,
-             |  CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sy,
-             |  CAST(sum(CAST(x * y AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sxy,
-             |  CAST(sum(CAST(x * x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sxx
+             |  CAST(sum(CAST(x AS DECIMAL(18,0))) AS BIGINT) AS sx,
+             |  CAST(sum(CAST(y AS DECIMAL(18,0))) AS BIGINT) AS sy,
+             |  CAST(sum(CAST(x * y AS DECIMAL(18,0))) AS BIGINT) AS sxy,
+             |  CAST(sum(CAST(x * x AS DECIMAL(18,0))) AS BIGINT) AS sxx
              |FROM (
              |  SELECT event_type,
              |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 1700000000 AS x,

@@ -224,20 +224,21 @@ object ManifestPrune {
                    updates: DataFrame, inserts: DataFrame,
                    version: String,
                    deletes: Option[DataFrame] = None,
-                   baseDv: Option[String] = None): (String, String) = {
+                   baseDv: Option[String] = None,
+                   key: String = "doc_id"): (String, String) = {
     val dataV2 = s"$root/data_$version"
     val mfV2 = s"$root/manifest_$version"
     val table = readVersionWithDv(s, baseManifest, baseDv)
     // 1. plan: which files hold a matched key? (driver-held, file-grain)
     val touchedKeys = deletes match {
-      case Some(del) => updates.select("doc_id")
-        .unionByName(del.select("doc_id"))
-      case None => updates.select("doc_id")
+      case Some(del) => updates.select(key)
+        .unionByName(del.select(key))
+      case None => updates.select(key)
     }
     val hitFiles = collectFileList(s,
       table
-        .select(col("_metadata.file_path").as("file"), col("doc_id"))
-        .join(touchedKeys, "doc_id")
+        .select(col("_metadata.file_path").as("file"), col(key))
+        .join(touchedKeys, key)
         .select("file").distinct(),
       "CoW merge hit-file plan").toArray
     // 2. rewrite hit files with updates applied and deletes dropped,
@@ -247,7 +248,7 @@ object ManifestPrune {
       if (hitFiles.isEmpty) table.limit(0)
       else applyDv(s, s.read.parquet(hitFiles.toIndexedSeq: _*), baseDv)
     val afterDelete = deletes match {
-      case Some(del) => hit.join(del.select("doc_id"), Seq("doc_id"),
+      case Some(del) => hit.join(del.select(key), Seq(key),
         "left_anti")
       case None => hit
     }
@@ -259,7 +260,7 @@ object ManifestPrune {
       if (updates.columns.contains("new_lang"))
         updates.withColumnRenamed("new_lang", "lang")
       else updates
-    val setCols = upd0.columns.filterNot(_ == "doc_id").toSeq
+    val setCols = upd0.columns.filterNot(_ == key).toSeq
     require(setCols.nonEmpty,
       "MERGE updates carry no SET columns (only the key)")
     require(setCols.forall(afterDelete.columns.contains),
@@ -270,7 +271,7 @@ object ManifestPrune {
     }
     val tableCols = afterDelete.columns.toSeq
     val mergedRows = setCols.foldLeft(
-        afterDelete.join(prefixed, Seq("doc_id"), "left")) { (d, c) =>
+        afterDelete.join(prefixed, Seq(key), "left")) { (d, c) =>
         d.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
       }
       .select(tableCols.map(col): _*)
@@ -341,7 +342,8 @@ object ManifestPrune {
     * Iceberg). */
   def dvDeleteFrom(s: SparkSession, root: String, baseManifest: String,
                    baseDv: Option[String], deletes: DataFrame,
-                   version: String): (String, String) = {
+                   version: String,
+                   key: String = "doc_id"): (String, String) = {
     val mfV = s"$root/manifest_$version"
     val dvV = s"$root/dv_$version"
     // plan: positions of doomed rows, a distributed join on the key —
@@ -349,8 +351,8 @@ object ManifestPrune {
     // in this layer, and a DV delete holds none at all)
     val doomed = readVersionWithDv(s, baseManifest, baseDv)
       .select(col("_metadata.file_path").as("file"),
-        col("_metadata.row_index").as("pos"), col("doc_id"))
-      .join(deletes.select("doc_id"), "doc_id")
+        col("_metadata.row_index").as("pos"), col(key))
+      .join(deletes.select(key), key)
       .select("file", "pos")
     val merged = baseDv match {
       case Some(dv) => s.read.parquet(dv).unionByName(doomed).distinct()
@@ -511,9 +513,24 @@ object ManifestPrune {
       .flatMap(v => commitTimeMs(root, v).map(v -> _))
     require(timeline.nonEmpty, s"no committed versions under $root")
     val eligible = timeline.filter(_._2 <= tsMillis)
-    require(eligible.nonEmpty,
-      s"as-of $tsMillis precedes the table's creation " +
-        s"(earliest commit ${timeline.head._2}) — nothing to read")
+    if (eligible.isEmpty) {
+      // v0 carries no marker — once its manifest dir is expired its
+      // commit time is unrecorded, so a timestamp between v0's and
+      // v1's commits is indistinguishable from "before creation" on
+      // the timeline alone. If retained markers exist (v >= 1), the
+      // honest diagnosis is the expired-version one, not
+      // "precedes creation" (the expiry-is-DETECTED contract).
+      if (!timeline.exists(_._1 == 0L))
+        throw new IllegalStateException(
+          s"as-of $tsMillis resolves at or before version 0, whose " +
+            "manifests were expired by vacuum (its commit time is " +
+            s"unrecorded); earliest still-timed commit is " +
+            s"v${timeline.head._1} at ${timeline.head._2} — raise " +
+            "expireVersions' keepLast to cover the travel window")
+      require(eligible.nonEmpty,
+        s"as-of $tsMillis precedes the table's creation " +
+          s"(earliest commit ${timeline.head._2}) — nothing to read")
+    }
     val v = eligible.map(_._1).max
     if (!new java.io.File(manifestOf(root, v)).isDirectory) {
       val earliest = (0L to cur).find(w =>
@@ -576,30 +593,45 @@ object ManifestPrune {
     def readLive(files: Seq[String], dv: Option[String]): DataFrame =
       if (files.isEmpty) schemaRow
       else applyDv(s, s.read.parquet(files: _*), dv)
-    // 1. DV delta on carried files → deletes (pre-image rows)
-    val dvDelta: Option[DataFrame] = (d0, d1) match {
-      case (_, None) => None // rewrite dropped its DVs → no positional delta
+    // 1. DV delta on carried files, BOTH directions. Growth (in d1,
+    // not d0) hides rows → deletes. Shrink (in d0, not d1) UN-hides
+    // rows → inserts — the restoreVersion case: rolling back a
+    // DV-delete commit leaves the file set unchanged while the
+    // sidecar shrinks (or vanishes entirely), and a feed that only
+    // watched growth would emit nothing for the resurrected rows,
+    // silently diverging every consumer tailing across the restore.
+    // The carried-file semi-join below makes the vanished-sidecar
+    // ambiguity safe: a REWRITE that drops its DVs also replaces the
+    // files (nothing carried → empty delta), while a restore keeps
+    // the files (carried → full shrink emitted).
+    def dvSideRows(delta0: DataFrame, tag: String): DataFrame = {
+      // positions must reference carried files; the semi-join pins it
+      val delta = delta0.join(f1.intersect(f0), Seq("file"),
+        "left_semi")
+      val files = collectFileList(s, delta.select("file").distinct(),
+        s"change-feed DV-$tag files of v$v")
+      if (files.isEmpty) schemaRow
+      else s.read.parquet(files: _*)
+        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(delta, col("__file") === col("file") &&
+          col("__pos") === col("pos"))
+        .select(schemaRow.columns.map(col).toIndexedSeq: _*)
+    }
+    val dvGrow: Option[DataFrame] = (d0, d1) match {
+      case (_, None) => None
       case (None, Some(b)) => Some(s.read.parquet(b))
       case (Some(a), Some(b)) =>
         Some(s.read.parquet(b).except(s.read.parquet(a)))
     }
-    val dvDeletes = dvDelta match {
-      case None => schemaRow
-      case Some(delta0) =>
-        // positions always reference carried files (a rewrite drops
-        // its files' DV entries); the semi-join pins that invariant
-        val delta = delta0.join(f1.intersect(f0), Seq("file"),
-          "left_semi")
-        val files = collectFileList(s, delta.select("file").distinct(),
-          s"change-feed DV-delta files of v$v")
-        if (files.isEmpty) schemaRow
-        else s.read.parquet(files: _*)
-          .withColumn("__file", col("_metadata.file_path"))
-          .withColumn("__pos", col("_metadata.row_index"))
-          .join(delta, col("__file") === col("file") &&
-            col("__pos") === col("pos"))
-          .select(schemaRow.columns.map(col).toIndexedSeq: _*)
+    val dvShrink: Option[DataFrame] = (d0, d1) match {
+      case (None, _) => None
+      case (Some(a), None) => Some(s.read.parquet(a))
+      case (Some(a), Some(b)) =>
+        Some(s.read.parquet(a).except(s.read.parquet(b)))
     }
+    val dvDeletes = dvGrow.map(dvSideRows(_, "grow")).getOrElse(schemaRow)
+    val dvInserts = dvShrink.map(dvSideRows(_, "shrink")).getOrElse(schemaRow)
     // 2. removed-vs-added key diff (bounded by the commit's own files)
     val oldS = readLive(removed, d0)
       .select(col(key).as("__k"),
@@ -623,6 +655,8 @@ object ManifestPrune {
       .unionByName(emit("delete", "__old"))
     dvDeletes.withColumn("op", lit("delete"))
       .select("op", schemaRow.columns.toIndexedSeq: _*)
+      .unionByName(dvInserts.withColumn("op", lit("insert"))
+        .select("op", schemaRow.columns.toIndexedSeq: _*))
       .unionByName(keyDiff)
       .withColumn("version", lit(v))
   }
@@ -768,15 +802,16 @@ object ManifestPrune {
     val dels = step
       .filter(col("op").isin("delete", "update_preimage"))
       .select(key)
-    if (dels.limit(1).count() > 0) dvDeleteCommit(s, dstRoot, dels)
+    if (dels.limit(1).count() > 0) dvDeleteCommit(s, dstRoot, dels, key)
     val ins = step
       .filter(col("op").isin("insert", "update_postimage"))
       .drop("op", "version")
     if (ins.limit(1).count() > 0)
-      cowMergeCommit(s, dstRoot,
-        ins.select(col(key)).limit(0)
-          .withColumn("new_lang", lit(null).cast("string")),
-        ins)
+      // the empty updates frame is derived from the INSERT schema
+      // (any non-key column satisfies cowMergeFrom's SET contract),
+      // so the applier works for any key and any table shape — no
+      // hardcoded lang column
+      cowMergeCommit(s, dstRoot, ins.limit(0), ins, key)
   }
 
   /** PUBLISH a prepared version: one atomic directory rename of the
@@ -848,8 +883,9 @@ object ManifestPrune {
     * first (caller retries against the new base — see
     * [[withCommitRetry]]). Returns the committed version number. */
   def cowMergeCommit(s: SparkSession, root: String, updates: DataFrame,
-                     inserts: DataFrame): Long =
-    mergeIntoCommit(s, root, updates, inserts, None)
+                     inserts: DataFrame,
+                     key: String = "doc_id"): Long =
+    mergeIntoCommit(s, root, updates, inserts, None, key)
 
   /** The full MERGE INTO face on the version chain: one committed
     * version applying WHEN MATCHED THEN UPDATE SET (every non-key
@@ -859,11 +895,13 @@ object ManifestPrune {
     * the usual CAS publish. */
   def mergeIntoCommit(s: SparkSession, root: String, updates: DataFrame,
                       inserts: DataFrame,
-                      deletes: Option[DataFrame] = None): Long = {
+                      deletes: Option[DataFrame] = None,
+                      key: String = "doc_id"): Long = {
     val base = currentVersion(s, root)
     val tok = prepareToken()
     val (_, mf) = cowMergeFrom(s, root, manifestOf(root, base), updates,
-      inserts, tok, deletes = deletes, baseDv = dvOf(root, base))
+      inserts, tok, deletes = deletes, baseDv = dvOf(root, base),
+      key = key)
     publish(root, base, mf)
   }
 
@@ -893,11 +931,12 @@ object ManifestPrune {
     * through the same rename-publish — merge-on-read and copy-on-write
     * commits interleave freely on one version chain. */
   def dvDeleteCommit(s: SparkSession, root: String,
-                     deletes: DataFrame): Long = {
+                     deletes: DataFrame,
+                     key: String = "doc_id"): Long = {
     val base = currentVersion(s, root)
     val tok = prepareToken()
     val (mf, _) = dvDeleteFrom(s, root, manifestOf(root, base),
-      dvOf(root, base), deletes, tok)
+      dvOf(root, base), deletes, tok, key)
     publish(root, base, mf)
   }
 
@@ -1244,9 +1283,11 @@ object ManifestPrune {
     * shared bootstrap every chain starts from (battery stages, specs,
     * the demo): `root/data` holds the clustered files, `root/manifest`
     * one (file, min_key, max_key, n_rows) row per file. */
-  def buildLayout(df: DataFrame, root: String, nFiles: Int): String = {
+  def buildLayout(df: DataFrame, root: String, nFiles: Int,
+                  clusterCols: Seq[String] = Seq("n_chars", "doc_id"))
+      : String = {
     val s = df.sparkSession
-    df.repartitionByRange(nFiles, col("n_chars"), col("doc_id"))
+    df.repartitionByRange(nFiles, clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$root/data")
     statsManifest(s, s"$root/data")
       .write.mode("overwrite").parquet(s"$root/manifest")

@@ -194,7 +194,15 @@ object StreamingPipelines {
     // order: no version at-or-below the cursor can carry a newer batch
     // id for this tag. A cold JVM (restart) just pays one full scan.
     val key = (root, tag)
-    val cached = Option(batchCursor.get(key))
+    // a chain that SHRANK below the cached floor is not the chain the
+    // cursor was built on — the table at this path was deleted and
+    // rebuilt inside one JVM; trusting the dead chain's lastBatch
+    // would make the new stream silently skip its first batches
+    // (data loss dressed as replay dedup). Drop the stale entry and
+    // rescan cold.
+    val cached = Option(batchCursor.get(key)).filter { case (fl, _) =>
+      if (cur < fl) { batchCursor.remove(key); false } else true
+    }
     val floor = cached.map(_._1).getOrElse(0L)
     var v = cur
     var found = -1L

@@ -4,13 +4,17 @@ import graft.{SparkSpec, SparkEntry, Tables}
 import org.apache.spark.sql.functions._
 
 /** q_group_ols's slope composition, moved OUT of the oracle-gated row
-  * (round 11): the gated row now carries only the five raw
-  * DECIMAL(18,0) moments (n, sx, sy, sxy, sxx) that both engines sum
-  * identically; the version-sensitive part — the int128 cross-product
-  * num/den of the closed-form OLS slope — is recomposed HERE from the
-  * gated row in exact BigInt arithmetic and checked against an
-  * independent per-row fold over the raw events, so the slope math
-  * stays pinned without riding on any engine's 128-bit decimal path. */
+  * (round 11): the gated row carries only the five raw moments
+  * (n, sx, sy, sxy, sxx) — summed in DECIMAL(18,0) internally, emitted
+  * as BIGINT since round 12 so the wire carries no decimal128 at all;
+  * the version-sensitive part — the int128 cross-product num/den of
+  * the closed-form OLS slope — is recomposed HERE from the gated row
+  * in exact BigInt arithmetic and checked against an independent
+  * per-row fold over the raw events, so the slope math stays pinned
+  * without riding on any engine's 128-bit decimal path. The spec also
+  * pins the int64 headroom guard: every moment must stay below 2^62,
+  * so a scale factor big enough to threaten the BIGINT outputs fails
+  * loudly here instead of wrapping silently. */
 class GroupOlsSpec extends SparkSpec {
 
   test("slope num/den recomposed from gated moments matches a direct " +
@@ -19,8 +23,8 @@ class GroupOlsSpec extends SparkSpec {
       .collect()
       .map { r =>
         r.getString(0) -> (BigInt(r.getLong(1)),
-          r.getDecimal(2).toBigInteger, r.getDecimal(3).toBigInteger,
-          r.getDecimal(4).toBigInteger, r.getDecimal(5).toBigInteger)
+          BigInt(r.getLong(2)), BigInt(r.getLong(3)),
+          BigInt(r.getLong(4)), BigInt(r.getLong(5)))
       }.toMap
     assert(gated.nonEmpty)
 
@@ -44,10 +48,10 @@ class GroupOlsSpec extends SparkSpec {
     for ((et, (n, sx, sy, sxy, sxx)) <- raw) {
       val (gn, gsx, gsy, gsxy, gsxx) = gated(et)
       assert(gn === n, s"$et n")
-      assert(BigInt(gsx) === sx, s"$et sx")
-      assert(BigInt(gsy) === sy, s"$et sy")
-      assert(BigInt(gsxy) === sxy, s"$et sxy")
-      assert(BigInt(gsxx) === sxx, s"$et sxx")
+      assert(gsx === sx, s"$et sx")
+      assert(gsy === sy, s"$et sy")
+      assert(gsxy === sxy, s"$et sxy")
+      assert(gsxx === sxx, s"$et sxx")
       // the composition that used to live in the gated row: exact
       // rational slope (num, den), den strictly positive whenever a
       // group has ≥2 distinct x (Cauchy–Schwarz is strict)
@@ -59,6 +63,12 @@ class GroupOlsSpec extends SparkSpec {
       val cap = BigInt(10).pow(18)
       for (m <- Seq(sx.abs, sy.abs, sxy.abs, sxx.abs))
         assert(m < cap, s"$et moment exceeds DECIMAL(18,0)")
+      // BIGINT wire headroom (round 12): the gated outputs are int64;
+      // require 2x slack under 2^63 so a larger SF trips this assert
+      // long before the cast could wrap
+      val cap62 = BigInt(2).pow(62)
+      for (m <- Seq(sx.abs, sy.abs, sxy.abs, sxx.abs))
+        assert(m < cap62, s"$et moment exceeds 2^62 BIGINT headroom")
       // and the composed terms stay within int128, where the old
       // oracle computed them
       val cap127 = BigInt(2).pow(127)

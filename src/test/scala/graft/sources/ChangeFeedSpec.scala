@@ -94,6 +94,35 @@ class ChangeFeedSpec extends SparkSpec {
     assert(s2.filter(col("doc_id") % 7 === 3).count() === 0L)
   }
 
+  test("a restore that rolls back DV deletes emits the resurrected " +
+    "rows as inserts, and a feed replica converges across the restore") {
+    val root = graft.Tables.matDir(s"feed_restore_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
+    // v1: hide doc_id ≡ 3 (mod 7); v2: restore v0 — file set
+    // UNCHANGED, sidecar VANISHES, rows un-hidden. A growth-only feed
+    // would emit nothing for v2 and every consumer would diverge.
+    val hidden = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    ManifestPrune.dvDeleteCommit(spark, root, hidden)
+    ManifestPrune.restoreVersion(spark, root, 0L)
+    val s2 = ManifestPrune.changeFeedStep(spark, root, 2L).cache()
+    assert(s2.filter(col("op") =!= "insert").count() === 0L)
+    assert(s2.filter(col("op") === "insert").select("doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq ===
+      hidden.orderBy("doc_id").collect().map(_.getLong(0)).toSeq)
+    // end-to-end: a replica tailing (0, 2] lands on the restored head
+    val dst = graft.Tables.matDir(s"feed_restore_dst_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, dst, nFiles = 4)
+    ManifestPrune.replicateFeed(spark, root, dst, 0L, 2L)
+    val rep = ManifestPrune.readCommitted(spark, dst,
+      ManifestPrune.currentVersion(spark, dst))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val head = ManifestPrune.readCommitted(spark, root, 2L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(rep === head)
+  }
+
   test("replaying the feed over v0 reproduces v3 exactly") {
     val root = chain()
     val feed = ManifestPrune.changeFeed(spark, root, 0L, 3L).cache()

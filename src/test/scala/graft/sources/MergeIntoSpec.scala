@@ -19,6 +19,45 @@ class MergeIntoSpec extends SparkSpec {
     root
   }
 
+  test("the whole chain face works on a non-default key and a table " +
+    "without a lang column (key threaded through merge/delete/feed)") {
+    // rename the key and DROP lang entirely — the r11 surface
+    // advertised `key` on changeFeed/replicateFeed but the appliers
+    // hardcoded doc_id + a new_lang shim; this pins the full plumbing
+    val t0 = docs.select(col("doc_id").as("id"), col("text"),
+      col("source"), col("n_chars"))
+    val root = graft.Tables.matDir(s"mi_key_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(t0, root, nFiles = 4,
+      clusterCols = Seq("n_chars", "id"))
+    // v1: merge (update + insert) on key=id
+    ManifestPrune.mergeIntoCommit(spark, root,
+      t0.filter(col("id") % 9 === 2)
+        .select(col("id"), lit("merged").as("source")),
+      t0.filter(col("id") % 31 === 3)
+        .select((col("id") + 30000000L).as("id"), col("text"),
+          col("source"), col("n_chars")),
+      key = "id")
+    // v2: DV delete on key=id
+    ManifestPrune.dvDeleteCommit(spark, root,
+      t0.filter(col("id") % 7 === 3).select("id"), key = "id")
+    val head = ManifestPrune.readCommitted(spark, root, 2L).cache()
+    assert(head.filter(col("source") === "merged").count() ===
+      t0.filter(col("id") % 9 === 2 && col("id") % 7 =!= 3).count())
+    assert(head.filter(col("id") % 7 === 3 &&
+      col("id") < 30000000L).count() === 0L)
+    // feed + replica on the custom key: converge to the head state
+    val dst = graft.Tables.matDir(s"mi_key_dst_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(t0, dst, nFiles = 4,
+      clusterCols = Seq("n_chars", "id"))
+    ManifestPrune.replicateFeed(spark, root, dst, 0L, 2L, key = "id")
+    val rep = ManifestPrune.readCommitted(spark, dst,
+      ManifestPrune.currentVersion(spark, dst))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(rep === head.orderBy("id").collect().map(_.toSeq))
+  }
+
   test("one commit applies multi-column SET, inserts, and deletes") {
     val root = fresh()
     val v = ManifestPrune.mergeIntoCommit(spark, root,
