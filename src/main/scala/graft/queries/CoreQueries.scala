@@ -187,6 +187,39 @@ object CoreQueries {
       root
     })
 
+  /** q_mor_merge's chain (fresh root → TWO merge-on-read commits),
+    * built ONCE per (session, sf dir). Same MERGE semantics as
+    * q_merge_into's CoW commit, but the writes are DV-mask + delta
+    * append (O(changed rows), no file rewrite); the second commit
+    * re-updates a subset of the first commit's post-images, so the
+    * gate proves chained masking — a delta row hidden by a LATER
+    * delta — not just one sidecar generation. */
+  private val morCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def morChain(s: SparkSession, d: String): String =
+    morCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"mor_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
+      graft.sources.ManifestPrune.morMergeCommit(s, root,
+        docs.filter(col("doc_id") % 9 === 2)
+          .select(col("doc_id"), lit("mm").as("lang"),
+            lit("merged").as("source")),
+        docs.filter(col("doc_id") % 31 === 3)
+          .select((col("doc_id") + 30000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")),
+        deletes = Some(docs.filter(col("doc_id") % 17 === 4)
+          .select("doc_id")))
+      graft.sources.ManifestPrune.morMergeCommit(s, root,
+        docs.filter(col("doc_id") % 9 === 2 && col("doc_id") % 2 === 0
+            && col("doc_id") % 17 =!= 4)
+          .select(col("doc_id"), lit("m2").as("lang")),
+        docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+      root
+    })
+
   /** q_branch_merge's chain (fresh root → branch at v0 → ONE general
     * MERGE on the BRANCH: update+insert+DV-delete → audit via the
     * table's CHECK constraint → fast-forward onto main), built ONCE
@@ -1719,6 +1752,45 @@ object CoreQueries {
              |  UNION ALL
              |  SELECT source, lang, doc_id + 30000000
              |  FROM documents WHERE doc_id % 31 = 3)
+             |SELECT source, lang, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM head GROUP BY source, lang
+             |ORDER BY source, lang""".stripMargin)),
+
+    // MERGE-ON-READ upsert — identical MERGE INTO semantics to
+    // q_merge_into, but each commit writes a DV mask + a delta file
+    // (O(changed rows)) instead of rewriting hit files; the oracle
+    // replays the TWO-commit arithmetic over raw documents, so the
+    // hash gate proves the whole read path: carried base files,
+    // chained sidecar masks (v2 hides a v1 delta row), and delta
+    // unioning. MorMergeSpec additionally pins CoW≡MoR state equality
+    // and that compaction erases the sidecar.
+    Q("q_mor_merge",
+      (s, d) => {
+        val root = morChain(s, d)
+        graft.sources.ManifestPrune.readCommitted(s, root,
+          graft.sources.ManifestPrune.currentVersion(s, root))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 9 = 2 THEN 'merged' ELSE source END
+             |      AS source,
+             |    CASE WHEN doc_id % 9 = 2 THEN 'mm' ELSE lang END
+             |      AS lang
+             |  FROM documents WHERE doc_id % 17 <> 4
+             |  UNION ALL
+             |  SELECT doc_id + 30000000, source, lang
+             |  FROM documents WHERE doc_id % 31 = 3),
+             |head AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id < 30000000 AND doc_id % 9 = 2
+             |              AND doc_id % 2 = 0
+             |         THEN 'm2' ELSE lang END AS lang
+             |  FROM v1)
              |SELECT source, lang, count(*) AS n_docs,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM head GROUP BY source, lang

@@ -366,6 +366,100 @@ object ManifestPrune {
     (mfV, dvV)
   }
 
+  /** MERGE-ON-READ upsert — the write-amplification complement of
+    * [[cowMergeFrom]] (Iceberg v2 delete-plus-insert / Delta deletion
+    * vectors applied to UPDATE, not just DELETE): a matched key's OLD
+    * row is hidden behind a DV sidecar entry and its post-image is
+    * APPENDED to a new delta file, so the commit writes
+    * O(updated + inserted rows) — never a hit-FILE rewrite. This is
+    * the path a streaming CDC feed of small scattered updates needs
+    * at 100 TB: CoW rewrites a whole file per touched key per batch;
+    * MoR writes exactly the changed rows and lets [[compactCommit]]
+    * materialize the masks once per maintenance window. The read-side
+    * cost (positional anti-join against a growing sidecar) is the
+    * same one DV deletes already pay, erased by the same compaction.
+    *
+    * Semantics are IDENTICAL to [[cowMergeFrom]] (MorMergeSpec pins
+    * CoW-vs-MoR result equality): WHEN MATCHED THEN UPDATE SET over
+    * every non-key `updates` column (NULL keeps the old value), WHEN
+    * NOT MATCHED THEN INSERT, WHEN MATCHED by `deletes` keys THEN
+    * DELETE (mask only, no post-image). Post-image computation reads
+    * ONLY the hit files (the CoW planning join, reused verbatim) —
+    * reading matched rows is unavoidable for coalesce semantics, but
+    * nothing is rewritten. */
+  def morMergeFrom(s: SparkSession, root: String, baseManifest: String,
+                   baseDv: Option[String], updates: DataFrame,
+                   inserts: DataFrame, version: String,
+                   deletes: Option[DataFrame] = None,
+                   key: String = "doc_id"): (String, String) = {
+    val dataDelta = s"$root/data_$version"
+    val mfV = s"$root/manifest_$version"
+    val dvV = s"$root/dv_$version"
+    val table = readVersionWithDv(s, baseManifest, baseDv)
+    val upd0 =
+      if (updates.columns.contains("new_lang"))
+        updates.withColumnRenamed("new_lang", "lang")
+      else updates
+    val setCols = upd0.columns.filterNot(_ == key).toSeq
+    require(setCols.nonEmpty,
+      "MERGE updates carry no SET columns (only the key)")
+    require(setCols.forall(table.columns.contains),
+      s"MERGE SET columns ${setCols.filterNot(table.columns
+        .contains).mkString(", ")} do not exist in the table")
+    // 1. mask: positions of every matched (updated or deleted) LIVE
+    // row join into the sidecar — the dvDeleteFrom plan verbatim
+    val maskKeys = deletes match {
+      case Some(del) => upd0.select(key).unionByName(del.select(key))
+      case None => upd0.select(key)
+    }
+    val doomed = table
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"), col(key))
+      .join(maskKeys.distinct(), key)
+      .select("file", "pos")
+    val mergedDv = baseDv match {
+      case Some(dv) => s.read.parquet(dv).unionByName(doomed).distinct()
+      case None => doomed.distinct()
+    }
+    // 2. post-images: old values of matched UPDATE keys (hit-file
+    // scan only), SET columns coalesced over them; deleted keys get
+    // no post-image
+    val hitFiles = collectFileList(s,
+      table
+        .select(col("_metadata.file_path").as("file"), col(key))
+        .join(upd0.select(key), key)
+        .select("file").distinct(),
+      "MoR merge hit-file plan").toArray
+    val hit =
+      if (hitFiles.isEmpty) table.limit(0)
+      else applyDv(s, s.read.parquet(hitFiles.toIndexedSeq: _*), baseDv)
+    val prefixed = setCols.foldLeft(upd0) { (d, c) =>
+      d.withColumnRenamed(c, s"__u_$c")
+    }
+    val tableCols = table.columns.toSeq
+    val post = setCols.foldLeft(
+        hit.join(prefixed, Seq(key), "inner")) { (d, c) =>
+        d.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
+      }
+      .select(tableCols.map(col): _*)
+    val postLive = deletes match {
+      case Some(del) => post.join(del.select(key), Seq(key), "left_anti")
+      case None => post
+    }
+    val newRows = postLive.unionByName(inserts.select(tableCols.map(col): _*))
+    newRows.write.mode("overwrite").parquet(dataDelta)
+    enforceConstraints(root, s.read.parquet(dataDelta))
+    // 3. commit: carried base files + the delta file's stats; the
+    // grown sidecar rides inside the prepared manifest so one rename
+    // publishes both (the dvDeleteFrom publication rule)
+    mergedDv.write.mode("overwrite").parquet(dvV)
+    s.read.parquet(baseManifest)
+      .unionByName(statsManifest(s, dataDelta))
+      .write.mode("overwrite").parquet(mfV)
+    writeDvPointer(root, mfV, dvV)
+    (mfV, dvV)
+  }
+
   /** Hide DV-recorded positions: positional anti-join on
     * (file, row_index). The DV side is sized by deleted rows, the
     * join key is uniform (file path × ordinal), and the scan side
@@ -743,9 +837,11 @@ object ManifestPrune {
     // discipline as planning); a signature collision would need two
     // same-sized sets with colliding xxhash64 sums
     var prevSig: Option[(Long, String)] = None
+    var prevMf: Option[String] = None
+    var prevHidden = 0L
     val rows = (0L to cur).flatMap { v =>
       val mf = new java.io.File(manifestOf(root, v))
-      if (!mf.isDirectory) { prevSig = None; None }
+      if (!mf.isDirectory) { prevSig = None; prevMf = None; None }
       else {
         val m = s.read.parquet(mf.getPath)
         // hash-sum in decimal: a long sum of xxhash64 values overflows
@@ -761,11 +857,24 @@ object ManifestPrune {
         val sig = (nFiles, agg.getDecimal(2).toPlainString)
         val hidden = dvOf(root, v)
           .map(dv => s.read.parquet(dv).count()).getOrElse(0L)
+        // kind from the chain shape alone: identical file set =
+        // dv-delete; file set grown WITHOUT dropping a carried file =
+        // the merge-on-read family (mor-merge when the sidecar also
+        // grew — masked updates; append when it did not); anything
+        // that replaced files = rewrite (CoW merge / compaction /
+        // Z-order). The carried check is an O(manifest) metadata
+        // anti-join, never a data read.
         val kind =
           if (v == 0L || prevSig.isEmpty) "base"
           else if (sig == prevSig.get) "dv-delete"
+          else if (nFiles > prevSig.get._1 && prevMf.exists(p =>
+              s.read.parquet(p).select("file")
+                .except(m.select("file")).limit(1).count() == 0L))
+            (if (hidden > prevHidden) "mor-merge" else "append")
           else "rewrite"
         prevSig = Some(sig)
+        prevMf = Some(mf.getPath)
+        prevHidden = hidden
         Some((v, kind, nFiles, physical, hidden, physical - hidden,
           commitTimeMs(root, v).getOrElse(0L),
           commitNote(root, v).getOrElse("")))
@@ -937,6 +1046,21 @@ object ManifestPrune {
     val tok = prepareToken()
     val (mf, _) = dvDeleteFrom(s, root, manifestOf(root, base),
       dvOf(root, base), deletes, tok, key)
+    publish(root, base, mf)
+  }
+
+  /** [[morMergeFrom]] under the commit protocol — the merge-on-read
+    * sibling of [[mergeIntoCommit]]: same MERGE INTO semantics, same
+    * CAS publish, O(changed rows) write amplification instead of
+    * O(hit files). Returns the committed version number. */
+  def morMergeCommit(s: SparkSession, root: String, updates: DataFrame,
+                     inserts: DataFrame,
+                     deletes: Option[DataFrame] = None,
+                     key: String = "doc_id"): Long = {
+    val base = currentVersion(s, root)
+    val tok = prepareToken()
+    val (mf, _) = morMergeFrom(s, root, manifestOf(root, base),
+      dvOf(root, base), updates, inserts, tok, deletes, key)
     publish(root, base, mf)
   }
 
