@@ -316,7 +316,18 @@ object CoreQueries {
       val dst = Tables.matDir(s"replica_chain_${System.nanoTime}", s, d)
       graft.sources.ManifestPrune.buildLayout(
         Tables.load(s, d, "documents"), dst, nFiles = 8)
-      graft.sources.ManifestPrune.replicateFeed(s, src, dst, 0L, 3L)
+      // round 12: the replica is driven through the `graft-table`
+      // STREAMING source (versions as offsets, checkpointed cursor,
+      // AvailableNow catch-up) — the hash gate downstream now proves
+      // the whole DSv2 stream path, not just the batch applier it
+      // shares with replicateFeed
+      val ck = Tables.matDir(s"replica_ck_${System.nanoTime}", s, d)
+      val q = graft.streaming.StreamingPipelines
+        .replicateStream(s, src, dst)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000); q.stop()
       dst
     })
 
@@ -1954,6 +1965,43 @@ object CoreQueries {
             (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L)))
               .as("sum_chars"))
           .filter(col("n_docs") > 0)
+          .orderBy("lang")
+      },
+      Some("""WITH head AS (
+             |  SELECT CASE WHEN doc_id % 11 = 0 THEN 'zz' ELSE lang END
+             |    AS lang, n_chars
+             |  FROM documents WHERE doc_id % 7 <> 3
+             |  UNION ALL
+             |  SELECT lang, n_chars FROM documents WHERE doc_id % 13 = 1)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM head GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // THE SAME MV, MAINTAINED BY THE STREAM — q_mv_feed_refresh's
+    // incremental arithmetic re-driven through the `graft-table` DSv2
+    // source (spark.readStream, versions as offsets, seed snapshot +
+    // per-micro-batch signed folds under the MV version pointer). The
+    // oracle is the identical head-state aggregate, so the hash gate
+    // proves the production deployment shape: initial snapshot, CDC
+    // stream, replay-idempotent folds — never a base-table rescan.
+    Q("q_mv_stream",
+      (s, d) => {
+        val root = changeFeedChain(s, d)
+        val mvDir = Tables.matDir("mv_stream", s, d)
+        if (graft.streaming.StreamingPipelines
+            .latestMvVersion(mvDir).isEmpty) {
+          graft.streaming.StreamingPipelines.seedLangMv(s, root, mvDir)
+          val ck = Tables.matDir(s"mv_stream_ck_${System.nanoTime}", s, d)
+          val q = graft.streaming.StreamingPipelines
+            .maintainLangMvFromFeed(s, root, mvDir)
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000); q.stop()
+        }
+        graft.streaming.StreamingPipelines.currentMv(s, mvDir)
+          .select(col("lang"), col("n_docs"),
+            col("sum_chars").cast(LongType).as("sum_chars"))
           .orderBy("lang")
       },
       Some("""WITH head AS (

@@ -923,6 +923,25 @@ object ManifestPrune {
       cowMergeCommit(s, dstRoot, ins.limit(0), ins, key)
   }
 
+  /** Apply a MICRO-BATCH of feed rows (the `graft-table` streaming
+    * source's output) to a replica chain: a batch may span several
+    * source versions, and version order matters (a key updated twice
+    * must land in commit order), so the batch is applied per source
+    * version ascending — each version through the same
+    * delete-then-insert applier [[replicateFeed]] uses. The per-batch
+    * driver state is the batch's distinct version ids (micro-batch
+    * bounded). This is the foreachBatch body that turns
+    * `spark.readStream.format("graft-table")` into live replication. */
+  def applyFeedBatch(s: SparkSession, dstRoot: String, batch: DataFrame,
+                     key: String = "doc_id"): Unit = {
+    val b = batch.localCheckpoint()
+    val versions = b.select("version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    versions.foreach { v =>
+      applyImages(s, dstRoot, b.filter(col("version") === v), key)
+    }
+  }
+
   /** PUBLISH a prepared version: one atomic directory rename of the
     * writer-unique prepared manifest onto the canonical
     * `manifest_c<next>` name decides the race — exactly one of any

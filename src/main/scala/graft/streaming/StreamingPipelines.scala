@@ -603,7 +603,7 @@ object StreamingPipelines {
   }
 
   /** The committed version id, or None before the first batch. */
-  private[streaming] def latestMvVersion(mvDir: String): Option[Long] = {
+  private[graft] def latestMvVersion(mvDir: String): Option[Long] = {
     val p = java.nio.file.Paths.get(mvDir, "_latest")
     if (java.nio.file.Files.exists(p))
       Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
@@ -628,6 +628,100 @@ object StreamingPipelines {
       throw new IllegalArgumentException(
         s"version $version not present under $mvDir")
     s.read.parquet(p.toString)
+  }
+
+  /** LIVE REPLICATION through the change-feed STREAM — the
+    * `graft-table` DSv2 source tailing the source chain's versions,
+    * each micro-batch applied to the replica in version order
+    * ([[graft.sources.ManifestPrune.applyFeedBatch]]). Equivalent to
+    * calling [[graft.sources.ManifestPrune.replicateFeed]] in a loop,
+    * except the version cursor now lives in the streaming
+    * checkpoint — restart-safe, backpressured
+    * (`maxVersionsPerTrigger`), and running whenever the source
+    * commits, which is how a real mirror pipeline is deployed.
+    * Caller starts it with `.option("checkpointLocation", ...)
+    * .start()` or `.trigger(AvailableNow())` for catch-up-and-stop. */
+  def replicateStream(s: SparkSession, srcRoot: String, dstRoot: String,
+                      key: String = "doc_id",
+                      maxVersionsPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val reader = s.readStream.format("graft-table").option("key", key)
+    val feed = maxVersionsPerTrigger
+      .fold(reader)(n => reader.option("maxVersionsPerTrigger", n))
+      .load(srcRoot)
+    feed.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.ManifestPrune.applyFeedBatch(
+          b.sparkSession, dstRoot, b.toDF(), key)
+      }
+  }
+
+  /** INCREMENTAL MV MAINTENANCE from the change-feed stream: the
+    * q_mv_feed_refresh arithmetic (post-images/inserts add, pre-
+    * images/deletes subtract) folded into a versioned per-lang
+    * aggregate on every micro-batch — the MV stays in lockstep with
+    * the table at O(changed rows) per commit, no base-table rescan
+    * ever. State protocol is the [[applyMvBatch]] version pointer
+    * (replay-idempotent: a redelivered batch finds the pointer at or
+    * past its id and skips). */
+  def maintainLangMvFromFeed(s: SparkSession, srcRoot: String,
+                             mvDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    s.readStream.format("graft-table").load(srcRoot)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyLangMvBatch(b.toDF(), id, mvDir)
+      }
+
+  /** Seed the feed-maintained MV with the table's BASE state (the
+    * initial-snapshot half of the Delta-style snapshot+changes
+    * pattern): the v0 aggregate is committed as MV version -1, so the
+    * stream's first micro-batch folds deltas onto it instead of onto
+    * nothing. Run once before starting [[maintainLangMvFromFeed]];
+    * idempotent (an existing pointer wins). */
+  def seedLangMv(s: SparkSession, srcRoot: String, mvDir: String): Unit = {
+    new java.io.File(mvDir).mkdirs()
+    if (latestMvVersion(mvDir).isDefined) return
+    graft.sources.ManifestPrune.readCommitted(s, srcRoot, 0L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .write.mode("overwrite").parquet(s"$mvDir/v_-1")
+    val tmp = java.nio.file.Paths.get(mvDir, "_latest_tmp_seed")
+    java.nio.file.Files.write(tmp, "-1".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(mvDir, "_latest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One feed-driven MV step (exposed for the batch≡stream spec). */
+  private[graft] def applyLangMvBatch(batch: DataFrame, batchId: Long,
+                                      mvDir: String): Unit = {
+    val s = batch.sparkSession
+    new java.io.File(mvDir).mkdirs()
+    val applied = latestMvVersion(mvDir)
+    if (applied.exists(_ >= batchId)) return // replayed, already folded
+    val sign = when(col("op").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val partial = batch
+      .groupBy("lang")
+      .agg(sum(sign).as("n_docs"),
+        sum(sign * col("n_chars")).as("sum_chars"))
+    val prev = applied match {
+      case Some(id) => s.read.parquet(s"$mvDir/v_$id")
+      case None => partial.limit(0)
+    }
+    prev.unionByName(partial)
+      .groupBy("lang")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_chars")).as("sum_chars"))
+      .filter(col("n_docs") > 0)
+      .write.mode("overwrite").parquet(s"$mvDir/v_$batchId")
+    val tmp = java.nio.file.Paths.get(mvDir, s"_latest_tmp_$batchId")
+    java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(mvDir, "_latest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** File-source streaming read of the events table with the same

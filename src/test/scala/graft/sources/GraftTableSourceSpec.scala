@@ -1,0 +1,148 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The `graft-table` DSv2 change-feed source: batch face ≡ the
+  * changeFeed computation, stream face ≡ batch face (same rows
+  * through the micro-batch path), admission control bounds versions
+  * per batch, restart resumes from the checkpoint without replay,
+  * and the two production consumers driven THROUGH the stream —
+  * replication and incremental MV maintenance — land on the same
+  * state the batch appliers produce. */
+class GraftTableSourceSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+
+  /** fresh chain: CoW upsert v1, DV delete v2, compaction v3 (the
+    * ChangeFeedSpec chain, one commit of each kind). */
+  private def chain(tag: String): String = {
+    val root = graft.Tables.matDir(s"gts_${tag}_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
+    ManifestPrune.cowMergeCommit(spark, root,
+      docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit("zz").as("new_lang")),
+      docs.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    ManifestPrune.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    ManifestPrune.compactCommit(spark, root, nFiles = 2)
+    root
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame) = df
+    .orderBy("version", "op", "doc_id").collect().map(_.toSeq)
+
+  test("batch read equals the changeFeed computation, and honors the " +
+    "version window options") {
+    val root = chain("batch")
+    val viaSource = spark.read.format("graft-table").load(root)
+    val direct = ManifestPrune.changeFeed(spark, root, 0L, 3L)
+    assert(viaSource.schema.fieldNames.toSeq ===
+      direct.schema.fieldNames.toSeq)
+    assert(canon(viaSource) === canon(direct))
+    val windowed = spark.read.format("graft-table")
+      .option("fromVersion", 1).option("toVersion", 2).load(root)
+    assert(canon(windowed) ===
+      canon(ManifestPrune.changeFeed(spark, root, 1L, 2L)))
+  }
+
+  test("stream face emits the same rows as the batch face, one " +
+    "version per micro-batch under maxVersionsPerTrigger=1") {
+    val root = chain("stream")
+    val out = graft.Tables.matDir(s"gts_sink_${System.nanoTime}",
+      spark, sf0001)
+    val ck = s"$out/_ck"
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.format("graft-table")
+      .option("maxVersionsPerTrigger", 1).load(root)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val df = b.toDF().localCheckpoint()
+        batches.add((id, df.select("version").distinct().count()))
+        df.write.mode("append").parquet(s"$out/rows")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000); q.stop()
+    // every non-empty micro-batch carried exactly one version
+    import scala.jdk.CollectionConverters._
+    assert(batches.asScala.forall(_._2 <= 1))
+    assert(canon(spark.read.parquet(s"$out/rows")) ===
+      canon(ManifestPrune.changeFeed(spark, root, 0L, 3L)))
+    // restart from the checkpoint: nothing new to consume, no replay
+    val q2 = spark.readStream.format("graft-table")
+      .option("maxVersionsPerTrigger", 1).load(root)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.toDF().write.mode("append").parquet(s"$out/rows")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000); q2.stop()
+    assert(canon(spark.read.parquet(s"$out/rows")) ===
+      canon(ManifestPrune.changeFeed(spark, root, 0L, 3L)))
+    // a NEW commit after restart is picked up where the cursor left off
+    ManifestPrune.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 19 === 6).select("doc_id"))
+    val q3 = spark.readStream.format("graft-table")
+      .load(root)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.toDF().write.mode("append").parquet(s"$out/rows")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000); q3.stop()
+    assert(canon(spark.read.parquet(s"$out/rows")) ===
+      canon(ManifestPrune.changeFeed(spark, root, 0L, 4L)))
+  }
+
+  test("replicateStream converges the replica to the source head " +
+    "through the streaming face") {
+    val root = chain("repl")
+    val dst = graft.Tables.matDir(s"gts_repl_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, dst, nFiles = 4)
+    val ck = graft.Tables.matDir(s"gts_replck_${System.nanoTime}",
+      spark, sf0001)
+    val q = graft.streaming.StreamingPipelines
+      .replicateStream(spark, root, dst)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000); q.stop()
+    val rep = ManifestPrune.readCommitted(spark, dst,
+      ManifestPrune.currentVersion(spark, dst))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val head = ManifestPrune.readCommitted(spark, root, 3L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(rep === head)
+  }
+
+  test("seed + maintainLangMvFromFeed lands the MV on the head " +
+    "aggregate without any base-table rescan") {
+    val root = chain("mv")
+    val mvDir = graft.Tables.matDir(s"gts_mv_${System.nanoTime}",
+      spark, sf0001)
+    val ck = graft.Tables.matDir(s"gts_mvck_${System.nanoTime}",
+      spark, sf0001)
+    graft.streaming.StreamingPipelines.seedLangMv(spark, root, mvDir)
+    val q = graft.streaming.StreamingPipelines
+      .maintainLangMvFromFeed(spark, root, mvDir)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000); q.stop()
+    val mv = graft.streaming.StreamingPipelines.currentMv(spark, mvDir)
+      .orderBy("lang").collect().map(_.toSeq)
+    val expect = ManifestPrune.readCommitted(spark, root, 3L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang").collect().map(_.toSeq)
+    assert(mv === expect)
+  }
+}
