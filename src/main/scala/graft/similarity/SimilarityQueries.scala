@@ -114,6 +114,23 @@ object SimilarityQueries {
       dir
     })
 
+  /** q_ann_graph's persisted per-cell graph index (the IVF layout
+    * plus an adjacency column), built ONCE per (session, sf dir) over
+    * the same deterministic centroids as the IVF index. */
+  private val graphIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def graphIndexDir(s: org.apache.spark.sql.SparkSession,
+                            d: String): String =
+    graphIndexCache.computeIfAbsent((s, d), { _ =>
+      val e = scaled(s, d)
+      val dir = graft.Tables.matDir("graph_index", s, d)
+      GraphAnn.buildGraphIndex(e, ivfCentroids(e), dir, m = 8,
+        simScaled)
+      dir
+    })
+
   /** Cross-module access to the battery's persisted ANN search state —
     * (index dir, centroid table, exact scaled-cosine sim) plus the
     * scaled corpus — so the STREAMING search path (StreamingPipelines
@@ -355,6 +372,34 @@ object SimilarityQueries {
           .select(col("vec_id").as("query_id"), col("sv").as("qv"))
         IvfIndex.searchIndexed(s, ivfIndexDir(s, d), ivfCentroids(e), qs,
           topK = 5, nProbe = 2, simScaled)
+          .withColumn("rank", col("rank").cast(LongType))
+          .select("query_id", "neighbor_id", "rank", "sim")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $scaledCte,
+             |$ivfSearchCtes
+             |SELECT query_id, neighbor_id, rank, sim FROM r
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // GRAPH-BASED ANN (per-IVF-cell NSW, the HNSW family) — the gated
+    // configuration runs the graph WALK in exhaustive mode (ef =
+    // unbounded beam): the backbone ring makes every cell connected,
+    // so the walk provably visits each probed member and must land on
+    // EXACTLY the IVF probe search's answer — which is why the oracle
+    // is the same SQL replay as q_ann_ivf. The hash gate therefore
+    // proves the whole graph machinery (build adjacency, entry-point
+    // walk, beam bookkeeping, bit-identical scaled cosine in Scala vs
+    // both engines); the APPROXIMATE configurations (small ef, fewer
+    // visits than the cell) are pinned by GraphAnnRecallSpec, the
+    // q_salted_join convention — the gate fixes semantics, the spec
+    // fixes the scale claim.
+    Q("q_ann_graph",
+      (s, d) => {
+        val e = scaled(s, d)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("sv").as("qv"))
+        GraphAnn.searchGraph(s, graphIndexDir(s, d), ivfCentroids(e),
+          qs, topK = 5, nProbe = 2, ef = Int.MaxValue, simScaled)
           .withColumn("rank", col("rank").cast(LongType))
           .select("query_id", "neighbor_id", "rank", "sim")
           .orderBy("query_id", "rank")
