@@ -220,6 +220,25 @@ object CoreQueries {
       root
     })
 
+  /** q_spec_evolution's chain (fresh root → DV delete v1 → evolve
+    * clustering to doc_id v2 → compaction v3 that physically applies
+    * the new spec), built ONCE per (session, sf dir). */
+  private val specEvoCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def specEvoChain(s: SparkSession, d: String): String =
+    specEvoCache.computeIfAbsent((s, d), { _ =>
+      val MP = graft.sources.ManifestPrune
+      val root = Tables.matDir(s"spec_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      MP.buildLayout(docs, root, nFiles = 8)
+      MP.dvDeleteCommit(s, root,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      MP.evolveClustering(s, root, "doc_id", Seq("doc_id"))
+      MP.compactCommit(s, root, nFiles = 8)
+      root
+    })
+
   /** q_branch_merge's chain (fresh root → branch at v0 → ONE general
     * MERGE on the BRANCH: update+insert+DV-delete → audit via the
     * table's CHECK constraint → fast-forward onto main), built ONCE
@@ -1767,6 +1786,47 @@ object CoreQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM head GROUP BY source, lang
              |ORDER BY source, lang""".stripMargin)),
+
+    // CLUSTERING-SPEC EVOLUTION — Iceberg partition-spec evolution as
+    // a commit kind: v1 deletes under the default n_chars spec, v2
+    // evolves clustering to doc_id (metadata-only: identical files, a
+    // spec pointer), v3's compaction physically re-clusters and stats
+    // by doc_id. The gate reads BOTH eras through the spec-aware
+    // pruned reader: a pre-evolution version pruned on n_chars and
+    // the post-compaction head pruned on doc_id, each against the
+    // same replayed arithmetic — proving old files stay readable
+    // under their recorded spec while new files prune on the new
+    // column. SpecEvolutionSpec pins that both plans actually prune
+    // (planned ⊂ manifest) and that mixed-spec reads stay exact.
+    Q("q_spec_evolution",
+      (s, d) => {
+        val MP = graft.sources.ManifestPrune
+        val root = specEvoChain(s, d)
+        val pre = MP.readRangeCommitted(s, root, 1L, "n_chars", 100, 180)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .withColumn("phase", lit("pre"))
+        val post = MP.readRangeCommitted(s, root, 3L, "doc_id",
+            1000, 5000)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .withColumn("phase", lit("post"))
+        pre.unionByName(post)
+          .select("phase", "lang", "n_docs", "sum_chars")
+          .orderBy("phase", "lang")
+      },
+      Some("""WITH live AS (
+             |  SELECT * FROM documents WHERE doc_id % 7 <> 3)
+             |SELECT 'pre' AS phase, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM live WHERE n_chars BETWEEN 100 AND 180 GROUP BY lang
+             |UNION ALL
+             |SELECT 'post', lang, count(*),
+             |  CAST(sum(n_chars) AS BIGINT)
+             |FROM live WHERE doc_id BETWEEN 1000 AND 5000 GROUP BY lang
+             |ORDER BY phase, lang""".stripMargin)),
 
     // MERGE-ON-READ upsert — identical MERGE INTO semantics to
     // q_merge_into, but each commit writes a DV mask + a delta file

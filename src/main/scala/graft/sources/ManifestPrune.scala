@@ -301,8 +301,11 @@ object ManifestPrune {
     val untouched = s.read.parquet(baseManifest)
       .filter(if (hitFiles.isEmpty) lit(true)
         else !col("file").isInCollection(hitFiles.toIndexedSeq))
-    val v2Stats = statsManifest(s, dataV2)
-    untouched.unionByName(v2Stats).write.mode("overwrite").parquet(mfV2)
+    val spec = specOfManifest(root, baseManifest)
+    val v2Stats = statsManifest(s, dataV2, spec.statsCol, spec.id)
+    untouched.unionByName(v2Stats, allowMissingColumns = true)
+      .write.mode("overwrite").parquet(mfV2)
+    carrySpecPointer(root, baseManifest, mfV2)
     baseDv.foreach { dv =>
       val carried = s.read.parquet(dv)
         .filter(if (hitFiles.isEmpty) lit(true)
@@ -362,6 +365,7 @@ object ManifestPrune {
     // manifest: identical file list — the no-rewrite contract; the
     // sidecar reference rides inside it so one rename publishes both
     s.read.parquet(baseManifest).write.mode("overwrite").parquet(mfV)
+    carrySpecPointer(root, baseManifest, mfV)
     writeDvPointer(root, mfV, dvV)
     (mfV, dvV)
   }
@@ -453,9 +457,12 @@ object ManifestPrune {
     // grown sidecar rides inside the prepared manifest so one rename
     // publishes both (the dvDeleteFrom publication rule)
     mergedDv.write.mode("overwrite").parquet(dvV)
+    val spec = specOfManifest(root, baseManifest)
     s.read.parquet(baseManifest)
-      .unionByName(statsManifest(s, dataDelta))
+      .unionByName(statsManifest(s, dataDelta, spec.statsCol, spec.id),
+        allowMissingColumns = true)
       .write.mode("overwrite").parquet(mfV)
+    carrySpecPointer(root, baseManifest, mfV)
     writeDvPointer(root, mfV, dvV)
     (mfV, dvV)
   }
@@ -864,9 +871,11 @@ object ManifestPrune {
         // that replaced files = rewrite (CoW merge / compaction /
         // Z-order). The carried check is an O(manifest) metadata
         // anti-join, never a data read.
+        val note0 = commitNote(root, v).getOrElse("")
         val kind =
           if (v == 0L || prevSig.isEmpty) "base"
-          else if (sig == prevSig.get) "dv-delete"
+          else if (sig == prevSig.get)
+            (if (note0.startsWith("spec:")) "evolve-spec" else "dv-delete")
           else if (nFiles > prevSig.get._1 && prevMf.exists(p =>
               s.read.parquet(p).select("file")
                 .except(m.select("file")).limit(1).count() == 0L))
@@ -876,8 +885,7 @@ object ManifestPrune {
         prevMf = Some(mf.getPath)
         prevHidden = hidden
         Some((v, kind, nFiles, physical, hidden, physical - hidden,
-          commitTimeMs(root, v).getOrElse(0L),
-          commitNote(root, v).getOrElse("")))
+          commitTimeMs(root, v).getOrElse(0L), note0))
       }
     }
     rows.toDF("version", "kind", "n_files", "physical_rows",
@@ -1046,11 +1054,15 @@ object ManifestPrune {
     val base = currentVersion(s, root)
     val tok = prepareToken()
     val dataDir = s"$root/data_$tok"
+    // compaction is where an evolved clustering spec physically lands:
+    // the rewrite clusters and stats by the CURRENT spec's columns
+    val spec = specOfVersion(root, base)
     readCommitted(s, root, base)
-      .repartitionByRange(nFiles, col("n_chars"), col("doc_id"))
+      .repartitionByRange(nFiles, spec.clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(dataDir)
-    statsManifest(s, dataDir)
+    statsManifest(s, dataDir, spec.statsCol, spec.id)
       .write.mode("overwrite").parquet(s"$root/manifest_$tok")
+    carrySpecPointer(root, manifestOf(root, base), s"$root/manifest_$tok")
     publish(root, base, s"$root/manifest_$tok")
   }
 
@@ -1108,6 +1120,136 @@ object ManifestPrune {
       val c = java.nio.file.Files.readString(p).trim
       if (c.nonEmpty) Some(c) else None
     } else None
+  }
+
+  // -------------------------------------- clustering-spec evolution
+
+  /** A clustering specification: `statsCol` is the skip column whose
+    * min/max the manifest records per file, `clusterCols` the
+    * repartitionByRange keys maintenance rewrites use. Spec 0 is the
+    * implicit default every chain starts under. */
+  case class ClusterSpec(id: Int, statsCol: String,
+                         clusterCols: Seq[String])
+
+  val DefaultSpec: ClusterSpec =
+    ClusterSpec(0, "n_chars", Seq("n_chars", "doc_id"))
+
+  /** All registered specs of a chain (spec 0 always present). */
+  def listSpecs(root: String): Map[Int, ClusterSpec] = {
+    val dir = new java.io.File(s"$root/_specs")
+    val extra =
+      if (!dir.isDirectory) Map.empty[Int, ClusterSpec]
+      else dir.listFiles().filter(_.isFile).map { f =>
+        val id = f.getName.toInt
+        val parts = java.nio.file.Files.readString(f.toPath)
+          .trim.split("\\|")
+        id -> ClusterSpec(id, parts(0),
+          parts(1).split(",").toSeq.filter(_.nonEmpty))
+      }.toMap
+    extra + (0 -> DefaultSpec)
+  }
+
+  /** The spec a committed manifest's NEW files are written under: the
+    * `_spec` pointer inside the manifest dir (carried forward by
+    * every writer, copied whole by restore/branch), default spec 0. */
+  def specOfManifest(root: String, manifestDir: String): ClusterSpec = {
+    val p = new java.io.File(s"$manifestDir/_spec")
+    if (!p.isFile) DefaultSpec
+    else listSpecs(root)(java.nio.file.Files.readString(p.toPath)
+      .trim.toInt)
+  }
+
+  /** Spec of a committed version. */
+  def specOfVersion(root: String, version: Long): ClusterSpec =
+    specOfManifest(root, manifestOf(root, version))
+
+  private def writeSpecPointer(manifestDir: String, id: Int): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$manifestDir/_spec"), s"$id\n")
+
+  /** Carry the base version's spec pointer into a freshly-written
+    * manifest dir — the writer-side half of "the current spec applies
+    * until evolved". */
+  private def carrySpecPointer(root: String, baseManifest: String,
+                               newManifest: String): Unit = {
+    val src = new java.io.File(s"$baseManifest/_spec")
+    if (src.isFile)
+      java.nio.file.Files.copy(src.toPath,
+        java.nio.file.Paths.get(s"$newManifest/_spec"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** EVOLVE the chain's clustering spec — Iceberg partition-spec
+    * evolution as a commit kind: registers the new spec and publishes
+    * a METADATA-ONLY version (identical file set, a `_spec` pointer
+    * inside the manifest) from which point NEW files cluster and
+    * stat by the new columns while EXISTING files stay readable —
+    * and prunable on their own recorded column — under the spec they
+    * were written with ([[readRangeCommitted]] consults the per-file
+    * `spec_id` tag). No data moves at evolution time; the next
+    * [[compactCommit]] is what physically re-clusters, which is
+    * exactly Iceberg's "rewrite to apply the new spec" economics.
+    * Returns the committed version. */
+  def evolveClustering(s: SparkSession, root: String, statsCol: String,
+                       clusterCols: Seq[String]): Long = {
+    val base = currentVersion(s, root)
+    val cols = readVersion(s, manifestOf(root, base)).columns.toSet
+    require((statsCol +: clusterCols).forall(cols.contains),
+      s"spec columns ${(statsCol +: clusterCols).filterNot(cols.contains)
+        .mkString(", ")} do not exist in the table")
+    val dir = new java.io.File(s"$root/_specs")
+    dir.mkdirs()
+    val id = listSpecs(root).keys.max + 1
+    val f = new java.io.File(dir, id.toString)
+    require(f.createNewFile(), s"spec id $id already registered (race)")
+    java.nio.file.Files.writeString(f.toPath,
+      s"$statsCol|${clusterCols.mkString(",")}\n")
+    val tok = prepareToken()
+    val prepared = new java.io.File(s"$root/manifest_$tok")
+    copyDirFlat(new java.io.File(manifestOf(root, base)), prepared)
+    writeSpecPointer(prepared.getPath, id)
+    val v = publish(root, base, prepared.getPath)
+    noteCommit(root, v, s"spec:$id")
+    v
+  }
+
+  /** Range-pruned read of a COMMITTED version on `colName`, correct
+    * across spec evolution: a file prunes by its manifest min/max
+    * ONLY if the spec it was written under stats that same column;
+    * files written under other specs are always read (no stats to
+    * prune on — the Iceberg old-spec behavior), and the exact
+    * predicate is re-applied after the scan, so mixed-spec tables
+    * trade I/O, never correctness. Deletion vectors apply as in every
+    * committed read. */
+  def readRangeCommitted(s: SparkSession, root: String, version: Long,
+                         colName: String, lo: Long, hi: Long): DataFrame = {
+    val files = planRangeCommitted(s, root, version, colName, lo, hi)
+    val base =
+      if (files.isEmpty) readVersion(s, manifestOf(root, version)).limit(0)
+      else applyDv(s, s.read.parquet(files: _*), dvOf(root, version))
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
+  /** The spec-aware file plan behind [[readRangeCommitted]] (public
+    * so the pruning claim is assertable: planned ⊂ manifest for a
+    * selective predicate on the spec's stats column). */
+  def planRangeCommitted(s: SparkSession, root: String, version: Long,
+                         colName: String, lo: Long,
+                         hi: Long): Seq[String] = {
+    val m0 = s.read.parquet(manifestOf(root, version))
+    val m =
+      if (m0.columns.contains("spec_id"))
+        m0.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
+      else m0.withColumn("spec_id", lit(0))
+    val prunable = listSpecs(root).collect {
+      case (id, sp) if sp.statsCol == colName => id
+    }.toSeq
+    collectFileList(s,
+      m.filter((!col("spec_id").isInCollection(
+          if (prunable.isEmpty) Seq(-1) else prunable)) ||
+          (col("min_key") <= hi && col("max_key") >= lo))
+        .select("file"),
+      s"spec-aware range plan [$lo, $hi] on $colName")
   }
 
   // ------------------------------------------------------ named tags
@@ -1410,17 +1552,25 @@ object ManifestPrune {
     }
   }
 
-  /** Per-file (file, min_key, max_key, n_rows) stats of a data dir —
-    * the ONE definition of the manifest schema; every writer goes
-    * through it so the schema cannot drift between paths. */
-  private def statsManifest(s: SparkSession,
-                            dataDir: String): DataFrame =
+  /** Per-file (file, min_key, max_key, n_rows, spec_id) stats of a
+    * data dir — the ONE definition of the manifest schema; every
+    * writer goes through it so the schema cannot drift between paths.
+    * `statsCol` is the clustering spec's skip column (min/max are ITS
+    * bounds) and `specId` records which spec the files were written
+    * under — the per-file tag [[readRangeCommitted]] consults so old
+    * files stay readable (and prunable on THEIR column) after
+    * [[evolveClustering]]. Manifests written before the spec column
+    * existed read as spec 0 (the coalesce convention). */
+  private def statsManifest(s: SparkSession, dataDir: String,
+                            statsCol: String = "n_chars",
+                            specId: Int = 0): DataFrame =
     s.read.parquet(dataDir)
-      .select(col("_metadata.file_path").as("file"), col("n_chars"))
+      .select(col("_metadata.file_path").as("file"), col(statsCol))
       .groupBy("file")
-      .agg(min(col("n_chars")).as("min_key"),
-        max(col("n_chars")).as("max_key"),
+      .agg(min(col(statsCol)).as("min_key"),
+        max(col(statsCol)).as("max_key"),
         count(lit(1)).as("n_rows"))
+      .withColumn("spec_id", lit(specId))
 
   /** Write a fresh range-clustered layout + its stats manifest — the
     * shared bootstrap every chain starts from (battery stages, specs,
