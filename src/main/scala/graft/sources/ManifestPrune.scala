@@ -1685,8 +1685,23 @@ object ManifestPrune {
         !d.getName.startsWith("manifest_u") &&
         d.getName != "manifest_tree" &&
         !protocolNames.contains(d.getName))
+    // BRANCHES are live references into the PARENT's data: a branch
+    // manifest points at fork-time parent files by absolute path, so
+    // a file the main chain no longer references (rewritten away
+    // before expiry) may still be the only copy a branch reads.
+    // Every branch's still-present manifest dirs therefore join the
+    // keep set — expiring main must never break a branch (the branch
+    // root's OWN expireVersions is where branch history is retired).
+    val branchManifests: Seq[String] = listBranches(root).flatMap { b =>
+      val bdir = new java.io.File(branchRoot(root, b))
+      if (!bdir.isDirectory) Seq.empty[String]
+      else bdir.listFiles().toSeq.filter(d => d.isDirectory &&
+        d.getName.startsWith("manifest") &&
+        !d.getName.startsWith("manifest_u") &&
+        d.getName != "manifest_tree").map(_.getPath)
+    }
     val keep: Set[String] = (kept.map(v => manifestOf(root, v)) ++
-      adHocManifests.map(_.getPath)).flatMap { m =>
+      adHocManifests.map(_.getPath) ++ branchManifests).flatMap { m =>
       collectFileList(s, s.read.parquet(m).select("file"),
         s"expiry keep-set of $m")
     }.map(localPath).toSet

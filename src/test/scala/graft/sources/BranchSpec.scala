@@ -220,4 +220,55 @@ class BranchSpec extends SparkSpec {
     // the failed commit published nothing on the branch
     assert(MP.currentVersion(spark, br) === 0L)
   }
+
+  test("vacuuming main never breaks a branch: files only a branch " +
+    "references survive main's expiry") {
+    val root = freshRoot("vac")
+    MP.createBranch(spark, root, "keepme", fromVersion = 0L)
+    val br = MP.branchRoot(root, "keepme")
+    val before = MP.readCommitted(spark, br, 0L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    // main rewrites EVERYTHING twice (compactions), so v0's files are
+    // referenced by nothing on main once keepLast=1 expires history —
+    // the branch fork is their only remaining reader
+    MP.compactCommit(spark, root, nFiles = 2)
+    MP.compactCommit(spark, root, nFiles = 3)
+    MP.expireVersions(spark, root, keepLast = 1, graceMs = 0L)
+    val after = MP.readCommitted(spark, br, 0L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(after === before)
+  }
+
+  test("tags and time travel work on a branch root — a branch IS a " +
+    "chain, and its tags anchor its own retention") {
+    val root = freshRoot("ttl")
+    MP.createBranch(spark, root, "feat", fromVersion = 0L)
+    val br = MP.branchRoot(root, "feat")
+    val v1 = MP.dvDeleteCommit(spark, br,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    val t1 = MP.commitTimeMs(br, v1).get
+    MP.tagVersion(br, "audit-point", v1)
+    val v2 = MP.dvDeleteCommit(spark, br,
+      docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
+    // order the branch timeline deterministically (the travelChain
+    // marker-nudge trick) so as-of t1 must resolve to v1
+    var t2 = MP.commitTimeMs(br, v2).get
+    var bump = 1000L
+    while (t2 <= t1) {
+      new java.io.File(MP.markerPath(br, v2)).setLastModified(t1 + bump)
+      bump += 1000L
+      t2 = MP.commitTimeMs(br, v2).get
+    }
+    assert(MP.versionAsOf(spark, br, t1) === v1)
+    assert(MP.readAsOf(spark, br, t1).count() ===
+      MP.readCommitted(spark, br, v1).count())
+    assert(MP.taggedVersion(br, "audit-point") === Some(v1))
+    // branch-local expiry: the tag anchors v1 while keepLast=1 would
+    // otherwise expire it
+    MP.dvDeleteCommit(spark, br,
+      docs.filter(col("doc_id") % 11 === 6).select("doc_id"))
+    MP.expireVersions(spark, br, keepLast = 1, graceMs = 0L)
+    assert(MP.readTagged(spark, br, "audit-point")
+      .count() === MP.readCommitted(spark, br, v1).count())
+  }
 }
