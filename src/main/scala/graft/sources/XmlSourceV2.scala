@@ -63,16 +63,52 @@ private[sources] class XmlTable(options: CaseInsensitiveStringMap)
 }
 
 private[sources] class XmlScanBuilder(opts: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull, StringContains, StringStartsWith}
+
   private var required: StructType = XmlSourceV2.Schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** String predicates on `value` run as a PRE-ROW byte screen inside
+    * the record scanner: a non-matching record costs one substring
+    * probe on the already-decoded tag slice instead of an InternalRow
+    * + UTF8String allocation + a codegen filter eval — on a dump scan
+    * where the predicate is selective (one title among millions) the
+    * row-materialization cost disappears. All four accepted shapes
+    * are EXACTLY enforceable on the raw record string, so they are
+    * fully consumed (no residual re-evaluation above the scan). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accept, residual) = filters.partition {
+      case StringContains("value", v) => v != null
+      case StringStartsWith("value", v) => v != null
+      case EqualTo("value", v: String) => v != null
+      case IsNotNull("value") => true
+      case _ => false
+    }
+    pushed = accept
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = {
     val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-xml: .load(path) required"))
     val rowTag = Option(opts.get("rowTag")).getOrElse("page")
     val splitBytes = Option(opts.get("splitBytes")).map(_.toLong).getOrElse(0L)
-    new XmlScan(path, rowTag, splitBytes, required)
+    val screens: Array[(String, String)] = pushed.map {
+      case StringContains(_, v) => ("contains", v)
+      case StringStartsWith(_, v) => ("startsWith", v)
+      case EqualTo(_, v: String) => ("equals", v)
+      case IsNotNull(_) => ("notnull", "")
+      case f => throw new IllegalStateException(s"unpushable $f")
+    }
+    new XmlScan(path, rowTag, splitBytes, required, screens,
+      pushed.mkString(", "))
   }
 }
 
@@ -80,10 +116,15 @@ private[sources] case class XmlRangePartition(split: SplittableXml.XmlSplit)
     extends InputPartition
 
 private[sources] class XmlScan(path: String, rowTag: String,
-                               splitBytes: Long, required: StructType)
+                               splitBytes: Long, required: StructType,
+                               screens: Array[(String, String)],
+                               pushedDesc: String)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-xml $path PushedFilters: [$pushedDesc] " +
+      s"ReadColumns: [${required.fieldNames.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -100,26 +141,51 @@ private[sources] class XmlScan(path: String, rowTag: String,
       new SerializableHadoopConf(
         SparkSession.active.sparkContext.hadoopConfiguration),
       s"<$rowTag>".getBytes("UTF-8"), s"</$rowTag>".getBytes("UTF-8"),
-      emitValue = required.nonEmpty)
+      emitValue = required.nonEmpty, screens)
 }
 
 private[sources] class XmlReaderFactory(conf: SerializableHadoopConf,
                                         startTag: Array[Byte],
                                         endTag: Array[Byte],
-                                        emitValue: Boolean)
+                                        emitValue: Boolean,
+                                        screens: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val it = new TagRecordIterator(conf.value,
       p.asInstanceOf[XmlRangePartition].split, startTag, endTag)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) {
+
+      // the pushed-filter byte screen: a record failing any accepted
+      // predicate is dropped BEFORE a row materializes (no
+      // InternalRow, no UTF8String, no downstream filter eval)
+      private def passes(rec: String): Boolean = {
+        var i = 0
+        while (i < screens.length) {
+          val (kind, v) = screens(i)
+          val ok = kind match {
+            case "contains" => rec.contains(v)
+            case "startsWith" => rec.startsWith(v)
+            case "equals" => rec == v
+            case _ => rec != null // notnull: records are never null
+          }
+          if (!ok) return false
+          i += 1
+        }
+        true
+      }
+
+      override def next(): Boolean = {
+        while (it.hasNext) {
           val rec = it.next()
-          cur = if (emitValue) InternalRow(UTF8String.fromString(rec))
-          else InternalRow.empty
-          true
-        } else false
+          if (passes(rec)) {
+            cur = if (emitValue) InternalRow(UTF8String.fromString(rec))
+            else InternalRow.empty
+            return true
+          }
+        }
+        false
+      }
       override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
