@@ -171,6 +171,39 @@ object StreamingPipelines {
     updates.writeStream.outputMode("update")
       .foreachBatch((b: DataFrame, id: Long) => applyCdcBatch(b, id, root))
 
+  /** [[applyCdcStream]] in MERGE-ON-READ mode — the write-amplification
+    * fix for exactly this workload: a CDC feed of small scattered
+    * updates under the CoW applier rewrites a whole file per touched
+    * key per micro-batch, while the MoR applier
+    * ([[graft.sources.ManifestPrune.morMergeFrom]]) DV-masks the old
+    * rows and appends one delta file per batch — commit cost
+    * O(batch's rows), data files untouched, read overhead erased by
+    * the next compaction. Same CAS chain, same `cdc:` replay-cursor
+    * contract, so CoW and MoR CDC appliers (and delete batches) can
+    * interleave on one table. */
+  def applyCdcStreamMor(updates: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode("update")
+      .foreachBatch((b: DataFrame, id: Long) => applyCdcBatchMor(b, id, root))
+
+  private[graft] def applyCdcBatchMor(batch: DataFrame, batchId: Long,
+                                      root: String): Unit = {
+    import graft.sources.ManifestPrune
+    val s = batch.sparkSession
+    ManifestPrune.withCommitRetry() { () =>
+      val cur = ManifestPrune.currentVersion(s, root)
+      if (batchId <= lastAppliedBatch(root, cur, "cdc:"))
+        return // replay of a committed batch
+      val baseMf = ManifestPrune.manifestOf(root, cur)
+      val empty = ManifestPrune.readVersion(s, baseMf).limit(0)
+      val (mf, _) = ManifestPrune.morMergeFrom(s, root, baseMf,
+        ManifestPrune.dvOf(root, cur), batch, empty,
+        ManifestPrune.prepareToken())
+      val next = ManifestPrune.publish(root, cur, mf)
+      ManifestPrune.noteCommit(root, next, s"cdc:$batchId")
+    }
+  }
+
   /** Latest batch id a stream KIND committed on the chain: scan the
     * markers newest-first for a note bearing our tag. Interleaved
     * commits from OTHER kinds (CDC updates vs erasure deletes — their

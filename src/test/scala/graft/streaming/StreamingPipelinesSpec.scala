@@ -624,6 +624,78 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(t.count() === docs.count())
   }
 
+  test("MoR CDC apply lands the same state as CoW CDC apply without " +
+    "touching data files, shares the replay cursor, and interleaves") {
+    import graft.sources.ManifestPrune
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    def upd(m: Long, v: String) = docs.filter(col("doc_id") % 23 === m)
+      .select(col("doc_id"), lit(v).as("new_lang"))
+    val cow = graft.Tables.matDir(s"cdc_cow_${System.nanoTime}",
+      spark, sf0001)
+    val mor = graft.Tables.matDir(s"cdc_morx_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, cow, nFiles = 4)
+    ManifestPrune.buildLayout(docs, mor, nFiles = 4)
+    StreamingPipelines.applyCdcBatch(upd(3, "x0"), 0L, cow)
+    StreamingPipelines.applyCdcBatchMor(upd(3, "x0"), 0L, mor)
+    val a = ManifestPrune.readCommitted(spark, cow, 1L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = ManifestPrune.readCommitted(spark, mor, 1L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a === b)
+    // MoR carried every base file (no rewrite) where CoW did not
+    val base = spark.read.parquet(s"$mor/manifest")
+      .select("file").collect().map(_.getString(0)).toSet
+    val after = spark.read.parquet(ManifestPrune.manifestOf(mor, 1L))
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(base.subsetOf(after))
+    // replay of a committed MoR batch publishes nothing
+    StreamingPipelines.applyCdcBatchMor(upd(3, "x0"), 0L, mor)
+    assert(ManifestPrune.currentVersion(spark, mor) === 1L)
+    // interleave: a CoW batch on the MoR chain advances the same
+    // cdc: cursor, then a delete batch on its own cursor
+    StreamingPipelines.applyCdcBatch(upd(5, "x1"), 1L, mor)
+    StreamingPipelines.applyDeleteBatch(
+      docs.filter(col("doc_id") % 29 === 7).select("doc_id"), 0L, mor)
+    assert(ManifestPrune.currentVersion(spark, mor) === 3L)
+    val head = ManifestPrune.readCommitted(spark, mor, 3L).cache()
+    assert(head.filter(col("lang") === "x1").count() ===
+      docs.filter(col("doc_id") % 23 === 5 &&
+        col("doc_id") % 29 =!= 7).count())
+    assert(head.filter(col("doc_id") % 29 === 7).count() === 0L)
+  }
+
+  test("a table rebuilt at the same path invalidates the in-JVM " +
+    "replay cursor: the new chain's first batches are NOT skipped") {
+    import graft.sources.ManifestPrune
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val root = graft.Tables.matDir(s"cdc_rebuild_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
+    // three batches advance the cursor's floor to v3 / lastBatch 2
+    (0L to 2L).foreach { b =>
+      StreamingPipelines.applyCdcBatch(
+        docs.filter(col("doc_id") % 7 === b)
+          .select(col("doc_id"), lit(s"b$b").as("new_lang")), b, root)
+    }
+    assert(ManifestPrune.currentVersion(spark, root) === 3L)
+    // DELETE the table and rebuild a fresh chain at the SAME path —
+    // the dead chain's cached (floor=3, lastBatch=2) must not make
+    // the new stream treat batches 0..2 as replays (silent data loss)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(root))
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
+    StreamingPipelines.applyCdcBatch(
+      docs.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), lit("fresh").as("new_lang")), 0L, root)
+    assert(ManifestPrune.currentVersion(spark, root) === 1L)
+    assert(ManifestPrune.readCommitted(spark, root, 1L)
+      .filter(col("lang") === "fresh").count() ===
+      docs.filter(col("doc_id") % 5 === 1).count())
+  }
+
   test("CDC streams into a BRANCH (a branch is a full root) and " +
     "fast-forward publishes the drained stream onto main") {
     import graft.sources.ManifestPrune
