@@ -220,6 +220,34 @@ object CoreQueries {
       root
     })
 
+  /** q_eq_delete's chain (fresh root → PURE-METADATA equality delete
+    * v1 → MoR upsert v2 whose entry fold materializes the accumulated
+    * keys into positional form → a second equality delete v3 on the
+    * folded chain → compaction v4), built ONCE per (session, sf dir):
+    * the full Iceberg-v2 equality-delete lifecycle — O(keys) commit,
+    * read-side anti-join, fold-on-next-write, physical
+    * materialization — whose head read the oracle replays. */
+  private val eqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def eqDeleteChain(s: SparkSession, d: String): String =
+    eqCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"eq_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
+      graft.sources.ManifestPrune.eqDeleteCommit(s, root,
+        docs.filter(col("doc_id") % 11 === 4).select("doc_id"))
+      graft.sources.ManifestPrune.morMergeCommit(s, root,
+        docs.filter(col("doc_id") % 13 === 2)
+          .select(col("doc_id"), lit("ee").as("lang")),
+        docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+      graft.sources.ManifestPrune.eqDeleteCommit(s, root,
+        docs.filter(col("doc_id") % 17 === 6).select("doc_id"))
+      graft.sources.ManifestPrune.compactCommit(s, root, nFiles = 4)
+      root
+    })
+
   /** q_spec_evolution's chain (fresh root → DV delete v1 → evolve
     * clustering to doc_id v2 → compaction v3 that physically applies
     * the new spec), built ONCE per (session, sf dir). */
@@ -1866,6 +1894,71 @@ object CoreQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM head GROUP BY source, lang
              |ORDER BY source, lang""".stripMargin)),
+
+    // EQUALITY DELETES (ManifestPrune.eqDeleteCommit) — Iceberg v2's
+    // other delete kind: the commit records KEY VALUES, not positions,
+    // so it scans nothing (even a positional DV delete pays a
+    // position-planning join; a GDPR erasure queue meets its SLA with
+    // a bytes-sized commit). Readers anti-join on the accumulated
+    // keys until the next data-touching commit folds them into
+    // positional form (v2's MoR upsert here) or compaction
+    // materializes them physically (v4). The head read after
+    // delete→fold→delete→compact must equal the oracle's arithmetic
+    // replay; EqDeleteSpec pins the file-level contracts (no data
+    // file written at v1/v3, fold drops the sidecar, feed emission,
+    // vacuum retention, metadata-only counts refusing eq versions).
+    Q("q_eq_delete",
+      (s, d) => {
+        val root = eqDeleteChain(s, d)
+        graft.sources.ManifestPrune.readCommitted(s, root,
+          graft.sources.ManifestPrune.currentVersion(s, root))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH head AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE WHEN doc_id % 13 = 2 THEN 'ee' ELSE lang END
+             |      AS lang
+             |  FROM documents
+             |  WHERE doc_id % 11 <> 4 AND doc_id % 17 <> 6)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM head GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // METADATA-ONLY TABLE STATS (ManifestPrune.liveRowCount + the
+    // manifest's per-file bounds) — the Delta/Iceberg count(*) fast
+    // path: live rows = Σ n_rows − |DV|, bounds = min/max over the
+    // per-file stats, all answered from KB-sized manifests without
+    // touching a data file (MetaStatsSpec proves it by deleting the
+    // data dir and asking again). At 100 TB this is the difference
+    // between a dashboard's COUNT refreshing in milliseconds and
+    // scheduling a scan. Exactness contract: counts are exact under
+    // positional DVs (and refuse un-folded equality deletes —
+    // liveRowCountCommitted throws); bounds are exact per FILE, so
+    // the global min/max is exact on the physical rows (a DV cannot
+    // widen a bound; it can leave it stale, which the oracle's
+    // physical min/max mirrors).
+    Q("q_meta_stats",
+      (s, d) => {
+        val (mf, dv) = dvDeletedVersion(s, d)
+        val nLive = graft.sources.ManifestPrune.liveRowCount(
+          s, mf, Some(dv))
+        s.read.parquet(mf)
+          .agg(min(col("min_key")).cast("long").as("min_chars"),
+            max(col("max_key")).cast("long").as("max_chars"))
+          .select(lit(nLive).as("n_live"), col("min_chars"),
+            col("max_chars"))
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM documents WHERE doc_id % 7 <> 3)
+             |    AS n_live,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars
+             |FROM documents""".stripMargin)),
 
     // BRANCH + FAST-FORWARD (ManifestPrune.createBranch/fastForward)
     // — the Iceberg-refs/WAP write path: a writable branch forks main

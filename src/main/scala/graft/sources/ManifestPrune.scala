@@ -228,7 +228,11 @@ object ManifestPrune {
                    key: String = "doc_id"): (String, String) = {
     val dataV2 = s"$root/data_$version"
     val mfV2 = s"$root/manifest_$version"
-    val table = readVersionWithDv(s, baseManifest, baseDv)
+    // any accumulated equality deletes fold into positional form here
+    // (and are thereby materialized away — the prepared manifest
+    // carries no `_eqdel` pointer)
+    val effDv = foldEqDel(s, root, baseManifest, baseDv, version)
+    val table = readVersionWithDv(s, baseManifest, effDv)
     // 1. plan: which files hold a matched key? (driver-held, file-grain)
     val touchedKeys = deletes match {
       case Some(del) => updates.select(key)
@@ -246,7 +250,7 @@ object ManifestPrune {
     //    vectors already hide must not be resurrected by the rewrite
     val hit =
       if (hitFiles.isEmpty) table.limit(0)
-      else applyDv(s, s.read.parquet(hitFiles.toIndexedSeq: _*), baseDv)
+      else applyDv(s, s.read.parquet(hitFiles.toIndexedSeq: _*), effDv)
     val afterDelete = deletes match {
       case Some(del) => hit.join(del.select(key), Seq(key),
         "left_anti")
@@ -306,7 +310,7 @@ object ManifestPrune {
     untouched.unionByName(v2Stats, allowMissingColumns = true)
       .write.mode("overwrite").parquet(mfV2)
     carrySpecPointer(root, baseManifest, mfV2)
-    baseDv.foreach { dv =>
+    effDv.foreach { dv =>
       val carried = s.read.parquet(dv)
         .filter(if (hitFiles.isEmpty) lit(true)
           else !col("file").isInCollection(hitFiles.toIndexedSeq))
@@ -349,15 +353,17 @@ object ManifestPrune {
                    key: String = "doc_id"): (String, String) = {
     val mfV = s"$root/manifest_$version"
     val dvV = s"$root/dv_$version"
+    // accumulated equality deletes fold into this version's sidecar
+    val effDv = foldEqDel(s, root, baseManifest, baseDv, version)
     // plan: positions of doomed rows, a distributed join on the key —
     // never a driver-side row list (only FILES are ever driver-held
     // in this layer, and a DV delete holds none at all)
-    val doomed = readVersionWithDv(s, baseManifest, baseDv)
+    val doomed = readVersionWithDv(s, baseManifest, effDv)
       .select(col("_metadata.file_path").as("file"),
         col("_metadata.row_index").as("pos"), col(key))
       .join(deletes.select(key), key)
       .select("file", "pos")
-    val merged = baseDv match {
+    val merged = effDv match {
       case Some(dv) => s.read.parquet(dv).unionByName(doomed).distinct()
       case None => doomed.distinct()
     }
@@ -399,7 +405,9 @@ object ManifestPrune {
     val dataDelta = s"$root/data_$version"
     val mfV = s"$root/manifest_$version"
     val dvV = s"$root/dv_$version"
-    val table = readVersionWithDv(s, baseManifest, baseDv)
+    // accumulated equality deletes fold into this version's sidecar
+    val effDv = foldEqDel(s, root, baseManifest, baseDv, version)
+    val table = readVersionWithDv(s, baseManifest, effDv)
     val upd0 =
       if (updates.columns.contains("new_lang"))
         updates.withColumnRenamed("new_lang", "lang")
@@ -421,7 +429,7 @@ object ManifestPrune {
         col("_metadata.row_index").as("pos"), col(key))
       .join(maskKeys.distinct(), key)
       .select("file", "pos")
-    val mergedDv = baseDv match {
+    val mergedDv = effDv match {
       case Some(dv) => s.read.parquet(dv).unionByName(doomed).distinct()
       case None => doomed.distinct()
     }
@@ -436,7 +444,7 @@ object ManifestPrune {
       "MoR merge hit-file plan").toArray
     val hit =
       if (hitFiles.isEmpty) table.limit(0)
-      else applyDv(s, s.read.parquet(hitFiles.toIndexedSeq: _*), baseDv)
+      else applyDv(s, s.read.parquet(hitFiles.toIndexedSeq: _*), effDv)
     val prefixed = setCols.foldLeft(upd0) { (d, c) =>
       d.withColumnRenamed(c, s"__u_$c")
     }
@@ -572,12 +580,143 @@ object ManifestPrune {
       java.nio.file.Paths.get(s"$manifestDir/_dv"),
       new java.io.File(dvDir).getName + "\n")
 
-  /** Read the table at a committed version, deletion vectors
-    * applied — the one entry point that is correct whether the
-    * version chain contains CoW merges, DV deletes, or both. */
+  // ------------------------------------------------ equality deletes
+
+  /** Equality-delete sidecar dir of a committed version, when one
+    * exists — Iceberg v2 EQUALITY DELETES: the sidecar holds KEY
+    * VALUES (whatever columns [[eqDeleteCommit]] recorded), not
+    * positions, so the delete commit costs O(deleted keys) with ZERO
+    * data reads — no position-planning join, the one cost even
+    * positional DVs must pay. Resolution is pointer-only: `_eqdel`
+    * inside the manifest dir, published by the same atomic rename as
+    * the manifest. A dangling pointer fails the read (the [[dvOf]]
+    * rule: silent degradation would resurrect deleted rows). */
+  def eqDelOf(root: String, version: Long): Option[String] = {
+    if (version < 0L) return None
+    val ptr = new java.io.File(s"${manifestOf(root, version)}/_eqdel")
+    if (!ptr.isFile) return None
+    val named = new java.io.File(root,
+      java.nio.file.Files.readString(ptr.toPath).trim)
+    if (!named.isDirectory)
+      throw new IllegalStateException(
+        s"version $version's equality-delete sidecar ${named.getPath} " +
+          "is missing — the table metadata is corrupt (was it " +
+          "vacuumed by an external process?)")
+    Some(named.getPath)
+  }
+
+  private def writeEqDelPointer(manifestDir: String,
+                                eqDir: String): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$manifestDir/_eqdel"),
+      new java.io.File(eqDir).getName + "\n")
+
+  /** Hide rows matching an equality-delete sidecar: anti-join on the
+    * sidecar's OWN column set, so single and composite equality keys
+    * both work without a schema contract beyond "these columns exist
+    * in the table". The sidecar is sized by deleted keys — at scale
+    * the anti-join broadcasts until a fold or compaction erases it. */
+  private def applyEqDel(s: SparkSession, data: DataFrame,
+                         eqDir: Option[String]): DataFrame = eqDir match {
+    case None => data
+    case Some(eq) =>
+      val keys = s.read.parquet(eq)
+      data.join(keys, keys.columns.toIndexedSeq, "left_anti")
+  }
+
+  /** DELETE WHERE (keys) as a PURE-METADATA commit — the cheapest
+    * delete the chain offers: write the key rows (∪ any accumulated
+    * ones) and a manifest byte-copy, scan NOTHING. Positional DV
+    * deletes ([[dvDeleteCommit]]) pay a position-planning join over
+    * the key's files at commit time; an equality delete moves that
+    * whole cost to readers — each committed read anti-joins on the
+    * accumulated keys — until the next data-touching commit
+    * ([[foldEqDel]]) or compaction materializes them away. That is
+    * the right trade for a 100 TB GDPR queue: the erasure SLA is met
+    * by a bytes-sized commit, and the scan is paid once in
+    * maintenance, not once per erased key. `keys`' column set defines
+    * the equality columns and must stay consistent across the
+    * sidecar's lifetime (commits union into it). */
+  def eqDeleteCommit(s: SparkSession, root: String,
+                     keys: DataFrame): Long = {
+    val base = currentVersion(s, root)
+    val tok = prepareToken()
+    val eqDir = s"$root/eqdel_$tok"
+    val merged = eqDelOf(root, base) match {
+      case Some(e) => s.read.parquet(e).unionByName(keys).distinct()
+      case None => keys.distinct()
+    }
+    merged.write.mode("overwrite").parquet(eqDir)
+    val prepared = new java.io.File(s"$root/manifest_$tok")
+    copyDirFlat(new java.io.File(manifestOf(root, base)), prepared)
+    writeEqDelPointer(prepared.getPath, eqDir)
+    val v = publish(root, base, prepared.getPath)
+    noteCommit(root, v, "eqdel")
+    v
+  }
+
+  /** Fold a base version's equality deletes into POSITIONAL form so
+    * the *From planners (which speak (file, pos)) keep one sidecar
+    * language: returns `baseDv` unchanged when the base manifest
+    * carries no `_eqdel` pointer, else writes `dv_<version>f` =
+    * baseDv ∪ the eq-matching live rows' positions and returns that.
+    * Because the planners' prepared manifests never carry an
+    * `_eqdel` pointer, the fold is ALSO how equality deletes get
+    * materialized away (Iceberg's convert-on-rewrite rule): the
+    * deferred planning join is paid ONCE, at the next data-touching
+    * commit, never again. */
+  private def foldEqDel(s: SparkSession, root: String,
+                        baseManifest: String, baseDv: Option[String],
+                        version: String): Option[String] = {
+    val ptr = new java.io.File(s"$baseManifest/_eqdel")
+    if (!ptr.isFile) return baseDv
+    val eqDir = new java.io.File(root,
+      java.nio.file.Files.readString(ptr.toPath).trim)
+    if (!eqDir.isDirectory)
+      throw new IllegalStateException(
+        s"base manifest $baseManifest's equality-delete sidecar " +
+          s"${eqDir.getPath} is missing")
+    val keys = s.read.parquet(eqDir.getPath)
+    val hits = readVersionWithDv(s, baseManifest, baseDv)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(keys, keys.columns.toIndexedSeq, "left_semi")
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+    val folded = baseDv match {
+      case Some(dv) => s.read.parquet(dv).unionByName(hits).distinct()
+      case None => hits.distinct()
+    }
+    val dir = s"$root/dv_${version}f"
+    folded.write.mode("overwrite").parquet(dir)
+    Some(dir)
+  }
+
+  /** [[liveRowCount]] resolved through a committed version's
+    * sidecars — and HONEST about when metadata cannot answer: under
+    * an un-folded equality delete the live count is a data question
+    * (how many rows match the keys?), so this throws rather than
+    * estimate (Iceberg has the same rule: eq-deletes make scan
+    * metrics estimates). Compact or commit any data change to
+    * restore O(1) counts. */
+  def liveRowCountCommitted(s: SparkSession, root: String,
+                            version: Long): Long = {
+    require(eqDelOf(root, version).isEmpty,
+      s"version $version carries equality deletes — live counts " +
+        "need a scan until a data-touching commit or compaction " +
+        "folds them into positions")
+    liveRowCount(s, manifestOf(root, version), dvOf(root, version))
+  }
+
+  /** Read the table at a committed version, deletion vectors and
+    * equality deletes applied — the one entry point that is correct
+    * whether the version chain contains CoW merges, DV deletes,
+    * equality deletes, or all three. */
   def readCommitted(s: SparkSession, root: String,
                     version: Long): DataFrame =
-    readVersionWithDv(s, manifestOf(root, version), dvOf(root, version))
+    applyEqDel(s,
+      readVersionWithDv(s, manifestOf(root, version),
+        dvOf(root, version)),
+      eqDelOf(root, version))
 
   /** Commit wall-clock time of a version, from the artifacts the
     * chain already durably keeps: the commit MARKER's mtime (markers
@@ -682,6 +821,8 @@ object ManifestPrune {
     val m1 = manifestOf(root, v)
     val d0 = dvOf(root, v - 1)
     val d1 = dvOf(root, v)
+    val e0 = eqDelOf(root, v - 1)
+    val e1 = eqDelOf(root, v)
     val f0 = s.read.parquet(m0).select("file")
     val f1 = s.read.parquet(m1).select("file")
     val removed = collectFileList(s, f0.except(f1),
@@ -691,9 +832,14 @@ object ManifestPrune {
     // template for empty frames + the payload column list
     val schemaRow = readVersion(s, m1).limit(0)
     val payloadCols = schemaRow.columns.filterNot(_ == key).toSeq
-    def readLive(files: Seq[String], dv: Option[String]): DataFrame =
+    // "live" means visible under BOTH sidecar kinds of the respective
+    // side — rows an equality delete already hid must not re-emit
+    // when a later commit folds them into positions or rewrites their
+    // file away (the consumer saw their delete at the eqdel commit)
+    def readLive(files: Seq[String], dv: Option[String],
+                 eq: Option[String]): DataFrame =
       if (files.isEmpty) schemaRow
-      else applyDv(s, s.read.parquet(files: _*), dv)
+      else applyEqDel(s, applyDv(s, s.read.parquet(files: _*), dv), eq)
     // 1. DV delta on carried files, BOTH directions. Growth (in d1,
     // not d0) hides rows → deletes. Shrink (in d0, not d1) UN-hides
     // rows → inserts — the restoreVersion case: rolling back a
@@ -705,19 +851,25 @@ object ManifestPrune {
     // ambiguity safe: a REWRITE that drops its DVs also replaces the
     // files (nothing carried → empty delta), while a restore keeps
     // the files (carried → full shrink emitted).
-    def dvSideRows(delta0: DataFrame, tag: String): DataFrame = {
-      // positions must reference carried files; the semi-join pins it
+    def dvSideRows(delta0: DataFrame, tag: String,
+                   eq: Option[String]): DataFrame = {
+      // positions must reference carried files; the semi-join pins it.
+      // `eq` screens out rows the respective side's equality deletes
+      // already hide: a FOLD grows the DV by exactly the eq-hidden
+      // positions (their deletes were emitted at the eqdel commit),
+      // and rolling a fold back re-hides the resurrected positions
+      // behind the restored eq sidecar — both must emit NOTHING.
       val delta = delta0.join(f1.intersect(f0), Seq("file"),
         "left_semi")
       val files = collectFileList(s, delta.select("file").distinct(),
         s"change-feed DV-$tag files of v$v")
       if (files.isEmpty) schemaRow
-      else s.read.parquet(files: _*)
+      else applyEqDel(s, s.read.parquet(files: _*)
         .withColumn("__file", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
         .join(delta, col("__file") === col("file") &&
           col("__pos") === col("pos"))
-        .select(schemaRow.columns.map(col).toIndexedSeq: _*)
+        .select(schemaRow.columns.map(col).toIndexedSeq: _*), eq)
     }
     val dvGrow: Option[DataFrame] = (d0, d1) match {
       case (_, None) => None
@@ -731,13 +883,51 @@ object ManifestPrune {
       case (Some(a), Some(b)) =>
         Some(s.read.parquet(a).except(s.read.parquet(b)))
     }
-    val dvDeletes = dvGrow.map(dvSideRows(_, "grow")).getOrElse(schemaRow)
-    val dvInserts = dvShrink.map(dvSideRows(_, "shrink")).getOrElse(schemaRow)
+    val dvDeletes = dvGrow.map(dvSideRows(_, "grow", e0))
+      .getOrElse(schemaRow)
+    val dvInserts = dvShrink.map(dvSideRows(_, "shrink", e1))
+      .getOrElse(schemaRow)
+    // 1c. equality-delete delta, both directions (the DV rule applied
+    // to key-valued sidecars). Growth hides live rows → deletes;
+    // shrink — a RESTORE rolling back an eqdel commit — un-hides
+    // them → inserts. A key's row set is read at THIS version's
+    // files+DV (an eqdel commit touches neither), which costs a scan
+    // of the table, not of the delta — the read-side price equality
+    // deletes defer by design; feed consumers on eqdel-heavy chains
+    // should compact first. A grow key is by definition absent from
+    // e0 (and shrink from e1), so no further cross-screen is needed.
+    def eqRows(dir: Option[String]): Option[DataFrame] =
+      dir.map(s.read.parquet(_))
+    val (eqGrowKeys, eqShrinkKeys): (Option[DataFrame], Option[DataFrame]) =
+      if (e0 == e1) (None, None)
+      else {
+        val g = (eqRows(e0), eqRows(e1)) match {
+          case (_, None) => None
+          case (None, Some(b)) => Some(b)
+          case (Some(a), Some(b)) => Some(b.except(a))
+        }
+        val sh = (eqRows(e0), eqRows(e1)) match {
+          case (None, _) => None
+          case (Some(a), None) => Some(a)
+          case (Some(a), Some(b)) => Some(a.except(b))
+        }
+        (g, sh)
+      }
+    def eqSideRows(keysOpt: Option[DataFrame]): DataFrame =
+      keysOpt match {
+        case None => schemaRow
+        case Some(keys) =>
+          readVersionWithDv(s, m1, d1)
+            .join(keys, keys.columns.toIndexedSeq, "left_semi")
+            .select(schemaRow.columns.map(col).toIndexedSeq: _*)
+      }
+    val eqDeletes = eqSideRows(eqGrowKeys)
+    val eqInserts = eqSideRows(eqShrinkKeys)
     // 2. removed-vs-added key diff (bounded by the commit's own files)
-    val oldS = readLive(removed, d0)
+    val oldS = readLive(removed, d0, e0)
       .select(col(key).as("__k"),
         struct(payloadCols.map(col): _*).as("__old"))
-    val newS = readLive(added, d1)
+    val newS = readLive(added, d1, e1)
       .select(col(key).as("__k"),
         struct(payloadCols.map(col): _*).as("__new"))
     val joined = oldS.join(newS, Seq("__k"), "full_outer")
@@ -757,6 +947,10 @@ object ManifestPrune {
     dvDeletes.withColumn("op", lit("delete"))
       .select("op", schemaRow.columns.toIndexedSeq: _*)
       .unionByName(dvInserts.withColumn("op", lit("insert"))
+        .select("op", schemaRow.columns.toIndexedSeq: _*))
+      .unionByName(eqDeletes.withColumn("op", lit("delete"))
+        .select("op", schemaRow.columns.toIndexedSeq: _*))
+      .unionByName(eqInserts.withColumn("op", lit("insert"))
         .select("op", schemaRow.columns.toIndexedSeq: _*))
       .unionByName(keyDiff)
       .withColumn("version", lit(v))
@@ -1226,7 +1420,9 @@ object ManifestPrune {
     val files = planRangeCommitted(s, root, version, colName, lo, hi)
     val base =
       if (files.isEmpty) readVersion(s, manifestOf(root, version)).limit(0)
-      else applyDv(s, s.read.parquet(files: _*), dvOf(root, version))
+      else applyEqDel(s,
+        applyDv(s, s.read.parquet(files: _*), dvOf(root, version)),
+        eqDelOf(root, version))
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
@@ -1324,6 +1520,7 @@ object ManifestPrune {
       s"cannot restore expired version $version — its manifests " +
         "were vacuumed (see expireVersions retention)")
     dvOf(root, version) // fail fast on a corrupt sidecar pointer
+    eqDelOf(root, version) // (both kinds)
     val tok = prepareToken()
     val prepared = new java.io.File(s"$root/manifest_$tok")
     copyDirFlat(src, prepared)
@@ -1377,6 +1574,11 @@ object ManifestPrune {
     // branch root with the SAME name the copied `_dv` pointer holds
     dvOf(root, fromVersion).foreach { dv =>
       val d = new java.io.File(dv)
+      copyDirFlat(d, new java.io.File(broot, d.getName))
+    }
+    // same rehoming for un-folded equality deletes at the fork
+    eqDelOf(root, fromVersion).foreach { eq =>
+      val d = new java.io.File(eq)
       copyDirFlat(d, new java.io.File(broot, d.getName))
     }
     // branch writes obey the table's CHECK constraints
@@ -1442,6 +1644,12 @@ object ManifestPrune {
       copyDirFlat(new java.io.File(dv), dst)
       java.nio.file.Files.writeString(
         new java.io.File(prepared, "_dv").toPath, dst.getName + "\n")
+    }
+    eqDelOf(br, bcur).foreach { eq =>
+      val dst = new java.io.File(s"$root/eqdel_$tok")
+      copyDirFlat(new java.io.File(eq), dst)
+      java.nio.file.Files.writeString(
+        new java.io.File(prepared, "_eqdel").toPath, dst.getName + "\n")
     }
     val v = publish(root, fork, prepared.getPath)
     noteCommit(root, v, s"fast-forward:$name@$bcur")
@@ -1730,12 +1938,17 @@ object ManifestPrune {
     // publishes a verbatim pointer copy, so the restored head and its
     // (expirable) source share one sidecar dir
     val keptDvPaths = kept.flatMap(v =>
-      scala.util.Try(dvOf(root, v)).toOption.flatten).toSet
+      scala.util.Try(dvOf(root, v)).toOption.flatten).toSet ++
+      kept.flatMap(v =>
+        scala.util.Try(eqDelOf(root, v)).toOption.flatten)
     (0L until keepFrom).filterNot(tagged).foreach { v =>
       // a crash in a PRIOR expiry between sidecar and manifest
       // deletion leaves a dangling pointer — for an EXPIRED version
       // that is fine, there is nothing left to protect
       scala.util.Try(dvOf(root, v)).toOption.flatten
+        .filterNot(keptDvPaths)
+        .foreach(d => if (rmTree(new java.io.File(d))) removedDv += 1)
+      scala.util.Try(eqDelOf(root, v)).toOption.flatten
         .filterNot(keptDvPaths)
         .foreach(d => if (rmTree(new java.io.File(d))) removedDv += 1)
       if (rmTree(new java.io.File(manifestOf(root, v)))) removedMf += 1
@@ -1748,7 +1961,8 @@ object ManifestPrune {
     //    that never won the canonical name, their sidecars (unless a
     //    kept version's pointer references one), and u-named data
     //    dirs whose files were all collected by reachability above
-    val keptDv = kept.flatMap(v => dvOf(root, v))
+    val keptDv = (kept.flatMap(v => dvOf(root, v)) ++
+        kept.flatMap(v => eqDelOf(root, v)))
       .map(p => new java.io.File(p).getName).toSet
     rootDir.listFiles().filter(d => d.isDirectory && oldEnough(d))
       .foreach { d =>
@@ -1756,6 +1970,8 @@ object ManifestPrune {
           case n if n.startsWith("manifest_u") =>
             if (rmTree(d)) removedMf += 1
           case n if n.startsWith("dv_u") && !keptDv.contains(n) =>
+            if (rmTree(d)) removedDv += 1
+          case n if n.startsWith("eqdel_u") && !keptDv.contains(n) =>
             if (rmTree(d)) removedDv += 1
           case n if n.startsWith("data_u") &&
               d.listFiles().forall(!_.getName.endsWith(".parquet")) =>
