@@ -248,6 +248,34 @@ object CoreQueries {
       root
     })
 
+  /** q_clone's pair of chains (source: layout → DV delete; clone at
+    * the head; clone-side MoR update; SOURCE-side divergence the
+    * clone must not see), built ONCE per (session, sf dir). */
+  private val cloneCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def clonedChain(s: SparkSession, d: String): String =
+    cloneCache.computeIfAbsent((s, d), { _ =>
+      val src = Tables.matDir(s"clone_src_${System.nanoTime}", s, d)
+      val dst = Tables.matDir(s"clone_dst_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      graft.sources.ManifestPrune.buildLayout(docs, src, nFiles = 8)
+      graft.sources.ManifestPrune.dvDeleteCommit(s, src,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      // matDir pre-creates the dir; cloneTable insists on creating it
+      new java.io.File(dst).delete()
+      graft.sources.ManifestPrune.cloneTable(s, src, dst)
+      graft.sources.ManifestPrune.morMergeCommit(s, dst,
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), lit("cc").as("lang")),
+        docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+      // the source diverges AFTER the clone — invisible to the clone
+      graft.sources.ManifestPrune.dvDeleteCommit(s, src,
+        docs.filter(col("doc_id") % 19 === 8).select("doc_id"))
+      dst
+    })
+
   /** q_spec_evolution's chain (fresh root → DV delete v1 → evolve
     * clustering to doc_id v2 → compaction v3 that physically applies
     * the new spec), built ONCE per (session, sf dir). */
@@ -1926,6 +1954,34 @@ object CoreQueries {
              |  WHERE doc_id % 11 <> 4 AND doc_id % 17 <> 6)
              |SELECT lang, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM head GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // SHALLOW CLONE (ManifestPrune.cloneTable) — Delta's zero-copy
+    // table fork: the clone's v0 references the source's data files
+    // by path (KB of metadata copied, no data), then both sides
+    // evolve independently — the clone takes a MoR update, the source
+    // a later delete the clone must NOT see. The gate reads the clone
+    // head against the oracle's replay of exactly the clone's
+    // lineage (source state AT the clone + clone-side update);
+    // CloneSpec pins the sharing contracts (zero data files copied,
+    // source vacuum protects registered clones, detach releases).
+    Q("q_clone",
+      (s, d) => {
+        val dst = clonedChain(s, d)
+        graft.sources.ManifestPrune.readCommitted(s, dst,
+          graft.sources.ManifestPrune.currentVersion(s, dst))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH head AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN 'cc' ELSE lang END
+             |      AS lang
+             |  FROM documents WHERE doc_id % 7 <> 3)
+             |SELECT lang, count(*) AS n_docs,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM head GROUP BY lang ORDER BY lang""".stripMargin)),
 

@@ -1747,6 +1747,79 @@ object ManifestPrune {
     rm(br)
   }
 
+  // ---------------------------------------------------- shallow clones
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`): a new,
+    * independent table root whose version 0 references the SOURCE's
+    * data files by absolute path — zero bytes of data copied, only
+    * the manifest, sidecars, constraints, and spec registry (all
+    * KB-sized). The clone IS a root: every chain face works on it
+    * unchanged, and its own commits write new files under ITS root
+    * only, so source and clone diverge without ever touching each
+    * other's data — the cheap "fork the 100 TB corpus for an
+    * experiment" primitive.
+    *
+    * The one hazard of sharing is the source's VACUUM: a file only
+    * the clone still references must survive the source's expiry.
+    * Delta answers with a documented footgun ("vacuum on the source
+    * breaks shallow clones"); here the clone REGISTERS itself under
+    * the source's `_clones/` and [[expireVersions]] adds every
+    * registered clone's retained manifests to the keep set (the
+    * branch rule applied across roots). [[detachClone]] removes the
+    * registration once the clone is dropped or fully compacted away
+    * from shared files (compactCommit + its own expiry). A clone of
+    * a clone registers against ITS source — protection is pairwise,
+    * matching where the shared files live. */
+  def cloneTable(s: SparkSession, srcRoot: String, dstRoot: String,
+                 version: Long = -1L): String = {
+    val v = if (version < 0L) currentVersion(s, srcRoot) else version
+    val srcMf = new java.io.File(manifestOf(srcRoot, v))
+    require(srcMf.isDirectory,
+      s"cannot clone expired or uncommitted version $v of $srcRoot")
+    val dst = new java.io.File(dstRoot)
+    require(dst.mkdirs(), s"clone destination $dstRoot already exists")
+    copyDirFlat(srcMf, new java.io.File(dst, "manifest"))
+    // rehome sidecars under the clone root with the pointer-held names
+    (dvOf(srcRoot, v).toSeq ++ eqDelOf(srcRoot, v).toSeq).foreach { d0 =>
+      val d = new java.io.File(d0)
+      copyDirFlat(d, new java.io.File(dst, d.getName))
+    }
+    Seq("_constraints", "_specs").foreach { meta =>
+      val m = new java.io.File(srcRoot, meta)
+      if (m.isDirectory) copyDirFlat(m, new java.io.File(dst, meta))
+    }
+    // register for the source's vacuum protection BEFORE the clone is
+    // announced anywhere (a crash between mkdirs and here leaves an
+    // unregistered, unused dst dir — garbage, never a broken reader)
+    val reg = new java.io.File(srcRoot, "_clones")
+    reg.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(reg, prepareToken()).toPath,
+      dst.getCanonicalPath + "\n")
+    dstRoot
+  }
+
+  /** Clone roots registered under a source (vacuum-protected). */
+  def listClones(root: String): Seq[String] = {
+    val reg = new java.io.File(root, "_clones")
+    if (!reg.isDirectory) Seq.empty
+    else reg.listFiles().filter(_.isFile).toSeq.map(f =>
+      java.nio.file.Files.readString(f.toPath).trim).distinct.sorted
+  }
+
+  /** Unregister a clone from the source's vacuum protection — the
+    * caller asserts the clone no longer reads the source's files
+    * (dropped, or compacted onto its own files and expired). */
+  def detachClone(srcRoot: String, dstRoot: String): Boolean = {
+    val reg = new java.io.File(srcRoot, "_clones")
+    if (!reg.isDirectory) return false
+    val want = new java.io.File(dstRoot).getCanonicalPath
+    val hits = reg.listFiles().filter(f => f.isFile &&
+      java.nio.file.Files.readString(f.toPath).trim == want)
+    hits.foreach(_.delete())
+    hits.nonEmpty
+  }
+
   /** Byte-copy every regular file of `src` into a fresh `dst` (flat:
     * manifest/sidecar dirs have no subdirs) — copies preserve parquet
     * bytes AND rider files (`_dv`, `_SUCCESS`, checksums) exactly. */
@@ -1908,8 +1981,21 @@ object ManifestPrune {
         !d.getName.startsWith("manifest_u") &&
         d.getName != "manifest_tree").map(_.getPath)
     }
+    // SHALLOW CLONES are live references too ([[cloneTable]]): every
+    // registered clone's retained manifests join the keep set — the
+    // branch rule applied across roots. A vanished clone dir means a
+    // dropped clone nobody detached; nothing left to protect.
+    val cloneManifests: Seq[String] = listClones(root).flatMap { cr =>
+      val cdir = new java.io.File(cr)
+      if (!cdir.isDirectory) Seq.empty[String]
+      else cdir.listFiles().toSeq.filter(d => d.isDirectory &&
+        d.getName.startsWith("manifest") &&
+        !d.getName.startsWith("manifest_u") &&
+        d.getName != "manifest_tree").map(_.getPath)
+    }
     val keep: Set[String] = (kept.map(v => manifestOf(root, v)) ++
-      adHocManifests.map(_.getPath) ++ branchManifests).flatMap { m =>
+      adHocManifests.map(_.getPath) ++ branchManifests ++
+      cloneManifests).flatMap { m =>
       collectFileList(s, s.read.parquet(m).select("file"),
         s"expiry keep-set of $m")
     }.map(localPath).toSet
