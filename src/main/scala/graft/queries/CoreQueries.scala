@@ -248,6 +248,22 @@ object CoreQueries {
       root
     })
 
+  /** q_point_lookup's chain (layout → DV delete v1 → per-file bloom
+    * index over doc_id), built ONCE per (session, sf dir). */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def bloomChain(s: SparkSession, d: String): String =
+    bloomCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"bloom_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
+      graft.sources.ManifestPrune.dvDeleteCommit(s, root,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      graft.sources.BloomIndex.build(s, root, 1L)
+      root
+    })
+
   /** q_clone's pair of chains (source: layout → DV delete; clone at
     * the head; clone-side MoR update; SOURCE-side divergence the
     * clone must not see), built ONCE per (session, sf dir). */
@@ -1956,6 +1972,30 @@ object CoreQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM head GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // POINT LOOKUP VIA A PER-FILE BLOOM INDEX (BloomIndex) — the
+    // file-skipping range stats can't give: the layout clusters by
+    // n_chars, so a doc_id point probe overlaps every file's range
+    // and only the bloom sidecar prunes (PointLookupSpec pins
+    // planned ⊂ manifest). One probed id is DV-deleted — the read
+    // applies the version's sidecars after the screen, so the bloom's
+    // false-positive-only contract composes with deletes. The gate
+    // returns the looked-up rows themselves (text included): a row
+    // store point-read, hash-matched against the oracle's IN filter.
+    Q("q_point_lookup",
+      (s, d) => {
+        val root = bloomChain(s, d)
+        graft.sources.BloomIndex.readPoint(s, root, 1L, "doc_id",
+          Seq(3L, 7L, 113L, 211L, 317L, 431L))
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents
+             |WHERE doc_id IN (3, 7, 113, 211, 317, 431)
+             |  AND doc_id % 7 <> 3
+             |ORDER BY doc_id""".stripMargin)),
 
     // SHALLOW CLONE (ManifestPrune.cloneTable) — Delta's zero-copy
     // table fork: the clone's v0 references the source's data files

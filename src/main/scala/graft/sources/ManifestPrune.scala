@@ -45,7 +45,7 @@ object ManifestPrune {
   /** Collect a one-string-column frame of file paths under the bound;
     * the collect itself is capped at bound+1 rows, so an oversized
     * manifest costs one truncated scan, never an unbounded collect. */
-  private def collectFileList(s: SparkSession,
+  private[sources] def collectFileList(s: SparkSession,
                               files: org.apache.spark.sql.DataFrame,
                               what: String): Seq[String] = {
     val cap = maxDriverFiles(s)
@@ -481,7 +481,7 @@ object ManifestPrune {
     * needs no sort — this is a plain shuffled anti-join at any
     * scale (broadcast when the sidecar is small enough for AQE to
     * notice). */
-  private def applyDv(s: SparkSession, data: DataFrame,
+  private[sources] def applyDv(s: SparkSession, data: DataFrame,
                       dvDir: Option[String]): DataFrame = dvDir match {
     case None => data
     case Some(dv) =>
@@ -616,7 +616,7 @@ object ManifestPrune {
     * both work without a schema contract beyond "these columns exist
     * in the table". The sidecar is sized by deleted keys — at scale
     * the anti-join broadcasts until a fold or compaction erases it. */
-  private def applyEqDel(s: SparkSession, data: DataFrame,
+  private[sources] def applyEqDel(s: SparkSession, data: DataFrame,
                          eqDir: Option[String]): DataFrame = eqDir match {
     case None => data
     case Some(eq) =>
