@@ -174,7 +174,8 @@ object IvfIndex {
   def searchIndexed(spark: SparkSession, indexDir: String,
                     centroids: DataFrame, queries: DataFrame,
                     topK: Int, nProbe: Int,
-                    sim: (Column, Column) => Column = floatCosine): DataFrame = {
+                    sim: (Column, Column) => Column = floatCosine,
+                    candidates: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy("query_id")
       .orderBy(desc("csim"), asc("centroid_id"))
@@ -185,8 +186,18 @@ object IvfIndex {
       .select(col("query_id"), col("qv"), col("centroid_id"))
     val probedIds = probes.select("centroid_id").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by K — driver-tiny
-    val lists = spark.read.parquet(indexDir)
+    // FILTERED search composes here: a metadata predicate (as a
+    // vec_id key set) semi-joins INSIDE the probed lists, before any
+    // distance math — the filter shrinks the scored set, the probe
+    // set still bounds the scan, and the k-guarantee holds over the
+    // filtered population (pre-filtering, not top-k-then-filter)
+    val lists0 = spark.read.parquet(indexDir)
       .filter(col("centroid_id").isin(probedIds: _*))
+    val lists = candidates match {
+      case Some(keys) => lists0.join(keys.select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      case None => lists0
+    }
     val scored = lists
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -275,6 +275,60 @@ object SimilarityQueries {
              |SELECT query_id, neighbor_id, rank, cos FROM r
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // FILTERED ANN, pre-filter strategy — the production vector-store
+    // query shape ("neighbors among docs WHERE lang='en'"): the
+    // metadata predicate prunes the CANDIDATE corpus before any
+    // distance math (documents joined on vec_id = doc_id, filter
+    // pushed into the scan), so cost is selectivity × scan and the
+    // k-guarantee holds over the filtered population. The alternative
+    // — top-k then filter — silently under-fills k whenever the
+    // filter is selective; pre-filtering is the honest default, and
+    // q_ann_filtered_ivf below shows the index-composed form.
+    Q("q_ann_filtered",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = scaled(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("sv").as("a_sv"),
+            col("nn").as("a_nn"))
+        val en = Tables.load(s, d, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))
+        val c = e.join(en, Seq("vec_id"), "left_semi")
+          .select(col("vec_id").as("neighbor_id"), col("sv").as("b_sv"),
+            col("nn").as("b_nn"))
+        val pairs = c.join(broadcast(q),
+            col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos", cosineFromScaled(
+            col("a_sv"), col("b_sv"), col("a_nn"), col("b_nn")))
+        val top = graft.plans.TopKPerGroup.topKPerGroup(pairs,
+          Seq(col("query_id")), Seq(desc("cos"), asc("neighbor_id")), 5)
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("cos"), asc("neighbor_id"))
+        top.withColumn("rank", row_number().over(w).cast(LongType))
+          .select("query_id", "neighbor_id", "rank", "cos")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $scaledCte,
+             |q AS (SELECT vec_id AS query_id, sv AS a_sv, nn AS a_nn
+             |      FROM nrm WHERE vec_id < 5),
+             |c AS (SELECT e.vec_id AS neighbor_id, e.sv AS b_sv,
+             |        e.nn AS b_nn
+             |      FROM nrm e
+             |      WHERE e.vec_id IN (SELECT doc_id FROM documents
+             |                         WHERE lang = 'en')),
+             |s AS (
+             |  SELECT query_id, neighbor_id,
+             |    $cosExpr AS cos
+             |  FROM c JOIN q ON neighbor_id <> query_id),
+             |r AS (
+             |  SELECT query_id, neighbor_id, cos,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+             |  FROM s)
+             |SELECT query_id, neighbor_id, rank, cos FROM r
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // bucketed ANN (IVF-style): candidates restricted to the query's
     // bucket — here the label column stands in for a centroid
     // assignment; the plan shape (bucket equi-join prunes the scan) is
@@ -378,6 +432,48 @@ object SimilarityQueries {
       },
       Some(s"""WITH $scaledCte,
              |$ivfSearchCtes
+             |SELECT query_id, neighbor_id, rank, sim FROM r
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // FILTERED ANN through the IVF index — the scale form of
+    // q_ann_filtered: the metadata key set semi-joins INSIDE the
+    // probed inverted lists (IvfIndex.searchIndexed's `candidates`),
+    // so the scan is still bounded by nProbe lists AND the filter,
+    // and the k results are the true filtered top-k of the probed
+    // population (no over-fetch heuristics). At 100 TB this is the
+    // difference between "filter a billion scored pairs" and "score
+    // the filtered members of 2 cells".
+    Q("q_ann_filtered_ivf",
+      (s, d) => {
+        val e = scaled(s, d)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("sv").as("qv"))
+        val en = Tables.load(s, d, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))
+        IvfIndex.searchIndexed(s, ivfIndexDir(s, d), ivfCentroids(e), qs,
+          topK = 5, nProbe = 2, simScaled, candidates = Some(en))
+          .withColumn("rank", col("rank").cast(LongType))
+          .select("query_id", "neighbor_id", "rank", "sim")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $scaledCte,
+             |$ivfProbeCtes,
+             |s AS (
+             |  SELECT p.query_id, e.vec_id AS neighbor_id,
+             |    CAST(list_sum(list_transform(range(1, 65),
+             |      i -> p.a_sv[i] * e.sv[i])) AS DOUBLE)
+             |      / sqrt(CAST(p.a_nn AS DOUBLE) * CAST(e.nn AS DOUBLE))
+             |      AS sim
+             |  FROM nrm e JOIN asg ON e.vec_id = asg.vec_id
+             |    JOIN probes p ON asg.centroid_id = p.centroid_id
+             |  WHERE e.vec_id <> p.query_id
+             |    AND e.vec_id IN (SELECT doc_id FROM documents
+             |                     WHERE lang = 'en')),
+             |r AS (SELECT query_id, neighbor_id, sim,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+             |  FROM s)
              |SELECT query_id, neighbor_id, rank, sim FROM r
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
