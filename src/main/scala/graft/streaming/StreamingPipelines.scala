@@ -309,6 +309,35 @@ object StreamingPipelines {
     }
   }
 
+  /** [[applyDeleteStream]] in EQUALITY-DELETE mode — the cheapest
+    * erasure drain the chain offers: each micro-batch of keys becomes
+    * one [[graft.sources.ManifestPrune.eqDeleteCommit]] version, a
+    * PURE-METADATA commit (no position-planning join, no data read at
+    * all — even the DV path pays one planning join per batch). At
+    * 100 TB this meets a right-to-be-forgotten SLA with bytes-sized
+    * commits at any batch cadence; the deferred scan is paid ONCE
+    * when the next data-touching commit or compaction folds the
+    * accumulated keys into positions. Same CAS chain and
+    * marker-cursor replay contract (`eqdel:`), so eq-delete batches
+    * interleave freely with CDC updates and DV deletes. */
+  def applyEqDeleteStream(deletes: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deletes.writeStream.outputMode("update")
+      .foreachBatch((b: DataFrame, id: Long) => applyEqDeleteBatch(b, id, root))
+
+  private[graft] def applyEqDeleteBatch(batch: DataFrame, batchId: Long,
+                                        root: String): Unit = {
+    import graft.sources.ManifestPrune
+    val s = batch.sparkSession
+    ManifestPrune.withCommitRetry() { () =>
+      val cur = ManifestPrune.currentVersion(s, root)
+      if (batchId <= lastAppliedBatch(root, cur, "eqdel:"))
+        return // replay of a committed batch
+      val next = ManifestPrune.eqDeleteCommit(s, root, batch)
+      ManifestPrune.noteCommit(root, next, s"eqdel:$batchId")
+    }
+  }
+
   case class EwmaEvent(event_id: Long, ts: Timestamp, user_id: Long,
                        value: Option[Double])
   case class EwmaState(vs: List[Long], ps: List[Boolean])

@@ -696,6 +696,43 @@ class StreamingPipelinesSpec extends SparkSpec {
       docs.filter(col("doc_id") % 5 === 1).count())
   }
 
+  test("streaming equality deletes: pure-metadata batches, own replay " +
+    "cursor, interleave with DV deletes and CDC updates") {
+    import graft.sources.ManifestPrune
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val root = graft.Tables.matDir(s"eqstream_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
+    def dataFiles(): Set[String] =
+      new java.io.File(root).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("data"))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    val before = dataFiles()
+    StreamingPipelines.applyEqDeleteBatch(
+      docs.filter(col("doc_id") % 5 === 1).select("doc_id"), 0L, root)
+    assert(dataFiles() === before,
+      "a streaming eq-delete batch touched data files")
+    // replay is a no-op on the eqdel: cursor
+    StreamingPipelines.applyEqDeleteBatch(
+      docs.filter(col("doc_id") % 5 === 1).select("doc_id"), 0L, root)
+    assert(ManifestPrune.currentVersion(spark, root) === 1L)
+    // interleave: a DV delete batch (own del: cursor) then a second
+    // eq batch (eqdel: cursor advances past the interloper)
+    StreamingPipelines.applyDeleteBatch(
+      docs.filter(col("doc_id") % 7 === 2).select("doc_id"), 0L, root)
+    StreamingPipelines.applyEqDeleteBatch(
+      docs.filter(col("doc_id") % 11 === 3).select("doc_id"), 1L, root)
+    assert(ManifestPrune.currentVersion(spark, root) === 3L)
+    assert(ManifestPrune.readCommitted(spark, root, 3L).count() ===
+      docs.filter(col("doc_id") % 5 =!= 1 && col("doc_id") % 7 =!= 2 &&
+        col("doc_id") % 11 =!= 3).count())
+    // the replayed ids stay replayed after the interleaving
+    StreamingPipelines.applyEqDeleteBatch(
+      docs.filter(col("doc_id") % 11 === 3).select("doc_id"), 1L, root)
+    assert(ManifestPrune.currentVersion(spark, root) === 3L)
+  }
+
   test("CDC streams into a BRANCH (a branch is a full root) and " +
     "fast-forward publishes the drained stream onto main") {
     import graft.sources.ManifestPrune
