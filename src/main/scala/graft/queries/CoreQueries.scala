@@ -248,6 +248,37 @@ object CoreQueries {
       root
     })
 
+  /** q_table_sink's chain, driven entirely through the graft-table
+    * STREAMING SINK's per-batch applier (append → upsert → delete,
+    * one committed version each — the writeStream face's exact code
+    * path, exercised batch-wise like the GDPR chain), built ONCE per
+    * (session, sf dir). */
+  private val sinkCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def sinkChain(s: SparkSession, d: String): String =
+    sinkCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"sink_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      graft.sources.ManifestPrune.buildLayout(
+        docs.filter(col("doc_id") < 400), root, nFiles = 4)
+      // batch 0: append the rest of the corpus
+      graft.streaming.StreamingPipelines.applySinkBatch(
+        docs.filter(col("doc_id") >= 400), 0L, root, "append", "doc_id")
+      // batch 1: upsert — existing keys re-languaged + brand-new ids
+      graft.streaming.StreamingPipelines.applySinkBatch(
+        docs.filter(col("doc_id") % 10 === 4)
+          .withColumn("lang", lit("up"))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + 1000000L)),
+        1L, root, "upsert", "doc_id")
+      // batch 2: equality-delete a key set (pure metadata)
+      graft.streaming.StreamingPipelines.applySinkBatch(
+        docs.filter(col("doc_id") % 23 === 5), 2L, root, "delete",
+        "doc_id")
+      root
+    })
+
   /** q_colocated_join's pair of BUCKETED tables (documents-meta and
     * embeddings-meta, both bucketed 8 ways on the join key), written
     * ONCE per (session, sf dir) through Spark's native bucketing
@@ -2006,6 +2037,42 @@ object CoreQueries {
              |SELECT lang, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM head GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // GRAFT-TABLE STREAMING SINK (GraftTableSink / applySinkBatch) —
+    // the chain's writeStream face: each micro-batch commits as one
+    // version (append = insert-only delta, upsert = full-row MERGE by
+    // key through merge-on-read, delete = pure-metadata equality
+    // delete), exactly-once under replay via the tsink: marker
+    // cursor. The gate drives the sink applier through all three
+    // modes and hash-matches the head read against the oracle's
+    // replay; GraftTableSinkSpec drives a REAL
+    // writeStream.format("graft-table") query through the same path.
+    Q("q_table_sink",
+      (s, d) => {
+        val root = sinkChain(s, d)
+        graft.sources.ManifestPrune.readCommitted(s, root,
+          graft.sources.ManifestPrune.currentVersion(s, root))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH up AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 4 THEN 'up' ELSE lang END
+             |      AS lang, n_chars
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, n_chars
+             |  FROM documents WHERE doc_id < 20),
+             |head AS (
+             |  SELECT * FROM up WHERE doc_id NOT IN (
+             |    SELECT doc_id FROM documents WHERE doc_id % 23 = 5))
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM head GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // CO-LOCATED (BUCKETED) JOIN — Spark-native storage co-location:

@@ -44,7 +44,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Rows carry the feed convention: `op` ∈ insert | update_preimage |
   * update_postimage | delete, the table's columns, and `version`. */
-class GraftTableSourceV2 extends TableProvider with DataSourceRegister {
+class GraftTableSourceV2 extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-table"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -54,6 +55,42 @@ class GraftTableSourceV2 extends TableProvider with DataSourceRegister {
                         partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new GraftTableTable(schema, new CaseInsensitiveStringMap(properties))
+
+  /** STREAMING WRITE face —
+    * `df.writeStream.format("graft-table").option("mode", …)
+    * .start(root)`: each micro-batch commits as one version on the
+    * chain (append / upsert-by-key / equality-delete, exactly-once
+    * under replay via the `tsink:` marker cursor). The V1 Sink API is
+    * deliberate — the driver-side batch frame is exactly what the
+    * chain's commit functions consume, and the CAS protocol already
+    * provides the atomicity a staged V2 write would re-implement
+    * (the same call Delta makes). */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("path", throw new
+        IllegalArgumentException("graft-table sink needs .start(<root>)"))
+    new GraftTableSink(root,
+      parameters.getOrElse("mode", "append"),
+      parameters.getOrElse("key", "doc_id"))
+  }
+}
+
+private[sources] class GraftTableSink(root: String, mode: String,
+                                      key: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def name(): String = s"graft-table-sink:$root"
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.DataFrame): Unit = {
+    // the V1 batch frame is streaming-flagged and refuses .write;
+    // rewrap it as a non-streaming LogicalRDD over the executed
+    // micro-batch — exactly what Spark's own ForeachBatchSink does
+    graft.streaming.StreamingPipelines.applySinkBatch(
+      org.apache.spark.sql.GraftSqlShims.unstream(data),
+      batchId, root, mode, key)
+  }
 }
 
 object GraftTableSourceV2 {

@@ -1289,6 +1289,57 @@ object ManifestPrune {
     publish(root, base, mf)
   }
 
+  /** INSERT-only APPEND as a committed version — the O(new rows)
+    * write a streaming sink's append mode needs: the batch lands as
+    * one delta file set, the manifest is base ∪ delta stats, the DV
+    * sidecar pointer carries VERBATIM (no existing file is touched,
+    * nothing is masked — pure growth), and CHECK constraints run
+    * over exactly the new rows. Accumulated EQUALITY deletes are
+    * folded first (the every-data-commit rule): carrying them would
+    * silently hide any appended row that reuses a deleted key —
+    * Iceberg avoids that trap with per-file sequence numbers; this
+    * chain keeps the one-fold-language rule instead, and the fold
+    * costs nothing on the common (no-eqdel) append path. */
+  def appendCommit(s: SparkSession, root: String,
+                   rows: DataFrame): Long = {
+    val base = currentVersion(s, root)
+    val tok = prepareToken()
+    val baseManifest = manifestOf(root, base)
+    val effDv = foldEqDel(s, root, baseManifest, dvOf(root, base), tok)
+    val dataDelta = s"$root/data_$tok"
+    // column order pinned to the table's (schema-only read: footers,
+    // not data)
+    val cols = readVersion(s, baseManifest).schema.fieldNames.toSeq
+    rows.select(cols.map(col): _*)
+      .write.mode("overwrite").parquet(dataDelta)
+    enforceConstraints(root, s.read.parquet(dataDelta))
+    val spec = specOfManifest(root, baseManifest)
+    val mfV = s"$root/manifest_$tok"
+    s.read.parquet(baseManifest)
+      .unionByName(statsManifest(s, dataDelta, spec.statsCol, spec.id),
+        allowMissingColumns = true)
+      .write.mode("overwrite").parquet(mfV)
+    carrySpecPointer(root, baseManifest, mfV)
+    effDv.foreach(dv => writeDvPointer(root, mfV, dv))
+    publish(root, base, mfV)
+  }
+
+  /** TRUE UPSERT of a full-row batch (the streaming sink's upsert
+    * mode): matched keys take the batch row as their post-image
+    * through the merge-on-read path (old row DV-masked, new row in
+    * the delta — O(changed rows)), unmatched keys insert. One
+    * committed version per call. */
+  def upsertCommit(s: SparkSession, root: String, batch: DataFrame,
+                   key: String = "doc_id"): Long = {
+    val base = currentVersion(s, root)
+    val tok = prepareToken()
+    val existing = readCommitted(s, root, base).select(key)
+    val inserts = batch.join(existing, Seq(key), "left_anti")
+    val (mf, _) = morMergeFrom(s, root, manifestOf(root, base),
+      dvOf(root, base), batch, inserts, tok, None, key)
+    publish(root, base, mf)
+  }
+
   /** The CAS primitive: atomic PUT-if-absent of the commit marker
     * (File.createNewFile — exactly one writer of `version` succeeds;
     * on object stores this is the conditional PUT / metadata swap). */

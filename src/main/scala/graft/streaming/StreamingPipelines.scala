@@ -338,6 +338,40 @@ object StreamingPipelines {
     }
   }
 
+  /** The graft-table STREAMING SINK's per-batch applier —
+    * `spark.writeStream.format("graft-table").option("mode", …)`
+    * lands each micro-batch as ONE committed version on the chain
+    * (the V1-Sink pattern Delta's own sink uses: the driver gets the
+    * whole batch frame, the chain's CAS protocol provides the
+    * atomicity). Modes: `append` (insert-only, [[graft.sources
+    * .ManifestPrune.appendCommit]]), `upsert` (full-row MERGE by key,
+    * [[graft.sources.ManifestPrune.upsertCommit]] — matched keys
+    * DV-mask + delta-append, unmatched insert), `delete` (key rows →
+    * pure-metadata equality delete). Exactly-once under replay by
+    * the `tsink:` marker cursor — the one-stream-per-table contract
+    * every applier in this file carries. */
+  private[graft] def applySinkBatch(batch: DataFrame, batchId: Long,
+                                    root: String, mode: String,
+                                    key: String): Unit = {
+    import graft.sources.ManifestPrune
+    val s = batch.sparkSession
+    ManifestPrune.withCommitRetry() { () =>
+      val cur = ManifestPrune.currentVersion(s, root)
+      if (batchId <= lastAppliedBatch(root, cur, "tsink:"))
+        return // replay of a committed batch
+      val next = mode match {
+        case "append" => ManifestPrune.appendCommit(s, root, batch)
+        case "upsert" => ManifestPrune.upsertCommit(s, root, batch, key)
+        case "delete" => ManifestPrune.eqDeleteCommit(s, root,
+          batch.select(key))
+        case other => throw new IllegalArgumentException(
+          s"graft-table sink mode must be append|upsert|delete, " +
+            s"got '$other'")
+      }
+      ManifestPrune.noteCommit(root, next, s"tsink:$batchId")
+    }
+  }
+
   case class EwmaEvent(event_id: Long, ts: Timestamp, user_id: Long,
                        value: Option[Double])
   case class EwmaState(vs: List[Long], ps: List[Boolean])
