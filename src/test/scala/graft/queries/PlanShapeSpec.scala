@@ -25,6 +25,10 @@ class PlanShapeSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q_ann_bruteforce", "q_ann_quantized", "q_ann_ivf", "q_ann_recall",
     "q_ann_ivfpq", "q_ann_srp", "q_contrastive_pairs",
+    // the filtered variants keep their parents' broadcast theta shape
+    // (5 query vectors broadcast onto the filtered candidate scan /
+    // the probed lists)
+    "q_ann_filtered", "q_ann_filtered_ivf",
     "q_tfidf", "q_corpus_mix", "q_corpus_mix_temp", "q_collocations",
     "q_zorder",
     "q_curriculum",
