@@ -62,7 +62,64 @@ object BloomIndex {
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(GraftSqlShims.column(agg.toAggregateExpression()).as("bloom"))
       .write.mode("overwrite").parquet(dir)
+    writeMeta(dir, maxRows)
     dir
+  }
+
+  /** INCREMENTAL index maintenance — the O(new files) path an
+    * append/MoR stream needs (a full [[build]] per commit would scan
+    * the table per batch): bloom rows for files CARRIED from
+    * `fromVersion` are copied from its index verbatim (a file is
+    * immutable, so its sketch is too), and only `toVersion`'s NEW
+    * files are scanned and sketched. Deletion sidecars never
+    * invalidate a sketch (extra false positives only), so carried
+    * rows stay correct under DV growth between the versions. Sketch
+    * sizing is pinned to the SOURCE index's parameters via its
+    * `_meta` rider so carried and fresh rows answer consistently. */
+  def extend(s: SparkSession, root: String, fromVersion: Long,
+             toVersion: Long, key: String = "doc_id",
+             bitsPerKey: Long = 10L): String = {
+    val src = indexOf(root, fromVersion).getOrElse(
+      throw new IllegalStateException(
+        s"no bloom index for version $fromVersion of $root to extend"))
+    val m0 = s.read.parquet(
+      ManifestPrune.manifestOf(root, fromVersion)).select("file")
+    val m1 = s.read.parquet(
+      ManifestPrune.manifestOf(root, toVersion)).select("file")
+    val newFiles = ManifestPrune.collectFileList(s, m1.except(m0),
+      s"bloom extend new files of v$toVersion")
+    val carried = s.read.parquet(src)
+      .join(m1.withColumnRenamed("file", "f"),
+        col("file") === col("f"), "left_semi")
+    val meta = readMeta(src)
+    val maxRows = meta.getOrElse(math.max(1L, s.read.parquet(
+      ManifestPrune.manifestOf(root, toVersion))
+      .agg(max(col("n_rows"))).head().getLong(0)))
+    val fresh =
+      if (newFiles.isEmpty) carried.limit(0)
+      else {
+        val agg = new BloomFilterAggregate(
+          GraftSqlShims.expression(xxhash64(col(key))),
+          CatLit(maxRows), CatLit(maxRows * bitsPerKey))
+        s.read.parquet(newFiles: _*)
+          .groupBy(col("_metadata.file_path").as("file"))
+          .agg(GraftSqlShims.column(agg.toAggregateExpression())
+            .as("bloom"))
+      }
+    val dir = indexDir(root, toVersion)
+    carried.unionByName(fresh).write.mode("overwrite").parquet(dir)
+    writeMeta(dir, maxRows)
+    dir
+  }
+
+  private def writeMeta(dir: String, estItems: Long): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_meta"), s"$estItems\n")
+
+  private def readMeta(dir: String): Option[Long] = {
+    val f = new java.io.File(dir, "_meta")
+    if (!f.isFile) None
+    else Some(java.nio.file.Files.readString(f.toPath).trim.toLong)
   }
 
   /** The probe hash — driver-side evaluation of the SAME xxhash64

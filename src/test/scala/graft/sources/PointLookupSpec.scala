@@ -53,6 +53,30 @@ class PointLookupSpec extends SparkSpec {
       .toSeq === Seq(43L))
   }
 
+  test("incremental extend after an append carries old sketches and " +
+    "sketches only the new files; answers match a full rebuild") {
+    val root = chain()
+    BloomIndex.build(spark, root, 0L)
+    ManifestPrune.appendCommit(spark, root,
+      docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 7000000L))
+    BloomIndex.extend(spark, root, 0L, 1L)
+    // carried rows are byte-identical to the v0 index's
+    val v0 = spark.read.parquet(BloomIndex.indexOf(root, 0L).get)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Array[Byte]](1).toSeq).toMap
+    val v1 = spark.read.parquet(BloomIndex.indexOf(root, 1L).get)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(v0.keySet.subsetOf(v1.keySet))
+    v0.foreach { case (f, b) => assert(v1(f) === b,
+      s"carried sketch for $f changed under extend") }
+    // lookups resolve across both eras
+    assert(BloomIndex.readPoint(spark, root, 1L, "doc_id",
+      Seq(7000003L, 5L)).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(5L, 7000003L))
+  }
+
   test("a rebuilt index serves the compacted file set") {
     val root = chain()
     ManifestPrune.dvDeleteCommit(spark, root,
