@@ -123,6 +123,29 @@ class EqDeleteSpec extends SparkSpec {
       docs.count())
   }
 
+  test("a replica fed the change feed converges across an eqdel " +
+    "commit, its fold, and a restore") {
+    val src = freshChain("repl")
+    ManifestPrune.eqDeleteCommit(spark, src,
+      docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
+    ManifestPrune.morMergeCommit(spark, src,
+      docs.filter(col("doc_id") % 7 === 2)
+        .select(col("doc_id"), lit("rr").as("lang")),
+      docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+    ManifestPrune.restoreVersion(spark, src, 1L) // undo the merge
+    val dst = graft.Tables.matDir(s"eqspec_repldst_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, dst, nFiles = 4)
+    ManifestPrune.replicateFeed(spark, src, dst, 0L, 3L)
+    val srcHead = ManifestPrune.readCommitted(spark, src, 3L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val dstHead = ManifestPrune.readCommitted(spark, dst,
+      ManifestPrune.currentVersion(spark, dst))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(dstHead === srcHead)
+  }
+
   test("vacuum keeps a sidecar any kept version references and " +
     "removes expired ones") {
     val root = freshChain("vacuum")
