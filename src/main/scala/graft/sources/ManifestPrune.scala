@@ -640,6 +640,13 @@ object ManifestPrune {
   def eqDeleteCommit(s: SparkSession, root: String,
                      keys: DataFrame): Long = {
     val base = currentVersion(s, root)
+    // fail at COMMIT, not at the first read a week later: every
+    // equality column must exist in the table
+    val tableCols = readVersion(s, manifestOf(root, base))
+      .schema.fieldNames.toSet
+    require(keys.columns.forall(tableCols.contains),
+      s"equality-delete columns ${keys.columns.filterNot(tableCols
+        .contains).mkString(", ")} do not exist in the table")
     val tok = prepareToken()
     val eqDir = s"$root/eqdel_$tok"
     val merged = eqDelOf(root, base) match {

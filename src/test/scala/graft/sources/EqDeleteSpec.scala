@@ -61,6 +61,12 @@ class EqDeleteSpec extends SparkSpec {
       ManifestPrune.liveRowCountCommitted(spark, root, 2L)
     }
     assert(e.getMessage.contains("equality deletes"))
+    // unknown equality columns refuse at COMMIT time
+    val bad = intercept[IllegalArgumentException] {
+      ManifestPrune.eqDeleteCommit(spark, root,
+        docs.select(col("doc_id").as("nope")))
+    }
+    assert(bad.getMessage.contains("nope"))
   }
 
   test("the next data-touching commit folds equality deletes into " +
