@@ -38,4 +38,25 @@ class ColocatedJoinSpec extends SparkSpec {
       assert(j.count() === raw.count())
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("a point filter on the bucket column prunes to one bucket") {
+    graft.SparkEntry.queries("q_colocated_join")(spark, sf0001)
+      .collect() // ensures the tables exist
+    val t1 = spark.catalog.listTables()
+      .filter(_.name.startsWith("graft_docs_bkt_")).head.name
+    // the planner's DisableUnnecessaryBucketedScan turns OFF bucketed
+    // reading for a scan-only query (no interesting distribution to
+    // preserve), which also forfeits pruning — disable the auto rule
+    // to assert the pruning capability itself
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(k)
+    try {
+      spark.conf.set(k, "false")
+      val q = spark.table(t1).filter(col("doc_id") === 42L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning missing:\n$plan")
+      assert(q.count() === 1L)
+    } finally spark.conf.set(k, saved)
+  }
 }
