@@ -1075,8 +1075,12 @@ object ManifestPrune {
         val note0 = commitNote(root, v).getOrElse("")
         val kind =
           if (v == 0L || prevSig.isEmpty) "base"
+          else if (note0.startsWith("restore:")) "restore"
           else if (sig == prevSig.get)
-            (if (note0.startsWith("spec:")) "evolve-spec" else "dv-delete")
+            (if (note0.startsWith("spec:")) "evolve-spec"
+             else if (note0 == "eqdel" || note0.startsWith("eqdel:"))
+               "eq-delete"
+             else "dv-delete")
           else if (nFiles > prevSig.get._1 && prevMf.exists(p =>
               s.read.parquet(p).select("file")
                 .except(m.select("file")).limit(1).count() == 0L))
@@ -1975,10 +1979,16 @@ object ManifestPrune {
     * through the marker timeline, monotonic by construction). The
     * default (`Long.MaxValue`) imposes no time floor, i.e. pure
     * count-based retention. */
+  /** `dryRun = true` computes the SAME ExpireStats — what would be
+    * kept and destroyed, through the identical reachability walk —
+    * without deleting a byte (the Iceberg/Delta ops review step
+    * before an irreversible vacuum; also the honest way to size
+    * `keepLast` against live readers). */
   def expireVersions(s: SparkSession, root: String,
                      keepLast: Int,
                      graceMs: Long = 24L * 60 * 60 * 1000,
-                     olderThanMs: Long = Long.MaxValue): ExpireStats = {
+                     olderThanMs: Long = Long.MaxValue,
+                     dryRun: Boolean = false): ExpireStats = {
     require(keepLast >= 1, "must keep at least the current version")
     val cutoff = System.currentTimeMillis() - graceMs
     def oldEnough(f: java.io.File): Boolean = f.lastModified() <= cutoff
@@ -2064,19 +2074,26 @@ object ManifestPrune {
       f.getName.startsWith("data")).foreach { dir =>
       dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
         if (!keep.contains(f.getAbsolutePath) && oldEnough(f)) {
-          if (f.delete()) removedData += 1
+          if (dryRun) removedData += 1
+          else if (f.delete()) removedData += 1
         }
       }
     }
     // 3. expired versions' metadata
     def rmTree(p: java.io.File): Boolean =
       if (!p.exists()) false
+      else if (dryRun) true // counted, not destroyed
       else {
         if (p.isDirectory) p.listFiles().foreach(rmTree)
         p.delete()
       }
     var removedMf = 0L
     var removedDv = 0L
+    // paths the expired-version loop already destroyed (or, in a dry
+    // run, WOULD have): the loser-GC pass below must not count them
+    // twice — in a real run the filesystem enforces this (the dir is
+    // gone before the listing), in a dry run this set does
+    val claimed = scala.collection.mutable.Set.empty[String]
     // sidecars a KEPT version still references must survive the
     // expiry of any OTHER version pointing at them — restoreVersion
     // publishes a verbatim pointer copy, so the restored head and its
@@ -2091,11 +2108,18 @@ object ManifestPrune {
       // that is fine, there is nothing left to protect
       scala.util.Try(dvOf(root, v)).toOption.flatten
         .filterNot(keptDvPaths)
-        .foreach(d => if (rmTree(new java.io.File(d))) removedDv += 1)
+        .foreach { d =>
+          if (rmTree(new java.io.File(d))) removedDv += 1
+          claimed += new java.io.File(d).getAbsolutePath
+        }
       scala.util.Try(eqDelOf(root, v)).toOption.flatten
         .filterNot(keptDvPaths)
-        .foreach(d => if (rmTree(new java.io.File(d))) removedDv += 1)
+        .foreach { d =>
+          if (rmTree(new java.io.File(d))) removedDv += 1
+          claimed += new java.io.File(d).getAbsolutePath
+        }
       if (rmTree(new java.io.File(manifestOf(root, v)))) removedMf += 1
+      claimed += new java.io.File(manifestOf(root, v)).getAbsolutePath
       // markers are RETAINED: they are bytes-sized, currentVersion
       // needs only the max, and their notes carry the streaming
       // replay cursors (lastAppliedBatch scans them) — deleting an
@@ -2108,7 +2132,8 @@ object ManifestPrune {
     val keptDv = (kept.flatMap(v => dvOf(root, v)) ++
         kept.flatMap(v => eqDelOf(root, v)))
       .map(p => new java.io.File(p).getName).toSet
-    rootDir.listFiles().filter(d => d.isDirectory && oldEnough(d))
+    rootDir.listFiles().filter(d => d.isDirectory && oldEnough(d) &&
+        !claimed.contains(d.getAbsolutePath))
       .foreach { d =>
         d.getName match {
           case n if n.startsWith("manifest_u") =>

@@ -153,7 +153,7 @@ class EqDeleteSpec extends SparkSpec {
   }
 
   test("vacuum keeps a sidecar any kept version references and " +
-    "removes expired ones") {
+    "removes expired ones; dry-run reports the same without deleting") {
     val root = freshChain("vacuum")
     ManifestPrune.eqDeleteCommit(spark, root,
       docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
@@ -161,8 +161,15 @@ class EqDeleteSpec extends SparkSpec {
       docs.filter(col("doc_id") % 7 === 2).select("doc_id"))
     val keptEq = ManifestPrune.eqDelOf(root, 2L).get
     val expiredEq = ManifestPrune.eqDelOf(root, 1L).get
-    ManifestPrune.expireVersions(spark, root, keepLast = 1,
+    val dry = ManifestPrune.expireVersions(spark, root, keepLast = 1,
+      graceMs = 0L, dryRun = true)
+    assert(new java.io.File(expiredEq).isDirectory,
+      "dry-run deleted a sidecar")
+    assert(new java.io.File(ManifestPrune.manifestOf(root, 1L))
+      .isDirectory, "dry-run deleted a manifest")
+    val real = ManifestPrune.expireVersions(spark, root, keepLast = 1,
       graceMs = 0L)
+    assert(dry === real, "dry-run stats diverge from the real vacuum")
     assert(new java.io.File(keptEq).isDirectory,
       "vacuum destroyed a sidecar the head still references")
     assert(!new java.io.File(expiredEq).exists(),
@@ -170,6 +177,18 @@ class EqDeleteSpec extends SparkSpec {
     assert(ManifestPrune.readCommitted(spark, root, 2L).count() ===
       docs.filter(col("doc_id") % 5 =!= 1 &&
         col("doc_id") % 7 =!= 2).count())
+  }
+
+  test("describeHistory classifies eq-delete and restore commits") {
+    val root = freshChain("hist")
+    ManifestPrune.eqDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
+    ManifestPrune.restoreVersion(spark, root, 0L)
+    val kinds = ManifestPrune.describeHistory(spark, root)
+      .select("version", "kind").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kinds(1L) === "eq-delete")
+    assert(kinds(2L) === "restore")
   }
 
   test("a branch carries the fork's equality deletes; fast-forward " +
