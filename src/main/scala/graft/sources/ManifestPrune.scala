@@ -1118,7 +1118,7 @@ object ManifestPrune {
     * as a DV-delete commit, insert/post-image rows as an insert-only
     * CoW commit (an update therefore lands as delete+insert) — the
     * shared applier behind [[replicateFeed]] and [[rebaseBranch]]. */
-  private def applyImages(s: SparkSession, dstRoot: String,
+  private[graft] def applyImages(s: SparkSession, dstRoot: String,
                           step0: DataFrame, key: String): Unit = {
     val step = step0.localCheckpoint()
     val dels = step

@@ -359,13 +359,48 @@ object StreamingPipelines {
       val cur = ManifestPrune.currentVersion(s, root)
       if (batchId <= lastAppliedBatch(root, cur, "tsink:"))
         return // replay of a committed batch
+      if (mode == "cdc") {
+        // change-feed images (op, table cols, version) — the
+        // graft-table SOURCE's row shape, so table-to-table
+        // replication is ONE streaming query: readStream the
+        // source's feed, writeStream mode=cdc onto the replica. A
+        // micro-batch may span several SOURCE versions; each is
+        // applied in order (deletes first, then post-images as an
+        // UPSERT — upsert instead of replicateFeed's pure insert
+        // makes re-applying a version IDEMPOTENT, so the `cdcv:`
+        // cursor below plus a crash anywhere inside a batch can at
+        // worst repeat work, never duplicate rows).
+        val b = batch.localCheckpoint()
+        val applied = lastAppliedBatch(root, cur, "cdcv:")
+        val versions = b.select("version").distinct()
+          .collect().map(_.getLong(0)).sorted.filter(_ > applied)
+        versions.foreach { v =>
+          val step = b.filter(col("version") === v)
+          val dels = step
+            .filter(col("op").isin("delete", "update_preimage"))
+            .select(key)
+          if (dels.limit(1).count() > 0)
+            ManifestPrune.dvDeleteCommit(s, root, dels, key)
+          val ins = step
+            .filter(col("op").isin("insert", "update_postimage"))
+            .drop("op", "version")
+          if (ins.limit(1).count() > 0)
+            ManifestPrune.upsertCommit(s, root, ins, key)
+          val now = ManifestPrune.currentVersion(s, root)
+          // an empty step (compaction on the source) commits nothing
+          // and leaves no cursor mark — re-examining it on replay is
+          // an empty filter, not a correctness issue
+          if (now > cur) ManifestPrune.noteCommit(root, now, s"cdcv:$v")
+        }
+        return
+      }
       val next = mode match {
         case "append" => ManifestPrune.appendCommit(s, root, batch)
         case "upsert" => ManifestPrune.upsertCommit(s, root, batch, key)
         case "delete" => ManifestPrune.eqDeleteCommit(s, root,
           batch.select(key))
         case other => throw new IllegalArgumentException(
-          s"graft-table sink mode must be append|upsert|delete, " +
+          s"graft-table sink mode must be append|upsert|delete|cdc, " +
             s"got '$other'")
       }
       ManifestPrune.noteCommit(root, next, s"tsink:$batchId")

@@ -48,6 +48,52 @@ class GraftTableSinkSpec extends SparkSpec {
     assert(ManifestPrune.currentVersion(spark, root) === 2L)
   }
 
+  test("table-to-table replication is ONE streaming query: " +
+    "readStream the source feed, writeStream mode=cdc on the replica") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Tables.matDir(s"sinkspec_cdc_src_${System.nanoTime}",
+      spark, sf0001)
+    val dst = Tables.matDir(s"sinkspec_cdc_dst_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, src, nFiles = 4)
+    ManifestPrune.buildLayout(docs, dst, nFiles = 4)
+    // source history: a multi-column CoW merge, a DV delete, an
+    // equality delete, and a compaction (empty feed step)
+    ManifestPrune.mergeIntoCommit(spark, src,
+      docs.filter(col("doc_id") % 9 === 2)
+        .select(col("doc_id"), lit("repl").as("lang")),
+      docs.filter(col("doc_id") % 31 === 3)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    ManifestPrune.dvDeleteCommit(spark, src,
+      docs.filter(col("doc_id") % 7 === 5).select("doc_id"))
+    ManifestPrune.eqDeleteCommit(spark, src,
+      docs.filter(col("doc_id") % 11 === 6).select("doc_id"))
+    ManifestPrune.compactCommit(spark, src, nFiles = 3)
+    val q = spark.readStream.format("graft-table")
+      .option("maxVersionsPerTrigger", 2).load(src)
+      .writeStream.format("graft-table")
+      .option("mode", "cdc")
+      .option("checkpointLocation", s"${dst}_ckpt")
+      .trigger(Trigger.AvailableNow()).start(dst)
+    q.awaitTermination(180000); q.stop()
+    val want = ManifestPrune.readCommitted(spark, src,
+      ManifestPrune.currentVersion(spark, src))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val got = ManifestPrune.readCommitted(spark, dst,
+      ManifestPrune.currentVersion(spark, dst))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got === want, "replica diverged from the source head")
+    // re-applying the same images is idempotent (the upsert applier)
+    graft.streaming.StreamingPipelines.applySinkBatch(
+      ManifestPrune.changeFeed(spark, src, 0L, 2L), 99L, dst, "cdc",
+      "doc_id")
+    val again = ManifestPrune.readCommitted(spark, dst,
+      ManifestPrune.currentVersion(spark, dst))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(again === want, "replayed images changed the replica")
+  }
+
   test("upsert mode updates matched keys and inserts new ones; " +
     "delete mode is a pure-metadata commit") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
