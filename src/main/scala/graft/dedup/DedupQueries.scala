@@ -419,6 +419,28 @@ object DedupQueries {
              |FROM documents GROUP BY md5(text)
              |ORDER BY keep_id""".stripMargin)),
 
+    // LATEST-ROW-PER-KEY dedup — the CDC log-to-snapshot compaction
+    // every upsert pipeline runs ("keep each key's newest record"):
+    // one pass through the custom TopKPerGroupExec at k = 1 (bounded
+    // single-slot heaps per key, no partition sort — at 100 TB this
+    // is one key-shuffle and O(1) state per key, vs the window
+    // form's full partition sort), deterministic under ties by the
+    // unique event_id.
+    Q("q_dedup_latest",
+      (s, d) => graft.plans.TopKPerGroup.topKPerGroup(
+          Tables.load(s, d, "events"),
+          Seq(col("user_id"), col("event_type")),
+          Seq(desc("ts"), desc("event_id")), 1)
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, event_id, value FROM (
+             |  SELECT user_id, event_type, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1
+             |ORDER BY user_id, event_type""".stripMargin)),
+
     // MinHash(8 hashes, 4 bands of 2) + LSH bucket join + exact Jaccard
     // verify at >= 0.3 — integer cross-multiplication avoids any float.
     //
