@@ -90,7 +90,7 @@ class PlanShapeSpec extends SparkSpec {
     for (name <- Seq("q_ann_bruteforce", "q_ann_quantized", "q_ann_ivf",
         "q_source_cap", "q_inverted_index", "q_ann_recall",
         "q_group_mode", "q_distinctive_terms",
-        "q_bounded_contribution"))
+        "q_bounded_contribution", "q_dedup_latest"))
       assert(plans(name).contains("TopKPerGroup"),
         s"$name bypasses TopKPerGroupExec:\n${plans(name)}")
   }
