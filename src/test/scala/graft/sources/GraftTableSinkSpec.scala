@@ -94,6 +94,46 @@ class GraftTableSinkSpec extends SparkSpec {
     assert(again === want, "replayed images changed the replica")
   }
 
+  test("a restarted cdc replication query continues from its " +
+    "checkpoint: no re-applied images, no missed versions") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Tables.matDir(s"sinkspec_rst_src_${System.nanoTime}",
+      spark, sf0001)
+    val dst = Tables.matDir(s"sinkspec_rst_dst_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, src, nFiles = 4)
+    ManifestPrune.buildLayout(docs, dst, nFiles = 4)
+    val ckpt = s"${dst}_ckpt"
+    def replicateOnce(): Unit = {
+      val q = spark.readStream.format("graft-table").load(src)
+        .writeStream.format("graft-table").option("mode", "cdc")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination(180000); q.stop()
+    }
+    ManifestPrune.dvDeleteCommit(spark, src,
+      docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
+    replicateOnce() // drains v1, then the query terminates
+    // source advances while the replication query is DOWN
+    ManifestPrune.mergeIntoCommit(spark, src,
+      docs.filter(col("doc_id") % 9 === 2 && col("doc_id") % 5 =!= 1)
+        .select(col("doc_id"), lit("rst").as("lang")),
+      docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+    replicateOnce() // restart from the checkpoint: applies ONLY v2
+    val want = ManifestPrune.readCommitted(spark, src, 2L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val got = ManifestPrune.readCommitted(spark, dst,
+      ManifestPrune.currentVersion(spark, dst))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got === want)
+    // a third restart with nothing new applies nothing
+    val before = ManifestPrune.currentVersion(spark, dst)
+    replicateOnce()
+    assert(ManifestPrune.currentVersion(spark, dst) === before,
+      "an idle restart re-applied images")
+  }
+
   test("upsert mode updates matched keys and inserts new ones; " +
     "delete mode is a pure-metadata commit") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
