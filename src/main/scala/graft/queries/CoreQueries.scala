@@ -511,14 +511,11 @@ object CoreQueries {
       val t1 = ManifestPrune.commitTimeMs(root, v1).get
       val v2 = ManifestPrune.dvDeleteCommit(s, root,
         docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
-      var t2 = ManifestPrune.commitTimeMs(root, v2).get
-      var bump = 1000L
-      while (t2 <= t1) {
-        new java.io.File(ManifestPrune.markerPath(root, v2))
-          .setLastModified(t1 + bump)
-        bump += 1000L
-        t2 = ManifestPrune.commitTimeMs(root, v2).get
-      }
+      // commit timestamps live INSIDE the markers and are strictly
+      // monotonic by protocol (tryCommit stamps max(now, prev+1)), so
+      // t2 > t1 holds by construction — no mtime-granularity nudging
+      val t2 = ManifestPrune.commitTimeMs(root, v2).get
+      assert(t2 > t1, s"marker timeline not monotonic: $t1 -> $t2")
       (root, t1, t2)
     })
 

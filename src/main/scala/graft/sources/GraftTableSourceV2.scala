@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (`maxVersionsPerTrigger`), so a consumer catching up on a long
   *     chain backlog takes bounded steps (the TsvMicroBatchStream
   *     pattern, verbatim).
-  *   - Each version step is SPILLED ONCE to `root/_cdc/v<N>/` parquet
+  *   - Each version step is SPILLED ONCE to `root/_cdc/<key>/v<N>/`
+  *     parquet
   *     (computed by [[ManifestPrune.changeFeedStep]] at plan time,
   *     published by atomic rename so concurrent readers share one
   *     spill), and partitions are the spilled files — the per-step
@@ -107,20 +108,26 @@ object GraftTableSourceV2 {
       StructField("version", LongType, nullable = false))
   }
 
-  /** Spill one version step's feed to `root/_cdc/v<v>/`, once:
+  /** Spill one version step's feed to `root/_cdc/<key>/v<v>/`, once:
     * compute to a writer-unique temp dir, publish by atomic rename
     * (losers of a concurrent race delete their temp and adopt the
     * winner's spill), mark complete with `_FEED_READY` so a reader
     * never lists a half-written spill. Returns the spilled part
-    * files. Idempotent across queries and JVMs. */
+    * files. Idempotent across queries and JVMs. The spill path is
+    * keyed by BOTH version and the merge `key` read option: the
+    * spilled rows depend on the key (changeFeedStep pairs
+    * update_preimage/postimage by it), so two readers diffing on
+    * different keys must never adopt each other's spills. */
   def spillStep(s: SparkSession, root: String, v: Long,
                 key: String): Seq[String] = {
-    val dir = new java.io.File(s"$root/_cdc/v$v")
+    require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_'),
+      s"merge key must be a plain column name, got '$key'")
+    val dir = new java.io.File(s"$root/_cdc/$key/v$v")
     val ready = new java.io.File(dir, "_FEED_READY")
     if (!ready.isFile) {
-      new java.io.File(s"$root/_cdc").mkdirs()
+      new java.io.File(s"$root/_cdc/$key").mkdirs()
       val tmp = new java.io.File(
-        s"$root/_cdc/.tmp_v${v}_${ManifestPrune.prepareToken()}")
+        s"$root/_cdc/$key/.tmp_v${v}_${ManifestPrune.prepareToken()}")
       ManifestPrune.changeFeedStep(s, root, v, key)
         .coalesce(2).write.mode("overwrite").parquet(tmp.getPath)
       // the marker must exist INSIDE the dir before the rename makes

@@ -526,12 +526,16 @@ object ManifestPrune {
     * never a half-published one. Uncommitted prepared directories are
     * garbage, never truth — the crash-safety property the MV version
     * pointer established for the streaming leg. */
-  def currentVersion(s: SparkSession, root: String): Long = {
-    val dir = new java.io.File(s"$root/_commits")
-    if (!dir.isDirectory) 0L
-    else dir.list().filter(_.forall(_.isDigit)).map(_.toLong)
+  def currentVersion(s: SparkSession, root: String): Long =
+    ChainStorage.forPath(root).list(s"$root/_commits")
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
       .foldLeft(0L)(math.max)
-  }
+
+  /** Last path segment — pointer files hold sibling dir NAMES, never
+    * full paths, so chains stay relocatable. */
+  private def baseName(path: String): String =
+    path.stripSuffix("/").substring(
+      path.stripSuffix("/").lastIndexOf('/') + 1)
 
   /** Manifest dir of a committed version (0 = the base layout; the
     * `c` prefix keeps protocol versions apart from ad-hoc
@@ -552,23 +556,23 @@ object ManifestPrune {
     * deleted rows. */
   def dvOf(root: String, version: Long): Option[String] = {
     if (version < 0L) return None
-    val ptr = new java.io.File(s"${manifestOf(root, version)}/_dv")
-    if (ptr.isFile) {
-      val named = new java.io.File(root,
-        java.nio.file.Files.readString(ptr.toPath).trim)
+    val st = ChainStorage.forPath(root)
+    val ptr = s"${manifestOf(root, version)}/_dv"
+    if (st.isFile(ptr)) {
+      val named = s"$root/${st.read(ptr).trim}"
       // a pointer whose target vanished must FAIL the read, not
       // silently degrade to "no sidecar" — that would resurrect every
       // row the version's deletion vectors hide
-      if (!named.isDirectory)
+      if (!st.isDir(named))
         throw new IllegalStateException(
-          s"version $version's DV sidecar ${named.getPath} is " +
+          s"version $version's DV sidecar $named is " +
             "missing — the table metadata is corrupt (was it vacuumed " +
             "by an external process?)")
-      return Some(named.getPath)
+      return Some(named)
     }
     if (version == 0L) return None // no legacy dv_c0 ever existed
     val p = s"$root/dv_c$version"
-    if (new java.io.File(p).isDirectory) Some(p) else None
+    if (st.isDir(p)) Some(p) else None
   }
 
   /** Record the sidecar reference inside a PREPARED manifest dir, so
@@ -576,9 +580,8 @@ object ManifestPrune {
     * reference with it. */
   private def writeDvPointer(root: String, manifestDir: String,
                              dvDir: String): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$manifestDir/_dv"),
-      new java.io.File(dvDir).getName + "\n")
+    ChainStorage.forPath(root).write(s"$manifestDir/_dv",
+      baseName(dvDir) + "\n")
 
   // ------------------------------------------------ equality deletes
 
@@ -593,23 +596,22 @@ object ManifestPrune {
     * rule: silent degradation would resurrect deleted rows). */
   def eqDelOf(root: String, version: Long): Option[String] = {
     if (version < 0L) return None
-    val ptr = new java.io.File(s"${manifestOf(root, version)}/_eqdel")
-    if (!ptr.isFile) return None
-    val named = new java.io.File(root,
-      java.nio.file.Files.readString(ptr.toPath).trim)
-    if (!named.isDirectory)
+    val st = ChainStorage.forPath(root)
+    val ptr = s"${manifestOf(root, version)}/_eqdel"
+    if (!st.isFile(ptr)) return None
+    val named = s"$root/${st.read(ptr).trim}"
+    if (!st.isDir(named))
       throw new IllegalStateException(
-        s"version $version's equality-delete sidecar ${named.getPath} " +
+        s"version $version's equality-delete sidecar $named " +
           "is missing — the table metadata is corrupt (was it " +
           "vacuumed by an external process?)")
-    Some(named.getPath)
+    Some(named)
   }
 
   private def writeEqDelPointer(manifestDir: String,
                                 eqDir: String): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$manifestDir/_eqdel"),
-      new java.io.File(eqDir).getName + "\n")
+    ChainStorage.forPath(manifestDir).write(s"$manifestDir/_eqdel",
+      baseName(eqDir) + "\n")
 
   /** Hide rows matching an equality-delete sidecar: anti-join on the
     * sidecar's OWN column set, so single and composite equality keys
@@ -654,10 +656,10 @@ object ManifestPrune {
       case None => keys.distinct()
     }
     merged.write.mode("overwrite").parquet(eqDir)
-    val prepared = new java.io.File(s"$root/manifest_$tok")
-    copyDirFlat(new java.io.File(manifestOf(root, base)), prepared)
-    writeEqDelPointer(prepared.getPath, eqDir)
-    val v = publish(root, base, prepared.getPath)
+    val prepared = s"$root/manifest_$tok"
+    copyDirFlat(root, manifestOf(root, base), prepared)
+    writeEqDelPointer(prepared, eqDir)
+    val v = publish(root, base, prepared)
     noteCommit(root, v, "eqdel")
     v
   }
@@ -675,15 +677,15 @@ object ManifestPrune {
   private def foldEqDel(s: SparkSession, root: String,
                         baseManifest: String, baseDv: Option[String],
                         version: String): Option[String] = {
-    val ptr = new java.io.File(s"$baseManifest/_eqdel")
-    if (!ptr.isFile) return baseDv
-    val eqDir = new java.io.File(root,
-      java.nio.file.Files.readString(ptr.toPath).trim)
-    if (!eqDir.isDirectory)
+    val st = ChainStorage.forPath(root)
+    val ptr = s"$baseManifest/_eqdel"
+    if (!st.isFile(ptr)) return baseDv
+    val eqDir = s"$root/${st.read(ptr).trim}"
+    if (!st.isDir(eqDir))
       throw new IllegalStateException(
         s"base manifest $baseManifest's equality-delete sidecar " +
-          s"${eqDir.getPath} is missing")
-    val keys = s.read.parquet(eqDir.getPath)
+          s"$eqDir is missing")
+    val keys = s.read.parquet(eqDir)
     val hits = readVersionWithDv(s, baseManifest, baseDv)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
@@ -725,24 +727,41 @@ object ManifestPrune {
         dvOf(root, version)),
       eqDelOf(root, version))
 
-  /** Commit wall-clock time of a version, from the artifacts the
-    * chain already durably keeps: the commit MARKER's mtime (markers
-    * are created by the rename winner at publish and RETAINED by
-    * expiry forever, so the timeline outlives the versions
-    * themselves); version 0 — which has no marker — reports the base
-    * manifest dir's mtime (buildLayout's creation instant, which
-    * precedes every marker by construction). None when the version
-    * was never committed. noteCommit rewrites the marker milliseconds
-    * after the CAS, so a note-bearing marker's mtime is still the
-    * commit instant at any as-of granularity that matters. */
-  def commitTimeMs(root: String, version: Long): Option[Long] =
+  /** Commit wall-clock time of a version, from PROTOCOL CONTENT the
+    * chain durably keeps — never filesystem mtimes (which object
+    * stores don't have and HDFS renames don't honor as a timeline):
+    * [[tryCommit]] stamps `ts=<millis>` INSIDE the commit marker at
+    * the CAS, strictly monotonic by construction (each commit's ts is
+    * max(now, predecessor's ts + 1), so two commits inside one clock
+    * tick still order correctly — no mtime-granularity nudging).
+    * Markers are created by the publish winner and RETAINED by expiry
+    * forever, so the timeline outlives the versions themselves.
+    * Version 0 — which has no marker — reads the `_created` stamp
+    * [[buildLayout]] writes. None when the version was never
+    * committed. [[noteCommit]] preserves the ts line when it attaches
+    * a note. Legacy artifacts without an embedded ts (pre-seam chains
+    * on local disk) fall back to the old mtime reading. */
+  def commitTimeMs(root: String, version: Long): Option[Long] = {
+    val st = ChainStorage.forPath(root)
     if (version == 0L) {
-      val m = new java.io.File(manifestOf(root, 0L))
-      if (m.isDirectory) Some(m.lastModified()) else None
+      if (st.isFile(s"$root/_created"))
+        parseTs(st.read(s"$root/_created"))
+          .orElse(Some(st.modifiedMs(s"$root/_created")))
+      else if (st.isDir(manifestOf(root, 0L)))
+        Some(st.modifiedMs(manifestOf(root, 0L)))
+      else None
     } else {
-      val marker = new java.io.File(markerPath(root, version))
-      if (marker.exists()) Some(marker.lastModified()) else None
+      val mp = markerPath(root, version)
+      if (!st.isFile(mp)) None
+      else parseTs(st.read(mp)).orElse(Some(st.modifiedMs(mp)))
     }
+  }
+
+  /** The `ts=<millis>` line of a marker/stamp, when present. */
+  private def parseTs(content: String): Option[Long] =
+    content.linesIterator.find(_.startsWith("ts="))
+      .flatMap(l => scala.util.Try(l.stripPrefix("ts=").trim.toLong)
+        .toOption)
 
   /** Resolve "the table as of wall-clock T": the HIGHEST version
     * whose commit time is <= tsMillis — Iceberg/Delta
@@ -779,9 +798,10 @@ object ManifestPrune {
           s"(earliest commit ${timeline.head._2}) — nothing to read")
     }
     val v = eligible.map(_._1).max
-    if (!new java.io.File(manifestOf(root, v)).isDirectory) {
+    val st = ChainStorage.forPath(root)
+    if (!st.isPublished(manifestOf(root, v))) {
       val earliest = (0L to cur).find(w =>
-        new java.io.File(manifestOf(root, w)).isDirectory)
+        st.isPublished(manifestOf(root, w)))
       throw new IllegalStateException(
         s"version $v (as of $tsMillis) was expired by vacuum; " +
           s"earliest still-readable version is ${earliest.getOrElse(cur)}" +
@@ -991,22 +1011,19 @@ object ManifestPrune {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
       c == '.' || c == '_' || c == '-'),
       s"constraint name must be [A-Za-z0-9._-]+, got '$name'")
-    val dir = new java.io.File(s"$root/_constraints")
-    dir.mkdirs()
-    val f = new java.io.File(dir, name)
-    require(f.createNewFile(),
+    require(ChainStorage.forPath(root)
+        .putIfAbsent(s"$root/_constraints/$name", sqlExpr),
       s"constraint '$name' already exists; drop it first")
-    java.nio.file.Files.writeString(f.toPath, sqlExpr)
   }
 
   def dropConstraint(root: String, name: String): Boolean =
-    new java.io.File(s"$root/_constraints/$name").delete()
+    ChainStorage.forPath(root).deleteFile(s"$root/_constraints/$name")
 
   def listConstraints(root: String): Map[String, String] = {
-    val dir = new java.io.File(s"$root/_constraints")
-    if (!dir.isDirectory) Map.empty
-    else dir.listFiles().filter(_.isFile).map(f =>
-      f.getName -> java.nio.file.Files.readString(f.toPath)).toMap
+    val st = ChainStorage.forPath(root)
+    val dir = s"$root/_constraints"
+    st.list(dir).filter(n => st.isFile(s"$dir/$n"))
+      .map(n => n -> st.read(s"$dir/$n")).toMap
   }
 
   /** Enforce every registered constraint over `rows`; throws naming
@@ -1047,11 +1064,12 @@ object ManifestPrune {
     var prevSig: Option[(Long, String)] = None
     var prevMf: Option[String] = None
     var prevHidden = 0L
+    val st = ChainStorage.forPath(root)
     val rows = (0L to cur).flatMap { v =>
-      val mf = new java.io.File(manifestOf(root, v))
-      if (!mf.isDirectory) { prevSig = None; prevMf = None; None }
+      val mf = manifestOf(root, v)
+      if (!st.isPublished(mf)) { prevSig = None; prevMf = None; None }
       else {
-        val m = s.read.parquet(mf.getPath)
+        val m = s.read.parquet(mf)
         // hash-sum in decimal: a long sum of xxhash64 values overflows
         // under ANSI arithmetic
         val agg = m.agg(count(lit(1)),
@@ -1073,12 +1091,17 @@ object ManifestPrune {
         // Z-order). The carried check is an O(manifest) metadata
         // anti-join, never a data read.
         val note0 = commitNote(root, v).getOrElse("")
+        // notes are whitespace-separated tokens: a sink-cursor token
+        // (tsink:<id>) can ride NEXT TO the kind token (eqdel), so the
+        // classifier matches token-wise, not on the whole string
+        val noteToks = note0.split("\\s+").toSet
         val kind =
           if (v == 0L || prevSig.isEmpty) "base"
           else if (note0.startsWith("restore:")) "restore"
           else if (sig == prevSig.get)
             (if (note0.startsWith("spec:")) "evolve-spec"
-             else if (note0 == "eqdel" || note0.startsWith("eqdel:"))
+             else if (noteToks.contains("eqdel") ||
+               noteToks.exists(_.startsWith("eqdel:")))
                "eq-delete"
              else "dv-delete")
           else if (nFiles > prevSig.get._1 && prevMf.exists(p =>
@@ -1087,7 +1110,7 @@ object ManifestPrune {
             (if (hidden > prevHidden) "mor-merge" else "append")
           else "rewrite"
         prevSig = Some(sig)
-        prevMf = Some(mf.getPath)
+        prevMf = Some(mf)
         prevHidden = hidden
         Some((v, kind, nFiles, physical, hidden, physical - hidden,
           commitTimeMs(root, v).getOrElse(0L), note0))
@@ -1136,25 +1159,6 @@ object ManifestPrune {
       cowMergeCommit(s, dstRoot, ins.limit(0), ins, key)
   }
 
-  /** Apply a MICRO-BATCH of feed rows (the `graft-table` streaming
-    * source's output) to a replica chain: a batch may span several
-    * source versions, and version order matters (a key updated twice
-    * must land in commit order), so the batch is applied per source
-    * version ascending — each version through the same
-    * delete-then-insert applier [[replicateFeed]] uses. The per-batch
-    * driver state is the batch's distinct version ids (micro-batch
-    * bounded). This is the foreachBatch body that turns
-    * `spark.readStream.format("graft-table")` into live replication. */
-  def applyFeedBatch(s: SparkSession, dstRoot: String, batch: DataFrame,
-                     key: String = "doc_id"): Unit = {
-    val b = batch.localCheckpoint()
-    val versions = b.select("version").distinct()
-      .collect().map(_.getLong(0)).sorted
-    versions.foreach { v =>
-      applyImages(s, dstRoot, b.filter(col("version") === v), key)
-    }
-  }
-
   /** PUBLISH a prepared version: one atomic directory rename of the
     * writer-unique prepared manifest onto the canonical
     * `manifest_c<next>` name decides the race — exactly one of any
@@ -1173,26 +1177,35 @@ object ManifestPrune {
     * unreferenced garbage for [[expireVersions]]. */
   private[graft] def publish(root: String, base: Long,
                              preparedManifest: String): Long = {
+    val st = ChainStorage.forPath(root)
     val next = base + 1
-    val canonical = new java.io.File(manifestOf(root, next))
-    if (new java.io.File(preparedManifest).renameTo(canonical)) {
+    val canonical = manifestOf(root, next)
+    if (st.publishDir(preparedManifest, canonical)) {
       require(tryCommit(root, next) ||
-        new java.io.File(markerPath(root, next)).exists(),
+        st.isFile(markerPath(root, next)),
         s"marker write failed for committed version $next")
       next
-    } else if (canonical.isDirectory) {
-      if (!new java.io.File(markerPath(root, next)).exists())
-        tryCommit(root, next) // adopt a rename-then-crash winner
+    } else if (st.isPublished(canonical)) {
+      if (!st.isFile(markerPath(root, next)))
+        tryCommit(root, next) // adopt a publish-then-crash winner
       throw new java.util.ConcurrentModificationException(
         s"version $next already published by another writer " +
           s"(base was $base); re-plan against the new base")
+    } else if (st.isPending(canonical)) {
+      // an object-store publish is claim + copy + completeness rider:
+      // another writer holds the claim and its copy is in flight —
+      // a race, retryable like any lost CAS (never adopt: the marker
+      // must not exist before the manifest is complete)
+      throw new java.util.ConcurrentModificationException(
+        s"version $next is being published by another writer " +
+          s"(base was $base); re-plan against the new base")
     } else {
-      // rename failed but nothing occupies the canonical name: this
+      // publish failed but nothing occupies the canonical name: this
       // is an IO/environment failure (EXDEV, permissions, vanished
       // prepared dir), not a race — retrying the same commit would
       // fail identically, so do not dress it as one
       throw new IllegalStateException(
-        s"manifest publish rename failed for non-race reasons: " +
+        s"manifest publish failed for non-race reasons: " +
           s"$preparedManifest -> $canonical")
     }
   }
@@ -1352,12 +1365,18 @@ object ManifestPrune {
   }
 
   /** The CAS primitive: atomic PUT-if-absent of the commit marker
-    * (File.createNewFile — exactly one writer of `version` succeeds;
-    * on object stores this is the conditional PUT / metadata swap). */
+    * ([[ChainStorage.putIfAbsent]] — exactly one writer of `version`
+    * succeeds; conditional PUT on object stores, createNewFile
+    * locally). The marker CONTENT carries the commit timestamp
+    * (`ts=<millis>`), stamped strictly monotonic — max(now,
+    * predecessor + 1) — so the time-travel timeline is protocol
+    * content, independent of filesystem mtime existence or
+    * granularity. */
   def tryCommit(root: String, version: Long): Boolean = {
-    val marker = new java.io.File(markerPath(root, version))
-    marker.getParentFile.mkdirs()
-    marker.createNewFile()
+    val st = ChainStorage.forPath(root)
+    val ts = math.max(st.nowMs(),
+      commitTimeMs(root, version - 1).getOrElse(0L) + 1)
+    st.putIfAbsent(markerPath(root, version), s"ts=$ts\n")
   }
 
   def markerPath(root: String, version: Long): String =
@@ -1365,15 +1384,22 @@ object ManifestPrune {
 
   /** Attach a note (e.g. the source batch id) to a committed marker —
     * written AFTER the CAS; the marker's existence is the commit, the
-    * note is idempotency metadata for the writer that owns it. */
-  def noteCommit(root: String, version: Long, note: String): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(markerPath(root, version)), note)
+    * note is idempotency metadata for the writer that owns it. The
+    * embedded `ts=` line is PRESERVED (the timeline lives in the
+    * marker). */
+  def noteCommit(root: String, version: Long, note: String): Unit = {
+    val st = ChainStorage.forPath(root)
+    val mp = markerPath(root, version)
+    val ts = if (st.isFile(mp)) parseTs(st.read(mp)) else None
+    st.write(mp, ts.map(t => s"ts=$t\n").getOrElse("") + note)
+  }
 
   def commitNote(root: String, version: Long): Option[String] = {
-    val p = java.nio.file.Paths.get(markerPath(root, version))
-    if (java.nio.file.Files.exists(p)) {
-      val c = java.nio.file.Files.readString(p).trim
+    val st = ChainStorage.forPath(root)
+    val mp = markerPath(root, version)
+    if (st.isFile(mp)) {
+      val c = st.read(mp).linesIterator
+        .filterNot(_.startsWith("ts=")).mkString("\n").trim
       if (c.nonEmpty) Some(c) else None
     } else None
   }
@@ -1392,16 +1418,14 @@ object ManifestPrune {
 
   /** All registered specs of a chain (spec 0 always present). */
   def listSpecs(root: String): Map[Int, ClusterSpec] = {
-    val dir = new java.io.File(s"$root/_specs")
-    val extra =
-      if (!dir.isDirectory) Map.empty[Int, ClusterSpec]
-      else dir.listFiles().filter(_.isFile).map { f =>
-        val id = f.getName.toInt
-        val parts = java.nio.file.Files.readString(f.toPath)
-          .trim.split("\\|")
-        id -> ClusterSpec(id, parts(0),
-          parts(1).split(",").toSeq.filter(_.nonEmpty))
-      }.toMap
+    val st = ChainStorage.forPath(root)
+    val dir = s"$root/_specs"
+    val extra = st.list(dir).filter(n => st.isFile(s"$dir/$n")).map { n =>
+      val id = n.toInt
+      val parts = st.read(s"$dir/$n").trim.split("\\|")
+      id -> ClusterSpec(id, parts(0),
+        parts(1).split(",").toSeq.filter(_.nonEmpty))
+    }.toMap
     extra + (0 -> DefaultSpec)
   }
 
@@ -1409,10 +1433,10 @@ object ManifestPrune {
     * `_spec` pointer inside the manifest dir (carried forward by
     * every writer, copied whole by restore/branch), default spec 0. */
   def specOfManifest(root: String, manifestDir: String): ClusterSpec = {
-    val p = new java.io.File(s"$manifestDir/_spec")
-    if (!p.isFile) DefaultSpec
-    else listSpecs(root)(java.nio.file.Files.readString(p.toPath)
-      .trim.toInt)
+    val st = ChainStorage.forPath(root)
+    val p = s"$manifestDir/_spec"
+    if (!st.isFile(p)) DefaultSpec
+    else listSpecs(root)(st.read(p).trim.toInt)
   }
 
   /** Spec of a committed version. */
@@ -1420,19 +1444,17 @@ object ManifestPrune {
     specOfManifest(root, manifestOf(root, version))
 
   private def writeSpecPointer(manifestDir: String, id: Int): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$manifestDir/_spec"), s"$id\n")
+    ChainStorage.forPath(manifestDir).write(s"$manifestDir/_spec",
+      s"$id\n")
 
   /** Carry the base version's spec pointer into a freshly-written
     * manifest dir — the writer-side half of "the current spec applies
     * until evolved". */
   private def carrySpecPointer(root: String, baseManifest: String,
                                newManifest: String): Unit = {
-    val src = new java.io.File(s"$baseManifest/_spec")
-    if (src.isFile)
-      java.nio.file.Files.copy(src.toPath,
-        java.nio.file.Paths.get(s"$newManifest/_spec"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val st = ChainStorage.forPath(root)
+    if (st.isFile(s"$baseManifest/_spec"))
+      st.write(s"$newManifest/_spec", st.read(s"$baseManifest/_spec"))
   }
 
   /** EVOLVE the chain's clustering spec — Iceberg partition-spec
@@ -1453,18 +1475,16 @@ object ManifestPrune {
     require((statsCol +: clusterCols).forall(cols.contains),
       s"spec columns ${(statsCol +: clusterCols).filterNot(cols.contains)
         .mkString(", ")} do not exist in the table")
-    val dir = new java.io.File(s"$root/_specs")
-    dir.mkdirs()
+    val st = ChainStorage.forPath(root)
     val id = listSpecs(root).keys.max + 1
-    val f = new java.io.File(dir, id.toString)
-    require(f.createNewFile(), s"spec id $id already registered (race)")
-    java.nio.file.Files.writeString(f.toPath,
-      s"$statsCol|${clusterCols.mkString(",")}\n")
+    require(st.putIfAbsent(s"$root/_specs/$id",
+        s"$statsCol|${clusterCols.mkString(",")}\n"),
+      s"spec id $id already registered (race)")
     val tok = prepareToken()
-    val prepared = new java.io.File(s"$root/manifest_$tok")
-    copyDirFlat(new java.io.File(manifestOf(root, base)), prepared)
-    writeSpecPointer(prepared.getPath, id)
-    val v = publish(root, base, prepared.getPath)
+    val prepared = s"$root/manifest_$tok"
+    copyDirFlat(root, manifestOf(root, base), prepared)
+    writeSpecPointer(prepared, id)
+    val v = publish(root, base, prepared)
     noteCommit(root, v, s"spec:$id")
     v
   }
@@ -1520,38 +1540,32 @@ object ManifestPrune {
     * PUT-if-absent (re-pointing a name is a delete + create, visible
     * in the audit trail as two operations). */
   def tagVersion(root: String, name: String, version: Long): Unit = {
+    val st = ChainStorage.forPath(root)
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
       c == '.' || c == '_' || c == '-'),
       s"tag name must be [A-Za-z0-9._-]+, got '$name'")
-    require(version == 0L ||
-      new java.io.File(markerPath(root, version)).exists(),
+    require(version == 0L || st.isFile(markerPath(root, version)),
       s"cannot tag uncommitted version $version")
-    require(new java.io.File(manifestOf(root, version)).isDirectory,
+    require(st.isPublished(manifestOf(root, version)),
       s"cannot tag expired version $version")
-    val dir = new java.io.File(s"$root/_refs")
-    dir.mkdirs()
-    val f = new java.io.File(dir, name)
-    require(f.createNewFile(),
+    require(st.putIfAbsent(s"$root/_refs/$name", version.toString),
       s"tag '$name' already exists (tags are immutable; delete first)")
-    java.nio.file.Files.writeString(f.toPath, version.toString)
   }
 
   def taggedVersion(root: String, name: String): Option[Long] = {
-    val f = new java.io.File(s"$root/_refs/$name")
-    if (f.isFile)
-      Some(java.nio.file.Files.readString(f.toPath).trim.toLong)
-    else None
+    val st = ChainStorage.forPath(root)
+    val f = s"$root/_refs/$name"
+    if (st.isFile(f)) Some(st.read(f).trim.toLong) else None
   }
 
   def deleteTag(root: String, name: String): Boolean =
-    new java.io.File(s"$root/_refs/$name").delete()
+    ChainStorage.forPath(root).deleteFile(s"$root/_refs/$name")
 
   def listTags(root: String): Map[String, Long] = {
-    val dir = new java.io.File(s"$root/_refs")
-    if (!dir.isDirectory) Map.empty
-    else dir.listFiles().filter(_.isFile).map(f =>
-      f.getName ->
-        java.nio.file.Files.readString(f.toPath).trim.toLong).toMap
+    val st = ChainStorage.forPath(root)
+    val dir = s"$root/_refs"
+    st.list(dir).filter(n => st.isFile(s"$dir/$n"))
+      .map(n => n -> st.read(s"$dir/$n").trim.toLong).toMap
   }
 
   /** Read the table at a tagged version — the stable-name read face
@@ -1577,16 +1591,16 @@ object ManifestPrune {
     require(version < base,
       s"restore target must be an older version (head is $base, " +
         s"got $version)")
-    val src = new java.io.File(manifestOf(root, version))
-    require(src.isDirectory,
+    require(ChainStorage.forPath(root)
+        .isPublished(manifestOf(root, version)),
       s"cannot restore expired version $version — its manifests " +
         "were vacuumed (see expireVersions retention)")
     dvOf(root, version) // fail fast on a corrupt sidecar pointer
     eqDelOf(root, version) // (both kinds)
     val tok = prepareToken()
-    val prepared = new java.io.File(s"$root/manifest_$tok")
-    copyDirFlat(src, prepared)
-    val v = publish(root, base, prepared.getPath)
+    val prepared = s"$root/manifest_$tok"
+    copyDirFlat(root, manifestOf(root, version), prepared)
+    val v = publish(root, base, prepared)
     noteCommit(root, v, s"restore:$version")
     v
   }
@@ -1619,51 +1633,52 @@ object ManifestPrune {
     * [[dropBranch]] is the guarded teardown. */
   def createBranch(s: SparkSession, root: String, name: String,
                    fromVersion: Long): String = {
+    val st = ChainStorage.forPath(root)
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
       c == '.' || c == '_' || c == '-'),
       s"branch name must be [A-Za-z0-9._-]+, got '$name'")
     require(fromVersion == 0L ||
-      new java.io.File(markerPath(root, fromVersion)).exists(),
+      st.isFile(markerPath(root, fromVersion)),
       s"cannot branch from uncommitted version $fromVersion")
-    val srcMf = new java.io.File(manifestOf(root, fromVersion))
-    require(srcMf.isDirectory,
+    val srcMf = manifestOf(root, fromVersion)
+    require(st.isPublished(srcMf),
       s"cannot branch from expired version $fromVersion")
-    val broot = new java.io.File(branchRoot(root, name))
-    require(broot.mkdirs(),
+    val broot = branchRoot(root, name)
+    require(st.mkdirsExclusive(broot),
       s"branch '$name' already exists under $root")
-    copyDirFlat(srcMf, new java.io.File(broot, "manifest"))
+    copyDirFlat(root, srcMf, s"$broot/manifest")
     // carry the fork's deletion vectors: copy the sidecar under the
     // branch root with the SAME name the copied `_dv` pointer holds
     dvOf(root, fromVersion).foreach { dv =>
-      val d = new java.io.File(dv)
-      copyDirFlat(d, new java.io.File(broot, d.getName))
+      copyDirFlat(root, dv, s"$broot/${baseName(dv)}")
     }
     // same rehoming for un-folded equality deletes at the fork
     eqDelOf(root, fromVersion).foreach { eq =>
-      val d = new java.io.File(eq)
-      copyDirFlat(d, new java.io.File(broot, d.getName))
+      copyDirFlat(root, eq, s"$broot/${baseName(eq)}")
     }
     // branch writes obey the table's CHECK constraints
-    val cons = new java.io.File(s"$root/_constraints")
-    if (cons.isDirectory) copyDirFlat(cons,
-      new java.io.File(broot, "_constraints"))
-    java.nio.file.Files.writeString(
-      new java.io.File(broot, "_fork").toPath, s"$fromVersion\n")
-    broot.getPath
+    if (st.isDir(s"$root/_constraints"))
+      copyDirFlat(root, s"$root/_constraints", s"$broot/_constraints")
+    st.write(s"$broot/_fork", s"$fromVersion\n")
+    // the branch is its own chain root: stamp its v0 creation time so
+    // time travel on the branch never needs a directory mtime
+    st.write(s"$broot/_created", s"ts=${st.nowMs()}\n")
+    broot
   }
 
   /** The main-chain version a branch was forked from. */
   def forkVersion(root: String, name: String): Long = {
-    val f = new java.io.File(s"${branchRoot(root, name)}/_fork")
-    require(f.isFile, s"no branch '$name' under $root")
-    java.nio.file.Files.readString(f.toPath).trim.toLong
+    val st = ChainStorage.forPath(root)
+    val f = s"${branchRoot(root, name)}/_fork"
+    require(st.isFile(f), s"no branch '$name' under $root")
+    st.read(f).trim.toLong
   }
 
   def listBranches(root: String): Seq[String] = {
-    val dir = new java.io.File(s"$root/_branches")
-    if (!dir.isDirectory) Seq.empty
-    else dir.listFiles().filter(d => d.isDirectory &&
-      new java.io.File(d, "_fork").isFile).map(_.getName).toSeq.sorted
+    val st = ChainStorage.forPath(root)
+    val dir = s"$root/_branches"
+    st.list(dir).filter(n => st.isDir(s"$dir/$n") &&
+      st.isFile(s"$dir/$n/_fork")).sorted
   }
 
   /** Read a branch's HEAD — the stable-name read face for staged
@@ -1696,24 +1711,21 @@ object ManifestPrune {
           s"$fork) — fast-forward needs conflict resolution; " +
           "re-create the branch from the current version and replay")
     val tok = prepareToken()
-    val prepared = new java.io.File(s"$root/manifest_$tok")
-    copyDirFlat(new java.io.File(manifestOf(br, bcur)), prepared)
+    val st = ChainStorage.forPath(root)
+    val prepared = s"$root/manifest_$tok"
+    copyDirFlat(root, manifestOf(br, bcur), prepared)
     // rehome the sidecar reference: copy the branch sidecar under
     // MAIN's root (dv_u* names are expiry-protected while a kept
     // version's pointer references them) and repoint `_dv`
     dvOf(br, bcur).foreach { dv =>
-      val dst = new java.io.File(s"$root/dv_$tok")
-      copyDirFlat(new java.io.File(dv), dst)
-      java.nio.file.Files.writeString(
-        new java.io.File(prepared, "_dv").toPath, dst.getName + "\n")
+      copyDirFlat(root, dv, s"$root/dv_$tok")
+      st.write(s"$prepared/_dv", s"dv_$tok\n")
     }
     eqDelOf(br, bcur).foreach { eq =>
-      val dst = new java.io.File(s"$root/eqdel_$tok")
-      copyDirFlat(new java.io.File(eq), dst)
-      java.nio.file.Files.writeString(
-        new java.io.File(prepared, "_eqdel").toPath, dst.getName + "\n")
+      copyDirFlat(root, eq, s"$root/eqdel_$tok")
+      st.write(s"$prepared/_eqdel", s"eqdel_$tok\n")
     }
-    val v = publish(root, fork, prepared.getPath)
+    val v = publish(root, fork, prepared)
     noteCommit(root, v, s"fast-forward:$name@$bcur")
     v
   }
@@ -1750,8 +1762,9 @@ object ManifestPrune {
     require(mainCur > fork,
       s"main has not diverged (at $mainCur, branch '$name' forked " +
         s"there too) — fastForward instead")
-    val cursorF = new java.io.File(s"$br/_rebase")
-    if (!cursorF.isFile) {
+    val st = ChainStorage.forPath(root)
+    val cursorF = s"$br/_rebase"
+    if (!st.isFile(cursorF)) {
       val branchKeys = changeFeed(s, br, 0L, bcur, key)
         .select(key).distinct()
       val mainKeys = changeFeed(s, root, fork, mainCur, key)
@@ -1765,17 +1778,15 @@ object ManifestPrune {
             sample.take(10).map(_.get(0)).mkString(", ") +
             (if (sample.length > 10) ", …" else "") +
             " — resolve by re-authoring the branch against main's head")
-      java.nio.file.Files.writeString(cursorF.toPath, s"$fork\n")
+      st.write(cursorF, s"$fork\n")
     }
-    val start = math.max(fork,
-      java.nio.file.Files.readString(cursorF.toPath).trim.toLong)
+    val start = math.max(fork, st.read(cursorF).trim.toLong)
     (start + 1 to mainCur).foreach { v =>
       applyImages(s, br, changeFeedStep(s, root, v, key), key)
-      java.nio.file.Files.writeString(cursorF.toPath, s"$v\n")
+      st.write(cursorF, s"$v\n")
     }
-    java.nio.file.Files.writeString(
-      new java.io.File(s"$br/_fork").toPath, s"$mainCur\n")
-    cursorF.delete()
+    st.write(s"$br/_fork", s"$mainCur\n")
+    st.deleteFile(cursorF)
     currentVersion(s, br)
   }
 
@@ -1787,26 +1798,23 @@ object ManifestPrune {
     * the abandoned-branch case where main never adopted anything. */
   def dropBranch(s: SparkSession, root: String, name: String,
                  force: Boolean = false): Unit = {
-    val br = new java.io.File(branchRoot(root, name))
-    require(br.isDirectory, s"no branch '$name' under $root")
+    val st = ChainStorage.forPath(root)
+    val br = branchRoot(root, name)
+    require(st.isDir(br), s"no branch '$name' under $root")
     if (!force) {
-      val prefix = br.getAbsolutePath + "/"
+      val prefix = br + "/"
       val cur = currentVersion(s, root)
-      val live = (0L to cur).map(v => new java.io.File(manifestOf(root, v)))
-        .filter(_.isDirectory)
+      val live = (0L to cur).map(v => manifestOf(root, v))
+        .filter(st.isPublished)
       val shared = live.iterator.map { mf =>
-        s.read.parquet(mf.getPath).select("file")
+        s.read.parquet(mf).select("file")
           .filter(col("file").contains(prefix)).limit(1).count()
       }.sum
       require(shared == 0L,
         s"main still references data files under branch '$name' — " +
           "compactCommit + expireVersions on main first, or force=true")
     }
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rm)
-      p.delete()
-    }
-    rm(br)
+    st.deleteTree(br)
   }
 
   // ---------------------------------------------------- shallow clones
@@ -1834,64 +1842,67 @@ object ManifestPrune {
     * matching where the shared files live. */
   def cloneTable(s: SparkSession, srcRoot: String, dstRoot: String,
                  version: Long = -1L): String = {
+    val st = ChainStorage.forPath(srcRoot)
     val v = if (version < 0L) currentVersion(s, srcRoot) else version
-    val srcMf = new java.io.File(manifestOf(srcRoot, v))
-    require(srcMf.isDirectory,
+    val srcMf = manifestOf(srcRoot, v)
+    require(st.isPublished(srcMf),
       s"cannot clone expired or uncommitted version $v of $srcRoot")
-    val dst = new java.io.File(dstRoot)
-    require(dst.mkdirs(), s"clone destination $dstRoot already exists")
-    copyDirFlat(srcMf, new java.io.File(dst, "manifest"))
+    require(ChainStorage.forPath(dstRoot).mkdirsExclusive(dstRoot),
+      s"clone destination $dstRoot already exists")
+    copyDirFlat(srcRoot, srcMf, s"$dstRoot/manifest")
     // rehome sidecars under the clone root with the pointer-held names
-    (dvOf(srcRoot, v).toSeq ++ eqDelOf(srcRoot, v).toSeq).foreach { d0 =>
-      val d = new java.io.File(d0)
-      copyDirFlat(d, new java.io.File(dst, d.getName))
+    (dvOf(srcRoot, v).toSeq ++ eqDelOf(srcRoot, v).toSeq).foreach { d =>
+      copyDirFlat(srcRoot, d, s"$dstRoot/${baseName(d)}")
     }
     Seq("_constraints", "_specs").foreach { meta =>
-      val m = new java.io.File(srcRoot, meta)
-      if (m.isDirectory) copyDirFlat(m, new java.io.File(dst, meta))
+      if (st.isDir(s"$srcRoot/$meta"))
+        copyDirFlat(srcRoot, s"$srcRoot/$meta", s"$dstRoot/$meta")
     }
+    // the clone is its own chain root: stamp its v0 creation time
+    ChainStorage.forPath(dstRoot).write(s"$dstRoot/_created",
+      s"ts=${st.nowMs()}\n")
     // register for the source's vacuum protection BEFORE the clone is
     // announced anywhere (a crash between mkdirs and here leaves an
     // unregistered, unused dst dir — garbage, never a broken reader)
-    val reg = new java.io.File(srcRoot, "_clones")
-    reg.mkdirs()
-    java.nio.file.Files.writeString(
-      new java.io.File(reg, prepareToken()).toPath,
-      dst.getCanonicalPath + "\n")
+    st.write(s"$srcRoot/_clones/${prepareToken()}",
+      ChainStorage.forPath(dstRoot).canonicalPath(dstRoot) + "\n")
     dstRoot
   }
 
   /** Clone roots registered under a source (vacuum-protected). */
   def listClones(root: String): Seq[String] = {
-    val reg = new java.io.File(root, "_clones")
-    if (!reg.isDirectory) Seq.empty
-    else reg.listFiles().filter(_.isFile).toSeq.map(f =>
-      java.nio.file.Files.readString(f.toPath).trim).distinct.sorted
+    val st = ChainStorage.forPath(root)
+    val reg = s"$root/_clones"
+    st.list(reg).filter(n => st.isFile(s"$reg/$n"))
+      .map(n => st.read(s"$reg/$n").trim).distinct.sorted
   }
 
   /** Unregister a clone from the source's vacuum protection — the
     * caller asserts the clone no longer reads the source's files
     * (dropped, or compacted onto its own files and expired). */
   def detachClone(srcRoot: String, dstRoot: String): Boolean = {
-    val reg = new java.io.File(srcRoot, "_clones")
-    if (!reg.isDirectory) return false
-    val want = new java.io.File(dstRoot).getCanonicalPath
-    val hits = reg.listFiles().filter(f => f.isFile &&
-      java.nio.file.Files.readString(f.toPath).trim == want)
-    hits.foreach(_.delete())
+    val st = ChainStorage.forPath(srcRoot)
+    val reg = s"$srcRoot/_clones"
+    val want = ChainStorage.forPath(dstRoot).canonicalPath(dstRoot)
+    val hits = st.list(reg).filter(n => st.isFile(s"$reg/$n") &&
+      st.read(s"$reg/$n").trim == want)
+    hits.foreach(n => st.deleteFile(s"$reg/$n"))
     hits.nonEmpty
   }
 
   /** Byte-copy every regular file of `src` into a fresh `dst` (flat:
     * manifest/sidecar dirs have no subdirs) — copies preserve parquet
-    * bytes AND rider files (`_dv`, `_SUCCESS`, checksums) exactly. */
-  private def copyDirFlat(src: java.io.File, dst: java.io.File): Unit = {
-    require(src.isDirectory, s"copyDirFlat source missing: $src")
-    require(dst.mkdirs() || (dst.isDirectory &&
-      dst.listFiles().isEmpty), s"copyDirFlat destination exists: $dst")
-    src.listFiles().filter(_.isFile).foreach { f =>
-      java.nio.file.Files.copy(f.toPath,
-        new java.io.File(dst, f.getName).toPath)
+    * bytes AND rider files (`_dv`, `_SUCCESS`, checksums) exactly.
+    * `pathHint` names the storage owning both ends (metadata copies
+    * never cross storages except via explicit per-side resolution). */
+  private def copyDirFlat(pathHint: String, src: String,
+                          dst: String): Unit = {
+    val st = ChainStorage.forPath(pathHint)
+    require(st.isDir(src), s"copyDirFlat source missing: $src")
+    require(st.mkdirsExclusive(dst) || (st.isDir(dst) &&
+      st.list(dst).isEmpty), s"copyDirFlat destination exists: $dst")
+    st.list(src).filter(n => st.isFile(s"$src/$n")).foreach { n =>
+      st.copyFile(s"$src/$n", s"$dst/$n")
     }
   }
 
@@ -1927,6 +1938,10 @@ object ManifestPrune {
       .write.mode("overwrite").parquet(s"$root/data")
     statsManifest(s, s"$root/data")
       .write.mode("overwrite").parquet(s"$root/manifest")
+    // v0's commit instant, as protocol content (the marker `ts=` rule
+    // applied to the version that has no marker)
+    val st = ChainStorage.forPath(root)
+    st.write(s"$root/_created", s"ts=${st.nowMs()}\n")
     root
   }
 
@@ -1990,16 +2005,21 @@ object ManifestPrune {
                      olderThanMs: Long = Long.MaxValue,
                      dryRun: Boolean = false): ExpireStats = {
     require(keepLast >= 1, "must keep at least the current version")
-    val cutoff = System.currentTimeMillis() - graceMs
-    def oldEnough(f: java.io.File): Boolean = f.lastModified() <= cutoff
-    // ADOPT a rename-then-crash winner first: a published-but-unmarked
+    val st = ChainStorage.forPath(root)
+    val cutoff = st.nowMs() - graceMs
+    // age is the one place filesystem/object metadata is consulted,
+    // and only as an ADVISORY grace check (never a timeline)
+    def oldEnough(path: String): Boolean = st.modifiedMs(path) <= cutoff
+    // ADOPT a publish-then-crash winner first: a published-but-unmarked
     // manifest_c{cur+1} is a complete committed state publish() would
     // adopt on the next commit — expiry must see it as the chain head,
     // or it would vacuum the crashed winner's files and the later
-    // adoption would commit a version referencing deleted data
+    // adoption would commit a version referencing deleted data.
+    // isPublished (not bare existence) keeps a mid-copy object-store
+    // publish from being adopted as truth.
     val curPre = currentVersion(s, root)
-    if (new java.io.File(manifestOf(root, curPre + 1)).isDirectory &&
-        !new java.io.File(markerPath(root, curPre + 1)).exists())
+    if (st.isPublished(manifestOf(root, curPre + 1)) &&
+        !st.isFile(markerPath(root, curPre + 1)))
       tryCommit(root, curPre + 1)
     val cur = currentVersion(s, root)
     val countKeepFrom = math.max(0L, cur - keepLast + 1)
@@ -2016,24 +2036,22 @@ object ManifestPrune {
     // keepLast/olderThanMs say (Iceberg's never-expire-a-ref rule)
     val tagged = listTags(root).values.toSet
     val kept = ((keepFrom to cur) ++ tagged.filter(_ < keepFrom))
-      .distinct.sorted.filter(v =>
-        new java.io.File(manifestOf(root, v)).isDirectory)
+      .distinct.sorted.filter(v => st.isPublished(manifestOf(root, v)))
     def localPath(uri: String): String =
       new org.apache.hadoop.fs.Path(uri).toUri.getPath
-    val rootDir0 = new java.io.File(root)
     // AD-HOC manifests (cowMerge/compactLayout outputs, spec stages —
     // any `manifest*` dir that is not a protocol version, a loser
     // prepare, or the tree) are live references too: their files must
     // not be vacuumed just because no commit marker points at them
     val protocolNames = ((0L to cur).map(v =>
-      new java.io.File(manifestOf(root, v)).getName)).toSet
-    val adHocManifests =
-      if (!rootDir0.isDirectory) Seq.empty[java.io.File]
-      else rootDir0.listFiles().toSeq.filter(d => d.isDirectory &&
-        d.getName.startsWith("manifest") &&
-        !d.getName.startsWith("manifest_u") &&
-        d.getName != "manifest_tree" &&
-        !protocolNames.contains(d.getName))
+      baseName(manifestOf(root, v)))).toSet
+    val adHocManifests: Seq[String] = st.list(root)
+      .filter(n => st.isDir(s"$root/$n") &&
+        n.startsWith("manifest") &&
+        !n.startsWith("manifest_u") &&
+        n != "manifest_tree" &&
+        !protocolNames.contains(n))
+      .map(n => s"$root/$n")
     // BRANCHES are live references into the PARENT's data: a branch
     // manifest points at fork-time parent files by absolute path, so
     // a file the main chain no longer references (rewritten away
@@ -2041,57 +2059,49 @@ object ManifestPrune {
     // Every branch's still-present manifest dirs therefore join the
     // keep set — expiring main must never break a branch (the branch
     // root's OWN expireVersions is where branch history is retired).
-    val branchManifests: Seq[String] = listBranches(root).flatMap { b =>
-      val bdir = new java.io.File(branchRoot(root, b))
-      if (!bdir.isDirectory) Seq.empty[String]
-      else bdir.listFiles().toSeq.filter(d => d.isDirectory &&
-        d.getName.startsWith("manifest") &&
-        !d.getName.startsWith("manifest_u") &&
-        d.getName != "manifest_tree").map(_.getPath)
-    }
+    def manifestDirsUnder(dir: String, dst: ChainStorage): Seq[String] =
+      dst.list(dir).filter(n => dst.isDir(s"$dir/$n") &&
+        n.startsWith("manifest") &&
+        !n.startsWith("manifest_u") &&
+        n != "manifest_tree").map(n => s"$dir/$n")
+    val branchManifests: Seq[String] = listBranches(root).flatMap(b =>
+      manifestDirsUnder(branchRoot(root, b), st))
     // SHALLOW CLONES are live references too ([[cloneTable]]): every
     // registered clone's retained manifests join the keep set — the
     // branch rule applied across roots. A vanished clone dir means a
-    // dropped clone nobody detached; nothing left to protect.
-    val cloneManifests: Seq[String] = listClones(root).flatMap { cr =>
-      val cdir = new java.io.File(cr)
-      if (!cdir.isDirectory) Seq.empty[String]
-      else cdir.listFiles().toSeq.filter(d => d.isDirectory &&
-        d.getName.startsWith("manifest") &&
-        !d.getName.startsWith("manifest_u") &&
-        d.getName != "manifest_tree").map(_.getPath)
-    }
+    // dropped clone nobody detached; nothing left to protect. A clone
+    // may live under a DIFFERENT storage — resolve per path.
+    val cloneManifests: Seq[String] = listClones(root).flatMap(cr =>
+      manifestDirsUnder(cr, ChainStorage.forPath(cr)))
     val keep: Set[String] = (kept.map(v => manifestOf(root, v)) ++
-      adHocManifests.map(_.getPath) ++ branchManifests ++
+      adHocManifests ++ branchManifests ++
       cloneManifests).flatMap { m =>
       collectFileList(s, s.read.parquet(m).select("file"),
         s"expiry keep-set of $m")
     }.map(localPath).toSet
     // 2. orphan data files, at file grain
     var removedData = 0L
-    val rootDir = new java.io.File(root)
-    rootDir.listFiles().filter(f => f.isDirectory &&
-      f.getName.startsWith("data")).foreach { dir =>
-      dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-        if (!keep.contains(f.getAbsolutePath) && oldEnough(f)) {
+    st.list(root).filter(n => n.startsWith("data") &&
+      st.isDir(s"$root/$n")).foreach { dirName =>
+      val dir = s"$root/$dirName"
+      st.list(dir).filter(_.endsWith(".parquet")).foreach { fn =>
+        val f = s"$dir/$fn"
+        if (!keep.contains(f) && oldEnough(f)) {
           if (dryRun) removedData += 1
-          else if (f.delete()) removedData += 1
+          else if (st.deleteFile(f)) removedData += 1
         }
       }
     }
     // 3. expired versions' metadata
-    def rmTree(p: java.io.File): Boolean =
-      if (!p.exists()) false
+    def rmTree(p: String): Boolean =
+      if (!st.isDir(p) && !st.isFile(p)) false
       else if (dryRun) true // counted, not destroyed
-      else {
-        if (p.isDirectory) p.listFiles().foreach(rmTree)
-        p.delete()
-      }
+      else st.deleteTree(p)
     var removedMf = 0L
     var removedDv = 0L
     // paths the expired-version loop already destroyed (or, in a dry
     // run, WOULD have): the loser-GC pass below must not count them
-    // twice — in a real run the filesystem enforces this (the dir is
+    // twice — in a real run the storage enforces this (the dir is
     // gone before the listing), in a dry run this set does
     val claimed = scala.collection.mutable.Set.empty[String]
     // sidecars a KEPT version still references must survive the
@@ -2109,41 +2119,42 @@ object ManifestPrune {
       scala.util.Try(dvOf(root, v)).toOption.flatten
         .filterNot(keptDvPaths)
         .foreach { d =>
-          if (rmTree(new java.io.File(d))) removedDv += 1
-          claimed += new java.io.File(d).getAbsolutePath
+          if (rmTree(d)) removedDv += 1
+          claimed += d
         }
       scala.util.Try(eqDelOf(root, v)).toOption.flatten
         .filterNot(keptDvPaths)
         .foreach { d =>
-          if (rmTree(new java.io.File(d))) removedDv += 1
-          claimed += new java.io.File(d).getAbsolutePath
+          if (rmTree(d)) removedDv += 1
+          claimed += d
         }
-      if (rmTree(new java.io.File(manifestOf(root, v)))) removedMf += 1
-      claimed += new java.io.File(manifestOf(root, v)).getAbsolutePath
+      if (rmTree(manifestOf(root, v))) removedMf += 1
+      claimed += manifestOf(root, v)
       // markers are RETAINED: they are bytes-sized, currentVersion
       // needs only the max, and their notes carry the streaming
       // replay cursors (lastAppliedBatch scans them) — deleting an
       // expired marker could re-apply a committed CDC batch
     }
-    // 4. loser garbage from rename-publish races: prepared manifests
-    //    that never won the canonical name, their sidecars (unless a
+    // 4. loser garbage from publish races: prepared manifests that
+    //    never won the canonical name, their sidecars (unless a
     //    kept version's pointer references one), and u-named data
     //    dirs whose files were all collected by reachability above
     val keptDv = (kept.flatMap(v => dvOf(root, v)) ++
         kept.flatMap(v => eqDelOf(root, v)))
-      .map(p => new java.io.File(p).getName).toSet
-    rootDir.listFiles().filter(d => d.isDirectory && oldEnough(d) &&
-        !claimed.contains(d.getAbsolutePath))
-      .foreach { d =>
-        d.getName match {
-          case n if n.startsWith("manifest_u") =>
+      .map(baseName).toSet
+    st.list(root).filter(n => st.isDir(s"$root/$n") &&
+        oldEnough(s"$root/$n") && !claimed.contains(s"$root/$n"))
+      .foreach { n =>
+        val d = s"$root/$n"
+        n match {
+          case _ if n.startsWith("manifest_u") =>
             if (rmTree(d)) removedMf += 1
-          case n if n.startsWith("dv_u") && !keptDv.contains(n) =>
+          case _ if n.startsWith("dv_u") && !keptDv.contains(n) =>
             if (rmTree(d)) removedDv += 1
-          case n if n.startsWith("eqdel_u") && !keptDv.contains(n) =>
+          case _ if n.startsWith("eqdel_u") && !keptDv.contains(n) =>
             if (rmTree(d)) removedDv += 1
-          case n if n.startsWith("data_u") &&
-              d.listFiles().forall(!_.getName.endsWith(".parquet")) =>
+          case _ if n.startsWith("data_u") &&
+              st.list(d).forall(!_.endsWith(".parquet")) =>
             rmTree(d)
           case _ => ()
         }

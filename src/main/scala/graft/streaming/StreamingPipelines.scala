@@ -240,9 +240,13 @@ object StreamingPipelines {
     var v = cur
     var found = -1L
     while (found < 0 && v > floor) {
+      // notes are whitespace-separated tokens (a version can carry a
+      // kind token AND a cursor token, e.g. "eqdel tsink:3") — scan
+      // token-wise so a combined note still answers every cursor
       ManifestPrune.commitNote(root, v) match {
-        case Some(n) if n.startsWith(tag) =>
-          found = n.stripPrefix(tag).toLong
+        case Some(n) if n.split("\\s+").exists(_.startsWith(tag)) =>
+          found = n.split("\\s+").find(_.startsWith(tag)).get
+            .stripPrefix(tag).toLong
         case Some(n) if tag == "cdc:" && n.forall(_.isDigit) =>
           found = n.toLong
         case _ => v -= 1
@@ -403,7 +407,15 @@ object StreamingPipelines {
           s"graft-table sink mode must be append|upsert|delete|cdc, " +
             s"got '$other'")
       }
-      ManifestPrune.noteCommit(root, next, s"tsink:$batchId")
+      // mode=delete commits an eq-delete version whose marker already
+      // carries the `eqdel` kind; the sink cursor note must PRESERVE
+      // it (notes are whitespace-separated tokens — lastAppliedBatch
+      // and history()'s kind classifier both scan token-wise), or the
+      // version would misclassify as dv-delete in history()
+      val cursor =
+        if (mode == "delete") s"eqdel tsink:$batchId"
+        else s"tsink:$batchId"
+      ManifestPrune.noteCommit(root, next, cursor)
     }
   }
 
@@ -763,11 +775,18 @@ object StreamingPipelines {
 
   /** LIVE REPLICATION through the change-feed STREAM — the
     * `graft-table` DSv2 source tailing the source chain's versions,
-    * each micro-batch applied to the replica in version order
-    * ([[graft.sources.ManifestPrune.applyFeedBatch]]). Equivalent to
-    * calling [[graft.sources.ManifestPrune.replicateFeed]] in a loop,
-    * except the version cursor now lives in the streaming
-    * checkpoint — restart-safe, backpressured
+    * each micro-batch applied to the replica in version order through
+    * the SAME `cdcv:` per-source-version cursor + upsert applier the
+    * graft-table sink's mode=cdc uses ([[applySinkBatch]]). That
+    * applier is replay-idempotent at version grain: a crash after
+    * some versions of a micro-batch were applied (or between a
+    * version's delete and upsert commits) replays the batch, the
+    * cursor skips fully-applied versions, and the upsert (rather than
+    * blind insert) makes re-applying a half-applied version repeat
+    * work, never duplicate rows. Equivalent to calling
+    * [[graft.sources.ManifestPrune.replicateFeed]] in a loop, except
+    * the version cursor lives in the streaming checkpoint + replica
+    * markers — restart-safe, backpressured
     * (`maxVersionsPerTrigger`), and running whenever the source
     * commits, which is how a real mirror pipeline is deployed.
     * Caller starts it with `.option("checkpointLocation", ...)
@@ -781,9 +800,8 @@ object StreamingPipelines {
       .fold(reader)(n => reader.option("maxVersionsPerTrigger", n))
       .load(srcRoot)
     feed.writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.ManifestPrune.applyFeedBatch(
-          b.sparkSession, dstRoot, b.toDF(), key)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applySinkBatch(b.toDF(), id, dstRoot, "cdc", key)
       }
   }
 

@@ -250,15 +250,10 @@ class BranchSpec extends SparkSpec {
     MP.tagVersion(br, "audit-point", v1)
     val v2 = MP.dvDeleteCommit(spark, br,
       docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
-    // order the branch timeline deterministically (the travelChain
-    // marker-nudge trick) so as-of t1 must resolve to v1
-    var t2 = MP.commitTimeMs(br, v2).get
-    var bump = 1000L
-    while (t2 <= t1) {
-      new java.io.File(MP.markerPath(br, v2)).setLastModified(t1 + bump)
-      bump += 1000L
-      t2 = MP.commitTimeMs(br, v2).get
-    }
+    // timestamps live inside the markers, strictly monotonic by
+    // protocol — as-of t1 must resolve to v1 with no mtime nudging
+    val t2 = MP.commitTimeMs(br, v2).get
+    assert(t2 > t1, s"branch marker timeline not monotonic: $t1 -> $t2")
     assert(MP.versionAsOf(spark, br, t1) === v1)
     assert(MP.readAsOf(spark, br, t1).count() ===
       MP.readCommitted(spark, br, v1).count())

@@ -173,5 +173,60 @@ class GraftTableSinkSpec extends SparkSpec {
     val afterDel = ManifestPrune.readCommitted(spark, root, 2L)
     assert(afterDel.filter(col("doc_id") % 7 === 1 &&
       col("doc_id") < 9000000L).count() === 0L)
+    // the sink's cursor note PRESERVES the eqdel kind token: history
+    // still classifies the version as an eq-delete, and the tsink:
+    // cursor still answers (a replay of the same id commits nothing)
+    val note = ManifestPrune.commitNote(root, 2L).getOrElse("")
+    assert(note.split("\\s+").contains("eqdel"), s"note was '$note'")
+    val kind = ManifestPrune.describeHistory(spark, root)
+      .filter(col("version") === 2L).select("kind").head().getString(0)
+    assert(kind === "eq-delete",
+      s"sink delete-mode version classified as '$kind'")
+    graft.streaming.StreamingPipelines.applySinkBatch(
+      docs.filter(col("doc_id") % 7 === 1), 1L, root, "delete",
+      "doc_id")
+    assert(ManifestPrune.currentVersion(spark, root) === 2L,
+      "a replayed delete-mode batch id committed a version")
+  }
+
+  test("a cdc batch replayed after a mid-batch crash skips the " +
+    "versions its cdcv cursor already applied") {
+    val src = Tables.matDir(s"sinkspec_mid_src_${System.nanoTime}",
+      spark, sf0001)
+    val dst = Tables.matDir(s"sinkspec_mid_dst_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, src, nFiles = 4)
+    ManifestPrune.buildLayout(docs, dst, nFiles = 4)
+    ManifestPrune.mergeIntoCommit(spark, src,
+      docs.filter(col("doc_id") % 9 === 2)
+        .select(col("doc_id"), lit("mid").as("lang")),
+      docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+    ManifestPrune.dvDeleteCommit(spark, src,
+      docs.filter(col("doc_id") % 7 === 5).select("doc_id"))
+    ManifestPrune.mergeIntoCommit(spark, src,
+      docs.filter(col("doc_id") % 9 === 4 && col("doc_id") % 7 =!= 5)
+        .select(col("doc_id"), lit("mid2").as("lang")),
+      docs.limit(0).select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+    // "crash" after the batch's first two source versions applied:
+    // the same micro-batch id then REPLAYS carrying all three
+    graft.streaming.StreamingPipelines.applySinkBatch(
+      ManifestPrune.changeFeed(spark, src, 0L, 2L), 0L, dst, "cdc",
+      "doc_id")
+    val partial = ManifestPrune.currentVersion(spark, dst)
+    graft.streaming.StreamingPipelines.applySinkBatch(
+      ManifestPrune.changeFeed(spark, src, 0L, 3L), 0L, dst, "cdc",
+      "doc_id")
+    val want = ManifestPrune.readCommitted(spark, src, 3L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val got = ManifestPrune.readCommitted(spark, dst,
+      ManifestPrune.currentVersion(spark, dst))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got === want, "mid-batch replay diverged the replica")
+    // only v3's images landed on the replay — v1/v2 were skipped by
+    // the cdcv cursor, not re-applied
+    assert(ManifestPrune.currentVersion(spark, dst) <= partial + 2,
+      "the replayed batch re-applied already-cursored versions")
   }
 }

@@ -145,4 +145,53 @@ class GraftTableSourceSpec extends SparkSpec {
       .orderBy("lang").collect().map(_.toSeq)
     assert(mv === expect)
   }
+
+  test("the feed spill is keyed by the merge key: readers diffing on " +
+    "different keys never adopt each other's spills") {
+    // a table with TWO unique key columns (doc_id and k2) whose
+    // pairings disagree on a delete+insert commit: the new row reuses
+    // a deleted row's k2, so by doc_id the feed says delete+insert
+    // while by k2 it says update — a reader served the wrong key's
+    // spill would emit wrongly-paired ops
+    val root = graft.Tables.matDir(s"gts_key_${System.nanoTime}",
+      spark, sf0001)
+    val base = docs.limit(50)
+      .withColumn("k2", -col("doc_id"))
+    ManifestPrune.buildLayout(base, root, nFiles = 2)
+    val victim = base.orderBy("doc_id").select("doc_id", "k2")
+      .head()
+    val vId = victim.getLong(0)
+    val vK2 = victim.getLong(1)
+    val cols = base.columns.toSeq
+    val insert = base.filter(col("doc_id") === vId)
+      .withColumn("doc_id", lit(77000001L))
+      .withColumn("text", lit("reborn"))
+      .select(cols.map(col): _*)
+    ManifestPrune.mergeIntoCommit(spark, root,
+      insert.limit(0).select(col("doc_id"), col("lang")), insert,
+      deletes = Some(insert.limit(0).select("doc_id")
+        .unionByName(base.filter(col("doc_id") === vId)
+          .select("doc_id"))))
+    def ops(key: String): Map[String, Long] =
+      spark.read.format("graft-table").option("key", key).load(root)
+        .groupBy("op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byId = ops("doc_id")
+    assert(byId.getOrElse("delete", 0L) === 1L)
+    assert(byId.getOrElse("insert", 0L) === 1L)
+    assert(byId.getOrElse("update_preimage", 0L) === 0L)
+    val byK2 = ops("k2")
+    assert(byK2.getOrElse("update_preimage", 0L) === 1L,
+      s"k2-keyed feed adopted the doc_id spill: $byK2")
+    assert(byK2.getOrElse("update_postimage", 0L) === 1L)
+    assert(byK2.getOrElse("delete", 0L) === 0L)
+    // and the spills live under per-key paths
+    assert(new java.io.File(s"$root/_cdc/doc_id/v1/_FEED_READY").isFile)
+    assert(new java.io.File(s"$root/_cdc/k2/v1/_FEED_READY").isFile)
+    // wrong k2 reads the victim's pre-image (vK2 pairing held)
+    val pre = spark.read.format("graft-table").option("key", "k2")
+      .load(root).filter(col("op") === "update_preimage")
+      .select("doc_id", "k2").head()
+    assert(pre.getLong(0) === vId && pre.getLong(1) === vK2)
+  }
 }
