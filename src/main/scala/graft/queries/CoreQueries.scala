@@ -519,6 +519,34 @@ object CoreQueries {
       (root, t1, t2)
     })
 
+  /** q_sql_catalog's chain, built ONCE per (session, sf dir) and
+    * mutated ONCE through the SQL face itself: base layout →
+    * `INSERT INTO` (two deterministic rows) → `DELETE FROM ... WHERE`
+    * (a predicate with arithmetic, exercising the V2-predicate
+    * translation). The gated query then only SELECTs, so the battery
+    * stays idempotent; the oracle replays insert+delete over the base
+    * parquet. Returns the registered `graft.`-relative table name. */
+  private val sqlCatCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def sqlCatalogTable(s: SparkSession, d: String): String =
+    sqlCatCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"sqlcat_chain_${System.nanoTime}", s, d)
+      graft.sources.ManifestPrune.buildLayout(
+        Tables.load(s, d, "documents"), root, nFiles = 8)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      val tbl = s"sqlq.t_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.GraftCatalog.registerTable(tbl, root)
+      s.sql(s"""INSERT INTO graft.$tbl VALUES
+               |  (91000001, 'sql inserted row one', 'sq', 'src0', 20),
+               |  (91000003, 'sql inserted row two', 'sq', 'src0', 20)
+               |""".stripMargin)
+      s.sql(s"DELETE FROM graft.$tbl WHERE doc_id % 9 = 2 " +
+        "AND lang <> 'sq'")
+      tbl
+    })
+
   /** q_dpp_join's hive-partitioned events layout (partition column =
     * event_type), written once per (session, sf dir). */
   private val dppCache = new java.util.concurrent.ConcurrentHashMap[
@@ -1780,16 +1808,47 @@ object CoreQueries {
     // (before-creation error, expired-version error, exact-instant
     // resolution); at 100 TB resolution cost is O(versions) driver
     // stats, never a data read.
+    // SQL CATALOG FACE (GraftCatalog, the DSv2 TableCatalog): the
+    // chain as a plain SQL table — INSERT INTO appended a version,
+    // DELETE WHERE (with arithmetic, via the V2-predicate translator)
+    // committed a merge-on-read erasure, and this SELECT aggregates
+    // through the catalog's DSv2 scan, whose executor-side reader
+    // masks the DV positions per file and prunes to the projected
+    // columns. The oracle replays insert+delete over the base parquet.
+    Q("q_sql_catalog",
+      (s, d) => {
+        val tbl = sqlCatalogTable(s, d)
+        s.sql(s"""SELECT lang, count(*) AS n_docs,
+                 |  sum(n_chars) AS sum_chars
+                 |FROM graft.$tbl
+                 |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |  UNION ALL SELECT 91000001, 'sq', 20
+             |  UNION ALL SELECT 91000003, 'sq', 20
+             |)
+             |WHERE NOT (doc_id % 9 = 2 AND lang <> 'sq')
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("q_time_travel",
+      // round 13: re-driven through the SQL catalog face — the reads
+      // are plain `TIMESTAMP AS OF` SQL resolved by GraftCatalog over
+      // the in-marker timeline (same oracle, now proving the whole
+      // catalog + DSv2-scan + timeline path instead of the Scala API)
       (s, d) => {
         val (root, t1, t2) = travelChain(s, d)
-        def block(ts: Long, label: String) =
-          graft.sources.ManifestPrune.readAsOf(s, root, ts)
-            .groupBy("source")
-            .agg(count(lit(1)).as("n_docs"),
-              sum(col("doc_id")).as("id_sum"))
-            .select(lit(label).as("as_of"), col("source"),
-              col("n_docs"), col("id_sum"))
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        val tbl = s"travel.t_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.sources.GraftCatalog.registerTable(tbl, root)
+        def block(ts: Long, label: String) = s.sql(
+          s"""SELECT '$label' AS as_of, source,
+             |  count(*) AS n_docs, sum(doc_id) AS id_sum
+             |FROM graft.$tbl TIMESTAMP AS OF timestamp_millis($ts)
+             |GROUP BY source""".stripMargin)
         block(t1, "v1").unionByName(block(t2, "v2"))
           .orderBy("as_of", "source")
       },

@@ -1,0 +1,434 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.functions.{col, lit}
+
+/** THE SQL CATALOG FACE of the version chain — a DSv2 `TableCatalog`
+  * that exposes chain roots as real SQL tables, so an analyst speaks
+  * plain Spark SQL with ZERO engine-specific API:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     classOf[graft.sources.GraftCatalog].getName)
+  *   GraftCatalog.registerTable("db.docs", root)        // or catalog
+  *                                                      // options
+  *   spark.sql("SELECT lang, count(*) FROM graft.db.docs GROUP BY 1")
+  *   spark.sql("SELECT * FROM graft.db.docs VERSION AS OF 3")
+  *   spark.sql("SELECT * FROM graft.db.docs VERSION AS OF 'train-v1'")
+  *   spark.sql("SELECT * FROM graft.db.docs TIMESTAMP AS OF '...'")
+  *   spark.sql("INSERT INTO graft.db.docs SELECT ...")
+  *   spark.sql("INSERT OVERWRITE graft.db.docs SELECT ...")
+  *   spark.sql("DELETE FROM graft.db.docs WHERE doc_id % 7 = 3")
+  * }}}
+  *
+  * Reads are a REAL DSv2 scan, not a view trick: one input partition
+  * per committed data file (the manifest's driver-bounded file list),
+  * an executor-side reader that masks the version's deletion-vector
+  * positions and equality-delete keys per row (the sidecars ride to
+  * every task — they are sized by deleted rows, the same bound
+  * [[ManifestPrune.applyDv]]'s broadcast anti-join assumes), and
+  * column pruning pushed into the reader (fields decode by name; an
+  * unprojected column is never materialized). Version resolution
+  * happens at `loadTable` — one snapshot per query, Iceberg's
+  * per-scan isolation.
+  *
+  * Writes ride the public V1Write bridge (the JDBC connector's
+  * shape): INSERT INTO → [[ManifestPrune.appendCommit]], INSERT
+  * OVERWRITE → [[ManifestPrune.replaceCommit]]; DELETE WHERE
+  * translates the pushed filters to a predicate and commits a
+  * merge-on-read [[ManifestPrune.dvDeleteWhereCommit]] — pure
+  * metadata + sidecar, no data file rewritten. Everything lands on
+  * the same CAS chain as the Scala API, so SQL and API writers
+  * interleave safely. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = "graft"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    // static registration: spark.sql.catalog.<name>.table.<db>.<t> = root
+    options.entrySet().forEach { e =>
+      val k = e.getKey
+      if (k.startsWith("table."))
+        GraftCatalog.registerTable(k.stripPrefix("table."), e.getValue)
+    }
+  }
+
+  override def name(): String = catName
+
+  private def qualified(ident: Identifier): String =
+    (ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  private def rootOf(ident: Identifier): (String, String) =
+    GraftCatalog.lookup(qualified(ident)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(Seq(catName) ++ ident.namespace :+
+          ident.name))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    GraftCatalog.registered.filter { q =>
+      q.split("\\.").dropRight(1).sameElements(namespace)
+    }.map { q =>
+      val parts = q.split("\\.")
+      Identifier.of(parts.dropRight(1), parts.last)
+    }.toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val (root, key) = rootOf(ident)
+    val s = SparkSession.active
+    new GraftCatalogTable(root,
+      ManifestPrune.currentVersion(s, root), key, qualified(ident))
+  }
+
+  /** `VERSION AS OF <n | 'tag'>` — numeric version or named tag (the
+    * Iceberg ref convention). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val (root, key) = rootOf(ident)
+    val v =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else ManifestPrune.taggedVersion(root, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"no version or tag '$version' on ${qualified(ident)} " +
+            s"(tags: ${ManifestPrune.listTags(root).keys.toSeq.sorted
+              .mkString(", ")})"))
+    new GraftCatalogTable(root, v, key, qualified(ident))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands micros since epoch; the chain's
+    * marker timeline resolves it ([[ManifestPrune.versionAsOf]]). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val (root, key) = rootOf(ident)
+    val v = ManifestPrune.versionAsOf(SparkSession.active, root,
+      timestamp / 1000L)
+    new GraftCatalogTable(root, v, key, qualified(ident))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftCatalog.lookup(qualified(ident)).isDefined
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : Table =
+    throw new UnsupportedOperationException(
+      "create the chain with ManifestPrune.buildLayout and register " +
+        "it (GraftCatalog.registerTable or the catalog's table.* options)")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use ManifestPrune.evolveClustering / addConstraint")
+
+  /** DROP TABLE unregisters the name; the chain's files are retired
+    * by its own vacuum, never by the catalog. */
+  override def dropTable(ident: Identifier): Boolean =
+    GraftCatalog.unregisterTable(qualified(ident))
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val (root, key) = rootOf(oldIdent)
+    GraftCatalog.registerTable(qualified(newIdent), root, key)
+    GraftCatalog.unregisterTable(qualified(oldIdent))
+  }
+
+  // --- namespaces: registration-derived, metadata-free
+  override def listNamespaces(): Array[Array[String]] =
+    GraftCatalog.registered.map(_.split("\\.").dropRight(1).toSeq)
+      .distinct.map(_.toArray).toArray
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = Array.empty
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(Seq(catName) ++ namespace)
+    java.util.Collections.emptyMap()
+  }
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    listNamespaces().exists(_.sameElements(namespace))
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "namespaces are implied by registered table names")
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("immutable namespace")
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = false
+}
+
+object GraftCatalog {
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Register a chain root under `db.table` (+ its merge key). */
+  def registerTable(qualified: String, root: String,
+                    key: String = "doc_id"): Unit =
+    tables.put(qualified, (root, key))
+
+  def unregisterTable(qualified: String): Boolean =
+    tables.remove(qualified) != null
+
+  private[sources] def lookup(qualified: String)
+      : Option[(String, String)] = Option(tables.get(qualified))
+
+  private[sources] def registered: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    tables.keySet().asScala.toSeq.sorted
+  }
+}
+
+/** One committed version of a chain as a DSv2 table: reads mask the
+  * version's sidecars executor-side; writes commit on the chain. */
+private[sources] class GraftCatalogTable(val root: String,
+                                         val snapshot: Long,
+                                         val mergeKey: String,
+                                         qualified: String)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDeleteV2 {
+
+  override def name(): String = s"$qualified@v$snapshot"
+
+  override lazy val schema: StructType =
+    ManifestPrune.readVersion(SparkSession.active,
+      ManifestPrune.manifestOf(root, snapshot)).schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftChainScanBuilder(root, snapshot, schema)
+
+  // ------------------------------------------------- INSERT INTO
+  /** The public V1Write bridge (the JDBC connector's shape): the
+    * micro-planned batch arrives as a driver DataFrame, exactly what
+    * the chain's commit functions consume. INSERT INTO appends;
+    * INSERT OVERWRITE (truncate) replaces. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwrite: Boolean): Unit = {
+              val s = data.sparkSession
+              if (replace || overwrite)
+                ManifestPrune.replaceCommit(s, root, data)
+              else
+                ManifestPrune.appendCommit(s, root, data)
+            }
+          }
+      }
+    }
+
+  // ------------------------------------------------- DELETE WHERE
+  override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
+    predicates.forall(p => V2PredicateToColumn.translate(p).isDefined)
+
+  override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    val cond = predicates.toSeq.flatMap(V2PredicateToColumn.translate)
+      .reduceOption(_ && _)
+      .getOrElse(lit(true)) // TRUNCATE: unconditional delete
+    ManifestPrune.dvDeleteWhereCommit(SparkSession.active, root, cond)
+  }
+}
+
+/** DSv2 `Predicate` → Column translation for the delete path — the
+  * V2 expression algebra (comparisons, boolean connectives, null
+  * tests, IN, string matches, and the arithmetic Spark's
+  * V2ExpressionBuilder pushes: + - * / %), so predicates like
+  * `doc_id % 5 = 2` delete correctly. None = untranslatable
+  * (canDeleteWhere then refuses and Spark reports the unsupported
+  * predicate instead of silently deleting wrong rows). */
+private[sources] object V2PredicateToColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, GeneralScalarExpression, Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue}
+
+  def translate(e: V2Expr): Option[Column] = e match {
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case f: NamedReference => Some(col(f.fieldNames.mkString(".")))
+    case l: V2Literal[_] => Some(org.apache.spark.sql.GraftSqlShims
+      .column(org.apache.spark.sql.catalyst.expressions
+        .Literal(l.value, l.dataType)))
+    case g: GeneralScalarExpression =>
+      val kids = g.children().toSeq.map(translate)
+      if (kids.exists(_.isEmpty)) return None
+      val c = kids.flatten
+      def bin(f: (Column, Column) => Column): Option[Column] =
+        if (c.length == 2) Some(f(c(0), c(1))) else None
+      g.name() match {
+        case "=" => bin(_ === _)
+        case "<=>" => bin(_ <=> _)
+        case "<>" | "!=" => bin(_ =!= _)
+        case "<" => bin(_ < _)
+        case "<=" => bin(_ <= _)
+        case ">" => bin(_ > _)
+        case ">=" => bin(_ >= _)
+        case "+" => bin(_ + _)
+        case "-" => if (c.length == 1) Some(-c(0)) else bin(_ - _)
+        case "*" => bin(_ * _)
+        case "/" => bin(_ / _)
+        case "%" => bin(_ % _)
+        case "AND" => bin(_ && _)
+        case "OR" => bin(_ || _)
+        case "NOT" => if (c.length == 1) Some(!c(0)) else None
+        case "IS_NULL" => if (c.length == 1) Some(c(0).isNull) else None
+        case "IS_NOT_NULL" =>
+          if (c.length == 1) Some(c(0).isNotNull) else None
+        case "IN" => Some(c(0).isin(c.drop(1): _*))
+        case "STARTS_WITH" => bin(_ startsWith _)
+        case "ENDS_WITH" => bin(_ endsWith _)
+        case "CONTAINS" => bin(_ contains _)
+        case "ABS" => if (c.length == 1)
+          Some(org.apache.spark.sql.functions.abs(c(0))) else None
+        case "COALESCE" =>
+          Some(org.apache.spark.sql.functions.coalesce(c: _*))
+        case _ => None
+      }
+    case _ => None
+  }
+}
+
+// ---------------------------------------------------------- the scan
+
+private[sources] class GraftChainScanBuilder(root: String, version: Long,
+                                             full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftChainScan(root, version, required)
+}
+
+/** One partition per committed data file; the version's DV and
+  * equality-delete sidecar part files ride to every task (sized by
+  * deleted rows — the applyDv broadcast bound) and mask rows
+  * executor-side, so `SELECT … FROM graft.db.t` reads exactly what
+  * [[ManifestPrune.readCommitted]] computes, without a driver-side
+  * join plan. Column pruning reaches the reader (by-name decode). */
+private[sources] class GraftChainScan(root: String, version: Long,
+                                      required: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-chain $root v$version cols=[${required.fieldNames
+      .mkString(",")}]"
+
+  private def sidecarParts(dir: Option[String]): Seq[String] =
+    dir.toSeq.flatMap { d =>
+      val st = ChainStorage.forPath(d)
+      st.list(d).filter(_.endsWith(".parquet")).sorted.map(n => s"$d/$n")
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val s = SparkSession.active
+    val files = ManifestPrune.collectFileList(s,
+      s.read.parquet(ManifestPrune.manifestOf(root, version))
+        .select("file"),
+      s"catalog scan of $root v$version")
+    val dv = sidecarParts(ManifestPrune.dvOf(root, version))
+    val eq = sidecarParts(ManifestPrune.eqDelOf(root, version))
+    files.map(f =>
+      ChainFilePartition(f, dv, eq): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChainReaderFactory(
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration), required)
+}
+
+private[sources] case class ChainFilePartition(file: String,
+                                               dvParts: Seq[String],
+                                               eqParts: Seq[String])
+    extends InputPartition
+
+private[sources] class ChainReaderFactory(conf: SerializableHadoopConf,
+                                          required: StructType)
+    extends PartitionReaderFactory {
+  import org.apache.parquet.example.data.Group
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def createReader(p0: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = p0.asInstanceOf[ChainFilePartition]
+    // DV positions for THIS file: the sidecar holds (file, pos) rows
+    // keyed by the same _metadata.file_path URI the manifest records
+    val hidden = new java.util.HashSet[java.lang.Long]()
+    GroupParquet.foreachRow(p.dvParts, conf.value) { g =>
+      if (GroupParquet.plainValue(g, "file", StringType) == p.file)
+        hidden.add(GroupParquet.plainValue(g, "pos", LongType)
+          .asInstanceOf[Long])
+    }
+    // equality-delete keys: the sidecar's OWN column set defines the
+    // match columns (single or composite), SQL join semantics (a null
+    // on either side never matches)
+    var eqCols: Seq[String] = Seq.empty
+    val eqKeys = new java.util.HashSet[Seq[Any]]()
+    GroupParquet.foreachRow(p.eqParts, conf.value) { g =>
+      if (eqCols.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        eqCols = g.getType.getFields.asScala.map(_.getName).toSeq
+      }
+      val key = eqCols.map(c => eqPlain(g, c))
+      if (!key.contains(null)) eqKeys.add(key)
+    }
+    val reader = GroupParquet.open(p.file, conf.value)
+    new PartitionReader[InternalRow] {
+      private var cur: Group = _
+      private var pos = -1L
+      override def next(): Boolean = {
+        cur = reader.read(); pos += 1
+        while (cur != null && masked()) { cur = reader.read(); pos += 1 }
+        cur != null
+      }
+      private def masked(): Boolean =
+        hidden.contains(pos) || (eqCols.nonEmpty && {
+          val key = eqCols.map(c => eqPlain(cur, c))
+          !key.contains(null) && eqKeys.contains(key)
+        })
+      override def get(): InternalRow =
+        GroupParquet.decode(cur, required)
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  /** Decode a field by the FILE's own primitive type (the eq sidecar
+    * and the data file agree on key column types by construction). */
+  private def eqPlain(g: Group, name: String): Any = {
+    val gt = g.getType
+    if (!gt.containsField(name)) return null
+    val i = gt.getFieldIndex(name)
+    if (g.getFieldRepetitionCount(i) == 0) return null
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    gt.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+      case INT64 => g.getLong(i, 0)
+      case INT32 => g.getInteger(i, 0).toLong // widen: 32 == 64 keys
+      case DOUBLE => g.getDouble(i, 0)
+      case FLOAT => g.getFloat(i, 0).toDouble
+      case BOOLEAN => g.getBoolean(i, 0)
+      case BINARY => g.getString(i, 0)
+      case t => throw new UnsupportedOperationException(
+        s"equality-delete key column '$name' of physical type $t")
+    }
+  }
+}

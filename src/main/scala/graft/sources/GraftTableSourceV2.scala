@@ -292,11 +292,8 @@ private[sources] class GraftTableMicroBatchStream(
 }
 
 /** Executor-side reader of the spilled feed parquet via
-  * parquet-hadoop's Group API (no Spark-internal reader classes):
-  * fields are resolved BY NAME against the file schema, primitives
-  * convert directly, Spark's INT96 timestamp encoding is decoded to
-  * micros. Complex/decimal columns are rejected with a clear error —
-  * the chain's tables are flat by construction. */
+  * parquet-hadoop's Group API ([[GroupParquet]] — no Spark-internal
+  * reader classes): fields resolve by name, flat primitives only. */
 private[sources] class FeedParquetReaderFactory(
     conf: SerializableHadoopConf, schema: StructType)
     extends PartitionReaderFactory {
@@ -304,59 +301,13 @@ private[sources] class FeedParquetReaderFactory(
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
-    val file = new Path(p.asInstanceOf[FeedFilePartition].file)
-    @annotation.nowarn("cat=deprecation")
-    val reader = org.apache.parquet.hadoop.ParquetReader
-      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-        file)
-      .withConf(conf.value)
-      .build()
+    val reader = GroupParquet.open(
+      p.asInstanceOf[FeedFilePartition].file, conf.value)
     new PartitionReader[InternalRow] {
       private var cur: Group = _
       override def next(): Boolean = { cur = reader.read(); cur != null }
-      override def get(): InternalRow = convert(cur)
+      override def get(): InternalRow = GroupParquet.decode(cur, schema)
       override def close(): Unit = reader.close()
     }
-  }
-
-  private def convert(g: Group): InternalRow = {
-    val gt = g.getType
-    InternalRow.fromSeq(schema.fields.toIndexedSeq.map { f =>
-      if (!gt.containsField(f.name)) null
-      else {
-        val i = gt.getFieldIndex(f.name)
-        if (g.getFieldRepetitionCount(i) == 0) null
-        else f.dataType match {
-          case StringType => UTF8String.fromString(g.getString(i, 0))
-          case LongType => g.getLong(i, 0)
-          case IntegerType => g.getInteger(i, 0)
-          case DoubleType => g.getDouble(i, 0)
-          case FloatType => g.getFloat(i, 0)
-          case BooleanType => g.getBoolean(i, 0)
-          case BinaryType => g.getBinary(i, 0).getBytes
-          case DateType => g.getInteger(i, 0)
-          case TimestampType =>
-            gt.getType(i).asPrimitiveType().getPrimitiveTypeName match {
-              case org.apache.parquet.schema.PrimitiveType
-                  .PrimitiveTypeName.INT64 => g.getLong(i, 0)
-              case org.apache.parquet.schema.PrimitiveType
-                  .PrimitiveTypeName.INT96 =>
-                // 8 LE bytes nanos-of-day + 4 LE bytes julian day
-                val b = g.getInt96(i, 0).getBytes
-                val buf = java.nio.ByteBuffer.wrap(b)
-                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-                val nanos = buf.getLong
-                val julian = buf.getInt
-                (julian - 2440588L) * 86400000000L + nanos / 1000L
-              case t => throw new UnsupportedOperationException(
-                s"timestamp physical type $t")
-            }
-          case t => throw new UnsupportedOperationException(
-            s"graft-table feed cannot decode column '${f.name}' of " +
-              s"type ${t.simpleString} — the chain's tables are flat " +
-              "primitive columns")
-        }
-      }
-    })
   }
 }

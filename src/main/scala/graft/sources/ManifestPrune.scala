@@ -1364,6 +1364,67 @@ object ManifestPrune {
     publish(root, base, mf)
   }
 
+  /** DELETE WHERE <predicate> as a merge-on-read commit — the SQL
+    * face's delete primitive ([[GraftCatalogTable]] routes
+    * `DELETE FROM graft.db.t WHERE …` here): the positions of every
+    * LIVE row matching `cond` join the DV sidecar, no data file is
+    * touched. Generalizes [[dvDeleteCommit]] from key-join planning
+    * to arbitrary predicate planning; one table scan at commit (the
+    * position-planning read every positional delete pays), sidecar
+    * growth O(matching rows). */
+  def dvDeleteWhereCommit(s: SparkSession, root: String,
+                          cond: org.apache.spark.sql.Column): Long = {
+    val base = currentVersion(s, root)
+    val tok = prepareToken()
+    val baseManifest = manifestOf(root, base)
+    val effDv = foldEqDel(s, root, baseManifest, dvOf(root, base), tok)
+    val doomed = readVersionWithDv(s, baseManifest, effDv)
+      .filter(cond)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"))
+    val merged = effDv match {
+      case Some(dv) => s.read.parquet(dv).unionByName(doomed).distinct()
+      case None => doomed.distinct()
+    }
+    val dvV = s"$root/dv_$tok"
+    merged.write.mode("overwrite").parquet(dvV)
+    val mfV = s"$root/manifest_$tok"
+    s.read.parquet(baseManifest).write.mode("overwrite").parquet(mfV)
+    carrySpecPointer(root, baseManifest, mfV)
+    writeDvPointer(root, mfV, dvV)
+    publish(root, base, mfV)
+  }
+
+  /** REPLACE the table's contents with `rows` as one committed
+    * version (INSERT OVERWRITE / the SQL face's truncate-and-load):
+    * the new manifest references ONLY the fresh delta — old files
+    * become unreferenced by the new head (still readable via time
+    * travel until expiry, the swap-by-path rule). Refuses an empty
+    * batch: an all-rows delete is expressed by [[dvDeleteWhereCommit]]
+    * (the chain cannot represent a file-less version). */
+  def replaceCommit(s: SparkSession, root: String,
+                    rows: DataFrame): Long = {
+    val base = currentVersion(s, root)
+    val tok = prepareToken()
+    val baseManifest = manifestOf(root, base)
+    val cols = readVersion(s, baseManifest).schema.fieldNames.toSeq
+    val dataDir = s"$root/data_$tok"
+    require(rows.limit(1).count() > 0,
+      "INSERT OVERWRITE with zero rows — an empty table cannot be " +
+        "represented by a replaced version; DELETE WHERE true instead")
+    val spec = specOfManifest(root, baseManifest)
+    rows.select(cols.map(col): _*)
+      .write.mode("overwrite").parquet(dataDir)
+    enforceConstraints(root, s.read.parquet(dataDir))
+    val mfV = s"$root/manifest_$tok"
+    statsManifest(s, dataDir, spec.statsCol, spec.id)
+      .write.mode("overwrite").parquet(mfV)
+    carrySpecPointer(root, baseManifest, mfV)
+    val v = publish(root, base, mfV)
+    noteCommit(root, v, "replace")
+    v
+  }
+
   /** The CAS primitive: atomic PUT-if-absent of the commit marker
     * ([[ChainStorage.putIfAbsent]] — exactly one writer of `version`
     * succeeds; conditional PUT on object stores, createNewFile
