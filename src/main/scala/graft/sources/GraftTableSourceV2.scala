@@ -45,8 +45,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Rows carry the feed convention: `op` ∈ insert | update_preimage |
   * update_postimage | delete, the table's columns, and `version`. */
-class GraftTableSourceV2 extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+class GraftTableSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -56,42 +55,6 @@ class GraftTableSourceV2 extends TableProvider with DataSourceRegister
                         partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new GraftTableTable(schema, new CaseInsensitiveStringMap(properties))
-
-  /** STREAMING WRITE face —
-    * `df.writeStream.format("graft-table").option("mode", …)
-    * .start(root)`: each micro-batch commits as one version on the
-    * chain (append / upsert-by-key / equality-delete, exactly-once
-    * under replay via the `tsink:` marker cursor). The V1 Sink API is
-    * deliberate — the driver-side batch frame is exactly what the
-    * chain's commit functions consume, and the CAS protocol already
-    * provides the atomicity a staged V2 write would re-implement
-    * (the same call Delta makes). */
-  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
-                          parameters: Map[String, String],
-                          partitionColumns: Seq[String],
-                          outputMode: org.apache.spark.sql.streaming.OutputMode)
-      : org.apache.spark.sql.execution.streaming.Sink = {
-    val root = parameters.getOrElse("path", throw new
-        IllegalArgumentException("graft-table sink needs .start(<root>)"))
-    new GraftTableSink(root,
-      parameters.getOrElse("mode", "append"),
-      parameters.getOrElse("key", "doc_id"))
-  }
-}
-
-private[sources] class GraftTableSink(root: String, mode: String,
-                                      key: String)
-    extends org.apache.spark.sql.execution.streaming.Sink {
-  override def name(): String = s"graft-table-sink:$root"
-  override def addBatch(batchId: Long,
-                        data: org.apache.spark.sql.DataFrame): Unit = {
-    // the V1 batch frame is streaming-flagged and refuses .write;
-    // rewrap it as a non-streaming LogicalRDD over the executed
-    // micro-batch — exactly what Spark's own ForeachBatchSink does
-    graft.streaming.StreamingPipelines.applySinkBatch(
-      org.apache.spark.sql.GraftSqlShims.unstream(data),
-      batchId, root, mode, key)
-  }
 }
 
 object GraftTableSourceV2 {
@@ -161,12 +124,25 @@ object GraftTableSourceV2 {
 
 private[sources] class GraftTableTable(userSchema: StructType,
                                        options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-table:${options.get("path")}"
   override def schema(): StructType = userSchema
+  /** ACCEPT_ANY_SCHEMA is load-bearing: the READ face's schema is the
+    * change-feed row shape (op + columns + version) while write-mode
+    * batches carry the table's own columns (append/upsert), just the
+    * key (delete), or the feed shape (cdc) — each commit mode
+    * validates its own contract against the chain. */
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE,
+      // BATCH_WRITE is the dispatch flag DataFrameWriter.save checks;
+      // V1_BATCH_WRITE tells the planner the Write is a V1Write bridge
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = {
@@ -177,6 +153,178 @@ private[sources] class GraftTableTable(userSchema: StructType,
         new GraftTableScan(userSchema, merged)
       }
     }
+
+  /** The WRITE face — `df.write.format("graft-table")` (batch) and
+    * `df.writeStream.format("graft-table")` (streaming), both on the
+    * PUBLIC connector API. Batch rides the V1Write bridge (the
+    * driver-side frame is exactly what the chain's commit functions
+    * consume); streaming is a real staged [[GraftStreamingWrite]]:
+    * executor tasks spill their rows as parquet under
+    * `root/_staging/`, and the epoch COMMIT (driver) folds the staged
+    * batch onto the chain through the same `tsink:`-cursor applier as
+    * ever — exactly-once under replay, now on the durable API instead
+    * of the internal V1 Sink. Modes (option `mode`): append | upsert
+    * | delete | cdc (streaming only); `key` names the merge key. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val merged = new java.util.HashMap[String, String](
+      options.asCaseSensitiveMap())
+    merged.putAll(info.options().asCaseSensitiveMap())
+    val opts = new CaseInsensitiveStringMap(merged)
+    val root = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-table write needs a path"))
+    val mode = Option(opts.get("mode")).getOrElse("append")
+    val key = Option(opts.get("key")).getOrElse("doc_id")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        replace = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new GraftTableWrite(root, mode, key, replace, info.schema())
+    }
+  }
+}
+
+/** One Write serving both faces: batch through the public V1Write
+  * bridge, streaming through [[GraftStreamingWrite]]. */
+private[sources] class GraftTableWrite(root: String, mode: String,
+                                       key: String, replace: Boolean,
+                                       querySchema: StructType)
+    extends org.apache.spark.sql.connector.write.V1Write {
+
+  override def toInsertableRelation
+      : org.apache.spark.sql.sources.InsertableRelation =
+    new org.apache.spark.sql.sources.InsertableRelation {
+      override def insert(data: org.apache.spark.sql.DataFrame,
+                          overwrite: Boolean): Unit = {
+        val s = data.sparkSession
+        if (replace || overwrite)
+          ManifestPrune.replaceCommit(s, root, data)
+        else mode match {
+          case "append" => ManifestPrune.appendCommit(s, root, data)
+          case "upsert" => ManifestPrune.upsertCommit(s, root, data, key)
+          case "delete" => ManifestPrune.eqDeleteCommit(s, root,
+            data.select(key))
+          case other => throw new IllegalArgumentException(
+            s"graft-table batch write mode must be " +
+              s"append|upsert|delete, got '$other' (cdc is a " +
+              "streaming mode)")
+        }
+      }
+    }
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStreamingWrite(root, mode, key, querySchema,
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+/** The staged streaming write: each task spills its rows to one
+  * parquet file under `root/_staging/<write-uuid>/` via the Group
+  * writer (no Spark-internal writer classes), the commit message
+  * carries the file path, and the epoch COMMIT reads the staged
+  * files back as one DataFrame and folds it onto the chain through
+  * [[graft.streaming.StreamingPipelines.applySinkBatch]] — the same
+  * per-table `tsink:` (and per-version `cdcv:`) cursors as before,
+  * so a replayed epoch commits nothing. Aborts (and successful
+  * commits) delete their staged files; a crash between stage and
+  * commit leaves only unreferenced garbage under `_staging/`. */
+private[sources] class GraftStreamingWrite(root: String, mode: String,
+                                           key: String,
+                                           schema: StructType,
+                                           conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val stageDir =
+    s"$root/_staging/${java.util.UUID.randomUUID().toString.take(12)}"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    GraftStagingWriterFactory(stageDir, schema, conf)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case StagedFileMessage(path) if path != null => path
+    }
+    if (files.nonEmpty) {
+      val s = SparkSession.active
+      val batch = s.read.schema(schema).parquet(files.toIndexedSeq: _*)
+      graft.streaming.StreamingPipelines.applySinkBatch(
+        batch, epochId, root, mode, key)
+      files.foreach(f => ChainStorage.forPath(root).deleteFile(f))
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedFileMessage(path) if path != null =>
+        ChainStorage.forPath(root).deleteFile(path)
+      case _ => ()
+    }
+}
+
+private[sources] case class StagedFileMessage(path: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Ships only serializable state to the tasks (the enclosing
+  * StreamingWrite must not ride the closure). */
+private[sources] case class GraftStagingWriterFactory(
+    stageDir: String, schema: StructType, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftStagingDataWriter(
+      s"$stageDir/e${epochId}_p${partitionId}_t${taskId}_" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.parquet",
+      schema, conf)
+}
+
+/** Executor-side task writer: rows → one staged Group-parquet file
+  * (lazily opened, so an empty task stages nothing). */
+private[sources] class GraftStagingDataWriter(path: String,
+                                              schema: StructType,
+                                              conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[
+    org.apache.parquet.example.data.Group] = _
+  private lazy val factory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      GroupParquet.messageType(schema))
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null)
+      writer = GroupParquet.openWriter(path, schema, conf.value)
+    writer.write(GroupParquet.toGroup(row, schema, factory))
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (writer != null) writer.close()
+    StagedFileMessage(if (writer == null) null else path)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) {
+      writer.close()
+      org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), conf.value)
+        .delete(new Path(path), false)
+    }
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class GraftTableScan(schema: StructType,

@@ -90,4 +90,88 @@ private[sources] object GroupParquet {
         while (g != null) { f(g); g = r.read() }
       } finally r.close()
     }
+
+  // ------------------------------------------------ the WRITE half
+
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+  /** Spark StructType → parquet MessageType for the staged-write
+    * path (flat primitives — the chain's table contract; timestamps
+    * land as INT64 micros UTC-adjusted, which Spark reads back as
+    * TimestampType bit-for-bit). */
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val opt = Types.optional(_: PrimitiveTypeName)
+      f.dataType match {
+        case StringType => b.addField(opt(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case LongType => b.addField(
+          opt(PrimitiveTypeName.INT64).named(f.name))
+        case IntegerType => b.addField(
+          opt(PrimitiveTypeName.INT32).named(f.name))
+        case DoubleType => b.addField(
+          opt(PrimitiveTypeName.DOUBLE).named(f.name))
+        case FloatType => b.addField(
+          opt(PrimitiveTypeName.FLOAT).named(f.name))
+        case BooleanType => b.addField(
+          opt(PrimitiveTypeName.BOOLEAN).named(f.name))
+        case BinaryType => b.addField(
+          opt(PrimitiveTypeName.BINARY).named(f.name))
+        case DateType => b.addField(opt(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name))
+        case TimestampType => b.addField(opt(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+        case t => throw new UnsupportedOperationException(
+          s"cannot stage column '${f.name}' of type ${t.simpleString} " +
+            "— the chain's tables are flat primitive columns")
+      }
+    }
+    b.named("graft_staged")
+  }
+
+  /** Open a Group writer over one parquet file (executor-side
+    * staging for the DSv2 streaming sink / delta writes). */
+  def openWriter(path: String, schema: StructType,
+                 conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.parquet.hadoop.ParquetWriter[Group] = {
+    val mt = messageType(schema)
+    org.apache.parquet.hadoop.example.GroupWriteSupport
+      .setSchema(mt, conf)
+    @annotation.nowarn("cat=deprecation")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(conf)
+      .withType(mt)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    w
+  }
+
+  /** One InternalRow as a Group under `schema` (nulls skipped — the
+    * optional-field convention). */
+  def toGroup(row: InternalRow, schema: StructType,
+              factory: org.apache.parquet.example.data.simple
+                .SimpleGroupFactory): Group = {
+    val g = factory.newGroup()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case StringType => g.append(f.name, row.getUTF8String(i).toString)
+        case LongType | TimestampType => g.append(f.name, row.getLong(i))
+        case IntegerType | DateType => g.append(f.name, row.getInt(i))
+        case DoubleType => g.append(f.name, row.getDouble(i))
+        case FloatType => g.append(f.name, row.getFloat(i))
+        case BooleanType => g.append(f.name, row.getBoolean(i))
+        case BinaryType => g.append(f.name,
+          org.apache.parquet.io.api.Binary
+            .fromConstantByteArray(row.getBinary(i)))
+        case t => throw new UnsupportedOperationException(
+          s"cannot stage column '${f.name}' of type ${t.simpleString}")
+      }
+    }
+    g
+  }
 }
