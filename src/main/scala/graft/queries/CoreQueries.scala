@@ -547,6 +547,43 @@ object CoreQueries {
       tbl
     })
 
+  /** q_sql_merge's chain: base layout, then ONE deterministic SQL
+    * MERGE INTO through the catalog's delta-based row-level operation
+    * (matched-delete + matched-update + not-matched-insert clauses in
+    * one command, committed as one merge-on-read version). The gated
+    * query only SELECTs; the oracle replays the merge arithmetic. */
+  private val sqlMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def sqlMergeTable(s: SparkSession, d: String): String =
+    sqlMergeCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"sqlmerge_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"mrg.t_$suffix"
+      graft.sources.GraftCatalog.registerTable(tbl, root)
+      val view = s"merge_src_$suffix"
+      docs.filter(col("doc_id") % 9 === 1)
+        .select(col("doc_id"), lit("mg").as("lang"))
+        .unionByName(docs.orderBy("doc_id").limit(2)
+          .select((col("doc_id") + 40000000L).as("doc_id"),
+            lit("mg").as("lang")))
+        .createOrReplaceTempView(view)
+      s.sql(s"""MERGE INTO graft.$tbl AS t
+               |USING $view AS s
+               |ON t.doc_id = s.doc_id
+               |WHEN MATCHED AND t.doc_id % 27 = 10 THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET t.lang = s.lang
+               |WHEN NOT MATCHED THEN INSERT
+               |  (doc_id, text, lang, source, n_chars)
+               |  VALUES (s.doc_id, 'merged row', s.lang, 'sql', 10)
+               |""".stripMargin)
+      tbl
+    })
+
   /** q_dpp_join's hive-partitioned events layout (partition column =
     * event_type), written once per (session, sf dir). */
   private val dppCache = new java.util.concurrent.ConcurrentHashMap[
@@ -1831,6 +1868,33 @@ object CoreQueries {
              |  UNION ALL SELECT 91000003, 'sq', 20
              |)
              |WHERE NOT (doc_id % 9 = 2 AND lang <> 'sq')
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // SQL MERGE INTO through the catalog (SupportsRowLevelOperations,
+    // delta-based): one command carrying matched-delete,
+    // matched-update, and not-matched-insert clauses committed as ONE
+    // merge-on-read version — deleted/updated positions into the DV
+    // sidecar, post-images + inserts as one delta file, no data file
+    // rewritten. The oracle replays the merge arithmetic over the
+    // base parquet.
+    Q("q_sql_merge",
+      (s, d) => {
+        val tbl = sqlMergeTable(s, d)
+        s.sql(s"""SELECT lang, count(*) AS n_docs,
+                 |  sum(n_chars) AS sum_chars
+                 |FROM graft.$tbl
+                 |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM (
+             |  SELECT CASE WHEN doc_id % 9 = 1 THEN 'mg' ELSE lang END
+             |    AS lang, n_chars
+             |  FROM documents
+             |  WHERE NOT (doc_id % 9 = 1 AND doc_id % 27 = 10)
+             |  UNION ALL SELECT 'mg', 10
+             |  UNION ALL SELECT 'mg', 10
+             |)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     Q("q_time_travel",

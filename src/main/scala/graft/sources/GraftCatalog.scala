@@ -195,7 +195,8 @@ private[sources] class GraftCatalogTable(val root: String,
                                          val mergeKey: String,
                                          qualified: String)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDeleteV2 {
+    with SupportsDeleteV2 with SupportsMetadataColumns
+    with SupportsRowLevelOperations {
 
   override def name(): String = s"$qualified@v$snapshot"
 
@@ -205,8 +206,31 @@ private[sources] class GraftCatalogTable(val root: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  /** The row-identity metadata columns SQL MERGE/UPDATE plan on: the
+    * scan serves the physical (file, position) of every live row —
+    * the same coordinates the DV sidecar speaks, so a row-level
+    * command's deletes drop straight into the sidecar. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftMetaColumn("__file",
+        org.apache.spark.sql.types.StringType),
+      GraftMetaColumn("__pos", org.apache.spark.sql.types.LongType))
+
+  /** SQL MERGE INTO / UPDATE as a DELTA-based row-level operation —
+    * the merge-on-read shape the chain's morMergeFrom already speaks:
+    * Spark rewrites the command into per-row DELETE/UPDATE/INSERT
+    * actions against the scan's (__file, __pos) row ids; the writers
+    * stage masked positions + post-image rows, and the commit folds
+    * them onto the chain as ONE version (positions into the DV
+    * sidecar, rows as a delta file) with a stale-base CAS check. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(root, snapshot, schema,
+      info.command())
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
@@ -406,8 +430,19 @@ private[sources] class ChainReaderFactory(conf: SerializableHadoopConf,
           val key = eqCols.map(c => eqPlain(cur, c))
           !key.contains(null) && eqKeys.contains(key)
         })
+      // the (__file, __pos) METADATA columns — the row identity the
+      // row-level operations' rewrite plans on — are synthesized
+      // here, never decoded from the file
+      private val fileUtf8 = org.apache.spark.unsafe.types.UTF8String
+        .fromString(p.file)
       override def get(): InternalRow =
-        GroupParquet.decode(cur, required)
+        InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
+          f.name match {
+            case "__file" => fileUtf8
+            case "__pos" => pos
+            case _ => GroupParquet.fieldValue(cur, f.name, f.dataType)
+          }
+        })
       override def close(): Unit = reader.close()
     }
   }
@@ -431,4 +466,190 @@ private[sources] class ChainReaderFactory(conf: SerializableHadoopConf,
         s"equality-delete key column '$name' of physical type $t")
     }
   }
+}
+
+// ------------------------------------------- row-level operations
+
+private[sources] case class GraftMetaColumn(
+    name: String, dataType: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def isNullable: Boolean = false
+}
+
+/** SQL MERGE INTO / UPDATE / (row-level) DELETE as a DELTA operation
+  * (`SupportsDelta` — Iceberg's merge-on-read MERGE shape): the scan
+  * is the normal chain scan plus the (__file, __pos) row-id metadata
+  * columns; Spark's rewrite sends per-row actions; [[GraftDeltaWrite]]
+  * stages them and commits ONE chain version. The snapshot the scan
+  * read is pinned and re-checked at commit — a concurrent writer
+  * fails the CAS with a retryable conflict, never a lost update. */
+private[sources] class GraftRowLevelOperation(
+    root: String, snapshot: Long,
+    tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+    cmd
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("__file"), Expressions.column("__pos"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftChainScanBuilder(root, snapshot, tableSchema)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftDeltaWrite(root, snapshot, info.schema(),
+          new SerializableHadoopConf(SparkSession.active
+            .sparkContext.hadoopConfiguration),
+          cmd.toString.toLowerCase)
+    }
+}
+
+private[sources] object GraftDeltaWrite {
+  val posSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+/** Tasks stage deleted positions and post-image/insert rows as
+  * Group-parquet; the driver commit folds them into one version:
+  * positions into the DV sidecar, rows as a delta data file — the
+  * morMergeFrom economics (O(changed rows), no file rewritten) driven
+  * from plain SQL. */
+private[sources] class GraftDeltaWrite(root: String, expectedBase: Long,
+                                       rowSchema: StructType,
+                                       conf: SerializableHadoopConf,
+                                       note: String)
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val stageDir =
+    s"$root/_staging/rlo_${java.util.UUID.randomUUID().toString.take(12)}"
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo)
+        : DeltaWriterFactory =
+      GraftDeltaWriterFactory(stageDir, rowSchema, conf)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val msgs = messages.collect { case m: DeltaStagedMessage => m }
+      val delFiles = msgs.flatMap(m => Option(m.delPath)).toSeq
+      val rowFiles = msgs.flatMap(m => Option(m.rowPath)).toSeq
+      val s = SparkSession.active
+      val positions =
+        if (delFiles.isEmpty) None
+        else Some(s.read.schema(GraftDeltaWrite.posSchema)
+          .parquet(delFiles: _*))
+      val newRows =
+        if (rowFiles.isEmpty) None
+        else Some(s.read.schema(rowSchema).parquet(rowFiles: _*))
+      ManifestPrune.deltaCommit(s, root, expectedBase, positions,
+        newRows, s"rlo:$note")
+      val st = ChainStorage.forPath(root)
+      (delFiles ++ rowFiles).foreach(st.deleteFile)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val st = ChainStorage.forPath(root)
+      messages.collect { case m: DeltaStagedMessage => m }.foreach { m =>
+        Option(m.delPath).foreach(st.deleteFile)
+        Option(m.rowPath).foreach(st.deleteFile)
+      }
+    }
+  }
+}
+
+private[sources] case class DeltaStagedMessage(delPath: String,
+                                               rowPath: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] case class GraftDeltaWriterFactory(
+    stageDir: String, rowSchema: StructType,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(
+      s"$stageDir/p${partitionId}_t${taskId}_" +
+        java.util.UUID.randomUUID().toString.take(8),
+      rowSchema, conf)
+}
+
+/** Per-task delta writer: deletes land as (file, pos) rows, inserts
+  * as post-image rows, updates as delete + insert (the DV-mask +
+  * delta-append decomposition). Writers open lazily, so a task with
+  * no actions stages nothing. */
+private[sources] class GraftDeltaWriter(pathBase: String,
+                                        rowSchema: StructType,
+                                        conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  import org.apache.parquet.example.data.Group
+
+  private var delWriter: org.apache.parquet.hadoop.ParquetWriter[Group] = _
+  private var rowWriter: org.apache.parquet.hadoop.ParquetWriter[Group] = _
+  private lazy val delFactory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      GroupParquet.messageType(GraftDeltaWrite.posSchema))
+  private lazy val rowFactory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      GroupParquet.messageType(rowSchema))
+  private def delPath = s"${pathBase}_del.parquet"
+  private def rowPath = s"${pathBase}_row.parquet"
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    if (delWriter == null)
+      delWriter = GroupParquet.openWriter(delPath,
+        GraftDeltaWrite.posSchema, conf.value)
+    val g = delFactory.newGroup()
+    g.append("file", id.getUTF8String(0).toString)
+    g.append("pos", id.getLong(1))
+    delWriter.write(g)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (rowWriter == null)
+      rowWriter = GroupParquet.openWriter(rowPath, rowSchema, conf.value)
+    rowWriter.write(GroupParquet.toGroup(row, rowSchema, rowFactory))
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (delWriter != null) delWriter.close()
+    if (rowWriter != null) rowWriter.close()
+    DeltaStagedMessage(
+      if (delWriter == null) null else delPath,
+      if (rowWriter == null) null else rowPath)
+  }
+
+  override def abort(): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), conf.value)
+    if (delWriter != null) {
+      delWriter.close()
+      fs.delete(new org.apache.hadoop.fs.Path(delPath), false)
+    }
+    if (rowWriter != null) {
+      rowWriter.close()
+      fs.delete(new org.apache.hadoop.fs.Path(rowPath), false)
+    }
+  }
+
+  override def close(): Unit = ()
 }

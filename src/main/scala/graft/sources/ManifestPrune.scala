@@ -1425,6 +1425,62 @@ object ManifestPrune {
     v
   }
 
+  /** ONE row-level-operation commit (the SQL MERGE INTO / UPDATE
+    * landing, [[GraftDeltaWrite]]): already-planned delete POSITIONS
+    * fold into the DV sidecar and post-image/insert rows land as one
+    * delta file — morMergeFrom's economics with the planning done by
+    * Spark's row-level rewrite. `expectedBase` is the snapshot the
+    * command's scan read; a chain that advanced since fails with the
+    * retryable conflict (positions reference the old version's files
+    * — committing them on a new base could mask the wrong rows). */
+  def deltaCommit(s: SparkSession, root: String, expectedBase: Long,
+                  positions: Option[DataFrame],
+                  newRows: Option[DataFrame], note: String): Long = {
+    val base = currentVersion(s, root)
+    if (base != expectedBase)
+      throw new java.util.ConcurrentModificationException(
+        s"table advanced (v$expectedBase -> v$base) during the " +
+          "row-level operation; re-run the command")
+    val tok = prepareToken()
+    val baseManifest = manifestOf(root, base)
+    val effDv = foldEqDel(s, root, baseManifest, dvOf(root, base), tok)
+    val mfV = s"$root/manifest_$tok"
+    val statsOpt = newRows.filter(_.limit(1).count() > 0).map { rows =>
+      val cols = readVersion(s, baseManifest).schema.fieldNames.toSeq
+      val dataDelta = s"$root/data_$tok"
+      rows.select(cols.map(col): _*)
+        .write.mode("overwrite").parquet(dataDelta)
+      enforceConstraints(root, s.read.parquet(dataDelta))
+      val spec = specOfManifest(root, baseManifest)
+      statsManifest(s, dataDelta, spec.statsCol, spec.id)
+    }
+    statsOpt match {
+      case Some(st2) => s.read.parquet(baseManifest)
+        .unionByName(st2, allowMissingColumns = true)
+        .write.mode("overwrite").parquet(mfV)
+      case None => s.read.parquet(baseManifest)
+        .write.mode("overwrite").parquet(mfV)
+    }
+    carrySpecPointer(root, baseManifest, mfV)
+    val posNonEmpty = positions.filter(_.limit(1).count() > 0)
+    (effDv, posNonEmpty) match {
+      case (Some(dv), Some(p)) =>
+        val dvV = s"$root/dv_$tok"
+        s.read.parquet(dv).unionByName(p).distinct()
+          .write.mode("overwrite").parquet(dvV)
+        writeDvPointer(root, mfV, dvV)
+      case (Some(dv), None) => writeDvPointer(root, mfV, dv)
+      case (None, Some(p)) =>
+        val dvV = s"$root/dv_$tok"
+        p.distinct().write.mode("overwrite").parquet(dvV)
+        writeDvPointer(root, mfV, dvV)
+      case (None, None) => ()
+    }
+    val v = publish(root, base, mfV)
+    noteCommit(root, v, note)
+    v
+  }
+
   /** The CAS primitive: atomic PUT-if-absent of the commit marker
     * ([[ChainStorage.putIfAbsent]] — exactly one writer of `version`
     * succeeds; conditional PUT on object stores, createNewFile
