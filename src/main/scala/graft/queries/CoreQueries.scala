@@ -330,6 +330,34 @@ object CoreQueries {
       root
     })
 
+  /** q_point_lookup_branch's chain: the bloom chain's shape forked —
+    * main: layout → DV delete v1 → bloom build; branch at v1 takes an
+    * equality delete (folded by the next commit) and an append, then
+    * EXTENDS the index from the parent-resolved sketches. Built ONCE
+    * per (session, sf dir); returns the branch root. */
+  private val bloomBranchCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def bloomBranchChain(s: SparkSession, d: String): String =
+    bloomBranchCache.computeIfAbsent((s, d), { _ =>
+      import graft.sources.{BloomIndex, ManifestPrune}
+      val root = Tables.matDir(s"bloombr_chain_${System.nanoTime}", s, d)
+      val docs = Tables.load(s, d, "documents")
+      ManifestPrune.buildLayout(docs, root, nFiles = 8)
+      ManifestPrune.dvDeleteCommit(s, root,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      BloomIndex.build(s, root, 1L)
+      val br = ManifestPrune.createBranch(s, root, "lookup", 1L)
+      ManifestPrune.eqDeleteCommit(s, br,
+        docs.filter(col("doc_id") % 11 === 5).select("doc_id"))
+      ManifestPrune.appendCommit(s, br,
+        s.range(1).select(lit(87000001L).as("doc_id"),
+          lit("branch row").as("text"), lit("bb").as("lang"),
+          lit("s0").as("source"), lit(10L).as("n_chars")))
+      BloomIndex.extend(s, br, 0L, 2L)
+      br
+    })
+
   /** q_clone's pair of chains (source: layout → DV delete; clone at
     * the head; clone-side MoR update; SOURCE-side divergence the
     * clone must not see), built ONCE per (session, sf dir). */
@@ -2240,6 +2268,33 @@ object CoreQueries {
              |FROM documents
              |WHERE doc_id IN (3, 7, 113, 211, 317, 431)
              |  AND doc_id % 7 <> 3
+             |ORDER BY doc_id""".stripMargin)),
+
+    // BRANCH-AWARE point lookups (BloomIndex.indexOf's parent-at-fork
+    // resolution + extend): the branch never rebuilt an index — its
+    // fork state answers through the PARENT's sketches, its own
+    // append extended them with one new-file sketch, and the read
+    // applies the branch's sidecars (the folded equality delete) plus
+    // the exact IN predicate after the screen. The oracle replays the
+    // branch lineage over the base parquet.
+    Q("q_point_lookup_branch",
+      (s, d) => {
+        val br = bloomBranchChain(s, d)
+        graft.sources.BloomIndex.readPoint(s, br, 2L, "doc_id",
+          Seq(3L, 7L, 60L, 113L, 211L, 317L, 431L, 87000001L))
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM (
+             |  SELECT doc_id, text, lang, source, n_chars
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 87000001, 'branch row', 'bb', 's0', 10
+             |)
+             |WHERE doc_id IN (3, 7, 60, 113, 211, 317, 431, 87000001)
+             |  AND doc_id % 7 <> 3 AND doc_id % 11 <> 5
              |ORDER BY doc_id""".stripMargin)),
 
     // SHALLOW CLONE (ManifestPrune.cloneTable) — Delta's zero-copy

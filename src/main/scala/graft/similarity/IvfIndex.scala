@@ -164,6 +164,35 @@ object IvfIndex {
       .parquet(indexDir)
   }
 
+  /** INCREMENTAL index maintenance — the daily-ingest path that was
+    * missing next to [[buildIndex]]'s rebuild (the BloomIndex
+    * carry-forward precedent applied to ANN): ONLY the new vectors
+    * are assigned, against the FROZEN centroid table, and appended
+    * into the existing layout — parquet append adds fresh files
+    * inside the touched centroid partitions and never rewrites an
+    * existing index file, so maintenance cost is O(new vectors), not
+    * O(corpus). Because assignment to frozen centroids is
+    * deterministic, an index grown incrementally is ROW-IDENTICAL to
+    * a full [[buildIndex]] over the union (IvfIncrementalSpec pins
+    * both properties), and [[searchIndexed]] needs no change — the
+    * probed partition scan reads old and new files alike.
+    *
+    * Centroid retraining is a DECLARED maintenance event, not a side
+    * effect: when drift accumulates (or a chain compaction rewrites
+    * the corpus), run [[train]] + [[buildIndex]] — the rebuild is
+    * paid once per maintenance window, exactly compactCommit's
+    * economics for deletion vectors. */
+  def extendIndex(newVectors: DataFrame, centroids: DataFrame,
+                  indexDir: String,
+                  sim: (Column, Column) => Column = floatCosine): Unit = {
+    val assigned = assign(newVectors, centroids, sim)
+    newVectors.join(assigned, "vec_id")
+      .repartition(col("centroid_id"))
+      .write.mode("append")
+      .partitionBy("centroid_id")
+      .parquet(indexDir)
+  }
+
   /** [[search]] against a [[buildIndex]] layout. The probed centroid
     * ids (<= |queries| x nProbe distinct values, bounded by K) are
     * collected and applied as a STATIC partition filter, so the scan

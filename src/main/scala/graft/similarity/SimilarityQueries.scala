@@ -114,6 +114,30 @@ object SimilarityQueries {
       dir
     })
 
+  /** q_ann_incremental's index: built on PART of the corpus, then
+    * grown to the full corpus through [[IvfIndex.extendIndex]] —
+    * frozen centroids, append-only maintenance. Deterministic
+    * assignment makes the grown index row-identical to a full
+    * rebuild, so the q_ann_ivf oracle verifies the incremental path
+    * end-to-end. */
+  private val ivfIncCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def ivfIncIndexDir(s: org.apache.spark.sql.SparkSession,
+                             d: String): String =
+    ivfIncCache.computeIfAbsent((s, d), { _ =>
+      val e = scaled(s, d)
+      val emb = e.select(col("vec_id"), col("sv").as("embedding"))
+      val dir = graft.Tables.matDir("ivf_index_inc", s, d)
+      val cents = ivfCentroids(e)
+      IvfIndex.buildIndex(emb.filter(col("vec_id") % 3 =!= 2), cents,
+        dir, simScaled)
+      IvfIndex.extendIndex(emb.filter(col("vec_id") % 3 === 2), cents,
+        dir, simScaled)
+      dir
+    })
+
   /** q_ann_graph's persisted per-cell graph index (the IVF layout
     * plus an adjacency column), built ONCE per (session, sf dir) over
     * the same deterministic centroids as the IVF index. */
@@ -426,6 +450,30 @@ object SimilarityQueries {
           .select(col("vec_id").as("query_id"), col("sv").as("qv"))
         IvfIndex.searchIndexed(s, ivfIndexDir(s, d), ivfCentroids(e), qs,
           topK = 5, nProbe = 2, simScaled)
+          .withColumn("rank", col("rank").cast(LongType))
+          .select("query_id", "neighbor_id", "rank", "sim")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $scaledCte,
+             |$ivfSearchCtes
+             |SELECT query_id, neighbor_id, rank, sim FROM r
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // INCREMENTAL IVF maintenance (IvfIndex.extendIndex): the index
+    // was built on 2/3 of the corpus and GROWN to the rest by
+    // assigning only the new vectors against the frozen centroids —
+    // append-only files, no old index file touched
+    // (IvfIncrementalSpec), maintenance cost O(new vectors). The
+    // deterministic assignment makes the grown index row-identical
+    // to a full rebuild, so the same DuckDB replay verifies the
+    // search end-to-end.
+    Q("q_ann_incremental",
+      (s, d) => {
+        val e = scaled(s, d)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("sv").as("qv"))
+        IvfIndex.searchIndexed(s, ivfIncIndexDir(s, d),
+          ivfCentroids(e), qs, topK = 5, nProbe = 2, simScaled)
           .withColumn("rank", col("rank").cast(LongType))
           .select("query_id", "neighbor_id", "rank", "sim")
           .orderBy("query_id", "rank")

@@ -41,9 +41,29 @@ object BloomIndex {
   def indexDir(root: String, version: Long): String =
     s"$root/bloom_c$version"
 
+  /** BRANCH-AWARE resolution: a branch's version 0 is a byte-copy of
+    * its fork version's manifest ([[ManifestPrune.createBranch]]) —
+    * the SAME file set — so the parent's index for the fork version
+    * answers point lookups on a fresh branch verbatim (sketches are
+    * keyed by immutable file paths). Without this, every branch paid
+    * a rebuild (or worse, fell back to a scan) for an index the
+    * parent already carries; with it, [[extend]] from branch v0
+    * carries the parent's sketches and sketches only branch-written
+    * files — the r11 branch-aware-time-travel symmetry applied to the
+    * acceleration layer. Recursion covers branch-of-branch. */
   def indexOf(root: String, version: Long): Option[String] = {
-    val d = new java.io.File(indexDir(root, version))
-    if (d.isDirectory) Some(d.getPath) else None
+    val st = ChainStorage.forPath(root)
+    val local = indexDir(root, version)
+    if (st.isDir(local)) return Some(local)
+    if (version != 0L) return None
+    // a branch root is `<parent>/_branches/<name>` with a `_fork`
+    // rider naming the parent version it copies
+    val marker = "/_branches/"
+    val cut = root.lastIndexOf(marker)
+    if (cut < 0 || !st.isFile(s"$root/_fork")) return None
+    val parent = root.substring(0, cut)
+    val fork = st.read(s"$root/_fork").trim.toLong
+    indexOf(parent, fork)
   }
 
   /** Build the per-file bloom index for `version`'s file set: one
@@ -113,13 +133,12 @@ object BloomIndex {
   }
 
   private def writeMeta(dir: String, estItems: Long): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/_meta"), s"$estItems\n")
+    ChainStorage.forPath(dir).write(s"$dir/_meta", s"$estItems\n")
 
   private def readMeta(dir: String): Option[Long] = {
-    val f = new java.io.File(dir, "_meta")
-    if (!f.isFile) None
-    else Some(java.nio.file.Files.readString(f.toPath).trim.toLong)
+    val st = ChainStorage.forPath(dir)
+    if (!st.isFile(s"$dir/_meta")) None
+    else Some(st.read(s"$dir/_meta").trim.toLong)
   }
 
   /** The probe hash — driver-side evaluation of the SAME xxhash64

@@ -650,11 +650,53 @@ object ManifestPrune {
       s"equality-delete columns ${keys.columns.filterNot(tableCols
         .contains).mkString(", ")} do not exist in the table")
     val tok = prepareToken()
-    val eqDir = s"$root/eqdel_$tok"
     val merged = eqDelOf(root, base) match {
       case Some(e) => s.read.parquet(e).unionByName(keys).distinct()
       case None => keys.distinct()
     }
+    // AUTO-FOLD POLICY — read amplification bounded by policy, not
+    // operator discipline: every committed read pays an anti-join on
+    // the accumulated keys until a data-touching commit folds them,
+    // so a chain receiving ONLY eq-delete commits (a pure erasure
+    // queue) would grow that cost without bound. When the accumulated
+    // key count or the unfolded-commit streak crosses its threshold,
+    // THIS commit folds instead: one position-planning scan (the cost
+    // every positional delete pays once) converts the whole backlog
+    // into DV positions and the published version carries no `_eqdel`
+    // pointer — O(1)-metadata live counts and join-free reads are
+    // restored. Thresholds per session: `graft.eqdel.autoFoldKeys`
+    // (default 100000 accumulated keys) and
+    // `graft.eqdel.autoFoldCommits` (default 64 consecutive unfolded
+    // eq-delete commits).
+    val maxKeys = s.conf.getOption("graft.eqdel.autoFoldKeys")
+      .map(_.toLong).getOrElse(100000L)
+    val maxCommits = s.conf.getOption("graft.eqdel.autoFoldCommits")
+      .map(_.toLong).getOrElse(64L)
+    val streak = unfoldedEqDelStreak(root, base, maxCommits)
+    // counting the KEY set costs a keys-sized job, never a table scan
+    if (streak + 1 > maxCommits || merged.count() > maxKeys) {
+      val baseManifest = manifestOf(root, base)
+      val effDv = dvOf(root, base)
+      val hits = readVersionWithDv(s, baseManifest, effDv)
+        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(merged, merged.columns.toIndexedSeq, "left_semi")
+        .select(col("__file").as("file"), col("__pos").as("pos"))
+      val folded = effDv match {
+        case Some(dv) => s.read.parquet(dv).unionByName(hits).distinct()
+        case None => hits.distinct()
+      }
+      val dvV = s"$root/dv_$tok"
+      folded.write.mode("overwrite").parquet(dvV)
+      val prepared = s"$root/manifest_$tok"
+      copyDirFlat(root, baseManifest, prepared)
+      ChainStorage.forPath(root).deleteFile(s"$prepared/_eqdel")
+      writeDvPointer(root, prepared, dvV)
+      val v = publish(root, base, prepared)
+      noteCommit(root, v, "eqdel-fold")
+      return v
+    }
+    val eqDir = s"$root/eqdel_$tok"
     merged.write.mode("overwrite").parquet(eqDir)
     val prepared = s"$root/manifest_$tok"
     copyDirFlat(root, manifestOf(root, base), prepared)
@@ -662,6 +704,20 @@ object ManifestPrune {
     val v = publish(root, base, prepared)
     noteCommit(root, v, "eqdel")
     v
+  }
+
+  /** Consecutive head versions still carrying an `_eqdel` pointer —
+    * the unfolded streak the auto-fold policy bounds. Capped at
+    * `stopAt` (the walk never needs to look further). */
+  private def unfoldedEqDelStreak(root: String, base: Long,
+                                  stopAt: Long): Long = {
+    var v = base
+    var n = 0L
+    while (v >= 0 && n <= stopAt &&
+        scala.util.Try(eqDelOf(root, v)).toOption.flatten.isDefined) {
+      n += 1; v -= 1
+    }
+    n
   }
 
   /** Fold a base version's equality deletes into POSITIONAL form so
@@ -1100,6 +1156,7 @@ object ManifestPrune {
           else if (note0.startsWith("restore:")) "restore"
           else if (sig == prevSig.get)
             (if (note0.startsWith("spec:")) "evolve-spec"
+             else if (noteToks.contains("eqdel-fold")) "eqdel-fold"
              else if (noteToks.contains("eqdel") ||
                noteToks.exists(_.startsWith("eqdel:")))
                "eq-delete"

@@ -338,7 +338,11 @@ object StreamingPipelines {
       if (batchId <= lastAppliedBatch(root, cur, "eqdel:"))
         return // replay of a committed batch
       val next = ManifestPrune.eqDeleteCommit(s, root, batch)
-      ManifestPrune.noteCommit(root, next, s"eqdel:$batchId")
+      // PRESERVE the kind token the commit wrote (eqdel, or
+      // eqdel-fold when the auto-fold policy triggered) — the cursor
+      // token rides next to it
+      val kind = ManifestPrune.commitNote(root, next).getOrElse("eqdel")
+      ManifestPrune.noteCommit(root, next, s"$kind eqdel:$batchId")
     }
   }
 
@@ -408,12 +412,15 @@ object StreamingPipelines {
             s"got '$other'")
       }
       // mode=delete commits an eq-delete version whose marker already
-      // carries the `eqdel` kind; the sink cursor note must PRESERVE
-      // it (notes are whitespace-separated tokens — lastAppliedBatch
-      // and history()'s kind classifier both scan token-wise), or the
+      // carries the kind token (eqdel, or eqdel-fold under the
+      // auto-fold policy); the sink cursor note must PRESERVE it
+      // (notes are whitespace-separated tokens — lastAppliedBatch and
+      // history()'s kind classifier both scan token-wise), or the
       // version would misclassify as dv-delete in history()
       val cursor =
-        if (mode == "delete") s"eqdel tsink:$batchId"
+        if (mode == "delete")
+          s"${ManifestPrune.commitNote(root, next).getOrElse("eqdel")}" +
+            s" tsink:$batchId"
         else s"tsink:$batchId"
       ManifestPrune.noteCommit(root, next, cursor)
     }
@@ -722,7 +729,7 @@ object StreamingPipelines {
   private[streaming] def applyMvBatch(batch: DataFrame, batchId: Long,
                                       mvDir: String): Unit = {
     val s = batch.sparkSession
-    new java.io.File(mvDir).mkdirs()
+    graft.sources.ChainStorage.forPath(mvDir).mkdirs(mvDir)
     val applied = latestMvVersion(mvDir)
     if (applied.exists(_ >= batchId)) return // replayed, already folded
     val partial = batch
@@ -738,18 +745,17 @@ object StreamingPipelines {
       .agg(sum(col("psum_qty")).as("psum_qty"),
         sum(col("pcnt")).as("pcnt"))
       .write.mode("overwrite").parquet(s"$mvDir/v_$batchId")
-    val tmp = java.nio.file.Paths.get(mvDir, s"_latest_tmp_$batchId")
-    java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(mvDir, "_latest"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // single-object overwrite PUT is atomic on every real store —
+    // the pointer protocol needs no rename (the ChainStorage rule)
+    graft.sources.ChainStorage.forPath(mvDir)
+      .write(s"$mvDir/_latest", batchId.toString)
   }
 
   /** The committed version id, or None before the first batch. */
   private[graft] def latestMvVersion(mvDir: String): Option[Long] = {
-    val p = java.nio.file.Paths.get(mvDir, "_latest")
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
+    val st = graft.sources.ChainStorage.forPath(mvDir)
+    if (st.isFile(s"$mvDir/_latest"))
+      Some(st.read(s"$mvDir/_latest").trim.toLong)
     else None
   }
 
@@ -766,11 +772,11 @@ object StreamingPipelines {
     * reproducibility read a table format sells, here from the version
     * protocol alone). Throws if the version was never committed. */
   def mvAsOf(s: SparkSession, mvDir: String, version: Long): DataFrame = {
-    val p = java.nio.file.Paths.get(mvDir, s"v_$version")
-    if (!java.nio.file.Files.isDirectory(p))
+    if (!graft.sources.ChainStorage.forPath(mvDir)
+        .isDir(s"$mvDir/v_$version"))
       throw new IllegalArgumentException(
         s"version $version not present under $mvDir")
-    s.read.parquet(p.toString)
+    s.read.parquet(s"$mvDir/v_$version")
   }
 
   /** LIVE REPLICATION through the change-feed STREAM — the
@@ -829,25 +835,22 @@ object StreamingPipelines {
     * nothing. Run once before starting [[maintainLangMvFromFeed]];
     * idempotent (an existing pointer wins). */
   def seedLangMv(s: SparkSession, srcRoot: String, mvDir: String): Unit = {
-    new java.io.File(mvDir).mkdirs()
+    graft.sources.ChainStorage.forPath(mvDir).mkdirs(mvDir)
     if (latestMvVersion(mvDir).isDefined) return
     graft.sources.ManifestPrune.readCommitted(s, srcRoot, 0L)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"))
       .write.mode("overwrite").parquet(s"$mvDir/v_-1")
-    val tmp = java.nio.file.Paths.get(mvDir, "_latest_tmp_seed")
-    java.nio.file.Files.write(tmp, "-1".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(mvDir, "_latest"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.ChainStorage.forPath(mvDir)
+      .write(s"$mvDir/_latest", "-1")
   }
 
   /** One feed-driven MV step (exposed for the batch≡stream spec). */
   private[graft] def applyLangMvBatch(batch: DataFrame, batchId: Long,
                                       mvDir: String): Unit = {
     val s = batch.sparkSession
-    new java.io.File(mvDir).mkdirs()
+    graft.sources.ChainStorage.forPath(mvDir).mkdirs(mvDir)
     val applied = latestMvVersion(mvDir)
     if (applied.exists(_ >= batchId)) return // replayed, already folded
     val sign = when(col("op").isin("insert", "update_postimage"),
@@ -866,11 +869,8 @@ object StreamingPipelines {
         sum(col("sum_chars")).as("sum_chars"))
       .filter(col("n_docs") > 0)
       .write.mode("overwrite").parquet(s"$mvDir/v_$batchId")
-    val tmp = java.nio.file.Paths.get(mvDir, s"_latest_tmp_$batchId")
-    java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(mvDir, "_latest"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.ChainStorage.forPath(mvDir)
+      .write(s"$mvDir/_latest", batchId.toString)
   }
 
   /** File-source streaming read of the events table with the same

@@ -179,6 +179,63 @@ class EqDeleteSpec extends SparkSpec {
         col("doc_id") % 7 =!= 2).count())
   }
 
+  test("the auto-fold policy bounds read amplification: crossing the " +
+    "commit-streak threshold folds the backlog into positions") {
+    val root = freshChain("fold")
+    spark.conf.set("graft.eqdel.autoFoldCommits", "2")
+    try {
+      val v1 = ManifestPrune.eqDeleteCommit(spark, root,
+        docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
+      val v2 = ManifestPrune.eqDeleteCommit(spark, root,
+        docs.filter(col("doc_id") % 7 === 2).select("doc_id"))
+      assert(ManifestPrune.eqDelOf(root, v1).isDefined)
+      assert(ManifestPrune.eqDelOf(root, v2).isDefined)
+      // live counts are a scan question while keys are unfolded
+      intercept[IllegalArgumentException] {
+        ManifestPrune.liveRowCountCommitted(spark, root, v2)
+      }
+      // the third commit crosses autoFoldCommits=2 and FOLDS
+      val v3 = ManifestPrune.eqDeleteCommit(spark, root,
+        docs.filter(col("doc_id") % 11 === 3).select("doc_id"))
+      assert(ManifestPrune.eqDelOf(root, v3).isEmpty,
+        "the folding commit must publish no _eqdel pointer")
+      assert(ManifestPrune.dvOf(root, v3).isDefined)
+      assert(ManifestPrune.commitNote(root, v3) === Some("eqdel-fold"))
+      // O(1)-metadata live counts are restored, and they are right
+      val expect = docs.filter(col("doc_id") % 5 =!= 1 &&
+        col("doc_id") % 7 =!= 2 && col("doc_id") % 11 =!= 3).count()
+      assert(ManifestPrune.liveRowCountCommitted(spark, root, v3)
+        === expect)
+      assert(ManifestPrune.readCommitted(spark, root, v3).count()
+        === expect)
+      // the streak reset: the next eq-delete is pure metadata again
+      val v4 = ManifestPrune.eqDeleteCommit(spark, root,
+        docs.filter(col("doc_id") % 13 === 4).select("doc_id"))
+      assert(ManifestPrune.eqDelOf(root, v4).isDefined)
+      assert(ManifestPrune.describeHistory(spark, root)
+        .filter(col("version") === 3L).select("kind").head()
+        .getString(0) === "eqdel-fold")
+    } finally spark.conf.unset("graft.eqdel.autoFoldCommits")
+  }
+
+  test("the auto-fold policy also triggers on accumulated KEY count") {
+    val root = freshChain("foldk")
+    spark.conf.set("graft.eqdel.autoFoldKeys", "10")
+    try {
+      // first commit stays unfolded (streak 0, keys <= 10)
+      ManifestPrune.eqDeleteCommit(spark, root,
+        docs.orderBy("doc_id").limit(5).select("doc_id"))
+      assert(ManifestPrune.eqDelOf(root, 1L).isDefined)
+      // the accumulated key set crosses 10 -> fold
+      val v2 = ManifestPrune.eqDeleteCommit(spark, root,
+        docs.orderBy(desc("doc_id")).limit(20).select("doc_id"))
+      assert(ManifestPrune.eqDelOf(root, v2).isEmpty)
+      assert(ManifestPrune.commitNote(root, v2) === Some("eqdel-fold"))
+      assert(ManifestPrune.readCommitted(spark, root, v2).count() ===
+        docs.count() - 25)
+    } finally spark.conf.unset("graft.eqdel.autoFoldKeys")
+  }
+
   test("describeHistory classifies eq-delete and restore commits") {
     val root = freshChain("hist")
     ManifestPrune.eqDeleteCommit(spark, root,

@@ -91,4 +91,39 @@ class PointLookupSpec extends SparkSpec {
     assert(planned.forall(f => new java.io.File(
       new java.net.URI(f).getPath).exists()))
   }
+
+  test("branches resolve the parent's index at the fork and extend " +
+    "carries it: point lookups on a branch never fall back to scans") {
+    val root = chain()
+    ManifestPrune.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    BloomIndex.build(spark, root, 1L)
+    val br = ManifestPrune.createBranch(spark, root, "idx", 1L)
+    // a fresh branch has no local index, but its v0 file set IS the
+    // fork's — the parent's sketches answer verbatim
+    assert(BloomIndex.indexOf(br, 0L) === BloomIndex.indexOf(root, 1L))
+    val keys = Seq(5L, 250L, 444L)
+    val planned = BloomIndex.planFiles(spark, br, 0L, keys)
+    val all = spark.read.parquet(s"$br/manifest").count()
+    assert(planned.nonEmpty && planned.size < all,
+      s"branch plan kept ${planned.size} of $all files — no pruning")
+    val got = BloomIndex.readPoint(spark, br, 0L, "doc_id", keys)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val want = docs.filter(col("doc_id").isin(keys: _*) &&
+        col("doc_id") % 7 =!= 3)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got === want)
+    // a branch commit extends FROM the parent-resolved index: only
+    // the branch's new files are sketched, lookups see the new rows
+    ManifestPrune.appendCommit(spark, br,
+      docs.limit(2).withColumn("doc_id", col("doc_id") + 87000000L))
+    BloomIndex.extend(spark, br, 0L, 1L)
+    assert(BloomIndex.indexOf(br, 1L).get.startsWith(br),
+      "the extended index must live under the branch root")
+    val newKey = docs.orderBy("doc_id").limit(1)
+      .head().getLong(0) + 87000000L
+    val hit = BloomIndex.readPoint(spark, br, 1L, "doc_id",
+      Seq(newKey, 5L)).orderBy("doc_id").collect().map(_.toSeq)
+    assert(hit.length === 2 && hit.last.head === newKey)
+  }
 }
