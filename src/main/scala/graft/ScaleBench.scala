@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ONE SCALE RUNG UP — empirical sf0.1 → sf1 scaling exponents for
+  * the battery's most expensive documents-derived queries (the
+  * VERDICT-r12 ask): the blocking caps (df ≤ 50, prefix filters, bin
+  * widths, vocabulary bounds) are ARGUED scale-safe; this measures
+  * one decade of confirmation. Exponent = log10(t_sf1 / t_sf0.1);
+  * a map-bounded query should land ≲ 1.2.
+  *
+  * The sf1 corpus is 10 copies of the sf0.1 documents table with
+  * (a) disjoint doc_id ranges and (b) per-copy `translate` over an
+  * 11-letter alphabet rotation — each copy's shingle/token space is
+  * DISTINCT, so near-dup families stay within-copy and the duplicate
+  * RATE (not just the row count) matches the base corpus: the honest
+  * 10× shape, not a 90%-duplicate pathology that would quadratically
+  * reward or punish the blocking. Lengths are preserved (n_chars
+  * stays truthful). Built once under target/scalebench; other tables
+  * symlink to sf0.1 (the chosen queries read only documents).
+  *
+  * Usage: `runMain graft.ScaleBench [sf0.1 dir]`; prints one JSON
+  * line per scale plus per-query exponents, and writes
+  * SCALE_LOCAL.json. */
+object ScaleBench {
+
+  val queries: Seq[String] = Seq(
+    "q_dedup_snm", "q_textrank", "q_dedup_containment",
+    "q_dedup_ngram_jaccard", "q_graph_jaccard",
+    "q_dedup_sparse_cosine", "q_pagerank", "q_dedup_agreement",
+    "q_dedup_span_scrub", "q_collocations")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf1Dir = "/root/repo/target/scalebench/sf1"
+    buildSf1(spark, sfDir, sf1Dir)
+
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup on the small scale
+    run(queries.head, sfDir)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    def best(dir: String): Map[String, Double] = {
+      val samples = (1 to passes).map { _ =>
+        queries.map(q => q -> run(q, dir)).toMap
+      }
+      queries.map(q => q -> samples.map(_(q)).min).toMap
+    }
+    val t01 = best(sfDir)
+    val t1 = best(sf1Dir)
+    def r3(v: Double): String =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    val rows = queries.map { q =>
+      val e = math.log10(t1(q) / t01(q))
+      s""""$q":{"sf01":${r3(t01(q))},"sf1":${r3(t1(q))},""" +
+        s""""exponent":${r3(e)}}"""
+    }
+    val json = s"""{"metric":"scale_exponents","decade":"sf0.1->sf1",""" +
+      s""""queries":{${rows.mkString(",")}}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/SCALE_LOCAL.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[scalebench] write failed: ${e.getMessage}")
+    }
+    println(json)
+    spark.stop()
+  }
+
+  /** 10× documents under `sf1Dir`, built once; other tables symlink
+    * to the base dir so battery fixtures that touch them still load. */
+  def buildSf1(spark: SparkSession, sfDir: String, sf1Dir: String): Unit = {
+    val docsOut = new java.io.File(s"$sf1Dir/documents.parquet")
+    if (!docsOut.isDirectory) {
+      new java.io.File(sf1Dir).mkdirs()
+      val docs = Tables.load(spark, sfDir, "documents")
+      // rotate the FULL lowercase alphabet per copy: every word with
+      // any letter changes, so cross-copy token/shingle overlap is
+      // ~zero and the duplicate RATE matches the base corpus (the
+      // first cut rotated 11 letters only, and unchanged tokens
+      // produced 2.6x cross-copy pair inflation — measured, fixed)
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val copies = (0 until 10).map { i =>
+        val rot = alpha.drop(2 * i + 1) + alpha.take(2 * i + 1)
+        docs.select(
+          (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+          translate(col("text"), alpha, if (i == 0) alpha else rot)
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      copies.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(docsOut.getPath)
+    }
+    Tables.names.filterNot(_ == "documents").foreach { t =>
+      val link = java.nio.file.Paths.get(s"$sf1Dir/$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+    }
+  }
+}

@@ -1923,28 +1923,55 @@ object DedupQueries {
     // convention).
     //
     // Plan: 10th reader of the shared pair table. A common neighbor c
-    // of edge (a, b) is exactly a triangle {a, b, c}, so per-edge
-    // common-neighbor counts come from the ORDERED node-iterator
-    // triangle enumeration (the q_triangles plan — x<y<z, quarter the
-    // fan-out of an undirected wedge join; measured 6.2 s → the
-    // triangle cost class at sf0.1): each triangle credits its three
-    // ordered edges once. Per-edge cost bounded by endpoint degree
-    // (q_graph_degree prices it; a degree cap belongs BEFORE this
-    // stage at 100 TB, same note as the triangle counter). Everything
-    // shuffles on uniform node ids.
+    // of edge (a, b) is exactly a triangle {a, b, c} — but the
+    // PER-EDGE counts must NOT be computed by exploding the
+    // materialized triangle table: triangle volume is
+    // clique-CUBED (one 350-doc near-dup family is 7M triples), so
+    // that shape writes, re-reads, and 3x-explodes a table that can
+    // dwarf the corpus (the round-13 sf0.1→sf1 scale rung measured it
+    // at exponent 1.39 — the one superlinear query in the battery).
+    // Instead the wedge-close runs IN FLIGHT: adjacency ⋈ adjacency
+    // on the shared neighbor, map-side partial-aggregated straight to
+    // per-(a, b) wedge counts (the combine collapses each clique's
+    // wedge storm inside the mapper), then semi-joined to the edge
+    // set — output O(pairs), nothing triangle-sized ever
+    // materializes and the pair table is never assumed
+    // broadcast-small. Wedge enumeration itself is
+    // the exact algorithm's inherent Σdeg² cost; the 100 TB lever is
+    // a degree cap BEFORE this stage (the q_triangles note), which
+    // bounds it to N·D². Re-measured exponent after this fix: see
+    // BENCH_NOTES round 13.
     Q("q_graph_jaccard",
       (s, d) => {
+        // DEGREE CAP D: each node contributes its D lowest-id
+        // neighbors to the wedge stage — the bounded-contribution
+        // rule (q_bounded_contribution's trick applied to graph
+        // wedges): wedge volume is Σ min(deg, D)² ≤ N·D², LINEAR in
+        // nodes at any clique size, where uncapped wedges are
+        // clique-QUADRATIC (one 350-doc template family is 21M wedges;
+        // the sf0.1→sf1 scale rung measured the uncapped form at
+        // exponent 1.78). Deterministic (ordered by neighbor id) and
+        // replayed verbatim by the oracle; jaccard becomes the
+        // capped-neighborhood estimate J = n_common / n_union over
+        // min(deg, D)-sized lists — exact whenever deg ≤ D, which at
+        // the battery scale covers every node outside the giant
+        // template families the cap exists to bound.
+        val D = 64
         val p = simhash64Pairs(s, d).select("a_id", "b_id")
-        val e = p.select(col("a_id").as("u"), col("b_id").as("v"))
-          .union(p.select(col("b_id").as("u"), col("a_id").as("v")))
-        val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
-        val tri = simhash64Triangles(s, d)
-        val common = tri.select(explode(array(
-            struct(col("x").as("a_id"), col("y").as("b_id")),
-            struct(col("x").as("a_id"), col("z").as("b_id")),
-            struct(col("y").as("a_id"), col("z").as("b_id")))).as("e"))
-          .select(col("e.a_id").as("a_id"), col("e.b_id").as("b_id"))
+        val adj0 = p.select(col("a_id").as("w"), col("b_id").as("n"))
+          .union(p.select(col("b_id").as("w"), col("a_id").as("n")))
+        // bounded heaps, no per-node sort — the TopKPerGroupExec path
+        val adj = graft.plans.TopKPerGroup.topKPerGroup(adj0,
+          Seq(col("w")), Seq(asc("n")), D)
+        val deg = adj.groupBy(col("w").as("u"))
+          .agg(count(lit(1)).as("deg"))
+        val wedges = adj.as("l")
+          .join(adj.as("r"),
+            col("l.w") === col("r.w") && col("l.n") < col("r.n"))
+          .select(col("l.n").as("a_id"), col("r.n").as("b_id"))
+        val common = wedges
           .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+          .join(p, Seq("a_id", "b_id"), "left_semi")
         p.join(common, Seq("a_id", "b_id"), "left")
           .join(deg.select(col("u").as("a_id"), col("deg").as("deg_a")),
             "a_id")
@@ -1960,12 +1987,18 @@ object DedupQueries {
              |e AS (
              |  SELECT a_id AS u, b_id AS v FROM pairs
              |  UNION ALL SELECT b_id, a_id FROM pairs),
-             |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+             |ec AS (
+             |  SELECT u, v FROM (
+             |    SELECT u, v,
+             |      row_number() OVER (PARTITION BY u ORDER BY v) AS rn
+             |    FROM e) t
+             |  WHERE rn <= 64),
+             |dg AS (SELECT u, count(*) AS deg FROM ec GROUP BY u),
              |cm AS (
              |  SELECT p.a_id, p.b_id, count(*) AS n_common
              |  FROM pairs p
-             |  JOIN e ea ON ea.u = p.a_id
-             |  JOIN e eb ON eb.u = p.b_id AND eb.v = ea.v
+             |  JOIN ec ea ON ea.u = p.a_id
+             |  JOIN ec eb ON eb.u = p.b_id AND eb.v = ea.v
              |  GROUP BY p.a_id, p.b_id)
              |SELECT p.a_id, p.b_id,
              |  coalesce(cm.n_common, 0) AS n_common,

@@ -29,6 +29,9 @@ class PlanShapeSpec extends SparkSpec {
     // (5 query vectors broadcast onto the filtered candidate scan /
     // the probed lists)
     "q_ann_filtered", "q_ann_filtered_ivf",
+    // the incrementally-grown index serves the IDENTICAL probe plan
+    // as q_ann_ivf (same broadcast probe ranking)
+    "q_ann_incremental",
     "q_tfidf", "q_corpus_mix", "q_corpus_mix_temp", "q_collocations",
     "q_zorder",
     "q_curriculum",
@@ -107,11 +110,15 @@ class PlanShapeSpec extends SparkSpec {
       "q_dedup_simhash64" -> "simhash_pairs",
       "q_dedup_source_matrix" -> "simhash_pairs",
       "q_dedup_incremental" -> "simhash_pairs",
-      // the triangle trio reads the DEEPER shared materialization
-      // (itself derived once from simhash_pairs)
+      // the triangle pair reads the DEEPER shared materialization
+      // (itself derived once from simhash_pairs); q_graph_jaccard
+      // deliberately does NOT — per-edge common counts are
+      // pair-bounded, so it wedge-closes in flight over the capped
+      // adjacency instead of exploding the clique-cubed triangle
+      // table (round 13's scale-rung fix)
       "q_triangles" -> "simhash_triangles",
       "q_clustering_coef" -> "simhash_triangles",
-      "q_graph_jaccard" -> "simhash_triangles",
+      "q_graph_jaccard" -> "simhash_pairs",
       "q_graph_degree" -> "simhash_pairs",
       "q_prep_pipeline" -> "simhash_pairs",
       "q_dedup_cluster" -> "simhash_clusters",
@@ -199,13 +206,22 @@ class PlanShapeSpec extends SparkSpec {
       s"the positional key is not sourced from file metadata:\n$plan")
   }
 
-  test("q_time_travel: both as-of blocks anti-join their DVs; text " +
-    "never read") {
+  test("q_time_travel: both as-of blocks read the catalog's DSv2 " +
+    "chain scan, column-pruned, text never read") {
+    // round 13: the query speaks SQL TIMESTAMP AS OF through
+    // GraftCatalog, whose scan masks DV positions INSIDE the reader —
+    // the plan carries no anti-join at all (strictly better than the
+    // old driver-composed join shape): one pruned BatchScan per
+    // resolved version
     val plan = plans("q_time_travel")
-    assert("LeftAnti".r.findAllIn(plan).size >= 2,
-      s"each resolved version must apply its own DV anti-join:\n$plan")
+    assert("graft-chain".r.findAllIn(plan).size >= 2,
+      s"each as-of block must read through the catalog chain scan:\n$plan")
+    assert("cols=\\[doc_id,source\\]".r.findAllIn(plan).size >= 2,
+      s"the projection must prune into the DSv2 reader:\n$plan")
     assert(!plan.contains("text"),
       s"q_time_travel reads the text column it never uses:\n$plan")
+    assert(!plan.contains("LeftAnti"),
+      s"the DSv2 reader should mask DVs without a join:\n$plan")
   }
 
   test("q_branch_merge / q_branch_rebase / q_restore: published heads " +
