@@ -1943,28 +1943,34 @@ object DedupQueries {
     // BENCH_NOTES round 13.
     Q("q_graph_jaccard",
       (s, d) => {
-        // DEGREE CAP D: each node contributes its D lowest-id
-        // neighbors to the wedge stage — the bounded-contribution
-        // rule (q_bounded_contribution's trick applied to graph
-        // wedges): wedge volume is Σ min(deg, D)² ≤ N·D², LINEAR in
-        // nodes at any clique size, where uncapped wedges are
-        // clique-QUADRATIC (one 350-doc template family is 21M wedges;
-        // the sf0.1→sf1 scale rung measured the uncapped form at
-        // exponent 1.78). Deterministic (ordered by neighbor id) and
-        // replayed verbatim by the oracle; jaccard becomes the
-        // capped-neighborhood estimate J = n_common / n_union over
-        // min(deg, D)-sized lists — exact whenever deg ≤ D, which at
-        // the battery scale covers every node outside the giant
-        // template families the cap exists to bound.
+        // WITNESS CAP D: each common-neighbor WITNESS w contributes
+        // wedges only among its D lowest-id neighbors — the
+        // bounded-contribution rule (q_bounded_contribution's trick
+        // applied to graph wedges): wedge volume is Σ min(deg, D)² ≤
+        // N·D², LINEAR in nodes at any clique size, where uncapped
+        // wedges are clique-QUADRATIC (one 350-doc template family is
+        // 21M wedges; the sf0.1→sf1 scale rung measured the uncapped
+        // form at exponent 1.78). The cap must sit on the WITNESS
+        // side: capping the endpoints' own neighbor lists instead
+        // leaves low-id nodes witnessed by every clique member —
+        // still clique-quadratic. Deterministic (ordered by neighbor
+        // id) and replayed verbatim by the oracle. n_common ≤ the
+        // true common count ≤ min(deg) (every counted witness IS a
+        // real common neighbor), and n_union keeps the UNCAPPED
+        // degrees, so J = n_common / n_union is a consistent
+        // lower-bound estimate — exact wherever witness degrees ≤ D,
+        // i.e. everywhere outside the giant families the cap exists
+        // to bound.
         val D = 64
         val p = simhash64Pairs(s, d).select("a_id", "b_id")
+        val e = p.select(col("a_id").as("u"), col("b_id").as("v"))
+          .union(p.select(col("b_id").as("u"), col("a_id").as("v")))
+        val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
         val adj0 = p.select(col("a_id").as("w"), col("b_id").as("n"))
           .union(p.select(col("b_id").as("w"), col("a_id").as("n")))
         // bounded heaps, no per-node sort — the TopKPerGroupExec path
         val adj = graft.plans.TopKPerGroup.topKPerGroup(adj0,
           Seq(col("w")), Seq(asc("n")), D)
-        val deg = adj.groupBy(col("w").as("u"))
-          .agg(count(lit(1)).as("deg"))
         val wedges = adj.as("l")
           .join(adj.as("r"),
             col("l.w") === col("r.w") && col("l.n") < col("r.n"))
@@ -1987,19 +1993,19 @@ object DedupQueries {
              |e AS (
              |  SELECT a_id AS u, b_id AS v FROM pairs
              |  UNION ALL SELECT b_id, a_id FROM pairs),
+             |dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
              |ec AS (
              |  SELECT u, v FROM (
              |    SELECT u, v,
              |      row_number() OVER (PARTITION BY u ORDER BY v) AS rn
              |    FROM e) t
              |  WHERE rn <= 64),
-             |dg AS (SELECT u, count(*) AS deg FROM ec GROUP BY u),
              |cm AS (
-             |  SELECT p.a_id, p.b_id, count(*) AS n_common
-             |  FROM pairs p
-             |  JOIN ec ea ON ea.u = p.a_id
-             |  JOIN ec eb ON eb.u = p.b_id AND eb.v = ea.v
-             |  GROUP BY p.a_id, p.b_id)
+             |  SELECT l.v AS a_id, r.v AS b_id, count(*) AS n_common
+             |  FROM ec l
+             |  JOIN ec r ON l.u = r.u AND l.v < r.v
+             |  JOIN pairs p ON p.a_id = l.v AND p.b_id = r.v
+             |  GROUP BY l.v, r.v)
              |SELECT p.a_id, p.b_id,
              |  coalesce(cm.n_common, 0) AS n_common,
              |  da.deg + db.deg - coalesce(cm.n_common, 0) AS n_union
