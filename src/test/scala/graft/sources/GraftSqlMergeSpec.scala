@@ -103,4 +103,24 @@ class GraftSqlMergeSpec extends SparkSpec {
     }
     assert(stale.getMessage.contains("advanced"))
   }
+
+  test("DELETE with predicates the filter path cannot push (subquery, " +
+    "function-of-column) falls back to the row-level delta path") {
+    val (root, tbl) = fresh("subq")
+    docs.filter(col("doc_id") % 13 === 2).select("doc_id")
+      .createOrReplaceTempView("doomed_keys")
+    spark.sql(s"DELETE FROM graft.$tbl WHERE doc_id IN " +
+      "(SELECT doc_id FROM doomed_keys)")
+    assert(spark.sql(s"SELECT count(*) FROM graft.$tbl")
+      .head().getLong(0) ===
+      docs.filter(col("doc_id") % 13 =!= 2).count())
+    // each command is one merge-on-read commit on the chain
+    assert(ManifestPrune.currentVersion(spark, root) === 1L)
+    spark.sql(s"DELETE FROM graft.$tbl WHERE length(text) < 20")
+    assert(ManifestPrune.currentVersion(spark, root) === 2L)
+    assert(canon(spark.sql(s"SELECT * FROM graft.$tbl")) ===
+      canon(ManifestPrune.readCommitted(spark, root, 2L)))
+    assert(spark.sql(s"SELECT count(*) FROM graft.$tbl " +
+      "WHERE length(text) < 20").head().getLong(0) === 0L)
+  }
 }
