@@ -2037,6 +2037,43 @@ object CoreQueries {
              |  0, CAST(base + ins.c - del.c AS BIGINT) FROM n, ins, del
              |ORDER BY version""".stripMargin)),
 
+    // DESCRIBE HISTORY as SQL — the Iceberg metadata-table convention
+    // through GraftCatalog: `SELECT ... FROM graft.db.t.history` (a
+    // LocalScan relation over describeHistory — O(versions) driver
+    // metadata, never a data read). Same oracle replay as
+    // q_table_history, now proving the SQL resolution path.
+    Q("q_sql_history",
+      (s, d) => {
+        val root = changeFeedChain(s, d)
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        val tbl = s"hist.t_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.sources.GraftCatalog.registerTable(tbl, root)
+        s.sql(s"""SELECT version, kind, physical_rows, hidden_rows,
+                 |  live_rows
+                 |FROM graft.$tbl.history ORDER BY version""".stripMargin)
+      },
+      Some("""WITH n AS (SELECT count(*) AS base FROM documents),
+             |ins AS (SELECT count(*) AS c FROM documents
+             |        WHERE doc_id % 13 = 1),
+             |del AS (SELECT count(*) AS c FROM documents
+             |        WHERE doc_id % 7 = 3)
+             |SELECT CAST(0 AS BIGINT) AS version, 'base' AS kind,
+             |  CAST(base AS BIGINT) AS physical_rows,
+             |  CAST(0 AS BIGINT) AS hidden_rows,
+             |  CAST(base AS BIGINT) AS live_rows FROM n
+             |UNION ALL
+             |SELECT 1, 'rewrite', CAST(base + ins.c AS BIGINT),
+             |  0, CAST(base + ins.c AS BIGINT) FROM n, ins
+             |UNION ALL
+             |SELECT 2, 'dv-delete', CAST(base + ins.c AS BIGINT),
+             |  CAST(del.c AS BIGINT),
+             |  CAST(base + ins.c - del.c AS BIGINT) FROM n, ins, del
+             |UNION ALL
+             |SELECT 3, 'rewrite', CAST(base + ins.c - del.c AS BIGINT),
+             |  0, CAST(base + ins.c - del.c AS BIGINT) FROM n, ins, del
+             |ORDER BY version""".stripMargin)),
+
     // GENERAL MERGE INTO (ManifestPrune.mergeIntoCommit) — the full
     // three-clause MERGE a warehouse user writes, in ONE committed
     // CoW version: WHEN MATCHED THEN UPDATE SET over MULTIPLE

@@ -84,6 +84,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }.toArray
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style METADATA TABLES: `graft.db.t.history` (the
+    // registered table's name becomes the last namespace segment)
+    // resolves to the chain's describeHistory as a queryable relation
+    if (ident.name == "history" && ident.namespace.nonEmpty) {
+      val parent = ident.namespace.mkString(".")
+      GraftCatalog.lookup(parent).foreach { case (root, _) =>
+        return new GraftHistoryTable(root, s"$parent.history")
+      }
+    }
     val (root, key) = rootOf(ident)
     val s = SparkSession.active
     new GraftCatalogTable(root,
@@ -652,4 +661,53 @@ private[sources] class GraftDeltaWriter(pathBase: String,
   }
 
   override def close(): Unit = ()
+}
+
+// ------------------------------------------------- metadata tables
+
+/** `graft.db.t.history` — DESCRIBE HISTORY as a relation (Iceberg's
+  * metadata-table convention): one row per still-readable version
+  * with the chain's planner arithmetic, computed by
+  * [[ManifestPrune.describeHistory]] at scan time and served through
+  * a driver-local scan. History is O(versions) metadata rows — never
+  * a data read — which is exactly what LocalScan is for. */
+private[sources] class GraftHistoryTable(root: String,
+                                         qualified: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = qualified
+
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", LongType),
+    StructField("kind", StringType),
+    StructField("n_files", LongType),
+    StructField("physical_rows", LongType),
+    StructField("hidden_rows", LongType),
+    StructField("live_rows", LongType),
+    StructField("committed_at_ms", LongType),
+    StructField("note", StringType)))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema()
+        override def description(): String = s"graft-history $root"
+        override def rows(): Array[InternalRow] =
+          ManifestPrune.describeHistory(SparkSession.active, root)
+            .collect().map { r =>
+              InternalRow(r.getLong(0),
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(r.getString(1)),
+                r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+                r.getLong(6),
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(r.getString(7)))
+            }
+      }
+  }
 }

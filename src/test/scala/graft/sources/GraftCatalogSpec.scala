@@ -119,6 +119,25 @@ class GraftCatalogSpec extends SparkSpec {
       "VERSION AS OF 4").head().getLong(0) === before + 2)
   }
 
+  test("graft.db.t.history is a queryable metadata table, and SHOW " +
+    "TABLES lists registered names") {
+    ensureCatalog()
+    val root = chain("hist")
+    GraftCatalog.registerTable("db.docs_hist", root)
+    val hist = spark.sql("SELECT version, kind, live_rows FROM " +
+      "graft.db.docs_hist.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(hist.map(_._2).toSeq ===
+      Seq("base", "rewrite", "dv-delete", "eq-delete"))
+    // aggregates over the metadata relation work like any table
+    assert(spark.sql("SELECT count(*) FROM graft.db.docs_hist.history " +
+      "WHERE kind = 'dv-delete'").head().getLong(0) === 1L)
+    val names = spark.sql("SHOW TABLES IN graft.db")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(names.contains("docs_hist"))
+  }
+
   test("DELETE FROM ... WHERE commits a merge-on-read version: rows " +
     "hidden, no data file touched, predicate algebra translated") {
     ensureCatalog()
