@@ -99,6 +99,14 @@ trait ChainStorage {
     * protocol can classify the race as retryable. */
   def isPending(path: String): Boolean
 
+  /** Advisory age of a PENDING publish's claim — when the claim on
+    * `path` was taken, so vacuum can distinguish an in-flight copy
+    * from a publisher that died mid-copy (a claim older than the
+    * grace window whose completeness rider never landed is wedged
+    * garbage, not a live race). Only meaningful while [[isPending]];
+    * defaults to the advisory object age. */
+  def pendingSinceMs(path: String): Long = modifiedMs(path)
+
   /** Advisory object age for vacuum's grace window ONLY — never a
     * protocol timeline (commit times live inside markers). */
   def modifiedMs(path: String): Long
@@ -119,7 +127,10 @@ final class LocalChainStorage extends ChainStorage {
   override def list(dir: String): Seq[String] = {
     val d = f(dir)
     if (!d.isDirectory) Seq.empty
-    else d.list().toSeq
+    // `.pia_*` are putIfAbsent's same-directory link temps — protocol
+    // plumbing (the local analogue of the object store's riders),
+    // never content a lister should see
+    else d.list().toSeq.filterNot(_.startsWith(".pia_"))
   }
 
   override def isDir(path: String): Boolean = f(path).isDirectory
@@ -134,15 +145,37 @@ final class LocalChainStorage extends ChainStorage {
     java.nio.file.Files.writeString(file.toPath, content)
   }
 
+  /** Atomic CAS-with-content: the content is written to a hidden
+    * same-directory temp and the canonical name is taken by a hard
+    * LINK — creation is atomic and fails with FileAlreadyExists when
+    * the name is occupied, so a concurrent reader can never observe
+    * the object existing with partial/empty content (the
+    * createNewFile-then-write shape had that window: taggedVersion
+    * would NumberFormatException on "", and a crash between the two
+    * calls left a permanently empty-but-claimed name). Filesystems
+    * without hard links fall back to the old two-step shape. */
   override def putIfAbsent(path: String, content: String): Boolean = {
     val file = f(path)
     Option(file.getParentFile).foreach(_.mkdirs())
-    if (!file.createNewFile()) false
-    else {
-      if (content.nonEmpty)
-        java.nio.file.Files.writeString(file.toPath, content)
-      true
-    }
+    val tmp = new java.io.File(file.getParentFile,
+      s".pia_${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      java.nio.file.Files.writeString(tmp.toPath, content)
+      try {
+        java.nio.file.Files.createLink(file.toPath, tmp.toPath)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          // no-hardlink filesystem: degrade to create-then-write
+          if (!file.createNewFile()) false
+          else {
+            if (content.nonEmpty)
+              java.nio.file.Files.writeString(file.toPath, content)
+            true
+          }
+      }
+    } finally tmp.delete()
   }
 
   override def mkdirsExclusive(path: String): Boolean = f(path).mkdirs()
@@ -198,13 +231,19 @@ object ChainStorage {
   def unregister(prefix: String): Unit = registry.remove(prefix)
 
   /** Resolve the storage owning `path`: the longest registered
-    * prefix, default local. */
+    * prefix, default local. Prefixes match only at a path-segment
+    * boundary — a storage registered for `/data/a` owns `/data/a`
+    * and `/data/a/...`, never `/data/abc` (bare startsWith would
+    * silently route an unrelated chain's metadata to the wrong
+    * storage). */
   def forPath(path: String): ChainStorage = {
     var best: String = null
     val it = registry.keys()
     while (it.hasMoreElements) {
       val p = it.nextElement()
-      if (path.startsWith(p) && (best == null || p.length > best.length))
+      val owns = path == p ||
+        path.startsWith(p.stripSuffix("/") + "/")
+      if (owns && (best == null || p.length > best.length))
         best = p
     }
     if (best == null) local else registry.get(best)

@@ -53,9 +53,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catName: String = "graft"
 
+  /** Durable-registration root (catalog option `warehouse`): table
+    * registrations persist as tiny `_catalog/<db>.<t>` objects under
+    * it (CAS-created, so CREATE TABLE is exclusive across processes),
+    * and a FRESH session resolves `graft.db.t` from disk without any
+    * re-registration — the piece that makes the catalog a catalog,
+    * not a process-local map. CREATE TABLE without LOCATION also
+    * derives its chain root here (`<warehouse>/<db>/<t>`). */
+  private var warehouse: Option[String] = None
+
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
     catName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
     // static registration: spark.sql.catalog.<name>.table.<db>.<t> = root
     options.entrySet().forEach { e =>
       val k = e.getKey
@@ -66,22 +76,72 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catName
 
+  override def capabilities()
+      : java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def qualified(ident: Identifier): String =
     (ident.namespace.toSeq :+ ident.name).mkString(".")
 
+  private def durableEntry(q: String): String =
+    s"${warehouse.get}/_catalog/$q"
+
+  /** Disk-backed lookup fallback: a hit warms the in-memory map, so a
+    * fresh session pays the read once per table. */
+  private def durableLookup(q: String): Option[(String, String)] =
+    warehouse.flatMap { _ =>
+      val p = durableEntry(q)
+      val st = ChainStorage.forPath(p)
+      if (!st.isFile(p)) None
+      else {
+        val lines = st.read(p).linesIterator.toSeq
+        val root = lines.head.trim
+        val key = lines.drop(1).headOption.map(_.trim)
+          .filter(_.nonEmpty).getOrElse("doc_id")
+        GraftCatalog.registerTable(q, root, key)
+        Some((root, key))
+      }
+    }
+
+  private def resolve(q: String): Option[(String, String)] =
+    GraftCatalog.lookup(q).orElse(durableLookup(q))
+
+  /** Persist a registration under the warehouse; `exclusive` drives
+    * CREATE's across-process CAS (putIfAbsent) vs rename/update's
+    * last-writer-wins PUT. */
+  private def persist(q: String, root: String, key: String,
+                      exclusive: Boolean): Unit =
+    warehouse.foreach { _ =>
+      val p = durableEntry(q)
+      val st = ChainStorage.forPath(p)
+      val content = s"$root\n$key\n"
+      if (exclusive) {
+        if (!st.putIfAbsent(p, content))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .TableAlreadyExistsException(
+              s"$catName.$q (durable registration exists)")
+      } else st.write(p, content)
+    }
+
   private def rootOf(ident: Identifier): (String, String) =
-    GraftCatalog.lookup(qualified(ident)).getOrElse(
+    resolve(qualified(ident)).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(Seq(catName) ++ ident.namespace :+
           ident.name))
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    GraftCatalog.registered.filter { q =>
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val durable = warehouse.toSeq.flatMap { wh =>
+      val dir = s"$wh/_catalog"
+      val st = ChainStorage.forPath(dir)
+      st.list(dir).filter(n => st.isFile(s"$dir/$n"))
+    }
+    (GraftCatalog.registered ++ durable).distinct.sorted.filter { q =>
       q.split("\\.").dropRight(1).sameElements(namespace)
     }.map { q =>
       val parts = q.split("\\.")
       Identifier.of(parts.dropRight(1), parts.last)
     }.toArray
+  }
 
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style METADATA TABLES: `graft.db.t.history` (the
@@ -89,7 +149,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // resolves to the chain's describeHistory as a queryable relation
     if (ident.name == "history" && ident.namespace.nonEmpty) {
       val parent = ident.namespace.mkString(".")
-      GraftCatalog.lookup(parent).foreach { case (root, _) =>
+      resolve(parent).foreach { case (root, _) =>
         return new GraftHistoryTable(root, s"$parent.history")
       }
     }
@@ -123,31 +183,129 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    GraftCatalog.lookup(qualified(ident)).isDefined
+    resolve(qualified(ident)).isDefined
 
+  /** `CREATE TABLE graft.db.t (…) USING graft [PARTITIONED BY (…)]
+    * [LOCATION '…'] [TBLPROPERTIES (…)]` — bootstraps an EMPTY chain
+    * ([[ManifestPrune.createEmptyLayout]]) and registers it (durably
+    * when the catalog has a warehouse). The chain root is the DDL
+    * LOCATION or `<warehouse>/<db>/<t>`. Clustering resolution, most
+    * explicit wins: TBLPROPERTIES `cluster`='statsCol|c1,c2' >
+    * PARTITIONED-BY identity columns (clustering IS this engine's
+    * partitioning — files are range-clustered and min/max-pruned on
+    * the spec columns, Iceberg's hidden-partitioning stance) > the
+    * first orderable column. TBLPROPERTIES `key` names the merge key
+    * (default doc_id when present, else the first column). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String])
-      : Table =
-    throw new UnsupportedOperationException(
-      "create the chain with ManifestPrune.buildLayout and register " +
-        "it (GraftCatalog.registerTable or the catalog's table.* options)")
+      : Table = {
+    val q = qualified(ident)
+    if (resolve(q).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Seq(catName) ++ ident.namespace :+ ident.name)
+    val root = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(_.stripSuffix("/"))
+      .orElse(warehouse.map(wh =>
+        (Seq(wh) ++ ident.namespace.toSeq :+ ident.name).mkString("/")))
+      .getOrElse(throw new UnsupportedOperationException(
+        "CREATE TABLE needs a LOCATION clause or the catalog option " +
+          s"spark.sql.catalog.$catName.warehouse"))
+    val identityCols = partitions.toSeq.collect {
+      case t if t.name == "identity" =>
+        t.references.head.fieldNames.mkString(".")
+    }
+    require(identityCols.length == partitions.length,
+      "only identity PARTITIONED BY columns are supported (they " +
+        "become the chain's clustering spec)")
+    val (statsCol, clusterCols) =
+      Option(properties.get("cluster")).map { v =>
+        val parts = v.split("\\|")
+        require(parts.length == 2,
+          s"cluster property must be 'statsCol|c1,c2', got '$v'")
+        (parts(0).trim, parts(1).split(",").map(_.trim).toSeq
+          .filter(_.nonEmpty))
+      }.getOrElse {
+        if (identityCols.nonEmpty) (identityCols.head, identityCols)
+        else {
+          val f = schema.fields.find(f =>
+            f.dataType.isInstanceOf[org.apache.spark.sql.types
+              .NumericType] ||
+            f.dataType == org.apache.spark.sql.types.StringType)
+            .getOrElse(schema.fields.head)
+          (f.name, Seq(f.name))
+        }
+      }
+    val key = Option(properties.get("key")).getOrElse(
+      if (schema.fieldNames.contains("doc_id")) "doc_id"
+      else schema.fieldNames.head)
+    ManifestPrune.createEmptyLayout(SparkSession.active, root, schema,
+      statsCol, clusterCols)
+    persist(q, root, key, exclusive = true)
+    GraftCatalog.registerTable(q, root, key)
+    new GraftCatalogTable(root, 0L, key, q)
+  }
 
+  /** `ALTER TABLE` — the chain's metadata evolutions from SQL:
+    * `ADD CONSTRAINT … CHECK (…)` ⇒ [[ManifestPrune.addConstraint]]
+    * (enforced on every later commit's new rows), `DROP CONSTRAINT`,
+    * `SET TBLPROPERTIES('cluster'='statsCol|c1,c2')` ⇒
+    * [[ManifestPrune.evolveClustering]] (a metadata-only commit), and
+    * `SET TBLPROPERTIES('key'='col')` re-registers the merge key. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use ManifestPrune.evolveClustering / addConstraint")
+                          changes: TableChange*): Table = {
+    val q = qualified(ident)
+    val (root, key) = rootOf(ident)
+    changes.foreach {
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          ManifestPrune.addConstraint(root, c.name(), c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"only CHECK constraints are supported, got ${other.toDDL}")
+      }
+      case dc: TableChange.DropConstraint =>
+        val dropped = ManifestPrune.dropConstraint(root, dc.name())
+        if (!dropped && !dc.ifExists())
+          throw new IllegalArgumentException(
+            s"no constraint '${dc.name()}' on $catName.$q")
+      case sp: TableChange.SetProperty if sp.property == "cluster" =>
+        val parts = sp.value.split("\\|")
+        require(parts.length == 2,
+          s"cluster property must be 'statsCol|c1,c2', got " +
+            s"'${sp.value}'")
+        ManifestPrune.evolveClustering(SparkSession.active, root,
+          parts(0).trim,
+          parts(1).split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+      case sp: TableChange.SetProperty if sp.property == "key" =>
+        GraftCatalog.registerTable(q, root, sp.value)
+        persist(q, root, sp.value, exclusive = false)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other (supported: ADD/DROP " +
+          "CONSTRAINT … CHECK, SET TBLPROPERTIES cluster/key)")
+    }
+    loadTable(ident)
+  }
 
-  /** DROP TABLE unregisters the name; the chain's files are retired
-    * by its own vacuum, never by the catalog. */
-  override def dropTable(ident: Identifier): Boolean =
-    GraftCatalog.unregisterTable(qualified(ident))
+  /** DROP TABLE unregisters the name (memory + durable); the chain's
+    * files are retired by its own vacuum, never by the catalog. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val q = qualified(ident)
+    val mem = GraftCatalog.unregisterTable(q)
+    val dur = warehouse.exists { _ =>
+      val p = durableEntry(q)
+      ChainStorage.forPath(p).deleteFile(p)
+    }
+    mem || dur
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit = {
     val (root, key) = rootOf(oldIdent)
     GraftCatalog.registerTable(qualified(newIdent), root, key)
-    GraftCatalog.unregisterTable(qualified(oldIdent))
+    persist(qualified(newIdent), root, key, exclusive = true)
+    dropTable(oldIdent)
+    ()
   }
 
   // --- namespaces: registration-derived, metadata-free
@@ -217,6 +375,20 @@ private[sources] class GraftCatalogTable(val root: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  /** The chain's registered CHECK constraints, surfaced on the DSv2
+    * face (DESCRIBE / the analyzer's constraint framework). Enforced
+    * at commit time on new rows ([[ManifestPrune.addConstraint]]'s
+    * contract), hence enforced=true, unvalidated-by-default. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint] =
+    ManifestPrune.listConstraints(root).toSeq.sortBy(_._1).map {
+      case (n, e) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(e).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** The row-identity metadata columns SQL MERGE/UPDATE plan on: the
     * scan serves the physical (file, position) of every live row —
@@ -470,7 +642,13 @@ private[sources] class ChainReaderFactory(conf: SerializableHadoopConf,
       case DOUBLE => g.getDouble(i, 0)
       case FLOAT => g.getFloat(i, 0).toDouble
       case BOOLEAN => g.getBoolean(i, 0)
-      case BINARY => g.getString(i, 0)
+      // bytes, not a decoded string: for a true BinaryType key two
+      // distinct byte sequences with invalid UTF-8 can decode to the
+      // same string and falsely mask a live row (the Scala read
+      // path's applyEqDel anti-join is byte-exact; this must match
+      // it). Strings compare identically either way — equal UTF-8
+      // bytes iff equal strings.
+      case BINARY => g.getBinary(i, 0).getBytes.toSeq
       case t => throw new UnsupportedOperationException(
         s"equality-delete key column '$name' of physical type $t")
     }
@@ -565,17 +743,15 @@ private[sources] class GraftDeltaWrite(root: String, expectedBase: Long,
         else Some(s.read.schema(rowSchema).parquet(rowFiles: _*))
       ManifestPrune.deltaCommit(s, root, expectedBase, positions,
         newRows, s"rlo:$note")
-      val st = ChainStorage.forPath(root)
-      (delFiles ++ rowFiles).foreach(st.deleteFile)
+      // the whole per-write stage DIR, not just the files — empty
+      // rlo_* dirs would otherwise accumulate unboundedly on a
+      // long-lived table (a crash before this line leaves the dir
+      // for expireVersions' _staging age-collection)
+      ChainStorage.forPath(root).deleteTree(stageDir)
     }
 
-    override def abort(messages: Array[WriterCommitMessage]): Unit = {
-      val st = ChainStorage.forPath(root)
-      messages.collect { case m: DeltaStagedMessage => m }.foreach { m =>
-        Option(m.delPath).foreach(st.deleteFile)
-        Option(m.rowPath).foreach(st.deleteFile)
-      }
-    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      ChainStorage.forPath(root).deleteTree(stageDir)
   }
 }
 

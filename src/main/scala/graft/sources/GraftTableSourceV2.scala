@@ -72,54 +72,74 @@ object GraftTableSourceV2 {
   }
 
   /** Spill one version step's feed to `root/_cdc/<key>/v<v>/`, once:
-    * compute to a writer-unique temp dir, publish by atomic rename
-    * (losers of a concurrent race delete their temp and adopt the
-    * winner's spill), mark complete with `_FEED_READY` so a reader
-    * never lists a half-written spill. Returns the spilled part
-    * files. Idempotent across queries and JVMs. The spill path is
-    * keyed by BOTH version and the merge `key` read option: the
-    * spilled rows depend on the key (changeFeedStep pairs
+    * compute to a writer-unique temp dir, publish through the chain's
+    * storage seam ([[ChainStorage.publishDir]] — one atomic rename
+    * locally; claim + copy + rider on an object store, with losers of
+    * a concurrent race deleting their temp and adopting the winner's
+    * spill), marked complete with `_FEED_READY` so a reader never
+    * lists a half-written spill. Returns the spilled part files.
+    * Idempotent across queries and JVMs. The spill path is keyed by
+    * BOTH version and the merge `key` read option: the spilled rows
+    * depend on the key (changeFeedStep pairs
     * update_preimage/postimage by it), so two readers diffing on
-    * different keys must never adopt each other's spills. */
+    * different keys must never adopt each other's spills. The spill
+    * PROTOCOL runs entirely on the seam (no java.io) — the parquet
+    * bytes themselves are written/read by Spark's Hadoop FS layer,
+    * the same split as the chain's own data files — so the streaming
+    * source runs wherever the chain does. */
   def spillStep(s: SparkSession, root: String, v: Long,
                 key: String): Seq[String] = {
     require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_'),
       s"merge key must be a plain column name, got '$key'")
-    val dir = new java.io.File(s"$root/_cdc/$key/v$v")
-    val ready = new java.io.File(dir, "_FEED_READY")
-    if (!ready.isFile) {
-      new java.io.File(s"$root/_cdc/$key").mkdirs()
-      val tmp = new java.io.File(
-        s"$root/_cdc/$key/.tmp_v${v}_${ManifestPrune.prepareToken()}")
+    val st = ChainStorage.forPath(root)
+    val dir = ensureSpill(st, s"$root/_cdc/$key", v) { tmp =>
       ManifestPrune.changeFeedStep(s, root, v, key)
-        .coalesce(2).write.mode("overwrite").parquet(tmp.getPath)
-      // the marker must exist INSIDE the dir before the rename makes
-      // it visible, so a competing reader that sees the dir also sees
-      // the marker (rename is the publication point)
-      new java.io.File(tmp, "_FEED_READY").createNewFile()
-      if (!tmp.renameTo(dir)) {
-        deleteRec(tmp)
-        // the winner's rename is atomic and carries the marker; a
-        // missing marker after a failed rename means the dir is NOT a
-        // spill (corrupt leftovers) — fail loudly rather than read it
-        require(ready.isFile,
-          s"feed spill $dir exists without its _FEED_READY marker — " +
-            "remove the directory and retry")
+        .coalesce(2).write.mode("overwrite").parquet(tmp)
+    }
+    partFiles(st, dir)
+  }
+
+  /** The spill-publication protocol alone, compute-agnostic (the
+    * contract spec drives it on the object-store fake): ensure
+    * `keyDir/v<v>` holds a COMPLETE published spill, computing it via
+    * `compute(tmpDir)` when absent. Publication gates on BOTH
+    * [[ChainStorage.isPublished]] (under copy-based publication a
+    * half-copied dir exists without being truth) and the `_FEED_READY`
+    * rider (written INSIDE the prepared dir before publish, so any
+    * published spill carries it). Returns the spill dir. */
+  private[sources] def ensureSpill(st: ChainStorage, keyDir: String,
+                                   v: Long)(compute: String => Unit)
+      : String = {
+    val dir = s"$keyDir/v$v"
+    def complete: Boolean =
+      st.isPublished(dir) && st.isFile(s"$dir/_FEED_READY")
+    if (!complete) {
+      val tmp = s"$keyDir/.tmp_v${v}_${ManifestPrune.prepareToken()}"
+      compute(tmp)
+      // the marker must exist INSIDE the dir before publication makes
+      // it visible, so a competing reader that sees a published dir
+      // also sees the marker (publishDir is the publication point)
+      st.write(s"$tmp/_FEED_READY", "")
+      if (!st.publishDir(tmp, dir)) {
+        st.deleteTree(tmp)
+        // the winner's publish is atomic (or claim+copy+rider with
+        // isPublished gating) and carries the marker; a visible dir
+        // that never completes is either an in-flight copy (retry) or
+        // corrupt leftovers — fail loudly rather than read it
+        require(complete,
+          s"feed spill $dir exists without a complete _FEED_READY " +
+            "publication — another spiller may be mid-copy (retry), " +
+            "or remove the directory")
       }
     }
-    partFiles(dir)
+    dir
   }
 
-  private[sources] def partFiles(dir: java.io.File): Seq[String] =
-    dir.listFiles().toSeq
-      .filter(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
-      .map(_.getPath).sorted
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete()
-  }
+  private[sources] def partFiles(st: ChainStorage, dir: String)
+      : Seq[String] =
+    st.list(dir)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted.map(n => s"$dir/$n")
 }
 
 private[sources] class GraftTableTable(userSchema: StructType,
@@ -260,17 +280,18 @@ private[sources] class GraftStreamingWrite(root: String, mode: String,
       val batch = s.read.schema(schema).parquet(files.toIndexedSeq: _*)
       graft.streaming.StreamingPipelines.applySinkBatch(
         batch, epochId, root, mode, key)
-      files.foreach(f => ChainStorage.forPath(root).deleteFile(f))
     }
+    // the whole stage DIR (files included), not just the files —
+    // epochs are sequential, so nothing else is staged here, and the
+    // next epoch's lazy writers recreate it; leaving empty dirs
+    // accumulates garbage on a long-lived table (a crash before this
+    // line is expireVersions' _staging age-collection's job)
+    ChainStorage.forPath(root).deleteTree(stageDir)
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case StagedFileMessage(path) if path != null =>
-        ChainStorage.forPath(root).deleteFile(path)
-      case _ => ()
-    }
+    ChainStorage.forPath(root).deleteTree(stageDir)
 }
 
 private[sources] case class StagedFileMessage(path: String)

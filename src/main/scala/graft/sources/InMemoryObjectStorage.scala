@@ -37,6 +37,16 @@ final class InMemoryObjectStorage extends ChainStorage {
     * throws — simulating a writer dying mid-copy. */
   @volatile var failCopiesAfter: Int = -1
 
+  /** Stale-claim grace window: a `.claim` at least this old whose
+    * `.published` rider never landed belongs to a publisher that died
+    * mid-copy — a later publisher may take it over (delete the wedged
+    * claim + partial copies, re-race the CAS) instead of livelocking
+    * on a canonical name that can never advance. Must exceed the
+    * longest plausible copy, like every crash-vs-slow grace window
+    * (Iceberg's orphan-file older-than has the same contract); tests
+    * set 0 to exercise the takeover deterministically. */
+  @volatile var claimGraceMs: Long = 15L * 60 * 1000
+
   private def norm(p: String): String = p.stripSuffix("/")
 
   /** Internal rider objects are protocol plumbing, never listed. */
@@ -104,8 +114,21 @@ final class InMemoryObjectStorage extends ChainStorage {
   override def publishDir(prepared: String,
                           canonical: String): Boolean = {
     val can = norm(canonical)
-    // 1. the CAS claim — exactly one publisher of a canonical name
-    if (!putIfAbsent(s"$can/.claim", prepared)) return false
+    // 1. the CAS claim — exactly one publisher of a canonical name.
+    //    A lost CAS against a STALE claim (no rider, past the grace
+    //    window — its publisher died mid-copy) is taken over: the
+    //    wedged claim and its partial copies are cleared and the CAS
+    //    re-raced, so a crashed publisher can never wedge a version
+    //    forever. A lost CAS against a live claim or a published dir
+    //    stays a plain loss.
+    if (!putIfAbsent(s"$can/.claim", prepared)) {
+      val claim = objects.get(s"$can/.claim")
+      val stale = !isFile(s"$can/.published") && claim != null &&
+        nowMs() - claim.createdMs >= claimGraceMs
+      if (!stale) return false
+      deleteTree(can)
+      if (!putIfAbsent(s"$can/.claim", prepared)) return false
+    }
     // 2. non-atomic object copy (crash-injectable)
     var copied = 0
     list(prepared).foreach { n =>
@@ -131,6 +154,14 @@ final class InMemoryObjectStorage extends ChainStorage {
   override def isPending(path: String): Boolean = {
     val p = norm(path)
     isFile(s"$p/.claim") && !isFile(s"$p/.published")
+  }
+
+  /** When the pending claim was taken — the ONE age an object store
+    * does expose (object creation time), and the only one the
+    * stale-claim rule needs. */
+  override def pendingSinceMs(path: String): Long = {
+    val o = objects.get(s"${norm(path)}/.claim")
+    if (o == null) Long.MaxValue else o.createdMs
   }
 
   /** Deliberately USELESS: object stores give no POSIX mtime, and the

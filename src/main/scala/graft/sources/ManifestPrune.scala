@@ -2119,9 +2119,57 @@ object ManifestPrune {
     root
   }
 
+  /** Create a brand-new EMPTY chain at `root` from an explicit schema
+    * — the SQL `CREATE TABLE` bootstrap ([[GraftCatalog.createTable]]).
+    * One zero-row data file is written directly through the Group
+    * writer (deterministic: never relies on Spark materializing empty
+    * partitions) and carries the schema; the manifest records it with
+    * null stats TYPED by the clustering spec's stats column, so later
+    * commits' stats manifests union by name without a type fork. A
+    * non-default clustering registers as spec 1 with the v0 manifest
+    * pointing at it, so the FIRST rows ever inserted already stat and
+    * cluster under the declared spec — no metadata-only evolution
+    * commit needed. */
+  def createEmptyLayout(s: SparkSession, root: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        statsCol: String,
+                        clusterCols: Seq[String]): String = {
+    val missing = (statsCol +: clusterCols).distinct
+      .filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"clustering columns ${missing.mkString(", ")} do not exist in " +
+        s"the declared schema (${schema.fieldNames.mkString(", ")})")
+    val st = ChainStorage.forPath(root)
+    require(!st.isFile(s"$root/_created") && !st.isDir(s"$root/manifest"),
+      s"a chain already exists at $root")
+    val file = s"$root/data/part-00000-create.parquet"
+    GroupParquet.openWriter(file, schema,
+      s.sparkContext.hadoopConfiguration).close()
+    val spec =
+      if (statsCol == DefaultSpec.statsCol &&
+          clusterCols == DefaultSpec.clusterCols) DefaultSpec
+      else {
+        require(st.putIfAbsent(s"$root/_specs/1",
+            s"$statsCol|${clusterCols.mkString(",")}\n"),
+          s"spec 1 already registered at $root (concurrent create?)")
+        ClusterSpec(1, statsCol, clusterCols)
+      }
+    val statsType = schema(statsCol).dataType
+    s.range(1).select(lit(file).as("file"),
+        lit(null).cast(statsType).as("min_key"),
+        lit(null).cast(statsType).as("max_key"),
+        lit(0L).as("n_rows"), lit(spec.id).as("spec_id"))
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$root/manifest")
+    if (spec.id != 0) writeSpecPointer(s"$root/manifest", spec.id)
+    st.write(s"$root/_created", s"ts=${st.nowMs()}\n")
+    root
+  }
+
   /** What [[expireVersions]] removed and kept, for audit logs. */
   case class ExpireStats(keptVersions: Seq[Long], removedDataFiles: Long,
-                         removedManifestDirs: Long, removedDvDirs: Long)
+                         removedManifestDirs: Long, removedDvDirs: Long,
+                         removedStagingDirs: Long = 0L)
 
   /** SNAPSHOT EXPIRY / VACUUM — the lifecycle end of the version
     * chain (Iceberg `expire_snapshots` + `remove_orphan_files`, Delta
@@ -2333,7 +2381,43 @@ object ManifestPrune {
           case _ => ()
         }
       }
-    ExpireStats(kept, removedData, removedMf, removedDv)
+    // 5. crashed WRITE STAGING: row-level-operation / streaming-sink
+    //    stage dirs under _staging/ whose write died between task
+    //    commit and driver commit — referenced by nothing, invisible
+    //    to reachability (they are pre-commit bytes, not table state),
+    //    so age is the only signal; same grace contract as loser GC
+    var removedStaging = 0L
+    val stagingRoot = s"$root/_staging"
+    st.list(stagingRoot).foreach { n =>
+      val d = s"$stagingRoot/$n"
+      if (oldEnough(d) && rmTree(d)) removedStaging += 1
+    }
+    // 6. stale PUBLISH CLAIMS: a pending canonical (claimed, rider
+    //    never landed) past the grace window is a publisher that died
+    //    mid-copy — cleared here so the version number can advance
+    //    (the storage's own publish takeover handles the common case;
+    //    this sweeps claims no later publisher ever re-raced). The
+    //    claim's OWN age (pendingSinceMs) is the signal — modifiedMs
+    //    is advisory-only and deliberately useless on object stores.
+    st.list(root).filter(_.startsWith("manifest_c")).foreach { n =>
+      val d = s"$root/$n"
+      if (st.isPending(d) &&
+          st.nowMs() - st.pendingSinceMs(d) >= graceMs)
+        rmTree(d)
+    }
+    // 7. change-feed spill losers: .tmp_v* prepare dirs under
+    //    _cdc/<key>/ whose spiller crashed before publish — the
+    //    published v<N> spills themselves are a shared cache keyed to
+    //    unexpired manifests, so they stay
+    val cdcRoot = s"$root/_cdc"
+    st.list(cdcRoot).foreach { keyName =>
+      val keyDir = s"$cdcRoot/$keyName"
+      st.list(keyDir).filter(_.startsWith(".tmp_")).foreach { n =>
+        val d = s"$keyDir/$n"
+        if (oldEnough(d)) rmTree(d)
+      }
+    }
+    ExpireStats(kept, removedData, removedMf, removedDv, removedStaging)
   }
 
   /** Read the table a manifest version describes (the post-merge

@@ -224,4 +224,121 @@ class ChainStorageContractSpec extends SparkSpec {
     assert(ManifestPrune.commitTimeMs(root, 2L).get === t2)
     assert(ManifestPrune.versionAsOf(spark, root, t1) === 1L)
   }
+
+  test("a STALE claim (publisher died mid-copy, grace elapsed) is " +
+    "taken over by a later publisher — no permanent wedge") {
+    val (root, st) = freshMemRoot("takeover")
+    seedV0(st, root)
+    // publisher 1 claims version 1 and dies after 0 copies
+    val pCrash = prepare(st, root, "half")
+    st.failCopiesAfter = 0
+    intercept[RuntimeException] {
+      ManifestPrune.publish(root, 0L, pCrash)
+    }
+    st.failCopiesAfter = -1
+    val canonical = ManifestPrune.manifestOf(root, 1L)
+    assert(st.isPending(canonical))
+    // within the grace window the claim is a LIVE race: the later
+    // publisher loses retryably and the claim survives
+    val p2 = prepare(st, root, "writer-2")
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestPrune.publish(root, 0L, p2)
+    }
+    assert(st.isPending(canonical), "a live claim must not be evicted")
+    // past the grace window the claim is wedged garbage: the next
+    // publish takes it over and the chain advances
+    st.claimGraceMs = 0L
+    val p3 = prepare(st, root, "writer-3")
+    assert(ManifestPrune.publish(root, 0L, p3) === 1L)
+    assert(st.isPublished(canonical) && !st.isPending(canonical))
+    assert(st.read(s"$canonical/part-00000.parquet") === "writer-3")
+    assert(st.isFile(ManifestPrune.markerPath(root, 1L)))
+    assert(ManifestPrune.currentVersion(spark, root) === 1L)
+    // pendingSinceMs reports the claim instant for vacuum's sweep
+    st.claimGraceMs = Long.MaxValue
+    st.failCopiesAfter = 0
+    intercept[RuntimeException] {
+      ManifestPrune.publish(root, 1L, prepare(st, root, "half2"))
+    }
+    st.failCopiesAfter = -1
+    val pend = ManifestPrune.manifestOf(root, 2L)
+    assert(st.isPending(pend))
+    assert(math.abs(st.nowMs() - st.pendingSinceMs(pend)) < 60000L)
+  }
+
+  test("the change-feed spill protocol runs on the seam: compute-once " +
+    "sharing, loser adoption, ready-rider gating, crash takeover") {
+    val (root, st) = freshMemRoot("spill")
+    val keyDir = s"$root/_cdc/doc_id"
+    var computes = 0
+    def spill(v: Long): String =
+      GraftTableSourceV2.ensureSpill(st, keyDir, v) { tmp =>
+        computes += 1
+        st.write(s"$tmp/part-00000-x.parquet", s"rows-v$v")
+      }
+    val dir = spill(1L)
+    assert(computes === 1)
+    assert(st.isPublished(dir) && st.isFile(s"$dir/_FEED_READY"))
+    assert(GraftTableSourceV2.partFiles(st, dir) ===
+      Seq(s"$dir/part-00000-x.parquet"))
+    // a second consumer ADOPTS the published spill — zero recompute
+    assert(spill(1L) === dir)
+    assert(computes === 1)
+    // a racing spiller that loses the publish adopts the winner too
+    val tmp2 = s"$keyDir/.tmp_v1_${ManifestPrune.prepareToken()}"
+    st.write(s"$tmp2/part-00000-y.parquet", "loser rows")
+    st.write(s"$tmp2/_FEED_READY", "")
+    assert(!st.publishDir(tmp2, dir), "occupied spill name must lose")
+    assert(st.read(s"$dir/part-00000-x.parquet") === "rows-v1",
+      "the loser must never clobber the winner's spill")
+    // crash mid-publish leaves a pending spill; after the grace
+    // window the next consumer takes it over and completes
+    st.failCopiesAfter = 0
+    intercept[RuntimeException] { spill(2L) }
+    st.failCopiesAfter = -1
+    assert(st.isPending(s"$keyDir/v2"))
+    st.claimGraceMs = 0L
+    val d2 = spill(2L)
+    assert(st.isPublished(d2) && st.isFile(s"$d2/_FEED_READY"))
+    assert(GraftTableSourceV2.partFiles(st, d2).nonEmpty)
+  }
+
+  test("forPath matches prefixes only at path-segment boundaries") {
+    val st = new InMemoryObjectStorage
+    val prefix = s"/fp_${System.nanoTime}/a"
+    ChainStorage.register(prefix, st)
+    try {
+      assert(ChainStorage.forPath(prefix) eq st)
+      assert(ChainStorage.forPath(s"$prefix/manifest/x") eq st)
+      assert(ChainStorage.forPath(s"${prefix}bc") eq ChainStorage.local,
+        "/a must never capture /abc")
+      assert(ChainStorage.forPath(s"${prefix}bc/manifest") eq
+        ChainStorage.local)
+    } finally ChainStorage.unregister(prefix)
+  }
+
+  test("local putIfAbsent is atomic-with-content: no empty-object " +
+    "window, loser never clobbers, link temps invisible to listings") {
+    val st = ChainStorage.local
+    val dir = graft.Tables.matDir(s"pia_${System.nanoTime}",
+      spark, sf0001)
+    // concurrent CAS on one name: exactly one winner, and every
+    // observer that sees the name sees FULL content (taggedVersion's
+    // "".toLong crash was the empty-window symptom)
+    val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        if (st.putIfAbsent(s"$dir/_tags/t", s"content-$i")) {
+          winners.incrementAndGet(); ()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(winners.get() === 1)
+    val content = st.read(s"$dir/_tags/t")
+    assert(content.startsWith("content-") && content.length > 8,
+      s"observed partial/empty content: '$content'")
+    assert(st.list(s"$dir/_tags") === Seq("t"),
+      "link temps must never appear in listings")
+  }
 }
