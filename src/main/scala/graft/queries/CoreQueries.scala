@@ -612,6 +612,40 @@ object CoreQueries {
       tbl
     })
 
+  /** q_sql_ddl's table: built PURELY through `spark.sql` DDL+DML —
+    * `CREATE TABLE … USING graft` (bootstraps an empty chain with a
+    * declared clustering spec), `ALTER TABLE … ADD CONSTRAINT … CHECK`
+    * (enforced on every later commit), then two INSERTs (a
+    * SELECT-sourced append and a literal row). The gated query only
+    * SELECTs; the oracle replays the inserts over the base parquet. */
+  private val sqlDdlCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def sqlDdlTable(s: SparkSession, d: String): String =
+    sqlDdlCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"sqlddl_chain_${System.nanoTime}", s, d)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"ddl.t_$suffix"
+      s.sql(s"""CREATE TABLE graft.$tbl (
+               |  doc_id BIGINT, text STRING, lang STRING,
+               |  source STRING, n_chars BIGINT)
+               |USING graft LOCATION '$root'
+               |TBLPROPERTIES ('cluster'='doc_id|doc_id',
+               |  'key'='doc_id')""".stripMargin)
+      s.sql(s"ALTER TABLE graft.$tbl ADD CONSTRAINT chars_nonneg " +
+        "CHECK (n_chars >= 0)")
+      val view = s"ddl_src_$suffix"
+      Tables.load(s, d, "documents").createOrReplaceTempView(view)
+      s.sql(s"""INSERT INTO graft.$tbl
+               |SELECT doc_id, text, lang, source, n_chars
+               |FROM $view WHERE doc_id % 4 = 1""".stripMargin)
+      s.sql(s"INSERT INTO graft.$tbl VALUES " +
+        "(92000001, 'ddl literal row', 'dd', 'ddl', 7)")
+      tbl
+    })
+
   /** q_dpp_join's hive-partitioned events layout (partition column =
     * event_type), written once per (session, sf dir). */
   private val dppCache = new java.util.concurrent.ConcurrentHashMap[
@@ -1922,6 +1956,33 @@ object CoreQueries {
              |  WHERE NOT (doc_id % 9 = 1 AND doc_id % 27 = 10)
              |  UNION ALL SELECT 'mg', 10
              |  UNION ALL SELECT 'mg', 10
+             |)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // SQL DDL through the catalog (GraftCatalog.createTable /
+    // alterTable): the whole table LIFECYCLE purely in spark.sql —
+    // CREATE TABLE … USING graft (empty chain bootstrapped with the
+    // declared clustering spec and merge key), ALTER TABLE … ADD
+    // CONSTRAINT … CHECK (enforced on every later commit's new rows),
+    // INSERT INTO (a SELECT-sourced append and a literal row), SELECT
+    // back through the DSv2 scan. An analyst needs no Scala API to
+    // stand up and govern a chain. The oracle replays the two inserts
+    // over the base parquet. GraftSqlDdlSpec pins the contracts this
+    // hash can't see (constraint rejection, warehouse-rooted CREATE,
+    // durable-registration restart, RENAME/DROP).
+    Q("q_sql_ddl",
+      (s, d) => {
+        val tbl = sqlDdlTable(s, d)
+        s.sql(s"""SELECT lang, count(*) AS n_docs,
+                 |  sum(n_chars) AS sum_chars
+                 |FROM graft.$tbl
+                 |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM (
+             |  SELECT lang, n_chars FROM documents WHERE doc_id % 4 = 1
+             |  UNION ALL SELECT 'dd', 7
              |)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 

@@ -218,6 +218,18 @@ object ChainStorage {
   /** The default (and production-local) storage. */
   val local: ChainStorage = new LocalChainStorage
 
+  /** Fallback for scheme-qualified paths with no explicit
+    * registration: the Hadoop FileSystem binding. Spark qualifies
+    * SQL `LOCATION` clauses to URIs (`file:/x`, `hdfs://nn/x`,
+    * `s3a://bucket/x`) before they reach the catalog, and the local
+    * impl would treat `file:/x` as a RELATIVE java.io path — silently
+    * splitting one chain's metadata across two roots. */
+  private lazy val hadoopFs: ChainStorage = new HadoopFsChainStorage()
+
+  /** `scheme:/...` — at least two scheme chars, so POSIX paths and
+    * (hypothetical) drive letters never match. */
+  private val schemePath = "^[A-Za-z][A-Za-z0-9+.-]+:/.*$".r
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, ChainStorage]()
 
@@ -246,6 +258,8 @@ object ChainStorage {
       if (owns && (best == null || p.length > best.length))
         best = p
     }
-    if (best == null) local else registry.get(best)
+    if (best != null) registry.get(best)
+    else if (schemePath.matches(path)) hadoopFs
+    else local
   }
 }

@@ -61,7 +61,11 @@ final class HadoopFsChainStorage(base: Configuration)
   override def list(dir: String): Seq[String] = {
     val d = p(dir)
     val f = fs(d)
+    // `.pia_*` are LocalChainStorage.putIfAbsent's link temps — a
+    // local chain may be reached through BOTH impls (bare path vs
+    // file: URI), so the listing filter must agree
     try f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".pia_"))
     catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 

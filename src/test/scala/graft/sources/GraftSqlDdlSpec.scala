@@ -1,0 +1,182 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** SQL DDL through the catalog: `CREATE TABLE graft.db.t (…) USING
+  * graft` bootstraps an empty chain, `ALTER TABLE … ADD CONSTRAINT …
+  * CHECK` registers an enforced constraint, inserts/selects run purely
+  * through `spark.sql`, and — with a `warehouse` catalog option —
+  * registrations persist as `_catalog` objects a FRESH session resolves
+  * from disk (the restart contract). q_sql_ddl hash-gates the values;
+  * this pins the DDL/durability contracts. */
+class GraftSqlDdlSpec extends SparkSpec {
+
+  private def ensureCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+
+  private def freshName(tag: String): String =
+    s"ddl.${tag}_${System.nanoTime}"
+
+  test("CREATE TABLE … USING graft LOCATION bootstraps an empty chain; " +
+    "INSERT INTO / SELECT / DESCRIBE-visible CHECK constraint run " +
+    "purely through spark.sql; violating rows are rejected until " +
+    "DROP CONSTRAINT") {
+    ensureCatalog()
+    val tbl = freshName("t")
+    val root = Tables.matDir(s"sqlddl_${System.nanoTime}", spark, sf0001)
+    spark.sql(
+      s"""CREATE TABLE graft.$tbl (
+         |  doc_id BIGINT, text STRING, lang STRING, source STRING,
+         |  n_chars BIGINT)
+         |USING graft LOCATION '$root'
+         |TBLPROPERTIES ('cluster'='doc_id|doc_id', 'key'='doc_id')
+         |""".stripMargin)
+    // empty chain is immediately selectable (version 0, zero rows)
+    assert(spark.sql(s"SELECT * FROM graft.$tbl").count() === 0L)
+    // the chain root carries the declared clustering spec
+    assert(ChainStorage.forPath(root).isFile(s"$root/_specs/1"))
+
+    spark.sql(s"ALTER TABLE graft.$tbl ADD CONSTRAINT chars_nonneg " +
+      "CHECK (n_chars >= 0)")
+    assert(ManifestPrune.listConstraints(root) ===
+      Map("chars_nonneg" -> "n_chars >= 0"))
+
+    spark.sql(s"INSERT INTO graft.$tbl VALUES " +
+      "(1, 'one', 'en', 's0', 3), (2, 'two', 'de', 's0', 3)")
+    val got = spark.sql(
+      s"SELECT doc_id, lang, n_chars FROM graft.$tbl ORDER BY doc_id")
+      .collect().map(_.toSeq)
+    assert(got === Array(Seq(1L, "en", 3L), Seq(2L, "de", 3L)))
+
+    // constraint enforced on the commit path: a violating INSERT fails
+    // and commits nothing
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.$tbl VALUES (3, 'neg', 'en', 's0', -1)")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" ")
+    assert(msgs.contains("chars_nonneg"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.$tbl")
+      .collect().head.getLong(0) === 2L)
+
+    spark.sql(s"ALTER TABLE graft.$tbl DROP CONSTRAINT chars_nonneg")
+    spark.sql(s"INSERT INTO graft.$tbl VALUES (3, 'neg', 'en', 's0', -1)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.$tbl")
+      .collect().head.getLong(0) === 3L)
+
+    assert(spark.sql("SHOW TABLES IN graft.ddl").collect()
+      .map(_.getString(1)).contains(tbl.split("\\.").last))
+    spark.sql(s"DROP TABLE graft.$tbl")
+    intercept[Exception] { spark.sql(s"SELECT * FROM graft.$tbl").collect() }
+  }
+
+  test("PARTITIONED BY identity columns become the chain's clustering " +
+    "spec; CREATE of an existing name fails") {
+    ensureCatalog()
+    val tbl = freshName("p")
+    val root = Tables.matDir(s"sqlddlp_${System.nanoTime}", spark, sf0001)
+    spark.sql(
+      s"""CREATE TABLE graft.$tbl (doc_id BIGINT, lang STRING)
+         |USING graft PARTITIONED BY (lang) LOCATION '$root'
+         |""".stripMargin)
+    val st = ChainStorage.forPath(root)
+    assert(st.isFile(s"$root/_specs/1"))
+    assert(st.read(s"$root/_specs/1").trim === "lang|lang")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.$tbl (x BIGINT) USING graft " +
+        s"LOCATION '${root}_dup'")
+    }
+    assert(e.getMessage.toLowerCase.contains("exists"))
+    spark.sql(s"DROP TABLE graft.$tbl")
+  }
+
+  test("CREATE TABLE AS SELECT through the catalog (non-atomic CTAS: " +
+    "create + first append)") {
+    ensureCatalog()
+    val tbl = freshName("ctas")
+    val root = Tables.matDir(s"sqlddlc_${System.nanoTime}", spark, sf0001)
+    val docs = Tables.load(spark, sf0001, "documents")
+    docs.createOrReplaceTempView("ctas_src")
+    spark.sql(
+      s"""CREATE TABLE graft.$tbl USING graft LOCATION '$root'
+         |AS SELECT doc_id, lang, n_chars FROM ctas_src
+         |WHERE doc_id % 5 = 2""".stripMargin)
+    val expect = docs.filter(col("doc_id") % 5 === 2)
+      .agg(count(lit(1)), sum("n_chars")).collect().head
+    val got = spark.sql(
+      s"SELECT count(*) AS n, sum(n_chars) AS s FROM graft.$tbl")
+      .collect().head
+    assert(got.getLong(0) === expect.getLong(0))
+    assert(got.getLong(1) === expect.getLong(1))
+    spark.sql(s"DROP TABLE graft.$tbl")
+  }
+
+  test("warehouse catalog: CREATE without LOCATION roots the chain " +
+    "under <warehouse>/<db>/<t>; registration is durable — a fresh " +
+    "session (cold in-memory registry) resolves SELECT from the " +
+    "_catalog object, and DROP removes it") {
+    val wh = Tables.matDir(s"sqlddlwh_${System.nanoTime}", spark, sf0001)
+    val cat = s"gwh${System.nanoTime % 1000000}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"db1.t_${System.nanoTime}"
+    spark.sql(s"CREATE TABLE $cat.$tbl (doc_id BIGINT, lang STRING) " +
+      "USING graft")
+    spark.sql(s"INSERT INTO $cat.$tbl VALUES (7, 'en'), (8, 'de')")
+    // chain rooted under the warehouse
+    val st = ChainStorage.forPath(wh)
+    assert(st.isDir(s"$wh/${tbl.replace('.', '/')}"))
+    assert(st.isFile(s"$wh/_catalog/$tbl"))
+
+    // process restart: cold registry + a session whose catalog state
+    // is rebuilt from conf (newSession drops runtime conf, as a fresh
+    // process would)
+    GraftCatalog.unregisterTable(tbl)
+    val s2 = spark.newSession()
+    s2.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val rows = s2.sql(s"SELECT doc_id, lang FROM $cat.$tbl ORDER BY doc_id")
+      .collect().map(_.toSeq)
+    assert(rows === Array(Seq(7L, "en"), Seq(8L, "de")))
+    // SHOW TABLES sees the durable registration even on a cold registry
+    GraftCatalog.unregisterTable(tbl)
+    assert(s2.sql(s"SHOW TABLES IN $cat.db1").collect()
+      .map(_.getString(1)).contains(tbl.split("\\.").last))
+
+    // duplicate durable CREATE from a cold registry still fails (CAS)
+    GraftCatalog.unregisterTable(tbl)
+    val e = intercept[Exception] {
+      s2.sql(s"CREATE TABLE $cat.$tbl (x BIGINT) USING graft")
+    }
+    assert(e.getMessage.toLowerCase.contains("exists"))
+
+    s2.sql(s"DROP TABLE $cat.$tbl")
+    assert(!st.isFile(s"$wh/_catalog/$tbl"))
+    GraftCatalog.unregisterTable(tbl)
+    intercept[Exception] { s2.sql(s"SELECT * FROM $cat.$tbl").collect() }
+  }
+
+  test("RENAME TABLE moves both the in-memory and the durable " +
+    "registration; the chain root is untouched") {
+    val wh = Tables.matDir(s"sqlddlrn_${System.nanoTime}", spark, sf0001)
+    val cat = s"grn${System.nanoTime % 1000000}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val a = s"db2.a_${System.nanoTime}"
+    val b = s"db2.b_${System.nanoTime}"
+    spark.sql(s"CREATE TABLE $cat.$a (doc_id BIGINT) USING graft")
+    spark.sql(s"INSERT INTO $cat.$a VALUES (41)")
+    spark.sql(s"ALTER TABLE $cat.$a RENAME TO $b")
+    val st = ChainStorage.forPath(wh)
+    assert(!st.isFile(s"$wh/_catalog/$a"))
+    assert(st.isFile(s"$wh/_catalog/$b"))
+    assert(spark.sql(s"SELECT doc_id FROM $cat.$b").collect()
+      .head.getLong(0) === 41L)
+    spark.sql(s"DROP TABLE $cat.$b")
+  }
+}
