@@ -646,6 +646,45 @@ object CoreQueries {
       tbl
     })
 
+  /** q_stream_table's sink dir: a chain streamed through the catalog
+    * row stream in two phases — snapshot of the v0 base, then (after
+    * an append commit) a checkpoint resume that receives ONLY the
+    * appended files. Built once per (session, sf dir). */
+  private val streamTblCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def streamTableSink(s: SparkSession, d: String): String =
+    streamTblCache.computeIfAbsent((s, d), { _ =>
+      val docs = Tables.load(s, d, "documents")
+      val root = Tables.matDir(s"streamtbl_chain_${System.nanoTime}", s, d)
+      graft.sources.ManifestPrune.buildLayout(docs, root, nFiles = 8)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      val tbl = s"strm.t_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.GraftCatalog.registerTable(tbl, root)
+      val out = Tables.matDir(s"streamtbl_out_${System.nanoTime}", s, d)
+      def drain(): Unit = {
+        val q = s.readStream.table(s"graft.$tbl")
+          .writeStream
+          .option("checkpointLocation", s"$out/_ck")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              b.toDF().write.mode("append").parquet(s"$out/rows")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000); q.stop()
+      }
+      drain() // phase 1: the v0 snapshot
+      graft.sources.ManifestPrune.appendCommit(s, root,
+        docs.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 80000000L).as("doc_id"), col("text"),
+            lit("st").as("lang"), col("source"), col("n_chars")))
+      drain() // phase 2: only the appended files
+      out
+    })
+
   /** q_dpp_join's hive-partitioned events layout (partition column =
     * event_type), written once per (session, sf dir). */
   private val dppCache = new java.util.concurrent.ConcurrentHashMap[
@@ -2660,6 +2699,39 @@ object CoreQueries {
              |SELECT lang, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM head GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // CATALOG-RESOLVED ROW STREAM (readStream.table("graft.db.t") —
+    // GraftRowMicroBatchStream): Delta's table-stream semantics on
+    // the chain — the first micro-batch is the MASKED snapshot at the
+    // stream's start, every later batch is exactly the files ADDED by
+    // append commits (O(new files) planning from the manifest diff,
+    // never a table rescan). The query drives BOTH phases: stream the
+    // v0 snapshot, append a commit, resume from the checkpoint (only
+    // the appended rows flow), then aggregate everything the sink
+    // received. The oracle replays base + append; a snapshot that
+    // leaked masked rows, a resume that replayed the snapshot, or an
+    // append batch that missed files all break the hash.
+    // GraftCatalogStreamingSpec pins the stream-only contracts
+    // (change-commit rejection, skipChangeCommits, startingVersion,
+    // toTable exactly-once).
+    Q("q_stream_table",
+      (s, d) => {
+        val out = streamTableSink(s, d)
+        s.read.parquet(s"$out/rows")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM (
+             |  SELECT lang, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT 'st' AS lang, n_chars FROM documents
+             |  WHERE doc_id % 13 = 2
+             |)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // STREAMING GDPR ERASURE, END TO END (applyDeleteBatch →
     // compactCommit → expireVersions → readCommitted): the three

@@ -153,6 +153,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         return new GraftHistoryTable(root, s"$parent.history")
       }
     }
+    // `graft.db.t.changes` — the change feed (CDF) as a catalog-
+    // resolved relation: batch SELECT reads the whole feed window,
+    // readStream.table tails it (the same GraftTableTable the
+    // format("graft-table") face serves, keyed by the registered
+    // merge key)
+    if (ident.name == "changes" && ident.namespace.nonEmpty) {
+      val parent = ident.namespace.mkString(".")
+      resolve(parent).foreach { case (root, key) =>
+        val m = new java.util.HashMap[String, String]()
+        m.put("path", root)
+        m.put("key", key)
+        return new GraftTableTable(
+          GraftTableSourceV2.feedSchema(SparkSession.active, root),
+          new CaseInsensitiveStringMap(m))
+      }
+    }
     val (root, key) = rootOf(ident)
     val s = SparkSession.active
     new GraftCatalogTable(root,
@@ -374,7 +390,11 @@ private[sources] class GraftCatalogTable(val root: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      // readStream.table → the Delta-style ROW stream (snapshot +
+      // appends, GraftRowMicroBatchStream); writeStream.toTable →
+      // the staged GraftStreamingWrite (modes append | upsert)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   /** The chain's registered CHECK constraints, surfaced on the DSv2
     * face (DESCRIBE / the analyzer's constraint framework). Enforced
@@ -415,7 +435,7 @@ private[sources] class GraftCatalogTable(val root: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    new GraftChainScanBuilder(root, snapshot, schema)
+    new GraftChainScanBuilder(root, snapshot, schema, options)
 
   // ------------------------------------------------- INSERT INTO
   /** The public V1Write bridge (the JDBC connector's shape): the
@@ -438,6 +458,21 @@ private[sources] class GraftCatalogTable(val root: String,
                 ManifestPrune.appendCommit(s, root, data)
             }
           }
+
+        /** `writeStream.toTable("graft.db.t")` — the same staged
+          * exactly-once streaming write the `graft-table` sink runs
+          * (per-epoch `tsink:` cursors, replay commits nothing).
+          * Write options: `mode` ∈ append | upsert (upsert merges on
+          * the registered key; full-row batches — Spark validates the
+          * stream's schema against the table's). */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          val mode = Option(info.options.get("mode")).getOrElse("append")
+          val key = Option(info.options.get("key")).getOrElse(mergeKey)
+          new GraftStreamingWrite(root, mode, key, info.schema(),
+            new SerializableHadoopConf(
+              SparkSession.active.sparkContext.hadoopConfiguration))
+        }
       }
     }
 
@@ -513,13 +548,15 @@ private[sources] object V2PredicateToColumn {
 
 // ---------------------------------------------------------- the scan
 
-private[sources] class GraftChainScanBuilder(root: String, version: Long,
-                                             full: StructType)
+private[sources] class GraftChainScanBuilder(
+    root: String, version: Long, full: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftChainScan(root, version, required)
+  override def build(): Scan =
+    new GraftChainScan(root, version, required, options)
 }
 
 /** One partition per committed data file; the version's DV and
@@ -528,8 +565,9 @@ private[sources] class GraftChainScanBuilder(root: String, version: Long,
   * executor-side, so `SELECT … FROM graft.db.t` reads exactly what
   * [[ManifestPrune.readCommitted]] computes, without a driver-side
   * join plan. Column pruning reaches the reader (by-name decode). */
-private[sources] class GraftChainScan(root: String, version: Long,
-                                      required: StructType)
+private[sources] class GraftChainScan(
+    root: String, version: Long, required: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -538,14 +576,41 @@ private[sources] class GraftChainScan(root: String, version: Long,
     s"graft-chain $root v$version cols=[${required.fieldNames
       .mkString(",")}]"
 
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftChainScan.snapshotPartitions(SparkSession.active, root, version)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChainReaderFactory(
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration), required)
+
+  /** `readStream.table("graft.db.t")` — the Delta-style row stream
+    * (snapshot batch + per-append added files); reader options ride
+    * the scan's option map. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftRowMicroBatchStream(root, required,
+      Option(options.get("startingVersion")).map(_.toLong),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+private[sources] object GraftChainScan {
+
   private def sidecarParts(dir: Option[String]): Seq[String] =
     dir.toSeq.flatMap { d =>
       val st = ChainStorage.forPath(d)
       st.list(d).filter(_.endsWith(".parquet")).sorted.map(n => s"$d/$n")
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val s = SparkSession.active
+  /** One partition per committed data file of `version`, the DV and
+    * equality-delete sidecar parts riding to every task — the masked
+    * snapshot plan shared by the batch scan and the row stream's
+    * first batch. */
+  def snapshotPartitions(s: SparkSession, root: String,
+                         version: Long): Array[InputPartition] = {
     val files = ManifestPrune.collectFileList(s,
       s.read.parquet(ManifestPrune.manifestOf(root, version))
         .select("file"),
@@ -555,11 +620,6 @@ private[sources] class GraftChainScan(root: String, version: Long,
     files.map(f =>
       ChainFilePartition(f, dv, eq): InputPartition).toArray
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ChainReaderFactory(
-      new SerializableHadoopConf(
-        SparkSession.active.sparkContext.hadoopConfiguration), required)
 }
 
 private[sources] case class ChainFilePartition(file: String,

@@ -460,6 +460,121 @@ private[sources] class GraftTableMicroBatchStream(
     new FeedParquetReaderFactory(conf, schema)
 }
 
+/** STREAMING READ of the table's ROWS through the catalog —
+  * `spark.readStream.table("graft.db.t")`, Delta's table-stream
+  * semantics re-expressed on the chain's metadata:
+  *
+  *   - the FIRST micro-batch is the snapshot as of the stream's
+  *     start (every file of that version, its DV and equality-delete
+  *     sidecars masking executor-side — the same
+  *     [[ChainFilePartition]] plan as a batch SELECT);
+  *   - every later batch is exactly the files ADDED by pure append
+  *     commits — O(the commit's new files) planning per version from
+  *     the manifest diff, never a table scan;
+  *   - a commit that removes a file or grows a mask (CoW merge, DV /
+  *     equality delete, compaction, restore — anything that could
+  *     change or hide an already-emitted row) FAILS the stream, the
+  *     Delta rule, unless `skipChangeCommits` drops the whole commit
+  *     (note: an append that folded pending equality deletes carries
+  *     a changed mask and is dropped too — fold before streaming);
+  *   - metadata-only versions (spec evolution, eq-delete folds) are
+  *     always skipped.
+  *
+  * Options: `startingVersion` (changes-only from that version — no
+  * snapshot batch), `maxVersionsPerTrigger`, `skipChangeCommits`.
+  * Offsets are version ids on the commit-marker ledger, exactly like
+  * the change-feed stream; the CHANGES (CDF) face of the same table
+  * is `readStream.table("graft.db.t.changes")`. */
+private[sources] class GraftRowMicroBatchStream(
+    root: String, required: StructType,
+    startingVersion: Option[Long], maxVersionsPerTrigger: Option[Int],
+    skipChangeCommits: Boolean, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def head: Long =
+    ManifestPrune.currentVersion(SparkSession.active, root)
+
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(head)
+
+  /** Offset = last consumed version; -1 = snapshot mode's "nothing
+    * yet" (the next batch delivers the snapshot at its end offset). */
+  override def initialOffset(): Offset = GraftVersionOffset(
+    startingVersion.map(v => math.max(0L, v - 1)).getOrElse(-1L))
+  override def latestOffset(): Offset = GraftVersionOffset(head)
+  override def reportLatestOffset(): Offset = GraftVersionOffset(head)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: Offset,
+                            limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[GraftVersionOffset].v
+    val hi = availableNowCap.getOrElse(head)
+    val capped =
+      if (start < 0L) hi // the snapshot is ONE batch, uncapped
+      else limit match {
+        case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+          math.min(hi, start + m.maxFiles())
+        case _ => hi
+      }
+    GraftVersionOffset(math.max(start, capped))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GraftVersionOffset].v
+    val hi = end.asInstanceOf[GraftVersionOffset].v
+    val s = SparkSession.active
+    if (lo < 0L) GraftChainScan.snapshotPartitions(s, root, hi)
+    else (lo + 1 to hi).flatMap(appendedFiles(s, _))
+      .map(f => ChainFilePartition(f, Seq.empty, Seq.empty)
+        : InputPartition).toArray
+  }
+
+  /** Files version `v` appended, or empty for a skippable commit;
+    * throws on a non-append data change unless `skipChangeCommits`.
+    * O(manifest) driver metadata per version — the mask check is
+    * pointer equality (append carries sidecar pointers VERBATIM, so
+    * any pointer change means masking happened). */
+  private def appendedFiles(s: SparkSession, v: Long): Seq[String] = {
+    val note = ManifestPrune.commitNote(root, v).getOrElse("")
+    if (note.startsWith("spec:") ||
+        note.split("\\s+").contains("eqdel-fold")) return Seq.empty
+    val maskChanged =
+      ManifestPrune.dvOf(root, v) != ManifestPrune.dvOf(root, v - 1) ||
+        ManifestPrune.eqDelOf(root, v) != ManifestPrune.eqDelOf(root, v - 1)
+    val prev = s.read.parquet(ManifestPrune.manifestOf(root, v - 1))
+      .select("file")
+    val cur = s.read.parquet(ManifestPrune.manifestOf(root, v))
+      .select("file")
+    val removedAny = prev.except(cur).limit(1).count() > 0L
+    if (maskChanged || removedAny || note.startsWith("restore:")) {
+      if (skipChangeCommits) Seq.empty
+      else throw new IllegalStateException(
+        s"version $v of $root is not a pure append (a rewrite, " +
+          "delete, or masked update) — a row stream cannot represent " +
+          "it. Read the change feed instead (readStream.table(" +
+          "\"<catalog>.db.t.changes\") or format(\"graft-table\")), " +
+          "or set skipChangeCommits=true to drop such commits")
+    } else ManifestPrune.collectFileList(s, cur.except(prev),
+      s"row-stream append v$v of $root")
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChainReaderFactory(conf, required)
+}
+
 /** Executor-side reader of the spilled feed parquet via
   * parquet-hadoop's Group API ([[GroupParquet]] — no Spark-internal
   * reader classes): fields resolve by name, flat primitives only. */
