@@ -32,7 +32,12 @@ object ScaleBench {
     "q_dedup_span_scrub", "q_collocations")
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // `--build-only [sfDir]` materializes the sf1 corpus and exits —
+    // the correctness rung (Verify + DuckDB at sf1) reuses it without
+    // paying the benchmark passes
+    val buildOnly = args.contains("--build-only")
+    val sfDir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,6 +50,7 @@ object ScaleBench {
 
     val sf1Dir = "/root/repo/target/scalebench/sf1"
     buildSf1(spark, sfDir, sf1Dir)
+    if (buildOnly) { spark.stop(); return }
 
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

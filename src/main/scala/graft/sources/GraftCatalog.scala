@@ -324,10 +324,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     ()
   }
 
-  // --- namespaces: registration-derived, metadata-free
-  override def listNamespaces(): Array[Array[String]] =
-    GraftCatalog.registered.map(_.split("\\.").dropRight(1).toSeq)
+  // --- namespaces: registration-derived (memory + durable),
+  // metadata-free
+  override def listNamespaces(): Array[Array[String]] = {
+    val durable = warehouse.toSeq.flatMap { wh =>
+      val dir = s"$wh/_catalog"
+      val st = ChainStorage.forPath(dir)
+      st.list(dir).filter(n => st.isFile(s"$dir/$n"))
+    }
+    (GraftCatalog.registered ++ durable)
+      .map(_.split("\\.").dropRight(1).toSeq)
       .distinct.map(_.toArray).toArray
+  }
   override def listNamespaces(namespace: Array[String])
       : Array[Array[String]] = Array.empty
   override def loadNamespaceMetadata(namespace: Array[String])

@@ -142,10 +142,14 @@ class GraftSqlDdlSpec extends SparkSpec {
     val rows = s2.sql(s"SELECT doc_id, lang FROM $cat.$tbl ORDER BY doc_id")
       .collect().map(_.toSeq)
     assert(rows === Array(Seq(7L, "en"), Seq(8L, "de")))
-    // SHOW TABLES sees the durable registration even on a cold registry
+    // SHOW TABLES / SHOW NAMESPACES see the durable registration even
+    // on a cold registry
     GraftCatalog.unregisterTable(tbl)
     assert(s2.sql(s"SHOW TABLES IN $cat.db1").collect()
       .map(_.getString(1)).contains(tbl.split("\\.").last))
+    GraftCatalog.unregisterTable(tbl)
+    assert(s2.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("db1"))
 
     // duplicate durable CREATE from a cold registry still fails (CAS)
     GraftCatalog.unregisterTable(tbl)
