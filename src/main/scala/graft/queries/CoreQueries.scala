@@ -646,6 +646,29 @@ object CoreQueries {
       tbl
     })
 
+  /** q_sql_add_column's table: a documents chain widened by
+    * `ALTER TABLE … ADD COLUMN note STRING` (a metadata-only
+    * declared-schema commit) and then appended through SQL with the
+    * new column populated — pre-evolution rows must surface NULL. */
+  private val sqlAddColCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def sqlAddColTable(s: SparkSession, d: String): String =
+    sqlAddColCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"sqladdcol_chain_${System.nanoTime}", s, d)
+      graft.sources.ManifestPrune.buildLayout(
+        Tables.load(s, d, "documents"), root, nFiles = 8)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      val tbl = s"adc.t_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.GraftCatalog.registerTable(tbl, root)
+      s.sql(s"ALTER TABLE graft.$tbl ADD COLUMN note STRING")
+      s.sql(s"INSERT INTO graft.$tbl VALUES " +
+        "(93000001, 'widened row one', 'ac', 'ddl', 8, 'noted'), " +
+        "(93000003, 'widened row two', 'ac', 'ddl', 8, NULL)")
+      tbl
+    })
+
   /** q_stream_table's sink dir: a chain streamed through the catalog
     * row stream in two phases — snapshot of the v0 base, then (after
     * an append commit) a checkpoint resume that receives ONLY the
@@ -2022,6 +2045,32 @@ object CoreQueries {
              |FROM (
              |  SELECT lang, n_chars FROM documents WHERE doc_id % 4 = 1
              |  UNION ALL SELECT 'dd', 7
+             |)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ALTER TABLE ADD COLUMN (declared-schema evolution through the
+    // catalog): a METADATA-ONLY commit registers the widened schema
+    // (`_schemas/<id>` + a `_schema` pointer carried by every later
+    // writer — Iceberg's schema-in-metadata stance: resolution is
+    // O(1), never a footer sweep); pre-evolution rows surface the new
+    // column as NULL (by-name executor decode / driver schema pin),
+    // post-evolution inserts carry values. The gate aggregates
+    // count(*) vs count(note) per lang, so a leaked non-null, a
+    // dropped old row, or a mis-carried schema all break the hash.
+    Q("q_sql_add_column",
+      (s, d) => {
+        val tbl = sqlAddColTable(s, d)
+        s.sql(s"""SELECT lang, count(*) AS n_docs,
+                 |  count(note) AS n_noted
+                 |FROM graft.$tbl
+                 |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs, count(note) AS n_noted
+             |FROM (
+             |  SELECT lang, CAST(NULL AS VARCHAR) AS note
+             |  FROM documents
+             |  UNION ALL SELECT 'ac', 'noted'
+             |  UNION ALL SELECT 'ac', NULL
              |)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 

@@ -296,9 +296,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case sp: TableChange.SetProperty if sp.property == "key" =>
         GraftCatalog.registerTable(q, root, sp.value)
         persist(q, root, sp.value, exclusive = false)
+      case ac: TableChange.AddColumn =>
+        // ALTER TABLE … ADD COLUMN(S) ⇒ a metadata-only declared-
+        // schema commit ([[ManifestPrune.addColumns]]); pre-evolution
+        // rows surface the column as NULL
+        require(ac.fieldNames().length == 1,
+          "nested columns are not supported — the chain's tables " +
+            s"are flat (got ${ac.fieldNames().mkString(".")})")
+        ManifestPrune.addColumns(SparkSession.active, root,
+          StructType(Seq(org.apache.spark.sql.types.StructField(
+            ac.fieldNames().head, ac.dataType(),
+            nullable = ac.isNullable))))
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other (supported: ADD/DROP " +
-          "CONSTRAINT … CHECK, SET TBLPROPERTIES cluster/key)")
+          "CONSTRAINT … CHECK, ADD COLUMN, SET TBLPROPERTIES " +
+          "cluster/key)")
     }
     loadTable(ident)
   }

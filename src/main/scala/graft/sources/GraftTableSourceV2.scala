@@ -549,7 +549,7 @@ private[sources] class GraftRowMicroBatchStream(
     * any pointer change means masking happened). */
   private def appendedFiles(s: SparkSession, v: Long): Seq[String] = {
     val note = ManifestPrune.commitNote(root, v).getOrElse("")
-    if (note.startsWith("spec:") ||
+    if (note.startsWith("spec:") || note.startsWith("schema:") ||
         note.split("\\s+").contains("eqdel-fold")) return Seq.empty
     val maskChanged =
       ManifestPrune.dvOf(root, v) != ManifestPrune.dvOf(root, v - 1) ||

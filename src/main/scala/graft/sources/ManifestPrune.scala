@@ -1156,6 +1156,7 @@ object ManifestPrune {
           else if (note0.startsWith("restore:")) "restore"
           else if (sig == prevSig.get)
             (if (note0.startsWith("spec:")) "evolve-spec"
+             else if (note0.startsWith("schema:")) "evolve-schema"
              else if (noteToks.contains("eqdel-fold")) "eqdel-fold"
              else if (noteToks.contains("eqdel") ||
                noteToks.exists(_.startsWith("eqdel:")))
@@ -1621,14 +1622,80 @@ object ManifestPrune {
     ChainStorage.forPath(manifestDir).write(s"$manifestDir/_spec",
       s"$id\n")
 
-  /** Carry the base version's spec pointer into a freshly-written
-    * manifest dir — the writer-side half of "the current spec applies
-    * until evolved". */
+  /** Carry the base version's spec AND declared-schema pointers into
+    * a freshly-written manifest dir — the writer-side half of "the
+    * current spec/schema applies until evolved". One carry point
+    * serves every commit path. */
   private def carrySpecPointer(root: String, baseManifest: String,
                                newManifest: String): Unit = {
     val st = ChainStorage.forPath(root)
     if (st.isFile(s"$baseManifest/_spec"))
       st.write(s"$newManifest/_spec", st.read(s"$baseManifest/_spec"))
+    if (st.isFile(s"$baseManifest/_schema"))
+      st.write(s"$newManifest/_schema",
+        st.read(s"$baseManifest/_schema"))
+  }
+
+  // ---------------------------------------------- declared schema
+
+  /** The DECLARED schema of a committed manifest, when the chain has
+    * evolved one (ALTER TABLE ADD COLUMN): the `_schema` pointer
+    * inside the manifest dir names a `_schemas/<id>` registry object
+    * holding the full StructType JSON — Iceberg's schema-in-metadata
+    * stance, so resolution is O(1) metadata and NEVER a footer sweep
+    * (mergeSchema over a 100 TB table's footers is the trap this
+    * avoids). Absent pointer = the files' own footer schema, the
+    * pre-evolution behavior. The root is the manifest dir's parent
+    * (manifest dirs are always direct children of the chain root). */
+  def schemaOfManifest(manifestDir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val root = manifestDir.substring(0, manifestDir.lastIndexOf('/'))
+    val st = ChainStorage.forPath(root)
+    val p = s"$manifestDir/_schema"
+    if (!st.isFile(p)) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(st.read(s"$root/_schemas/${st.read(p).trim}"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** ALTER TABLE ADD COLUMN as a METADATA-ONLY commit (Delta/Iceberg
+    * add-nullable-column semantics): the widened schema registers
+    * under `_schemas/<id>`, the new version publishes the SAME file
+    * set with a `_schema` pointer, and from then on every read
+    * resolves the declared schema — rows in files written before the
+    * evolution surface the new columns as NULL (the executor decode
+    * is by-name, [[GroupParquet.fieldValue]] → null when absent; the
+    * driver read pins the declared schema so Spark's parquet reader
+    * null-fills). New columns must be nullable — existing rows have
+    * no value to give them. Returns the committed version. */
+  def addColumns(s: SparkSession, root: String,
+                 newCols: org.apache.spark.sql.types.StructType): Long = {
+    val base = currentVersion(s, root)
+    val baseManifest = manifestOf(root, base)
+    val declared = schemaOfManifest(baseManifest)
+      .getOrElse(readVersion(s, baseManifest).schema)
+    val dup = newCols.fieldNames.filter(n =>
+      declared.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(dup.isEmpty,
+      s"column(s) ${dup.mkString(", ")} already exist in the table")
+    require(newCols.fields.forall(_.nullable),
+      "added columns must be nullable — existing rows predate them " +
+        s"(non-nullable: ${newCols.fields.filterNot(_.nullable)
+          .map(_.name).mkString(", ")})")
+    val widened = org.apache.spark.sql.types.StructType(
+      declared.fields ++ newCols.fields)
+    val st = ChainStorage.forPath(root)
+    val id = (st.list(s"$root/_schemas")
+      .filter(_.forall(_.isDigit)).map(_.toInt) :+ 0).max + 1
+    require(st.putIfAbsent(s"$root/_schemas/$id", widened.json),
+      s"schema id $id already registered (race)")
+    val tok = prepareToken()
+    val prepared = s"$root/manifest_$tok"
+    copyDirFlat(root, baseManifest, prepared)
+    st.write(s"$prepared/_schema", s"$id\n")
+    val v = publish(root, base, prepared)
+    noteCommit(root, v, s"schema:$id")
+    v
   }
 
   /** EVOLVE the chain's clustering spec — Iceberg partition-spec
@@ -2426,7 +2493,12 @@ object ManifestPrune {
     val files = collectFileList(s,
       s.read.parquet(manifestDir).select("file"),
       s"version read of $manifestDir")
-    s.read.parquet(files: _*)
+    // a declared (evolved) schema pins the read: files written before
+    // an ADD COLUMN null-fill the new columns
+    schemaOfManifest(manifestDir) match {
+      case Some(declared) => s.read.schema(declared).parquet(files: _*)
+      case None => s.read.parquet(files: _*)
+    }
   }
 
 }

@@ -164,6 +164,51 @@ class GraftSqlDdlSpec extends SparkSpec {
     intercept[Exception] { s2.sql(s"SELECT * FROM $cat.$tbl").collect() }
   }
 
+  test("ALTER TABLE ADD COLUMN is a metadata-only declared-schema " +
+    "commit: pre-evolution rows surface NULL, later inserts carry " +
+    "values, the schema survives further commits, VERSION AS OF " +
+    "before the evolution shows the old schema, and non-nullable " +
+    "adds are refused") {
+    ensureCatalog()
+    val tbl = freshName("ac")
+    val root = Tables.matDir(s"sqlddlac_${System.nanoTime}", spark, sf0001)
+    spark.sql(s"CREATE TABLE graft.$tbl (doc_id BIGINT, n_chars BIGINT) " +
+      s"USING graft LOCATION '$root'")
+    spark.sql(s"INSERT INTO graft.$tbl VALUES (1, 3), (2, 4)")
+    val vPre = ManifestPrune.currentVersion(spark, root)
+
+    spark.sql(s"ALTER TABLE graft.$tbl ADD COLUMN note STRING")
+    // metadata-only: same file set, kind classified as evolve-schema
+    val hist = ManifestPrune.describeHistory(spark, root)
+      .orderBy(col("version").desc).select("kind").head().getString(0)
+    assert(hist === "evolve-schema")
+    // old rows null-fill; new rows carry values
+    spark.sql(s"INSERT INTO graft.$tbl VALUES (3, 5, 'tagged')")
+    val got = spark.sql(
+      s"SELECT doc_id, note FROM graft.$tbl ORDER BY doc_id")
+      .collect().map(_.toSeq)
+    assert(got === Array(Seq(1L, null), Seq(2L, null),
+      Seq(3L, "tagged")))
+    // the declared schema is carried by LATER commits (a DV delete
+    // copies the pointer forward)
+    spark.sql(s"DELETE FROM graft.$tbl WHERE doc_id = 1")
+    assert(spark.sql(s"SELECT doc_id, note FROM graft.$tbl " +
+      "ORDER BY doc_id").collect().map(_.toSeq) ===
+      Array(Seq(2L, null), Seq(3L, "tagged")))
+    // time travel to before the evolution: the OLD schema
+    assert(spark.sql(
+      s"SELECT * FROM graft.$tbl VERSION AS OF $vPre")
+      .schema.fieldNames.toSeq === Seq("doc_id", "n_chars"))
+    // duplicate and non-nullable adds are refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$tbl ADD COLUMN note STRING")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$tbl ADD COLUMN hard BIGINT NOT NULL")
+    }
+    spark.sql(s"DROP TABLE graft.$tbl")
+  }
+
   test("RENAME TABLE moves both the in-memory and the durable " +
     "registration; the chain root is untouched") {
     val wh = Tables.matDir(s"sqlddlrn_${System.nanoTime}", spark, sf0001)
