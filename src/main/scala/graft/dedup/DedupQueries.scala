@@ -137,15 +137,30 @@ object DedupQueries {
                                  d: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(triDirCache.computeIfAbsent((s, d), { _ =>
       val p = simhash64Pairs(s, d).select("a_id", "b_id")
-      val tri = p.select(col("a_id").as("x"), col("b_id").as("y"))
-        .join(p.select(col("a_id").as("y"), col("b_id").as("z")), "y")
-        .join(p.select(col("a_id").as("x"), col("b_id").as("z")),
-          Seq("x", "z"))
+      // EXPLICIT join-key partitioning on every wedge stage: the pair
+      // table is megabytes even when the corpus is terabytes, so
+      // AQE's size-based coalescing shrinks the self-join to ~one
+      // task — but the join OUTPUT is wedge mass (Σ in·out per hub),
+      // cubic in near-dup family size, and the whole enumeration then
+      // serializes through a single straggler that also pays a
+      // round-robin determinism SORT of every triangle (caught at the
+      // sf1 rung: 1.25e9 wedges sort-spilling in one task).
+      // User-specified repartition pins parallelism AQE must honor;
+      // hash output layout (never round-robin) keeps the final
+      // exchange sort-free.
+      val parts = s.sparkContext.defaultParallelism
+      val xy = p.select(col("a_id").as("x"), col("b_id").as("y"))
+        .repartition(parts, col("y"))
+      val yz = p.select(col("a_id").as("y"), col("b_id").as("z"))
+        .repartition(parts, col("y"))
+      val xz = p.select(col("a_id").as("x"), col("b_id").as("z"))
+        .repartition(parts, col("x"), col("z"))
+      val tri = xy.join(yz, "y").join(xz, Seq("x", "z"))
         .select("x", "y", "z")
       val dir = matDir("simhash_triangles", s, d)
       // triangles are bounded by the pair table; its parquet count is
       // a metadata read and sizes the output layout
-      tri.repartition(compactFiles(p.count()))
+      tri.repartition(compactFiles(p.count()), col("x"), col("y"))
         .write.mode("overwrite").parquet(dir)
       dir
     }))
