@@ -1373,10 +1373,14 @@ object DedupQueries {
     // over the m undirected edges,
     //   num = 4·m·Sab − S1²,  den = 2·m·S2 − S1²,  r = num/den
     // — num and den are EXACT integers (hash-gated); r is one final
-    // IEEE division (the house convention). Scale shape: a degree
-    // aggregate over the persisted pair table, two uniform joins to
-    // decorate the edges, one scalar aggregate — nothing beyond the
-    // KB-sized pair list anywhere.
+    // IEEE division (the house convention). num/den live in
+    // decimal128(38,0) (HUGEINT on the oracle side): S1 ≤ 2·m·maxdeg
+    // is ~1e10 already at the sf1 rung (4.45M pairs, maxdeg 1548), so
+    // S1² ~1e20 overflows int64 — caught by the sf1 oracle rung, and
+    // exactly the kind of bound that first binds one decade up.
+    // Scale shape: a degree aggregate over the persisted pair table,
+    // two uniform joins to decorate the edges, one scalar aggregate —
+    // nothing beyond the KB-sized pair list anywhere.
     Q("q_assortativity",
       (s, d) => {
         val e = simhash64Pairs(s, d).select("a_id", "b_id")
@@ -1391,8 +1395,12 @@ object DedupQueries {
             sum(col("da") + col("db")).as("s1"),
             sum(col("da") * col("db")).as("sab"),
             sum(col("da") * col("da") + col("db") * col("db")).as("s2"))
-          .withColumn("num", expr("4 * m * sab - s1 * s1"))
-          .withColumn("den", expr("2 * m * s2 - s1 * s1"))
+          .withColumn("num", expr(
+            "4 * CAST(m AS DECIMAL(38,0)) * sab" +
+              " - CAST(s1 AS DECIMAL(38,0)) * s1"))
+          .withColumn("den", expr(
+            "2 * CAST(m AS DECIMAL(38,0)) * s2" +
+              " - CAST(s1 AS DECIMAL(38,0)) * s1"))
           .withColumn("r", col("num").cast(DoubleType) /
             col("den").cast(DoubleType))
           .select("m", "s1", "sab", "s2", "num", "den", "r")
@@ -1419,10 +1427,14 @@ object DedupQueries {
              |    CAST(sum(da * da + db * db) AS BIGINT) AS s2
              |  FROM dd)
              |SELECT m, s1, sab, s2,
-             |  4 * m * sab - s1 * s1 AS num,
-             |  2 * m * s2 - s1 * s1 AS den,
-             |  CAST(4 * m * sab - s1 * s1 AS DOUBLE)
-             |    / CAST(2 * m * s2 - s1 * s1 AS DOUBLE) AS r
+             |  4 * CAST(m AS HUGEINT) * sab - CAST(s1 AS HUGEINT) * s1
+             |    AS num,
+             |  2 * CAST(m AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+             |    AS den,
+             |  CAST(4 * CAST(m AS HUGEINT) * sab
+             |       - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+             |    / CAST(2 * CAST(m AS HUGEINT) * s2
+             |           - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS r
              |FROM agg""".stripMargin)),
 
     // RAND INDEX between the two persisted graph partitions — do the
@@ -2203,24 +2215,17 @@ object DedupQueries {
     // Verify: thresholded levenshtein on candidates only.
     Q("q_dedup_snm",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val w = 10
         val k = 48
-        val docs = Tables.load(s, d, "documents")
-          .select(col("doc_id"), col("text"))
-          .repartitionByRange(32, col("text"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val offsets = docs.groupBy("pid").agg(count(lit(1)).as("cnt"))
-          .withColumn("off",
-            coalesce(sum(col("cnt")).over(
-              Window.orderBy("pid")
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("pid", "off")
-        val ranked = docs.join(broadcast(offsets), "pid")
-          .withColumn("rk",
-            row_number().over(
-              Window.partitionBy("pid").orderBy("text", "doc_id"))
-              + col("off"))
+        val base = Tables.load(s, d, "documents")
+        // bucket on a 64-char text prefix (order-safe coarsening;
+        // keeps the sampled boundary literals small) — the rank is
+        // a pure function of the row, so the THREE re-executions of
+        // `ranked` below (offsets, a-side, b-side) always agree
+        val ranked = graft.queries.GlobalRank.withRank(
+          base.select(col("doc_id"), col("text")), 32,
+          substring(col("text"), 1, 64),
+          Seq(col("text"), col("doc_id")), "rk", base.count())
         val a = ranked.select(col("doc_id").as("a_doc"),
           col("text").as("a_text"), col("rk").as("a_rk"),
           floor((col("rk") - 1) / w).as("bin"))

@@ -920,34 +920,20 @@ object CoreQueries {
     // contiguous global row numbering WITHOUT a single-partition sort:
     // the naive row_number() OVER (ORDER BY key) funnels the whole
     // table through one task — the classic driver-shaped bottleneck.
-    // The scale plan is two-pass: (1) range-repartition on the key (a
-    // parallel shuffle; partition i holds keys strictly below partition
-    // i+1 regardless of where the sampled boundaries land), (2) count
-    // rows per partition — a 32-row frame — prefix-sum it into start
-    // offsets on the driver-side-sized frame only, broadcast, and add
-    // each row's partition-local rank. Global ids are exact and
-    // contiguous whatever boundaries the range sampler picked. The
-    // partition-local window costs one hash exchange on pid (keys
-    // already co-located); the mapPartitions+zipWithIndex variant
-    // avoids that exchange but leaves expression land — declared here,
-    // it stays whole-stage-codegen'd and AQE-visible.
+    // The scale plan is two-pass via [[GlobalRank.withRank]]:
+    // deterministic range buckets (boundary literals sampled once,
+    // driver-side), per-bucket counts prefix-summed on a tiny frame,
+    // broadcast back, partition-local row_number. The bucket id is a
+    // pure function of doc_id, so the counting branch and the ranking
+    // branch agree even though each re-executes the frame — the
+    // repartitionByRange+spark_partition_id version of this shape
+    // lost that property one decade up (RangePartitioner's resample
+    // seed is execution-dependent; sf1 rung caught duplicate rids).
     Q("q_global_ids",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val parts = Tables.load(s, d, "documents")
-          .select("doc_id", "source")
-          .repartitionByRange(32, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val offsets = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
-          .withColumn("off",
-            coalesce(sum(col("cnt")).over(
-              Window.orderBy("pid")
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("pid", "off")
-        parts.join(broadcast(offsets), "pid")
-          .withColumn("rid",
-            row_number().over(
-              Window.partitionBy("pid").orderBy("doc_id")) + col("off"))
+        val docs = Tables.load(s, d, "documents")
+        GlobalRank.withRank(docs.select("doc_id", "source"), 32,
+            col("doc_id"), Seq(col("doc_id")), "rid", docs.count())
           .select("doc_id", "source", "rid")
           .orderBy("doc_id")
       },

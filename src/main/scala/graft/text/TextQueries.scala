@@ -542,32 +542,22 @@ object TextQueries {
     // round-robin over shards in token-size order, so every shard gets
     // the same doc count (±1) AND near-equal token mass (the greedy
     // size-sorted round-robin bound). The global size rank reuses
-    // q_global_ids' two-phase shape: range-repartition by the sort key,
-    // count per partition, broadcast the tiny prefix-sum offsets, then
-    // a PARTITION-LOCAL row_number — no single-partition window ever
-    // holds the corpus, which is what the naive `row_number() OVER
-    // (ORDER BY ...)` plan would do. Output is per-shard stats, so any
-    // mis-assignment anywhere breaks the hash.
+    // q_global_ids' two-phase shape ([[graft.queries.GlobalRank]]:
+    // deterministic literal bucket boundaries, broadcast prefix-sum
+    // offsets, PARTITION-LOCAL row_number) — no single-partition
+    // window ever holds the corpus, and the bucket id is a pure
+    // function of the row, so the count branch and the rank branch
+    // can't disagree across re-executions (the sf1-rung hazard).
+    // Output is per-shard stats, so any mis-assignment anywhere
+    // breaks the hash.
     Q("q_shard_balance",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val nShards = 8
-        val docs = Tables.load(s, d, "documents")
-          .select(col("doc_id"),
-            size(tokens(col("text"))).cast(LongType).as("n_tok"))
-          .repartitionByRange(32, col("n_tok"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val offsets = docs.groupBy("pid").agg(count(lit(1)).as("cnt"))
-          .withColumn("off",
-            coalesce(sum(col("cnt")).over(
-              Window.orderBy("pid")
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("pid", "off")
-        docs.join(broadcast(offsets), "pid")
-          .withColumn("rid",
-            row_number().over(
-              Window.partitionBy("pid").orderBy("n_tok", "doc_id"))
-              + col("off"))
+        val base = Tables.load(s, d, "documents")
+        val docs = base.select(col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_tok"))
+        graft.queries.GlobalRank.withRank(docs, 32, col("n_tok"),
+            Seq(col("n_tok"), col("doc_id")), "rid", base.count())
           .withColumn("shard", (col("rid") - 1) % nShards)
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"),
@@ -601,24 +591,12 @@ object TextQueries {
     // any row crossing a stage boundary breaks the hash.
     Q("q_curriculum",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = Tables.load(s, d, "documents")
-          .select(col("doc_id"),
-            size(tokens(col("text"))).cast(LongType).as("n_tok"))
-          .repartitionByRange(32, col("n_tok"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val offsets = docs.groupBy("pid").agg(count(lit(1)).as("cnt"))
-          .withColumn("off",
-            coalesce(sum(col("cnt")).over(
-              Window.orderBy("pid")
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("pid", "off")
+        val base = Tables.load(s, d, "documents")
+        val docs = base.select(col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_tok"))
         val total = docs.agg(count(lit(1)).as("n"))
-        docs.join(broadcast(offsets), "pid")
-          .withColumn("rid",
-            row_number().over(
-              Window.partitionBy("pid").orderBy("n_tok", "doc_id"))
-              + col("off"))
+        graft.queries.GlobalRank.withRank(docs, 32, col("n_tok"),
+            Seq(col("n_tok"), col("doc_id")), "rid", base.count())
           .crossJoin(broadcast(total))
           .withColumn("stage", expr("((rid - 1) * 4) div n"))
           .groupBy("stage")
@@ -664,22 +642,19 @@ object TextQueries {
             explode(array_distinct(tokens(col("text")))).as("tok"))
           .groupBy("tok").agg(min(col("doc_id")).as("doc_id"))
           .groupBy("doc_id").agg(count(lit(1)).as("new_types"))
-        val perDoc = docs.select("doc_id")
-          .join(newTypes, Seq("doc_id"), "left")
-          .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
-          .repartitionByRange(32, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val offsets = perDoc.groupBy("pid")
-          .agg(sum(col("new_types")).as("psum"))
-          .withColumn("off",
-            coalesce(sum(col("psum")).over(
-              Window.orderBy("pid")
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("pid", "off")
-        perDoc.join(broadcast(offsets), "pid")
+        import graft.queries.GlobalRank
+        val perDoc = GlobalRank.bucketed(
+          docs.select("doc_id")
+            .join(newTypes, Seq("doc_id"), "left")
+            .withColumn("new_types", coalesce(col("new_types"), lit(0L))),
+          32, col("doc_id"), docs.count())
+        perDoc
+          .join(broadcast(
+            GlobalRank.offsets(perDoc, sum(col("new_types")))), "__bkt")
           .withColumn("vocab_size",
             sum(col("new_types")).over(
-              Window.partitionBy("pid").orderBy("doc_id")) + col("off"))
+              Window.partitionBy("__bkt").orderBy("doc_id"))
+              + col("__off"))
           .select("doc_id", "new_types", "vocab_size")
           .orderBy("doc_id")
       },

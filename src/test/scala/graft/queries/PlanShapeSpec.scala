@@ -159,17 +159,19 @@ class PlanShapeSpec extends SparkSpec {
       s"nested-loop join in the decorrelated plan:\n$plan")
   }
 
-  test("q_shard_balance keeps its corpus window partitioned by pid") {
+  test("q_shard_balance keeps its corpus window partitioned by bucket") {
     // same two-pass contract as q_global_ids: the corpus-sized
-    // row_number window must be keyed on pid, never a global ORDER BY
-    assert(plans("q_shard_balance").contains("windowspecdefinition(pid"),
+    // row_number window must be keyed on the deterministic range
+    // bucket (GlobalRank), never a global ORDER BY
+    assert(plans("q_shard_balance").contains("windowspecdefinition(__bkt"),
       s"q_shard_balance lost its partitioned window:\n${plans("q_shard_balance")}")
   }
 
-  test("q_dedup_snm keeps its corpus window partitioned by pid") {
+  test("q_dedup_snm keeps its corpus window partitioned by bucket") {
     // the SNM global rank reuses the two-pass shape: the corpus-sized
-    // row_number window must be keyed on pid, never a global ORDER BY
-    assert(plans("q_dedup_snm").contains("windowspecdefinition(pid"),
+    // row_number window must be keyed on the deterministic range
+    // bucket (GlobalRank), never a global ORDER BY
+    assert(plans("q_dedup_snm").contains("windowspecdefinition(__bkt"),
       s"q_dedup_snm lost its partitioned window:\n${plans("q_dedup_snm")}")
   }
 
@@ -363,13 +365,13 @@ class PlanShapeSpec extends SparkSpec {
       "q_quantiles lost its Window — update this invariant pair")
   }
 
-  test("q_global_ids keeps its corpus window partitioned by pid") {
+  test("q_global_ids keeps its corpus window partitioned by bucket") {
     // the whole point of the two-pass numbering: the corpus-sized
-    // row_number window must be keyed on the range-partition id (32-way
-    // parallel), never an unpartitioned ORDER BY that funnels the table
-    // through one task. (The tiny 32-row offsets window is the only
-    // global one.)
-    assert(plans("q_global_ids").contains("windowspecdefinition(pid"),
+    // row_number window must be keyed on the deterministic range
+    // bucket (parallel), never an unpartitioned ORDER BY that funnels
+    // the table through one task. (The tiny offsets window — at most
+    // 4*32 rows — is the only global one.)
+    assert(plans("q_global_ids").contains("windowspecdefinition(__bkt"),
       s"q_global_ids lost its partitioned window:\n${plans("q_global_ids")}")
   }
 

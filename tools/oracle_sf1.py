@@ -26,9 +26,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def main(sf_dir, out_dir, timeout_s=300):
     con = duckdb.connect()
     for t in TABLES:
+        # ScaleBench writes Spark-style directory tables; the driver's
+        # testdata uses flat files — accept either
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        pat = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
 
