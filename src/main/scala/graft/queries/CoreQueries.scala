@@ -646,6 +646,37 @@ object CoreQueries {
       tbl
     })
 
+  /** q_sql_call's table: the maintenance lifecycle driven PURELY by
+    * `CALL graft.system.<proc>` (Spark 4 ProcedureCatalog): tag v0
+    * 'raw', SQL-DELETE a third of the rows (v1), `compact` (v2),
+    * `expire_versions(keep_last => 1, grace_ms => 0)` — v1 is
+    * destroyed but the TAGGED v0 survives any keepLast (tags are the
+    * retention anchor). The gated query reads head rows beside the
+    * tag's surviving row count, so a broken compaction, an
+    * over-eager vacuum, or a tag that failed to anchor all break the
+    * hash. */
+  private val sqlCallCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def sqlCallTable(s: SparkSession, d: String): String =
+    sqlCallCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"sqlcall_chain_${System.nanoTime}", s, d)
+      graft.sources.ManifestPrune.buildLayout(
+        Tables.load(s, d, "documents"), root, nFiles = 8)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      val tbl = s"prc.t_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.GraftCatalog.registerTable(tbl, root)
+      s.sql(s"CALL graft.system.create_tag(table => '$tbl', " +
+        "name => 'raw', version => 0)")
+      s.sql(s"DELETE FROM graft.$tbl WHERE doc_id % 3 = 0")
+      s.sql(s"CALL graft.system.compact(table => '$tbl', " +
+        "target_files => 4)")
+      s.sql(s"CALL graft.system.expire_versions(table => '$tbl', " +
+        "keep_last => 1, grace_ms => 0)")
+      tbl
+    })
+
   /** q_sql_add_column's table: a documents chain widened by
     * `ALTER TABLE … ADD COLUMN note STRING` (a metadata-only
     * declared-schema commit) and then appended through SQL with the
@@ -2058,6 +2089,32 @@ object CoreQueries {
              |  UNION ALL SELECT 'ac', 'noted'
              |  UNION ALL SELECT 'ac', NULL
              |)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // CALL graft.system.<proc> — the chain's maintenance surface in
+    // pure SQL (ProcedureCatalog): the gate reads the post-lifecycle
+    // head (delete applied, compacted, vacuumed under keep_last=1)
+    // beside `VERSION AS OF 'raw'`'s row count — the tagged
+    // pre-delete version MUST survive the vacuum (tags anchor
+    // retention), so the oracle's full-table count only matches if
+    // expire_versions spared it.
+    Q("q_sql_call",
+      (s, d) => {
+        val tbl = sqlCallTable(s, d)
+        s.sql(s"""SELECT h.lang, h.n_docs, h.sum_chars, t.tag_docs
+                 |FROM (
+                 |  SELECT lang, count(*) AS n_docs,
+                 |    sum(n_chars) AS sum_chars
+                 |  FROM graft.$tbl GROUP BY lang) h
+                 |CROSS JOIN (
+                 |  SELECT count(*) AS tag_docs
+                 |  FROM graft.$tbl VERSION AS OF 'raw') t
+                 |ORDER BY h.lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  (SELECT count(*) FROM documents) AS tag_docs
+             |FROM documents WHERE doc_id % 3 <> 0
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     Q("q_time_travel",

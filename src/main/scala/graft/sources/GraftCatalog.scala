@@ -49,7 +49,8 @@ import org.apache.spark.sql.functions.{col, lit}
   * metadata + sidecar, no data file rewritten. Everything lands on
   * the same CAS chain as the Scala API, so SQL and API writers
   * interleave safely. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = "graft"
 
@@ -128,6 +129,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(Seq(catName) ++ ident.namespace :+
           ident.name))
+
+  /** Table-name → chain-root resolution for the procedure surface —
+    * the SAME lookup `SELECT` uses (process map, then the warehouse's
+    * durable `_catalog`), so `CALL` maintains exactly the tables the
+    * reads see. */
+  private[sources] def chainRootOf(q: String): String =
+    resolve(q).map(_._1).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException((catName +: q.split("\\.").toSeq)))
+
+  // ----------------------------------- CALL graft.system.<proc>(…)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val durable = warehouse.toSeq.flatMap { wh =>

@@ -1,0 +1,142 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+
+/** `CALL graft.system.<proc>(…)` — the maintenance surface in pure
+  * SQL on Spark 4's ProcedureCatalog face. Each procedure resolves the
+  * table through the SAME catalog lookup SELECT uses and returns a
+  * one-row LocalScan, so the whole lifecycle (tag → compact → expire
+  * → restore → branch → fast-forward) is drivable by an analyst with
+  * nothing but SQL. */
+class GraftSqlProcedureSpec extends SparkSpec {
+
+  private def ensureCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+
+  private def freshChain(tag: String): (String, String) = {
+    val root = Tables.matDir(s"proc_${tag}_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(
+      spark.read.parquet(s"$sf0001/documents.parquet"), root, nFiles = 4)
+    val tbl = s"prc.${tag}_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    (tbl, root)
+  }
+
+  private def call(sql: String): Array[org.apache.spark.sql.Row] =
+    spark.sql(sql).collect()
+
+  test("create_tag defaults to head; drop_tag reports existence") {
+    ensureCatalog()
+    val (tbl, root) = freshChain("tag")
+    val r = call(s"CALL graft.system.create_tag(table => '$tbl', " +
+      "name => 'train1')")
+    assert(r.map(_.getLong(0)).toSeq === Seq(0L))
+    assert(ManifestPrune.taggedVersion(root, "train1") === Some(0L))
+    assert(call(s"CALL graft.system.drop_tag(table => '$tbl', " +
+      "name => 'train1')").head.getBoolean(0))
+    assert(!call(s"CALL graft.system.drop_tag(table => '$tbl', " +
+      "name => 'train1')").head.getBoolean(0))
+  }
+
+  test("compact commits a new version; expire_versions dry_run " +
+    "previews without deleting, then the real run destroys") {
+    ensureCatalog()
+    val (tbl, root) = freshChain("cmp")
+    val v1 = call(s"CALL graft.system.compact(table => '$tbl', " +
+      "target_files => 2)").head.getLong(0)
+    assert(v1 === 1L)
+    // dry run: would remove v0's manifests/files, touches nothing
+    val dry = call("CALL graft.system.expire_versions(" +
+      s"table => '$tbl', keep_last => 1, grace_ms => 0, " +
+      "dry_run => true)").head
+    assert(dry.getString(0) === "1")
+    assert(dry.getLong(2) >= 1L)     // manifest dirs it WOULD remove
+    assert(dry.getBoolean(5))
+    assert(ChainStorage.forPath(root)
+      .isPublished(s"$root/manifest"), "dry run must not delete")
+    // the real run removes v0's unshared state
+    val real = call("CALL graft.system.expire_versions(" +
+      s"table => '$tbl', keep_last => 1, grace_ms => 0)").head
+    assert(real.getString(0) === "1")
+    assert(real.getLong(2) === dry.getLong(2))
+    assert(!real.getBoolean(5))
+    // table still reads fine at head
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.$tbl")
+      .head().getLong(0) ===
+      spark.read.parquet(s"$sf0001/documents.parquet").count())
+  }
+
+  test("restore publishes an older version as the new head") {
+    ensureCatalog()
+    val (tbl, _) = freshChain("rst")
+    val before = spark.sql(s"SELECT count(*) FROM graft.$tbl")
+      .head().getLong(0)
+    call(s"CALL graft.system.compact(table => '$tbl', " +
+      "target_files => 1)")
+    spark.sql(s"DELETE FROM graft.$tbl WHERE doc_id % 2 = 0")
+    val v3 = call(s"CALL graft.system.restore(table => '$tbl', " +
+      "version => 1)").head.getLong(0)
+    assert(v3 === 3L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.$tbl")
+      .head().getLong(0) === before)
+  }
+
+  test("create_branch / fast_forward / drop_branch round-trip in SQL") {
+    ensureCatalog()
+    val (tbl, root) = freshChain("br")
+    val broot = call("CALL graft.system.create_branch(" +
+      s"table => '$tbl', name => 'audit')").head.getString(0)
+    assert(broot === ManifestPrune.branchRoot(root, "audit"))
+    // a branch-side commit, then publish to main by fast-forward
+    val add = spark.range(1).selectExpr(
+      "CAST(97000001 AS BIGINT) AS doc_id", "'branch row' AS text",
+      "'br' AS lang", "'proc' AS source", "CAST(10 AS BIGINT) AS n_chars")
+    ManifestPrune.appendCommit(spark, broot, add)
+    val v = call("CALL graft.system.fast_forward(" +
+      s"table => '$tbl', branch => 'audit')").head.getLong(0)
+    assert(v === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.$tbl " +
+      "WHERE doc_id = 97000001").head().getLong(0) === 1L)
+    // guarded teardown refuses while live versions still reference
+    // branch-owned files…
+    val e = intercept[Exception] {
+      call("CALL graft.system.drop_branch(" +
+        s"table => '$tbl', name => 'audit')")
+    }
+    assert(e.getMessage.contains("references data files"))
+    // …and succeeds after the documented lifecycle: compact (rehomes
+    // live rows into main-owned files) + expire the pre-compaction
+    // versions that still point into the branch
+    call(s"CALL graft.system.compact(table => '$tbl', " +
+      "target_files => 2)")
+    call("CALL graft.system.expire_versions(" +
+      s"table => '$tbl', keep_last => 1, grace_ms => 0)")
+    assert(call("CALL graft.system.drop_branch(" +
+      s"table => '$tbl', name => 'audit')").head.getBoolean(0))
+  }
+
+  test("evolve_clustering registers a new spec through CALL") {
+    ensureCatalog()
+    val (tbl, root) = freshChain("spc")
+    val v = call("CALL graft.system.evolve_clustering(" +
+      s"table => '$tbl', stats_col => 'n_chars', " +
+      "cluster_cols => 'n_chars,doc_id')").head.getLong(0)
+    assert(v === 1L)
+    assert(ManifestPrune.specOfVersion(root, v).statsCol === "n_chars")
+  }
+
+  test("unknown procedure and unknown table fail cleanly") {
+    ensureCatalog()
+    val e1 = intercept[Exception] {
+      spark.sql("CALL graft.system.nonsense()").collect()
+    }
+    assert(e1.getMessage.contains("nonsense"))
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graft.system.compact(table => 'no.such', " +
+        "target_files => 1)").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("table"))
+  }
+}
