@@ -646,6 +646,31 @@ object CoreQueries {
       tbl
     })
 
+  /** q_sql_rename_column's table: a documents chain evolved by
+    * `RENAME COLUMN lang TO language` then `DROP COLUMN source` (both
+    * metadata-only commits), with a post-rename append — so the gated
+    * read spans files of BOTH physical generations (pre-rename files
+    * hold `lang`, the appended file holds `language`) and a schema
+    * that lost a column without touching a byte of data. */
+  private val sqlRenameCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def sqlRenameTable(s: SparkSession, d: String): String =
+    sqlRenameCache.computeIfAbsent((s, d), { _ =>
+      val root = Tables.matDir(s"sqlrename_chain_${System.nanoTime}", s, d)
+      graft.sources.ManifestPrune.buildLayout(
+        Tables.load(s, d, "documents"), root, nFiles = 8)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      val tbl = s"rnm.t_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.GraftCatalog.registerTable(tbl, root)
+      s.sql(s"ALTER TABLE graft.$tbl RENAME COLUMN lang TO language")
+      s.sql(s"ALTER TABLE graft.$tbl DROP COLUMN source")
+      s.sql(s"INSERT INTO graft.$tbl VALUES " +
+        "(94000001, 'renamed-generation row', 'rn', 9)")
+      tbl
+    })
+
   /** q_sql_call's table: the maintenance lifecycle driven PURELY by
     * `CALL graft.system.<proc>` (Spark 4 ProcedureCatalog): tag v0
     * 'raw', SQL-DELETE a third of the rows (v1), `compact` (v2),
@@ -2090,6 +2115,30 @@ object CoreQueries {
              |  UNION ALL SELECT 'ac', NULL
              |)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ALTER TABLE RENAME/DROP COLUMN (declared-schema evolution,
+    // metadata-only): pre-rename files answer under the NEW logical
+    // name through the prior-name fallback (coalesce-by-generation),
+    // the dropped column vanishes without a rewrite, and the
+    // post-rename append proves both physical generations read in one
+    // scan. The gate aggregates per renamed-lang value, so a
+    // generation that failed to resolve (nulls) or a resurrected
+    // dropped column breaks the hash.
+    Q("q_sql_rename_column",
+      (s, d) => {
+        val tbl = sqlRenameTable(s, d)
+        s.sql(s"""SELECT language, count(*) AS n_docs,
+                 |  sum(n_chars) AS sum_chars
+                 |FROM graft.$tbl
+                 |GROUP BY language ORDER BY language""".stripMargin)
+      },
+      Some("""SELECT language, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM (
+             |  SELECT lang AS language, n_chars FROM documents
+             |  UNION ALL SELECT 'rn', 9
+             |)
+             |GROUP BY language ORDER BY language""".stripMargin)),
 
     // CALL graft.system.<proc> — the chain's maintenance surface in
     // pure SQL (ProcedureCatalog): the gate reads the post-lifecycle

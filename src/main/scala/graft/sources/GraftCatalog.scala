@@ -328,10 +328,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructType(Seq(org.apache.spark.sql.types.StructField(
             ac.fieldNames().head, ac.dataType(),
             nullable = ac.isNullable))))
+      case dc: TableChange.DeleteColumn =>
+        // ALTER TABLE … DROP COLUMN ⇒ metadata-only; the name retires
+        // forever (old files still hold its values — no recycling)
+        require(dc.fieldNames().length == 1,
+          "nested columns are not supported — the chain's tables " +
+            s"are flat (got ${dc.fieldNames().mkString(".")})")
+        require(!dc.fieldNames().head.equalsIgnoreCase(key),
+          s"cannot drop '$key' — it is the table's registered merge " +
+            "key (SET TBLPROPERTIES ('key'='…') first)")
+        ManifestPrune.dropColumns(SparkSession.active, root,
+          Seq(dc.fieldNames().head))
+      case rc: TableChange.RenameColumn =>
+        // ALTER TABLE … RENAME COLUMN ⇒ metadata-only; the old name
+        // rides in the field's prior-name metadata so files of every
+        // generation resolve
+        require(rc.fieldNames().length == 1,
+          "nested columns are not supported — the chain's tables " +
+            s"are flat (got ${rc.fieldNames().mkString(".")})")
+        if (rc.fieldNames().head.equalsIgnoreCase(key)) {
+          ManifestPrune.renameColumn(SparkSession.active, root,
+            rc.fieldNames().head, rc.newName())
+          // the merge key follows its column's rename
+          GraftCatalog.registerTable(q, root, rc.newName())
+          persist(q, root, rc.newName(), exclusive = false)
+        } else ManifestPrune.renameColumn(SparkSession.active, root,
+          rc.fieldNames().head, rc.newName())
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other (supported: ADD/DROP " +
-          "CONSTRAINT … CHECK, ADD COLUMN, SET TBLPROPERTIES " +
-          "cluster/key)")
+          "CONSTRAINT … CHECK, ADD/DROP/RENAME COLUMN, SET " +
+          "TBLPROPERTIES cluster/key)")
     }
     loadTable(ident)
   }
@@ -623,7 +649,9 @@ private[sources] class GraftChainScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new ChainReaderFactory(
       new SerializableHadoopConf(
-        SparkSession.active.sparkContext.hadoopConfiguration), required)
+        SparkSession.active.sparkContext.hadoopConfiguration), required,
+      ManifestPrune.priorNameMap(
+        ManifestPrune.manifestOf(root, version)))
 
   /** `readStream.table("graft.db.t")` — the Delta-style row stream
     * (snapshot batch + per-append added files); reader options ride
@@ -668,8 +696,9 @@ private[sources] case class ChainFilePartition(file: String,
                                                eqParts: Seq[String])
     extends InputPartition
 
-private[sources] class ChainReaderFactory(conf: SerializableHadoopConf,
-                                          required: StructType)
+private[sources] class ChainReaderFactory(
+    conf: SerializableHadoopConf, required: StructType,
+    priorNames: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   import org.apache.parquet.example.data.Group
   import org.apache.spark.sql.types.{LongType, StringType}
@@ -717,12 +746,22 @@ private[sources] class ChainReaderFactory(conf: SerializableHadoopConf,
       // here, never decoded from the file
       private val fileUtf8 = org.apache.spark.unsafe.types.UTF8String
         .fromString(p.file)
+      // a renamed column resolves by first-present name: files
+      // written after the rename carry the logical name, older files
+      // one of its priors (names never recycle, so at most one
+      // generation's column exists per file)
+      private def decodeName(f: org.apache.spark.sql.types.StructField)
+          : String =
+        if (priorNames.isEmpty) f.name
+        else (f.name +: priorNames.getOrElse(f.name, Nil))
+          .find(cur.getType.containsField).getOrElse(f.name)
       override def get(): InternalRow =
         InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
           f.name match {
             case "__file" => fileUtf8
             case "__pos" => pos
-            case _ => GroupParquet.fieldValue(cur, f.name, f.dataType)
+            case _ =>
+              GroupParquet.fieldValue(cur, decodeName(f), f.dataType)
           }
         })
       override def close(): Unit = reader.close()

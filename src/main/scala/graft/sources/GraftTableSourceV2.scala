@@ -572,7 +572,13 @@ private[sources] class GraftRowMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChainReaderFactory(conf, required)
+    // rename fallback map from the chain HEAD: prior-name lists are
+    // cumulative and names never recycle, so the head's map is a
+    // superset valid for every version this stream serves
+    new ChainReaderFactory(conf, required,
+      ManifestPrune.priorNameMap(ManifestPrune.manifestOf(root,
+        ManifestPrune.currentVersion(
+          org.apache.spark.sql.SparkSession.active, root))))
 }
 
 /** Executor-side reader of the spilled feed parquet via

@@ -1653,9 +1653,189 @@ object ManifestPrune {
     val st = ChainStorage.forPath(root)
     val p = s"$manifestDir/_schema"
     if (!st.isFile(p)) None
+    // line 1 = the StructType JSON; line 2 (optional) = the chain's
+    // cumulative RETIRED column names (see registerSchema)
     else Some(org.apache.spark.sql.types.DataType
-      .fromJson(st.read(s"$root/_schemas/${st.read(p).trim}"))
+      .fromJson(st.read(s"$root/_schemas/${st.read(p).trim}")
+        .linesIterator.next())
       .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Metadata key carrying a renamed column's PRIOR physical names,
+    * newest first — files written before rename N still hold the
+    * column under names earlier in this list, and every read path
+    * resolves by first-present name (coalesce semantics). */
+  val PriorNamesKey = "graft.priorNames"
+
+  /** The prior physical names of a (possibly renamed) declared field,
+    * newest first; empty for never-renamed columns. */
+  def priorNamesOf(f: org.apache.spark.sql.types.StructField)
+      : Seq[String] =
+    if (f.metadata.contains(PriorNamesKey))
+      f.metadata.getStringArray(PriorNamesKey).toIndexedSeq
+    else Seq.empty
+
+  /** logical name → prior physical names (newest first) for every
+    * renamed column of a manifest's declared schema — the executor-
+    * side by-name decode's fallback order. Empty when the version
+    * has no renames. */
+  def priorNameMap(manifestDir: String): Map[String, Seq[String]] =
+    schemaOfManifest(manifestDir).map(_.fields.iterator
+      .map(f => f.name -> priorNamesOf(f))
+      .filter(_._2.nonEmpty).toMap).getOrElse(Map.empty)
+
+  /** Every column name this chain has EVER used — declared, prior
+    * (pre-rename), and retired (dropped): the no-recycling set. ADD
+    * and RENAME targets must avoid it, because old data files still
+    * carry values under those names and a by-name read of a recycled
+    * name would surface STALE data instead of nulls (the hazard
+    * Iceberg prevents with field ids; this layer prevents it by
+    * prohibition). */
+  def historicalNames(root: String,
+                      declared: org.apache.spark.sql.types.StructType)
+      : Set[String] = {
+    val st = ChainStorage.forPath(root)
+    val retired = st.list(s"$root/_schemas")
+      .filter(_.forall(_.isDigit)).map(_.toInt).sorted.lastOption
+      .toSeq.flatMap { id =>
+        st.read(s"$root/_schemas/$id").linesIterator.drop(1)
+          .toSeq.headOption.toSeq.flatMap(_.split(","))
+          .map(_.trim).filter(_.nonEmpty)
+      }
+    (declared.fields.flatMap(f => f.name +: priorNamesOf(f)) ++
+      retired).map(_.toLowerCase).toSet
+  }
+
+  /** Register an evolved declared schema + publish it as a METADATA-
+    * ONLY commit (same file set, a `_schema` pointer): the shared
+    * tail of ADD/DROP/RENAME COLUMN. `retiring` extends the chain's
+    * cumulative retired-name set (carried as line 2 of the registry
+    * object so no-recycling survives any sequence of evolutions). */
+  private def registerSchemaCommit(
+      s: SparkSession, root: String, base: Long,
+      declared: org.apache.spark.sql.types.StructType,
+      evolved: org.apache.spark.sql.types.StructType,
+      retiring: Seq[String]): Long = {
+    val st = ChainStorage.forPath(root)
+    val cumulative = (historicalNames(root, declared) ++
+      retiring.map(_.toLowerCase)).toSeq.sorted
+    val id = (st.list(s"$root/_schemas")
+      .filter(_.forall(_.isDigit)).map(_.toInt) :+ 0).max + 1
+    require(st.putIfAbsent(s"$root/_schemas/$id",
+        evolved.json + "\n" + cumulative.mkString(",") + "\n"),
+      s"schema id $id already registered (race)")
+    val tok = prepareToken()
+    val prepared = s"$root/manifest_$tok"
+    copyDirFlat(root, manifestOf(root, base), prepared)
+    st.write(s"$prepared/_schema", s"$id\n")
+    val v = publish(root, base, prepared)
+    noteCommit(root, v, s"schema:$id")
+    v
+  }
+
+  /** Column names a chain-level change must not touch: the clustering
+    * spec's columns, anything a CHECK constraint references
+    * (conservative word-boundary match on the expression text), and
+    * the key columns of LIVE equality-delete sidecars (whose erasure
+    * semantics match data columns BY NAME — fold them first). */
+  private def protectedColumnReasons(root: String, base: Long,
+                                     name: String): Seq[String] = {
+    val inEqDel = eqDelOf(root, base).toSeq.flatMap { eq =>
+      val cols = SparkSession.active.read.parquet(eq).columns
+      if (cols.exists(_.equalsIgnoreCase(name)))
+        Seq(s"live equality-delete sidecar keys on '$name' — fold " +
+          "the deletes first (compactCommit, or any data-touching " +
+          "commit under the auto-fold policy)")
+      else Seq.empty
+    }
+    inEqDel ++ protectedBySpecOrConstraint(root, base, name)
+  }
+
+  private def protectedBySpecOrConstraint(root: String, base: Long,
+                                          name: String): Seq[String] = {
+    val spec = specOfVersion(root, base)
+    val inSpec =
+      if ((spec.statsCol +: spec.clusterCols)
+          .exists(_.equalsIgnoreCase(name)))
+        Seq(s"clustering spec ${spec.id} uses '$name' — evolve the " +
+          "spec first (evolveClustering)")
+      else Seq.empty
+    val rx = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    val inConstraints = listConstraints(root).collect {
+      case (n, expr) if rx.findFirstIn(expr).isDefined =>
+        s"constraint '$n' references '$name' — drop it first"
+    }
+    inSpec ++ inConstraints.toSeq
+  }
+
+  /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the declared
+    * schema loses the fields; no file is touched — by-name reads
+    * simply stop projecting the physical column (Delta's
+    * drop-without-rewrite economics). The dropped names (and any
+    * prior names they carried) join the retired set, so they can
+    * never be re-added — old files still hold their VALUES, and a
+    * recycled name would resurrect them as stale data. Spec and
+    * constraint columns are protected. Returns the committed
+    * version. */
+  def dropColumns(s: SparkSession, root: String,
+                  names: Seq[String]): Long = {
+    val base = currentVersion(s, root)
+    val declared = schemaOfManifest(manifestOf(root, base))
+      .getOrElse(readVersion(s, manifestOf(root, base)).schema)
+    val missing = names.filterNot(n =>
+      declared.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(missing.isEmpty,
+      s"cannot drop missing column(s) ${missing.mkString(", ")}")
+    require(names.length < declared.fields.length,
+      "cannot drop every column of the table")
+    val blocked = names.flatMap(protectedColumnReasons(root, base, _))
+    require(blocked.isEmpty, blocked.mkString("; "))
+    val lower = names.map(_.toLowerCase).toSet
+    val (goneF, keptF) = declared.fields.partition(
+      f => lower.contains(f.name.toLowerCase))
+    registerSchemaCommit(s, root, base, declared,
+      org.apache.spark.sql.types.StructType(keptF),
+      goneF.toSeq.flatMap(f => f.name +: priorNamesOf(f)))
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit: the
+    * declared field takes the new name and records the old one in
+    * its [[PriorNamesKey]] metadata (newest first), so reads resolve
+    * rows from files of EVERY generation — post-rename files carry
+    * the new physical name, older files one of the priors, and the
+    * read coalesces by first-present name. The new name must never
+    * have been used on this chain (no-recycling, same stale-data
+    * hazard as DROP). Returns the committed version. */
+  def renameColumn(s: SparkSession, root: String,
+                   from: String, to: String): Long = {
+    val base = currentVersion(s, root)
+    val declared = schemaOfManifest(manifestOf(root, base))
+      .getOrElse(readVersion(s, manifestOf(root, base)).schema)
+    require(declared.fieldNames.exists(_.equalsIgnoreCase(from)),
+      s"no column '$from' to rename")
+    require(to.nonEmpty && to.head.isLetter &&
+      to.forall(c => c.isLetterOrDigit || c == '_'),
+      s"invalid column name '$to'")
+    require(!historicalNames(root, declared)
+        .contains(to.toLowerCase),
+      s"column name '$to' was already used on this chain (names are " +
+        "never recycled: old data files still hold values under " +
+        "historical names, and a by-name read of a recycled name " +
+        "would surface stale data)")
+    val blocked = protectedColumnReasons(root, base, from)
+    require(blocked.isEmpty, blocked.mkString("; "))
+    val evolved = org.apache.spark.sql.types.StructType(
+      declared.fields.map { f =>
+        if (!f.name.equalsIgnoreCase(from)) f
+        else f.copy(name = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putStringArray(PriorNamesKey,
+              (f.name +: priorNamesOf(f)).toArray)
+            .build())
+      })
+    registerSchemaCommit(s, root, base, declared, evolved,
+      retiring = Seq(from))
   }
 
   /** ALTER TABLE ADD COLUMN as a METADATA-ONLY commit (Delta/Iceberg
@@ -1675,27 +1855,21 @@ object ManifestPrune {
     val declared = schemaOfManifest(baseManifest)
       .getOrElse(readVersion(s, baseManifest).schema)
     val dup = newCols.fieldNames.filter(n =>
-      declared.fieldNames.exists(_.equalsIgnoreCase(n)))
+      historicalNames(root, declared).contains(n.toLowerCase))
     require(dup.isEmpty,
-      s"column(s) ${dup.mkString(", ")} already exist in the table")
+      s"column(s) ${dup.mkString(", ")} already exist (or once " +
+        "existed) on this chain — names are never recycled: old data " +
+        "files still hold values under historical names, and a " +
+        "by-name read of a recycled name would surface stale data " +
+        "instead of the NULLs an added column owes pre-evolution rows")
     require(newCols.fields.forall(_.nullable),
       "added columns must be nullable — existing rows predate them " +
         s"(non-nullable: ${newCols.fields.filterNot(_.nullable)
           .map(_.name).mkString(", ")})")
-    val widened = org.apache.spark.sql.types.StructType(
-      declared.fields ++ newCols.fields)
-    val st = ChainStorage.forPath(root)
-    val id = (st.list(s"$root/_schemas")
-      .filter(_.forall(_.isDigit)).map(_.toInt) :+ 0).max + 1
-    require(st.putIfAbsent(s"$root/_schemas/$id", widened.json),
-      s"schema id $id already registered (race)")
-    val tok = prepareToken()
-    val prepared = s"$root/manifest_$tok"
-    copyDirFlat(root, baseManifest, prepared)
-    st.write(s"$prepared/_schema", s"$id\n")
-    val v = publish(root, base, prepared)
-    noteCommit(root, v, s"schema:$id")
-    v
+    registerSchemaCommit(s, root, base, declared,
+      org.apache.spark.sql.types.StructType(
+        declared.fields ++ newCols.fields),
+      retiring = Seq.empty)
   }
 
   /** EVOLVE the chain's clustering spec — Iceberg partition-spec
@@ -2494,9 +2668,29 @@ object ManifestPrune {
       s.read.parquet(manifestDir).select("file"),
       s"version read of $manifestDir")
     // a declared (evolved) schema pins the read: files written before
-    // an ADD COLUMN null-fill the new columns
+    // an ADD COLUMN null-fill the new columns; files written before a
+    // RENAME hold the column under a PRIOR physical name, so the read
+    // schema carries every generation's name and each renamed column
+    // resolves by first-present name (exactly one generation's column
+    // exists per file, so the coalesce is a disjoint union, not a
+    // preference)
     schemaOfManifest(manifestDir) match {
-      case Some(declared) => s.read.schema(declared).parquet(files: _*)
+      case Some(declared) =>
+        val priors = declared.fields.map(f => f -> priorNamesOf(f))
+        if (priors.forall(_._2.isEmpty))
+          s.read.schema(declared).parquet(files: _*)
+        else {
+          val readSchema = org.apache.spark.sql.types.StructType(
+            declared.fields ++ priors.flatMap { case (f, ps) =>
+              ps.map(p => org.apache.spark.sql.types.StructField(
+                p, f.dataType, nullable = true))
+            })
+          s.read.schema(readSchema).parquet(files: _*)
+            .select(priors.map { case (f, ps) =>
+              if (ps.isEmpty) col(f.name)
+              else coalesce((f.name +: ps).map(col): _*).as(f.name)
+            }.toIndexedSeq: _*)
+        }
       case None => s.read.parquet(files: _*)
     }
   }

@@ -209,6 +209,92 @@ class GraftSqlDdlSpec extends SparkSpec {
     spark.sql(s"DROP TABLE graft.$tbl")
   }
 
+  test("ALTER TABLE RENAME COLUMN resolves files of every generation " +
+    "(pre-rename physical name, post-rename logical name), refuses " +
+    "name recycling, and follows the merge key") {
+    ensureCatalog()
+    val tbl = freshName("rn")
+    val root = Tables.matDir(s"sqlddlrn_${System.nanoTime}", spark, sf0001)
+    spark.sql(s"CREATE TABLE graft.$tbl (doc_id BIGINT, body STRING, " +
+      s"n BIGINT) USING graft LOCATION '$root' " +
+      "TBLPROPERTIES ('key'='doc_id')")
+    spark.sql(s"INSERT INTO graft.$tbl VALUES (1, 'old gen', 10)")
+    spark.sql(s"ALTER TABLE graft.$tbl RENAME COLUMN body TO content")
+    spark.sql(s"INSERT INTO graft.$tbl VALUES (2, 'new gen', 20)")
+    // both generations resolve under the logical name — the old
+    // file's physical 'body' column rides the prior-name fallback
+    assert(spark.sql(s"SELECT doc_id, content FROM graft.$tbl " +
+      "ORDER BY doc_id").collect().map(_.toSeq) ===
+      Array(Seq(1L, "old gen"), Seq(2L, "new gen")))
+    // a second rename chains the priors: THREE physical generations
+    spark.sql(s"ALTER TABLE graft.$tbl RENAME COLUMN content TO text")
+    spark.sql(s"INSERT INTO graft.$tbl VALUES (3, 'third gen', 30)")
+    assert(spark.sql(s"SELECT doc_id, text FROM graft.$tbl " +
+      "ORDER BY doc_id").collect().map(_.toSeq) ===
+      Array(Seq(1L, "old gen"), Seq(2L, "new gen"),
+        Seq(3L, "third gen")))
+    // names never recycle: old files still hold values under them
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$tbl ADD COLUMN body STRING")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$tbl RENAME COLUMN text TO content")
+    }
+    // a spec column refuses to rename until the spec evolves off it…
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$tbl RENAME COLUMN doc_id TO id")
+    }
+    spark.sql(s"ALTER TABLE graft.$tbl SET TBLPROPERTIES " +
+      "('cluster'='n|n')")
+    // …then renaming the merge key re-registers it
+    spark.sql(s"ALTER TABLE graft.$tbl RENAME COLUMN doc_id TO id")
+    spark.sql(s"INSERT INTO graft.$tbl VALUES (4, 'fourth', 40)")
+    assert(spark.sql(s"SELECT id FROM graft.$tbl WHERE text = 'fourth'")
+      .head().getLong(0) === 4L)
+    spark.sql(s"DROP TABLE graft.$tbl")
+  }
+
+  test("ALTER TABLE DROP COLUMN is metadata-only, retires the name " +
+    "forever, and is refused for protected columns") {
+    ensureCatalog()
+    val tbl = freshName("dc")
+    val root = Tables.matDir(s"sqlddldc_${System.nanoTime}", spark, sf0001)
+    spark.sql(s"CREATE TABLE graft.$tbl (doc_id BIGINT, note STRING, " +
+      s"n_chars BIGINT) USING graft LOCATION '$root' " +
+      "TBLPROPERTIES ('key'='doc_id')")
+    spark.sql(s"INSERT INTO graft.$tbl VALUES (1, 'kept?', 5)")
+    val vPre = ManifestPrune.currentVersion(spark, root)
+    spark.sql(s"ALTER TABLE graft.$tbl DROP COLUMN note")
+    // metadata-only commit, classified as schema evolution
+    assert(ManifestPrune.describeHistory(spark, root)
+      .orderBy(col("version").desc).select("kind").head()
+      .getString(0) === "evolve-schema")
+    assert(spark.sql(s"SELECT * FROM graft.$tbl").schema.fieldNames
+      .toSeq === Seq("doc_id", "n_chars"))
+    // time travel still shows the column before the drop
+    assert(spark.sql(s"SELECT note FROM graft.$tbl VERSION AS OF $vPre")
+      .head().getString(0) === "kept?")
+    // the name is retired: re-adding would resurrect stale values
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$tbl ADD COLUMN note STRING")
+    }
+    assert(e.getMessage.contains("recycled") ||
+      Option(e.getCause).exists(_.getMessage.contains("recycled")))
+    // protected columns refuse: the merge key…
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$tbl DROP COLUMN doc_id")
+    }
+    // …and a constraint-referenced column
+    spark.sql(s"ALTER TABLE graft.$tbl ADD CONSTRAINT pos " +
+      "CHECK (n_chars >= 0)")
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$tbl DROP COLUMN n_chars")
+    }
+    assert(e2.getMessage.contains("constraint") ||
+      Option(e2.getCause).exists(_.getMessage.contains("constraint")))
+    spark.sql(s"DROP TABLE graft.$tbl")
+  }
+
   test("RENAME TABLE moves both the in-memory and the durable " +
     "registration; the chain root is untouched") {
     val wh = Tables.matDir(s"sqlddlrn_${System.nanoTime}", spark, sf0001)
