@@ -50,9 +50,13 @@ class ModularitySpec extends SparkSpec {
       .collect().head
     val (m, s1, sab, s2) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    val (num, den, rr) = (r.getLong(4), r.getLong(5), r.getDouble(6))
-    assert(num === 4 * m * sab - s1 * s1)
-    assert(den === 2 * m * s2 - s1 * s1)
+    // num/den live in decimal128(38,0): S1² overflows int64 one
+    // decade up (caught at the sf1 rung) — exact integers still
+    val num = BigInt(r.getDecimal(4).toBigInteger)
+    val den = BigInt(r.getDecimal(5).toBigInteger)
+    val rr = r.getDouble(6)
+    assert(num === 4 * BigInt(m) * sab - BigInt(s1) * s1)
+    assert(den === 2 * BigInt(m) * s2 - BigInt(s1) * s1)
     // Cauchy-Schwarz on endpoint degrees: den >= 0; |r| <= 1
     assert(den > 0)
     assert(rr >= -1.0 - 1e-12 && rr <= 1.0 + 1e-12, s"r=$rr")

@@ -56,7 +56,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_modularity", "q_partition_agreement", "q_lm_kneser_ney",
     // q_distinctive_terms broadcasts the 1-row (N, V) totals;
     // q_decay_score broadcasts the 1-row corpus max-ts anchor
-    "q_distinctive_terms", "q_decay_score")
+    "q_distinctive_terms", "q_decay_score",
+    // q_sql_call CROSS JOINs the head aggregate with the tagged
+    // version's 1-row count (the tag-survives-vacuum witness)
+    "q_sql_call")
 
   test("no query plans a CartesianProduct") {
     for ((name, plan) <- plans)
