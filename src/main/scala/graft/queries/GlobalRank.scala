@@ -47,8 +47,13 @@ object GlobalRank {
     val buckets = 4 * parts
     val frac =
       math.min(1.0, buckets * 200.0 / math.max(1L, n).toDouble)
-    val sampled = df.select(key.as("__k"))
-      .sample(withReplacement = false, frac, seed = 42L)
+    // sample ROWS first, then compute the key on the survivors only:
+    // the key may be expensive (tokenize, substring over full text),
+    // and the boundary job should pay it on ~200·buckets rows, not
+    // the corpus. Boundaries are literals either way, so output ranks
+    // are invariant to where the sample lands.
+    val sampled = df.sample(withReplacement = false, frac, seed = 42L)
+      .select(key.as("__k"))
       .collect().map(_.get(0)).filter(_ != null)
     val sorted = sortAsSpark(sampled)
     val step = sorted.length.toDouble / buckets
