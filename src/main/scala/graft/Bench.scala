@@ -53,7 +53,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // optional comma-separated name filter for targeted local re-runs
+    // (the driver never sets it, so the contract run stays full-battery)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val battery = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = (1 to passes).map { _ =>
       battery.map { case (name, fn) => name -> timeOnce(fn) }.toMap
     }
