@@ -2315,6 +2315,44 @@ object CoreQueries {
              |  0, CAST(base + ins.c - del.c AS BIGINT) FROM n, ins, del
              |ORDER BY version""".stripMargin)),
 
+    // `graft.db.t.files` METADATA TABLE (GraftFilesTable) — Iceberg's
+    // `files` relation: the current version's live data files with
+    // manifest stats and per-file DV-hidden counts, served as a
+    // DISTRIBUTED scan over the manifest parquet through the public
+    // V1Scan bridge (never a driver-held file list). The gate
+    // aggregates the relation back to row arithmetic the oracle can
+    // replay over the base parquet: physical rows = corpus + the two
+    // SQL-inserted rows, hidden = the DELETE WHERE predicate's count,
+    // live = physical − hidden, min/max from the stringified stats
+    // round-tripped through BIGINT. A stats row drifting from its
+    // file's true contents, a DV hit attributed to the wrong file, or
+    // the insert/delete commits not reflected in the manifest all
+    // break the hash. File COUNTS are build parameters (nFiles = 8),
+    // deliberately not gated.
+    Q("q_sql_files",
+      (s, d) => {
+        val tbl = sqlCatalogTable(s, d)
+        s.sql(s"""SELECT sum(n_rows) AS physical_rows,
+                 |  sum(hidden_rows) AS hidden_rows,
+                 |  sum(n_rows - hidden_rows) AS live_rows,
+                 |  min(CAST(min_key AS BIGINT)) AS min_chars,
+                 |  max(CAST(max_key AS BIGINT)) AS max_chars
+                 |FROM graft.$tbl.files""".stripMargin)
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |  UNION ALL SELECT 91000001, 'sq', 20
+             |  UNION ALL SELECT 91000003, 'sq', 20
+             |)
+             |SELECT CAST(count(*) AS BIGINT) AS physical_rows,
+             |  CAST(sum(CASE WHEN doc_id % 9 = 2 AND lang <> 'sq'
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS hidden_rows,
+             |  CAST(sum(CASE WHEN doc_id % 9 = 2 AND lang <> 'sq'
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS live_rows,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars
+             |FROM aug""".stripMargin)),
+
     // GENERAL MERGE INTO (ManifestPrune.mergeIntoCommit) — the full
     // three-clause MERGE a warehouse user writes, in ONE committed
     // CoW version: WHEN MATCHED THEN UPDATE SET over MULTIPLE

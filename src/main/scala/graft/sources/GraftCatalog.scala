@@ -174,6 +174,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         return new GraftHistoryTable(root, s"$parent.history")
       }
     }
+    // `graft.db.t.files` — the current version's per-file stats
+    // (Iceberg's `files` metadata table): one row per live data file
+    // with its manifest stats and DV-hidden count, served as a
+    // DISTRIBUTED scan over the manifest parquet (never a driver-held
+    // file list — a 10⁸-file table's audit query stays executor-side)
+    if (ident.name == "files" && ident.namespace.nonEmpty) {
+      val parent = ident.namespace.mkString(".")
+      resolve(parent).foreach { case (root, _) =>
+        return new GraftFilesTable(root, s"$parent.files")
+      }
+    }
     // `graft.db.t.changes` — the change feed (CDF) as a catalog-
     // resolved relation: batch SELECT reads the whole feed window,
     // readStream.table tails it (the same GraftTableTable the
@@ -980,6 +991,80 @@ private[sources] class GraftDeltaWriter(pathBase: String,
 }
 
 // ------------------------------------------------- metadata tables
+
+/** `graft.db.t.files` — the current version's live data files as a
+  * relation (Iceberg's `files` metadata table): path, clustering
+  * spec id, physical rows, the manifest's min/max stats (stringified
+  * so the relation's schema is stable across stats-column types), and
+  * the version's DV-hidden row count per file. Unlike `.history`
+  * (O(versions), LocalScan) this is O(files) — it rides the public
+  * `V1Scan` bridge onto a real distributed plan over the manifest
+  * parquet plus one aggregated left join of the DV sidecar, so an
+  * audit query over a huge table never materializes the file list on
+  * the driver. */
+private[sources] class GraftFilesTable(root: String, qualified: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = qualified
+
+  override def schema(): StructType = StructType(Seq(
+    StructField("file", StringType),
+    StructField("spec_id", IntegerType),
+    StructField("n_rows", LongType),
+    StructField("hidden_rows", LongType),
+    StructField("min_key", StringType),
+    StructField("max_key", StringType)))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  private def frame(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cur = ManifestPrune.currentVersion(s, root)
+    val m0 = s.read.parquet(ManifestPrune.manifestOf(root, cur))
+    // pre-spec-evolution manifests carry no spec_id column
+    val m =
+      if (m0.columns.contains("spec_id"))
+        m0.withColumn("spec_id",
+          coalesce(col("spec_id").cast("int"), lit(0)))
+      else m0.withColumn("spec_id", lit(0))
+    val hidden = ManifestPrune.dvOf(root, cur) match {
+      case Some(dv) =>
+        s.read.parquet(dv).groupBy(col("file"))
+          .agg(count(lit(1)).as("hidden_rows"))
+      case None =>
+        m.select(col("file")).limit(0)
+          .withColumn("hidden_rows", lit(0L))
+    }
+    m.join(hidden, Seq("file"), "left")
+      .select(col("file"), col("spec_id"), col("n_rows"),
+        coalesce(col("hidden_rows"), lit(0L)).as("hidden_rows"),
+        col("min_key").cast("string").as("min_key"),
+        col("max_key").cast("string").as("max_key"))
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan =
+      new org.apache.spark.sql.connector.read.V1Scan {
+        override def readSchema(): StructType = schema()
+        override def description(): String = s"graft-files $root"
+        override def toV1TableScan[T <: org.apache.spark.sql.sources
+            .BaseRelation with org.apache.spark.sql.sources.TableScan](
+            context: org.apache.spark.sql.SQLContext): T =
+          (new org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext =
+              context
+            override def schema: StructType = readSchema()
+            override def buildScan()
+                : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              frame(context.sparkSession).rdd
+          }).asInstanceOf[T]
+      }
+  }
+}
 
 /** `graft.db.t.history` — DESCRIBE HISTORY as a relation (Iceberg's
   * metadata-table convention): one row per still-readable version
