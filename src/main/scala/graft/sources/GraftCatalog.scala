@@ -209,21 +209,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `VERSION AS OF <n | 'tag'>` — numeric version or named tag (the
     * Iceberg ref convention). */
+  /** `db.t.files` parent root when `ident` names the files metadata
+    * table of a registered parent, else None — so time travel applies
+    * to metadata tables too (Iceberg's convention). */
+  private def filesParent(ident: Identifier): Option[(String, String)] =
+    if (ident.name == "files" && ident.namespace.nonEmpty)
+      resolve(ident.namespace.mkString("."))
+        .map { case (root, _) => (root, ident.namespace.mkString(".")) }
+    else None
+
+  private def versionOrTag(root: String, ident: Identifier,
+                           version: String): Long =
+    if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+    else ManifestPrune.taggedVersion(root, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version or tag '$version' on ${qualified(ident)} " +
+          s"(tags: ${ManifestPrune.listTags(root).keys.toSeq.sorted
+            .mkString(", ")})"))
+
   override def loadTable(ident: Identifier, version: String): Table = {
+    filesParent(ident).foreach { case (root, parent) =>
+      return new GraftFilesTable(root, s"$parent.files",
+        Some(versionOrTag(root, ident, version)))
+    }
     val (root, key) = rootOf(ident)
-    val v =
-      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
-      else ManifestPrune.taggedVersion(root, version).getOrElse(
-        throw new IllegalArgumentException(
-          s"no version or tag '$version' on ${qualified(ident)} " +
-            s"(tags: ${ManifestPrune.listTags(root).keys.toSeq.sorted
-              .mkString(", ")})"))
-    new GraftCatalogTable(root, v, key, qualified(ident))
+    new GraftCatalogTable(root, versionOrTag(root, ident, version),
+      key, qualified(ident))
   }
 
   /** `TIMESTAMP AS OF` — Spark hands micros since epoch; the chain's
     * marker timeline resolves it ([[ManifestPrune.versionAsOf]]). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    filesParent(ident).foreach { case (root, parent) =>
+      return new GraftFilesTable(root, s"$parent.files",
+        Some(ManifestPrune.versionAsOf(SparkSession.active, root,
+          timestamp / 1000L)))
+    }
     val (root, key) = rootOf(ident)
     val v = ManifestPrune.versionAsOf(SparkSession.active, root,
       timestamp / 1000L)
@@ -1002,7 +1023,8 @@ private[sources] class GraftDeltaWriter(pathBase: String,
   * parquet plus one aggregated left join of the DV sidecar, so an
   * audit query over a huge table never materializes the file list on
   * the driver. */
-private[sources] class GraftFilesTable(root: String, qualified: String)
+private[sources] class GraftFilesTable(root: String, qualified: String,
+                                       asOfVersion: Option[Long] = None)
     extends Table with SupportsRead {
   import org.apache.spark.sql.types._
 
@@ -1021,7 +1043,7 @@ private[sources] class GraftFilesTable(root: String, qualified: String)
 
   private def frame(s: SparkSession): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val cur = ManifestPrune.currentVersion(s, root)
+    val cur = asOfVersion.getOrElse(ManifestPrune.currentVersion(s, root))
     val m0 = s.read.parquet(ManifestPrune.manifestOf(root, cur))
     // pre-spec-evolution manifests carry no spec_id column
     val m =

@@ -55,6 +55,26 @@ class GraftFilesTableSpec extends SparkSpec {
     assert(fm.getLong(0) == mm.getLong(0) && fm.getLong(1) == mm.getLong(1))
   }
 
+  test("VERSION AS OF applies to the metadata table: v0's files " +
+    "show no hidden rows, head shows the DV delete") {
+    ensureCatalog()
+    val docs = Tables.load(spark, sf0001, "documents")
+    val root = Tables.matDir(s"filestt_${System.nanoTime}", spark, sf0001)
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
+    ManifestPrune.dvDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    val tbl = s"ftt.t${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    val atV0 = spark.sql(
+      s"SELECT sum(hidden_rows) FROM graft.$tbl.files VERSION AS OF 0")
+      .collect().head.getLong(0)
+    val atHead = spark.sql(
+      s"SELECT sum(hidden_rows) FROM graft.$tbl.files")
+      .collect().head.getLong(0)
+    assert(atV0 == 0L)
+    assert(atHead == docs.filter(col("doc_id") % 7 === 3).count())
+  }
+
   test("the scan is a distributed relation, not a driver-local " +
     "row materialization") {
     ensureCatalog()
