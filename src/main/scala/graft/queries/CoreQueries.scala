@@ -2353,6 +2353,62 @@ object CoreQueries {
              |  CAST(max(n_chars) AS BIGINT) AS max_chars
              |FROM aug""".stripMargin)),
 
+    // FILE SKIPPING THROUGH THE SQL FACE (SupportsPushDownV2Filters
+    // + ChainSkip, round 14): the WHERE's n_chars interval reaches
+    // the DSv2 scan builder as V2 predicates, the manifest's
+    // per-file min/max prunes the file list BEFORE partition
+    // planning (spec-aware — planRangeCommitted's rule), and every
+    // predicate stays a post-scan filter, so skipping trades I/O,
+    // never correctness. The SQL twin of q_manifest_prune: an
+    // analyst's WHERE now plans O(matching files) with zero
+    // engine-specific API. GraftScanPushdownSpec pins the plan shape
+    // (pruned partitions < manifest files, skip bounds in the scan
+    // description, OR shapes never mis-prune).
+    Q("q_sql_prune",
+      (s, d) => {
+        val root = graft.sources.ManifestPrune.ensureLayout(s, d)
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        val tbl = s"prn.t_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.sources.GraftCatalog.registerTable(tbl, root)
+        s.sql(s"""SELECT lang, count(*) AS n_docs,
+                 |  sum(n_chars) AS sum_chars, sum(doc_id) AS sum_ids
+                 |FROM graft.$tbl
+                 |WHERE n_chars BETWEEN 120 AND 200
+                 |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM documents WHERE n_chars BETWEEN 120 AND 200
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // METADATA-ONLY AGGREGATES (SupportsPushDownAggregates, round
+    // 14): global COUNT(*)/MIN/MAX over the catalog table answer
+    // from manifest + sidecar arithmetic alone — the Iceberg
+    // aggregate-pushdown rule: the scan plans ONE metadata row and
+    // reads zero data bytes (GraftScanPushdownSpec proves it by
+    // DELETING the data files and asking again, and pins the exact
+    // refusal boundary: DVs block MIN/MAX but not COUNT(*), unfolded
+    // equality deletes block COUNT, any WHERE blocks everything —
+    // values then flow through the real scan unchanged). At 100 TB,
+    // `SELECT count(*) FROM corpus` costs O(manifest), not a scan.
+    Q("q_sql_agg_push",
+      (s, d) => {
+        val root = graft.sources.ManifestPrune.ensureLayout(s, d)
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        val tbl = s"prn.t_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.sources.GraftCatalog.registerTable(tbl, root)
+        s.sql(s"""SELECT count(*) AS n_docs,
+                 |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+                 |FROM graft.$tbl""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n_docs,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars
+             |FROM documents""".stripMargin)),
+
     // GENERAL MERGE INTO (ManifestPrune.mergeIntoCommit) — the full
     // three-clause MERGE a warehouse user writes, in ONE committed
     // CoW version: WHEN MATCHED THEN UPDATE SET over MULTIPLE

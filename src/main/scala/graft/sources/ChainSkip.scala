@@ -1,0 +1,268 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, GeneralScalarExpression, Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
+
+/** FILE-SKIPPING intervals and METADATA-ONLY aggregates for the SQL
+  * catalog scan — the planning arithmetic that lets `WHERE` prune the
+  * manifest's file list and `COUNT(*)/MIN/MAX` answer without reading
+  * a data file.
+  *
+  * Skipping is ADVISORY by construction: every pushed predicate stays
+  * a post-scan filter (the scan builder returns them all as
+  * residual), and the intervals extracted here only remove files
+  * whose manifest `[min_key, max_key]` provably cannot hold a
+  * matching row — the same soundness rule as
+  * [[ManifestPrune.planRangeCommitted]], which this reuses per
+  * column. A predicate shape we don't recognize simply doesn't
+  * tighten anything; it can never mis-prune.
+  *
+  * Metadata aggregates follow Iceberg's pushdown rules: COUNT(*)
+  * needs exact live counts (manifest `n_rows` minus the DV sidecar's
+  * positions — refused while un-folded equality deletes make the
+  * count a data question), MIN/MAX need the extremes to be provably
+  * visible (no hidden rows at all) and every live file's clustering
+  * spec to stat the asked column. Anything else falls back to the
+  * real scan. */
+private[sources] object ChainSkip {
+
+  /** A closed interval a column's matching rows must lie in. */
+  case class Bounds(lo: Long = Long.MinValue, hi: Long = Long.MaxValue) {
+    def tightenLo(v: Long): Bounds = copy(lo = lo.max(v))
+    def tightenHi(v: Long): Bounds = copy(hi = hi.min(v))
+    def nonTrivial: Boolean = lo != Long.MinValue || hi != Long.MaxValue
+  }
+
+  private def longLit(e: V2Expr): Option[Long] = e match {
+    case l: V2Literal[_] => l.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Option(l.value).map(_.asInstanceOf[Number].longValue)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def colName(e: V2Expr): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames.head)
+    case _ => None
+  }
+
+  /** Fold `p` into per-column interval bounds. Returns true iff the
+    * predicate tightened something (and so participates in skipping —
+    * surfaced via `pushedPredicates` for explain visibility). */
+  def tighten(p: V2Expr,
+              bounds: scala.collection.mutable.Map[String, Bounds])
+      : Boolean = p match {
+    case g: GeneralScalarExpression =>
+      val kids = g.children()
+      def upd(name: String)(f: Bounds => Bounds): Boolean = {
+        bounds.update(name, f(bounds.getOrElse(name, Bounds()))); true
+      }
+      // a comparison with the column on either side; flip the op when
+      // the literal leads (Spark normalizes, but don't depend on it)
+      def cmp(opLo: Boolean, strict: Boolean): Boolean = {
+        val straight = for {
+          n <- colName(kids(0)); v <- longLit(kids(1))
+        } yield (n, v, opLo)
+        val flipped = for {
+          n <- colName(kids(1)); v <- longLit(kids(0))
+        } yield (n, v, !opLo)
+        straight.orElse(flipped) match {
+          case Some((n, v, lo)) =>
+            // x > v  ≡  x >= v+1 on integral types; saturate at the
+            // representable edge instead of overflowing
+            val adj =
+              if (!strict) v
+              else if (lo) { if (v == Long.MaxValue) return false
+                             else v + 1 }
+              else         { if (v == Long.MinValue) return false
+                             else v - 1 }
+            if (lo) upd(n)(_.tightenLo(adj)) else upd(n)(_.tightenHi(adj))
+          case None => false
+        }
+      }
+      g.name() match {
+        case "AND" =>
+          val a = tighten(kids(0), bounds)
+          val b = tighten(kids(1), bounds)
+          a || b
+        case ">=" if kids.length == 2 => cmp(opLo = true, strict = false)
+        case ">"  if kids.length == 2 => cmp(opLo = true, strict = true)
+        case "<=" if kids.length == 2 => cmp(opLo = false, strict = false)
+        case "<"  if kids.length == 2 => cmp(opLo = false, strict = true)
+        case "=" if kids.length == 2 =>
+          cmp(opLo = true, strict = false) &&
+            cmp(opLo = false, strict = false)
+        case "IN" if kids.length >= 2 =>
+          (colName(kids(0)), kids.toSeq.drop(1).map(longLit)) match {
+            case (Some(n), vs) if vs.forall(_.isDefined) =>
+              val values = vs.flatten
+              upd(n)(_.tightenLo(values.min).tightenHi(values.max))
+            case _ => false
+          }
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** Extract the usable intervals from a pushed-predicate batch;
+    * returns (participating predicates, per-column bounds). */
+  def extract(predicates: Array[V2Predicate])
+      : (Array[V2Predicate], Map[String, Bounds]) = {
+    val m = scala.collection.mutable.Map[String, Bounds]()
+    val used = predicates.filter(tighten(_, m))
+    (used, m.toMap.filter(_._2.nonTrivial))
+  }
+
+  /** The file list of `version` pruned by every extracted interval
+    * whose column some clustering spec stats (files written under a
+    * spec that doesn't stat the column are always kept — the
+    * [[ManifestPrune.planRangeCommitted]] rule applied per column,
+    * lists intersected). Columns no spec stats prune nothing. */
+  def plannedFiles(s: SparkSession, root: String, version: Long,
+                   bounds: Map[String, Bounds]): Option[Seq[String]] = {
+    val statted = bounds.keys.filter(c =>
+      ManifestPrune.listSpecs(root).values.exists(_.statsCol == c)).toSeq
+    if (statted.isEmpty) None
+    else Some(statted.map { c =>
+      val b = bounds(c)
+      ManifestPrune.planRangeCommitted(s, root, version, c, b.lo, b.hi)
+        .toSet
+    }.reduce(_ intersect _).toSeq.sorted)
+  }
+
+  // ------------------------------------------------ planned stats
+
+  /** Post-pruning row/byte estimates, cached per immutable snapshot:
+    * keyed by (root, version, the version's commit instant, bounds)
+    * so a chain REBUILT at the same path (version numbers recycled)
+    * can never serve a stale entry. */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Map[String, Bounds]), Long]()
+
+  /** Live row count of the (possibly pruned) scan — manifest
+    * arithmetic minus the DV sidecar's hidden positions, one tiny
+    * job per distinct (snapshot, bounds), then memoized. Equality
+    * deletes make this an over-estimate (planner statistics may
+    * legally over-estimate; the metadata AGGREGATE path refuses
+    * instead). */
+  def plannedLiveRows(s: SparkSession, root: String, version: Long,
+                      bounds: Map[String, Bounds]): Long = {
+    val ts = ManifestPrune.commitTimeMs(root, version).getOrElse(0L)
+    statsCache.computeIfAbsent((root, version, ts, bounds), { _ =>
+      val m = s.read.parquet(ManifestPrune.manifestOf(root, version))
+      val planned = plannedFiles(s, root, version, bounds) match {
+        case Some(fs) => m.filter(col("file").isInCollection(
+          if (fs.isEmpty) Seq("") else fs))
+        case None => m
+      }
+      val total = planned.agg(coalesce(sum(col("n_rows")), lit(0L)))
+        .head.getLong(0)
+      val hidden = ManifestPrune.dvOf(root, version)
+        .map(dv => s.read.parquet(dv).count()).getOrElse(0L)
+      (total - hidden).max(0L)
+    })
+  }
+
+  // --------------------------------------- metadata-only aggregates
+
+  /** One planned metadata aggregate: output fields + the single
+    * result row's values (Longs/Ints, null for an empty table). */
+  case class MetaAgg(schema: StructType, values: Seq[Any])
+
+  /** Plan `agg` purely from the version's metadata, or None when a
+    * scan is genuinely required. Supported: global (no GROUP BY)
+    * COUNT(*) — exact from `n_rows` minus DV positions, refused
+    * under un-folded equality deletes; MIN/MAX of an integral column
+    * — only when NO rows are hidden (a hidden row could be the
+    * extreme) and every live file's spec stats that column, answered
+    * as min-of-mins / max-of-maxes (files whose column is all-NULL
+    * carry NULL stats and drop out, exactly SQL MIN/MAX semantics). */
+  def planAgg(s: SparkSession, root: String, version: Long,
+              table: StructType, agg: Aggregation): Option[MetaAgg] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val eqdel = ManifestPrune.eqDelOf(root, version)
+    val dv = ManifestPrune.dvOf(root, version)
+
+    sealed trait Ask
+    case object AskCount extends Ask
+    case class AskMin(c: String, t: DataType) extends Ask
+    case class AskMax(c: String, t: DataType) extends Ask
+
+    def minMaxCol(e: V2Expr): Option[(String, DataType)] = for {
+      n <- colName(e)
+      f <- table.fields.find(_.name == n)
+      if f.dataType == LongType || f.dataType == IntegerType
+    } yield (n, f.dataType)
+
+    val asks: Seq[Ask] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        if (eqdel.nonEmpty) return None
+        AskCount
+      case m: Min =>
+        if (eqdel.nonEmpty || dv.nonEmpty) return None
+        minMaxCol(m.column) match {
+          case Some((n, t)) => AskMin(n, t)
+          case None => return None
+        }
+      case m: Max =>
+        if (eqdel.nonEmpty || dv.nonEmpty) return None
+        minMaxCol(m.column) match {
+          case Some((n, t)) => AskMax(n, t)
+          case None => return None
+        }
+      case _: AggregateFunc => return None
+    }
+
+    // every min/max column must be statted by the spec of every live
+    // file holding rows (0-row files contribute nothing to any of
+    // count/min/max and are exempt)
+    val mmCols = asks.collect { case AskMin(c, _) => c
+                                case AskMax(c, _) => c }.distinct
+    val m0 = s.read.parquet(ManifestPrune.manifestOf(root, version))
+    val m =
+      if (m0.columns.contains("spec_id"))
+        m0.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
+      else m0.withColumn("spec_id", lit(0))
+    val specs = ManifestPrune.listSpecs(root)
+    for (c <- mmCols) {
+      val ok = specs.collect {
+        case (id, sp) if sp.statsCol == c => id }.toSeq
+      val unstatted = m.filter(col("n_rows") > 0 &&
+          !col("spec_id").isInCollection(if (ok.isEmpty) Seq(-1) else ok))
+        .limit(1).count()
+      if (unstatted > 0) return None
+    }
+
+    val row = m.agg(
+      coalesce(sum(col("n_rows")), lit(0L)).as("rows"),
+      min(col("min_key")).as("lo"),
+      max(col("max_key")).as("hi")).head
+    val hidden = dv.map(d => s.read.parquet(d).count()).getOrElse(0L)
+    val liveRows = (row.getLong(0) - hidden).max(0L)
+    def statVal(i: Int, t: DataType): Any =
+      if (row.isNullAt(i)) null
+      else t match {
+        case IntegerType => row.get(i).asInstanceOf[Number].intValue
+        case _ => row.get(i).asInstanceOf[Number].longValue
+      }
+
+    val (fields, values) = asks.zipWithIndex.map {
+      case (AskCount, i) =>
+        (org.apache.spark.sql.types.StructField(s"count_$i", LongType,
+          nullable = false), liveRows: Any)
+      case (AskMin(c, t), i) =>
+        (org.apache.spark.sql.types.StructField(s"min_${c}_$i", t),
+          statVal(1, t))
+      case (AskMax(c, t), i) =>
+        (org.apache.spark.sql.types.StructField(s"max_${c}_$i", t),
+          statVal(2, t))
+    }.unzip
+    Some(MetaAgg(StructType(fields), values))
+  }
+}

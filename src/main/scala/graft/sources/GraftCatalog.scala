@@ -482,9 +482,10 @@ private[sources] class GraftCatalogTable(val root: String,
 
   override def name(): String = s"$qualified@v$snapshot"
 
+  // declared-schema registry when the chain has one, else ONE data
+  // file's footer — never a multi-file relation resolution per query
   override lazy val schema: StructType =
-    ManifestPrune.readVersion(SparkSession.active,
-      ManifestPrune.manifestOf(root, snapshot)).schema
+    ManifestPrune.schemaOfVersion(SparkSession.active, root, snapshot)
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -650,12 +651,91 @@ private[sources] object V2PredicateToColumn {
 private[sources] class GraftChainScanBuilder(
     root: String, version: Long, full: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
+  private var skipUsed: Array[V2Predicate] = Array.empty
+  private var skipBounds: Map[String, ChainSkip.Bounds] = Map.empty
+  private var sawPredicates = false
+  private var metaAgg: Option[ChainSkip.MetaAgg] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new GraftChainScan(root, version, required, options)
+
+  /** File skipping is ADVISORY: every predicate is returned as
+    * residual (Spark re-applies them all post-scan), and the interval
+    * bounds extracted from the recognizable ones only drop files the
+    * manifest proves cannot match — pruning trades I/O, never
+    * correctness. */
+  override def pushPredicates(predicates: Array[V2Predicate])
+      : Array[V2Predicate] = {
+    sawPredicates ||= predicates.nonEmpty
+    val (used, bounds) = ChainSkip.extract(predicates)
+    skipUsed = used
+    skipBounds = bounds
+    predicates
+  }
+  override def pushedPredicates(): Array[V2Predicate] = skipUsed
+
+  /** Global COUNT(*)/MIN/MAX answered from manifest + sidecar
+    * arithmetic alone (Iceberg's metadata-aggregate rule) — the scan
+    * then never opens a data file. Spark only attempts this when no
+    * post-scan filter remains; since every predicate stays residual
+    * here, a filtered aggregate always takes the real scan (the
+    * `sawPredicates` guard makes that assumption load-bearing). */
+  override def supportCompletePushDown(agg: org.apache.spark.sql
+      .connector.expressions.aggregate.Aggregation): Boolean = {
+    if (sawPredicates) return false
+    metaAgg = ChainSkip.planAgg(SparkSession.active, root, version,
+      full, agg)
+    metaAgg.isDefined
+  }
+  override def pushAggregation(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean =
+    metaAgg.isDefined || supportCompletePushDown(agg)
+
+  override def build(): Scan = metaAgg match {
+    case Some(a) => new GraftMetaAggScan(root, version, a)
+    case None =>
+      new GraftChainScan(root, version, required, options, skipBounds)
+  }
+}
+
+/** The metadata-only aggregate scan: one partition, one row, computed
+  * entirely from the manifest and sidecars at plan time — `SELECT
+  * count(*) FROM graft.db.t` costs O(manifest) and reads zero data
+  * bytes (provable: the data files can be deleted and it still
+  * answers — GraftAggPushdownSpec does exactly that). */
+private[sources] class GraftMetaAggScan(
+    root: String, version: Long, agg: ChainSkip.MetaAgg)
+    extends Scan with Batch {
+  override def readSchema(): StructType = agg.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-chain-agg $root v$version " +
+      s"[${agg.schema.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MetaAggPartition(agg.values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MetaAggReaderFactory
+}
+
+private[sources] case class MetaAggPartition(values: Seq[Any])
+    extends InputPartition
+
+private[sources] class MetaAggReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(p0: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val vs = p0.asInstanceOf[MetaAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(vs)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** One partition per committed data file; the version's DV and
@@ -666,17 +746,39 @@ private[sources] class GraftChainScanBuilder(
   * join plan. Column pruning reaches the reader (by-name decode). */
 private[sources] class GraftChainScan(
     root: String, version: Long, required: StructType,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-    extends Scan with Batch {
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    skipBounds: Map[String, ChainSkip.Bounds] = Map.empty)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-chain $root v$version cols=[${required.fieldNames
-      .mkString(",")}]"
+      .mkString(",")}]" + (if (skipBounds.isEmpty) "" else
+      skipBounds.toSeq.sortBy(_._1).map { case (c, b) =>
+        s" skip:$c∈[${b.lo},${b.hi}]" }.mkString)
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftChainScan.snapshotPartitions(SparkSession.active, root, version)
+    GraftChainScan.snapshotPartitions(SparkSession.active, root,
+      version, skipBounds)
+
+  /** Post-pruning statistics from manifest arithmetic (memoized per
+    * immutable snapshot) — what lets Catalyst broadcast a small
+    * graft table in a join without hints, and AQE size the exchange,
+    * for the cost of one tiny manifest job instead of a data scan. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = ChainSkip.plannedLiveRows(SparkSession.active, root,
+      version, skipBounds)
+    val width = required.fields.map(_.dataType.defaultSize).sum.max(1)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows.max(1L) * width)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ChainReaderFactory(
@@ -709,13 +811,16 @@ private[sources] object GraftChainScan {
   /** One partition per committed data file of `version`, the DV and
     * equality-delete sidecar parts riding to every task — the masked
     * snapshot plan shared by the batch scan and the row stream's
-    * first batch. */
-  def snapshotPartitions(s: SparkSession, root: String,
-                         version: Long): Array[InputPartition] = {
-    val files = ManifestPrune.collectFileList(s,
-      s.read.parquet(ManifestPrune.manifestOf(root, version))
-        .select("file"),
-      s"catalog scan of $root v$version")
+    * first batch. Interval bounds (from pushed predicates) prune the
+    * file list manifest-side before anything reaches the driver. */
+  def snapshotPartitions(s: SparkSession, root: String, version: Long,
+                         skipBounds: Map[String, ChainSkip.Bounds] =
+                           Map.empty): Array[InputPartition] = {
+    val files = ChainSkip.plannedFiles(s, root, version, skipBounds)
+      .getOrElse(ManifestPrune.collectFileList(s,
+        s.read.parquet(ManifestPrune.manifestOf(root, version))
+          .select("file"),
+        s"catalog scan of $root v$version"))
     val dv = sidecarParts(ManifestPrune.dvOf(root, version))
     val eq = sidecarParts(ManifestPrune.eqDelOf(root, version))
     files.map(f =>

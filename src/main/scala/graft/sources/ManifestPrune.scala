@@ -1661,6 +1661,25 @@ object ManifestPrune {
       .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** Schema of a committed version WITHOUT resolving a multi-file
+    * relation: the declared schema when the chain has one (O(1)
+    * metadata — Iceberg's schema-in-metadata stance; DDL-created
+    * chains carry it from birth), otherwise ONE data file's footer
+    * (every chain writer pins column order to the table's, so any
+    * file's footer IS the table's schema). `loadTable` resolution
+    * therefore never lists or existence-checks the version's file
+    * set — at 100k files the difference between O(1) and a driver
+    * sweep per query. */
+  def schemaOfVersion(s: SparkSession, root: String, version: Long)
+      : org.apache.spark.sql.types.StructType = {
+    val mf = manifestOf(root, version)
+    schemaOfManifest(mf).getOrElse {
+      val first = s.read.parquet(mf).select("file")
+        .orderBy("file").limit(1).head.getString(0)
+      s.read.parquet(first).schema
+    }
+  }
+
   /** Metadata key carrying a renamed column's PRIOR physical names,
     * newest first — files written before rename N still hold the
     * column under names earlier in this list, and every read path
@@ -2403,6 +2422,13 @@ object ManifestPrune {
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$root/manifest")
     if (spec.id != 0) writeSpecPointer(s"$root/manifest", spec.id)
+    // a DDL-created chain's schema is DECLARED, not inferred: register
+    // it in the schema registry from birth so resolution never needs a
+    // footer (and survives the data files themselves — metadata-only
+    // aggregates can answer over a table whose files were vacuumed)
+    require(st.putIfAbsent(s"$root/_schemas/1", schema.json + "\n\n"),
+      s"schema 1 already registered at $root (concurrent create?)")
+    st.write(s"$root/manifest/_schema", "1\n")
     st.write(s"$root/_created", s"ts=${st.nowMs()}\n")
     root
   }

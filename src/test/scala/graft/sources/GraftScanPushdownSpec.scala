@@ -1,0 +1,213 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The SQL catalog scan's planning surfaces (round 14):
+  *
+  *  - `SupportsPushDownV2Filters` — a WHERE on the clustering stats
+  *    column prunes the manifest's file list BEFORE partition
+  *    planning (spec-aware, same soundness rule as
+  *    planRangeCommitted), while every predicate stays a post-scan
+  *    filter so skipping can never change results;
+  *  - `SupportsReportStatistics` — post-pruning row counts from
+  *    manifest arithmetic let Catalyst broadcast a small graft table
+  *    without hints;
+  *  - `SupportsPushDownAggregates` — global COUNT(*)/MIN/MAX answer
+  *    from metadata alone (proof: the data files are DELETED and the
+  *    aggregate still answers), refused exactly when hidden rows
+  *    make metadata insufficient. */
+class GraftScanPushdownSpec extends SparkSpec {
+
+  private def ensureCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+
+  private def docs: DataFrame =
+    Tables.load(spark, sf0001, "documents")
+
+  private def freshChain(tag: String): (String, String) = {
+    ensureCatalog()
+    val root = Tables.matDir(s"push_${tag}_${System.nanoTime}", spark,
+      sf0001)
+    ManifestPrune.buildLayout(docs, root, nFiles = 8)
+    val tbl = s"push.${tag}_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    (tbl, root)
+  }
+
+  private def chainScans(df: DataFrame): Seq[BatchScanExec] = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: BatchScanExec
+          if b.scan.description().startsWith("graft-chain") => b
+    }
+  }
+
+  test("WHERE on the stats column prunes input partitions through " +
+    "manifest min/max; results are byte-identical to the unpruned " +
+    "filter") {
+    val (tbl, root) = freshChain("prune")
+    val nFiles = spark.read.parquet(s"$root/manifest").count()
+    assert(nFiles === 8L)
+
+    val q = spark.sql(s"SELECT doc_id, lang, n_chars FROM graft.$tbl " +
+      "WHERE n_chars BETWEEN 120 AND 200")
+    val scans = chainScans(q)
+    assert(scans.length === 1)
+    val planned = scans.head.inputPartitions.length
+    assert(planned < 8,
+      s"expected manifest pruning to drop files, planned=$planned")
+    assert(planned > 0)
+    assert(scans.head.scan.description().contains("skip:n_chars"))
+
+    val expect = docs.filter(col("n_chars").between(120, 200))
+      .select("doc_id", "lang", "n_chars")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(q.collect().map(_.toSeq).sortBy(_.toString) === expect)
+  }
+
+  test("a predicate on a column no spec stats prunes nothing and " +
+    "stays correct; OR shapes never mis-prune") {
+    val (tbl, _) = freshChain("nostat")
+    val q = spark.sql(
+      s"SELECT count(*) AS n FROM graft.$tbl WHERE doc_id < 100")
+    assert(q.collect().head.getLong(0) ===
+      docs.filter(col("doc_id") < 100).count())
+
+    // an OR across columns reaches the scan un-tightened: full plan,
+    // exact rows
+    val or = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+      "WHERE n_chars < 50 OR doc_id % 7 = 0")
+    assert(or.collect().head.getLong(0) ===
+      docs.filter(col("n_chars") < 50 || col("doc_id") % 7 === 0)
+        .count())
+  }
+
+  test("reported statistics carry post-pruning live row counts, and " +
+    "a small graft table broadcasts in a join without hints") {
+    val (tbl, root) = freshChain("stats")
+    // the version's reported numRows equals the live count
+    val scan = new GraftChainScan(root, 0L,
+      ManifestPrune.readVersion(spark, s"$root/manifest").schema)
+    assert(scan.estimateStatistics().numRows().getAsLong ===
+      docs.count())
+
+    // DV-delete a slice: reported rows drop to the live count
+    val v1 = ManifestPrune.dvDeleteWhereCommit(spark, root,
+      col("doc_id") % 3 === 0)
+    val scan1 = new GraftChainScan(root, v1,
+      ManifestPrune.readVersion(spark, ManifestPrune.manifestOf(root,
+        v1)).schema)
+    assert(scan1.estimateStatistics().numRows().getAsLong ===
+      docs.filter(col("doc_id") % 3 =!= 0).count())
+
+    // joined to a larger in-memory side WITHOUT a broadcast hint, the
+    // catalog table's reported size is what lets Catalyst choose a
+    // broadcast hash join
+    val big = spark.range(0, 50000)
+      .select(col("id").as("doc_id"), (col("id") * 2).as("v"))
+    val j = big.join(spark.sql(s"SELECT doc_id, lang FROM graft.$tbl"),
+      "doc_id")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a stats-driven broadcast join, got:\n$plan")
+  }
+
+  test("global COUNT(*)/MIN/MAX answer from metadata alone — the " +
+    "data files can be deleted and the aggregate still answers; the " +
+    "plan shows the metadata scan and zero input partitions touch " +
+    "parquet") {
+    // a DDL-created chain: declared schema in the registry from
+    // birth, clustering spec statting n_chars — resolution and the
+    // pushed aggregate both run without a single data-file read
+    ensureCatalog()
+    val root = Tables.matDir(s"push_agg_${System.nanoTime}", spark,
+      sf0001)
+    val tbl = s"push.agg_${System.nanoTime}"
+    spark.sql(
+      s"""CREATE TABLE graft.$tbl (
+         |  doc_id BIGINT, text STRING, lang STRING, source STRING,
+         |  n_chars BIGINT)
+         |USING graft LOCATION '$root'
+         |TBLPROPERTIES ('cluster'='n_chars|n_chars,doc_id',
+         |  'key'='doc_id')""".stripMargin)
+    val view = s"push_agg_src_${System.nanoTime}"
+    docs.createOrReplaceTempView(view)
+    spark.sql(s"INSERT INTO graft.$tbl " +
+      s"SELECT doc_id, text, lang, source, n_chars FROM $view")
+
+    val exact = docs.agg(count(lit(1)), min(col("n_chars")),
+      max(col("n_chars"))).head
+    val q = spark.sql(s"SELECT count(*) AS n, min(n_chars) AS lo, " +
+      s"max(n_chars) AS hi FROM graft.$tbl")
+    val row = q.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      (exact.getLong(0), exact.getLong(1), exact.getLong(2)))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+
+    // the proof the scan is metadata-only: destroy every data file,
+    // ask again (a fresh query → fresh loadTable → fresh plan)
+    val st = ChainStorage.forPath(root)
+    st.list(s"$root/data").foreach(f => st.deleteFile(s"$root/data/$f"))
+    st.list(root).filter(_.startsWith("data_")).foreach { d =>
+      st.list(s"$root/$d").foreach(f => st.deleteFile(s"$root/$d/$f"))
+    }
+    val again = spark.sql(s"SELECT count(*) AS n, min(n_chars) AS lo " +
+      s"FROM graft.$tbl").collect().head
+    assert(again.getLong(0) === exact.getLong(0))
+    assert(again.getLong(1) === exact.getLong(1))
+  }
+
+  test("aggregate pushdown refuses exactly when metadata cannot " +
+    "answer: DVs block MIN/MAX but not COUNT(*); a WHERE blocks " +
+    "both; values stay correct through the scan fallback") {
+    val (tbl, root) = freshChain("aggdv")
+
+    ManifestPrune.dvDeleteWhereCommit(spark, root,
+      col("doc_id") % 3 === 0)
+    val live = docs.filter(col("doc_id") % 3 =!= 0)
+
+    // COUNT(*) still answers from metadata (n_rows minus DV count)
+    val c = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl")
+    assert(c.collect().head.getLong(0) === live.count())
+    assert(c.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+
+    // MIN under a DV: a hidden row could be the extreme — real scan,
+    // correct value
+    val mn = spark.sql(s"SELECT min(doc_id) AS lo FROM graft.$tbl")
+    assert(!mn.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+    assert(mn.collect().head.getLong(0) ===
+      live.agg(min(col("doc_id"))).head.getLong(0))
+
+    // a filtered aggregate keeps its residual filter → never pushed
+    val f = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+      "WHERE lang = 'en'")
+    assert(!f.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+    assert(f.collect().head.getLong(0) ===
+      live.filter(col("lang") === "en").count())
+  }
+
+  test("equality deletes refuse COUNT pushdown (live count is a data " +
+    "question until folded); the scan fallback stays exact") {
+    val (tbl, root) = freshChain("aggeq")
+    import spark.implicits._
+    val doomed = docs.select("lang").distinct().limit(1)
+      .as[String].collect().head
+    ManifestPrune.eqDeleteCommit(spark, root,
+      Seq(doomed).toDF("lang"))
+
+    val q = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl")
+    assert(!q.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+    assert(q.collect().head.getLong(0) ===
+      docs.filter(col("lang") =!= doomed).count())
+  }
+}
