@@ -749,7 +749,18 @@ private[sources] class GraftChainScan(
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
     skipBounds: Map[String, ChainSkip.Bounds] = Map.empty)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Bounds learned at EXECUTION time (dynamic partition pruning: the
+    * join's build side finished, Spark hands this scan the probe
+    * keys' IN-set) — intersected with the compile-time bounds before
+    * partitions are planned. */
+  @volatile private var runtimeBounds: Map[String, ChainSkip.Bounds] =
+    Map.empty
+  /** Partition count of the last plan — observable by specs, so the
+    * runtime-pruning claim is assertable on the REAL executed join. */
+  @volatile private[sources] var lastPlannedPartitions: Int = -1
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -759,9 +770,35 @@ private[sources] class GraftChainScan(
       skipBounds.toSeq.sortBy(_._1).map { case (c, b) =>
         s" skip:$c∈[${b.lo},${b.hi}]" }.mkString)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftChainScan.snapshotPartitions(SparkSession.active, root,
-      version, skipBounds)
+  /** Runtime filtering (DPP through the SQL face): a join keyed on a
+    * clustering stats column prunes this scan's files with the build
+    * side's actual key set — the v2 equivalent of partition pruning,
+    * on range-clustered files instead of hive directories. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    ManifestPrune.listSpecs(root).values.map(_.statsCol).toSet
+      .filter(c => required.fieldNames.contains(c))
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .column(c)).toArray
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val (_, b) = ChainSkip.extract(predicates)
+    runtimeBounds = b
+  }
+
+  private def effectiveBounds: Map[String, ChainSkip.Bounds] =
+    (skipBounds.keySet ++ runtimeBounds.keySet).map { c =>
+      val s = skipBounds.getOrElse(c, ChainSkip.Bounds())
+      val r = runtimeBounds.getOrElse(c, ChainSkip.Bounds())
+      c -> ChainSkip.Bounds(s.lo.max(r.lo), s.hi.min(r.hi))
+    }.toMap
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = GraftChainScan.snapshotPartitions(SparkSession.active,
+      root, version, effectiveBounds)
+    lastPlannedPartitions = parts.length
+    parts
+  }
 
   /** Post-pruning statistics from manifest arithmetic (memoized per
     * immutable snapshot) — what lets Catalyst broadcast a small

@@ -195,6 +195,63 @@ class GraftScanPushdownSpec extends SparkSpec {
       live.filter(col("lang") === "en").count())
   }
 
+  test("runtime filtering (DPP through the SQL face): a broadcast " +
+    "join keyed on the stats column hands the scan the build side's " +
+    "key set at execution and files prune at runtime") {
+    val (tbl, root) = freshChain("dpp")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+
+    // a tiny dimension holding ONE n_chars value that exists in the
+    // fact — the join's build side; its key set reaches the fact scan
+    // as a runtime IN predicate
+    import spark.implicits._
+    val someChars = docs.orderBy("doc_id").limit(1)
+      .select("n_chars").as[Long].collect().head
+    // the dim must survive optimization as a real relation (a local
+    // relation's filter constant-folds away, and with it the
+    // "selective predicate" the DPP rule requires) — park it in
+    // parquet
+    val dimDir = Tables.matDir(s"push_dpp_dim_${System.nanoTime}",
+      spark, sf0001)
+    Seq((someChars, "keep"), (-1L, "drop")).toDF("n_chars", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView(s"dpp_dim")
+
+    // the selective filter on the build side is what makes the DPP
+    // rule consider injection at all (PartitionPruning's
+    // hasSelectivePredicate requirement)
+    val q = spark.sql(s"SELECT f.doc_id, f.n_chars, d.tag " +
+      s"FROM graft.$tbl f JOIN dpp_dim d ON f.n_chars = d.n_chars " +
+      "WHERE d.tag = 'keep'")
+    val rows = q.collect()
+    assert(rows.length ===
+      docs.filter(col("n_chars") === someChars).count())
+    assert(rows.forall(_.getLong(1) === someChars))
+
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[GraftChainScan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(qs.plan)
+      case b: BatchScanExec => b.scan match {
+        case g: GraftChainScan => Seq(g)
+        case _ => Seq.empty
+      }
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("dynamicpruningexpression"),
+      "expected an injected DPP filter on the chain scan")
+    val planned = scans.head.lastPlannedPartitions
+    val total = spark.read.parquet(s"$root/manifest").count()
+    assert(planned >= 0 && planned < total,
+      s"expected runtime pruning below $total files, planned=$planned")
+  }
+
   test("equality deletes refuse COUNT pushdown (live count is a data " +
     "question until folded); the scan fallback stays exact") {
     val (tbl, root) = freshChain("aggeq")
