@@ -552,10 +552,16 @@ private[sources] class GraftCatalogTable(val root: String,
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 overwrite: Boolean): Unit = {
               val s = data.sparkSession
-              if (replace || overwrite)
-                ManifestPrune.replaceCommit(s, root, data)
-              else
-                ManifestPrune.appendCommit(s, root, data)
+              // blind writes auto-retry a lost CAS (Delta's rule:
+              // appends commute, overwrite is last-wins) — both
+              // re-read the current version on every attempt, so two
+              // concurrent SQL INSERTs both land
+              ManifestPrune.withCommitRetry() { () =>
+                if (replace || overwrite)
+                  ManifestPrune.replaceCommit(s, root, data)
+                else
+                  ManifestPrune.appendCommit(s, root, data)
+              }
             }
           }
 
@@ -584,7 +590,11 @@ private[sources] class GraftCatalogTable(val root: String,
     val cond = predicates.toSeq.flatMap(V2PredicateToColumn.translate)
       .reduceOption(_ && _)
       .getOrElse(lit(true)) // TRUNCATE: unconditional delete
-    ManifestPrune.dvDeleteWhereCommit(SparkSession.active, root, cond)
+    // predicate deletes re-plan doomed positions against the current
+    // version on every attempt, so a lost CAS is safely retried
+    ManifestPrune.withCommitRetry() { () =>
+      ManifestPrune.dvDeleteWhereCommit(SparkSession.active, root, cond)
+    }
   }
 }
 

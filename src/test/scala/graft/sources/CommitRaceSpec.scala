@@ -90,6 +90,24 @@ class CommitRaceSpec extends SparkSpec {
     assert(ManifestPrune.currentVersion(spark, root) === 0L)
   }
 
+  test("concurrent SQL INSERTs both land — the catalog's DML paths " +
+    "auto-retry a lost CAS like blind appends everywhere") {
+    val root = freshRoot("sqlins")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+    val tbl = s"race.t_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    val a = Future(spark.sql(s"INSERT INTO graft.$tbl VALUES " +
+      "(95000001, 'race row a', 'ra', 'race', 10)"))
+    val b = Future(spark.sql(s"INSERT INTO graft.$tbl VALUES " +
+      "(95000002, 'race row b', 'rb', 'race', 10)"))
+    Await.result(a, 120.seconds); Await.result(b, 120.seconds)
+    assert(ManifestPrune.currentVersion(spark, root) === 2L)
+    val got = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+      "WHERE source = 'race'").collect().head.getLong(0)
+    assert(got === 2L, "a lost INSERT race dropped a row")
+  }
+
   test("expiry collects race losers' prepared garbage") {
     val root = freshRoot("gc")
     // a loser: fully prepared, never published
