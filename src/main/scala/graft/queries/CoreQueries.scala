@@ -314,6 +314,37 @@ object CoreQueries {
       (t1, t2)
     })
 
+  /** q_spj_join's pair of co-BUCKETED chain tables (documents and
+    * embeddings-meta, both bucketed 8 ways on the join key through
+    * SpjBucket.buildBucketedLayout), registered in the SQL catalog
+    * ONCE per (session, sf dir). Unlike q_colocated_join's Spark-
+    * native bucketBy tables, these are CHAIN tables — versioned,
+    * DV-maskable, SQL-writable — whose scans report
+    * KeyGroupedPartitioning(bucket(8, doc_id)). */
+  private val spjCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+
+  private def spjTables(s: SparkSession, d: String): (String, String) =
+    spjCache.computeIfAbsent((s, d), { _ =>
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+      val rootA = Tables.matDir(s"spj_docs_${System.nanoTime}", s, d)
+      val rootB = Tables.matDir(s"spj_emb_${System.nanoTime}", s, d)
+      graft.sources.SpjBucket.buildBucketedLayout(
+        Tables.load(s, d, "documents"), rootA, "doc_id", 8)
+      graft.sources.SpjBucket.buildBucketedLayout(
+        Tables.load(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("label")),
+        rootB, "doc_id", 8, statsCol = "doc_id")
+      val ta = s"spj.docs_$suf"
+      val tb = s"spj.emb_$suf"
+      graft.sources.GraftCatalog.registerTable(ta, rootA)
+      graft.sources.GraftCatalog.registerTable(tb, rootB)
+      (ta, tb)
+    })
+
   /** q_point_lookup's chain (layout → DV delete v1 → per-file bloom
     * index over doc_id), built ONCE per (session, sf dir). */
   private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
@@ -2611,6 +2642,36 @@ object CoreQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("sum_chars"))
           .orderBy("lang", "label")
+      },
+      Some("""SELECT d.lang, e.label, count(*) AS n_docs,
+             |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+             |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+             |GROUP BY d.lang, e.label
+             |ORDER BY d.lang, e.label""".stripMargin)),
+
+    // STORAGE-PARTITIONED JOIN between chain tables (round 14 —
+    // SpjBucket + the catalog's FunctionCatalog face): both chains
+    // were built bucketed 8 ways on the join key, each file's bucket
+    // id rides in the manifest, the scans report
+    // KeyGroupedPartitioning(bucket(8, doc_id)) with HasPartitionKey
+    // partitions, and the catalog resolves the `bucket` function so
+    // Spark proves the partitionings compatible — the join plans
+    // with ZERO Exchange on either side (SpjJoinSpec pins the
+    // shuffle-free plan, the bucket-count-mismatch fallback, and
+    // that SQL INSERT keeps appends bucketed). Where
+    // q_colocated_join buys this with Spark-native bucketBy tables,
+    // these are CHAIN tables: versioned, DV-maskable, SQL-writable.
+    // The oracle replays the plain join — co-location must change
+    // the plan, never the rows.
+    Q("q_spj_join",
+      (s, d) => {
+        val (ta, tb) = spjTables(s, d)
+        s.sql(s"""SELECT a.lang, b.label, count(*) AS n_docs,
+                 |  sum(a.n_chars) AS sum_chars
+                 |FROM graft.$ta a JOIN graft.$tb b
+                 |  ON a.doc_id = b.doc_id
+                 |GROUP BY a.lang, b.label
+                 |ORDER BY a.lang, b.label""".stripMargin)
       },
       Some("""SELECT d.lang, e.label, count(*) AS n_docs,
              |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars

@@ -50,7 +50,8 @@ import org.apache.spark.sql.functions.{col, lit}
   * the same CAS chain as the Scala API, so SQL and API writers
   * interleave safely. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = "graft"
 
@@ -416,6 +417,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   // --- namespaces: registration-derived (memory + durable),
+  /** The catalog-resolved `bucket` function — what gives the
+    * `bucket(N, key)` transform the scans report its SEMANTICS, so
+    * Spark's storage-partitioned-join machinery can check two graft
+    * tables' partitionings are compatible (and evaluate the function
+    * on the shuffle-one-side SPJ path). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions
+        .UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name == "bucket"
+
   // metadata-free
   override def listNamespaces(): Array[Array[String]] = {
     val durable = warehouse.toSeq.flatMap { wh =>
@@ -486,6 +508,15 @@ private[sources] class GraftCatalogTable(val root: String,
   // file's footer — never a multi-file relation resolution per query
   override lazy val schema: StructType =
     ManifestPrune.schemaOfVersion(SparkSession.active, root, snapshot)
+
+  /** A bucketed chain advertises its layout as a `bucket(N, key)`
+    * transform (DESCRIBE shows it; the scan's KeyGroupedPartitioning
+    * gives it join-planning teeth). */
+  override def partitioning(): Array[Transform] =
+    SpjBucket.bucketingOf(root).map { case (k, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(n, k)
+    }.toArray
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -760,7 +791,37 @@ private[sources] class GraftChainScan(
     skipBounds: Map[String, ChainSkip.Bounds] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** STORAGE-PARTITIONED JOIN eligibility: the chain is registered
+    * bucketed, every live file carries its bucket id in the manifest,
+    * the join key survived column pruning, and no compile-time skip
+    * bounds narrowed the file set (pruned buckets would desync the
+    * two sides' partition values). When Some, partitions carry their
+    * bucket as the partition key and the scan reports
+    * KeyGroupedPartitioning(bucket(N, key)) — two co-bucketed graft
+    * tables then join with ZERO Exchange on either side. */
+  private lazy val spjPlan: Option[(String, Int, Seq[(String, Int)])] =
+    if (skipBounds.nonEmpty) None
+    else SpjBucket.bucketingOf(root).flatMap { case (key, _) =>
+      if (!required.fieldNames.contains(key)) None
+      else SpjBucket.bucketedFiles(SparkSession.active, root, version)
+        .map { case (n, files) => (key, n, files) }
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjPlan match {
+      case Some((key, n, files)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, key)), files.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   /** Bounds learned at EXECUTION time (dynamic partition pruning: the
     * join's build side finished, Spark hands this scan the probe
@@ -786,7 +847,11 @@ private[sources] class GraftChainScan(
     * on range-clustered files instead of hive directories. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    ManifestPrune.listSpecs(root).values.map(_.statsCol).toSet
+    // a key-grouped (SPJ) scan keeps its partition-value set stable:
+    // runtime pruning there could drop buckets one join side still
+    // expects, so it is offered only on unbucketed plans
+    if (spjPlan.isDefined) Array.empty
+    else ManifestPrune.listSpecs(root).values.map(_.statsCol).toSet
       .filter(c => required.fieldNames.contains(c))
       .map(c => org.apache.spark.sql.connector.expressions.Expressions
         .column(c)).toArray
@@ -804,8 +869,19 @@ private[sources] class GraftChainScan(
     }.toMap
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val parts = GraftChainScan.snapshotPartitions(SparkSession.active,
-      root, version, effectiveBounds)
+    val parts = spjPlan match {
+      case Some((_, _, files)) =>
+        val dv = GraftChainScan.sidecarParts(
+          ManifestPrune.dvOf(root, version))
+        val eq = GraftChainScan.sidecarParts(
+          ManifestPrune.eqDelOf(root, version))
+        files.map { case (f, b) =>
+          BucketedChainFilePartition(f, dv, eq, b): InputPartition
+        }.toArray
+      case None =>
+        GraftChainScan.snapshotPartitions(SparkSession.active, root,
+          version, effectiveBounds)
+    }
     lastPlannedPartitions = parts.length
     parts
   }
@@ -849,7 +925,7 @@ private[sources] class GraftChainScan(
 
 private[sources] object GraftChainScan {
 
-  private def sidecarParts(dir: Option[String]): Seq[String] =
+  private[sources] def sidecarParts(dir: Option[String]): Seq[String] =
     dir.toSeq.flatMap { d =>
       val st = ChainStorage.forPath(d)
       st.list(d).filter(_.endsWith(".parquet")).sorted.map(n => s"$d/$n")
@@ -880,6 +956,20 @@ private[sources] case class ChainFilePartition(file: String,
                                                eqParts: Seq[String])
     extends InputPartition
 
+/** A chain file partition that KNOWS its bucket — the HasPartitionKey
+  * half of the storage-partitioned-join contract: Spark groups these
+  * by bucket id and zips matching groups across the join, no
+  * Exchange. */
+private[sources] case class BucketedChainFilePartition(
+    file: String, dvParts: Seq[String], eqParts: Seq[String],
+    bucket: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
+
 private[sources] class ChainReaderFactory(
     conf: SerializableHadoopConf, required: StructType,
     priorNames: Map[String, Seq[String]] = Map.empty)
@@ -889,7 +979,11 @@ private[sources] class ChainReaderFactory(
 
   override def createReader(p0: InputPartition)
       : PartitionReader[InternalRow] = {
-    val p = p0.asInstanceOf[ChainFilePartition]
+    val p = p0 match {
+      case b: BucketedChainFilePartition =>
+        ChainFilePartition(b.file, b.dvParts, b.eqParts)
+      case c: ChainFilePartition => c
+    }
     // DV positions for THIS file: the sidecar holds (file, pos) rows
     // keyed by the same _metadata.file_path URI the manifest records
     val hidden = new java.util.HashSet[java.lang.Long]()

@@ -1392,14 +1392,29 @@ object ManifestPrune {
     // column order pinned to the table's (schema-only read: footers,
     // not data)
     val cols = readVersion(s, baseManifest).schema.fieldNames.toSeq
-    rows.select(cols.map(col): _*)
-      .write.mode("overwrite").parquet(dataDelta)
-    enforceConstraints(root, s.read.parquet(dataDelta))
     val spec = specOfManifest(root, baseManifest)
+    // a bucketed chain's appends stay bucketed (each delta file
+    // wholly inside one bucket, its id in the manifest), so the
+    // storage-partitioned-join surface survives SQL INSERTs
+    val spj = SpjBucket.bucketingOf(root)
+      .filter { case (k, _) => cols.contains(k) }
+    val deltaStats = spj match {
+      case Some((key, n)) =>
+        rows.select(cols.map(col): _*)
+          .withColumn("__bp", SpjBucket.bucketCol(key, n))
+          .write.partitionBy("__bp").mode("overwrite").parquet(dataDelta)
+        SpjBucket.bucketStatsManifest(s, dataDelta, key, n,
+          spec.statsCol, spec.id)
+      case None =>
+        rows.select(cols.map(col): _*)
+          .write.mode("overwrite").parquet(dataDelta)
+        statsManifest(s, dataDelta, spec.statsCol, spec.id)
+    }
+    enforceConstraints(root,
+      s.read.parquet(dataDelta).select(cols.map(col): _*))
     val mfV = s"$root/manifest_$tok"
     s.read.parquet(baseManifest)
-      .unionByName(statsManifest(s, dataDelta, spec.statsCol, spec.id),
-        allowMissingColumns = true)
+      .unionByName(deltaStats, allowMissingColumns = true)
       .write.mode("overwrite").parquet(mfV)
     carrySpecPointer(root, baseManifest, mfV)
     effDv.foreach(dv => writeDvPointer(root, mfV, dv))

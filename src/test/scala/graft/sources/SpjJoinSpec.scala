@@ -1,0 +1,164 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** STORAGE-PARTITIONED JOINS between chain tables: two chains built
+  * bucketed on the same key through [[SpjBucket.buildBucketedLayout]]
+  * join through plain SQL with ZERO Exchange on either side — the
+  * scans report KeyGroupedPartitioning(bucket(N, key)), partitions
+  * carry their bucket ids, and the catalog resolves the `bucket`
+  * function so Spark can prove the two partitionings compatible.
+  * Results are pinned against the plain (shuffled) join. */
+class SpjJoinSpec extends SparkSpec {
+
+  private def docs: DataFrame = Tables.load(spark, sf0001, "documents")
+  private def embs: DataFrame =
+    Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"))
+
+  private def ensureCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+
+  test("bucket function parity: the V2 bucket() reproduces the write " +
+    "path's pmod(xxhash64(key), n) exactly") {
+    val f = GraftBucketFunction.bind(org.apache.spark.sql.types
+      .StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+      .asInstanceOf[GraftBoundBucket]
+    val keys = docs.select("doc_id").limit(64)
+      .collect().map(_.getLong(0))
+    val viaSql = docs.limit(64)
+      .select(col("doc_id"), SpjBucket.bucketCol("doc_id", 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    keys.foreach { k =>
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](8, k))
+      assert(f.produceResult(row).intValue === viaSql(k),
+        s"bucket mismatch for key $k")
+    }
+  }
+
+  test("two co-bucketed chains join with zero Exchange; rows match " +
+    "the plain join; a key-mismatched pair falls back to a shuffle") {
+    ensureCatalog()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rootA = Tables.matDir(s"spj_a_${System.nanoTime}", spark,
+        sf0001)
+      val rootB = Tables.matDir(s"spj_b_${System.nanoTime}", spark,
+        sf0001)
+      SpjBucket.buildBucketedLayout(docs, rootA, "doc_id", 8)
+      SpjBucket.buildBucketedLayout(embs, rootB, "doc_id", 8,
+        statsCol = "doc_id")
+      val ta = s"spj.a_${System.nanoTime}"
+      val tb = s"spj.b_${System.nanoTime}"
+      GraftCatalog.registerTable(ta, rootA)
+      GraftCatalog.registerTable(tb, rootB)
+
+      val q = spark.sql(
+        s"""SELECT a.lang, b.label, count(*) AS n,
+           |  sum(a.n_chars) AS sum_chars
+           |FROM graft.$ta a JOIN graft.$tb b ON a.doc_id = b.doc_id
+           |GROUP BY a.lang, b.label ORDER BY a.lang, b.label"""
+          .stripMargin)
+      val got = q.collect().map(_.toSeq)
+
+      val expect = docs.join(embs, "doc_id")
+        .groupBy("lang", "label")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang", "label").collect().map(_.toSeq)
+      assert(got === expect)
+
+      // the SPJ claim: no shuffle between the two scans and the join
+      // (inspect the FINAL plan only — AQE also prints the initial
+      // one; the aggregate ABOVE the join may shuffle, so only the
+      // text from the join down counts)
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("MergeJoin") ||
+        plan.contains("ShuffledHashJoin"))
+      val belowJoin = plan.substring(plan.indexOf("MergeJoin"))
+      assert(!belowJoin.contains("Exchange hashpartitioning"),
+        s"expected a shuffle-free storage-partitioned join:\n$plan")
+
+      // honesty of the compatibility check: a 4-bucket build against
+      // the 8-bucket one is NOT co-partitioned — the join must fall
+      // back to shuffling, with identical rows
+      val rootC = Tables.matDir(s"spj_c_${System.nanoTime}", spark,
+        sf0001)
+      SpjBucket.buildBucketedLayout(embs, rootC, "doc_id", 4,
+        statsCol = "doc_id")
+      val tc = s"spj.c_${System.nanoTime}"
+      GraftCatalog.registerTable(tc, rootC)
+      val q2 = spark.sql(
+        s"""SELECT a.lang, c.label, count(*) AS n,
+           |  sum(a.n_chars) AS sum_chars
+           |FROM graft.$ta a JOIN graft.$tc c ON a.doc_id = c.doc_id
+           |GROUP BY a.lang, c.label ORDER BY a.lang, c.label"""
+          .stripMargin)
+      assert(q2.collect().map(_.toSeq) === expect)
+      val plan2 = q2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val below2 = plan2.substring(
+        plan2.indexOf("MergeJoin").max(plan2.indexOf("Join")))
+      assert(below2.contains("Exchange hashpartitioning"),
+        s"mismatched bucket counts must shuffle:\n$plan2")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("the SPJ surface survives SQL INSERT: appends to a bucketed " +
+    "chain stay bucketed (delta files carry their bucket ids) and " +
+    "the join stays shuffle-free with the new rows visible") {
+    ensureCatalog()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rootA = Tables.matDir(s"spji_a_${System.nanoTime}", spark,
+        sf0001)
+      val rootB = Tables.matDir(s"spji_b_${System.nanoTime}", spark,
+        sf0001)
+      SpjBucket.buildBucketedLayout(docs, rootA, "doc_id", 8)
+      SpjBucket.buildBucketedLayout(embs, rootB, "doc_id", 8,
+        statsCol = "doc_id")
+      val ta = s"spj.ia_${System.nanoTime}"
+      val tb = s"spj.ib_${System.nanoTime}"
+      GraftCatalog.registerTable(ta, rootA)
+      GraftCatalog.registerTable(tb, rootB)
+      // append through SQL: a doc that matches an existing embedding
+      val probe = embs.orderBy("doc_id").limit(1)
+        .collect().head.getLong(0)
+      spark.sql(s"INSERT INTO graft.$ta VALUES " +
+        s"($probe, 'spj appended row', 'zz', 'spj', 17)")
+
+      val q = spark.sql(
+        s"""SELECT a.lang, count(*) AS n
+           |FROM graft.$ta a JOIN graft.$tb b ON a.doc_id = b.doc_id
+           |GROUP BY a.lang ORDER BY a.lang""".stripMargin)
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1)))
+      val zz = got.filter(_._1 == "zz")
+      assert(zz === Array(("zz", 1L)), s"appended row missing: " +
+        got.mkString(", "))
+
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("MergeJoin") ||
+        plan.contains("ShuffledHashJoin"))
+      val belowJoin = plan.substring(plan.indexOf("Join"))
+      assert(!belowJoin.contains("Exchange hashpartitioning"),
+        s"append broke the storage-partitioned join:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+}
