@@ -282,13 +282,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new UnsupportedOperationException(
         "CREATE TABLE needs a LOCATION clause or the catalog option " +
           s"spark.sql.catalog.$catName.warehouse"))
+    // `PARTITIONED BY (bucket(8, doc_id))` declares the chain's SPJ
+    // bucketing (SpjBucket) — every insert stays bucketed and joins
+    // of co-bucketed tables plan shuffle-free
+    val bucketPart: Option[(String, Int)] =
+      partitions.toSeq.collectFirst {
+        case t if t.name == "bucket" =>
+          import org.apache.spark.sql.connector.expressions.{Literal => V2Lit, NamedReference}
+          val n = t.arguments.collectFirst {
+            case l: V2Lit[_] if l.value.isInstanceOf[Number] =>
+              l.value.asInstanceOf[Number].intValue
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform without a bucket count: $t"))
+          val c = t.arguments.collectFirst {
+            case r: NamedReference => r.fieldNames.mkString(".")
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform without a column: $t"))
+          (c, n)
+      }
     val identityCols = partitions.toSeq.collect {
       case t if t.name == "identity" =>
         t.references.head.fieldNames.mkString(".")
     }
-    require(identityCols.length == partitions.length,
-      "only identity PARTITIONED BY columns are supported (they " +
-        "become the chain's clustering spec)")
+    require(identityCols.length + bucketPart.size == partitions.length,
+      "only identity and bucket(n, col) PARTITIONED BY transforms " +
+        "are supported (identity columns become the clustering " +
+        "spec; bucket declares storage-partitioned-join bucketing)")
     val (statsCol, clusterCols) =
       Option(properties.get("cluster")).map { v =>
         val parts = v.split("\\|")
@@ -312,6 +331,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else schema.fieldNames.head)
     ManifestPrune.createEmptyLayout(SparkSession.active, root, schema,
       statsCol, clusterCols)
+    bucketPart.foreach { case (c, n) =>
+      require(schema.fieldNames.contains(c),
+        s"bucket column '$c' does not exist in the declared schema")
+      SpjBucket.register(root, c, n)
+    }
     persist(q, root, key, exclusive = true)
     GraftCatalog.registerTable(q, root, key)
     new GraftCatalogTable(root, 0L, key, q)
@@ -807,6 +831,7 @@ private[sources] class GraftChainScan(
     else SpjBucket.bucketingOf(root).flatMap { case (key, _) =>
       if (!required.fieldNames.contains(key)) None
       else SpjBucket.bucketedFiles(SparkSession.active, root, version)
+        .filter(_._2.nonEmpty) // an all-empty table has no key groups
         .map { case (n, files) => (key, n, files) }
     }
 

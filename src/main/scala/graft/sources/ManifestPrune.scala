@@ -1331,13 +1331,27 @@ object ManifestPrune {
     val tok = prepareToken()
     val dataDir = s"$root/data_$tok"
     // compaction is where an evolved clustering spec physically lands:
-    // the rewrite clusters and stats by the CURRENT spec's columns
+    // the rewrite clusters and stats by the CURRENT spec's columns —
+    // and a bucketed chain stays bucketed (files split per bucket id,
+    // range-clustered within), so the SPJ surface survives compaction
     val spec = specOfVersion(root, base)
-    readCommitted(s, root, base)
-      .repartitionByRange(nFiles, spec.clusterCols.map(col): _*)
-      .write.mode("overwrite").parquet(dataDir)
-    statsManifest(s, dataDir, spec.statsCol, spec.id)
-      .write.mode("overwrite").parquet(s"$root/manifest_$tok")
+    val live = readCommitted(s, root, base)
+    SpjBucket.bucketingOf(root)
+      .filter { case (k, _) => live.columns.contains(k) } match {
+      case Some((key, n)) =>
+        live.withColumn("__bp", SpjBucket.bucketCol(key, n))
+          .repartitionByRange(nFiles,
+            (col("__bp") +: spec.clusterCols.map(col)): _*)
+          .write.partitionBy("__bp").mode("overwrite").parquet(dataDir)
+        SpjBucket.bucketStatsManifest(s, dataDir, key, n,
+          spec.statsCol, spec.id)
+          .write.mode("overwrite").parquet(s"$root/manifest_$tok")
+      case None =>
+        live.repartitionByRange(nFiles, spec.clusterCols.map(col): _*)
+          .write.mode("overwrite").parquet(dataDir)
+        statsManifest(s, dataDir, spec.statsCol, spec.id)
+          .write.mode("overwrite").parquet(s"$root/manifest_$tok")
+    }
     carrySpecPointer(root, manifestOf(root, base), s"$root/manifest_$tok")
     publish(root, base, s"$root/manifest_$tok")
   }

@@ -99,7 +99,10 @@ object SpjBucket {
       val m = s.read.parquet(ManifestPrune.manifestOf(root, version))
       if (!m.columns.contains("bucket")) None
       else {
-        val rows = m.select("file", "bucket").orderBy("file")
+        // a 0-row file (the DDL create placeholder) holds nothing and
+        // belongs to no bucket — it is soundly dropped from the plan
+        val rows = m.filter(col("n_rows") > 0)
+          .select("file", "bucket").orderBy("file")
           .collect().toSeq
         if (rows.exists(_.isNullAt(1))) None
         else Some((n, rows.map(r => (r.getString(0), r.getInt(1)))))

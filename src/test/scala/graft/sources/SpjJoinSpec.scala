@@ -116,6 +116,77 @@ class SpjJoinSpec extends SparkSpec {
     }
   }
 
+  test("SPJ through DDL and the table lifecycle: CREATE TABLE " +
+    "PARTITIONED BY (bucket(8, doc_id)) declares the bucketing, " +
+    "INSERT fills it, DELETE masks rows, compact rewrites files — " +
+    "and the join stays shuffle-free with exact rows throughout") {
+    ensureCatalog()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rootA = Tables.matDir(s"spjd_a_${System.nanoTime}", spark,
+        sf0001)
+      val rootB = Tables.matDir(s"spjd_b_${System.nanoTime}", spark,
+        sf0001)
+      val suf = System.nanoTime
+      val ta = s"spj.da_$suf"
+      val tb = s"spj.db_$suf"
+      spark.sql(
+        s"""CREATE TABLE graft.$ta (
+           |  doc_id BIGINT, lang STRING, n_chars BIGINT)
+           |USING graft
+           |PARTITIONED BY (bucket(8, doc_id))
+           |LOCATION '$rootA'
+           |TBLPROPERTIES ('key'='doc_id')""".stripMargin)
+      SpjBucket.buildBucketedLayout(embs, rootB, "doc_id", 8,
+        statsCol = "doc_id")
+      GraftCatalog.registerTable(tb, rootB)
+      val view = s"spjd_src_$suf"
+      docs.select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView(view)
+      spark.sql(s"INSERT INTO graft.$ta " +
+        s"SELECT doc_id, lang, n_chars FROM $view")
+
+      def joined(): DataFrame = spark.sql(
+        s"""SELECT a.lang, b.label, count(*) AS n
+           |FROM graft.$ta a JOIN graft.$tb b ON a.doc_id = b.doc_id
+           |GROUP BY a.lang, b.label ORDER BY a.lang, b.label"""
+          .stripMargin)
+      def assertSpj(q: DataFrame, stage: String): Unit = {
+        val plan = q.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val belowJoin = plan.substring(plan.indexOf("Join"))
+        assert(!belowJoin.contains("Exchange hashpartitioning"),
+          s"$stage lost the storage-partitioned join:\n$plan")
+      }
+
+      def expect(live: DataFrame) = live.join(embs, "doc_id")
+        .groupBy("lang", "label").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "label").collect().map(_.toSeq)
+
+      val q1 = joined()
+      assert(q1.collect().map(_.toSeq) ===
+        expect(docs.select("doc_id", "lang", "n_chars")))
+      assertSpj(q1, "INSERT")
+
+      spark.sql(s"DELETE FROM graft.$ta WHERE doc_id % 5 = 2")
+      val live = docs.filter(col("doc_id") % 5 =!= 2)
+        .select("doc_id", "lang", "n_chars")
+      val q2 = joined()
+      assert(q2.collect().map(_.toSeq) === expect(live))
+      assertSpj(q2, "DELETE")
+
+      spark.sql(s"CALL graft.system.compact(table => " +
+        s"'${ta.stripPrefix("graft.")}', target_files => 4)")
+      val q3 = joined()
+      assert(q3.collect().map(_.toSeq) === expect(live))
+      assertSpj(q3, "compact")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("the SPJ surface survives SQL INSERT: appends to a bucketed " +
     "chain stay bucketed (delta files carry their bucket ids) and " +
     "the join stays shuffle-free with the new rows visible") {
