@@ -397,6 +397,32 @@ object ManifestPrune {
     * ONLY the hit files (the CoW planning join, reused verbatim) —
     * reading matched rows is unavoidable for coalesce semantics, but
     * nothing is rewritten. */
+  /** Write a commit's new data rows + their manifest stats,
+    * preserving a registered SPJ bucketing ([[SpjBucket]]) when the
+    * row set carries the bucket key: files split per bucket id, ids
+    * recorded in the stats — the shared tail of every data-writing
+    * commit path, so append/replace/MERGE/upsert all keep the
+    * storage-partitioned-join surface alive. An empty row set takes
+    * the plain path (a bucket-partitioned write of zero rows emits
+    * no file at all, which would break downstream schema reads). */
+  private def writeDataWithStats(s: SparkSession, root: String,
+                                 rows: DataFrame, dataDir: String,
+                                 spec: ClusterSpec): DataFrame = {
+    val cols = rows.columns.toSeq
+    SpjBucket.bucketingOf(root)
+      .filter { case (k, _) => cols.contains(k) }
+      .filter(_ => rows.limit(1).count() > 0) match {
+      case Some((key, n)) =>
+        rows.withColumn("__bp", SpjBucket.bucketCol(key, n))
+          .write.partitionBy("__bp").mode("overwrite").parquet(dataDir)
+        SpjBucket.bucketStatsManifest(s, dataDir, key, n,
+          spec.statsCol, spec.id)
+      case None =>
+        rows.write.mode("overwrite").parquet(dataDir)
+        statsManifest(s, dataDir, spec.statsCol, spec.id)
+    }
+  }
+
   def morMergeFrom(s: SparkSession, root: String, baseManifest: String,
                    baseDv: Option[String], updates: DataFrame,
                    inserts: DataFrame, version: String,
@@ -459,16 +485,17 @@ object ManifestPrune {
       case None => post
     }
     val newRows = postLive.unionByName(inserts.select(tableCols.map(col): _*))
-    newRows.write.mode("overwrite").parquet(dataDelta)
-    enforceConstraints(root, s.read.parquet(dataDelta))
+    val spec = specOfManifest(root, baseManifest)
+    val deltaStats = writeDataWithStats(s, root, newRows, dataDelta,
+      spec)
+    enforceConstraints(root,
+      s.read.parquet(dataDelta).select(tableCols.map(col): _*))
     // 3. commit: carried base files + the delta file's stats; the
     // grown sidecar rides inside the prepared manifest so one rename
     // publishes both (the dvDeleteFrom publication rule)
     mergedDv.write.mode("overwrite").parquet(dvV)
-    val spec = specOfManifest(root, baseManifest)
     s.read.parquet(baseManifest)
-      .unionByName(statsManifest(s, dataDelta, spec.statsCol, spec.id),
-        allowMissingColumns = true)
+      .unionByName(deltaStats, allowMissingColumns = true)
       .write.mode("overwrite").parquet(mfV)
     carrySpecPointer(root, baseManifest, mfV)
     writeDvPointer(root, mfV, dvV)
@@ -1410,20 +1437,8 @@ object ManifestPrune {
     // a bucketed chain's appends stay bucketed (each delta file
     // wholly inside one bucket, its id in the manifest), so the
     // storage-partitioned-join surface survives SQL INSERTs
-    val spj = SpjBucket.bucketingOf(root)
-      .filter { case (k, _) => cols.contains(k) }
-    val deltaStats = spj match {
-      case Some((key, n)) =>
-        rows.select(cols.map(col): _*)
-          .withColumn("__bp", SpjBucket.bucketCol(key, n))
-          .write.partitionBy("__bp").mode("overwrite").parquet(dataDelta)
-        SpjBucket.bucketStatsManifest(s, dataDelta, key, n,
-          spec.statsCol, spec.id)
-      case None =>
-        rows.select(cols.map(col): _*)
-          .write.mode("overwrite").parquet(dataDelta)
-        statsManifest(s, dataDelta, spec.statsCol, spec.id)
-    }
+    val deltaStats = writeDataWithStats(s, root,
+      rows.select(cols.map(col): _*), dataDelta, spec)
     enforceConstraints(root,
       s.read.parquet(dataDelta).select(cols.map(col): _*))
     val mfV = s"$root/manifest_$tok"
@@ -1500,12 +1515,12 @@ object ManifestPrune {
       "INSERT OVERWRITE with zero rows — an empty table cannot be " +
         "represented by a replaced version; DELETE WHERE true instead")
     val spec = specOfManifest(root, baseManifest)
-    rows.select(cols.map(col): _*)
-      .write.mode("overwrite").parquet(dataDir)
-    enforceConstraints(root, s.read.parquet(dataDir))
+    val newStats = writeDataWithStats(s, root,
+      rows.select(cols.map(col): _*), dataDir, spec)
+    enforceConstraints(root,
+      s.read.parquet(dataDir).select(cols.map(col): _*))
     val mfV = s"$root/manifest_$tok"
-    statsManifest(s, dataDir, spec.statsCol, spec.id)
-      .write.mode("overwrite").parquet(mfV)
+    newStats.write.mode("overwrite").parquet(mfV)
     carrySpecPointer(root, baseManifest, mfV)
     val v = publish(root, base, mfV)
     noteCommit(root, v, "replace")
@@ -1535,11 +1550,12 @@ object ManifestPrune {
     val statsOpt = newRows.filter(_.limit(1).count() > 0).map { rows =>
       val cols = readVersion(s, baseManifest).schema.fieldNames.toSeq
       val dataDelta = s"$root/data_$tok"
-      rows.select(cols.map(col): _*)
-        .write.mode("overwrite").parquet(dataDelta)
-      enforceConstraints(root, s.read.parquet(dataDelta))
       val spec = specOfManifest(root, baseManifest)
-      statsManifest(s, dataDelta, spec.statsCol, spec.id)
+      val st2 = writeDataWithStats(s, root,
+        rows.select(cols.map(col): _*), dataDelta, spec)
+      enforceConstraints(root,
+        s.read.parquet(dataDelta).select(cols.map(col): _*))
+      st2
     }
     statsOpt match {
       case Some(st2) => s.read.parquet(baseManifest)

@@ -181,6 +181,23 @@ class SpjJoinSpec extends SparkSpec {
       val q3 = joined()
       assert(q3.collect().map(_.toSeq) === expect(live))
       assertSpj(q3, "compact")
+
+      // SQL MERGE INTO (the delta-based row-level op): post-image
+      // and insert rows land bucketed too
+      val mview = s"spjd_merge_$suf"
+      live.filter(col("doc_id") % 7 === 1)
+        .select(col("doc_id"), lit("mm").as("lang"))
+        .createOrReplaceTempView(mview)
+      spark.sql(
+        s"""MERGE INTO graft.$ta t USING $mview m
+           |ON t.doc_id = m.doc_id
+           |WHEN MATCHED THEN UPDATE SET t.lang = m.lang"""
+          .stripMargin)
+      val live2 = live.withColumn("lang",
+        when(col("doc_id") % 7 === 1, lit("mm")).otherwise(col("lang")))
+      val q4 = joined()
+      assert(q4.collect().map(_.toSeq) === expect(live2))
+      assertSpj(q4, "MERGE INTO")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
