@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, GeneralScalarExpression, Literal => V2Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, lit, max, min, sum}
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
 
 /** FILE-SKIPPING intervals and METADATA-ONLY aggregates for the SQL
@@ -167,6 +167,46 @@ private[sources] object ChainSkip {
         .map(dv => s.read.parquet(dv).count()).getOrElse(0L)
       (total - hidden).max(0L)
     })
+  }
+
+  /** LIMIT-pushdown file plan: the FEWEST files (largest live count
+    * first) whose live rows provably cover `limit` — a bare
+    * `SELECT … LIMIT k` over a 100k-file table then reads one file,
+    * not the table. Per-file live counts are manifest `n_rows` minus
+    * the DV sidecar's per-file position counts; un-folded equality
+    * deletes make per-file live counts unknowable, so None (no
+    * pruning) there. None also when the whole table doesn't cover
+    * the limit (plan everything — Spark still gets every row). */
+  def limitFiles(s: SparkSession, root: String, version: Long,
+                 limit: Int): Option[Seq[String]] = {
+    if (ManifestPrune.eqDelOf(root, version).nonEmpty) return None
+    val m = s.read.parquet(ManifestPrune.manifestOf(root, version))
+      .select(col("file"), col("n_rows"))
+    val live = ManifestPrune.dvOf(root, version) match {
+      case Some(dv) =>
+        val hidden = s.read.parquet(dv).groupBy("file")
+          .agg(count(lit(1)).as("__hidden"))
+        m.join(hidden, Seq("file"), "left")
+          .select(col("file"), (col("n_rows") -
+            coalesce(col("__hidden"), lit(0L))).as("n_live"))
+      case None => m.select(col("file"), col("n_rows").as("n_live"))
+    }
+    // driver-bounded by the same manifest cap as every file plan
+    val rows = ManifestPrune.collectFileList(s,
+      live.orderBy(col("n_live").desc, col("file"))
+        .select(concat_ws(" ", col("file"),
+          col("n_live").cast("string"))),
+      s"limit-pushdown plan of $root v$version")
+      .map { packed =>
+        val i = packed.lastIndexOf(' ')
+        (packed.substring(0, i), packed.substring(i + 1).toLong)
+      }
+    var acc = 0L
+    val kept = rows.takeWhile { case (_, n) =>
+      val need = acc < limit; acc += n; need
+    }
+    if (acc < limit && kept.length == rows.length) None
+    else Some(kept.map(_._1))
   }
 
   // --------------------------------------- metadata-only aggregates

@@ -718,12 +718,26 @@ private[sources] class GraftChainScanBuilder(
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = full
   private var skipUsed: Array[V2Predicate] = Array.empty
   private var skipBounds: Map[String, ChainSkip.Bounds] = Map.empty
   private var sawPredicates = false
   private var metaAgg: Option[ChainSkip.MetaAgg] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown is FILE pruning, not row capping: the scan plans
+    * only enough files to provably cover the limit, and reports
+    * partially-pushed so Spark keeps the global Limit on top. Never
+    * combined with filters (a post-scan filter could thin the kept
+    * files below the limit). */
+  override def pushLimit(l: Int): Boolean = {
+    if (sawPredicates || l <= 0) return false
+    limit = Some(l)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -763,7 +777,8 @@ private[sources] class GraftChainScanBuilder(
   override def build(): Scan = metaAgg match {
     case Some(a) => new GraftMetaAggScan(root, version, a)
     case None =>
-      new GraftChainScan(root, version, required, options, skipBounds)
+      new GraftChainScan(root, version, required, options, skipBounds,
+        limit)
   }
 }
 
@@ -812,7 +827,8 @@ private[sources] class MetaAggReaderFactory
 private[sources] class GraftChainScan(
     root: String, version: Long, required: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-    skipBounds: Map[String, ChainSkip.Bounds] = Map.empty)
+    skipBounds: Map[String, ChainSkip.Bounds] = Map.empty,
+    limit: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -904,8 +920,21 @@ private[sources] class GraftChainScan(
           BucketedChainFilePartition(f, dv, eq, b): InputPartition
         }.toArray
       case None =>
-        GraftChainScan.snapshotPartitions(SparkSession.active, root,
-          version, effectiveBounds)
+        val s = SparkSession.active
+        limit.filter(_ => effectiveBounds.isEmpty)
+          .flatMap(l => ChainSkip.limitFiles(s, root, version, l))
+          match {
+          case Some(files) =>
+            val dv = GraftChainScan.sidecarParts(
+              ManifestPrune.dvOf(root, version))
+            val eq = GraftChainScan.sidecarParts(
+              ManifestPrune.eqDelOf(root, version))
+            files.map(f =>
+              ChainFilePartition(f, dv, eq): InputPartition).toArray
+          case None =>
+            GraftChainScan.snapshotPartitions(s, root, version,
+              effectiveBounds)
+        }
     }
     lastPlannedPartitions = parts.length
     parts

@@ -252,6 +252,39 @@ class GraftScanPushdownSpec extends SparkSpec {
       s"expected runtime pruning below $total files, planned=$planned")
   }
 
+  test("LIMIT pushdown is file pruning: a bare LIMIT plans only " +
+    "enough files to cover it (partially-pushed — Spark keeps the " +
+    "global limit), DV-hidden rows are discounted, and a WHERE " +
+    "disables it") {
+    val (tbl, root) = freshChain("limit")
+    val q = spark.sql(s"SELECT doc_id, lang FROM graft.$tbl LIMIT 10")
+    assert(q.collect().length === 10)
+    val planned = chainScans(q).head.inputPartitions.length
+    assert(planned === 1,
+      s"LIMIT 10 should plan one file of an 8-file layout, " +
+        s"planned=$planned")
+
+    // DV interplay: hide most rows; the plan must still cover the
+    // limit from LIVE counts (several files now needed)
+    ManifestPrune.dvDeleteWhereCommit(spark, root,
+      col("doc_id") % 50 =!= 0)
+    val liveCount = docs.filter(col("doc_id") % 50 === 0).count()
+    val lim = (liveCount - 2).toInt.max(1)
+    val q2 = spark.sql(
+      s"SELECT doc_id FROM graft.$tbl LIMIT $lim")
+    assert(q2.collect().length === lim)
+
+    // a LIMIT above the live total plans everything and returns all
+    val q3 = spark.sql(s"SELECT doc_id FROM graft.$tbl LIMIT 99999")
+    assert(q3.collect().length === liveCount)
+
+    // filters disable limit pruning (the kept files' rows could thin
+    // below the limit post-filter); rows stay exact
+    val q4 = spark.sql(s"SELECT doc_id FROM graft.$tbl " +
+      s"WHERE doc_id % 50 = 0 LIMIT 5")
+    assert(q4.collect().length === 5)
+  }
+
   test("equality deletes refuse COUNT pushdown (live count is a data " +
     "question until folded); the scan fallback stays exact") {
     val (tbl, root) = freshChain("aggeq")
