@@ -2649,6 +2649,42 @@ object CoreQueries {
              |GROUP BY d.lang, e.label
              |ORDER BY d.lang, e.label""".stripMargin)),
 
+    // `graft.db.t.partitions` METADATA TABLE (round 14 — Iceberg's
+    // partitions relation, completing the history/files/partitions
+    // trio): the manifest aggregated by (bucket, spec) with
+    // file/physical/hidden/live sums and the group key range,
+    // executor-side over the manifest parquet. Here on the
+    // DV-bearing SQL chain: one group whose hidden/live arithmetic
+    // the oracle replays exactly — a wrong DV-per-file join or a
+    // lost group breaks the hash. SpjJoinSpec additionally pins the
+    // per-BUCKET sums on a bucketed chain against the bucket
+    // expression itself.
+    Q("q_sql_partitions",
+      (s, d) => {
+        val tbl = sqlCatalogTable(s, d)
+        s.sql(s"""SELECT count(*) AS n_groups,
+                 |  sum(n_rows) AS physical_rows,
+                 |  sum(hidden_rows) AS hidden_rows,
+                 |  sum(live_rows) AS live_rows,
+                 |  min(CAST(min_key AS BIGINT)) AS min_chars,
+                 |  max(CAST(max_key AS BIGINT)) AS max_chars
+                 |FROM graft.$tbl.partitions""".stripMargin)
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |  UNION ALL SELECT 91000001, 'sq', 20
+             |  UNION ALL SELECT 91000003, 'sq', 20
+             |)
+             |SELECT CAST(1 AS BIGINT) AS n_groups,
+             |  CAST(count(*) AS BIGINT) AS physical_rows,
+             |  CAST(sum(CASE WHEN doc_id % 9 = 2 AND lang <> 'sq'
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS hidden_rows,
+             |  CAST(sum(CASE WHEN doc_id % 9 = 2 AND lang <> 'sq'
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS live_rows,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars
+             |FROM aug""".stripMargin)),
+
     // STORAGE-PARTITIONED JOIN between chain tables (round 14 —
     // SpjBucket + the catalog's FunctionCatalog face): both chains
     // were built bucketed 8 ways on the join key, each file's bucket

@@ -186,6 +186,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         return new GraftFilesTable(root, s"$parent.files")
       }
     }
+    // `graft.db.t.partitions` — Iceberg's `partitions` table: one row
+    // per (bucket, spec) group with file/row/hidden sums and the
+    // group's key range; a bucketed chain's skew and balance audit in
+    // one aggregate over the manifest (distributed, never the file
+    // list on the driver)
+    if (ident.name == "partitions" && ident.namespace.nonEmpty) {
+      val parent = ident.namespace.mkString(".")
+      resolve(parent).foreach { case (root, _) =>
+        return new GraftPartitionsTable(root, s"$parent.partitions")
+      }
+    }
     // `graft.db.t.changes` — the change feed (CDF) as a catalog-
     // resolved relation: batch SELECT reads the whole feed window,
     // readStream.table tails it (the same GraftTableTable the
@@ -213,8 +224,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** `db.t.files` parent root when `ident` names the files metadata
     * table of a registered parent, else None — so time travel applies
     * to metadata tables too (Iceberg's convention). */
-  private def filesParent(ident: Identifier): Option[(String, String)] =
-    if (ident.name == "files" && ident.namespace.nonEmpty)
+  private def metaParent(ident: Identifier, meta: String)
+      : Option[(String, String)] =
+    if (ident.name == meta && ident.namespace.nonEmpty)
       resolve(ident.namespace.mkString("."))
         .map { case (root, _) => (root, ident.namespace.mkString(".")) }
     else None
@@ -229,8 +241,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             .mkString(", ")})"))
 
   override def loadTable(ident: Identifier, version: String): Table = {
-    filesParent(ident).foreach { case (root, parent) =>
+    metaParent(ident, "files").foreach { case (root, parent) =>
       return new GraftFilesTable(root, s"$parent.files",
+        Some(versionOrTag(root, ident, version)))
+    }
+    metaParent(ident, "partitions").foreach { case (root, parent) =>
+      return new GraftPartitionsTable(root, s"$parent.partitions",
         Some(versionOrTag(root, ident, version)))
     }
     val (root, key) = rootOf(ident)
@@ -241,8 +257,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** `TIMESTAMP AS OF` — Spark hands micros since epoch; the chain's
     * marker timeline resolves it ([[ManifestPrune.versionAsOf]]). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    filesParent(ident).foreach { case (root, parent) =>
+    metaParent(ident, "files").foreach { case (root, parent) =>
       return new GraftFilesTable(root, s"$parent.files",
+        Some(ManifestPrune.versionAsOf(SparkSession.active, root,
+          timestamp / 1000L)))
+    }
+    metaParent(ident, "partitions").foreach { case (root, parent) =>
+      return new GraftPartitionsTable(root, s"$parent.partitions",
         Some(ManifestPrune.versionAsOf(SparkSession.active, root,
           timestamp / 1000L)))
     }
@@ -1372,6 +1393,90 @@ private[sources] class GraftFilesTable(root: String, qualified: String,
       new org.apache.spark.sql.connector.read.V1Scan {
         override def readSchema(): StructType = schema()
         override def description(): String = s"graft-files $root"
+        override def toV1TableScan[T <: org.apache.spark.sql.sources
+            .BaseRelation with org.apache.spark.sql.sources.TableScan](
+            context: org.apache.spark.sql.SQLContext): T =
+          (new org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext =
+              context
+            override def schema: StructType = readSchema()
+            override def buildScan()
+                : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              frame(context.sparkSession).rdd
+          }).asInstanceOf[T]
+      }
+  }
+}
+
+/** `graft.db.t.partitions` — Iceberg's `partitions` metadata table:
+  * the manifest aggregated by (bucket, spec_id), one row per group
+  * with file/physical/hidden/live sums and the group's key range.
+  * For a bucketed chain this is the SPJ balance/skew audit (is any
+  * bucket fat?); for an unbucketed one, a per-spec layout summary.
+  * Same distributed V1Scan shape as `.files` — the aggregation runs
+  * executor-side over the manifest parquet. */
+private[sources] class GraftPartitionsTable(root: String,
+                                            qualified: String,
+                                            asOfVersion: Option[Long] =
+                                              None)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = qualified
+
+  override def schema(): StructType = StructType(Seq(
+    StructField("bucket", IntegerType),
+    StructField("spec_id", IntegerType),
+    StructField("n_files", LongType),
+    StructField("n_rows", LongType),
+    StructField("hidden_rows", LongType),
+    StructField("live_rows", LongType),
+    StructField("min_key", StringType),
+    StructField("max_key", StringType)))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  private def frame(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cur = asOfVersion.getOrElse(ManifestPrune.currentVersion(s, root))
+    val m0 = s.read.parquet(ManifestPrune.manifestOf(root, cur))
+    val m1 =
+      if (m0.columns.contains("spec_id"))
+        m0.withColumn("spec_id",
+          coalesce(col("spec_id").cast("int"), lit(0)))
+      else m0.withColumn("spec_id", lit(0))
+    val m =
+      if (m1.columns.contains("bucket"))
+        m1.withColumn("bucket", col("bucket").cast("int"))
+      else m1.withColumn("bucket",
+        lit(null).cast(IntegerType))
+    val hidden = ManifestPrune.dvOf(root, cur) match {
+      case Some(dv) =>
+        s.read.parquet(dv).groupBy(col("file"))
+          .agg(count(lit(1)).as("hidden_rows"))
+      case None =>
+        m.select(col("file")).limit(0)
+          .withColumn("hidden_rows", lit(0L))
+    }
+    m.join(hidden, Seq("file"), "left")
+      .withColumn("hidden_rows", coalesce(col("hidden_rows"), lit(0L)))
+      .groupBy(col("bucket"), col("spec_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("hidden_rows")).as("hidden_rows"),
+        sum(col("n_rows") - col("hidden_rows")).as("live_rows"),
+        min(col("min_key")).cast("string").as("min_key"),
+        max(col("max_key")).cast("string").as("max_key"))
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan =
+      new org.apache.spark.sql.connector.read.V1Scan {
+        override def readSchema(): StructType = schema()
+        override def description(): String = s"graft-partitions $root"
         override def toV1TableScan[T <: org.apache.spark.sql.sources
             .BaseRelation with org.apache.spark.sql.sources.TableScan](
             context: org.apache.spark.sql.SQLContext): T =

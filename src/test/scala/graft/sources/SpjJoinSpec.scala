@@ -204,6 +204,38 @@ class SpjJoinSpec extends SparkSpec {
     }
   }
 
+  test("graft.db.t.partitions on a bucketed chain: one row per " +
+    "bucket, per-bucket row sums match the bucket expression, and " +
+    "time travel resolves the version's own groups") {
+    ensureCatalog()
+    val root = Tables.matDir(s"spjp_${System.nanoTime}", spark, sf0001)
+    SpjBucket.buildBucketedLayout(docs, root, "doc_id", 8)
+    val t = s"spj.p_${System.nanoTime}"
+    GraftCatalog.registerTable(t, root)
+
+    val got = spark.sql(s"SELECT bucket, n_rows, live_rows " +
+      s"FROM graft.$t.partitions ORDER BY bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val expect = docs
+      .groupBy(SpjBucket.bucketCol("doc_id", 8).as("bucket"))
+      .agg(count(lit(1)).as("n")).orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(1)))
+    assert(got === expect)
+
+    // a DV delete shifts live_rows but not n_rows; VERSION AS OF 0
+    // still serves the pre-delete groups
+    ManifestPrune.dvDeleteWhereCommit(spark, root,
+      col("doc_id") % 4 === 1)
+    val after = spark.sql(s"SELECT sum(live_rows) AS l, " +
+      s"sum(n_rows) AS p FROM graft.$t.partitions").collect().head
+    assert(after.getLong(0) ===
+      docs.filter(col("doc_id") % 4 =!= 1).count())
+    assert(after.getLong(1) === docs.count())
+    val asOf = spark.sql(s"SELECT sum(live_rows) AS l " +
+      s"FROM graft.$t.partitions VERSION AS OF 0").collect().head
+    assert(asOf.getLong(0) === docs.count())
+  }
+
   test("the SPJ surface survives SQL INSERT: appends to a bucketed " +
     "chain stay bucketed (delta files carry their bucket ids) and " +
     "the join stays shuffle-free with the new rows visible") {
