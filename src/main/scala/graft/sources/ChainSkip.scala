@@ -209,6 +209,89 @@ private[sources] object ChainSkip {
     else Some(kept.map(_._1))
   }
 
+  /** TOP-N pushdown file plan for `ORDER BY c <dir> LIMIT k`: drop a
+    * file only when k rows provably sort at-or-before ALL its rows.
+    * The arithmetic is manifest-only and null-exact:
+    *
+    *  - a candidate's "beaten by" count sums, over files whose whole
+    *    range sorts at-or-before the candidate's best value
+    *    (`max_key <= min_key` for ASC; mirrored for DESC), a LOWER
+    *    bound of live non-null rows: `n_rows - n_nulls - hidden`
+    *    (hidden positions could all be non-null — worst case taken);
+    *  - when nulls sort FIRST (Spark's ASC default), a file with ANY
+    *    possible null can never be dropped — its nulls would belong
+    *    at the very top — so only files with a RECORDED n_nulls of 0
+    *    are droppable; when nulls sort LAST they are irrelevant to
+    *    dropping;
+    *  - files without usable stats (other spec, pre-n_nulls
+    *    manifest) are never dropped and never counted as beating.
+    *
+    * None when nothing can be dropped or the preconditions (no
+    * equality deletes, the column statted by some spec) fail. */
+  def topNFiles(s: SparkSession, root: String, version: Long,
+                colName: String, ascending: Boolean,
+                nullsFirst: Boolean, k: Int): Option[Seq[String]] = {
+    if (ManifestPrune.eqDelOf(root, version).nonEmpty) return None
+    val statted = ManifestPrune.listSpecs(root).collect {
+      case (id, sp) if sp.statsCol == colName => id }.toSet
+    if (statted.isEmpty) return None
+    val m0 = s.read.parquet(ManifestPrune.manifestOf(root, version))
+    if (!m0.columns.contains("n_nulls")) return None
+    val m1 =
+      if (m0.columns.contains("spec_id"))
+        m0.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
+      else m0.withColumn("spec_id", lit(0))
+    val hidden = ManifestPrune.dvOf(root, version) match {
+      case Some(dv) => s.read.parquet(dv).groupBy("file")
+        .agg(count(lit(1)).as("__hidden"))
+      case None => m1.select(col("file")).limit(0)
+        .withColumn("__hidden", lit(0L))
+    }
+    // u0001 cannot occur in a filesystem path; concat_ws SKIPS null
+    // columns, so every nullable field is coalesced to "" explicitly
+    // to keep the positions stable
+    val sep = "\u0001"
+    def str(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit(""))
+    val packed = ManifestPrune.collectFileList(s,
+      m1.join(hidden, Seq("file"), "left")
+        .select(concat_ws(sep,
+          col("file"),
+          str(col("min_key")),
+          str(col("max_key")),
+          str(col("n_rows")),
+          str(col("n_nulls")),
+          str(coalesce(col("__hidden"), lit(0L))),
+          str(col("spec_id")))),
+      s"top-$k plan of $root v$version")
+    case class F(file: String, lo: Option[Long], hi: Option[Long],
+                 rows: Long, nulls: Option[Long], hidden: Long,
+                 usable: Boolean)
+    val files = packed.map { line =>
+      val p = line.split(sep, -1)
+      def num(i: Int): Option[Long] =
+        if (p(i).isEmpty) None else Some(p(i).toLong)
+      F(p(0), num(1), num(2), p(3).toLong, num(4), p(5).toLong,
+        usable = statted.contains(p(6).toInt))
+    }
+    // best/worst in SORT order: for ASC best = min_key; DESC mirrored
+    def best(f: F) = if (ascending) f.lo else f.hi.map(-_)
+    def worst(f: F) = if (ascending) f.hi else f.lo.map(-_)
+    val dropped = files.filter { f =>
+      f.usable && f.rows > 0 && best(f).isDefined &&
+        (!nullsFirst || f.nulls.contains(0L)) && {
+          val beaten = files.iterator.filter { g =>
+            g.usable && (g ne f) && worst(g).isDefined &&
+              worst(g).get <= best(f).get
+          }.map(g => (g.rows - g.nulls.getOrElse(g.rows) -
+            g.hidden).max(0L)).sum
+          beaten >= k
+        }
+    }.map(_.file).toSet
+    if (dropped.isEmpty) None
+    else Some(files.map(_.file).filterNot(dropped).sorted)
+  }
+
   // --------------------------------------- metadata-only aggregates
 
   /** One planned metadata aggregate: output fields + the single

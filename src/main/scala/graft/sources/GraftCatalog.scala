@@ -740,7 +740,8 @@ private[sources] class GraftChainScanBuilder(
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = full
   private var skipUsed: Array[V2Predicate] = Array.empty
   private var skipBounds: Map[String, ChainSkip.Bounds] = Map.empty
@@ -759,6 +760,26 @@ private[sources] class GraftChainScanBuilder(
     true
   }
   override def isPartiallyPushed(): Boolean = true
+
+  /** TOP-N pushdown is also file pruning (partially-pushed — Spark
+    * keeps TakeOrderedAndProject): for `ORDER BY c LIMIT k` on a
+    * single bare column, files k rows provably out-sort are dropped
+    * via ChainSkip.topNFiles' null-exact manifest arithmetic. */
+  private var topN: Option[(String, Boolean, Boolean, Int)] = None
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector
+      .expressions.SortOrder], l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (sawPredicates || l <= 0 || orders.length != 1) return false
+    orders(0).expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        val asc = orders(0).direction() == SortDirection.ASCENDING
+        val nullsFirst =
+          orders(0).nullOrdering() == NullOrdering.NULLS_FIRST
+        topN = Some((r.fieldNames.head, asc, nullsFirst, l))
+        true
+      case _ => false
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -799,7 +820,7 @@ private[sources] class GraftChainScanBuilder(
     case Some(a) => new GraftMetaAggScan(root, version, a)
     case None =>
       new GraftChainScan(root, version, required, options, skipBounds,
-        limit)
+        limit, topN)
   }
 }
 
@@ -849,7 +870,8 @@ private[sources] class GraftChainScan(
     root: String, version: Long, required: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
     skipBounds: Map[String, ChainSkip.Bounds] = Map.empty,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    topN: Option[(String, Boolean, Boolean, Int)] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -944,6 +966,9 @@ private[sources] class GraftChainScan(
         val s = SparkSession.active
         limit.filter(_ => effectiveBounds.isEmpty)
           .flatMap(l => ChainSkip.limitFiles(s, root, version, l))
+          .orElse(topN.filter(_ => effectiveBounds.isEmpty)
+            .flatMap { case (c, asc, nf, k) =>
+              ChainSkip.topNFiles(s, root, version, c, asc, nf, k) })
           match {
           case Some(files) =>
             val dv = GraftChainScan.sidecarParts(

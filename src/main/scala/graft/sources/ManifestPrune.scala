@@ -2402,7 +2402,12 @@ object ManifestPrune {
       .groupBy("file")
       .agg(min(col(statsCol)).as("min_key"),
         max(col(statsCol)).as("max_key"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows"),
+        // nulls in the stats column, recorded per file: exactly what
+        // ORDER-BY-limit pruning needs to stay sound (a null sorts
+        // before/after every value, so a file can only be dropped
+        // when its null population is KNOWN) — ChainSkip.topNFiles
+        (count(lit(1)) - count(col(statsCol))).as("n_nulls"))
       .withColumn("spec_id", lit(specId))
 
   /** Write a fresh range-clustered layout + its stats manifest — the
@@ -2463,7 +2468,8 @@ object ManifestPrune {
     s.range(1).select(lit(file).as("file"),
         lit(null).cast(statsType).as("min_key"),
         lit(null).cast(statsType).as("max_key"),
-        lit(0L).as("n_rows"), lit(spec.id).as("spec_id"))
+        lit(0L).as("n_rows"), lit(0L).as("n_nulls"),
+        lit(spec.id).as("spec_id"))
       .coalesce(1)
       .write.mode("errorifexists").parquet(s"$root/manifest")
     if (spec.id != 0) writeSpecPointer(s"$root/manifest", spec.id)

@@ -83,6 +83,7 @@ object SpjBucket {
       .agg(min(col(statsCol)).as("min_key"),
         max(col(statsCol)).as("max_key"),
         count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(statsCol))).as("n_nulls"),
         min(col("__b")).as("__bmin"), max(col("__b")).as("__bmax"))
       .withColumn("spec_id", lit(specId))
       .withColumn("bucket",

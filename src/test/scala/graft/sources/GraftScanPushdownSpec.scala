@@ -285,6 +285,65 @@ class GraftScanPushdownSpec extends SparkSpec {
     assert(q4.collect().length === 5)
   }
 
+  test("TopN pushdown prunes files k rows provably out-sort, " +
+    "null-exactly: ASC (nulls first) drops high files only because " +
+    "the manifest records zero nulls; DESC mirrors; rows match the " +
+    "full sort") {
+    val (tbl, root) = freshChain("topn")
+
+    val asc = spark.sql(s"SELECT doc_id, n_chars FROM graft.$tbl " +
+      "ORDER BY n_chars, doc_id LIMIT 12")
+    // NOTE the two-column ORDER BY is NOT pushable (single-column
+    // rule) — use the single-key form for the plan assertions
+    val q = spark.sql(s"SELECT n_chars FROM graft.$tbl " +
+      "ORDER BY n_chars LIMIT 12")
+    val got = q.collect().map(_.getLong(0))
+    val expectAsc = docs.select("n_chars").orderBy("n_chars")
+      .limit(12).collect().map(_.getLong(0))
+    assert(got === expectAsc)
+    val planned = chainScans(q).head.inputPartitions.length
+    assert(planned < 8 && planned > 0,
+      s"expected TopN file pruning on the 8-file layout, " +
+        s"planned=$planned")
+
+    val qd = spark.sql(s"SELECT n_chars FROM graft.$tbl " +
+      "ORDER BY n_chars DESC LIMIT 12")
+    assert(qd.collect().map(_.getLong(0)) ===
+      docs.select("n_chars").orderBy(col("n_chars").desc)
+        .limit(12).collect().map(_.getLong(0)))
+    val plannedD = chainScans(qd).head.inputPartitions.length
+    assert(plannedD < 8 && plannedD > 0)
+
+    // the two-column sort stayed exact through the unpruned path
+    assert(asc.collect().map(_.getLong(1)).take(3) ===
+      expectAsc.take(3))
+
+    // a chain whose stats column CAN be null: a null-bearing file is
+    // never dropped under nulls-first (its nulls belong at the top)
+    val rootN = Tables.matDir(s"push_topn_null_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(
+      docs.withColumn("n_chars",
+        when(col("doc_id") % 97 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars"))), rootN, nFiles = 8)
+    val tn = s"push.topnnull_${System.nanoTime}"
+    GraftCatalog.registerTable(tn, rootN)
+    val qn = spark.sql(s"SELECT n_chars FROM graft.$tn " +
+      "ORDER BY n_chars LIMIT 12")
+    // Spark default ASC = NULLS FIRST: nulls lead, then the smallest
+    // values — pruning that dropped a null-bearing file would lose
+    // the leading nulls
+    val gotN = qn.collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val expN = docs.withColumn("n_chars",
+        when(col("doc_id") % 97 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars")))
+      .select("n_chars").orderBy(asc_nulls_first("n_chars"))
+      .limit(12).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(gotN === expN)
+  }
+
   test("equality deletes refuse COUNT pushdown (live count is a data " +
     "question until folded); the scan fallback stays exact") {
     val (tbl, root) = freshChain("aggeq")
