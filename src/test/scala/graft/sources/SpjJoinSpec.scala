@@ -204,6 +204,57 @@ class SpjJoinSpec extends SparkSpec {
     }
   }
 
+  test("one-side-shuffle SPJ: joining a bucketed chain to a PLAIN " +
+    "relation shuffles only the plain side — Spark evaluates the " +
+    "catalog's bucket() to route rows into the chain's layout, so " +
+    "the V2 function's arithmetic is exercised by the engine itself") {
+    ensureCatalog()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val root = Tables.matDir(s"spjs_${System.nanoTime}", spark,
+        sf0001)
+      SpjBucket.buildBucketedLayout(docs, root, "doc_id", 8)
+      val t = s"spj.s_${System.nanoTime}"
+      GraftCatalog.registerTable(t, root)
+      val dimDir = Tables.matDir(s"spjs_dim_${System.nanoTime}", spark,
+        sf0001)
+      embs.write.mode("overwrite").parquet(dimDir)
+      spark.read.parquet(dimDir).createOrReplaceTempView(s"spjs_dim")
+
+      val q = spark.sql(
+        s"""SELECT a.lang, count(*) AS n
+           |FROM graft.$t a JOIN spjs_dim d ON a.doc_id = d.doc_id
+           |GROUP BY a.lang ORDER BY a.lang""".stripMargin)
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1)))
+      val expect = docs.join(embs, "doc_id").groupBy("lang")
+        .agg(count(lit(1)).as("n")).orderBy("lang")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got === expect)
+
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      if (plan.contains("MergeJoin")) {
+        val below = plan.substring(plan.indexOf("MergeJoin"))
+        // the chain side never shuffles; the plain side may carry ONE
+        // exchange keyed by the v2 bucket function
+        val chainSide = below.split("\\n").filter(_.contains(
+          "graft-chain"))
+        assert(chainSide.nonEmpty)
+        val nExch = "Exchange hashpartitioning".r
+          .findAllIn(below).length
+        assert(nExch <= 1,
+          s"expected at most the plain side's one shuffle:\n$plan")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("graft.db.t.partitions on a bucketed chain: one row per " +
     "bucket, per-bucket row sums match the bucket expression, and " +
     "time travel resolves the version's own groups") {
