@@ -82,7 +82,7 @@ object BloomIndex {
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(GraftSqlShims.column(agg.toAggregateExpression()).as("bloom"))
       .write.mode("overwrite").parquet(dir)
-    writeMeta(dir, maxRows)
+    writeMeta(dir, maxRows, key)
     dir
   }
 
@@ -128,17 +128,30 @@ object BloomIndex {
       }
     val dir = indexDir(root, toVersion)
     carried.unionByName(fresh).write.mode("overwrite").parquet(dir)
-    writeMeta(dir, maxRows)
+    writeMeta(dir, maxRows, key)
     dir
   }
 
-  private def writeMeta(dir: String, estItems: Long): Unit =
-    ChainStorage.forPath(dir).write(s"$dir/_meta", s"$estItems\n")
+  private def writeMeta(dir: String, estItems: Long,
+                        key: String = "doc_id"): Unit =
+    ChainStorage.forPath(dir).write(s"$dir/_meta",
+      s"$estItems\nkey=$key\n")
 
   private def readMeta(dir: String): Option[Long] = {
     val st = ChainStorage.forPath(dir)
     if (!st.isFile(s"$dir/_meta")) None
-    else Some(st.read(s"$dir/_meta").trim.toLong)
+    else Some(st.read(s"$dir/_meta").linesIterator.next().trim.toLong)
+  }
+
+  /** The column an index covers, from its meta — what lets the SQL
+    * scan recognize "this IN/= predicate probes the indexed column"
+    * without being told. Pre-session indexes without the line answer
+    * None and the SQL planner simply doesn't consult them. */
+  def indexedColumn(dir: String): Option[String] = {
+    val st = ChainStorage.forPath(dir)
+    if (!st.isFile(s"$dir/_meta")) None
+    else st.read(s"$dir/_meta").linesIterator
+      .find(_.startsWith("key=")).map(_.stripPrefix("key=").trim)
   }
 
   /** The probe hash — driver-side evaluation of the SAME xxhash64

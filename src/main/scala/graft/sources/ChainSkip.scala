@@ -136,6 +136,60 @@ private[sources] object ChainSkip {
     }.reduce(_ intersect _).toSeq.sorted)
   }
 
+  /** Per-column EXACT key sets from a pushed-predicate batch — only
+    * shapes that pin a column to a finite value set contribute
+    * (`c = lit`, `c IN (lits)`, conjunctions thereof; repeated
+    * constraints on one column intersect). Sets above `cap` are
+    * dropped (the bloom probe broadcast must stay small). These are
+    * what the per-file bloom index can screen files against. */
+  def exactKeys(predicates: Array[V2Predicate],
+                cap: Int = 10000): Map[String, Seq[Long]] = {
+    val sets = scala.collection.mutable.Map[String, Set[Long]]()
+    def add(c: String, vs: Set[Long]): Unit =
+      sets.update(c, sets.get(c).map(_ intersect vs).getOrElse(vs))
+    def walk(e: V2Expr): Unit = e match {
+      case g: GeneralScalarExpression => g.name() match {
+        case "AND" => g.children().foreach(walk)
+        case "=" if g.children().length == 2 =>
+          val kids = g.children()
+          (colName(kids(0)), longLit(kids(1))) match {
+            case (Some(c), Some(v)) => add(c, Set(v))
+            case _ => (colName(kids(1)), longLit(kids(0))) match {
+              case (Some(c), Some(v)) => add(c, Set(v))
+              case _ =>
+            }
+          }
+        case "IN" if g.children().length >= 2 =>
+          val kids = g.children()
+          (colName(kids(0)), kids.toSeq.drop(1).map(longLit)) match {
+            case (Some(c), vs) if vs.forall(_.isDefined) =>
+              add(c, vs.flatten.toSet)
+            case _ =>
+          }
+        case _ =>
+      }
+      case _ =>
+    }
+    predicates.foreach(walk)
+    sets.toMap.filter(_._2.size <= cap)
+      .map { case (c, vs) => c -> vs.toSeq.sorted }
+  }
+
+  /** Bloom-index file plan: when `version` has an index whose
+    * recorded column carries an exact key set, screen the file list
+    * through the per-file sketches (BloomIndex.planFiles — false
+    * positives cost I/O, false negatives impossible). None when no
+    * index, no recorded column, or no exact keys on it. */
+  def bloomFiles(s: SparkSession, root: String, version: Long,
+                 keys: Map[String, Seq[Long]]): Option[Seq[String]] =
+    BloomIndex.indexOf(root, version).flatMap { dir =>
+      BloomIndex.indexedColumn(dir).flatMap { c =>
+        keys.get(c).filter(_.nonEmpty).map { ks =>
+          BloomIndex.planFiles(s, root, version, ks)
+        }
+      }
+    }
+
   // ------------------------------------------------ planned stats
 
   /** Post-pruning row/byte estimates, cached per immutable snapshot:

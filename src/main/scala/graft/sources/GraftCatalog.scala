@@ -789,12 +789,14 @@ private[sources] class GraftChainScanBuilder(
     * bounds extracted from the recognizable ones only drop files the
     * manifest proves cannot match — pruning trades I/O, never
     * correctness. */
+  private var exactKeys: Map[String, Seq[Long]] = Map.empty
   override def pushPredicates(predicates: Array[V2Predicate])
       : Array[V2Predicate] = {
     sawPredicates ||= predicates.nonEmpty
     val (used, bounds) = ChainSkip.extract(predicates)
     skipUsed = used
     skipBounds = bounds
+    exactKeys = ChainSkip.exactKeys(predicates)
     predicates
   }
   override def pushedPredicates(): Array[V2Predicate] = skipUsed
@@ -820,7 +822,7 @@ private[sources] class GraftChainScanBuilder(
     case Some(a) => new GraftMetaAggScan(root, version, a)
     case None =>
       new GraftChainScan(root, version, required, options, skipBounds,
-        limit, topN)
+        limit, topN, exactKeys)
   }
 }
 
@@ -871,7 +873,8 @@ private[sources] class GraftChainScan(
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
     skipBounds: Map[String, ChainSkip.Bounds] = Map.empty,
     limit: Option[Int] = None,
-    topN: Option[(String, Boolean, Boolean, Int)] = None)
+    topN: Option[(String, Boolean, Boolean, Int)] = None,
+    exactKeys: Map[String, Seq[Long]] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -913,6 +916,8 @@ private[sources] class GraftChainScan(
     * partitions are planned. */
   @volatile private var runtimeBounds: Map[String, ChainSkip.Bounds] =
     Map.empty
+  @volatile private var runtimeExact: Map[String, Seq[Long]] =
+    Map.empty
   /** Partition count of the last plan — observable by specs, so the
     * runtime-pruning claim is assertable on the REAL executed join. */
   @volatile private[sources] var lastPlannedPartitions: Int = -1
@@ -935,15 +940,34 @@ private[sources] class GraftChainScan(
     // runtime pruning there could drop buckets one join side still
     // expects, so it is offered only on unbucketed plans
     if (spjPlan.isDefined) Array.empty
-    else ManifestPrune.listSpecs(root).values.map(_.statsCol).toSet
-      .filter(c => required.fieldNames.contains(c))
-      .map(c => org.apache.spark.sql.connector.expressions.Expressions
-        .column(c)).toArray
+    else {
+      // runtime IN-sets on a bloom-indexed column prune via the
+      // sketches (point-lookup DPP); stats columns prune via ranges
+      val bloomCol = BloomIndex.indexOf(root, version)
+        .flatMap(BloomIndex.indexedColumn)
+      (ManifestPrune.listSpecs(root).values.map(_.statsCol).toSet ++
+          bloomCol)
+        .filter(c => required.fieldNames.contains(c))
+        .map(c => org.apache.spark.sql.connector.expressions
+          .Expressions.column(c)).toArray
+    }
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val (_, b) = ChainSkip.extract(predicates)
     runtimeBounds = b
+    runtimeExact = ChainSkip.exactKeys(predicates)
   }
+
+  /** Compile-time and runtime exact key sets compose conjunctively:
+    * a column constrained by both keeps the intersection. */
+  private def mergedExact: Map[String, Seq[Long]] =
+    (exactKeys.keySet ++ runtimeExact.keySet).map { c =>
+      c -> ((exactKeys.get(c), runtimeExact.get(c)) match {
+        case (Some(a), Some(b)) => a.toSet.intersect(b.toSet)
+          .toSeq.sorted
+        case (a, b) => a.orElse(b).get
+      })
+    }.toMap
 
   private def effectiveBounds: Map[String, ChainSkip.Bounds] =
     (skipBounds.keySet ++ runtimeBounds.keySet).map { c =>
@@ -964,12 +988,23 @@ private[sources] class GraftChainScan(
         }.toArray
       case None =>
         val s = SparkSession.active
-        limit.filter(_ => effectiveBounds.isEmpty)
-          .flatMap(l => ChainSkip.limitFiles(s, root, version, l))
-          .orElse(topN.filter(_ => effectiveBounds.isEmpty)
-            .flatMap { case (c, asc, nf, k) =>
-              ChainSkip.topNFiles(s, root, version, c, asc, nf, k) })
-          match {
+        // prune sources compose: interval bounds ∩ bloom screen; a
+        // bare LIMIT / ORDER-BY-limit plan applies only when no
+        // predicate reached the scan (pushLimit/pushTopN refuse
+        // otherwise)
+        val bounded =
+          ChainSkip.plannedFiles(s, root, version, effectiveBounds)
+        val bloomed =
+          ChainSkip.bloomFiles(s, root, version, mergedExact)
+        val pruned = ((bounded, bloomed) match {
+          case (Some(a), Some(b)) =>
+            Some(a.toSet.intersect(b.toSet).toSeq.sorted)
+          case (a, b) => a.orElse(b)
+        }).orElse(limit
+            .flatMap(l => ChainSkip.limitFiles(s, root, version, l)))
+          .orElse(topN.flatMap { case (c, asc, nf, k) =>
+            ChainSkip.topNFiles(s, root, version, c, asc, nf, k) })
+        pruned match {
           case Some(files) =>
             val dv = GraftChainScan.sidecarParts(
               ManifestPrune.dvOf(root, version))
@@ -979,7 +1014,7 @@ private[sources] class GraftChainScan(
               ChainFilePartition(f, dv, eq): InputPartition).toArray
           case None =>
             GraftChainScan.snapshotPartitions(s, root, version,
-              effectiveBounds)
+              Map.empty)
         }
     }
     lastPlannedPartitions = parts.length

@@ -344,6 +344,90 @@ class GraftScanPushdownSpec extends SparkSpec {
     assert(gotN === expN)
   }
 
+  test("bloom-index-aware SQL planning: WHERE doc_id IN (...) prunes " +
+    "files through the per-file sketches (range stats can't — the " +
+    "layout clusters by n_chars), composes with a stats-column " +
+    "interval, and a DV-deleted probe stays hidden") {
+    val (tbl, root) = freshChain("bloom")
+    ManifestPrune.dvDeleteWhereCommit(spark, root,
+      col("doc_id") % 7 === 3)
+    BloomIndex.build(spark, root, 1L)
+
+    import spark.implicits._
+    val live = docs.filter(col("doc_id") % 7 =!= 3)
+    val probes = live.orderBy("doc_id").limit(3)
+      .select("doc_id").as[Long].collect().toSeq
+    val doomed = docs.filter(col("doc_id") % 7 === 3)
+      .orderBy("doc_id").limit(1).select("doc_id").as[Long]
+      .collect().head
+
+    val inList = (probes :+ doomed).mkString(", ")
+    val q = spark.sql(s"SELECT doc_id, lang FROM graft.$tbl " +
+      s"WHERE doc_id IN ($inList)")
+    val got = q.collect().map(_.getLong(0)).sorted
+    assert(got === probes.sorted.toArray,
+      "bloom planning lost a row or resurrected a DV-deleted one")
+    val planned = chainScans(q).head.inputPartitions.length
+    assert(planned < 8 && planned > 0,
+      s"expected bloom file pruning, planned=$planned")
+
+    // equality form prunes too
+    val qe = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+      s"WHERE doc_id = ${probes.head}")
+    assert(qe.collect().head.getLong(0) === 1L)
+
+    // composed with a stats interval: the two prunes intersect and
+    // the rows stay exact
+    val qc = spark.sql(s"SELECT doc_id FROM graft.$tbl " +
+      s"WHERE doc_id IN ($inList) AND n_chars >= 0")
+    assert(qc.collect().map(_.getLong(0)).sorted === probes.sorted
+      .toArray)
+  }
+
+  test("runtime (DPP) bloom pruning: a broadcast join keyed on the " +
+    "bloom-indexed column hands the scan the build side's keys at " +
+    "execution and the sketches prune files the range stats never " +
+    "could") {
+    val (tbl, root) = freshChain("bloomdpp")
+    BloomIndex.build(spark, root, 0L)
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    import spark.implicits._
+    val someId = docs.orderBy("doc_id").limit(1)
+      .select("doc_id").as[Long].collect().head
+    val dimDir = Tables.matDir(s"push_bloomdpp_dim_${System.nanoTime}",
+      spark, sf0001)
+    Seq((someId, "keep"), (-1L, "drop")).toDF("doc_id", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("bloomdpp_dim")
+
+    val q = spark.sql(s"SELECT f.doc_id, d.tag FROM graft.$tbl f " +
+      "JOIN bloomdpp_dim d ON f.doc_id = d.doc_id " +
+      "WHERE d.tag = 'keep'")
+    val rows = q.collect()
+    assert(rows.length === 1 && rows.head.getLong(0) === someId)
+
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[GraftChainScan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(qs.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan match {
+        case g: GraftChainScan => Seq(g)
+        case _ => Seq.empty
+      }
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val planned = scans.head.lastPlannedPartitions
+    assert(planned >= 0 && planned < 8,
+      s"expected runtime bloom pruning below 8 files, " +
+        s"planned=$planned")
+  }
+
   test("equality deletes refuse COUNT pushdown (live count is a data " +
     "question until folded); the scan fallback stays exact") {
     val (tbl, root) = freshChain("aggeq")
