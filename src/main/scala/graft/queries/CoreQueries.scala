@@ -2685,6 +2685,33 @@ object CoreQueries {
              |  CAST(max(n_chars) AS BIGINT) AS max_chars
              |FROM aug""".stripMargin)),
 
+    // BLOOM-PLANNED POINT LOOKUP THROUGH SQL (round 14 — the
+    // q_point_lookup plan with zero engine API): the catalog scan
+    // recognizes the IN predicate probes the bloom-indexed column
+    // (the index meta records it), screens the file list through the
+    // per-file sketches, and re-applies the exact predicate — range
+    // stats can't prune here (the layout clusters by n_chars), and
+    // one probed id is DV-deleted so the sidecar interplay is in the
+    // gate. GraftScanPushdownSpec pins planned ⊂ manifest and the
+    // runtime (DPP) bloom path.
+    Q("q_sql_point_lookup",
+      (s, d) => {
+        val root = bloomChain(s, d)
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        val tbl = s"blm.t_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.sources.GraftCatalog.registerTable(tbl, root)
+        s.sql(s"""SELECT doc_id, text, lang, source, n_chars
+                 |FROM graft.$tbl
+                 |WHERE doc_id IN (3, 7, 113, 211, 317, 431)
+                 |ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents
+             |WHERE doc_id IN (3, 7, 113, 211, 317, 431)
+             |  AND doc_id % 7 <> 3
+             |ORDER BY doc_id""".stripMargin)),
+
     // STORAGE-PARTITIONED JOIN between chain tables (round 14 —
     // SpjBucket + the catalog's FunctionCatalog face): both chains
     // were built bucketed 8 ways on the join key, each file's bucket

@@ -395,6 +395,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case sp: TableChange.SetProperty if sp.property == "key" =>
         GraftCatalog.registerTable(q, root, sp.value)
         persist(q, root, sp.value, exclusive = false)
+      case sp: TableChange.SetProperty if sp.property == "bucket" =>
+        // declare SPJ bucketing on an EXISTING table: 'bucket' =
+        // 'key|n'. Metadata-only here; existing files carry no
+        // bucket ids, so the key-grouped surface activates at the
+        // next compaction (which rewrites per bucket — the Iceberg
+        // evolve-then-rewrite economics), while every append from
+        // now on lands bucketed.
+        val parts = sp.value.split("\\|")
+        require(parts.length == 2 && parts(1).trim.forall(_.isDigit),
+          s"bucket property must be 'key|numBuckets', got " +
+            s"'${sp.value}'")
+        val bCol = parts(0).trim
+        require(ManifestPrune.schemaOfVersion(SparkSession.active,
+            root, ManifestPrune.currentVersion(SparkSession.active,
+              root)).fieldNames.contains(bCol),
+          s"bucket column '$bCol' does not exist in the table")
+        SpjBucket.register(root, bCol, parts(1).trim.toInt)
       case ac: TableChange.AddColumn =>
         // ALTER TABLE … ADD COLUMN(S) ⇒ a metadata-only declared-
         // schema commit ([[ManifestPrune.addColumns]]); pre-evolution

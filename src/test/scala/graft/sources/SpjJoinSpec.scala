@@ -255,6 +255,64 @@ class SpjJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucketing evolves onto an EXISTING table: ALTER TABLE SET " +
+    "TBLPROPERTIES('bucket'='doc_id|8') is metadata-only, the next " +
+    "compaction rewrites per bucket, and the SPJ join activates; " +
+    "the bucket function is also SQL-callable through the catalog") {
+    ensureCatalog()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rootA = Tables.matDir(s"spje_a_${System.nanoTime}", spark,
+        sf0001)
+      val rootB = Tables.matDir(s"spje_b_${System.nanoTime}", spark,
+        sf0001)
+      ManifestPrune.buildLayout(docs, rootA, nFiles = 8) // UNbucketed
+      SpjBucket.buildBucketedLayout(embs, rootB, "doc_id", 8,
+        statsCol = "doc_id")
+      val ta = s"spj.ea_${System.nanoTime}"
+      val tb = s"spj.eb_${System.nanoTime}"
+      GraftCatalog.registerTable(ta, rootA)
+      GraftCatalog.registerTable(tb, rootB)
+
+      spark.sql(s"ALTER TABLE graft.$ta SET TBLPROPERTIES " +
+        "('bucket'='doc_id|8')")
+      // declared but not yet physical: files carry no bucket ids, so
+      // the join honestly shuffles
+      def joined(): DataFrame = spark.sql(
+        s"""SELECT a.lang, b.label, count(*) AS n
+           |FROM graft.$ta a JOIN graft.$tb b ON a.doc_id = b.doc_id
+           |GROUP BY a.lang, b.label ORDER BY a.lang, b.label"""
+          .stripMargin)
+      val expect = docs.join(embs, "doc_id").groupBy("lang", "label")
+        .agg(count(lit(1)).as("n")).orderBy("lang", "label")
+        .collect().map(_.toSeq)
+      val q1 = joined()
+      assert(q1.collect().map(_.toSeq) === expect)
+
+      // compaction applies the declared bucketing physically
+      ManifestPrune.compactCommit(spark, rootA, nFiles = 8)
+      val q2 = joined()
+      assert(q2.collect().map(_.toSeq) === expect)
+      val plan = q2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val below = plan.substring(plan.indexOf("Join"))
+      assert(!below.contains("Exchange hashpartitioning"),
+        s"evolved bucketing did not activate SPJ after compact:\n$plan")
+
+      // the catalog-resolved bucket() is plain SQL too
+      val b = spark.sql(
+        s"SELECT graft.bucket(8, 12345L) AS b").collect().head.getInt(0)
+      val direct = spark.range(12345L, 12346L)
+        .select(SpjBucket.bucketCol("id", 8).as("b"))
+        .collect().head.getInt(0)
+      assert(b === direct)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("graft.db.t.partitions on a bucketed chain: one row per " +
     "bucket, per-bucket row sums match the bucket expression, and " +
     "time travel resolves the version's own groups") {
