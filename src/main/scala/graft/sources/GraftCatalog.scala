@@ -683,10 +683,15 @@ private[sources] class GraftCatalogTable(val root: String,
     val cond = predicates.toSeq.flatMap(V2PredicateToColumn.translate)
       .reduceOption(_ && _)
       .getOrElse(lit(true)) // TRUNCATE: unconditional delete
+    // when the conjunction pins a bloom-indexed column to a finite
+    // key set (DELETE WHERE doc_id IN (...) — the GDPR point erase),
+    // position planning reads only the sketch-matched files
+    val planKeys = ChainSkip.exactKeys(predicates)
     // predicate deletes re-plan doomed positions against the current
     // version on every attempt, so a lost CAS is safely retried
     ManifestPrune.withCommitRetry() { () =>
-      ManifestPrune.dvDeleteWhereCommit(SparkSession.active, root, cond)
+      ManifestPrune.dvDeleteWhereCommit(SparkSession.active, root,
+        cond, planKeys)
     }
   }
 }

@@ -1475,12 +1475,30 @@ object ManifestPrune {
     * position-planning read every positional delete pays), sidecar
     * growth O(matching rows). */
   def dvDeleteWhereCommit(s: SparkSession, root: String,
-                          cond: org.apache.spark.sql.Column): Long = {
+                          cond: org.apache.spark.sql.Column,
+                          planKeys: Map[String, Seq[Long]] = Map.empty)
+      : Long = {
     val base = currentVersion(s, root)
     val tok = prepareToken()
     val baseManifest = manifestOf(root, base)
     val effDv = foldEqDel(s, root, baseManifest, dvOf(root, base), tok)
-    val doomed = readVersionWithDv(s, baseManifest, effDv)
+    // GDPR-scale point deletes: when the condition implies a finite
+    // key set on a bloom-indexed column (planKeys — the SQL face
+    // extracts it from the pushed predicates), the position-planning
+    // scan reads only the sketch-matched files instead of the table
+    // (false negatives impossible, so every doomed row's file is in
+    // the plan); the FULL condition still decides each row. A version
+    // without an index for the key column plans the whole table.
+    val indexedKeys = BloomIndex.indexOf(root, base)
+      .flatMap(BloomIndex.indexedColumn)
+      .flatMap(c => planKeys.get(c).filter(_.nonEmpty))
+    val scanBase = indexedKeys.map { ks =>
+      val files = BloomIndex.planFiles(s, root, base, ks)
+      if (files.isEmpty)
+        readVersion(s, baseManifest).limit(0)
+      else applyDv(s, s.read.parquet(files: _*), effDv)
+    }.getOrElse(readVersionWithDv(s, baseManifest, effDv))
+    val doomed = scanBase
       .filter(cond)
       .select(col("_metadata.file_path").as("file"),
         col("_metadata.row_index").as("pos"))

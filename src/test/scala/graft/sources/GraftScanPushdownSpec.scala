@@ -384,6 +384,48 @@ class GraftScanPushdownSpec extends SparkSpec {
       .toArray)
   }
 
+  test("bloom-pruned point DELETE: SQL DELETE WHERE doc_id IN (...) " +
+    "plans positions over sketch-matched files only and commits the " +
+    "same result as a full-scan delete — the GDPR erase at O(keys) " +
+    "planning cost") {
+    val (tbl, root) = freshChain("blmdel")
+    BloomIndex.build(spark, root, 0L)
+    import spark.implicits._
+    val victims = docs.orderBy("doc_id").limit(4)
+      .select("doc_id").as[Long].collect().toSeq
+    // the sketches name few files for 4 keys — the exact plan the
+    // delete's position scan reads
+    val plannedFiles = BloomIndex.planFiles(spark, root, 0L, victims)
+    assert(plannedFiles.length < 8 && plannedFiles.nonEmpty)
+
+    spark.sql(s"DELETE FROM graft.$tbl " +
+      s"WHERE doc_id IN (${victims.mkString(", ")})")
+    val after = spark.sql(
+      s"SELECT count(*) AS n FROM graft.$tbl").collect().head.getLong(0)
+    assert(after === docs.count() - victims.length)
+    // none of the victims is readable; everything else is
+    val gone = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+      s"WHERE doc_id IN (${victims.mkString(", ")})")
+      .collect().head.getLong(0)
+    assert(gone === 0L)
+
+    // a conjunctive extra condition stays inside the pruned plan:
+    // only SOME victims match, the rest survive
+    val (tbl2, root2) = freshChain("blmdel2")
+    BloomIndex.build(spark, root2, 0L)
+    val v2 = docs.orderBy("doc_id").limit(4)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq
+    val keepLang = v2.head._2
+    spark.sql(s"DELETE FROM graft.$tbl2 " +
+      s"WHERE doc_id IN (${v2.map(_._1).mkString(", ")}) " +
+      s"AND lang <> '$keepLang'")
+    val survivors = spark.sql(s"SELECT doc_id FROM graft.$tbl2 " +
+      s"WHERE doc_id IN (${v2.map(_._1).mkString(", ")})")
+      .collect().map(_.getLong(0)).sorted
+    assert(survivors === v2.filter(_._2 == keepLang).map(_._1)
+      .sorted.toArray)
+  }
+
   test("runtime (DPP) bloom pruning: a broadcast join keyed on the " +
     "bloom-indexed column hands the scan the build side's keys at " +
     "execution and the sketches prune files the range stats never " +
