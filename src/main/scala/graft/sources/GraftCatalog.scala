@@ -580,6 +580,23 @@ private[sources] class GraftCatalogTable(val root: String,
         .bucket(n, k)
     }.toArray
 
+  /** DESCRIBE EXTENDED surfaces the chain's physical design: the
+    * clustering spec, the merge key, the declared bucketing, and the
+    * snapshot served. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("provider", "graft")
+    m.put("key", mergeKey)
+    m.put("snapshot", snapshot.toString)
+    val spec = ManifestPrune.specOfVersion(root, snapshot)
+    m.put("cluster", s"${spec.statsCol}|${spec.clusterCols
+      .mkString(",")}")
+    SpjBucket.bucketingOf(root).foreach { case (k, n) =>
+      m.put("bucket", s"$k|$n")
+    }
+    m
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
