@@ -26,7 +26,8 @@ private[sources] object GraftProcedures {
 
   private val All: Seq[String] = Seq(
     "compact", "expire_versions", "create_tag", "drop_tag", "restore",
-    "create_branch", "fast_forward", "drop_branch", "evolve_clustering")
+    "create_branch", "fast_forward", "drop_branch", "evolve_clustering",
+    "build_index", "extend_index")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
@@ -93,6 +94,15 @@ private[sources] object GraftProcedures {
       Array(p("table", StringType), p("stats_col", StringType),
         pd("cluster_cols", StringType, "''")),
       new StructType().add("version", LongType, nullable = false))
+    case "build_index" => (
+      Array(p("table", StringType), pd("key", StringType, "'doc_id'"),
+        pd("bits_per_key", LongType, "10")),
+      new StructType().add("version", LongType, nullable = false)
+        .add("index_dir", StringType, nullable = false))
+    case "extend_index" => (
+      Array(p("table", StringType), pd("from_version", LongType, "-1")),
+      new StructType().add("version", LongType, nullable = false)
+        .add("index_dir", StringType, nullable = false))
   }
 }
 
@@ -164,6 +174,38 @@ private[sources] class GraftProcedure(catalog: GraftCatalog,
         val extra = str(2).split(",").map(_.trim).filter(_.nonEmpty)
         (InternalRow(evolveClustering(s, root, str(1),
           extra.toIndexedSeq)), signature(proc)._2)
+      case "build_index" =>
+        // per-file bloom index for the CURRENT version — the
+        // point-lookup/point-delete acceleration, now a maintenance
+        // CALL like Iceberg's rewrite procedures
+        val root = rootOfArg(str(0))
+        val v = currentVersion(s, root)
+        val dir = BloomIndex.build(s, root, v, str(1),
+          input.getLong(2))
+        (InternalRow(v, UTF8String.fromString(dir)),
+          signature(proc)._2)
+      case "extend_index" =>
+        // O(new files) index maintenance: carry the sketches of an
+        // already-indexed version forward to the head (from_version
+        // -1 = the LATEST indexed version at or below the head)
+        val root = rootOfArg(str(0))
+        val v = currentVersion(s, root)
+        val fromArg = input.getLong(1)
+        val from =
+          if (fromArg >= 0) fromArg
+          else {
+            val st2 = ChainStorage.forPath(root)
+            (0L to v).filter(x =>
+              st2.isDir(BloomIndex.indexDir(root, x)))
+              .lastOption.getOrElse(throw new IllegalStateException(
+                s"no bloom index on any version of ${str(0)} — " +
+                  "CALL graft.system.build_index first"))
+          }
+        val dir = BloomIndex.extend(s, root, from, v,
+          BloomIndex.indexedColumn(BloomIndex.indexDir(root, from))
+            .getOrElse("doc_id"))
+        (InternalRow(v, UTF8String.fromString(dir)),
+          signature(proc)._2)
     }
     java.util.List.of[Scan](new LocalScan {
       override def readSchema(): StructType = schema

@@ -2505,7 +2505,8 @@ object ManifestPrune {
   /** What [[expireVersions]] removed and kept, for audit logs. */
   case class ExpireStats(keptVersions: Seq[Long], removedDataFiles: Long,
                          removedManifestDirs: Long, removedDvDirs: Long,
-                         removedStagingDirs: Long = 0L)
+                         removedStagingDirs: Long = 0L,
+                         removedIndexDirs: Long = 0L)
 
   /** SNAPSHOT EXPIRY / VACUUM — the lifecycle end of the version
     * chain (Iceberg `expire_snapshots` + `remove_orphan_files`, Delta
@@ -2657,6 +2658,7 @@ object ManifestPrune {
       else st.deleteTree(p)
     var removedMf = 0L
     var removedDv = 0L
+    var removedIdx = 0L
     // paths the expired-version loop already destroyed (or, in a dry
     // run, WOULD have): the loser-GC pass below must not count them
     // twice — in a real run the storage enforces this (the dir is
@@ -2688,6 +2690,14 @@ object ManifestPrune {
         }
       if (rmTree(manifestOf(root, v))) removedMf += 1
       claimed += manifestOf(root, v)
+      // the version's bloom index is a rebuildable acceleration
+      // structure keyed to THIS version's file set — unreachable
+      // once the version is expired, so it goes with the manifest
+      // (a kept version's index has a different dir name and is
+      // never touched here)
+      val idx = BloomIndex.indexDir(root, v)
+      if (rmTree(idx)) removedIdx += 1
+      claimed += idx
       // markers are RETAINED: they are bytes-sized, currentVersion
       // needs only the max, and their notes carry the streaming
       // replay cursors (lastAppliedBatch scans them) — deleting an
@@ -2753,7 +2763,8 @@ object ManifestPrune {
         if (oldEnough(d)) rmTree(d)
       }
     }
-    ExpireStats(kept, removedData, removedMf, removedDv, removedStaging)
+    ExpireStats(kept, removedData, removedMf, removedDv, removedStaging,
+      removedIdx)
   }
 
   /** Read the table a manifest version describes (the post-merge

@@ -40,10 +40,17 @@ class GraftScanPushdownSpec extends SparkSpec {
 
   private def chainScans(df: DataFrame): Seq[BatchScanExec] = {
     df.collect() // materialize so AQE finalizes the plan
-    df.queryExecution.executedPlan.collectLeaves().collect {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => walk(qs.plan)
       case b: BatchScanExec
-          if b.scan.description().startsWith("graft-chain") => b
+          if b.scan.description().startsWith("graft-chain") => Seq(b)
+      case other => other.children.flatMap(walk)
     }
+    walk(df.queryExecution.executedPlan)
   }
 
   test("WHERE on the stats column prunes input partitions through " +
@@ -424,6 +431,46 @@ class GraftScanPushdownSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(survivors === v2.filter(_._2 == keepLang).map(_._1)
       .sorted.toArray)
+  }
+
+  test("index lifecycle in SQL: CALL build_index accelerates point " +
+    "lookups, extend_index carries sketches to the head after an " +
+    "append (O(new files)), and vacuum collects expired versions' " +
+    "index dirs") {
+    val (tbl, root) = freshChain("blmproc")
+    spark.sql(s"CALL graft.system.build_index(table => '$tbl')")
+    assert(BloomIndex.indexOf(root, 0L).isDefined)
+
+    import spark.implicits._
+    val probe = docs.orderBy("doc_id").limit(1)
+      .select("doc_id").as[Long].collect().head
+    val q = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+      s"WHERE doc_id = $probe")
+    assert(q.collect().head.getLong(0) === 1L)
+    assert(chainScans(q).head.inputPartitions.length < 8)
+
+    // append a row, extend the index to the head, and the NEW row is
+    // findable through the pruned plan
+    spark.sql(s"INSERT INTO graft.$tbl VALUES " +
+      "(97000001, 'indexed append', 'ix', 'proc', 14)")
+    spark.sql(s"CALL graft.system.extend_index(table => '$tbl')")
+    assert(BloomIndex.indexOf(root, 1L).isDefined)
+    val q2 = spark.sql(s"SELECT lang FROM graft.$tbl " +
+      "WHERE doc_id = 97000001")
+    assert(q2.collect().map(_.getString(0)) === Array("ix"))
+    assert(chainScans(q2).head.inputPartitions.length < 9)
+
+    // vacuum: keeping only the head destroys v0 AND its index dir
+    spark.sql(s"CALL graft.system.expire_versions(table => '$tbl', " +
+      "keep_last => 1, grace_ms => 0)")
+    assert(BloomIndex.indexOf(root, 0L).isEmpty,
+      "expired version's bloom index dir survived vacuum")
+    assert(BloomIndex.indexOf(root, 1L).isDefined,
+      "the kept version's index must survive")
+    // and the kept index still plans
+    val q3 = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+      s"WHERE doc_id = $probe")
+    assert(q3.collect().head.getLong(0) === 1L)
   }
 
   test("runtime (DPP) bloom pruning: a broadcast join keyed on the " +
