@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   *   time_travel — versionAsOf resolution at head
   *   history     — describeHistory over the 3-version chain (count())
   *   vacuum      — expireVersions(keepLast = 1)
+  *   sql_prune_select — catalog SELECT with a stats-column WHERE
+  *                 (manifest-pruned partition planning, round 14)
+  *   sql_count_meta   — SELECT count(*) via the metadata aggregate
+  *   bloom_build      — per-file bloom index build at head
+  *   sql_point_lookup — catalog SELECT ... WHERE doc_id IN (4 keys)
+  *                 through the bloom-planned scan
+  *   sql_point_delete — SQL DELETE WHERE doc_id IN (4 keys)
+  *                 (bloom-planned positions)
   *
   * Usage: `runMain graft.TableScaleBench [sf0.1 dir]`; prints one
   * JSON line and writes TABLE_SCALE_LOCAL.json. Exponent =
@@ -34,7 +42,9 @@ import org.apache.spark.sql.functions._
 object TableScaleBench {
 
   val ops: Seq[String] = Seq("append", "mor_merge", "dv_delete",
-    "feed_step", "time_travel", "history", "vacuum")
+    "feed_step", "time_travel", "history",
+    "sql_prune_select", "sql_count_meta", "bloom_build",
+    "sql_point_lookup", "sql_point_delete", "vacuum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -88,6 +98,28 @@ object TableScaleBench {
           System.currentTimeMillis()))
       timed("history")(
         ManifestPrune.describeHistory(spark, root).count())
+      // ---- the SQL face's planning surfaces (round 14): constant
+      // data, 10x files — planning cost is the variable under test
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      val tbl = s"tsb.t_${nFiles}f_p${pass}_${System.nanoTime}"
+      graft.sources.GraftCatalog.registerTable(tbl, root)
+      timed("sql_prune_select")(
+        spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+          "WHERE n_chars BETWEEN 120 AND 200").collect())
+      timed("sql_count_meta")(
+        spark.sql(s"SELECT count(*) AS n FROM graft.$tbl").collect())
+      val head = ManifestPrune.currentVersion(spark, root)
+      timed("bloom_build")(
+        graft.sources.BloomIndex.build(spark, root, head))
+      val probeIds = docs.orderBy("doc_id").limit(4)
+        .select("doc_id").collect().map(_.getLong(0))
+      timed("sql_point_lookup")(
+        spark.sql(s"SELECT doc_id, lang FROM graft.$tbl " +
+          s"WHERE doc_id IN (${probeIds.mkString(", ")})").collect())
+      timed("sql_point_delete")(
+        spark.sql(s"DELETE FROM graft.$tbl " +
+          s"WHERE doc_id IN (${probeIds.mkString(", ")})"))
       timed("vacuum")(
         ManifestPrune.expireVersions(spark, root, keepLast = 1,
           graceMs = 0L))
