@@ -108,6 +108,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def resolve(q: String): Option[(String, String)] =
     GraftCatalog.lookup(q).orElse(durableLookup(q))
 
+  /** Registration hook for the procedure face (`CALL
+    * graft.system.clone(…, as_table => …)`). */
+  private[sources] def persistRegistration(q: String,
+                                           root: String): Unit =
+    persist(q, root, "doc_id", exclusive = true)
+
   /** Persist a registration under the warehouse; `exclusive` drives
     * CREATE's across-process CAS (putIfAbsent) vs rename/update's
     * last-writer-wins PUT. */

@@ -27,7 +27,7 @@ private[sources] object GraftProcedures {
   private val All: Seq[String] = Seq(
     "compact", "expire_versions", "create_tag", "drop_tag", "restore",
     "create_branch", "fast_forward", "drop_branch", "evolve_clustering",
-    "build_index", "extend_index")
+    "build_index", "extend_index", "clone", "detach_clone")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
@@ -103,6 +103,14 @@ private[sources] object GraftProcedures {
       Array(p("table", StringType), pd("from_version", LongType, "-1")),
       new StructType().add("version", LongType, nullable = false)
         .add("index_dir", StringType, nullable = false))
+    case "clone" => (
+      Array(p("table", StringType), p("location", StringType),
+        pd("as_table", StringType, "''"),
+        pd("version", LongType, "-1")),
+      new StructType().add("clone_root", StringType, nullable = false))
+    case "detach_clone" => (
+      Array(p("table", StringType), p("location", StringType)),
+      new StructType().add("detached", BooleanType, nullable = false))
   }
 }
 
@@ -206,6 +214,23 @@ private[sources] class GraftProcedure(catalog: GraftCatalog,
             .getOrElse("doc_id"))
         (InternalRow(v, UTF8String.fromString(dir)),
           signature(proc)._2)
+      case "clone" =>
+        // zero-copy table fork (Iceberg/Delta shallow clone) as a
+        // CALL: files shared by path, the source's vacuum protects
+        // every registered clone's manifests; `as_table` optionally
+        // registers the clone in the catalog right away
+        val root = rootOfArg(str(0))
+        val dst = str(1)
+        val out = cloneTable(s, root, dst, input.getLong(3))
+        val as = str(2)
+        if (as.nonEmpty) {
+          GraftCatalog.registerTable(as, out)
+          catalog.persistRegistration(as, out)
+        }
+        (InternalRow(UTF8String.fromString(out)), signature(proc)._2)
+      case "detach_clone" =>
+        val root = rootOfArg(str(0))
+        (InternalRow(detachClone(root, str(1))), signature(proc)._2)
     }
     java.util.List.of[Scan](new LocalScan {
       override def readSchema(): StructType = schema

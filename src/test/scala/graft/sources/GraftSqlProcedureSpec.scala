@@ -127,6 +127,39 @@ class GraftSqlProcedureSpec extends SparkSpec {
     assert(ManifestPrune.specOfVersion(root, v).statsCol === "n_chars")
   }
 
+  test("clone / detach_clone round-trip in SQL; the clone is a " +
+    "zero-copy first-class table; TRUNCATE TABLE rides the delete " +
+    "face") {
+    ensureCatalog()
+    val (tbl, root) = freshChain("clone")
+    val dst = Tables.matDir(s"proc_clone_dst_${System.nanoTime}",
+      spark, sf0001)
+    // matDir creates the dir; cloneTable wants to create it itself
+    ChainStorage.forPath(dst).deleteTree(dst)
+    val as = s"prc.cl_${System.nanoTime}"
+    val r = call(s"CALL graft.system.clone(table => '$tbl', " +
+      s"location => '$dst', as_table => '$as')")
+    assert(r.head.getString(0) === dst)
+    val base = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl")
+      .collect().head.getLong(0)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.$as")
+      .collect().head.getLong(0) === base)
+    // the clone is independent: deleting there leaves the source
+    spark.sql(s"DELETE FROM graft.$as WHERE doc_id % 2 = 0")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.$tbl")
+      .collect().head.getLong(0) === base)
+    assert(call(s"CALL graft.system.detach_clone(table => '$tbl', " +
+      s"location => '$dst')").head.getBoolean(0))
+
+    // TRUNCATE TABLE → unconditional merge-on-read delete
+    spark.sql(s"TRUNCATE TABLE graft.$tbl")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.$tbl")
+      .collect().head.getLong(0) === 0L)
+    // the pre-truncate contents remain one version back
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+      "VERSION AS OF 0").collect().head.getLong(0) === base)
+  }
+
   test("unknown procedure and unknown table fail cleanly") {
     ensureCatalog()
     val e1 = intercept[Exception] {
