@@ -94,7 +94,20 @@ object SpjBucket {
     * when SPJ cannot be offered (no registration, or any live file
     * without a recorded bucket — e.g. appended by a writer that
     * predates the registration). Order is by file for determinism. */
+  private val bucketedCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Option[(Int, Seq[(String, Int)])]]()
+
   def bucketedFiles(s: SparkSession, root: String,
+                    version: Long): Option[(Int, Seq[(String, Int)])] = {
+    // memoized per immutable snapshot (commit instant in the key, so
+    // a rebuilt chain at the same path can never serve stale files) —
+    // SQL-heavy workloads plan the same head many times
+    val ts = ManifestPrune.commitTimeMs(root, version).getOrElse(0L)
+    bucketedCache.computeIfAbsent((root, version, ts),
+      _ => bucketedFilesUncached(s, root, version))
+  }
+
+  private def bucketedFilesUncached(s: SparkSession, root: String,
                     version: Long): Option[(Int, Seq[(String, Int)])] =
     bucketingOf(root).flatMap { case (_, n) =>
       val m = s.read.parquet(ManifestPrune.manifestOf(root, version))
