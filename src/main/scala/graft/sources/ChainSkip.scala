@@ -119,6 +119,85 @@ private[sources] object ChainSkip {
     (used, m.toMap.filter(_._2.nonTrivial))
   }
 
+  /** STRING intervals — the skip machinery for chains clustered on a
+    * string column (URL / language layouts): closed [lo, hi] bounds
+    * in UTF8 binary order, the SAME ordering the manifest's min/max
+    * aggregation used, so pruning stays exact. Strict comparisons
+    * tighten to their inclusive neighbors (sound for skipping — the
+    * kept set only grows) and the residual predicate keeps exactness. */
+  case class SBounds(lo: Option[String] = None,
+                     hi: Option[String] = None) {
+    def tightenLo(v: String): SBounds =
+      copy(lo = Some(lo.filter(_ > v).getOrElse(v)))
+    def tightenHi(v: String): SBounds =
+      copy(hi = Some(hi.filter(_ < v).getOrElse(v)))
+    def nonTrivial: Boolean = lo.isDefined || hi.isDefined
+  }
+
+  private def strLit(e: V2Expr): Option[String] = e match {
+    case l: V2Literal[_] if l.dataType ==
+        org.apache.spark.sql.types.StringType =>
+      Option(l.value).map(_.toString)
+    case _ => None
+  }
+
+  def extractStr(predicates: Array[V2Predicate])
+      : Map[String, SBounds] = {
+    val m = scala.collection.mutable.Map[String, SBounds]()
+    def upd(c: String)(f: SBounds => SBounds): Unit =
+      m.update(c, f(m.getOrElse(c, SBounds())))
+    def walk(e: V2Expr): Unit = e match {
+      case g: GeneralScalarExpression =>
+        val kids = g.children()
+        def cmp(opLo: Boolean): Unit = {
+          val straight = for {
+            n <- colName(kids(0)); v <- strLit(kids(1))
+          } yield (n, v, opLo)
+          val flipped = for {
+            n <- colName(kids(1)); v <- strLit(kids(0))
+          } yield (n, v, !opLo)
+          straight.orElse(flipped).foreach { case (n, v, lo) =>
+            if (lo) upd(n)(_.tightenLo(v)) else upd(n)(_.tightenHi(v))
+          }
+        }
+        g.name() match {
+          case "AND" => kids.foreach(walk)
+          case ">=" | ">" if kids.length == 2 => cmp(opLo = true)
+          case "<=" | "<" if kids.length == 2 => cmp(opLo = false)
+          case "=" if kids.length == 2 =>
+            cmp(opLo = true); cmp(opLo = false)
+          case "IN" if kids.length >= 2 =>
+            (colName(kids(0)), kids.toSeq.drop(1).map(strLit)) match {
+              case (Some(n), vs) if vs.forall(_.isDefined) =>
+                val values = vs.flatten
+                upd(n)(_.tightenLo(values.min).tightenHi(values.max))
+              case _ =>
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    predicates.foreach(walk)
+    m.toMap.filter(_._2.nonTrivial)
+  }
+
+  /** String-interval file plan — [[plannedFiles]] for string-statted
+    * specs, through the type-general
+    * [[ManifestPrune.planRangeCommittedAny]]. */
+  def plannedFilesStr(s: SparkSession, root: String, version: Long,
+                      bounds: Map[String, SBounds])
+      : Option[Seq[String]] = {
+    val statted = bounds.keys.filter(c =>
+      ManifestPrune.listSpecs(root).values.exists(_.statsCol == c))
+      .toSeq
+    if (statted.isEmpty) None
+    else Some(statted.map { c =>
+      val b = bounds(c)
+      ManifestPrune.planRangeCommittedAny(s, root, version, c,
+        b.lo, b.hi).toSet
+    }.reduce(_ intersect _).toSeq.sorted)
+  }
+
   /** The file list of `version` pruned by every extracted interval
     * whose column some clustering spec stats (files written under a
     * spec that doesn't stat the column are always kept — the

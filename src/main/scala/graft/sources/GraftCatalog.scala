@@ -835,12 +835,14 @@ private[sources] class GraftChainScanBuilder(
     * manifest proves cannot match — pruning trades I/O, never
     * correctness. */
   private var exactKeys: Map[String, Seq[Long]] = Map.empty
+  private var strBounds: Map[String, ChainSkip.SBounds] = Map.empty
   override def pushPredicates(predicates: Array[V2Predicate])
       : Array[V2Predicate] = {
     sawPredicates ||= predicates.nonEmpty
     val (used, bounds) = ChainSkip.extract(predicates)
     skipUsed = used
     skipBounds = bounds
+    strBounds = ChainSkip.extractStr(predicates)
     exactKeys = ChainSkip.exactKeys(predicates)
     predicates
   }
@@ -867,7 +869,7 @@ private[sources] class GraftChainScanBuilder(
     case Some(a) => new GraftMetaAggScan(root, version, a)
     case None =>
       new GraftChainScan(root, version, required, options, skipBounds,
-        limit, topN, exactKeys)
+        limit, topN, exactKeys, strBounds)
   }
 }
 
@@ -919,7 +921,8 @@ private[sources] class GraftChainScan(
     skipBounds: Map[String, ChainSkip.Bounds] = Map.empty,
     limit: Option[Int] = None,
     topN: Option[(String, Boolean, Boolean, Int)] = None,
-    exactKeys: Map[String, Seq[Long]] = Map.empty)
+    exactKeys: Map[String, Seq[Long]] = Map.empty,
+    strBounds: Map[String, ChainSkip.SBounds] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -934,7 +937,7 @@ private[sources] class GraftChainScan(
     * KeyGroupedPartitioning(bucket(N, key)) — two co-bucketed graft
     * tables then join with ZERO Exchange on either side. */
   private lazy val spjPlan: Option[(String, Int, Seq[(String, Int)])] =
-    if (skipBounds.nonEmpty) None
+    if (skipBounds.nonEmpty || strBounds.nonEmpty) None
     else SpjBucket.bucketingOf(root).flatMap { case (key, _) =>
       if (!required.fieldNames.contains(key)) None
       else SpjBucket.bucketedFiles(SparkSession.active, root, version)
@@ -973,7 +976,11 @@ private[sources] class GraftChainScan(
     s"graft-chain $root v$version cols=[${required.fieldNames
       .mkString(",")}]" + (if (skipBounds.isEmpty) "" else
       skipBounds.toSeq.sortBy(_._1).map { case (c, b) =>
-        s" skip:$c∈[${b.lo},${b.hi}]" }.mkString)
+        s" skip:$c∈[${b.lo},${b.hi}]" }.mkString) +
+      (if (strBounds.isEmpty) "" else
+      strBounds.toSeq.sortBy(_._1).map { case (c, b) =>
+        s" skip:$c∈[${b.lo.getOrElse("")},${b.hi.getOrElse("∞")}]"
+      }.mkString)
 
   /** Runtime filtering (DPP through the SQL face): a join keyed on a
     * clustering stats column prunes this scan's files with the build
@@ -1039,12 +1046,15 @@ private[sources] class GraftChainScan(
         // otherwise)
         val bounded =
           ChainSkip.plannedFiles(s, root, version, effectiveBounds)
+        val strBounded =
+          ChainSkip.plannedFilesStr(s, root, version, strBounds)
         val bloomed =
           ChainSkip.bloomFiles(s, root, version, mergedExact)
-        val pruned = ((bounded, bloomed) match {
-          case (Some(a), Some(b)) =>
-            Some(a.toSet.intersect(b.toSet).toSeq.sorted)
-          case (a, b) => a.orElse(b)
+        val pruned = (Seq(bounded, strBounded, bloomed).flatten match {
+          case Nil => None
+          case one :: Nil => Some(one)
+          case many => Some(many.map(_.toSet).reduce(_ intersect _)
+            .toSeq.sorted)
         }).orElse(limit
             .flatMap(l => ChainSkip.limitFiles(s, root, version, l)))
           .orElse(topN.flatMap { case (c, asc, nf, k) =>

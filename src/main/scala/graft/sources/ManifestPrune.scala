@@ -2005,6 +2005,34 @@ object ManifestPrune {
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
+  /** [[planRangeCommitted]] for ANY stats-column type whose Spark
+    * ordering matches the manifest's min/max aggregation (strings:
+    * UTF8 binary — the default collation; both the stats and the
+    * comparison run through the same Catalyst ordering, so pruning
+    * stays exact). `None` bound = unbounded on that side. */
+  def planRangeCommittedAny(s: SparkSession, root: String,
+                            version: Long, colName: String,
+                            lo: Option[Any],
+                            hi: Option[Any]): Seq[String] = {
+    val m0 = s.read.parquet(manifestOf(root, version))
+    val m =
+      if (m0.columns.contains("spec_id"))
+        m0.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
+      else m0.withColumn("spec_id", lit(0))
+    val prunable = listSpecs(root).collect {
+      case (id, sp) if sp.statsCol == colName => id
+    }.toSeq
+    val overlap = Seq(
+      hi.map(v => col("min_key") <= lit(v)),
+      lo.map(v => col("max_key") >= lit(v))).flatten
+      .reduceOption(_ && _).getOrElse(lit(true))
+    collectFileList(s,
+      m.filter((!col("spec_id").isInCollection(
+          if (prunable.isEmpty) Seq(-1) else prunable)) || overlap)
+        .select("file"),
+      s"spec-aware range plan [$lo, $hi] on $colName")
+  }
+
   /** The spec-aware file plan behind [[readRangeCommitted]] (public
     * so the pruning claim is assertable: planned ⊂ manifest for a
     * selective predicate on the spec's stats column). */

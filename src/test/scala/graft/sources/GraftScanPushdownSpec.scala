@@ -259,6 +259,53 @@ class GraftScanPushdownSpec extends SparkSpec {
       s"expected runtime pruning below $total files, planned=$planned")
   }
 
+  test("string-typed skip bounds: a chain clustered on a STRING " +
+    "column prunes on WHERE lang = '...' / BETWEEN, strict bounds " +
+    "stay sound, and rows match the plain filter exactly") {
+    // DDL chain clustered on lang (string stats), filled from docs
+    ensureCatalog()
+    val root = Tables.matDir(s"push_str_${System.nanoTime}", spark,
+      sf0001)
+    val tbl = s"push.str_${System.nanoTime}"
+    spark.sql(
+      s"""CREATE TABLE graft.$tbl (
+         |  doc_id BIGINT, lang STRING, n_chars BIGINT)
+         |USING graft LOCATION '$root'
+         |TBLPROPERTIES ('cluster'='lang|lang,doc_id',
+         |  'key'='doc_id')""".stripMargin)
+    val view = s"push_str_src_${System.nanoTime}"
+    docs.select("doc_id", "lang", "n_chars")
+      .repartition(8) // several insert files, ranges overlap per file
+      .createOrReplaceTempView(view)
+    spark.sql(s"INSERT INTO graft.$tbl " +
+      s"SELECT doc_id, lang, n_chars FROM $view")
+    // re-cluster so files carry tight per-file lang ranges
+    ManifestPrune.compactCommit(spark, root, nFiles = 8)
+    val nFiles = spark.read.parquet(
+      ManifestPrune.manifestOf(root, 2L)).count()
+
+    import spark.implicits._
+    val someLang = docs.select("lang").distinct().orderBy("lang")
+      .limit(1).as[String].collect().head
+    val q = spark.sql(s"SELECT doc_id, lang FROM graft.$tbl " +
+      s"WHERE lang = '$someLang'")
+    assert(q.collect().length ===
+      docs.filter(col("lang") === someLang).count())
+    val planned = chainScans(q).head.inputPartitions.length
+    assert(planned < nFiles && planned > 0,
+      s"expected string-interval pruning below $nFiles files, " +
+        s"planned=$planned")
+
+    // a BETWEEN over strings and a strict bound — both exact
+    val hi = docs.select("lang").distinct().orderBy("lang")
+      .limit(2).as[String].collect().last
+    val qr = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+      s"WHERE lang >= '$someLang' AND lang < '$hi'")
+    assert(qr.collect().head.getLong(0) ===
+      docs.filter(col("lang") >= someLang && col("lang") < hi)
+        .count())
+  }
+
   test("LIMIT pushdown is file pruning: a bare LIMIT plans only " +
     "enough files to cover it (partially-pushed — Spark keeps the " +
     "global limit), DV-hidden rows are discounted, and a WHERE " +
