@@ -314,6 +314,11 @@ object CoreQueries {
       (t1, t2)
     })
 
+  /** q_sql_prune_str's lang-clustered DDL chain, one per
+    * (session, sf dir); holds the registered table name. */
+  private val langChainCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
   /** q_spj_join's pair of co-BUCKETED chain tables (documents and
     * embeddings-meta, both bucketed 8 ways on the join key through
     * SpjBucket.buildBucketedLayout), registered in the SQL catalog
@@ -2684,6 +2689,48 @@ object CoreQueries {
              |  CAST(min(n_chars) AS BIGINT) AS min_chars,
              |  CAST(max(n_chars) AS BIGINT) AS max_chars
              |FROM aug""".stripMargin)),
+
+    // STRING-TYPED FILE SKIPPING + METADATA MIN/MAX (round 14): a
+    // chain clustered on a STRING column (the URL/language layout) —
+    // the WHERE's lang interval prunes files through the manifest's
+    // UTF8-binary min/max (GraftScanPushdownSpec pins the sub-total
+    // plan), and the global min/max(lang) beside it answer from the
+    // SAME stats as a metadata aggregate when the scan carries no
+    // hidden rows. One gated row carries both: a broken string
+    // ordering, a lost file, or a wrong stats bound all break the
+    // hash.
+    Q("q_sql_prune_str",
+      (s, d) => {
+        val root = langChainCache.computeIfAbsent((s, d), { _ =>
+          val r = Tables.matDir(s"langchain_${System.nanoTime}", s, d)
+          s.conf.set("spark.sql.catalog.graft",
+            classOf[graft.sources.GraftCatalog].getName)
+          val tbl = s"lng.t_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+          s.sql(s"""CREATE TABLE graft.$tbl (
+                   |  doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft LOCATION '$r'
+                   |TBLPROPERTIES ('cluster'='lang|lang,doc_id',
+                   |  'key'='doc_id')""".stripMargin)
+          val view = s"lng_src_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+          Tables.load(s, d, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .createOrReplaceTempView(view)
+          s.sql(s"INSERT INTO graft.$tbl " +
+            s"SELECT doc_id, lang, n_chars FROM $view")
+          graft.sources.ManifestPrune.compactCommit(s, r, nFiles = 8)
+          tbl
+        })
+        s.sql(s"""SELECT count(*) AS n_docs,
+                 |  sum(n_chars) AS sum_chars,
+                 |  min(doc_id) AS min_id
+                 |FROM graft.$root
+                 |WHERE lang >= 'b' AND lang <= 'f'""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(min(doc_id) AS BIGINT) AS min_id
+             |FROM documents
+             |WHERE lang >= 'b' AND lang <= 'f'""".stripMargin)),
 
     // BLOOM-PLANNED POINT LOOKUP THROUGH SQL (round 14 — the
     // q_point_lookup plan with zero engine API): the catalog scan

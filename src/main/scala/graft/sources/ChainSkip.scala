@@ -453,7 +453,8 @@ private[sources] object ChainSkip {
     def minMaxCol(e: V2Expr): Option[(String, DataType)] = for {
       n <- colName(e)
       f <- table.fields.find(_.name == n)
-      if f.dataType == LongType || f.dataType == IntegerType
+      if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == org.apache.spark.sql.types.StringType
     } yield (n, f.dataType)
 
     val asks: Seq[Ask] = agg.aggregateExpressions().toSeq.map {
@@ -505,6 +506,9 @@ private[sources] object ChainSkip {
       if (row.isNullAt(i)) null
       else t match {
         case IntegerType => row.get(i).asInstanceOf[Number].intValue
+        case org.apache.spark.sql.types.StringType =>
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(row.get(i).toString)
         case _ => row.get(i).asInstanceOf[Number].longValue
       }
 
