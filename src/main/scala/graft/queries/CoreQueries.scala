@@ -2690,6 +2690,20 @@ object CoreQueries {
              |  CAST(max(n_chars) AS BIGINT) AS max_chars
              |FROM aug""".stripMargin)),
 
+    // `graft.db.t.refs` METADATA TABLE (round 14 — Iceberg's refs
+    // relation, rounding out history/files/partitions): every named
+    // reference as a row. On q_sql_call's chain the 'raw' tag IS the
+    // retention anchor that survived the CALL expire_versions — so
+    // this gate also re-proves the tag survived vacuum, from SQL.
+    Q("q_sql_refs",
+      (s, d) => {
+        val tbl = sqlCallTable(s, d)
+        s.sql(s"""SELECT name, type, version
+                 |FROM graft.$tbl.refs ORDER BY name""".stripMargin)
+      },
+      Some("""SELECT 'raw' AS name, 'tag' AS type,
+             |  CAST(0 AS BIGINT) AS version""".stripMargin)),
+
     // STRING-TYPED FILE SKIPPING + METADATA MIN/MAX (round 14): a
     // chain clustered on a STRING column (the URL/language layout) —
     // the WHERE's lang interval prunes files through the manifest's

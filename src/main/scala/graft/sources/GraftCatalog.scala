@@ -192,6 +192,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         return new GraftFilesTable(root, s"$parent.files")
       }
     }
+    // `graft.db.t.refs` — Iceberg's `refs` metadata table: one row
+    // per named reference (tags with their pinned versions, branches
+    // with their heads), driver-local O(refs) rows
+    if (ident.name == "refs" && ident.namespace.nonEmpty) {
+      val parent = ident.namespace.mkString(".")
+      resolve(parent).foreach { case (root, _) =>
+        return new GraftRefsTable(root, s"$parent.refs")
+      }
+    }
     // `graft.db.t.partitions` — Iceberg's `partitions` table: one row
     // per (bucket, spec) group with file/row/hidden sums and the
     // group's key range; a bucketed chain's skew and balance audit in
@@ -1520,6 +1529,51 @@ private[sources] class GraftFilesTable(root: String, qualified: String,
                 : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
               frame(context.sparkSession).rdd
           }).asInstanceOf[T]
+      }
+  }
+}
+
+/** `graft.db.t.refs` — Iceberg's `refs` metadata table: every named
+  * reference on the chain — tags (immutable version anchors, the
+  * retention guarantee) and branches (writable forks, their own
+  * current head) — as a queryable relation. O(refs) driver rows, the
+  * LocalScan shape `.history` uses. */
+private[sources] class GraftRefsTable(root: String, qualified: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = qualified
+
+  override def schema(): StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema()
+        override def description(): String = s"graft-refs $root"
+        override def rows(): Array[InternalRow] = {
+          val s = SparkSession.active
+          val tags = ManifestPrune.listTags(root).toSeq.sortBy(_._1)
+            .map { case (n, v) => InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(n),
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString("tag"), v) }
+          val branches = ManifestPrune.listBranches(root).sorted
+            .map { b => InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(b),
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString("branch"),
+              ManifestPrune.currentVersion(s,
+                ManifestPrune.branchRoot(root, b))) }
+          (tags ++ branches).toArray
+        }
       }
   }
 }

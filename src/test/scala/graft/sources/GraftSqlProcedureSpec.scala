@@ -160,6 +160,22 @@ class GraftSqlProcedureSpec extends SparkSpec {
       "VERSION AS OF 0").collect().head.getLong(0) === base)
   }
 
+  test("graft.db.t.refs lists tags and branch heads") {
+    ensureCatalog()
+    val (tbl, root) = freshChain("refs")
+    call(s"CALL graft.system.create_tag(table => '$tbl', " +
+      "name => 'train1')")
+    call(s"CALL graft.system.create_branch(table => '$tbl', " +
+      "name => 'exp')")
+    spark.sql(s"DELETE FROM graft.$tbl WHERE doc_id % 2 = 0") // v1
+    val refs = spark.sql(s"SELECT name, type, version " +
+      s"FROM graft.$tbl.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2)))
+    assert(refs === Array(("exp", "branch", 0L),
+      ("train1", "tag", 0L)))
+  }
+
   test("unknown procedure and unknown table fail cleanly") {
     ensureCatalog()
     val e1 = intercept[Exception] {
