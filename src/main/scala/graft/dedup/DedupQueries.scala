@@ -1373,11 +1373,16 @@ object DedupQueries {
     // over the m undirected edges,
     //   num = 4·m·Sab − S1²,  den = 2·m·S2 − S1²,  r = num/den
     // — num and den are EXACT integers (hash-gated); r is one final
-    // IEEE division (the house convention). num/den live in
+    // IEEE division (the house convention). num/den are computed in
     // decimal128(38,0) (HUGEINT on the oracle side): S1 ≤ 2·m·maxdeg
     // is ~1e10 already at the sf1 rung (4.45M pairs, maxdeg 1548), so
     // S1² ~1e20 overflows int64 — caught by the sf1 oracle rung, and
-    // exactly the kind of bound that first binds one decade up.
+    // exactly the kind of bound that first binds one decade up. The
+    // gated row carries them as STRINGS: DuckDB's HUGEINT→Arrow
+    // export is version-dependent (decimal128 on some releases,
+    // float64 on others), so a typed compare of the raw 128-bit
+    // column is not portable — the decimal rendering of an integer
+    // is (r14 driver red vs local green on this exact row).
     // Scale shape: a degree aggregate over the persisted pair table,
     // two uniform joins to decorate the edges, one scalar aggregate —
     // nothing beyond the KB-sized pair list anywhere.
@@ -1403,6 +1408,8 @@ object DedupQueries {
               " - CAST(s1 AS DECIMAL(38,0)) * s1"))
           .withColumn("r", col("num").cast(DoubleType) /
             col("den").cast(DoubleType))
+          .withColumn("num", col("num").cast(StringType))
+          .withColumn("den", col("den").cast(StringType))
           .select("m", "s1", "sab", "s2", "num", "den", "r")
       },
       Some(s"""WITH $simhash64FpCte,
@@ -1427,10 +1434,10 @@ object DedupQueries {
              |    CAST(sum(da * da + db * db) AS BIGINT) AS s2
              |  FROM dd)
              |SELECT m, s1, sab, s2,
-             |  4 * CAST(m AS HUGEINT) * sab - CAST(s1 AS HUGEINT) * s1
-             |    AS num,
-             |  2 * CAST(m AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
-             |    AS den,
+             |  CAST(4 * CAST(m AS HUGEINT) * sab - CAST(s1 AS HUGEINT) * s1
+             |    AS VARCHAR) AS num,
+             |  CAST(2 * CAST(m AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+             |    AS VARCHAR) AS den,
              |  CAST(4 * CAST(m AS HUGEINT) * sab
              |       - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
              |    / CAST(2 * CAST(m AS HUGEINT) * s2

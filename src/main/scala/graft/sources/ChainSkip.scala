@@ -407,15 +407,29 @@ private[sources] object ChainSkip {
       F(p(0), num(1), num(2), p(3).toLong, num(4), p(5).toLong,
         usable = statted.contains(p(6).toInt))
     }
-    // best/worst in SORT order: for ASC best = min_key; DESC mirrored
-    def best(f: F) = if (ascending) f.lo else f.hi.map(-_)
-    def worst(f: F) = if (ascending) f.hi else f.lo.map(-_)
+    // best/worst in SORT order: for ASC best = min_key, worst =
+    // max_key; DESC mirrored. Compared in NATIVE order with a
+    // direction-aware predicate — the old negation trick mapped
+    // Long.MinValue onto itself (-MinValue overflows), silently
+    // inverting that file's rank in descending plans.
+    def best(f: F) = if (ascending) f.lo else f.hi
+    def worst(f: F) = if (ascending) f.hi else f.lo
+    // STRICT: g beats f only when ALL of g sorts strictly before ALL
+    // of f. The old `<=` let files with identical [min,max] ranges
+    // mutually count each other as beaters — two files each holding
+    // k copies of the same value both saw >= k rows "at-or-before"
+    // their best and BOTH got dropped, losing the true top-k. Strict
+    // order is sound by minimal-best induction: a dropped file's
+    // beaters all have worst < its best, so the file attaining the
+    // minimal best among any dropped set is beaten only by files
+    // that are themselves kept.
+    def beats(w: Long, b: Long) = if (ascending) w < b else w > b
     val dropped = files.filter { f =>
       f.usable && f.rows > 0 && best(f).isDefined &&
         (!nullsFirst || f.nulls.contains(0L)) && {
           val beaten = files.iterator.filter { g =>
             g.usable && (g ne f) && worst(g).isDefined &&
-              worst(g).get <= best(f).get
+              beats(worst(g).get, best(f).get)
           }.map(g => (g.rows - g.nulls.getOrElse(g.rows) -
             g.hidden).max(0L)).sum
           beaten >= k

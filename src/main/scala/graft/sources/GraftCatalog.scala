@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -109,10 +109,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftCatalog.lookup(q).orElse(durableLookup(q))
 
   /** Registration hook for the procedure face (`CALL
-    * graft.system.clone(…, as_table => …)`). */
-  private[sources] def persistRegistration(q: String,
-                                           root: String): Unit =
-    persist(q, root, "doc_id", exclusive = true)
+    * graft.system.clone(…, as_table => …)`); the key is the SOURCE
+    * table's merge key, carried through by the caller. */
+  private[sources] def persistRegistration(q: String, root: String,
+                                           key: String): Unit =
+    persist(q, root, key, exclusive = true)
 
   /** Persist a registration under the warehouse; `exclusive` drives
     * CREATE's across-process CAS (putIfAbsent) vs rename/update's
@@ -145,6 +146,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     resolve(q).map(_._1).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException((catName +: q.split("\\.").toSeq)))
+
+  /** The source table's registered merge key — clone registration
+    * must inherit it, not default to doc_id: SQL DML on a clone of a
+    * table keyed on another column would otherwise merge on the
+    * wrong key. */
+  private[sources] def mergeKeyOf(q: String): String =
+    resolve(q).map(_._2).getOrElse("doc_id")
 
   // ----------------------------------- CALL graft.system.<proc>(…)
 
@@ -826,6 +834,15 @@ private[sources] class GraftChainScanBuilder(
     if (sawPredicates || l <= 0 || orders.length != 1) return false
     orders(0).expression() match {
       case r: NamedReference if r.fieldNames.length == 1 =>
+        // integral columns only: topNFiles does Long arithmetic on
+        // the manifest's min/max strings, and string-statted chains
+        // (the lang/URL layouts) carry lexicographic bounds whose
+        // .toLong would throw at plan time — refuse, don't crash
+        val integral = full.fields.find(_.name == r.fieldNames.head)
+          .exists(f => f.dataType == LongType ||
+            f.dataType == IntegerType || f.dataType == ShortType ||
+            f.dataType == ByteType)
+        if (!integral) return false
         val asc = orders(0).direction() == SortDirection.ASCENDING
         val nullsFirst =
           orders(0).nullOrdering() == NullOrdering.NULLS_FIRST

@@ -224,8 +224,12 @@ private[sources] class GraftProcedure(catalog: GraftCatalog,
         val out = cloneTable(s, root, dst, input.getLong(3))
         val as = str(2)
         if (as.nonEmpty) {
-          GraftCatalog.registerTable(as, out)
-          catalog.persistRegistration(as, out)
+          // the clone inherits the SOURCE table's merge key — a
+          // hardcoded doc_id would make SQL DML on a clone of a
+          // table keyed on another column merge on the wrong key
+          val key = catalog.mergeKeyOf(str(0))
+          GraftCatalog.registerTable(as, out, key)
+          catalog.persistRegistration(as, out, key)
         }
         (InternalRow(UTF8String.fromString(out)), signature(proc)._2)
       case "detach_clone" =>

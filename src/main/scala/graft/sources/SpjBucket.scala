@@ -156,13 +156,17 @@ private[sources] class GraftBoundBucket(keyType: DataType)
   override def produceResult(input: org.apache.spark.sql.catalyst
       .InternalRow): Integer = {
     val n = input.getInt(0)
-    val key: Long = keyType match {
-      case LongType => input.getLong(1)
-      case _ => input.getInt(1).toLong
+    // Spark's xxhash64(col) = XxHash64(..., seed = 42), and its
+    // HashExpression dispatches Int through the 4-byte hashInt path
+    // — hashing an Int via hashLong gives a DIFFERENT value than the
+    // write side's bucketCol(xxhash64(key)), silently scattering an
+    // int-keyed table's rows across mismatched bucket ids on the
+    // shuffle-one-side SPJ path. Mirror the dispatch exactly.
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = keyType match {
+      case LongType => XXH64.hashLong(input.getLong(1), 42L)
+      case _ => XXH64.hashInt(input.getInt(1), 42L)
     }
-    // Spark's xxhash64(col) = XxHash64(..., seed = 42)
-    val h = org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashLong(key, 42L)
     (((h % n) + n) % n).toInt
   }
 }

@@ -398,6 +398,89 @@ class GraftScanPushdownSpec extends SparkSpec {
     assert(gotN === expN)
   }
 
+  test("TopN tie soundness: files with identical [min,max] never " +
+    "count each other as beaters — an all-ties layout plans every " +
+    "file and returns the k tied rows (a non-strict rule dropped " +
+    "ALL of them and returned zero rows)") {
+    ensureCatalog()
+    val root = Tables.matDir(s"push_topn_tie_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs.withColumn("n_chars", lit(7L)),
+      root, nFiles = 8)
+    val tbl = s"push.topntie_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    val q = spark.sql(s"SELECT n_chars FROM graft.$tbl " +
+      "ORDER BY n_chars LIMIT 12")
+    assert(q.collect().map(_.getLong(0)) === Array.fill(12)(7L))
+    // strict order proves nothing beaten — no file may be dropped
+    assert(chainScans(q).head.inputPartitions.length === 8)
+
+    // mixed layout: a tied low band plus strictly higher files —
+    // the high files still prune, the tied band survives intact
+    val rootM = Tables.matDir(s"push_topn_mix_${System.nanoTime}",
+      spark, sf0001)
+    val mixed = docs.withColumn("n_chars",
+      when(col("doc_id") % 2 === 0, lit(1L)).otherwise(col("n_chars")))
+    ManifestPrune.buildLayout(mixed, rootM, nFiles = 8)
+    val tm = s"push.topnmix_${System.nanoTime}"
+    GraftCatalog.registerTable(tm, rootM)
+    val qm = spark.sql(s"SELECT n_chars FROM graft.$tm " +
+      "ORDER BY n_chars LIMIT 12")
+    assert(qm.collect().map(_.getLong(0)) ===
+      mixed.select("n_chars").orderBy("n_chars").limit(12)
+        .collect().map(_.getLong(0)))
+    val plannedM = chainScans(qm).head.inputPartitions.length
+    assert(plannedM < 8 && plannedM > 0,
+      s"expected the strictly-higher files pruned, planned=$plannedM")
+  }
+
+  test("DESC TopN with Long.MinValue in the stats column stays " +
+    "exact: comparisons run in native order (the old negation trick " +
+    "overflowed -MinValue back onto itself, inverting that file's " +
+    "rank and mis-counting it as beating every candidate)") {
+    ensureCatalog()
+    val root = Tables.matDir(s"push_topn_min_${System.nanoTime}",
+      spark, sf0001)
+    val poisoned = docs.withColumn("n_chars",
+      when(col("doc_id") % 1000 === 1, lit(Long.MinValue))
+        .otherwise(col("n_chars")))
+    ManifestPrune.buildLayout(poisoned, root, nFiles = 8)
+    val tbl = s"push.topnmin_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    val qd = spark.sql(s"SELECT n_chars FROM graft.$tbl " +
+      "ORDER BY n_chars DESC LIMIT 12")
+    assert(qd.collect().map(_.getLong(0)) ===
+      poisoned.select("n_chars").orderBy(col("n_chars").desc)
+        .limit(12).collect().map(_.getLong(0)))
+    val planned = chainScans(qd).head.inputPartitions.length
+    assert(planned < 8 && planned > 0,
+      s"the MinValue file is provably beaten in DESC, planned=$planned")
+  }
+
+  test("ORDER BY on a string-statted clustering column refuses TopN " +
+    "pushdown (manifest bounds are lexicographic, not Long-parseable) " +
+    "instead of crashing at plan time; rows stay exact") {
+    ensureCatalog()
+    val suf = System.nanoTime
+    val r = Tables.matDir(s"push_topn_str_$suf", spark, sf0001)
+    val tbl = s"push.topnstr_$suf"
+    spark.sql(s"""CREATE TABLE graft.$tbl (
+                 |  doc_id BIGINT, lang STRING, n_chars BIGINT)
+                 |USING graft LOCATION '$r'
+                 |TBLPROPERTIES ('cluster'='lang|lang,doc_id',
+                 |  'key'='doc_id')""".stripMargin)
+    docs.select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView(s"topnstr_src_$suf")
+    spark.sql(s"INSERT INTO graft.$tbl " +
+      s"SELECT doc_id, lang, n_chars FROM topnstr_src_$suf")
+    val q = spark.sql(s"SELECT lang FROM graft.$tbl " +
+      "ORDER BY lang LIMIT 5")
+    val got = q.collect().map(_.getString(0)) // plan-time crash pre-fix
+    val exp = docs.select("lang").orderBy("lang").limit(5)
+      .collect().map(_.getString(0))
+    assert(got === exp)
+  }
+
   test("bloom-index-aware SQL planning: WHERE doc_id IN (...) prunes " +
     "files through the per-file sketches (range stats can't — the " +
     "layout clusters by n_chars), composes with a stats-column " +

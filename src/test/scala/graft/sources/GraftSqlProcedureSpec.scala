@@ -160,6 +160,41 @@ class GraftSqlProcedureSpec extends SparkSpec {
       "VERSION AS OF 0").collect().head.getLong(0) === base)
   }
 
+  test("clone(as_table) inherits the SOURCE table's merge key — SQL " +
+    "UPDATE on a clone of a non-doc_id-keyed table merges on the " +
+    "registered key, not a hardcoded default") {
+    ensureCatalog()
+    val root = Tables.matDir(s"proc_clonekey_${System.nanoTime}",
+      spark, sf0001)
+    // a chain keyed on k_id (≠ doc_id): the regression is invisible
+    // on doc_id-keyed tables
+    ManifestPrune.buildLayout(
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .withColumnRenamed("doc_id", "k_id"), root, nFiles = 4,
+      clusterCols = Seq("n_chars", "k_id"))
+    val tbl = s"prc.ck_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root, key = "k_id")
+    val dst = Tables.matDir(s"proc_clonekey_dst_${System.nanoTime}",
+      spark, sf0001)
+    ChainStorage.forPath(dst).deleteTree(dst)
+    val as = s"prc.ckc_${System.nanoTime}"
+    call(s"CALL graft.system.clone(table => '$tbl', " +
+      s"location => '$dst', as_table => '$as')")
+    assert(GraftCatalog.lookup(as).map(_._2) === Some("k_id"))
+    // and the key actually drives DML: an UPDATE touches exactly the
+    // matched keys (an upsert merged on the wrong key would duplicate
+    // or clobber rows)
+    val n = spark.sql(s"SELECT count(*) AS n FROM graft.$as")
+      .head().getLong(0)
+    spark.sql(s"UPDATE graft.$as SET lang = 'xx' WHERE k_id % 10 = 3")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.$as")
+      .head().getLong(0) === n)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.$as " +
+      "WHERE lang = 'xx'").head().getLong(0) ===
+      spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+        "WHERE k_id % 10 = 3").head().getLong(0))
+  }
+
   test("graft.db.t.refs lists tags and branch heads") {
     ensureCatalog()
     val (tbl, root) = freshChain("refs")

@@ -44,6 +44,29 @@ class SpjJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucket function parity on INT keys: Spark's xxhash64 hashes " +
+    "IntegerType through the 4-byte path, and the V2 function must " +
+    "mirror that dispatch (hashLong of the widened value differs)") {
+    import org.apache.spark.sql.types._
+    val f = GraftBucketFunction.bind(StructType(Seq(
+        StructField("n", IntegerType), StructField("k", IntegerType))))
+      .asInstanceOf[GraftBoundBucket]
+    import spark.implicits._
+    // include negatives and the extremes — the widened-long hash
+    // agrees with the int hash on NO interesting value
+    val ints = (Seq(0, 1, -1, 42, -97, 65536, Int.MaxValue,
+      Int.MinValue) ++ (1 to 48).map(_ * 7919)).map(Integer.valueOf)
+    val viaSql = ints.map(_.intValue).toDF("k")
+      .select(col("k"), SpjBucket.bucketCol("k", 8).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    ints.foreach { k =>
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](8, k.intValue))
+      assert(f.produceResult(row).intValue === viaSql(k.intValue),
+        s"bucket mismatch for int key $k")
+    }
+  }
+
   test("two co-bucketed chains join with zero Exchange; rows match " +
     "the plain join; a key-mismatched pair falls back to a shuffle") {
     ensureCatalog()
