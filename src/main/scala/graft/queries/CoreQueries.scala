@@ -319,6 +319,12 @@ object CoreQueries {
   private val langChainCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
+  /** q_sql_prune_multi's (lang, n_chars)-clustered chain — the
+    * layout whose per-file COLUMN stats make both dimensions
+    * prunable; holds the chain root. */
+  private val multiStatCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
   /** q_spj_join's pair of co-BUCKETED chain tables (documents and
     * embeddings-meta, both bucketed 8 ways on the join key through
     * SpjBucket.buildBucketedLayout), registered in the SQL catalog
@@ -2418,6 +2424,47 @@ object CoreQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
              |FROM documents WHERE n_chars BETWEEN 120 AND 200
              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // MULTI-COLUMN FILE SKIPPING (per-file column stats, round 15):
+    // manifests record min/max/null-count for EVERY supported column
+    // (`cstats_long` / `cstats_str` maps — Iceberg's column-stats
+    // idea), so a predicate on a column the layout never clustered
+    // by still prunes, and a composite predicate multiplies both
+    // dimensions' selectivity: on this (lang, n_chars)-clustered
+    // chain `lang = 'en'` prunes to the en band through the STRING
+    // stats (the spec stats only n_chars) and `n_chars < 300`
+    // subdivides the band through the LONG stats. ColStatsSpec pins
+    // the plan shapes (including the Z-order both-axes case) and the
+    // soundness rules: statless rows always kept, all-NULL columns
+    // prunable, string bounds truncated Iceberg-style (prefix lo,
+    // +inf hi past 64 chars). At 100 TB this is the difference
+    // between "one lucky clustered column prunes" and "every WHERE
+    // prunes".
+    Q("q_sql_prune_multi",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        val root = multiStatCache.computeIfAbsent((s, d), { _ =>
+          val r = Tables.matDir(s"multistat_${System.nanoTime}", s, d)
+          graft.sources.ManifestPrune.buildLayout(
+            Tables.load(s, d, "documents"), r, nFiles = 16,
+            clusterCols = Seq("lang", "n_chars"))
+          r
+        })
+        val tbl = s"prn.m_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.sources.GraftCatalog.registerTable(tbl, root)
+        s.sql(s"""SELECT source, count(*) AS n_docs,
+                 |  sum(n_chars) AS sum_chars, sum(doc_id) AS sum_ids
+                 |FROM graft.$tbl
+                 |WHERE lang = 'en' AND n_chars BETWEEN 120 AND 300
+                 |GROUP BY source ORDER BY source""".stripMargin)
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM documents
+             |WHERE lang = 'en' AND n_chars BETWEEN 120 AND 300
+             |GROUP BY source ORDER BY source""".stripMargin)),
 
     // METADATA-ONLY AGGREGATES (SupportsPushDownAggregates, round
     // 14): global COUNT(*)/MIN/MAX over the catalog table answer

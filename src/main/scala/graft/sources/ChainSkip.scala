@@ -215,6 +215,63 @@ private[sources] object ChainSkip {
     }.reduce(_ intersect _).toSeq.sorted)
   }
 
+  /** COLUMN-STATS file plan — pruning on ANY statted column, not
+    * just the clustering spec's key: manifests carry per-file
+    * `cstats_long` / `cstats_str` maps (min/max/null-count per
+    * supported column), so a predicate on a column the layout never
+    * clustered by still skips files whose recorded range provably
+    * cannot match. This is what makes Z-ordered layouts prunable on
+    * EVERY interleaved dimension and lets `lang = 'x' AND n_chars <
+    * y` multiply two dimensions' selectivity.
+    *
+    * Soundness per file and column: a manifest row without the map
+    * (pre-cstats commit) or without the column's entry (schema
+    * evolution, capped width) is always KEPT; an entry whose
+    * null-count equals the file's row count means the column is
+    * all-NULL there — a range/equality predicate cannot match a null,
+    * so the file drops; otherwise the closed-interval overlap test
+    * runs with null bounds as ±inf (the string upper bound is null
+    * whenever the max exceeded the 64-char truncation budget).
+    * Comparisons evaluate IN Spark over the manifest parquet, so
+    * string ordering is the same UTF8-binary ordering the min/max
+    * aggregation used. */
+  def colStatsFiles(s: SparkSession, root: String, version: Long,
+                    bounds: Map[String, Bounds],
+                    sbounds: Map[String, SBounds])
+      : Option[Seq[String]] = {
+    if (bounds.isEmpty && sbounds.isEmpty) return None
+    val m = s.read.parquet(ManifestPrune.manifestOf(root, version))
+    def keep(mapCol: String, c: String,
+             qlo: Option[org.apache.spark.sql.Column],
+             qhi: Option[org.apache.spark.sql.Column])
+        : org.apache.spark.sql.Column = {
+      val e = col(mapCol).getItem(c)
+      val allNull = e.getField("nn") === col("n_rows")
+      val overlap = Seq(
+        qhi.map(q => e.getField("lo").isNull || e.getField("lo") <= q),
+        qlo.map(q => e.getField("hi").isNull || e.getField("hi") >= q))
+        .flatten.reduceOption(_ && _).getOrElse(lit(true))
+      e.isNull || (!allNull && overlap)
+    }
+    val conds =
+      (if (m.columns.contains("cstats_long"))
+         bounds.toSeq.map { case (c, b) =>
+           keep("cstats_long", c,
+             Some(lit(b.lo)).filter(_ => b.lo != Long.MinValue),
+             Some(lit(b.hi)).filter(_ => b.hi != Long.MaxValue))
+         }
+       else Nil) ++
+      (if (m.columns.contains("cstats_str"))
+         sbounds.toSeq.map { case (c, b) =>
+           keep("cstats_str", c, b.lo.map(lit), b.hi.map(lit))
+         }
+       else Nil)
+    if (conds.isEmpty) return None
+    Some(ManifestPrune.collectFileList(s,
+      m.filter(conds.reduce(_ && _)).select("file"),
+      s"column-stats plan of $root v$version"))
+  }
+
   /** Per-column EXACT key sets from a pushed-predicate batch — only
     * shapes that pin a column to a finite value set contribute
     * (`c = lit`, `c IN (lits)`, conjunctions thereof; repeated

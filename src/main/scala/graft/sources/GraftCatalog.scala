@@ -1076,7 +1076,21 @@ private[sources] class GraftChainScan(
           ChainSkip.plannedFilesStr(s, root, version, strBounds)
         val bloomed =
           ChainSkip.bloomFiles(s, root, version, mergedExact)
-        val pruned = (Seq(bounded, strBounded, bloomed).flatten match {
+        // per-file column stats prune on ANY statted column (the
+        // spec-aware plans above cover only the clustering key);
+        // exact key sets contribute their [min,max] hull as bounds
+        val exactHull = mergedExact.filter(_._2.nonEmpty)
+          .map { case (c, vs) => c -> ChainSkip.Bounds(vs.min, vs.max) }
+        val allBounds = (effectiveBounds.keySet ++ exactHull.keySet)
+          .map { c =>
+            val a = effectiveBounds.getOrElse(c, ChainSkip.Bounds())
+            val b = exactHull.getOrElse(c, ChainSkip.Bounds())
+            c -> ChainSkip.Bounds(a.lo.max(b.lo), a.hi.min(b.hi))
+          }.toMap
+        val cstats =
+          ChainSkip.colStatsFiles(s, root, version, allBounds, strBounds)
+        val pruned = (Seq(bounded, strBounded, bloomed,
+            cstats).flatten match {
           case Nil => None
           case one :: Nil => Some(one)
           case many => Some(many.map(_.toSet).reduce(_ intersect _)

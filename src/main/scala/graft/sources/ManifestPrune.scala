@@ -2440,21 +2440,102 @@ object ManifestPrune {
     * files stay readable (and prunable on THEIR column) after
     * [[evolveClustering]]. Manifests written before the spec column
     * existed read as spec 0 (the coalesce convention). */
+  // ------------------------------------ per-column file statistics
+
+  /** The columns a file's manifest row stats beyond the clustering
+    * spec's key (Iceberg column-stats parity): integral columns into
+    * the `cstats_long` map, strings into `cstats_str`. Metadata /
+    * bucket columns (`__` prefix) never stat; wide tables cap at 32
+    * per family (predicates on uncapped columns simply don't prune —
+    * the advisory-skipping rule). */
+  private val MaxCstatCols = 32
+  private[sources] def cstatFields(schema: org.apache.spark.sql.types.StructType)
+      : (Seq[org.apache.spark.sql.types.StructField],
+         Seq[org.apache.spark.sql.types.StructField]) = {
+    import org.apache.spark.sql.types._
+    val usable = schema.fields.filterNot(_.name.startsWith("__"))
+    (usable.filter(f => f.dataType == LongType ||
+        f.dataType == IntegerType || f.dataType == ShortType ||
+        f.dataType == ByteType).take(MaxCstatCols).toSeq,
+      usable.filter(_.dataType == StringType)
+        .take(MaxCstatCols).toSeq)
+  }
+
+  /** Per-column min/max/null-count aggregate expressions, flat under
+    * reserved `__lo_/__hi_/__nn_` aliases ([[packCstats]] folds them
+    * into the map columns after the groupBy). String bounds follow
+    * Iceberg's truncation rule: the LOWER bound is a 64-char prefix
+    * of the min (a prefix sorts <= the full string, so it stays a
+    * sound lower bound); the UPPER bound is recorded only when the
+    * file's max fits 64 chars whole (a truncated prefix of a max is
+    * NOT an upper bound) — a null hi reads as +inf at plan time. */
+  private[sources] def cstatAggs(
+      longs: Seq[org.apache.spark.sql.types.StructField],
+      strs: Seq[org.apache.spark.sql.types.StructField])
+      : Seq[org.apache.spark.sql.Column] =
+    longs.flatMap { f =>
+      Seq(min(col(f.name)).cast("long").as(s"__lo_${f.name}"),
+        max(col(f.name)).cast("long").as(s"__hi_${f.name}"),
+        (count(lit(1)) - count(col(f.name))).as(s"__nn_${f.name}"))
+    } ++ strs.flatMap { f =>
+      Seq(substring(min(col(f.name)), 1, 64).as(s"__lo_${f.name}"),
+        when(max(length(col(f.name))) <= 64, max(col(f.name)))
+          .as(s"__hi_${f.name}"),
+        (count(lit(1)) - count(col(f.name))).as(s"__nn_${f.name}"))
+    }
+
+  private val CstatsLongType =
+    "map<string,struct<lo:bigint,hi:bigint,nn:bigint>>"
+  private val CstatsStrType =
+    "map<string,struct<lo:string,hi:string,nn:bigint>>"
+
+  /** Fold the flat `__lo_/__hi_/__nn_` aggregates into the two map
+    * columns. Both columns ALWAYS exist with a stable type (null map
+    * when a family has no columns), so manifest unions across commits
+    * never fork schemas; old manifests without the columns read as
+    * null rows through `unionByName(allowMissingColumns)` — and a
+    * null map prunes nothing, the advisory rule. */
+  private[sources] def packCstats(df: DataFrame,
+      longs: Seq[org.apache.spark.sql.types.StructField],
+      strs: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+    def entries(fs: Seq[org.apache.spark.sql.types.StructField]) =
+      fs.flatMap(f => Seq(lit(f.name), struct(
+        col(s"__lo_${f.name}").as("lo"),
+        col(s"__hi_${f.name}").as("hi"),
+        col(s"__nn_${f.name}").as("nn"))))
+    val withL =
+      if (longs.isEmpty)
+        df.withColumn("cstats_long", lit(null).cast(CstatsLongType))
+      else df.withColumn("cstats_long", map(entries(longs): _*))
+    val withS =
+      if (strs.isEmpty)
+        withL.withColumn("cstats_str", lit(null).cast(CstatsStrType))
+      else withL.withColumn("cstats_str", map(entries(strs): _*))
+    withS.drop((longs ++ strs).flatMap(f => Seq(
+      s"__lo_${f.name}", s"__hi_${f.name}", s"__nn_${f.name}")): _*)
+  }
+
   private def statsManifest(s: SparkSession, dataDir: String,
                             statsCol: String = "n_chars",
-                            specId: Int = 0): DataFrame =
-    s.read.parquet(dataDir)
-      .select(col("_metadata.file_path").as("file"), col(statsCol))
+                            specId: Int = 0): DataFrame = {
+    val df = s.read.parquet(dataDir)
+    val (longs, strs) = cstatFields(df.schema)
+    val dataCols = ((longs ++ strs).map(_.name) :+ statsCol).distinct
+    val base = df
+      .select(col("_metadata.file_path").as("file") +:
+        dataCols.map(col): _*)
       .groupBy("file")
       .agg(min(col(statsCol)).as("min_key"),
-        max(col(statsCol)).as("max_key"),
-        count(lit(1)).as("n_rows"),
-        // nulls in the stats column, recorded per file: exactly what
-        // ORDER-BY-limit pruning needs to stay sound (a null sorts
-        // before/after every value, so a file can only be dropped
-        // when its null population is KNOWN) — ChainSkip.topNFiles
-        (count(lit(1)) - count(col(statsCol))).as("n_nulls"))
-      .withColumn("spec_id", lit(specId))
+        (max(col(statsCol)).as("max_key") +:
+          count(lit(1)).as("n_rows") +:
+          // nulls in the stats column, recorded per file: exactly what
+          // ORDER-BY-limit pruning needs to stay sound (a null sorts
+          // before/after every value, so a file can only be dropped
+          // when its null population is KNOWN) — ChainSkip.topNFiles
+          (count(lit(1)) - count(col(statsCol))).as("n_nulls") +:
+          cstatAggs(longs, strs)): _*)
+    packCstats(base, longs, strs).withColumn("spec_id", lit(specId))
+  }
 
   /** Write a fresh range-clustered layout + its stats manifest — the
     * shared bootstrap every chain starts from (battery stages, specs,

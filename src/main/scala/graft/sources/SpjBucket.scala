@@ -75,20 +75,27 @@ object SpjBucket {
     * scan would honestly degrade to unknown partitioning). */
   def bucketStatsManifest(s: SparkSession, dataDir: String, key: String,
                           nBuckets: Int, statsCol: String,
-                          specId: Int = 0): DataFrame =
-    s.read.parquet(dataDir)
-      .select(col("_metadata.file_path").as("file"), col(statsCol),
-        bucketCol(key, nBuckets).as("__b"))
+                          specId: Int = 0): DataFrame = {
+    val df = s.read.parquet(dataDir)
+    val (longs, strs) = ManifestPrune.cstatFields(df.schema)
+    val dataCols = ((longs ++ strs).map(_.name) :+ statsCol).distinct
+    val base = df
+      .select(col("_metadata.file_path").as("file") +:
+        bucketCol(key, nBuckets).as("__b") +: dataCols.map(col): _*)
       .groupBy("file")
       .agg(min(col(statsCol)).as("min_key"),
-        max(col(statsCol)).as("max_key"),
-        count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(col(statsCol))).as("n_nulls"),
-        min(col("__b")).as("__bmin"), max(col("__b")).as("__bmax"))
+        (max(col(statsCol)).as("max_key") +:
+          count(lit(1)).as("n_rows") +:
+          (count(lit(1)) - count(col(statsCol))).as("n_nulls") +:
+          min(col("__b")).as("__bmin") +:
+          max(col("__b")).as("__bmax") +:
+          ManifestPrune.cstatAggs(longs, strs)): _*)
+    ManifestPrune.packCstats(base, longs, strs)
       .withColumn("spec_id", lit(specId))
       .withColumn("bucket",
         when(col("__bmin") === col("__bmax"), col("__bmin")))
       .drop("__bmin", "__bmax")
+  }
 
   /** The scan-side plan: per-file bucket ids of `version`, or None
     * when SPJ cannot be offered (no registration, or any live file

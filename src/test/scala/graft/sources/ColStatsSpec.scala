@@ -1,0 +1,203 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** PER-COLUMN FILE STATISTICS (Iceberg column-stats parity): every
+  * chain manifest row carries `cstats_long` / `cstats_str` maps —
+  * min/max/null-count for EVERY supported column of the file, not
+  * just the clustering spec's key — so a WHERE on any column prunes
+  * files whose recorded range provably cannot match. The multiplying
+  * case is a composite predicate: `lang = 'de' AND n_chars < y` on a
+  * (lang, n_chars)-clustered layout prunes by BOTH dimensions, and a
+  * Z-ordered layout finally prunes on every interleaved axis. */
+class ColStatsSpec extends SparkSpec {
+
+  private def ensureCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+
+  private def docs: DataFrame =
+    Tables.load(spark, sf0001, "documents")
+
+  private def chainScans(df: DataFrame): Seq[BatchScanExec] = {
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => walk(qs.plan)
+      case b: BatchScanExec
+          if b.scan.description().startsWith("graft-chain") => Seq(b)
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def planned(df: DataFrame): Int =
+    chainScans(df).head.inputPartitions.length
+
+  test("a predicate on a NON-clustering column prunes through the " +
+    "per-file column stats, and a composite predicate multiplies " +
+    "both dimensions' selectivity") {
+    ensureCatalog()
+    val d = Tables.load(spark, sf001, "documents")
+    val root = Tables.matDir(s"cstats_multi_${System.nanoTime}",
+      spark, sf001)
+    // clustered (lang, n_chars): the spec stats n_chars (buildLayout
+    // default), so any lang pruning observed can ONLY come from the
+    // column-stats maps
+    ManifestPrune.buildLayout(d, root, nFiles = 16,
+      clusterCols = Seq("lang", "n_chars"))
+    val tbl = s"cst.multi_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+
+    val langOnly = spark.sql(s"SELECT doc_id, lang, n_chars " +
+      s"FROM graft.$tbl WHERE lang = 'en'")
+    val pLang = planned(langOnly)
+    assert(pLang < 16 && pLang > 0,
+      s"expected lang='en' to prune via cstats_str, planned=$pLang")
+    assert(langOnly.collect().map(_.toSeq).sortBy(_.toString) ===
+      d.filter(col("lang") === "en")
+        .select("doc_id", "lang", "n_chars")
+        .collect().map(_.toSeq).sortBy(_.toString))
+
+    // the composite predicate prunes STRICTLY more: within the 'en'
+    // band the layout is n_chars-ordered, so the cstats_long entry
+    // subdivides what the string predicate kept
+    val both = spark.sql(s"SELECT doc_id, lang, n_chars " +
+      s"FROM graft.$tbl WHERE lang = 'en' AND n_chars < 150")
+    val pBoth = planned(both)
+    assert(pBoth < pLang,
+      s"expected n_chars<150 to subdivide the en band: $pBoth vs $pLang")
+    assert(both.collect().map(_.toSeq).sortBy(_.toString) ===
+      d.filter(col("lang") === "en" && col("n_chars") < 150)
+        .select("doc_id", "lang", "n_chars")
+        .collect().map(_.toSeq).sortBy(_.toString))
+  }
+
+  test("all-NULL column files prune (a range predicate cannot match " +
+    "a null); files with a partial null population are kept") {
+    ensureCatalog()
+    val root = Tables.matDir(s"cstats_null_${System.nanoTime}",
+      spark, sf0001)
+    // low-n_chars files carry ONLY null lang; clustering by n_chars
+    // makes the null population file-aligned
+    val d = docs.withColumn("lang",
+      when(col("n_chars") < 200, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    ManifestPrune.buildLayout(d, root, nFiles = 8)
+    val tbl = s"cst.nulls_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    val q = spark.sql(s"SELECT doc_id, lang FROM graft.$tbl " +
+      "WHERE lang >= 'a'")
+    val p = planned(q)
+    assert(p < 8 && p > 0,
+      s"expected the all-null-lang files pruned, planned=$p")
+    assert(q.collect().map(_.toSeq).sortBy(_.toString) ===
+      d.filter(col("lang") >= "a").select("doc_id", "lang")
+        .collect().map(_.toSeq).sortBy(_.toString))
+  }
+
+  test("string bounds follow the truncation rule: lo is a sound " +
+    "64-char prefix, hi is null (+inf) when the max exceeds the " +
+    "budget — long-text predicates stay exact and never mis-prune") {
+    ensureCatalog()
+    val root = Tables.matDir(s"cstats_trunc_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, root, nFiles = 4)
+    val m = spark.read.parquet(s"$root/manifest")
+      .select(col("cstats_str").getItem("text").as("t"),
+        col("n_rows"))
+      .collect()
+    m.foreach { r =>
+      val t = r.getStruct(0)
+      assert(t.getString(0) != null && t.getString(0).length <= 64,
+        "lo must be a truncated prefix")
+      // sf0.001 documents carry texts > 64 chars in every file
+      assert(t.isNullAt(1), "hi must be +inf when max exceeds 64 chars")
+    }
+    val tbl = s"cst.trunc_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    val probe = docs.select("text").orderBy("text").limit(1)
+      .collect().head.getString(0) // the global min text
+    val q = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+      s"WHERE text > '${probe.replace("'", "''")}'")
+    assert(q.head().getLong(0) ===
+      docs.filter(col("text") > probe).count())
+  }
+
+  test("rows without stats are always kept: the DDL create " +
+    "placeholder (no cstats) and pre-cstats manifest rows read as " +
+    "null maps and never prune — inserts stay visible under any " +
+    "pushed predicate") {
+    ensureCatalog()
+    val suf = System.nanoTime
+    val r = Tables.matDir(s"cstats_ddl_$suf", spark, sf0001)
+    val tbl = s"cst.ddl_$suf"
+    spark.sql(s"""CREATE TABLE graft.$tbl (
+                 |  doc_id BIGINT, lang STRING, n_chars BIGINT)
+                 |USING graft LOCATION '$r'
+                 |TBLPROPERTIES ('key'='doc_id')""".stripMargin)
+    docs.select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView(s"cstats_src_$suf")
+    spark.sql(s"INSERT INTO graft.$tbl " +
+      s"SELECT doc_id, lang, n_chars FROM cstats_src_$suf")
+    val q = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+      "WHERE lang = 'fr' AND doc_id % 2 = 0")
+    assert(q.head().getLong(0) ===
+      docs.filter(col("lang") === "fr" && col("doc_id") % 2 === 0)
+        .count())
+  }
+
+  test("a Z-ordered chain prunes on BOTH interleaved dimensions " +
+    "through the column stats — the layout promise z-order makes") {
+    ensureCatalog()
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+    val r = ev.agg(min("user_id"), max("user_id"),
+      min("us"), max("us")).head
+    val (uMin, uMax, tMin, tMax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val z = ev
+      .withColumn("ub",
+        ((col("user_id") - uMin) * 255L / (uMax - uMin)).cast("long"))
+      .withColumn("tb",
+        ((col("us") - tMin) * 255L / (tMax - tMin)).cast("long"))
+      .withColumn("z", ZOrder.morton(col("ub"), col("tb"), 8))
+      .select("event_id", "user_id", "us", "ub", "tb", "z")
+    val suf = System.nanoTime
+    val root = Tables.matDir(s"cstats_z_$suf", spark, sf0001)
+    val tbl = s"cst.z_$suf"
+    spark.sql(s"""CREATE TABLE graft.$tbl (
+                 |  event_id BIGINT, user_id BIGINT, us BIGINT,
+                 |  ub BIGINT, tb BIGINT, z BIGINT)
+                 |USING graft LOCATION '$root'
+                 |TBLPROPERTIES ('cluster'='z|z', 'key'='event_id')""" .stripMargin)
+    z.createOrReplaceTempView(s"cstats_z_src_$suf")
+    spark.sql(s"INSERT INTO graft.$tbl SELECT * FROM cstats_z_src_$suf")
+    // compact so the layout is genuinely z-clustered files
+    spark.sql(s"CALL graft.system.compact(table => '$tbl', " +
+      "target_files => 16)")
+    def planOf(pred: String): (Int, Long) = {
+      val q = spark.sql(
+        s"SELECT count(*) AS n FROM graft.$tbl WHERE $pred")
+      (planned(q), q.head().getLong(0))
+    }
+    val (pU, nU) = planOf("ub BETWEEN 0 AND 63")
+    val (pT, nT) = planOf("tb BETWEEN 0 AND 63")
+    assert(pU < 16 && pT < 16,
+      s"both z dimensions must prune: ub=$pU tb=$pT of 16")
+    assert(nU === z.filter(col("ub").between(0, 63)).count())
+    assert(nT === z.filter(col("tb").between(0, 63)).count())
+    // the 2-D corner multiplies
+    val (pUT, nUT) = planOf("ub BETWEEN 0 AND 63 AND tb BETWEEN 0 AND 63")
+    assert(pUT <= pU.min(pT))
+    assert(nUT === z.filter(col("ub").between(0, 63) &&
+      col("tb").between(0, 63)).count())
+  }
+}
