@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, GeneralScalarExpression, Literal => V2Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, length, lit, max, min, sum}
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
 
 /** FILE-SKIPPING intervals and METADATA-ONLY aggregates for the SQL
@@ -24,10 +24,11 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * Metadata aggregates follow Iceberg's pushdown rules: COUNT(*)
   * needs exact live counts (manifest `n_rows` minus the DV sidecar's
   * positions — refused while un-folded equality deletes make the
-  * count a data question), MIN/MAX need the extremes to be provably
-  * visible (no hidden rows at all) and every live file's clustering
-  * spec to stat the asked column. Anything else falls back to the
-  * real scan. */
+  * count a data question), MIN/MAX/COUNT(col) need the extremes and
+  * null populations to be provably visible (no hidden rows at all)
+  * and per-file bounds for the asked column — from the clustering
+  * spec's stats or the per-column `cstats_*` maps. Anything else
+  * falls back to the real scan. */
 private[sources] object ChainSkip {
 
   /** A closed interval a column's matching rows must lie in. */
@@ -417,15 +418,17 @@ private[sources] object ChainSkip {
     *    manifest) are never dropped and never counted as beating.
     *
     * None when nothing can be dropped or the preconditions (no
-    * equality deletes, the column statted by some spec) fail. */
+    * equality deletes, per-file bounds for the column from the spec
+    * stats OR the cstats_long map) fail. */
   def topNFiles(s: SparkSession, root: String, version: Long,
                 colName: String, ascending: Boolean,
                 nullsFirst: Boolean, k: Int): Option[Seq[String]] = {
     if (ManifestPrune.eqDelOf(root, version).nonEmpty) return None
     val statted = ManifestPrune.listSpecs(root).collect {
       case (id, sp) if sp.statsCol == colName => id }.toSet
-    if (statted.isEmpty) return None
     val m0 = s.read.parquet(ManifestPrune.manifestOf(root, version))
+    val hasC = m0.columns.contains("cstats_long")
+    if (statted.isEmpty && !hasC) return None
     if (!m0.columns.contains("n_nulls")) return None
     val m1 =
       if (m0.columns.contains("spec_id"))
@@ -437,6 +440,27 @@ private[sources] object ChainSkip {
       case None => m1.select(col("file")).limit(0)
         .withColumn("__hidden", lit(0L))
     }
+    // per-file bounds source, row by row: the spec's min/max_key when
+    // this row's spec stats the ordered column (and the manifest's
+    // key columns are long-typed — a string-statted chain's keys are
+    // lexicographic), else the column's cstats_long entry; rows with
+    // neither are unusable (never dropped, never counted as beating)
+    import org.apache.spark.sql.functions.{when => sqlWhen}
+    val minKeyIsLong = Set[DataType](LongType, IntegerType, ShortType,
+      ByteType).contains(m0.schema("min_key").dataType)
+    val fromSpec =
+      if (statted.isEmpty || !minKeyIsLong) lit(false)
+      else col("spec_id").isInCollection(statted.toSeq)
+    val ce =
+      if (hasC) col("cstats_long").getItem(colName)
+      else lit(null).cast("struct<lo:bigint,hi:bigint,nn:bigint>")
+    val loC = sqlWhen(fromSpec, col("min_key").cast("long"))
+      .otherwise(ce.getField("lo"))
+    val hiC = sqlWhen(fromSpec, col("max_key").cast("long"))
+      .otherwise(ce.getField("hi"))
+    val nnC = sqlWhen(fromSpec, col("n_nulls"))
+      .otherwise(ce.getField("nn"))
+    val usableC = fromSpec || ce.isNotNull
     // u0001 cannot occur in a filesystem path; concat_ws SKIPS null
     // columns, so every nullable field is coalesced to "" explicitly
     // to keep the positions stable
@@ -447,12 +471,12 @@ private[sources] object ChainSkip {
       m1.join(hidden, Seq("file"), "left")
         .select(concat_ws(sep,
           col("file"),
-          str(col("min_key")),
-          str(col("max_key")),
+          str(loC),
+          str(hiC),
           str(col("n_rows")),
-          str(col("n_nulls")),
+          str(nnC),
           str(coalesce(col("__hidden"), lit(0L))),
-          str(col("spec_id")))),
+          str(sqlWhen(usableC, lit(1)).otherwise(lit(0))))),
       s"top-$k plan of $root v$version")
     case class F(file: String, lo: Option[Long], hi: Option[Long],
                  rows: Long, nulls: Option[Long], hidden: Long,
@@ -462,7 +486,7 @@ private[sources] object ChainSkip {
       def num(i: Int): Option[Long] =
         if (p(i).isEmpty) None else Some(p(i).toLong)
       F(p(0), num(1), num(2), p(3).toLong, num(4), p(5).toLong,
-        usable = statted.contains(p(6).toInt))
+        usable = p(6) == "1")
     }
     // best/worst in SORT order: for ASC best = min_key, worst =
     // max_key; DESC mirrored. Compared in NATIVE order with a
@@ -503,13 +527,26 @@ private[sources] object ChainSkip {
   case class MetaAgg(schema: StructType, values: Seq[Any])
 
   /** Plan `agg` purely from the version's metadata, or None when a
-    * scan is genuinely required. Supported: global (no GROUP BY)
-    * COUNT(*) — exact from `n_rows` minus DV positions, refused
-    * under un-folded equality deletes; MIN/MAX of an integral column
-    * — only when NO rows are hidden (a hidden row could be the
-    * extreme) and every live file's spec stats that column, answered
-    * as min-of-mins / max-of-maxes (files whose column is all-NULL
-    * carry NULL stats and drop out, exactly SQL MIN/MAX semantics). */
+    * scan is genuinely required. Supported, all global (no GROUP BY):
+    *
+    *  - COUNT(*) — exact from `n_rows` minus DV positions, refused
+    *    under un-folded equality deletes;
+    *  - MIN/MAX of an integral or string column — only when NO rows
+    *    are hidden (a hidden row could be the extreme), answered as
+    *    min-of-mins / max-of-maxes from the spec's `min_key/max_key`
+    *    when every live file's spec stats the column, else from the
+    *    per-column `cstats_*` maps when every live file carries the
+    *    entry (all-NULL files carry NULL stats and drop out, exactly
+    *    SQL MIN/MAX semantics). String answers respect the
+    *    truncation rule: MIN needs every file's recorded lo to be
+    *    provably whole (length < the 64-char budget), MAX needs
+    *    every hi recorded (null hi = truncated = unknowable);
+    *  - COUNT(col) — the non-null count, Σ(n_rows − nn) from the
+    *    column's cstats entries; same no-hidden-rows requirement
+    *    (a hidden row's nullness is a data question).
+    *
+    * Aggregate pushdown is all-or-nothing: one unanswerable ask
+    * refuses the whole batch and the real scan runs. */
   def planAgg(s: SparkSession, root: String, version: Long,
               table: StructType, agg: Aggregation): Option[MetaAgg] = {
     if (agg.groupByExpressions().nonEmpty) return None
@@ -518,6 +555,7 @@ private[sources] object ChainSkip {
 
     sealed trait Ask
     case object AskCount extends Ask
+    case class AskCountCol(c: String, t: DataType) extends Ask
     case class AskMin(c: String, t: DataType) extends Ask
     case class AskMax(c: String, t: DataType) extends Ask
 
@@ -532,6 +570,13 @@ private[sources] object ChainSkip {
       case _: CountStar =>
         if (eqdel.nonEmpty) return None
         AskCount
+      case cnt: org.apache.spark.sql.connector.expressions.aggregate
+          .Count =>
+        if (cnt.isDistinct || eqdel.nonEmpty || dv.nonEmpty) return None
+        minMaxCol(cnt.column) match {
+          case Some((n, t)) => AskCountCol(n, t)
+          case None => return None
+        }
       case m: Min =>
         if (eqdel.nonEmpty || dv.nonEmpty) return None
         minMaxCol(m.column) match {
@@ -547,52 +592,103 @@ private[sources] object ChainSkip {
       case _: AggregateFunc => return None
     }
 
-    // every min/max column must be statted by the spec of every live
-    // file holding rows (0-row files contribute nothing to any of
-    // count/min/max and are exempt)
-    val mmCols = asks.collect { case AskMin(c, _) => c
-                                case AskMax(c, _) => c }.distinct
     val m0 = s.read.parquet(ManifestPrune.manifestOf(root, version))
     val m =
       if (m0.columns.contains("spec_id"))
         m0.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
       else m0.withColumn("spec_id", lit(0))
     val specs = ManifestPrune.listSpecs(root)
-    for (c <- mmCols) {
-      val ok = specs.collect {
-        case (id, sp) if sp.statsCol == c => id }.toSeq
-      val unstatted = m.filter(col("n_rows") > 0 &&
-          !col("spec_id").isInCollection(if (ok.isEmpty) Seq(-1) else ok))
-        .limit(1).count()
-      if (unstatted > 0) return None
+    val live = m.filter(col("n_rows") > 0)
+
+    // per column, the (lo, hi, nonNullRows) triple from metadata —
+    // spec stats first (exact, untruncated), cstats fallback; None
+    // when neither covers every live file under the rules above
+    def needMin(c: String) = asks.exists { case AskMin(x, _) => x == c
+                                           case _ => false }
+    def needMax(c: String) = asks.exists { case AskMax(x, _) => x == c
+                                           case _ => false }
+    def needCnt(c: String) = asks.exists {
+      case AskCountCol(x, _) => x == c; case _ => false }
+    val perCol = scala.collection.mutable.Map[String, (Any, Any, Long)]()
+    def resolve(c: String, t: DataType): Boolean =
+      perCol.contains(c) || {
+        val mapCol =
+          if (t == org.apache.spark.sql.types.StringType) "cstats_str"
+          else "cstats_long"
+        val specOk = specs.collect {
+          case (id, sp) if sp.statsCol == c => id }.toSeq
+        val specCovers = specOk.nonEmpty &&
+          live.filter(!col("spec_id").isInCollection(specOk))
+            .limit(1).count() == 0
+        if (specCovers && !needCnt(c)) {
+          val r = live.agg(min(col("min_key")).as("lo"),
+            max(col("max_key")).as("hi")).head
+          perCol(c) = (if (r.isNullAt(0)) null else r.get(0),
+            if (r.isNullAt(1)) null else r.get(1), -1L)
+          true
+        } else if (m.columns.contains(mapCol)) {
+          val e = col(mapCol).getItem(c)
+          val gaps = live.filter(e.isNull).limit(1).count()
+          if (gaps > 0) false
+          else {
+            // string truncation guards, per ask kind
+            val loWhole = t != org.apache.spark.sql.types.StringType ||
+              !needMin(c) ||
+              live.filter(e.getField("nn") < col("n_rows") &&
+                  length(e.getField("lo")) >= 64)
+                .limit(1).count() == 0
+            val hiWhole = t != org.apache.spark.sql.types.StringType ||
+              !needMax(c) ||
+              live.filter(e.getField("nn") < col("n_rows") &&
+                  e.getField("hi").isNull).limit(1).count() == 0
+            if (!loWhole || !hiWhole) false
+            else {
+              val r = live.agg(min(e.getField("lo")).as("lo"),
+                max(e.getField("hi")).as("hi"),
+                coalesce(sum(col("n_rows") - e.getField("nn")), lit(0L))
+                  .as("nonnull")).head
+              perCol(c) = (if (r.isNullAt(0)) null else r.get(0),
+                if (r.isNullAt(1)) null else r.get(1), r.getLong(2))
+              true
+            }
+          }
+        } else false
+      }
+    for (ask <- asks) ask match {
+      case AskMin(c, t) => if (!resolve(c, t)) return None
+      case AskMax(c, t) => if (!resolve(c, t)) return None
+      case AskCountCol(c, t) =>
+        if (!resolve(c, t) || perCol(c)._3 < 0) return None
+      case AskCount =>
     }
 
-    val row = m.agg(
-      coalesce(sum(col("n_rows")), lit(0L)).as("rows"),
-      min(col("min_key")).as("lo"),
-      max(col("max_key")).as("hi")).head
+    val totalRows = m.agg(coalesce(sum(col("n_rows")), lit(0L)))
+      .head.getLong(0)
     val hidden = dv.map(d => s.read.parquet(d).count()).getOrElse(0L)
-    val liveRows = (row.getLong(0) - hidden).max(0L)
-    def statVal(i: Int, t: DataType): Any =
-      if (row.isNullAt(i)) null
+    val liveRows = (totalRows - hidden).max(0L)
+    def statVal(v: Any, t: DataType): Any =
+      if (v == null) null
       else t match {
-        case IntegerType => row.get(i).asInstanceOf[Number].intValue
+        case IntegerType => v.asInstanceOf[Number].intValue
         case org.apache.spark.sql.types.StringType =>
           org.apache.spark.unsafe.types.UTF8String
-            .fromString(row.get(i).toString)
-        case _ => row.get(i).asInstanceOf[Number].longValue
+            .fromString(v.toString)
+        case _ => v.asInstanceOf[Number].longValue
       }
 
     val (fields, values) = asks.zipWithIndex.map {
       case (AskCount, i) =>
         (org.apache.spark.sql.types.StructField(s"count_$i", LongType,
           nullable = false), liveRows: Any)
+      case (AskCountCol(c, _), i) =>
+        (org.apache.spark.sql.types.StructField(s"countc_${c}_$i",
+          LongType, nullable = false), perCol(c)._3: Any)
       case (AskMin(c, t), i) =>
         (org.apache.spark.sql.types.StructField(s"min_${c}_$i", t),
-          statVal(1, t))
+          statVal(perCol(c)._1, t))
       case (AskMax(c, t), i) =>
         (org.apache.spark.sql.types.StructField(s"max_${c}_$i", t),
-          statVal(2, t))
+          statVal(perCol(c)._2, t))
     }.unzip
     Some(MetaAgg(StructType(fields), values))
   }

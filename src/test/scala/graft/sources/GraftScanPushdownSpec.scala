@@ -170,6 +170,65 @@ class GraftScanPushdownSpec extends SparkSpec {
     assert(again.getLong(1) === exact.getLong(1))
   }
 
+  test("MIN/MAX/COUNT(col) on NON-clustering columns answer from " +
+    "the per-column stats maps: integral and short-string columns " +
+    "push down (provably metadata-only), truncated-text MAX refuses " +
+    "into an exact scan") {
+    ensureCatalog()
+    val suf = System.nanoTime
+    val root = Tables.matDir(s"push_cagg_$suf", spark, sf0001)
+    // a DDL chain (declared schema — resolution survives the data
+    // files' deletion below); lang is null on a slice so COUNT(lang)
+    // != COUNT(*); the spec stats n_chars, every other column's
+    // aggregate must come from the cstats maps
+    val d = docs.withColumn("lang",
+      when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    val tbl = s"push.cagg_$suf"
+    spark.sql(
+      s"""CREATE TABLE graft.$tbl (
+         |  doc_id BIGINT, text STRING, lang STRING, source STRING,
+         |  n_chars BIGINT)
+         |USING graft LOCATION '$root'
+         |TBLPROPERTIES ('cluster'='n_chars|n_chars,doc_id',
+         |  'key'='doc_id')""".stripMargin)
+    d.createOrReplaceTempView(s"push_cagg_src_$suf")
+    spark.sql(s"INSERT INTO graft.$tbl " +
+      s"SELECT doc_id, text, lang, source, n_chars FROM push_cagg_src_$suf")
+
+    val q = spark.sql(s"SELECT min(doc_id) AS a, max(doc_id) AS b, " +
+      s"min(lang) AS c, max(lang) AS d, count(lang) AS e " +
+      s"FROM graft.$tbl")
+    val row = q.collect().head
+    val exact = d.agg(min("doc_id"), max("doc_id"), min("lang"),
+      max("lang"), count(col("lang"))).head
+    assert((row.getLong(0), row.getLong(1), row.getString(2),
+      row.getString(3), row.getLong(4)) ===
+      (exact.getLong(0), exact.getLong(1), exact.getString(2),
+        exact.getString(3), exact.getLong(4)))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+
+    // text maxes exceed the 64-char truncation budget — MAX(text) is
+    // unknowable from metadata and must fall back to an exact scan
+    val qt = spark.sql(s"SELECT max(text) AS m FROM graft.$tbl")
+    assert(!qt.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+    assert(qt.collect().head.getString(0) ===
+      d.agg(max("text")).head.getString(0))
+
+    // the metadata-only proof: destroy the data files, ask again
+    val st = ChainStorage.forPath(root)
+    st.list(s"$root/data").foreach(f => st.deleteFile(s"$root/data/$f"))
+    st.list(root).filter(_.startsWith("data_")).foreach { dd =>
+      st.list(s"$root/$dd").foreach(f => st.deleteFile(s"$root/$dd/$f"))
+    }
+    val again = spark.sql(s"SELECT max(doc_id) AS b, count(lang) AS e " +
+      s"FROM graft.$tbl").collect().head
+    assert(again.getLong(0) === exact.getLong(1))
+    assert(again.getLong(1) === exact.getLong(4))
+  }
+
   test("aggregate pushdown refuses exactly when metadata cannot " +
     "answer: DVs block MIN/MAX but not COUNT(*); a WHERE blocks " +
     "both; values stay correct through the scan fallback") {
@@ -455,6 +514,34 @@ class GraftScanPushdownSpec extends SparkSpec {
     val planned = chainScans(qd).head.inputPartitions.length
     assert(planned < 8 && planned > 0,
       s"the MinValue file is provably beaten in DESC, planned=$planned")
+  }
+
+  test("TopN pushdown on a NON-spec column prunes through the " +
+    "cstats_long bounds: ORDER BY doc_id LIMIT k on an " +
+    "n_chars-statted chain still drops provably-beaten files") {
+    ensureCatalog()
+    val root = Tables.matDir(s"push_topn_cs_${System.nanoTime}",
+      spark, sf0001)
+    // layout ordered by doc_id, but the SPEC stats n_chars — all
+    // doc_id pruning must come from the per-column stats maps
+    ManifestPrune.buildLayout(docs, root, nFiles = 8,
+      clusterCols = Seq("doc_id"))
+    val tbl = s"push.topncs_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    val q = spark.sql(s"SELECT doc_id FROM graft.$tbl " +
+      "ORDER BY doc_id LIMIT 12")
+    assert(q.collect().map(_.getLong(0)) ===
+      docs.select("doc_id").orderBy("doc_id").limit(12)
+        .collect().map(_.getLong(0)))
+    val planned = chainScans(q).head.inputPartitions.length
+    assert(planned < 8 && planned > 0,
+      s"expected cstats-backed TopN pruning, planned=$planned")
+    val qd = spark.sql(s"SELECT doc_id FROM graft.$tbl " +
+      "ORDER BY doc_id DESC LIMIT 12")
+    assert(qd.collect().map(_.getLong(0)) ===
+      docs.select("doc_id").orderBy(col("doc_id").desc).limit(12)
+        .collect().map(_.getLong(0)))
+    assert(chainScans(qd).head.inputPartitions.length < 8)
   }
 
   test("ORDER BY on a string-statted clustering column refuses TopN " +
