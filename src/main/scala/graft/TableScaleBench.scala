@@ -43,7 +43,8 @@ object TableScaleBench {
 
   val ops: Seq[String] = Seq("append", "mor_merge", "dv_delete",
     "feed_step", "time_travel", "history",
-    "sql_prune_select", "sql_count_meta", "bloom_build",
+    "sql_prune_select", "sql_prune_multi", "sql_topn",
+    "sql_count_meta", "sql_agg_cstats", "bloom_build",
     "sql_point_lookup", "sql_point_delete", "vacuum")
 
   def main(args: Array[String]): Unit = {
@@ -107,8 +108,21 @@ object TableScaleBench {
       timed("sql_prune_select")(
         spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
           "WHERE n_chars BETWEEN 120 AND 200").collect())
+      // round 15: the per-column-stats planning surfaces — composite
+      // multi-dimension pruning, cstats-backed TopN, metadata
+      // aggregates on non-spec columns
+      timed("sql_prune_multi")(
+        spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+          "WHERE lang = 'en' AND n_chars BETWEEN 120 AND 200")
+          .collect())
+      timed("sql_topn")(
+        spark.sql(s"SELECT doc_id FROM graft.$tbl " +
+          "ORDER BY n_chars LIMIT 10").collect())
       timed("sql_count_meta")(
         spark.sql(s"SELECT count(*) AS n FROM graft.$tbl").collect())
+      timed("sql_agg_cstats")(
+        spark.sql(s"SELECT min(doc_id) AS a, max(doc_id) AS b, " +
+          s"count(lang) AS c FROM graft.$tbl").collect())
       val head = ManifestPrune.currentVersion(spark, root)
       timed("bloom_build")(
         graft.sources.BloomIndex.build(spark, root, head))

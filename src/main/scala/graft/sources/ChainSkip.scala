@@ -600,70 +600,109 @@ private[sources] object ChainSkip {
     val specs = ManifestPrune.listSpecs(root)
     val live = m.filter(col("n_rows") > 0)
 
-    // per column, the (lo, hi, nonNullRows) triple from metadata —
-    // spec stats first (exact, untruncated), cstats fallback; None
-    // when neither covers every live file under the rules above
     def needMin(c: String) = asks.exists { case AskMin(x, _) => x == c
                                            case _ => false }
     def needMax(c: String) = asks.exists { case AskMax(x, _) => x == c
                                            case _ => false }
     def needCnt(c: String) = asks.exists {
       case AskCountCol(x, _) => x == c; case _ => false }
-    val perCol = scala.collection.mutable.Map[String, (Any, Any, Long)]()
-    def resolve(c: String, t: DataType): Boolean =
-      perCol.contains(c) || {
-        val mapCol =
-          if (t == org.apache.spark.sql.types.StringType) "cstats_str"
-          else "cstats_long"
-        val specOk = specs.collect {
-          case (id, sp) if sp.statsCol == c => id }.toSeq
-        val specCovers = specOk.nonEmpty &&
-          live.filter(!col("spec_id").isInCollection(specOk))
-            .limit(1).count() == 0
-        if (specCovers && !needCnt(c)) {
-          val r = live.agg(min(col("min_key")).as("lo"),
-            max(col("max_key")).as("hi")).head
-          perCol(c) = (if (r.isNullAt(0)) null else r.get(0),
-            if (r.isNullAt(1)) null else r.get(1), -1L)
-          true
-        } else if (m.columns.contains(mapCol)) {
-          val e = col(mapCol).getItem(c)
-          val gaps = live.filter(e.isNull).limit(1).count()
-          if (gaps > 0) false
-          else {
-            // string truncation guards, per ask kind
-            val loWhole = t != org.apache.spark.sql.types.StringType ||
-              !needMin(c) ||
-              live.filter(e.getField("nn") < col("n_rows") &&
-                  length(e.getField("lo")) >= 64)
-                .limit(1).count() == 0
-            val hiWhole = t != org.apache.spark.sql.types.StringType ||
-              !needMax(c) ||
-              live.filter(e.getField("nn") < col("n_rows") &&
-                  e.getField("hi").isNull).limit(1).count() == 0
-            if (!loWhole || !hiWhole) false
-            else {
-              val r = live.agg(min(e.getField("lo")).as("lo"),
-                max(e.getField("hi")).as("hi"),
-                coalesce(sum(col("n_rows") - e.getField("nn")), lit(0L))
-                  .as("nonnull")).head
-              perCol(c) = (if (r.isNullAt(0)) null else r.get(0),
-                if (r.isNullAt(1)) null else r.get(1), r.getLong(2))
-              true
-            }
-          }
-        } else false
-      }
+    val mmAsks: Seq[(String, DataType)] = asks.collect {
+      case AskMin(c, t) => (c, t)
+      case AskMax(c, t) => (c, t)
+      case AskCountCol(c, t) => (c, t) }.distinct
+
+    // Everything the decision needs — per-column coverage gaps,
+    // string-truncation guards, extremes, non-null counts, the spec
+    // path's min_key/max_key rollup AND the total row count — comes
+    // from ONE aggregate job over the manifest (planning latency is
+    // a per-query cost; the r14 lesson is to never spend a Spark job
+    // where a column expression will do).
+    val isStr = (t: DataType) =>
+      t == org.apache.spark.sql.types.StringType
+    val intish = Set[DataType](LongType, IntegerType, ShortType,
+      ByteType)
+    def entry(c: String, t: DataType) = {
+      val mapCol = if (isStr(t)) "cstats_str" else "cstats_long"
+      if (m.columns.contains(mapCol)) col(mapCol).getItem(c)
+      else lit(null).cast(
+        if (isStr(t)) "struct<lo:string,hi:string,nn:bigint>"
+        else "struct<lo:bigint,hi:bigint,nn:bigint>")
+    }
+    val minKeyType = m0.schema.fields.find(_.name == "min_key")
+      .map(_.dataType)
+    def cnt(cond: org.apache.spark.sql.Column) =
+      coalesce(sum(org.apache.spark.sql.functions.when(cond, 1L)
+        .otherwise(0L)), lit(0L))
+    val perColAggs = mmAsks.zipWithIndex.flatMap { case ((c, t), i) =>
+      val e = entry(c, t)
+      val specOk = specs.collect {
+        case (id, sp) if sp.statsCol == c => id }.toSeq
+      val specTypeOk = minKeyType.exists(k =>
+        if (isStr(t)) isStr(k) else intish.contains(k))
+      val specGap =
+        if (specOk.isEmpty || !specTypeOk) lit(1L)
+        else cnt(!col("spec_id").isInCollection(specOk))
+      Seq(
+        specGap.as(s"__sg_$i"),
+        cnt(e.isNull).as(s"__cg_$i"),
+        (if (isStr(t)) cnt(e.getField("nn") < col("n_rows") &&
+           length(e.getField("lo")) >= 64) else lit(0L))
+          .as(s"__lb_$i"),
+        (if (isStr(t)) cnt(e.getField("nn") < col("n_rows") &&
+           e.getField("hi").isNull) else lit(0L)).as(s"__hb_$i"),
+        min(e.getField("lo")).as(s"__lo_$i"),
+        max(e.getField("hi")).as(s"__hi_$i"),
+        coalesce(sum(col("n_rows") - e.getField("nn")), lit(0L))
+          .as(s"__nn_$i"))
+    }
+    val shared = Seq(
+      coalesce(sum(col("n_rows")), lit(0L)).as("__rows"),
+      min(col("min_key")).as("__sklo"),
+      max(col("max_key")).as("__skhi"),
+      (if (m0.columns.contains("n_nulls"))
+         coalesce(sum(col("n_rows") - col("n_nulls")), lit(0L))
+       else lit(-1L)).as("__sknn"),
+      (if (m0.columns.contains("n_nulls"))
+         cnt(col("n_nulls").isNull) else lit(1L)).as("__sknn_gap"))
+    val aggs = shared ++ perColAggs
+    val row = live.agg(aggs.head, aggs.tail: _*).head
+    def rL(name: String): Long = row.getLong(row.fieldIndex(name))
+    def rV(name: String): Any = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) null else row.get(i)
+    }
+
+    val perCol = mmAsks.zipWithIndex.map { case ((c, t), i) =>
+      val specCovers = rL(s"__sg_$i") == 0L
+      val cstatsCover = rL(s"__cg_$i") == 0L
+      val loWhole = !isStr(t) || !needMin(c) || rL(s"__lb_$i") == 0L
+      val hiWhole = !isStr(t) || !needMax(c) || rL(s"__hb_$i") == 0L
+      val cTriple: Option[(Any, Any, Long)] =
+        if (cstatsCover && loWhole && hiWhole)
+          Some((rV(s"__lo_$i"), rV(s"__hi_$i"), rL(s"__nn_$i")))
+        else None
+      val sTriple: Option[(Any, Any, Long)] =
+        if (specCovers)
+          Some((rV("__sklo"), rV("__skhi"),
+            if (rL("__sknn_gap") == 0L) rL("__sknn") else -1L))
+        else None
+      // spec bounds are exact and untruncated — prefer them except
+      // for the non-null count, which only the cstats entries (or a
+      // gap-free n_nulls rollup) can answer
+      val triple =
+        if (needCnt(c)) cTriple.orElse(sTriple.filter(_._3 >= 0L))
+        else sTriple.orElse(cTriple)
+      c -> triple
+    }.toMap
     for (ask <- asks) ask match {
-      case AskMin(c, t) => if (!resolve(c, t)) return None
-      case AskMax(c, t) => if (!resolve(c, t)) return None
-      case AskCountCol(c, t) =>
-        if (!resolve(c, t) || perCol(c)._3 < 0) return None
+      case AskMin(c, _) => if (perCol(c).isEmpty) return None
+      case AskMax(c, _) => if (perCol(c).isEmpty) return None
+      case AskCountCol(c, _) =>
+        if (perCol(c).isEmpty || perCol(c).get._3 < 0) return None
       case AskCount =>
     }
 
-    val totalRows = m.agg(coalesce(sum(col("n_rows")), lit(0L)))
-      .head.getLong(0)
+    val totalRows = rL("__rows")
     val hidden = dv.map(d => s.read.parquet(d).count()).getOrElse(0L)
     val liveRows = (totalRows - hidden).max(0L)
     def statVal(v: Any, t: DataType): Any =
@@ -682,13 +721,13 @@ private[sources] object ChainSkip {
           nullable = false), liveRows: Any)
       case (AskCountCol(c, _), i) =>
         (org.apache.spark.sql.types.StructField(s"countc_${c}_$i",
-          LongType, nullable = false), perCol(c)._3: Any)
+          LongType, nullable = false), perCol(c).get._3: Any)
       case (AskMin(c, t), i) =>
         (org.apache.spark.sql.types.StructField(s"min_${c}_$i", t),
-          statVal(perCol(c)._1, t))
+          statVal(perCol(c).get._1, t))
       case (AskMax(c, t), i) =>
         (org.apache.spark.sql.types.StructField(s"max_${c}_$i", t),
-          statVal(perCol(c)._2, t))
+          statVal(perCol(c).get._2, t))
     }.unzip
     Some(MetaAgg(StructType(fields), values))
   }

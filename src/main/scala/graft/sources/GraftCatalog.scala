@@ -1076,19 +1076,36 @@ private[sources] class GraftChainScan(
           ChainSkip.plannedFilesStr(s, root, version, strBounds)
         val bloomed =
           ChainSkip.bloomFiles(s, root, version, mergedExact)
-        // per-file column stats prune on ANY statted column (the
-        // spec-aware plans above cover only the clustering key);
-        // exact key sets contribute their [min,max] hull as bounds
-        val exactHull = mergedExact.filter(_._2.nonEmpty)
-          .map { case (c, vs) => c -> ChainSkip.Bounds(vs.min, vs.max) }
+        // per-file column stats prune on ANY statted column — but
+        // only for columns the dedicated paths above DON'T cover:
+        // spec-statted columns already pruned via min_key/max_key,
+        // and when a bloom index screened the exact keys the [min,
+        // max] hull adds little — skipping those keeps the extra
+        // manifest job off the hot single-column paths (point
+        // lookups, stats-column ranges) and reserves it for the
+        // multi-dimension predicates it was built for
+        val specCols = ManifestPrune.listSpecs(root).values
+          .map(_.statsCol).toSet
+        val exactHull =
+          (if (bloomed.isDefined) Map.empty[String, Seq[Long]]
+           else mergedExact.filter(_._2.nonEmpty))
+            .map { case (c, vs) =>
+              c -> ChainSkip.Bounds(vs.min, vs.max) }
         val allBounds = (effectiveBounds.keySet ++ exactHull.keySet)
           .map { c =>
             val a = effectiveBounds.getOrElse(c, ChainSkip.Bounds())
             val b = exactHull.getOrElse(c, ChainSkip.Bounds())
             c -> ChainSkip.Bounds(a.lo.max(b.lo), a.hi.min(b.hi))
-          }.toMap
-        val cstats =
-          ChainSkip.colStatsFiles(s, root, version, allBounds, strBounds)
+          }.toMap.filter { kv =>
+            !specCols.contains(kv._1) &&
+              // IN/= hulls on a bloom-screened column add nothing
+              // the sketches didn't — and '=' / IN also reach here
+              // through the long-bounds extractor, so filter by the
+              // exact-key set, not just the hull map above
+              !(bloomed.isDefined && mergedExact.contains(kv._1))
+          }
+        val cstats = ChainSkip.colStatsFiles(s, root, version,
+          allBounds, strBounds.filter(kv => !specCols.contains(kv._1)))
         val pruned = (Seq(bounded, strBounded, bloomed,
             cstats).flatten match {
           case Nil => None

@@ -2478,9 +2478,14 @@ object ManifestPrune {
         max(col(f.name)).cast("long").as(s"__hi_${f.name}"),
         (count(lit(1)) - count(col(f.name))).as(s"__nn_${f.name}"))
     } ++ strs.flatMap { f =>
-      Seq(substring(min(col(f.name)), 1, 64).as(s"__lo_${f.name}"),
-        when(max(length(col(f.name))) <= 64, max(col(f.name)))
-          .as(s"__hi_${f.name}"),
+      // aggregate over 64-char PREFIXES, not full strings: prefixing
+      // is weakly monotonic (x <= y implies prefix(x) <= prefix(y)),
+      // so min-of-prefixes equals prefix-of-min — the same sound
+      // bound at a fraction of the comparison cost on long text
+      // columns; the hi max is exact whenever every value fit whole
+      Seq(min(substring(col(f.name), 1, 64)).as(s"__lo_${f.name}"),
+        when(max(length(col(f.name))) <= 64,
+          max(substring(col(f.name), 1, 64))).as(s"__hi_${f.name}"),
         (count(lit(1)) - count(col(f.name))).as(s"__nn_${f.name}"))
     }
 

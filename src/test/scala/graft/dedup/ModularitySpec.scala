@@ -50,10 +50,12 @@ class ModularitySpec extends SparkSpec {
       .collect().head
     val (m, s1, sab, s2) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    // num/den live in decimal128(38,0): S1² overflows int64 one
-    // decade up (caught at the sf1 rung) — exact integers still
-    val num = BigInt(r.getDecimal(4).toBigInteger)
-    val den = BigInt(r.getDecimal(5).toBigInteger)
+    // num/den compute in decimal128(38,0) (S1² overflows int64 one
+    // decade up — caught at the sf1 rung) and are CARRIED as decimal
+    // strings: DuckDB's HUGEINT→Arrow export is version-dependent,
+    // so the typed oracle compare needs the rendering, not the bits
+    val num = BigInt(r.getString(4))
+    val den = BigInt(r.getString(5))
     val rr = r.getDouble(6)
     assert(num === 4 * BigInt(m) * sab - BigInt(s1) * s1)
     assert(den === 2 * BigInt(m) * s2 - BigInt(s1) * s1)
