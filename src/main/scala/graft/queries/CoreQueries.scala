@@ -325,6 +325,11 @@ object CoreQueries {
   private val multiStatCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
+  /** q_sql_topn's doc_id-clustered chain (spec still stats n_chars,
+    * so the ORDER BY doc_id pruning exercises the cstats path). */
+  private val docIdChainCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
   /** q_spj_join's pair of co-BUCKETED chain tables (documents and
     * embeddings-meta, both bucketed 8 ways on the join key through
     * SpjBucket.buildBucketedLayout), registered in the SQL catalog
@@ -2465,6 +2470,35 @@ object CoreQueries {
              |FROM documents
              |WHERE lang = 'en' AND n_chars BETWEEN 120 AND 300
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // TOP-N PUSHDOWN THROUGH COLUMN STATS: `ORDER BY doc_id LIMIT k`
+    // on a doc_id-clustered chain whose SPEC stats n_chars — the
+    // file pruning (drop files k rows provably out-sort) must read
+    // its per-file doc_id bounds from the cstats_long map, and on
+    // this layout it actually fires (the top-25 live in one file).
+    // The plan keeps Spark's TakeOrderedAndProject on top
+    // (partially-pushed); doc_id is unique so the top-k is
+    // deterministic for the oracle. GraftScanPushdownSpec pins the
+    // plan shape (files pruned, both directions, null-exact rules,
+    // the tie/overflow edge cases).
+    Q("q_sql_topn",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        val root = docIdChainCache.computeIfAbsent((s, d), { _ =>
+          val r = Tables.matDir(s"docidchain_${System.nanoTime}", s, d)
+          graft.sources.ManifestPrune.buildLayout(
+            Tables.load(s, d, "documents"), r, nFiles = 16,
+            clusterCols = Seq("doc_id"))
+          r
+        })
+        val tbl = s"prn.did_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.sources.GraftCatalog.registerTable(tbl, root)
+        s.sql(s"""SELECT doc_id, lang, n_chars FROM graft.$tbl
+                 |ORDER BY doc_id LIMIT 25""".stripMargin)
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |ORDER BY doc_id LIMIT 25""".stripMargin)),
 
     // METADATA-ONLY AGGREGATES (SupportsPushDownAggregates, round
     // 14): global COUNT(*)/MIN/MAX over the catalog table answer

@@ -1529,7 +1529,10 @@ private[sources] class GraftFilesTable(root: String, qualified: String,
     StructField("n_rows", LongType),
     StructField("hidden_rows", LongType),
     StructField("min_key", StringType),
-    StructField("max_key", StringType)))
+    StructField("max_key", StringType),
+    // the per-column stats maps rendered as one JSON document —
+    // Iceberg's readable_metrics idea; null for pre-cstats rows
+    StructField("stats_json", StringType)))
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -1552,11 +1555,19 @@ private[sources] class GraftFilesTable(root: String, qualified: String,
         m.select(col("file")).limit(0)
           .withColumn("hidden_rows", lit(0L))
     }
+    val statsJson =
+      if (m.columns.contains("cstats_long") ||
+          m.columns.contains("cstats_str")) {
+        val parts = Seq("cstats_long", "cstats_str")
+          .filter(m.columns.contains).map(col)
+        to_json(struct(parts: _*))
+      } else lit(null).cast("string")
     m.join(hidden, Seq("file"), "left")
       .select(col("file"), col("spec_id"), col("n_rows"),
         coalesce(col("hidden_rows"), lit(0L)).as("hidden_rows"),
         col("min_key").cast("string").as("min_key"),
-        col("max_key").cast("string").as("max_key"))
+        col("max_key").cast("string").as("max_key"),
+        statsJson.as("stats_json"))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)

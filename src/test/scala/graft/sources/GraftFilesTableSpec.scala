@@ -32,6 +32,18 @@ class GraftFilesTableSpec extends SparkSpec {
     val manifest = spark.read.parquet(ManifestPrune.manifestOf(root, cur))
 
     assert(files.count() == manifest.count())
+    // the per-column stats render as one JSON doc per file
+    // (Iceberg's readable_metrics idea): parseable, and the doc_id
+    // bounds inside agree with the data
+    val sj = files.select("stats_json").collect().map(_.getString(0))
+    assert(sj.forall(_ != null))
+    val lows = sj.map { j =>
+      val m = spark.range(1).select(
+        get_json_object(lit(j), "$.cstats_long.doc_id.lo"))
+        .collect().head.getString(0)
+      m.toLong
+    }
+    assert(lows.min === docs.agg(min("doc_id")).head.getLong(0))
     // total physical rows and hidden rows reconcile with the corpus
     val agg = files.agg(sum("n_rows"), sum("hidden_rows"))
       .collect().head
