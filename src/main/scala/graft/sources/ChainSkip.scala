@@ -273,6 +273,102 @@ private[sources] object ChainSkip {
       s"column-stats plan of $root v$version"))
   }
 
+  /** One reported column statistic — exact values from manifest
+    * arithmetic (never estimates): what CBO's filter-selectivity and
+    * join-size estimation read through `Statistics.columnStats`. */
+  case class ColStatRow(min: Option[Any], max: Option[Any],
+                        nullCount: Long)
+
+  private val colStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, String), Map[String, ColStatRow]]()
+
+  /** EXACT per-column (min, max, nullCount) for `cols` of the
+    * version, from the manifest's cstats maps — the numbers a Hive
+    * table only has after ANALYZE TABLE ... FOR COLUMNS, free here
+    * because every commit stats every column. Reported ONLY when
+    * provably exact: no DV / equality-delete sidecars (a hidden row
+    * could be an extreme or a null), every live file carrying the
+    * column's entry, and string maxima only when untruncated (string
+    * minima are prefixes — sound as a LOWER estimate but not exact,
+    * so strings report nullCount only). Memoized per immutable
+    * snapshot + column set; one aggregate job on first use. */
+  def columnStatsFor(s: SparkSession, root: String, version: Long,
+                     cols: Seq[org.apache.spark.sql.types.StructField])
+      : Map[String, ColStatRow] = {
+    if (ManifestPrune.dvOf(root, version).nonEmpty ||
+        ManifestPrune.eqDelOf(root, version).nonEmpty) return Map.empty
+    val longs = cols.filter(f => Set[DataType](LongType, IntegerType,
+      ShortType, ByteType).contains(f.dataType))
+    val strs = cols.filter(_.dataType ==
+      org.apache.spark.sql.types.StringType)
+    if (longs.isEmpty && strs.isEmpty) return Map.empty
+    val ts = ManifestPrune.commitTimeMs(root, version).getOrElse(0L)
+    val key = (root, version, ts,
+      (longs ++ strs).map(_.name).sorted.mkString(","))
+    colStatsCache.computeIfAbsent(key, { _ =>
+      val m = s.read.parquet(ManifestPrune.manifestOf(root, version))
+      val hasL = m.columns.contains("cstats_long")
+      val hasS = m.columns.contains("cstats_str")
+      if (!hasL && !hasS) Map.empty
+      else {
+        val live = m.filter(col("n_rows") > 0)
+        def cnt(cond: org.apache.spark.sql.Column) =
+          coalesce(sum(org.apache.spark.sql.functions.when(cond, 1L)
+            .otherwise(0L)), lit(0L))
+        val fields = (longs.map(f => (f, "cstats_long")) ++
+          strs.map(f => (f, "cstats_str")))
+          .filter { case (_, mc) => m.columns.contains(mc) }
+        val aggs = fields.zipWithIndex.flatMap { case ((f, mc), i) =>
+          val e = col(mc).getItem(f.name)
+          Seq(cnt(e.isNull).as(s"__g_$i"),
+            min(e.getField("lo")).as(s"__lo_$i"),
+            max(e.getField("hi")).as(s"__hi_$i"),
+            coalesce(sum(col("n_rows") - e.getField("nn")), lit(0L))
+              .as(s"__vals_$i"),
+            coalesce(sum(col("n_rows")), lit(0L)).as(s"__rows_$i"),
+            (if (mc == "cstats_str")
+               cnt(e.getField("nn") < col("n_rows") &&
+                 e.getField("hi").isNull)
+             else lit(0L)).as(s"__tr_$i"))
+        }
+        if (aggs.isEmpty) Map.empty
+        else {
+          val row = live.agg(aggs.head, aggs.tail: _*).head
+          def rL(n: String) = row.getLong(row.fieldIndex(n))
+          def rV(n: String): Option[Any] = {
+            val i = row.fieldIndex(n)
+            if (row.isNullAt(i)) None else Some(row.get(i))
+          }
+          fields.zipWithIndex.flatMap { case ((f, mc), i) =>
+            if (rL(s"__g_$i") > 0) None // a file without the entry
+            else {
+              val nulls = rL(s"__rows_$i") - rL(s"__vals_$i")
+              val exactRange = mc == "cstats_long"
+              // box in the attribute's own numeric width — CBO's
+              // estimation casts by the attribute type
+              def cvt(o: Option[Any]): Option[Any] = o.map { v =>
+                f.dataType match {
+                  case IntegerType =>
+                    Integer.valueOf(v.asInstanceOf[Number].intValue)
+                  case ShortType => java.lang.Short
+                    .valueOf(v.asInstanceOf[Number].shortValue)
+                  case ByteType => java.lang.Byte
+                    .valueOf(v.asInstanceOf[Number].byteValue)
+                  case _ => java.lang.Long
+                    .valueOf(v.asInstanceOf[Number].longValue)
+                }
+              }
+              Some(f.name -> ColStatRow(
+                if (exactRange) cvt(rV(s"__lo_$i")) else None,
+                if (exactRange) cvt(rV(s"__hi_$i")) else None,
+                nulls.max(0L)))
+            }
+          }.toMap
+        }
+      }
+    })
+  }
+
   /** Per-column EXACT key sets from a pushed-predicate batch — only
     * shapes that pin a column to a finite value set contribute
     * (`c = lit`, `c IN (lits)`, conjunctions thereof; repeated

@@ -1139,14 +1139,53 @@ private[sources] class GraftChainScan(
     * for the cost of one tiny manifest job instead of a data scan. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val rows = ChainSkip.plannedLiveRows(SparkSession.active, root,
-      version, skipBounds)
+    val s = SparkSession.active
+    val rows = ChainSkip.plannedLiveRows(s, root, version, skipBounds)
     val width = required.fields.map(_.dataType.defaultSize).sum.max(1)
+    // EXACT per-column statistics (min/max/nullCount from the
+    // manifest's cstats maps) flow to Catalyst through
+    // `columnStats()` whenever cost-based optimization asks — a
+    // graft table looks like a freshly-ANALYZEd table with zero
+    // ANALYZE cost, because every commit already statted every
+    // column. Computed lazily (one memoized manifest aggregate) and
+    // only under CBO, so the default planning path pays nothing.
+    val cboOn = s.conf.get("spark.sql.cbo.enabled", "false") == "true"
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows.max(1L) * width)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics] = {
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics]()
+        if (cboOn) {
+          ChainSkip.columnStatsFor(s, root, version,
+            required.fields.toSeq).foreach { case (name, cs) =>
+            out.put(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(name),
+              new org.apache.spark.sql.connector.read.colstats
+                  .ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  cs.min.map(_.asInstanceOf[Object])
+                    .map(java.util.Optional.of[Object])
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  cs.max.map(_.asInstanceOf[Object])
+                    .map(java.util.Optional.of[Object])
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(cs.nullCount)
+              })
+          }
+        }
+        out
+      }
     }
   }
 

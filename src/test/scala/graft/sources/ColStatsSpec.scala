@@ -153,6 +153,58 @@ class ColStatsSpec extends SparkSpec {
         .count())
   }
 
+  test("reported column statistics reach Catalyst under CBO: the " +
+    "optimized plan's attributeStats carry the manifest's exact " +
+    "min/max/nullCount — a graft table looks freshly ANALYZEd for " +
+    "free; strings report nullCount only (their minima are " +
+    "truncated prefixes); DV sidecars withdraw the exactness claim") {
+    ensureCatalog()
+    val root = Tables.matDir(s"cstats_cbo_${System.nanoTime}",
+      spark, sf0001)
+    val d = docs.withColumn("lang",
+      when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    ManifestPrune.buildLayout(d, root, nFiles = 4)
+    val tbl = s"cst.cbo_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val q = spark.sql(s"SELECT doc_id, lang FROM graft.$tbl " +
+        "WHERE doc_id > 0")
+      val stats = q.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.stats
+      }.get
+      val byName = stats.attributeStats.map { case (a, cs) =>
+        a.name -> cs }
+      assert(byName.contains("doc_id") && byName.contains("lang"),
+        s"expected reported column stats, got ${byName.keySet}")
+      val idStat = byName("doc_id")
+      assert(idStat.min === Some(
+        d.agg(min("doc_id")).head.getLong(0)))
+      assert(idStat.max === Some(
+        d.agg(max("doc_id")).head.getLong(0)))
+      assert(idStat.nullCount === Some(BigInt(0)))
+      val langStat = byName("lang")
+      assert(langStat.nullCount ===
+        Some(BigInt(d.filter(col("lang").isNull).count())))
+      assert(langStat.min.isEmpty && langStat.max.isEmpty)
+
+      // hidden rows withdraw the exactness claim: after a DV delete
+      // the scan reports NO column stats (a hidden row could be the
+      // extreme or a null)
+      ManifestPrune.dvDeleteCommit(spark, root,
+        d.filter(col("doc_id") % 2 === 0).select("doc_id"))
+      val q2 = spark.sql(s"SELECT doc_id FROM graft.$tbl " +
+        "WHERE doc_id > 0")
+      val stats2 = q2.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.stats
+      }.get
+      assert(stats2.attributeStats.isEmpty)
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("a Z-ordered chain prunes on BOTH interleaved dimensions " +
     "through the column stats — the layout promise z-order makes") {
     ensureCatalog()
