@@ -153,6 +153,47 @@ class ColStatsSpec extends SparkSpec {
         .count())
   }
 
+  test("schema evolution gaps refuse metadata aggregates: after ADD " +
+    "COLUMN, files written before the column have no stats entry — " +
+    "MIN/COUNT on it must fall back to an exact scan, not answer " +
+    "from the covered files alone") {
+    ensureCatalog()
+    val suf = System.nanoTime
+    val r = Tables.matDir(s"cstats_evo_$suf", spark, sf0001)
+    val tbl = s"cst.evo_$suf"
+    spark.sql(s"""CREATE TABLE graft.$tbl (
+                 |  doc_id BIGINT, n_chars BIGINT)
+                 |USING graft LOCATION '$r'
+                 |TBLPROPERTIES ('cluster'='n_chars|n_chars,doc_id',
+                 |  'key'='doc_id')""".stripMargin)
+    docs.select("doc_id", "n_chars")
+      .createOrReplaceTempView(s"cstats_evo_a_$suf")
+    spark.sql(s"INSERT INTO graft.$tbl " +
+      s"SELECT doc_id, n_chars FROM cstats_evo_a_$suf")
+    spark.sql(s"ALTER TABLE graft.$tbl ADD COLUMN extra BIGINT")
+    docs.select((col("doc_id") + 90000000L).as("doc_id"),
+        col("n_chars"), (col("n_chars") * 2).as("extra"))
+      .createOrReplaceTempView(s"cstats_evo_b_$suf")
+    spark.sql(s"INSERT INTO graft.$tbl " +
+      s"SELECT doc_id, n_chars, extra FROM cstats_evo_b_$suf")
+
+    val q = spark.sql(
+      s"SELECT min(extra) AS lo, count(extra) AS n FROM graft.$tbl")
+    // the old files carry no 'extra' entry — pushdown must refuse
+    assert(!q.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+    val row = q.collect().head
+    assert(row.getLong(0) ===
+      docs.agg(min(col("n_chars") * 2)).head.getLong(0))
+    assert(row.getLong(1) === docs.count()) // nulls in old files
+    // doc_id spans BOTH generations and stays pushable
+    val q2 = spark.sql(s"SELECT max(doc_id) AS hi FROM graft.$tbl")
+    assert(q2.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+    assert(q2.collect().head.getLong(0) ===
+      docs.agg(max(col("doc_id") + 90000000L)).head.getLong(0))
+  }
+
   test("reported column statistics reach Catalyst under CBO: the " +
     "optimized plan's attributeStats carry the manifest's exact " +
     "min/max/nullCount — a graft table looks freshly ANALYZEd for " +
