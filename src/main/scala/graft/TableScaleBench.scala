@@ -44,6 +44,7 @@ object TableScaleBench {
   val ops: Seq[String] = Seq("append", "mor_merge", "dv_delete",
     "feed_step", "time_travel", "history",
     "sql_prune_select", "sql_prune_multi", "sql_topn",
+    "sql_topn_plan",
     "sql_count_meta", "sql_agg_cstats", "bloom_build",
     "sql_point_lookup", "sql_point_delete", "vacuum")
 
@@ -118,6 +119,14 @@ object TableScaleBench {
       timed("sql_topn")(
         spark.sql(s"SELECT doc_id FROM graft.$tbl " +
           "ORDER BY n_chars LIMIT 10").collect())
+      // round 16: the TopN FILE PLAN in isolation (no execution) —
+      // the drop-set arithmetic is the one loop that used to be
+      // O(files²) on the driver; post-fix its decade must stay flat
+      // (the residual slope is the manifest read job, O(files) rows)
+      val headTopN = ManifestPrune.currentVersion(spark, root)
+      timed("sql_topn_plan")(
+        graft.sources.ChainSkip.topNFiles(spark, root, headTopN,
+          "n_chars", ascending = true, nullsFirst = true, k = 10))
       timed("sql_count_meta")(
         spark.sql(s"SELECT count(*) AS n FROM graft.$tbl").collect())
       timed("sql_agg_cstats")(

@@ -1055,6 +1055,15 @@ private[sources] class GraftChainScan(
     }.toMap
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // a compile-time ∩ runtime exact-key set that intersected to
+    // EMPTY proves zero rows can match (both constraints are
+    // conjunctive equalities on the same column) — plan nothing,
+    // instead of dropping the unsatisfiable constraint and scanning
+    // every file, which is what the min/max hull path used to do
+    if (mergedExact.exists(_._2.isEmpty)) {
+      lastPlannedPartitions = 0
+      return Array.empty
+    }
     val parts = spjPlan match {
       case Some((_, _, files)) =>
         val dv = GraftChainScan.sidecarParts(
@@ -1150,11 +1159,29 @@ private[sources] class GraftChainScan(
     // column. Computed lazily (one memoized manifest aggregate) and
     // only under CBO, so the default planning path pays nothing.
     val cboOn = s.conf.get("spark.sql.cbo.enabled", "false") == "true"
+    // column stats are snapshot-global while `rows` is already
+    // reduced by pushed-filter file skipping — attaching both would
+    // let Catalyst see impossible combinations (nullCount > rowCount)
+    // AND double-count the filter (every predicate stays residual
+    // here, so CBO's FilterEstimation re-applies the selectivity the
+    // file skipping already took out). When column stats attach to a
+    // filtered scan, report the UNFILTERED snapshot's row count —
+    // one consistent row set, with the reduction derived once, by
+    // Catalyst, from the exact min/max.
+    lazy val cboStats =
+      if (cboOn) ChainSkip.columnStatsFor(s, root, version,
+        required.fields.toSeq)
+      else Map.empty[String, ChainSkip.ColStatRow]
+    lazy val reportedRows =
+      if (cboOn && cboStats.nonEmpty &&
+          (skipBounds.nonEmpty || strBounds.nonEmpty))
+        ChainSkip.plannedLiveRows(s, root, version, Map.empty)
+      else rows
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows.max(1L) * width)
+        java.util.OptionalLong.of(reportedRows.max(1L) * width)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows)
+        java.util.OptionalLong.of(reportedRows)
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats
@@ -1164,8 +1191,7 @@ private[sources] class GraftChainScan(
           org.apache.spark.sql.connector.read.colstats
             .ColumnStatistics]()
         if (cboOn) {
-          ChainSkip.columnStatsFor(s, root, version,
-            required.fields.toSeq).foreach { case (name, cs) =>
+          cboStats.foreach { case (name, cs) =>
             out.put(
               org.apache.spark.sql.connector.expressions.Expressions
                 .column(name),

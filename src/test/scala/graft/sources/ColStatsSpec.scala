@@ -293,4 +293,51 @@ class ColStatsSpec extends SparkSpec {
     assert(nUT === z.filter(col("ub").between(0, 63) &&
       col("tb").between(0, 63)).count())
   }
+
+  test("filtered scans under CBO stay self-consistent: snapshot-" +
+    "global column stats ride with the UNFILTERED row count (the " +
+    "predicate stays residual, Catalyst derives the reduction once " +
+    "from min/max) — nullCount can never exceed rowCount, and the " +
+    "CBO-off row count keeps the pruned estimate") {
+    ensureCatalog()
+    val root = Tables.matDir(s"cstats_consist_${System.nanoTime}",
+      spark, sf0001)
+    val d = docs.withColumn("lang",
+      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    ManifestPrune.buildLayout(d, root, nFiles = 8)
+    val tbl = s"cst.consist_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    val nullLang = d.filter(col("lang").isNull).count()
+    val total = d.count()
+    val cut = d.agg(expr("percentile_approx(n_chars, 0.9)"))
+      .head.getLong(0)
+    def scanStats(cbo: Boolean) = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      try {
+        val q = spark.sql(s"SELECT doc_id, lang FROM graft.$tbl " +
+          s"WHERE n_chars > $cut")
+        q.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.stats
+        }.get
+      } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    }
+    val cboStats = scanStats(cbo = true)
+    val byName = cboStats.attributeStats.map { case (a, cs) =>
+      a.name -> cs }
+    assert(byName.contains("lang"),
+      s"expected column stats on the filtered CBO scan, " +
+        s"got ${byName.keySet}")
+    assert(cboStats.rowCount === Some(BigInt(total)),
+      "column stats must ride the unfiltered snapshot count")
+    assert(byName("lang").nullCount === Some(BigInt(nullLang)))
+    assert(byName("lang").nullCount.get <= cboStats.rowCount.get)
+    // CBO off: no column stats, and the row count stays the pruned
+    // (smaller) post-skipping estimate broadcast decisions rely on
+    val offStats = scanStats(cbo = false)
+    assert(offStats.attributeStats.isEmpty)
+    assert(offStats.rowCount.forall(_ < BigInt(total)),
+      s"pruned estimate expected, got ${offStats.rowCount}")
+  }
 }

@@ -749,4 +749,55 @@ class GraftScanPushdownSpec extends SparkSpec {
     assert(q.collect().head.getLong(0) ===
       docs.filter(col("lang") =!= doomed).count())
   }
+
+  test("disjoint IN-sets on one column intersect to a provably-empty " +
+    "key set and plan ZERO partitions — the unsatisfiable constraint " +
+    "short-circuits instead of being dropped (its min/max hulls " +
+    "overlap, so interval pruning alone would scan files)") {
+    val (tbl, _) = freshChain("emptyin")
+    // hulls [6,799] and [5,800] overlap every file; only the exact
+    // key intersection proves emptiness
+    val q = spark.sql(s"SELECT doc_id FROM graft.$tbl " +
+      "WHERE doc_id IN (5, 800) AND doc_id IN (6, 799)")
+    assert(q.collect().isEmpty)
+    // probe the pre-adaptive plan: AQE's empty-relation propagation
+    // may erase a zero-partition scan from the final plan
+    val scan = q.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec
+          if b.scan.description().startsWith("graft-chain") => b
+    }.get
+    val planned = scan.inputPartitions.length
+    assert(planned === 0,
+      s"expected the empty IN-intersection to plan nothing, " +
+        s"planned=$planned")
+    // sanity: the satisfiable intersection still answers
+    val q2 = spark.sql(s"SELECT count(*) AS n FROM graft.$tbl " +
+      "WHERE doc_id IN (5, 800) AND doc_id IN (5, 799)")
+    assert(q2.collect().head.getLong(0) ===
+      docs.filter(col("doc_id") === 5).count())
+  }
+
+  test("SMALLINT/TINYINT columns answer MIN/MAX/COUNT(col) from " +
+    "metadata — every width cstats_long stats is pushable, not just " +
+    "INT/BIGINT") {
+    ensureCatalog()
+    val root = Tables.matDir(s"push_narrow_${System.nanoTime}", spark,
+      sf0001)
+    val d = docs.select(col("doc_id"), col("n_chars"),
+      (col("doc_id") % 100).cast("smallint").as("sm"),
+      (col("doc_id") % 7).cast("tinyint").as("ty"))
+    ManifestPrune.buildLayout(d, root, nFiles = 4)
+    val tbl = s"push.narrow_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    val q = spark.sql(s"SELECT min(sm) AS lo, max(sm) AS hi, " +
+      s"count(ty) AS n, max(ty) AS th FROM graft.$tbl")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"),
+      "expected the narrow-width aggregate to answer from metadata")
+    val row = q.collect().head
+    assert(row.getShort(0) === 0.toShort)
+    assert(row.getShort(1) === 99.toShort)
+    assert(row.getLong(2) === d.count())
+    assert(row.getByte(3) === 6.toByte)
+  }
 }
