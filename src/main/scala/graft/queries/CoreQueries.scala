@@ -330,6 +330,11 @@ object CoreQueries {
   private val docIdChainCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
+  /** q_sql_topn_str's tag-clustered chain (unique string key; the
+    * ORDER BY tag pruning exercises the cstats_str path). */
+  private val strTopNCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
   /** q_spj_join's pair of co-BUCKETED chain tables (documents and
     * embeddings-meta, both bucketed 8 ways on the join key through
     * SpjBucket.buildBucketedLayout), registered in the SQL catalog
@@ -2499,6 +2504,39 @@ object CoreQueries {
       },
       Some("""SELECT doc_id, lang, n_chars FROM documents
              |ORDER BY doc_id LIMIT 25""".stripMargin)),
+
+    // STRING TOP-N PUSHDOWN (round 16): `ORDER BY <string col> LIMIT
+    // k` plans through cstats_str with the truncation rules the
+    // writer encodes — a file's lo is a sound 64-char-prefix lower
+    // bound, its hi exists only when the max fit whole — compared in
+    // UTF8-binary order (the manifest aggregation's own ordering).
+    // The chain is clustered BY the string key, so per-file ranges
+    // are tight and the drop actually fires; the key is unique
+    // (lang + zero-padded doc_id) so the top-k is deterministic for
+    // the oracle. The spec pins pruning both directions plus the
+    // truncated-hi refusal (long text columns stay correct, unpruned).
+    Q("q_sql_topn_str",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        val root = strTopNCache.computeIfAbsent((s, d), { _ =>
+          val r = Tables.matDir(s"strtopn_${System.nanoTime}", s, d)
+          graft.sources.ManifestPrune.buildLayout(
+            Tables.load(s, d, "documents")
+              .withColumn("tag", concat_ws("-", col("lang"),
+                lpad(col("doc_id").cast("string"), 9, "0")))
+              .select("doc_id", "tag", "lang", "n_chars"),
+            r, nFiles = 16, clusterCols = Seq("tag"))
+          r
+        })
+        val tbl = s"prn.tstr_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.sources.GraftCatalog.registerTable(tbl, root)
+        s.sql(s"""SELECT tag, doc_id FROM graft.$tbl
+                 |ORDER BY tag LIMIT 25""".stripMargin)
+      },
+      Some("""SELECT lang || '-' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+             |    AS tag, doc_id
+             |FROM documents ORDER BY tag LIMIT 25""".stripMargin)),
 
     // METADATA-ONLY AGGREGATES (SupportsPushDownAggregates, round
     // 14): global COUNT(*)/MIN/MAX over the catalog table answer

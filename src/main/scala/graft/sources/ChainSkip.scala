@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, GeneralScalarExpression, Literal => V2Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, length, lit, max, min, sum}
+import org.apache.spark.sql.functions.{base64, coalesce, col, concat, concat_ws, count, length, lit, max, min, sum}
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
 
 /** FILE-SKIPPING intervals and METADATA-ONLY aggregates for the SQL
@@ -604,12 +604,123 @@ private[graft] object ChainSkip {
     else Some(files.map(_.file).filterNot(dropped).sorted)
   }
 
+  /** TOP-N pushdown file plan for `ORDER BY <string col> <dir> LIMIT
+    * k` — the `cstats_str` mirror of [[topNFiles]], sound under the
+    * truncation rule the writer encodes: a recorded lo is a 64-char
+    * PREFIX of the file's min (lo <= min in UTF8-binary order — a
+    * valid LOWER bound, possibly not attained), and hi is recorded
+    * only when the file's max fit the budget whole (null hi =
+    * unknowable upper bound). Mapped onto the generic drop-set
+    * arithmetic that gives exactly the guards needed:
+    *
+    *  - ASC: a candidate's best is its lo — underestimating a
+    *    candidate's best only shrinks its beaten count (keeps more
+    *    files); a beater's worst is its hi, which must be recorded
+    *    (None = never beats);
+    *  - DESC mirrored: a candidate needs its recorded hi (None =
+    *    never droppable); a beater's worst is its lo, and lo > bound
+    *    implies its true min > bound — every row provably beats.
+    *
+    * Spec `min_key`/`max_key` take over per row when the manifest
+    * keys are string-typed (a lang/URL-clustered chain): those are
+    * EXACT, untruncated bounds from the stats aggregation. Bounds are
+    * base64-packed through the driver collect — string VALUES may
+    * contain the separator, unlike file paths — and compared in
+    * UTF8-binary order, matching the manifest aggregation's own
+    * min/max semantics. */
+  def topNFilesStr(s: SparkSession, root: String, version: Long,
+                   colName: String, ascending: Boolean,
+                   nullsFirst: Boolean, k: Int): Option[Seq[String]] = {
+    if (ManifestPrune.eqDelOf(root, version).nonEmpty) return None
+    val statted = ManifestPrune.listSpecs(root).collect {
+      case (id, sp) if sp.statsCol == colName => id }.toSet
+    val m0 = s.read.parquet(ManifestPrune.manifestOf(root, version))
+    val hasC = m0.columns.contains("cstats_str")
+    if (statted.isEmpty && !hasC) return None
+    if (!m0.columns.contains("n_nulls")) return None
+    val m1 =
+      if (m0.columns.contains("spec_id"))
+        m0.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
+      else m0.withColumn("spec_id", lit(0))
+    val hidden = ManifestPrune.dvOf(root, version) match {
+      case Some(dv) => s.read.parquet(dv).groupBy("file")
+        .agg(count(lit(1)).as("__hidden"))
+      case None => m1.select(col("file")).limit(0)
+        .withColumn("__hidden", lit(0L))
+    }
+    import org.apache.spark.sql.functions.{when => sqlWhen}
+    val minKeyIsStr = m0.schema("min_key").dataType ==
+      org.apache.spark.sql.types.StringType
+    val fromSpec =
+      if (statted.isEmpty || !minKeyIsStr) lit(false)
+      else col("spec_id").isInCollection(statted.toSeq)
+    val ce =
+      if (hasC) col("cstats_str").getItem(colName)
+      else lit(null).cast("struct<lo:string,hi:string,nn:bigint>")
+    val loC = sqlWhen(fromSpec, col("min_key").cast("string"))
+      .otherwise(ce.getField("lo"))
+    val hiC = sqlWhen(fromSpec, col("max_key").cast("string"))
+      .otherwise(ce.getField("hi"))
+    val nnC = sqlWhen(fromSpec, col("n_nulls"))
+      .otherwise(ce.getField("nn"))
+    val usableC = fromSpec || ce.isNotNull
+    // null-vs-value marker + base64: string bounds can contain ANY
+    // byte (including the separator and newlines), and "" is a legal
+    // bound distinct from null
+    def enc(c: org.apache.spark.sql.Column) =
+      sqlWhen(c.isNull, lit("N"))
+        .otherwise(concat(lit("V"), base64(c.cast("binary"))))
+    def str(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit(""))
+    val sep = "\u0001"
+    val packed = ManifestPrune.collectFileList(s,
+      m1.join(hidden, Seq("file"), "left")
+        .select(concat_ws(sep,
+          col("file"),
+          enc(loC),
+          enc(hiC),
+          str(col("n_rows")),
+          str(nnC),
+          str(coalesce(col("__hidden"), lit(0L))),
+          str(sqlWhen(usableC, lit(1)).otherwise(lit(0))))),
+      s"top-$k string plan of $root v$version")
+    val files = packed.map { line =>
+      val p = line.split(sep, -1)
+      def dec(i: Int): Option[String] =
+        if (p(i) == "N") None
+        // MIME decoder: Spark's base64() chunks at 76 chars with CRLF
+        else Some(new String(
+          java.util.Base64.getMimeDecoder.decode(p(i).substring(1)),
+          java.nio.charset.StandardCharsets.UTF_8))
+      def num(i: Int): Option[Long] =
+        if (p(i).isEmpty) None else Some(p(i).toLong)
+      TopNFile[String](p(0), dec(1), dec(2), p(3).toLong, num(4),
+        p(5).toLong, usable = p(6) == "1")
+    }
+    val dropped =
+      topNDropSet(files, ascending, nullsFirst, k)(utf8Ordering)
+    if (dropped.isEmpty) None
+    else Some(files.map(_.file).filterNot(dropped).sorted)
+  }
+
   /** One file's TopN-relevant manifest facts — promoted out of
     * [[topNFiles]] so the drop-set arithmetic below is pure and
-    * unit-testable at synthetic 100k-file scale with no manifest. */
-  private[sources] case class TopNFile(
-      file: String, lo: Option[Long], hi: Option[Long], rows: Long,
+    * unit-testable at synthetic 100k-file scale with no manifest.
+    * Generic in the bound type: Long for integral columns, String
+    * (compared in UTF8-binary order) for string-statted ones. */
+  private[sources] case class TopNFile[T](
+      file: String, lo: Option[T], hi: Option[T], rows: Long,
       nulls: Option[Long], hidden: Long, usable: Boolean)
+
+  /** Spark's string comparisons are UTF8-BINARY (unsigned byte)
+    * order; java.lang.String.compareTo is UTF-16 code-unit order —
+    * they disagree above the BMP (surrogates sort low in UTF-16),
+    * so string TopN arithmetic must compare through UTF8String. */
+  private[sources] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** The drop set of `ORDER BY <col> <dir> LIMIT k`, O(n log n) on
     * the driver: the beater population is sorted ONCE by its worst
@@ -635,18 +746,19 @@ private[graft] object ChainSkip {
     * worst < its best, so the file attaining the minimal best among
     * any dropped set is beaten only by files that are themselves
     * kept. */
-  private[sources] def topNDropSet(files: Seq[TopNFile],
-      ascending: Boolean, nullsFirst: Boolean, k: Int): Set[String] = {
-    def best(f: TopNFile) = if (ascending) f.lo else f.hi
-    def worst(f: TopNFile) = if (ascending) f.hi else f.lo
-    def beats(w: Long, b: Long) = if (ascending) w < b else w > b
-    def live(f: TopNFile) =
+  private[sources] def topNDropSet[T](files: Seq[TopNFile[T]],
+      ascending: Boolean, nullsFirst: Boolean, k: Int)
+      (implicit ord: Ordering[T]): Set[String] = {
+    def best(f: TopNFile[T]) = if (ascending) f.lo else f.hi
+    def worst(f: TopNFile[T]) = if (ascending) f.hi else f.lo
+    def beats(w: T, b: T) =
+      if (ascending) ord.lt(w, b) else ord.gt(w, b)
+    def live(f: TopNFile[T]) =
       (f.rows - f.nulls.getOrElse(f.rows) - f.hidden).max(0L)
     val sorted = files.iterator
       .filter(g => g.usable && worst(g).isDefined)
       .map(g => (worst(g).get, live(g))).toArray
-      .sortBy(_._1)(if (ascending) Ordering.Long
-                    else Ordering.Long.reverse)
+      .sortBy(_._1)(if (ascending) ord else ord.reverse)
     val prefix = new Array[Long](sorted.length + 1)
     var i = 0
     while (i < sorted.length) {
@@ -655,7 +767,7 @@ private[graft] object ChainSkip {
     }
     // rows provably sorting strictly before value b: the prefix sum
     // at the first index whose worst does NOT beat b
-    def beaten(b: Long): Long = {
+    def beaten(b: T): Long = {
       var lo = 0; var hi = sorted.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1

@@ -827,26 +827,29 @@ private[sources] class GraftChainScanBuilder(
     * keeps TakeOrderedAndProject): for `ORDER BY c LIMIT k` on a
     * single bare column, files k rows provably out-sort are dropped
     * via ChainSkip.topNFiles' null-exact manifest arithmetic. */
-  private var topN: Option[(String, Boolean, Boolean, Int)] = None
+  private var topN: Option[(String, Boolean, Boolean, Int, Boolean)] =
+    None
   override def pushTopN(orders: Array[org.apache.spark.sql.connector
       .expressions.SortOrder], l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (sawPredicates || l <= 0 || orders.length != 1) return false
     orders(0).expression() match {
       case r: NamedReference if r.fieldNames.length == 1 =>
-        // integral columns only: topNFiles does Long arithmetic on
-        // the manifest's min/max strings, and string-statted chains
-        // (the lang/URL layouts) carry lexicographic bounds whose
-        // .toLong would throw at plan time — refuse, don't crash
-        val integral = full.fields.find(_.name == r.fieldNames.head)
-          .exists(f => f.dataType == LongType ||
-            f.dataType == IntegerType || f.dataType == ShortType ||
-            f.dataType == ByteType)
-        if (!integral) return false
+        // integral columns plan through topNFiles' Long arithmetic;
+        // string columns through topNFilesStr's truncation-aware
+        // UTF8-order arithmetic. Anything else (double, timestamp)
+        // has no cstats family — refuse, don't crash
+        val dt = full.fields.find(_.name == r.fieldNames.head)
+          .map(_.dataType)
+        val integral = dt.exists(t => t == LongType ||
+          t == IntegerType || t == ShortType || t == ByteType)
+        val isStr = dt.contains(
+          org.apache.spark.sql.types.StringType)
+        if (!integral && !isStr) return false
         val asc = orders(0).direction() == SortDirection.ASCENDING
         val nullsFirst =
           orders(0).nullOrdering() == NullOrdering.NULLS_FIRST
-        topN = Some((r.fieldNames.head, asc, nullsFirst, l))
+        topN = Some((r.fieldNames.head, asc, nullsFirst, l, isStr))
         true
       case _ => false
     }
@@ -946,7 +949,7 @@ private[sources] class GraftChainScan(
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
     skipBounds: Map[String, ChainSkip.Bounds] = Map.empty,
     limit: Option[Int] = None,
-    topN: Option[(String, Boolean, Boolean, Int)] = None,
+    topN: Option[(String, Boolean, Boolean, Int, Boolean)] = None,
     exactKeys: Map[String, Seq[Long]] = Map.empty,
     strBounds: Map[String, ChainSkip.SBounds] = Map.empty)
     extends Scan with Batch
@@ -1123,8 +1126,11 @@ private[sources] class GraftChainScan(
             .toSeq.sorted)
         }).orElse(limit
             .flatMap(l => ChainSkip.limitFiles(s, root, version, l)))
-          .orElse(topN.flatMap { case (c, asc, nf, k) =>
-            ChainSkip.topNFiles(s, root, version, c, asc, nf, k) })
+          .orElse(topN.flatMap { case (c, asc, nf, k, isStr) =>
+            if (isStr)
+              ChainSkip.topNFilesStr(s, root, version, c, asc, nf, k)
+            else ChainSkip.topNFiles(s, root, version, c, asc, nf, k)
+          })
         pruned match {
           case Some(files) =>
             val dv = GraftChainScan.sidecarParts(

@@ -544,9 +544,9 @@ class GraftScanPushdownSpec extends SparkSpec {
     assert(chainScans(qd).head.inputPartitions.length < 8)
   }
 
-  test("ORDER BY on a string-statted clustering column refuses TopN " +
-    "pushdown (manifest bounds are lexicographic, not Long-parseable) " +
-    "instead of crashing at plan time; rows stay exact") {
+  test("ORDER BY on a string-statted clustering column pushes TopN " +
+    "through the spec's exact string bounds (r15 refused here; the " +
+    "truncation-aware arithmetic now prunes); rows stay exact") {
     ensureCatalog()
     val suf = System.nanoTime
     val r = Tables.matDir(s"push_topn_str_$suf", spark, sf0001)
@@ -562,10 +562,76 @@ class GraftScanPushdownSpec extends SparkSpec {
       s"SELECT doc_id, lang, n_chars FROM topnstr_src_$suf")
     val q = spark.sql(s"SELECT lang FROM graft.$tbl " +
       "ORDER BY lang LIMIT 5")
-    val got = q.collect().map(_.getString(0)) // plan-time crash pre-fix
+    val got = q.collect().map(_.getString(0))
     val exp = docs.select("lang").orderBy("lang").limit(5)
       .collect().map(_.getString(0))
     assert(got === exp)
+  }
+
+  test("string TopN prunes through cstats_str on a string-clustered " +
+    "layout, both directions; a long-text column (truncated hi) " +
+    "stays exact but unpruned — the null-hi refusal rules") {
+    ensureCatalog()
+    val suf = System.nanoTime
+    val root = Tables.matDir(s"push_topnstr2_$suf", spark, sf0001)
+    // unique short string key: lang + zero-padded doc_id; layout
+    // clustered BY it so per-file ranges are tight. The SPEC still
+    // stats n_chars — all tag pruning must come from cstats_str.
+    val tagged = docs.withColumn("tag", concat_ws("-", col("lang"),
+      lpad(col("doc_id").cast("string"), 9, "0")))
+      .select("doc_id", "tag", "lang", "text", "n_chars")
+    ManifestPrune.buildLayout(tagged, root, nFiles = 8,
+      clusterCols = Seq("tag"))
+    val tbl = s"push.topnstr2_$suf"
+    GraftCatalog.registerTable(tbl, root)
+
+    val q = spark.sql(s"SELECT tag FROM graft.$tbl " +
+      "ORDER BY tag LIMIT 12")
+    assert(q.collect().map(_.getString(0)) ===
+      tagged.select("tag").orderBy("tag").limit(12)
+        .collect().map(_.getString(0)))
+    val planned = chainScans(q).head.inputPartitions.length
+    assert(planned < 8 && planned > 0,
+      s"expected cstats_str TopN pruning ASC, planned=$planned")
+
+    val qd = spark.sql(s"SELECT tag FROM graft.$tbl " +
+      "ORDER BY tag DESC LIMIT 12")
+    assert(qd.collect().map(_.getString(0)) ===
+      tagged.select("tag").orderBy(col("tag").desc).limit(12)
+        .collect().map(_.getString(0)))
+    val plannedD = chainScans(qd).head.inputPartitions.length
+    assert(plannedD < 8 && plannedD > 0,
+      s"expected cstats_str TopN pruning DESC, planned=$plannedD")
+
+    // text values exceed the 64-char budget: every file's hi is null
+    // (no sound upper bound), so nothing is provably beaten — ASC
+    // has no usable beaters, DESC no droppable candidates. The scan
+    // plans everything and the rows stay exact.
+    val qt = spark.sql(s"SELECT text FROM graft.$tbl " +
+      "ORDER BY text LIMIT 5")
+    assert(qt.collect().map(_.getString(0)) ===
+      tagged.select("text").orderBy("text").limit(5)
+        .collect().map(_.getString(0)))
+    assert(chainScans(qt).head.inputPartitions.length === 8)
+
+    // a null-bearing string key under NULLS FIRST: the null-bearing
+    // file can never be dropped (its nulls belong at the very top)
+    val rootN = Tables.matDir(s"push_topnstr_null_$suf", spark, sf0001)
+    val withNulls = tagged.withColumn("tag",
+      when(col("doc_id") % 97 === 0, lit(null).cast("string"))
+        .otherwise(col("tag")))
+    ManifestPrune.buildLayout(withNulls, rootN, nFiles = 8,
+      clusterCols = Seq("tag"))
+    val tn = s"push.topnstrnull_$suf"
+    GraftCatalog.registerTable(tn, rootN)
+    val qn = spark.sql(s"SELECT tag FROM graft.$tn " +
+      "ORDER BY tag LIMIT 12")
+    val gotN = qn.collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getString(0)))
+    val expN = withNulls.select("tag")
+      .orderBy(asc_nulls_first("tag")).limit(12).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
+    assert(gotN === expN)
   }
 
   test("bloom-index-aware SQL planning: WHERE doc_id IN (...) prunes " +

@@ -11,10 +11,10 @@ class TopNDropSetSpec extends AnyFunSuite {
   /** The previous production shape, verbatim semantics: for each
     * candidate, sum live lower bounds over all OTHER files whose
     * worst strictly beats the candidate's best. */
-  private def quadraticReference(files: Seq[ChainSkip.TopNFile],
+  private def quadraticReference(files: Seq[ChainSkip.TopNFile[Long]],
       ascending: Boolean, nullsFirst: Boolean, k: Int): Set[String] = {
-    def best(f: ChainSkip.TopNFile) = if (ascending) f.lo else f.hi
-    def worst(f: ChainSkip.TopNFile) = if (ascending) f.hi else f.lo
+    def best(f: ChainSkip.TopNFile[Long]) = if (ascending) f.lo else f.hi
+    def worst(f: ChainSkip.TopNFile[Long]) = if (ascending) f.hi else f.lo
     def beats(w: Long, b: Long) = if (ascending) w < b else w > b
     files.filter { f =>
       f.usable && f.rows > 0 && best(f).isDefined &&
@@ -30,7 +30,8 @@ class TopNDropSetSpec extends AnyFunSuite {
   }
 
   private def randomFiles(rng: scala.util.Random, n: Int,
-                          valueSpan: Long): Seq[ChainSkip.TopNFile] =
+                          valueSpan: Long)
+      : Seq[ChainSkip.TopNFile[Long]] =
     (0 until n).map { i =>
       // small value span on purpose: identical and overlapping
       // [lo, hi] ranges are the tie cases the strict rule exists for
@@ -100,5 +101,23 @@ class TopNDropSetSpec extends AnyFunSuite {
     // milliseconds — a loose ceiling that only a complexity
     // regression can breach, not a host-speed assertion
     assert(ms < 5000.0, s"topNDropSet took $ms ms at 100k files")
+  }
+
+  test("string bounds compare in UTF8-binary order, not UTF-16: a " +
+      "supplementary char sorts ABOVE U+FFFF (java compareTo says " +
+      "the opposite — surrogates sort low)") {
+    val smiley = new String(Character.toChars(0x1F600))
+    assert(smiley.compareTo("￿") < 0) // the UTF-16 trap
+    assert(ChainSkip.utf8Ordering.gt(smiley, "￿"))
+    // drop-set consequence (DESC: biggest first, k=1): the smiley
+    // file beats the ￿ file — correct only under UTF8 order
+    val fs = Seq(
+      ChainSkip.TopNFile("hi", Some(smiley), Some(smiley), 5L,
+        Some(0L), 0L, usable = true),
+      ChainSkip.TopNFile("lo", Some("￿"), Some("￿"), 5L,
+        Some(0L), 0L, usable = true))
+    val dropped = ChainSkip.topNDropSet(fs, ascending = false,
+      nullsFirst = false, k = 1)(ChainSkip.utf8Ordering)
+    assert(dropped === Set("lo"))
   }
 }
