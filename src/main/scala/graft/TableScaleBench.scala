@@ -46,7 +46,8 @@ object TableScaleBench {
     "sql_prune_select", "sql_prune_multi", "sql_topn",
     "sql_topn_plan",
     "sql_count_meta", "sql_agg_cstats", "bloom_build",
-    "sql_point_lookup", "sql_point_delete", "vacuum")
+    "sql_point_lookup", "sql_point_delete", "vacuum",
+    "append_stats_all", "append_stats_none")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -146,6 +147,23 @@ object TableScaleBench {
       timed("vacuum")(
         ManifestPrune.expireVersions(spark, root, keepLast = 1,
           graceMs = 0L))
+      // round 16: the stats-policy contrast — the SAME append, full
+      // per-column stats vs policy 'none' (spec key only), back to
+      // back on the same chain state. The delta is the per-commit
+      // price of statting every column; 'none' is what a table that
+      // only ever prunes on its clustering key should configure.
+      def freshBatch(off: Long) = docs.orderBy("doc_id").limit(1000)
+        .select((col("doc_id") + off).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .localCheckpoint()
+      ManifestPrune.setStatsPolicy(root, "all")
+      val bAll = freshBatch(71000000L)
+      timed("append_stats_all")(
+        ManifestPrune.appendCommit(spark, root, bAll))
+      ManifestPrune.setStatsPolicy(root, "none")
+      val bNone = freshBatch(72000000L)
+      timed("append_stats_none")(
+        ManifestPrune.appendCommit(spark, root, bNone))
       t.toMap
     }
 

@@ -291,11 +291,14 @@ private[graft] object ChainSkip {
       s"column-stats plan of $root v$version"))
   }
 
-  /** One reported column statistic — exact values from manifest
-    * arithmetic (never estimates): what CBO's filter-selectivity and
-    * join-size estimation read through `Statistics.columnStats`. */
+  /** One reported column statistic: min/max/nullCount are EXACT from
+    * manifest arithmetic; ndv is the DataSketches-HLL estimate
+    * (lgK=12, ~1.6% standard error — sketch union across files is
+    * lossless, so the error is the per-sketch bound, not additive).
+    * What CBO's filter-selectivity and join-size estimation read
+    * through `Statistics.columnStats`. */
   case class ColStatRow(min: Option[Any], max: Option[Any],
-                        nullCount: Long)
+                        nullCount: Long, ndv: Option[Long] = None)
 
   private val colStatsCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long, String), Map[String, ColStatRow]]()
@@ -336,8 +339,12 @@ private[graft] object ChainSkip {
         val fields = (longs.map(f => (f, "cstats_long")) ++
           strs.map(f => (f, "cstats_str")))
           .filter { case (_, mc) => m.columns.contains(mc) }
+        val hasH = m.columns.contains("cstats_hll")
         val aggs = fields.zipWithIndex.flatMap { case ((f, mc), i) =>
           val e = col(mc).getItem(f.name)
+          val h =
+            if (hasH) col("cstats_hll").getItem(f.name)
+            else lit(null).cast("binary")
           Seq(cnt(e.isNull).as(s"__g_$i"),
             min(e.getField("lo")).as(s"__lo_$i"),
             max(e.getField("hi")).as(s"__hi_$i"),
@@ -347,7 +354,13 @@ private[graft] object ChainSkip {
             (if (mc == "cstats_str")
                cnt(e.getField("nn") < col("n_rows") &&
                  e.getField("hi").isNull)
-             else lit(0L)).as(s"__tr_$i"))
+             else lit(0L)).as(s"__tr_$i"),
+            // NDV: sketches union losslessly; claimed only when
+            // every live file carries one (__hg gap count)
+            cnt(h.isNull).as(s"__hg_$i"),
+            org.apache.spark.sql.functions.hll_sketch_estimate(
+              org.apache.spark.sql.functions.hll_union_agg(h,
+                lit(true))).as(s"__nd_$i"))
         }
         if (aggs.isEmpty) Map.empty
         else {
@@ -361,6 +374,10 @@ private[graft] object ChainSkip {
             if (rL(s"__g_$i") > 0) None // a file without the entry
             else {
               val nulls = rL(s"__rows_$i") - rL(s"__vals_$i")
+              val ndv: Option[Long] =
+                if (rL(s"__hg_$i") > 0) None // a file without a sketch
+                else rV(s"__nd_$i")
+                  .map(_.asInstanceOf[Number].longValue)
               val exactRange = mc == "cstats_long"
               // box in the attribute's own numeric width — CBO's
               // estimation casts by the attribute type
@@ -379,7 +396,7 @@ private[graft] object ChainSkip {
               Some(f.name -> ColStatRow(
                 if (exactRange) cvt(rV(s"__lo_$i")) else None,
                 if (exactRange) cvt(rV(s"__hi_$i")) else None,
-                nulls.max(0L)))
+                nulls.max(0L), ndv))
             }
           }.toMap
         }

@@ -375,6 +375,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else schema.fieldNames.head)
     ManifestPrune.createEmptyLayout(SparkSession.active, root, schema,
       statsCol, clusterCols)
+    // TBLPROPERTIES('stats.columns'='all|none|include:…|exclude:…') —
+    // the per-table column-statistics policy every later commit's
+    // cstats writer honors (validated here, so bad DDL fails fast)
+    Option(properties.get("stats.columns")).foreach { v =>
+      ManifestPrune.setStatsPolicy(root, v)
+    }
     bucketPart.foreach { case (c, n) =>
       require(schema.fieldNames.contains(c),
         s"bucket column '$c' does not exist in the declared schema")
@@ -418,6 +424,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case sp: TableChange.SetProperty if sp.property == "key" =>
         GraftCatalog.registerTable(q, root, sp.value)
         persist(q, root, sp.value, exclusive = false)
+      case sp: TableChange.SetProperty
+          if sp.property == "stats.columns" =>
+        // applies to commits from now on; existing manifest rows keep
+        // their entries (per-row gaps are advisory, like evolution)
+        ManifestPrune.setStatsPolicy(root, sp.value)
       case sp: TableChange.SetProperty if sp.property == "bucket" =>
         // declare SPJ bucketing on an EXISTING table: 'bucket' =
         // 'key|n'. Metadata-only here; existing files carry no
@@ -475,7 +486,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other (supported: ADD/DROP " +
           "CONSTRAINT … CHECK, ADD/DROP/RENAME COLUMN, SET " +
-          "TBLPROPERTIES cluster/key)")
+          "TBLPROPERTIES cluster/key/bucket/stats.columns)")
     }
     loadTable(ident)
   }
@@ -616,6 +627,14 @@ private[sources] class GraftCatalogTable(val root: String,
       .mkString(",")}")
     SpjBucket.bucketingOf(root).foreach { case (k, n) =>
       m.put("bucket", s"$k|$n")
+    }
+    ManifestPrune.statsPolicyOf(root) match {
+      case ManifestPrune.StatsAll => // the default; keep DESCRIBE lean
+      case ManifestPrune.StatsNone => m.put("stats.columns", "none")
+      case ManifestPrune.StatsInclude(cs) =>
+        m.put("stats.columns", s"include:${cs.toSeq.sorted.mkString(",")}")
+      case ManifestPrune.StatsExclude(cs) =>
+        m.put("stats.columns", s"exclude:${cs.toSeq.sorted.mkString(",")}")
     }
     m
   }
@@ -1213,6 +1232,11 @@ private[sources] class GraftChainScan(
                     .getOrElse(java.util.Optional.empty[Object]())
                 override def nullCount(): java.util.OptionalLong =
                   java.util.OptionalLong.of(cs.nullCount)
+                // the one estimated field (per-file HLL union,
+                // ~1.6%); min/max/nullCount above stay exact
+                override def distinctCount(): java.util.OptionalLong =
+                  cs.ndv.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
               })
           }
         }

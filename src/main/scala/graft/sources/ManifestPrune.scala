@@ -182,7 +182,8 @@ object ManifestPrune {
     s.read.parquet(s"$root/data")
       .repartitionByRange(nFiles, col("n_chars"), col("doc_id"))
       .write.mode("overwrite").parquet(dataDir)
-    statsManifest(s, dataDir).write.mode("overwrite").parquet(mfDir)
+    statsManifest(s, dataDir, policy = statsPolicyOf(root))
+      .write.mode("overwrite").parquet(mfDir)
     (dataDir, mfDir)
   }
 
@@ -306,7 +307,8 @@ object ManifestPrune {
       .filter(if (hitFiles.isEmpty) lit(true)
         else !col("file").isInCollection(hitFiles.toIndexedSeq))
     val spec = specOfManifest(root, baseManifest)
-    val v2Stats = statsManifest(s, dataV2, spec.statsCol, spec.id)
+    val v2Stats = statsManifest(s, dataV2, spec.statsCol, spec.id,
+      statsPolicyOf(root))
     untouched.unionByName(v2Stats, allowMissingColumns = true)
       .write.mode("overwrite").parquet(mfV2)
     carrySpecPointer(root, baseManifest, mfV2)
@@ -416,10 +418,11 @@ object ManifestPrune {
         rows.withColumn("__bp", SpjBucket.bucketCol(key, n))
           .write.partitionBy("__bp").mode("overwrite").parquet(dataDir)
         SpjBucket.bucketStatsManifest(s, dataDir, key, n,
-          spec.statsCol, spec.id)
+          spec.statsCol, spec.id, statsPolicyOf(root))
       case None =>
         rows.write.mode("overwrite").parquet(dataDir)
-        statsManifest(s, dataDir, spec.statsCol, spec.id)
+        statsManifest(s, dataDir, spec.statsCol, spec.id,
+          statsPolicyOf(root))
     }
   }
 
@@ -1371,12 +1374,13 @@ object ManifestPrune {
             (col("__bp") +: spec.clusterCols.map(col)): _*)
           .write.partitionBy("__bp").mode("overwrite").parquet(dataDir)
         SpjBucket.bucketStatsManifest(s, dataDir, key, n,
-          spec.statsCol, spec.id)
+          spec.statsCol, spec.id, statsPolicyOf(root))
           .write.mode("overwrite").parquet(s"$root/manifest_$tok")
       case None =>
         live.repartitionByRange(nFiles, spec.clusterCols.map(col): _*)
           .write.mode("overwrite").parquet(dataDir)
-        statsManifest(s, dataDir, spec.statsCol, spec.id)
+        statsManifest(s, dataDir, spec.statsCol, spec.id,
+          statsPolicyOf(root))
           .write.mode("overwrite").parquet(s"$root/manifest_$tok")
     }
     carrySpecPointer(root, manifestOf(root, base), s"$root/manifest_$tok")
@@ -2449,11 +2453,73 @@ object ManifestPrune {
     * per family (predicates on uncapped columns simply don't prune —
     * the advisory-skipping rule). */
   private val MaxCstatCols = 32
-  private[sources] def cstatFields(schema: org.apache.spark.sql.types.StructType)
+
+  /** Per-table COLUMN-STATISTICS POLICY (Iceberg's
+    * `write.metadata.metrics` economics): statting every column costs
+    * every commit its per-column aggregate — 13-16% measured at the
+    * full default — so a table can trim the set. Values (the
+    * TBLPROPERTIES `stats.columns` surface):
+    *
+    *   all            — stat every supported column (the default)
+    *   none           — only the clustering spec's key column
+    *   include:a,b,c  — stat exactly these (∩ supported columns)
+    *   exclude:x,y    — stat everything but these
+    *
+    * The policy lives at `root/_stats_policy` and applies to commits
+    * FROM NOW ON — already-written manifest rows keep their entries
+    * (reads treat per-row gaps as advisory, exactly like schema
+    * evolution). A column outside the policy simply never has an
+    * entry: predicates on it don't prune, metadata MIN/MAX/COUNT(col)
+    * refuse (coverage-gap rule), TopN on it plans everything — all
+    * existing refusal paths, no new ones. */
+  sealed trait StatsPolicy {
+    def admits(c: String): Boolean = this match {
+      case StatsAll => true
+      case StatsNone => false
+      case StatsInclude(cols) => cols.contains(c)
+      case StatsExclude(cols) => !cols.contains(c)
+    }
+  }
+  case object StatsAll extends StatsPolicy
+  case object StatsNone extends StatsPolicy
+  case class StatsInclude(cols: Set[String]) extends StatsPolicy
+  case class StatsExclude(cols: Set[String]) extends StatsPolicy
+
+  def parseStatsPolicy(v: String): StatsPolicy = v.trim match {
+    case "all" => StatsAll
+    case "none" => StatsNone
+    case s if s.startsWith("include:") =>
+      StatsInclude(s.stripPrefix("include:").split(",")
+        .map(_.trim).filter(_.nonEmpty).toSet)
+    case s if s.startsWith("exclude:") =>
+      StatsExclude(s.stripPrefix("exclude:").split(",")
+        .map(_.trim).filter(_.nonEmpty).toSet)
+    case other => throw new IllegalArgumentException(
+      s"stats.columns must be all | none | include:a,b | exclude:a,b" +
+        s", got '$other'")
+  }
+
+  def setStatsPolicy(root: String, v: String): Unit = {
+    parseStatsPolicy(v) // validate before persisting
+    ChainStorage.forPath(root).write(s"$root/_stats_policy",
+      v.trim + "\n")
+  }
+
+  def statsPolicyOf(root: String): StatsPolicy = {
+    val st = ChainStorage.forPath(root)
+    val p = s"$root/_stats_policy"
+    if (!st.isFile(p)) StatsAll
+    else parseStatsPolicy(st.read(p).trim)
+  }
+
+  private[sources] def cstatFields(
+      schema: org.apache.spark.sql.types.StructType,
+      policy: StatsPolicy = StatsAll)
       : (Seq[org.apache.spark.sql.types.StructField],
          Seq[org.apache.spark.sql.types.StructField]) = {
     import org.apache.spark.sql.types._
     val usable = schema.fields.filterNot(_.name.startsWith("__"))
+      .filter(f => policy.admits(f.name))
     (usable.filter(f => f.dataType == LongType ||
         f.dataType == IntegerType || f.dataType == ShortType ||
         f.dataType == ByteType).take(MaxCstatCols).toSeq,
@@ -2476,7 +2542,15 @@ object ManifestPrune {
     longs.flatMap { f =>
       Seq(min(col(f.name)).cast("long").as(s"__lo_${f.name}"),
         max(col(f.name)).cast("long").as(s"__hi_${f.name}"),
-        (count(lit(1)) - count(col(f.name))).as(s"__nn_${f.name}"))
+        (count(lit(1)) - count(col(f.name))).as(s"__nn_${f.name}"),
+        // per-file DataSketches HLL (lgK=12, ~1.6% standard error):
+        // sketches union losslessly across files, so the snapshot's
+        // NDV — the one statistic ANALYZE normally charges a full
+        // scan for — is one manifest aggregate at read time.
+        // Narrower widths hash through long so a file written before
+        // a type widening unions with one written after.
+        hll_sketch_agg(col(f.name).cast("long"), lit(12))
+          .as(s"__hl_${f.name}"))
     } ++ strs.flatMap { f =>
       // aggregate over 64-char PREFIXES, not full strings: prefixing
       // is weakly monotonic (x <= y implies prefix(x) <= prefix(y)),
@@ -2486,7 +2560,10 @@ object ManifestPrune {
       Seq(min(substring(col(f.name), 1, 64)).as(s"__lo_${f.name}"),
         when(max(length(col(f.name))) <= 64,
           max(substring(col(f.name), 1, 64))).as(s"__hi_${f.name}"),
-        (count(lit(1)) - count(col(f.name))).as(s"__nn_${f.name}"))
+        (count(lit(1)) - count(col(f.name))).as(s"__nn_${f.name}"),
+        // NDV sketches hash the FULL string (no truncation — two
+        // values sharing a 64-char prefix are distinct)
+        hll_sketch_agg(col(f.name), lit(12)).as(s"__hl_${f.name}"))
     }
 
   private val CstatsLongType =
@@ -2516,15 +2593,28 @@ object ManifestPrune {
       if (strs.isEmpty)
         withL.withColumn("cstats_str", lit(null).cast(CstatsStrType))
       else withL.withColumn("cstats_str", map(entries(strs): _*))
-    withS.drop((longs ++ strs).flatMap(f => Seq(
-      s"__lo_${f.name}", s"__hi_${f.name}", s"__nn_${f.name}")): _*)
+    // NDV sketches for BOTH families ride one binary map; manifests
+    // written before the column (or under a trimmed policy) read as
+    // null through unionByName — a coverage gap, never a wrong NDV
+    val hlls = longs ++ strs
+    val withH =
+      if (hlls.isEmpty)
+        withS.withColumn("cstats_hll",
+          lit(null).cast("map<string,binary>"))
+      else withS.withColumn("cstats_hll", map(hlls.flatMap(f =>
+        Seq(lit(f.name), col(s"__hl_${f.name}"))): _*))
+    withH.drop((longs ++ strs).flatMap(f => Seq(
+      s"__lo_${f.name}", s"__hi_${f.name}", s"__nn_${f.name}",
+      s"__hl_${f.name}")): _*)
   }
 
   private def statsManifest(s: SparkSession, dataDir: String,
                             statsCol: String = "n_chars",
-                            specId: Int = 0): DataFrame = {
+                            specId: Int = 0,
+                            policy: StatsPolicy = StatsAll)
+      : DataFrame = {
     val df = s.read.parquet(dataDir)
-    val (longs, strs) = cstatFields(df.schema)
+    val (longs, strs) = cstatFields(df.schema, policy)
     val dataCols = ((longs ++ strs).map(_.name) :+ statsCol).distinct
     val base = df
       .select(col("_metadata.file_path").as("file") +:
@@ -2552,7 +2642,7 @@ object ManifestPrune {
     val s = df.sparkSession
     df.repartitionByRange(nFiles, clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$root/data")
-    statsManifest(s, s"$root/data")
+    statsManifest(s, s"$root/data", policy = statsPolicyOf(root))
       .write.mode("overwrite").parquet(s"$root/manifest")
     // v0's commit instant, as protocol content (the marker `ts=` rule
     // applied to the version that has no marker)

@@ -59,7 +59,8 @@ object SpjBucket {
       .repartition(nBuckets, col("__bp"))
       .write.partitionBy("__bp").mode("overwrite")
       .parquet(s"$root/data")
-    bucketStatsManifest(s, s"$root/data", key, nBuckets, statsCol)
+    bucketStatsManifest(s, s"$root/data", key, nBuckets, statsCol,
+      policy = ManifestPrune.statsPolicyOf(root))
       .write.mode("overwrite").parquet(s"$root/manifest")
     val st = ChainStorage.forPath(root)
     register(root, key, nBuckets)
@@ -75,9 +76,11 @@ object SpjBucket {
     * scan would honestly degrade to unknown partitioning). */
   def bucketStatsManifest(s: SparkSession, dataDir: String, key: String,
                           nBuckets: Int, statsCol: String,
-                          specId: Int = 0): DataFrame = {
+                          specId: Int = 0,
+                          policy: ManifestPrune.StatsPolicy =
+                            ManifestPrune.StatsAll): DataFrame = {
     val df = s.read.parquet(dataDir)
-    val (longs, strs) = ManifestPrune.cstatFields(df.schema)
+    val (longs, strs) = ManifestPrune.cstatFields(df.schema, policy)
     val dataCols = ((longs ++ strs).map(_.name) :+ statsCol).distinct
     val base = df
       .select(col("_metadata.file_path").as("file") +:

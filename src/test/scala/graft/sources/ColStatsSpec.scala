@@ -340,4 +340,95 @@ class ColStatsSpec extends SparkSpec {
     assert(offStats.rowCount.forall(_ < BigInt(total)),
       s"pruned estimate expected, got ${offStats.rowCount}")
   }
+
+  test("NDV reaches Catalyst: per-file HLL sketches (lgK=12) union " +
+    "at read into attributeStats.distinctCount — within sketch error " +
+    "on a unique key, exact on a low-cardinality string; a coverage " +
+    "gap (pre-NDV generation) withdraws the claim, not the rest") {
+    ensureCatalog()
+    val root = Tables.matDir(s"cstats_ndv_${System.nanoTime}",
+      spark, sf0001)
+    ManifestPrune.buildLayout(docs, root, nFiles = 6)
+    val tbl = s"cst.ndv_${System.nanoTime}"
+    GraftCatalog.registerTable(tbl, root)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val q = spark.sql(
+        s"SELECT doc_id, lang, n_chars FROM graft.$tbl")
+      val byName = q.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.stats
+      }.get.attributeStats.map { case (a, cs) => a.name -> cs }
+      val nDocs = docs.count()
+      val idNdv = byName("doc_id").distinctCount.get.toLong
+      assert(math.abs(idNdv - nDocs).toDouble / nDocs < 0.05,
+        s"doc_id NDV $idNdv vs true $nDocs (unique key)")
+      val langTrue = docs.select("lang").distinct().count()
+      assert(byName("lang").distinctCount.get.toLong === langTrue,
+        "HLL is exact at trivially low cardinality")
+      val ncTrue = docs.select("n_chars").distinct().count()
+      val ncNdv = byName("n_chars").distinctCount.get.toLong
+      assert(math.abs(ncNdv - ncTrue).toDouble / ncTrue < 0.05,
+        s"n_chars NDV $ncNdv vs true $ncTrue")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("exact stats CHANGE the chosen plan: under CBO the equality " +
+    "filter's 1/NDV selectivity shrinks the probe side below the " +
+    "broadcast threshold — BroadcastHashJoin; with CBO off the " +
+    "filtered size is unreduced — SortMergeJoin. Same rows either " +
+    "way (the stats steer, never decide results)") {
+    ensureCatalog()
+    val suf = System.nanoTime
+    val rootA = Tables.matDir(s"cstats_flip_a_$suf", spark, sf0001)
+    val rootB = Tables.matDir(s"cstats_flip_b_$suf", spark, sf0001)
+    ManifestPrune.buildLayout(docs.select("doc_id", "n_chars"),
+      rootA, nFiles = 4, clusterCols = Seq("doc_id"))
+    ManifestPrune.buildLayout(
+      docs.select("doc_id", "lang", "source", "n_chars"),
+      rootB, nFiles = 4, clusterCols = Seq("doc_id"))
+    val ta = s"cst.flipa_$suf"
+    val tb = s"cst.flipb_$suf"
+    GraftCatalog.registerTable(ta, rootA)
+    GraftCatalog.registerTable(tb, rootB)
+    // a real n_chars value; selectivity 1/NDV(n_chars) cuts the
+    // estimate by two orders of magnitude on this data
+    val v = docs.agg(min("n_chars")).head.getLong(0)
+    val widthA = 8 + 8 // doc_id, n_chars defaultSize
+    val fullA = docs.count() * widthA
+    val threshold = (fullA / 8).max(256)
+    val sql = s"""SELECT a.doc_id, a.n_chars, b.lang
+                 |FROM graft.$ta a JOIN graft.$tb b
+                 |  ON a.doc_id = b.doc_id
+                 |WHERE a.n_chars = $v""".stripMargin
+    def joinNodes(cbo: Boolean): (String, Array[String]) = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        threshold.toString)
+      try {
+        val q = spark.sql(sql)
+        // the STATIC choice is the claim — AQE could later repair
+        // either plan from runtime sizes
+        val plan = q.queryExecution.sparkPlan
+        val kind =
+          if (plan.exists(_.isInstanceOf[org.apache.spark.sql
+              .execution.joins.BroadcastHashJoinExec])) "broadcast"
+          else if (plan.exists(_.isInstanceOf[org.apache.spark.sql
+              .execution.joins.SortMergeJoinExec])) "sortmerge"
+          else "other"
+        (kind, q.collect().map(_.mkString("|")).sorted)
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+      }
+    }
+    val (kOn, rowsOn) = joinNodes(cbo = true)
+    val (kOff, rowsOff) = joinNodes(cbo = false)
+    assert(kOn === "broadcast",
+      s"CBO + NDV must estimate the filtered side tiny, got $kOn")
+    assert(kOff === "sortmerge",
+      s"without stats the filtered size is unreduced, got $kOff")
+    assert(rowsOn === rowsOff)
+    assert(rowsOn.nonEmpty)
+  }
 }
