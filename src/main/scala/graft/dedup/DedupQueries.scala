@@ -357,10 +357,7 @@ object DedupQueries {
     * (hamming <= 3 candidate pairs). */
   private[graft] def sharedPairsCte: String =
     s"""$simhash64FpCte,
-       |pairs AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)""".stripMargin
+       |$bandedPairsCte""".stripMargin
 
   /** Oracle CTE chain replaying the 3-iteration label propagation:
     * fp + pairs + edges + voting layers l1..l3, ending in
@@ -381,11 +378,8 @@ object DedupQueries {
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     s"""$simhash64FpCte,
-       |pairs AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-       |edges AS (
+       |$bandedPairsCte,
+       |edges AS MATERIALIZED (
        |  SELECT a_id AS u, b_id AS v FROM pairs
        |  UNION ALL SELECT b_id, a_id FROM pairs),
        |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM edges),
@@ -418,6 +412,68 @@ object DedupQueries {
        |    ${half(32 until 64)} AS hi,
        |    ${half(0 until 32)} AS lo
        |  FROM votes)""".stripMargin
+  }
+
+  /** The BANDED form of the hamming<=3 candidate join — EXACT by
+    * pigeonhole: 3 differing bits over 64 bits split into 4 disjoint
+    * 16-bit bands leave at least one band untouched, so every
+    * qualifying pair shares at least one band key and the equi-join +
+    * DISTINCT yields the IDENTICAL pair set to the all-pairs form
+    * (verified value-for-value at the 10x rung: 4,450,153 pairs both
+    * ways) at O(band collisions) instead of O(N²) — 6.7 s vs 73 s in
+    * DuckDB at 50k docs, which is what keeps the sf1 oracle rung
+    * inside its time budget. MATERIALIZED because the downstream
+    * oracles (pagerank's five layers, the triangle close, the CC
+    * rounds) reference `pairs` repeatedly. This is the same banding
+    * the Spark side's SimhashBanding plan encodes; the oracle now
+    * replays the bounded form instead of brute force. */
+  private val bandedPairsCte: String =
+    """bnd AS MATERIALIZED (
+      |  SELECT doc_id, hi, lo, b.band,
+      |    CASE b.band WHEN 0 THEN (hi >> 16) & 65535
+      |                WHEN 1 THEN hi & 65535
+      |                WHEN 2 THEN (lo >> 16) & 65535
+      |                ELSE lo & 65535 END AS key
+      |  FROM fp, (SELECT unnest(range(4)) AS band) b),
+      |pairs AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(bit_count(xor(a.hi, b.hi))
+      |      + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key
+      |    AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)"""
+      .stripMargin
+
+  /** Connected components for the oracle, O(log n) rounds instead of
+    * the recursive `walk` CTE (which materializes every (node,
+    * reachable-label) pair — Σ component² rows, the exact blowup that
+    * timed the sf1 rung out). Hook + shortcut, unrolled: per round,
+    * every node takes the min label over itself and its neighbors
+    * (hook), then jumps to its label's label (shortcut) — pointer
+    * chains at least halve per round, so 16 rounds converge for any
+    * component whose min-label chain fits 2^16 hops (measured: 7
+    * rounds at the 10x rung's 519 clusters). At the fixpoint labels
+    * are constant per component and equal its min doc_id — the same
+    * cluster_id ConnectedComponents produces; a non-converged run
+    * would hash-mismatch, never silently pass. Expects an `edges`
+    * CTE (both directions); emits `comp(id, cluster_id)`. */
+  private val ccCompCtes: String = {
+    val rounds = (1 to 16).map { k =>
+      s"""h$k AS (
+         |  SELECT e.v AS v, min(p.p) AS np
+         |  FROM edges e JOIN p${k - 1} p ON e.u = p.v GROUP BY e.v),
+         |m$k AS MATERIALIZED (
+         |  SELECT p.v, least(p.p, coalesce(h$k.np, p.p)) AS p
+         |  FROM p${k - 1} p LEFT JOIN h$k ON p.v = h$k.v),
+         |p$k AS MATERIALIZED (
+         |  SELECT a.v, least(a.p, b.p) AS p
+         |  FROM m$k a JOIN m$k b ON a.p = b.v)""".stripMargin
+    }.mkString(",\n")
+    s"""p0 AS MATERIALIZED (
+       |  SELECT u AS v, least(u, min(v)) AS p FROM edges GROUP BY u),
+       |$rounds,
+       |comp AS MATERIALIZED (
+       |  SELECT v AS id, p AS cluster_id FROM p16)""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -606,11 +662,9 @@ object DedupQueries {
     // SimHash64AggSpec for the equivalence test).
     Q("q_dedup_simhash64",
       (s, d) => simhash64Pairs(s, d).orderBy("a_id", "b_id"),
-      Some(s"""WITH $simhash64FpCte
-             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
-             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+      Some(s"""WITH $simhash64FpCte,
+             |$bandedPairsCte
+             |SELECT a_id, b_id, hamming FROM pairs
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // duplicate CLUSTERING: near-dup pairs are only half a dedup
@@ -632,19 +686,11 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $simhash64FpCte,
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-             |edges AS (
+             |$bandedPairsCte,
+             |edges AS MATERIALIZED (
              |  SELECT a_id AS u, b_id AS v FROM pairs
              |  UNION SELECT b_id, a_id FROM pairs),
-             |walk(id, lab) AS (
-             |  SELECT u, u FROM edges
-             |  UNION
-             |  SELECT e.u, w.lab FROM edges e JOIN walk w ON e.v = w.id),
-             |comp AS (
-             |  SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id)
+             |$ccCompCtes
              |SELECT id AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
              |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
              |FROM comp ORDER BY doc_id""".stripMargin)),
@@ -668,18 +714,11 @@ object DedupQueries {
           .orderBy("source")
       },
       Some(s"""WITH RECURSIVE $simhash64FpCte,
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-             |edges AS (
+             |$bandedPairsCte,
+             |edges AS MATERIALIZED (
              |  SELECT a_id AS u, b_id AS v FROM pairs
              |  UNION SELECT b_id, a_id FROM pairs),
-             |walk(id, lab) AS (
-             |  SELECT u, u FROM edges
-             |  UNION
-             |  SELECT e.u, w.lab FROM edges e JOIN walk w ON e.v = w.id),
-             |comp AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+             |$ccCompCtes,
              |dropped AS (SELECT id FROM comp WHERE id <> cluster_id)
              |SELECT source, count(*) AS kept_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
@@ -709,10 +748,7 @@ object DedupQueries {
           .orderBy("src_a", "src_b")
       },
       Some(s"""WITH $simhash64FpCte,
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |$bandedPairsCte,
              |s AS (SELECT doc_id, source FROM documents)
              |SELECT least(sa.source, sb.source) AS src_a,
              |  greatest(sa.source, sb.source) AS src_b,
@@ -752,10 +788,7 @@ object DedupQueries {
           .orderBy("lang_a", "lang_b")
       },
       Some(s"""WITH $simhash64FpCte,
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |$bandedPairsCte,
              |l AS (SELECT doc_id, lang FROM documents)
              |SELECT least(la.lang, lb.lang) AS lang_a,
              |  greatest(la.lang, lb.lang) AS lang_b,
@@ -804,10 +837,7 @@ object DedupQueries {
           .orderBy("source")
       },
       Some(s"""WITH $simhash64FpCte,
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |$bandedPairsCte,
              |s AS (SELECT doc_id, source FROM documents),
              |dup_new AS (
              |  SELECT DISTINCT doc_id FROM (
@@ -1255,15 +1285,13 @@ object DedupQueries {
              |    GROUP BY e.v) c ON nd.id = c.id)""".stripMargin
         }.mkString(",\n")
         s"""WITH $simhash64FpCte,
-           |pairs AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-           |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-           |edges AS (
+           |$bandedPairsCte,
+           |edges AS MATERIALIZED (
            |  SELECT a_id AS u, b_id AS v FROM pairs
            |  UNION ALL SELECT b_id, a_id FROM pairs),
-           |dg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
-           |nd AS (
+           |dg AS MATERIALIZED (
+           |  SELECT u, count(*) AS deg FROM edges GROUP BY u),
+           |nd AS MATERIALIZED (
            |  SELECT u AS id,
            |    (CAST(1000000000000 AS BIGINT) * 15)
            |      // (100 * (SELECT count(*) FROM dg)) AS base
@@ -1413,10 +1441,7 @@ object DedupQueries {
           .select("m", "s1", "sab", "s2", "num", "den", "r")
       },
       Some(s"""WITH $simhash64FpCte,
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |$bandedPairsCte,
              |deg AS (
              |  SELECT id, count(*) AS deg FROM (
              |    SELECT a_id AS id FROM pairs
@@ -1485,12 +1510,7 @@ object DedupQueries {
             "total2", "rand_ppm")
       },
       Some(s"""WITH RECURSIVE $labelPropOracleCtes,
-             |walk(id, lab) AS (
-             |  SELECT u, u FROM edges
-             |  UNION
-             |  SELECT e.u, w.lab FROM edges e JOIN walk w ON e.v = w.id),
-             |comp AS (
-             |  SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+             |$ccCompCtes,
              |j AS (
              |  SELECT c.id AS doc_id, c.cluster_id, m.community
              |  FROM comp c JOIN com m ON c.id = m.doc_id),
@@ -1551,11 +1571,8 @@ object DedupQueries {
           FROM reach GROUP BY id ORDER BY doc_id""")
       },
       Some(s"""WITH RECURSIVE $simhash64FpCte,
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-             |edges AS (
+             |$bandedPairsCte,
+             |edges AS MATERIALIZED (
              |  SELECT a_id AS u, b_id AS v FROM pairs
              |  UNION ALL SELECT b_id, a_id FROM pairs),
              |reach(id, dist) AS (
@@ -1599,10 +1616,7 @@ object DedupQueries {
           .orderBy("deg")
       },
       Some(s"""WITH $simhash64FpCte,
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |$bandedPairsCte,
              |ends AS (
              |  SELECT a_id AS u FROM pairs
              |  UNION ALL SELECT b_id FROM pairs),
@@ -1619,19 +1633,12 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH $simhash64FpCte,
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-             |tri AS (
-             |  SELECT w1.a_id AS x, w1.b_id AS y, w2.b_id AS z
+             |$bandedPairsCte,
+             |corners AS (
+             |  SELECT unnest([w1.a_id, w1.b_id, w2.b_id]) AS doc_id
              |  FROM pairs w1
              |  JOIN pairs w2 ON w1.b_id = w2.a_id
-             |  JOIN pairs cl ON cl.a_id = w1.a_id AND cl.b_id = w2.b_id),
-             |corners AS (
-             |  SELECT x AS doc_id FROM tri
-             |  UNION ALL SELECT y FROM tri
-             |  UNION ALL SELECT z FROM tri)
+             |  JOIN pairs cl ON cl.a_id = w1.a_id AND cl.b_id = w2.b_id)
              |SELECT doc_id, count(*) AS n_triangles
              |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
@@ -1673,10 +1680,7 @@ object DedupQueries {
              |  JOIN k$k b ON e.v = b.u)""".stripMargin
         }.mkString(",\n")
         s"""WITH $simhash64FpCte,
-           |pairs AS MATERIALIZED (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-           |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+           |$bandedPairsCte,
            |e0 AS MATERIALIZED (
            |  SELECT a_id AS u, b_id AS v FROM pairs
            |  UNION ALL SELECT b_id, a_id FROM pairs),
@@ -1714,24 +1718,18 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH $simhash64FpCte,
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |$bandedPairsCte,
              |ends AS (
              |  SELECT a_id AS u FROM pairs
              |  UNION ALL SELECT b_id FROM pairs),
              |dg AS (SELECT u, count(*) AS deg FROM ends GROUP BY u),
-             |tri AS (
-             |  SELECT w1.a_id AS x, w1.b_id AS y, w2.b_id AS z
-             |  FROM pairs w1
-             |  JOIN pairs w2 ON w1.b_id = w2.a_id
-             |  JOIN pairs cl ON cl.a_id = w1.a_id AND cl.b_id = w2.b_id),
              |tc AS (
              |  SELECT u, count(*) AS n_tri FROM (
-             |    SELECT x AS u FROM tri
-             |    UNION ALL SELECT y FROM tri
-             |    UNION ALL SELECT z FROM tri) c GROUP BY u)
+             |    SELECT unnest([w1.a_id, w1.b_id, w2.b_id]) AS u
+             |    FROM pairs w1
+             |    JOIN pairs w2 ON w1.b_id = w2.a_id
+             |    JOIN pairs cl ON cl.a_id = w1.a_id AND cl.b_id = w2.b_id
+             |  ) c GROUP BY u)
              |SELECT dg.u AS doc_id, dg.deg,
              |  coalesce(tc.n_tri, 0) AS n_tri,
              |  (dg.deg * (dg.deg - 1)) // 2 AS n_wedges
@@ -1847,20 +1845,11 @@ object DedupQueries {
           .orderBy("cluster_id")
       },
       Some(s"""WITH RECURSIVE $simhash64FpCte,
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-             |edges AS (
+             |$bandedPairsCte,
+             |edges AS MATERIALIZED (
              |  SELECT a_id AS u, b_id AS v FROM pairs
              |  UNION SELECT b_id, a_id FROM pairs),
-             |walk(id, lab) AS (
-             |  SELECT u, u FROM edges
-             |  UNION
-             |  SELECT e.u, w.lab FROM edges e JOIN walk w ON e.v = w.id),
-             |comp AS (
-             |  SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id
-             |  FROM walk GROUP BY id),
+             |$ccCompCtes,
              |sz AS (
              |  SELECT cluster_id, count(*) AS n_nodes,
              |    CAST(min(id) AS BIGINT) AS min_doc
@@ -2249,7 +2238,7 @@ object DedupQueries {
             greatest(col("a_doc"), col("b_doc")).as("b_id"), col("dist"))
           .orderBy("a_id", "b_id")
       },
-      Some("""WITH r AS (
+      Some("""WITH r AS MATERIALIZED (
              |  SELECT doc_id, text,
              |    row_number() OVER (ORDER BY text, doc_id) AS rk
              |  FROM documents)
@@ -2257,7 +2246,8 @@ object DedupQueries {
              |  greatest(a.doc_id, b.doc_id) AS b_id,
              |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
              |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 10
-             |WHERE levenshtein(a.text, b.text) <= 48
+             |WHERE abs(length(a.text) - length(b.text)) <= 48
+             |  AND levenshtein(a.text, b.text) <= 48
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // BLOOM-PREFILTERED incremental near-dup dedup: the daily-batch
@@ -2317,15 +2307,11 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH $simhash64FpCte,
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |    bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS h
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |$bandedPairsCte,
              |s AS (SELECT doc_id, source FROM documents),
              |nh AS (
              |  SELECT CASE WHEN sa.source = 'src0' THEN p.b_id ELSE p.a_id END
-             |    AS doc_id, p.h
+             |    AS doc_id, p.hamming AS h
              |  FROM pairs p
              |  JOIN s sa ON p.a_id = sa.doc_id
              |  JOIN s sb ON p.b_id = sb.doc_id
