@@ -1634,13 +1634,18 @@ object DedupQueries {
       },
       Some(s"""WITH $simhash64FpCte,
              |$bandedPairsCte,
-             |corners AS (
-             |  SELECT unnest([w1.a_id, w1.b_id, w2.b_id]) AS doc_id
+             |tri AS (
+             |  SELECT w1.a_id AS x, w1.b_id AS y, w2.b_id AS z
              |  FROM pairs w1
              |  JOIN pairs w2 ON w1.b_id = w2.a_id
-             |  JOIN pairs cl ON cl.a_id = w1.a_id AND cl.b_id = w2.b_id)
-             |SELECT doc_id, count(*) AS n_triangles
-             |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |  JOIN pairs cl ON cl.a_id = w1.a_id AND cl.b_id = w2.b_id),
+             |cx AS (SELECT x AS doc_id, count(*) AS n FROM tri GROUP BY x),
+             |cy AS (SELECT y AS doc_id, count(*) AS n FROM tri GROUP BY y),
+             |cz AS (SELECT z AS doc_id, count(*) AS n FROM tri GROUP BY z)
+             |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_triangles
+             |FROM (SELECT * FROM cx UNION ALL SELECT * FROM cy
+             |      UNION ALL SELECT * FROM cz) u
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // 2-CORE decomposition of the near-dup graph — the graph-cleaning
     // pass that runs BEFORE clustering at scale: degree-1 pendants
@@ -1723,13 +1728,17 @@ object DedupQueries {
              |  SELECT a_id AS u FROM pairs
              |  UNION ALL SELECT b_id FROM pairs),
              |dg AS (SELECT u, count(*) AS deg FROM ends GROUP BY u),
+             |tri AS (
+             |  SELECT w1.a_id AS x, w1.b_id AS y, w2.b_id AS z
+             |  FROM pairs w1
+             |  JOIN pairs w2 ON w1.b_id = w2.a_id
+             |  JOIN pairs cl ON cl.a_id = w1.a_id AND cl.b_id = w2.b_id),
              |tc AS (
-             |  SELECT u, count(*) AS n_tri FROM (
-             |    SELECT unnest([w1.a_id, w1.b_id, w2.b_id]) AS u
-             |    FROM pairs w1
-             |    JOIN pairs w2 ON w1.b_id = w2.a_id
-             |    JOIN pairs cl ON cl.a_id = w1.a_id AND cl.b_id = w2.b_id
-             |  ) c GROUP BY u)
+             |  SELECT u, CAST(sum(n) AS BIGINT) AS n_tri FROM (
+             |    SELECT x AS u, count(*) AS n FROM tri GROUP BY x
+             |    UNION ALL SELECT y, count(*) FROM tri GROUP BY y
+             |    UNION ALL SELECT z, count(*) FROM tri GROUP BY z) c
+             |  GROUP BY u)
              |SELECT dg.u AS doc_id, dg.deg,
              |  coalesce(tc.n_tri, 0) AS n_tri,
              |  (dg.deg * (dg.deg - 1)) // 2 AS n_wedges
@@ -2241,13 +2250,17 @@ object DedupQueries {
       Some("""WITH r AS MATERIALIZED (
              |  SELECT doc_id, text,
              |    row_number() OVER (ORDER BY text, doc_id) AS rk
-             |  FROM documents)
-             |SELECT least(a.doc_id, b.doc_id) AS a_id,
-             |  greatest(a.doc_id, b.doc_id) AS b_id,
-             |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-             |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 10
-             |WHERE abs(length(a.text) - length(b.text)) <= 48
-             |  AND levenshtein(a.text, b.text) <= 48
+             |  FROM documents),
+             |cand AS MATERIALIZED (
+             |  SELECT a.doc_id AS da, b.doc_id AS db,
+             |    a.text AS ta, b.text AS tb
+             |  FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 10
+             |  WHERE abs(length(a.text) - length(b.text)) <= 48),
+             |scored AS MATERIALIZED (
+             |  SELECT da, db, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+             |  FROM cand)
+             |SELECT least(da, db) AS a_id, greatest(da, db) AS b_id, dist
+             |FROM scored WHERE dist <= 48
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // BLOOM-PREFILTERED incremental near-dup dedup: the daily-batch
