@@ -93,14 +93,16 @@ object DedupQueries {
       dir
     }))
 
-  /** The PERSISTED ordered-triangle table (x < y < z) of the near-dup
-    * graph — the third shared graph materialization beside the pair
-    * and cluster tables: q_triangles, q_clustering_coef and
-    * q_graph_jaccard all consume the same wedge-close join, so it is
-    * computed once per (session, sf dir) and written as parquet (the
-    * pair-table convention; the cache holds only the path). At 100 TB
-    * the triangle enumeration is the most expensive graph stage by
-    * far — recomputing it per consumer triples the dominant cost. */
+  /** The PERSISTED per-doc triangle statistics (doc_id, deg, n_tri)
+    * of the near-dup graph — the third shared graph materialization
+    * beside the pair and cluster tables, consumed by q_triangles and
+    * q_clustering_coef, computed once per (session, sf dir) and
+    * written as parquet (the pair-table convention; the cache holds
+    * only the path). Computed on the fingerprint-CLASS quotient graph
+    * ([[TriangleQuotient]]) — exact by the blow-up argument written
+    * there — instead of enumerating document-level triangles: at the
+    * 10x rung the doc graph's wedge close was 929M wedges even
+    * degree-ordered, the quotient's is 10.8M. */
   /** The PERSISTED word-trigram TF postings (doc_id, g, tf) — shared
     * by the weighted sparse-cosine and asymmetric-containment dedups:
     * both derive their df cap, sizes and join sides from this table,
@@ -133,34 +135,16 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), String]()
 
-  private def simhash64Triangles(s: org.apache.spark.sql.SparkSession,
-                                 d: String): org.apache.spark.sql.DataFrame =
+  private def simhash64TriangleStats(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(triDirCache.computeIfAbsent((s, d), { _ =>
-      val p = simhash64Pairs(s, d).select("a_id", "b_id")
-      // EXPLICIT join-key partitioning on every wedge stage: the pair
-      // table is megabytes even when the corpus is terabytes, so
-      // AQE's size-based coalescing shrinks the self-join to ~one
-      // task — but the join OUTPUT is wedge mass (Σ in·out per hub),
-      // cubic in near-dup family size, and the whole enumeration then
-      // serializes through a single straggler that also pays a
-      // round-robin determinism SORT of every triangle (caught at the
-      // sf1 rung: 1.25e9 wedges sort-spilling in one task).
-      // User-specified repartition pins parallelism AQE must honor;
-      // hash output layout (never round-robin) keeps the final
-      // exchange sort-free.
-      val parts = s.sparkContext.defaultParallelism
-      val xy = p.select(col("a_id").as("x"), col("b_id").as("y"))
-        .repartition(parts, col("y"))
-      val yz = p.select(col("a_id").as("y"), col("b_id").as("z"))
-        .repartition(parts, col("y"))
-      val xz = p.select(col("a_id").as("x"), col("b_id").as("z"))
-        .repartition(parts, col("x"), col("z"))
-      val tri = xy.join(yz, "y").join(xz, Seq("x", "z"))
-        .select("x", "y", "z")
-      val dir = matDir("simhash_triangles", s, d)
-      // triangles are bounded by the pair table; its parquet count is
+      val fp = persistedFingerprints(s, d)
+      val stats = TriangleQuotient.nodeStats(fp)
+      val dir = matDir("simhash_tristats", s, d)
+      // one row per document; the fingerprint parquet's row count is
       // a metadata read and sizes the output layout
-      tri.repartition(compactFiles(p.count()), col("x"), col("y"))
+      stats.repartition(compactFiles(fp.count()))
         .write.mode("overwrite").parquet(dir)
       dir
     }))
@@ -443,6 +427,81 @@ object DedupQueries {
       |    AND a.doc_id < b.doc_id
       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)"""
       .stripMargin
+
+  /** Per-node triangle statistics computed at the FINGERPRINT-CLASS
+    * level — the oracle form that keeps the triangle family inside
+    * the sf1 time budget where even the degree-ordered wedge close
+    * cannot (929M ordered wedges over the 4.45M-edge doc graph at the
+    * 10x rung vs 10.8M over the 186k-edge class graph; >600 s vs ~7 s
+    * in DuckDB).
+    *
+    * EXACT by a blow-up argument, not an approximation: adjacency in
+    * the near-dup graph is hamming(fp_a, fp_b) <= 3 with a < b, which
+    * depends ONLY on the two fingerprints — so all docs sharing a
+    * fingerprint (a "class" of size m) are pairwise adjacent (hamming
+    * 0) and have identical neighborhoods outside the class. The doc
+    * graph is therefore the blow-up of the class graph (classes f~g
+    * iff hamming <= 3, f <> g) with each class expanded to an m-clique.
+    * For any doc v in class f, its triangle count splits exactly by
+    * where the other two corners live:
+    *   both in f:             C(m_f - 1, 2)
+    *   one in f, one in g~f:  (m_f - 1) * S_f,  S_f = Σ_{g~f} m_g
+    *   both in one g~f:       Σ_{g~f} C(m_g, 2)
+    *   in g~f, h~f, g~h:      Σ_{class triangles {f,g,h}} m_g * m_h
+    * — every doc in a class gets the same count, so one class-level
+    * pass answers all 10x-rung docs. The class-triangle term reuses
+    * the same pigeonhole-banded equi-join as `pairs`, just over
+    * distinct fingerprints (sound for the identical reason: bands are
+    * disjoint 16-bit slices, <= 3 differing bits leave one band
+    * equal). Degrees fall out of the same split: deg(v in f) =
+    * (m_f - 1) + S_f. Verified value-for-value against the wedge-close
+    * form at sf0.01 and sf0.1 and against the Spark output at sf1.
+    * Emits `cstat(cid, hi, lo, m, deg, ntri)`; join `fp` back on
+    * (hi, lo) for per-doc rows. */
+  private val classTriCtes: String =
+    """cls AS MATERIALIZED (
+      |  SELECT hi, lo, count(*) AS m, min(doc_id) AS cid
+      |  FROM fp GROUP BY hi, lo),
+      |cbnd AS MATERIALIZED (
+      |  SELECT cid, hi, lo, m, b.band,
+      |    CASE b.band WHEN 0 THEN (hi >> 16) & 65535
+      |                WHEN 1 THEN hi & 65535
+      |                WHEN 2 THEN (lo >> 16) & 65535
+      |                ELSE lo & 65535 END AS key
+      |  FROM cls, (SELECT unnest(range(4)) AS band) b),
+      |cp AS MATERIALIZED (
+      |  SELECT DISTINCT a.cid AS f, b.cid AS g, a.m AS mf, b.m AS mg
+      |  FROM cbnd a JOIN cbnd b ON a.band = b.band AND a.key = b.key
+      |    AND a.cid < b.cid
+      |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+      |cpe AS MATERIALIZED (
+      |  SELECT f, g, mg FROM cp
+      |  UNION ALL SELECT g, f, mf FROM cp),
+      |nb AS (
+      |  SELECT f, sum(mg) AS s, sum(mg * (mg - 1) // 2) AS pairsum
+      |  FROM cpe GROUP BY f),
+      |ctri AS (
+      |  SELECT w1.f AS x, w1.g AS y, w2.g AS z,
+      |         w1.mf AS mx, w1.mg AS my, w2.mg AS mz
+      |  FROM cp w1
+      |  JOIN cp w2 ON w1.g = w2.f
+      |  JOIN cp cl ON cl.f = w1.f AND cl.g = w2.g),
+      |t4 AS (
+      |  SELECT f, sum(p) AS cross3 FROM (
+      |    SELECT x AS f, my * mz AS p FROM ctri
+      |    UNION ALL SELECT y, mx * mz FROM ctri
+      |    UNION ALL SELECT z, mx * my FROM ctri) c
+      |  GROUP BY f),
+      |cstat AS (
+      |  SELECT c.cid, c.hi, c.lo, c.m,
+      |    (c.m - 1) + coalesce(nb.s, 0) AS deg,
+      |    (c.m - 1) * (c.m - 2) // 2
+      |      + (c.m - 1) * coalesce(nb.s, 0)
+      |      + coalesce(nb.pairsum, 0)
+      |      + coalesce(t4.cross3, 0) AS ntri
+      |  FROM cls c
+      |  LEFT JOIN nb ON nb.f = c.cid
+      |  LEFT JOIN t4 ON t4.f = c.cid)""".stripMargin
 
   /** Connected components for the oracle, O(log n) rounds instead of
     * the recursive `walk` CTE (which materializes every (node,
@@ -1588,14 +1647,12 @@ object DedupQueries {
     // operator (clusters find groups, PageRank ranks members,
     // triangles measure how DENSELY a duplicate neighborhood is knit:
     // a high triangle count separates a genuine template family from
-    // a chain of pairwise-coincidental matches). Node-iterator shape:
-    // with every edge oriented a < b, a triangle {a<b<c} is counted
-    // exactly once by joining wedge legs (a,b)+(b,c) and closing with
-    // edge (a,c). Both joins are equi-joins on node ids over the
-    // (tiny) candidate pair table — the standard distributed
-    // triangle-count plan, eighth consumer of the shared
-    // materialization. Per-node counts: a closed triangle credits all
-    // three corners; credits aggregate by corner id.
+    // a chain of pairwise-coincidental matches). Computed on the
+    // fingerprint-class quotient graph ([[TriangleQuotient]] — exact
+    // by the blow-up argument): the wedge-close join runs over class
+    // pairs, not doc pairs, so its mass tracks distinct near-dup
+    // structure instead of duplicate multiplicity. A doc appears in
+    // the output iff it sits in >= 1 triangle, with its exact count.
     // degree distribution of the near-dup graph — the shape diagnostic
     // run BEFORE committing to a clustering pass at scale: a heavy tail
     // (one node touching thousands of near-dups) means a template/
@@ -1627,25 +1684,17 @@ object DedupQueries {
 
     Q("q_triangles",
       (s, d) => {
-        val tri = simhash64Triangles(s, d)
-        tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+        simhash64TriangleStats(s, d)
+          .filter(col("n_tri") > 0)
+          .select(col("doc_id"), col("n_tri").as("n_triangles"))
           .orderBy("doc_id")
       },
       Some(s"""WITH $simhash64FpCte,
-             |$bandedPairsCte,
-             |tri AS (
-             |  SELECT w1.a_id AS x, w1.b_id AS y, w2.b_id AS z
-             |  FROM pairs w1
-             |  JOIN pairs w2 ON w1.b_id = w2.a_id
-             |  JOIN pairs cl ON cl.a_id = w1.a_id AND cl.b_id = w2.b_id),
-             |cx AS (SELECT x AS doc_id, count(*) AS n FROM tri GROUP BY x),
-             |cy AS (SELECT y AS doc_id, count(*) AS n FROM tri GROUP BY y),
-             |cz AS (SELECT z AS doc_id, count(*) AS n FROM tri GROUP BY z)
-             |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_triangles
-             |FROM (SELECT * FROM cx UNION ALL SELECT * FROM cy
-             |      UNION ALL SELECT * FROM cz) u
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |$classTriCtes
+             |SELECT fp.doc_id, CAST(cstat.ntri AS BIGINT) AS n_triangles
+             |FROM fp JOIN cstat ON fp.hi = cstat.hi AND fp.lo = cstat.lo
+             |WHERE cstat.ntri > 0
+             |ORDER BY doc_id""".stripMargin)),
 
     // 2-CORE decomposition of the near-dup graph — the graph-cleaning
     // pass that runs BEFORE clustering at scale: degree-1 pendants
@@ -1702,48 +1751,25 @@ object DedupQueries {
     // Reported as the exact rational (n_tri, n_wedges) per node — the
     // coefficient is n_tri/n_wedges, and keeping numerator/denominator
     // as integers makes the row hash-gateable where a float ratio is
-    // not (same convention as q_group_ols' slope). Plan: the degree
-    // aggregate and the per-corner triangle credits both come from the
-    // shared pair table (two joins + three tiny aggregates); nodes
-    // with deg < 2 have no wedges and are excluded by definition.
+    // not (same convention as q_group_ols' slope). Plan: degree and
+    // triangle credits both come from the shared quotient-graph stats
+    // table (one read + a filter); nodes with deg < 2 have no wedges
+    // and are excluded by definition.
     Q("q_clustering_coef",
       (s, d) => {
-        val p = simhash64Pairs(s, d).select("a_id", "b_id")
-        val ends = p.select(col("a_id").as("u"))
-          .union(p.select(col("b_id").as("u")))
-        val deg = ends.groupBy("u").agg(count(lit(1)).as("deg"))
-        val tri = simhash64Triangles(s, d)
-          .select(explode(array(col("x"), col("y"), col("z"))).as("u"))
-          .groupBy("u").agg(count(lit(1)).as("n_tri"))
-        deg.filter(col("deg") >= 2)
-          .join(tri, Seq("u"), "left")
-          .select(col("u").as("doc_id"), col("deg"),
-            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        simhash64TriangleStats(s, d)
+          .filter(col("deg") >= 2)
+          .select(col("doc_id"), col("deg"), col("n_tri"),
             expr("(deg * (deg - 1)) div 2").as("n_wedges"))
           .orderBy("doc_id")
       },
       Some(s"""WITH $simhash64FpCte,
-             |$bandedPairsCte,
-             |ends AS (
-             |  SELECT a_id AS u FROM pairs
-             |  UNION ALL SELECT b_id FROM pairs),
-             |dg AS (SELECT u, count(*) AS deg FROM ends GROUP BY u),
-             |tri AS (
-             |  SELECT w1.a_id AS x, w1.b_id AS y, w2.b_id AS z
-             |  FROM pairs w1
-             |  JOIN pairs w2 ON w1.b_id = w2.a_id
-             |  JOIN pairs cl ON cl.a_id = w1.a_id AND cl.b_id = w2.b_id),
-             |tc AS (
-             |  SELECT u, CAST(sum(n) AS BIGINT) AS n_tri FROM (
-             |    SELECT x AS u, count(*) AS n FROM tri GROUP BY x
-             |    UNION ALL SELECT y, count(*) FROM tri GROUP BY y
-             |    UNION ALL SELECT z, count(*) FROM tri GROUP BY z) c
-             |  GROUP BY u)
-             |SELECT dg.u AS doc_id, dg.deg,
-             |  coalesce(tc.n_tri, 0) AS n_tri,
-             |  (dg.deg * (dg.deg - 1)) // 2 AS n_wedges
-             |FROM dg LEFT JOIN tc ON dg.u = tc.u
-             |WHERE dg.deg >= 2
+             |$classTriCtes
+             |SELECT fp.doc_id, CAST(cstat.deg AS BIGINT) AS deg,
+             |  CAST(cstat.ntri AS BIGINT) AS n_tri,
+             |  CAST(cstat.deg * (cstat.deg - 1) // 2 AS BIGINT) AS n_wedges
+             |FROM fp JOIN cstat ON fp.hi = cstat.hi AND fp.lo = cstat.lo
+             |WHERE cstat.deg >= 2
              |ORDER BY doc_id""".stripMargin)),
 
     // CROSS-FAMILY AGREEMENT audit — do the TEXT near-dup pairs

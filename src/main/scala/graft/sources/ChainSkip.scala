@@ -516,11 +516,11 @@ private[graft] object ChainSkip {
     // driver-bounded by the same manifest cap as every file plan
     val rows = ManifestPrune.collectFileList(s,
       live.orderBy(col("n_live").desc, col("file"))
-        .select(concat_ws(" ", col("file"),
+        .select(concat_ws("\u0000", col("file"),
           col("n_live").cast("string"))),
       s"limit-pushdown plan of $root v$version")
       .map { packed =>
-        val i = packed.lastIndexOf(' ')
+        val i = packed.lastIndexOf('\u0000')
         (packed.substring(0, i), packed.substring(i + 1).toLong)
       }
     var acc = 0L
