@@ -131,14 +131,14 @@ object DedupQueries {
       dir
     }))
 
-  private val triDirCache =
+  private val triStatsDirCache =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), String]()
 
   private def simhash64TriangleStats(
       s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    s.read.parquet(triDirCache.computeIfAbsent((s, d), { _ =>
+    s.read.parquet(triStatsDirCache.computeIfAbsent((s, d), { _ =>
       val fp = persistedFingerprints(s, d)
       val stats = TriangleQuotient.nodeStats(fp)
       val dir = matDir("simhash_tristats", s, d)
