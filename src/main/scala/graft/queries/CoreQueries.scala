@@ -2669,12 +2669,20 @@ object CoreQueries {
              |  UNION ALL
              |  SELECT doc_id + 30000000, source, lang
              |  FROM documents WHERE doc_id % 31 = 3),
+             |k2 AS (
+             |  SELECT doc_id FROM documents
+             |  WHERE doc_id % 9 = 2 AND doc_id % 2 = 0
+             |    AND doc_id % 17 <> 4),
              |head AS (
-             |  SELECT doc_id, source,
-             |    CASE WHEN doc_id < 30000000 AND doc_id % 9 = 2
-             |              AND doc_id % 2 = 0
-             |         THEN 'm2' ELSE lang END AS lang
-             |  FROM v1)
+             |  -- commit 2 matches ON KEY VALUE, so the oracle must
+             |  -- too: a `doc_id < 30000000` provenance guard was only
+             |  -- sound while every original id sat below the +30M
+             |  -- insert offset — false at the 10x rung (ids to 9e9,
+             |  -- caught as a hash mismatch there)
+             |  SELECT v1.doc_id, v1.source,
+             |    CASE WHEN k2.doc_id IS NOT NULL
+             |         THEN 'm2' ELSE v1.lang END AS lang
+             |  FROM v1 LEFT JOIN k2 ON v1.doc_id = k2.doc_id)
              |SELECT source, lang, count(*) AS n_docs,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM head GROUP BY source, lang
