@@ -107,7 +107,9 @@ def main(sf_dir, out_dir, timeout_s=300):
     for n, r in sorted(results.items()):
         tag = ("PASS" if r["hash_match"] else
                "TIMEOUT" if r["err"] and
-               r["err"].startswith("oracle_timeout") else "FAIL")
+               r["err"].startswith("oracle_timeout") else
+               "ROWS-ONLY" if r["err"] and
+               r["err"].startswith("no_oracle") else "FAIL")
         print(f"[{tag}] {n}: spark={r['spark_rows']} "
               f"oracle={r['oracle_rows']} {r['err'] or ''}")
     with open("/root/repo/CORRECTNESS_sf1.json", "w") as f:
