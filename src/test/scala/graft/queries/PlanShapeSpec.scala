@@ -113,14 +113,15 @@ class PlanShapeSpec extends SparkSpec {
       "q_dedup_simhash64" -> "simhash_pairs",
       "q_dedup_source_matrix" -> "simhash_pairs",
       "q_dedup_incremental" -> "simhash_pairs",
-      // the triangle pair reads the DEEPER shared materialization
-      // (itself derived once from simhash_pairs); q_graph_jaccard
+      // the triangle pair reads the DEEPER shared materialization —
+      // the per-doc quotient-graph stats table (round 16, derived
+      // once from the fingerprint classes); q_graph_jaccard
       // deliberately does NOT — per-edge common counts are
       // pair-bounded, so it wedge-closes in flight over the capped
       // adjacency instead of exploding the clique-cubed triangle
       // table (round 13's scale-rung fix)
-      "q_triangles" -> "simhash_triangles",
-      "q_clustering_coef" -> "simhash_triangles",
+      "q_triangles" -> "simhash_tristats",
+      "q_clustering_coef" -> "simhash_tristats",
       "q_graph_jaccard" -> "simhash_pairs",
       "q_graph_degree" -> "simhash_pairs",
       "q_prep_pipeline" -> "simhash_pairs",
