@@ -2564,6 +2564,31 @@ object CoreQueries {
              |  CAST(max(n_chars) AS BIGINT) AS max_chars
              |FROM documents""".stripMargin)),
 
+    // METADATA-ONLY SUM (round 16): SUM of any statted integral
+    // column answers from the per-file `cstats_sum` decimal(38,0)
+    // map — written at every commit alongside min/max/nn/HLL, rolled
+    // up at plan time, refused under hidden rows / coverage gaps /
+    // Long overflow (the real scan then reproduces ANSI semantics).
+    // At 100 TB, `SELECT sum(tokens) FROM corpus` — the canonical
+    // token-budget question — costs O(manifest), zero data bytes.
+    // GraftScanPushdownSpec pins the deletion proof and every
+    // refusal edge.
+    Q("q_sql_agg_sum",
+      (s, d) => {
+        val root = graft.sources.ManifestPrune.ensureLayout(s, d)
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        val tbl = s"prn.t_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.sources.GraftCatalog.registerTable(tbl, root)
+        s.sql(s"""SELECT sum(n_chars) AS sum_chars,
+                 |  sum(doc_id) AS sum_ids, count(*) AS n_docs
+                 |FROM graft.$tbl""".stripMargin)
+      },
+      Some("""SELECT CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             |  count(*) AS n_docs
+             |FROM documents""".stripMargin)),
+
     // GENERAL MERGE INTO (ManifestPrune.mergeIntoCommit) — the full
     // three-clause MERGE a warehouse user writes, in ONE committed
     // CoW version: WHEN MATCHED THEN UPDATE SET over MULTIPLE

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, GeneralScalarExpression, Literal => V2Literal, NamedReference}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.functions.{base64, coalesce, col, concat, concat_ws, count, length, lit, max, min, sum}
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
@@ -831,7 +831,14 @@ private[graft] object ChainSkip {
     *    every hi recorded (null hi = truncated = unknowable);
     *  - COUNT(col) — the non-null count, Σ(n_rows − nn) from the
     *    column's cstats entries; same no-hidden-rows requirement
-    *    (a hidden row's nullness is a data question).
+    *    (a hidden row's nullness is a data question);
+    *  - SUM of an integral column — Σ of the per-file decimal(38,0)
+    *    sums in `cstats_sum`, requiring gap-free coverage by
+    *    map_contains_key (a null SUM entry is a legitimately all-null
+    *    file, a missing key is a pre-feature or trimmed-policy row),
+    *    NULL iff zero non-null values, REFUSED when the exact total
+    *    falls outside Long range (the real scan then reproduces
+    *    Spark's native ANSI overflow behavior).
     *
     * Aggregate pushdown is all-or-nothing: one unanswerable ask
     * refuses the whole batch and the real scan runs. */
@@ -846,6 +853,7 @@ private[graft] object ChainSkip {
     case class AskCountCol(c: String, t: DataType) extends Ask
     case class AskMin(c: String, t: DataType) extends Ask
     case class AskMax(c: String, t: DataType) extends Ask
+    case class AskSum(c: String, t: DataType) extends Ask
 
     def minMaxCol(e: V2Expr): Option[(String, DataType)] = for {
       n <- colName(e)
@@ -881,6 +889,17 @@ private[graft] object ChainSkip {
           case Some((n, t)) => AskMax(n, t)
           case None => return None
         }
+      case sm: Sum =>
+        // SUM answers from the per-file cstats_sum map — integral
+        // columns only (string SUM never reaches here; doubles are
+        // never statted). Hidden rows make the total a data question,
+        // same refusal as MIN/MAX.
+        if (sm.isDistinct || eqdel.nonEmpty || dv.nonEmpty) return None
+        minMaxCol(sm.column) match {
+          case Some((n, t)) if t != org.apache.spark.sql.types
+            .StringType => AskSum(n, t)
+          case _ => return None
+        }
       case _: AggregateFunc => return None
     }
 
@@ -897,11 +916,16 @@ private[graft] object ChainSkip {
     def needMax(c: String) = asks.exists { case AskMax(x, _) => x == c
                                            case _ => false }
     def needCnt(c: String) = asks.exists {
-      case AskCountCol(x, _) => x == c; case _ => false }
+      case AskCountCol(x, _) => x == c
+      case AskSum(x, _) => x == c // SUM needs the non-null count too
+      case _ => false }
+    def needSum(c: String) = asks.exists {
+      case AskSum(x, _) => x == c; case _ => false }
     val mmAsks: Seq[(String, DataType)] = asks.collect {
       case AskMin(c, t) => (c, t)
       case AskMax(c, t) => (c, t)
-      case AskCountCol(c, t) => (c, t) }.distinct
+      case AskCountCol(c, t) => (c, t)
+      case AskSum(c, t) => (c, t) }.distinct
 
     // Everything the decision needs — per-column coverage gaps,
     // string-truncation guards, extremes, non-null counts, the spec
@@ -945,7 +969,25 @@ private[graft] object ChainSkip {
         min(e.getField("lo")).as(s"__lo_$i"),
         max(e.getField("hi")).as(s"__hi_$i"),
         coalesce(sum(col("n_rows") - e.getField("nn")), lit(0L))
-          .as(s"__nn_$i"))
+          .as(s"__nn_$i")) ++
+      (if (!needSum(c)) Nil else {
+        // the decimal(38,0) per-file sums roll up losslessly; the
+        // gap count uses map_contains_key, NOT a null-value test — a
+        // legitimately all-null file records a null SUM entry, which
+        // is present coverage, while a pre-feature manifest row (or
+        // trimmed-policy row) has no key at all and must refuse
+        val hasSum = m.columns.contains("cstats_sum")
+        val se =
+          if (hasSum) col("cstats_sum").getItem(c)
+          else lit(null).cast("decimal(38,0)")
+        val sgap =
+          if (hasSum)
+            cnt(!coalesce(org.apache.spark.sql.functions
+              .map_contains_key(col("cstats_sum"), lit(c)),
+              lit(false)))
+          else lit(1L)
+        Seq(sum(se).as(s"__sm_$i"), sgap.as(s"__smg_$i"))
+      })
     }
     val shared = Seq(
       coalesce(sum(col("n_rows")), lit(0L)).as("__rows"),
@@ -986,11 +1028,31 @@ private[graft] object ChainSkip {
         else sTriple.orElse(cTriple)
       c -> triple
     }.toMap
+    // total per-column SUMs: (coverage-gap count, decimal total)
+    val sumCol: Map[String, (Long, Any)] =
+      mmAsks.zipWithIndex.collect {
+        case ((c, _), i) if needSum(c) =>
+          c -> ((rL(s"__smg_$i"), rV(s"__sm_$i")))
+      }.toMap
+    val longMaxD = java.math.BigDecimal.valueOf(Long.MaxValue)
+    val longMinD = java.math.BigDecimal.valueOf(Long.MinValue)
     for (ask <- asks) ask match {
       case AskMin(c, _) => if (perCol(c).isEmpty) return None
       case AskMax(c, _) => if (perCol(c).isEmpty) return None
       case AskCountCol(c, _) =>
         if (perCol(c).isEmpty || perCol(c).get._3 < 0) return None
+      case AskSum(c, _) =>
+        // needs the non-null count (NULL-iff-no-values rule) AND
+        // gap-free sum coverage; a total outside Long range refuses
+        // so the real scan reproduces Spark's native ANSI overflow
+        if (perCol(c).isEmpty || perCol(c).get._3 < 0) return None
+        val (gap, tot) = sumCol(c)
+        if (gap != 0L) return None
+        if (tot != null) {
+          val bd = tot.asInstanceOf[java.math.BigDecimal]
+          if (bd.compareTo(longMaxD) > 0 || bd.compareTo(longMinD) < 0)
+            return None
+        }
       case AskCount =>
     }
 
@@ -1022,6 +1084,15 @@ private[graft] object ChainSkip {
       case (AskMax(c, t), i) =>
         (org.apache.spark.sql.types.StructField(s"max_${c}_$i", t),
           statVal(perCol(c).get._2, t))
+      case (AskSum(c, _), i) =>
+        // SUM(integral) is LongType in Spark regardless of the input
+        // width; NULL iff zero non-null values (the SQL rule)
+        val v: Any =
+          if (perCol(c).get._3 == 0L || sumCol(c)._2 == null) null
+          else sumCol(c)._2.asInstanceOf[java.math.BigDecimal]
+            .longValueExact()
+        (org.apache.spark.sql.types.StructField(s"sum_${c}_$i",
+          LongType), v)
     }.unzip
     Some(MetaAgg(StructType(fields), values))
   }

@@ -2550,7 +2550,17 @@ object ManifestPrune {
         // Narrower widths hash through long so a file written before
         // a type widening unions with one written after.
         hll_sketch_agg(col(f.name).cast("long"), lit(12))
-          .as(s"__hl_${f.name}"))
+          .as(s"__hl_${f.name}"),
+        // per-file column SUM, accumulated in decimal(38,0): a file
+        // of 2^63-magnitude longs cannot overflow 38 digits below
+        // ~10^19 rows, so the COMMIT never throws on data a user's
+        // own SUM query would survive — overflow is decided once, at
+        // plan time, where planAgg refuses any total outside Long
+        // range and the real scan reproduces Spark's native ANSI
+        // behavior. SUM ignores nulls natively; an all-null file
+        // records a null sum (harmless: its nn entry already says
+        // it contributes nothing).
+        sum(col(f.name).cast("decimal(38,0)")).as(s"__sm_${f.name}"))
     } ++ strs.flatMap { f =>
       // aggregate over 64-char PREFIXES, not full strings: prefixing
       // is weakly monotonic (x <= y implies prefix(x) <= prefix(y)),
@@ -2570,6 +2580,7 @@ object ManifestPrune {
     "map<string,struct<lo:bigint,hi:bigint,nn:bigint>>"
   private val CstatsStrType =
     "map<string,struct<lo:string,hi:string,nn:bigint>>"
+  private val CstatsSumType = "map<string,decimal(38,0)>"
 
   /** Fold the flat `__lo_/__hi_/__nn_` aggregates into the two map
     * columns. Both columns ALWAYS exist with a stable type (null map
@@ -2603,9 +2614,20 @@ object ManifestPrune {
           lit(null).cast("map<string,binary>"))
       else withS.withColumn("cstats_hll", map(hlls.flatMap(f =>
         Seq(lit(f.name), col(s"__hl_${f.name}"))): _*))
-    withH.drop((longs ++ strs).flatMap(f => Seq(
+    // per-file SUMs (integral family only), a separate additive map
+    // — NOT a fourth field in the cstats_long struct, because map
+    // value types must match exactly for manifest unions across
+    // commits; a new top-level column rides unionByName like
+    // cstats_hll did, and old manifests read null = coverage gap
+    val withM =
+      if (longs.isEmpty)
+        withH.withColumn("cstats_sum",
+          lit(null).cast(CstatsSumType))
+      else withH.withColumn("cstats_sum", map(longs.flatMap(f =>
+        Seq(lit(f.name), col(s"__sm_${f.name}"))): _*))
+    withM.drop((longs ++ strs).flatMap(f => Seq(
       s"__lo_${f.name}", s"__hi_${f.name}", s"__nn_${f.name}",
-      s"__hl_${f.name}")): _*)
+      s"__hl_${f.name}", s"__sm_${f.name}")): _*)
   }
 
   private def statsManifest(s: SparkSession, dataDir: String,

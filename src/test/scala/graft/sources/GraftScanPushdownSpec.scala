@@ -866,4 +866,104 @@ class GraftScanPushdownSpec extends SparkSpec {
     assert(row.getLong(2) === d.count())
     assert(row.getByte(3) === 6.toByte)
   }
+
+  test("SUM pushdown answers from the per-file cstats_sum map — " +
+    "metadata-only (survives data-file deletion), mixes with " +
+    "COUNT/MIN/MAX in one pushed batch, NULL over an all-null " +
+    "column, and INT widths widen to BIGINT") {
+    // a DDL chain: declared schema in the registry from birth, so
+    // resolution (like the aggregate) never opens a data file —
+    // required for the deletion proof below
+    ensureCatalog()
+    val suf = System.nanoTime
+    val root = Tables.matDir(s"push_sum_$suf", spark, sf0001)
+    val tbl = s"push.sum_$suf"
+    spark.sql(
+      s"""CREATE TABLE graft.$tbl (
+         |  doc_id BIGINT, n_chars BIGINT, sm INT,
+         |  allnull BIGINT)
+         |USING graft LOCATION '$root'
+         |TBLPROPERTIES ('cluster'='n_chars|n_chars,doc_id',
+         |  'key'='doc_id')""".stripMargin)
+    val d = docs.select(col("doc_id"), col("n_chars"),
+      (col("doc_id") % 100).cast("int").as("sm"),
+      lit(null).cast("bigint").as("allnull"))
+    d.createOrReplaceTempView(s"push_sum_src_$suf")
+    spark.sql(s"INSERT INTO graft.$tbl " +
+      s"SELECT doc_id, n_chars, sm, allnull FROM push_sum_src_$suf")
+    val q = spark.sql(s"SELECT sum(n_chars) AS s, sum(sm) AS ss, " +
+      s"sum(allnull) AS sn, count(*) AS n, min(doc_id) AS lo " +
+      s"FROM graft.$tbl")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"),
+      "expected SUM to answer from metadata")
+    val exact = d.agg(sum("n_chars"), sum("sm"), count(lit(1)),
+      min("doc_id")).head
+    val row = q.collect().head
+    assert(row.getLong(0) === exact.getLong(0))
+    assert(row.getLong(1) === exact.getLong(1))
+    assert(row.isNullAt(2), "SUM over zero non-null values is NULL")
+    assert(row.getLong(3) === exact.getLong(2))
+    assert(row.getLong(4) === exact.getLong(3))
+
+    // the metadata-only proof: destroy the data files, ask again
+    val st = ChainStorage.forPath(root)
+    st.list(s"$root/data").foreach(f => st.deleteFile(s"$root/data/$f"))
+    st.list(root).filter(_.startsWith("data_")).foreach { dd =>
+      st.list(s"$root/$dd").foreach(f => st.deleteFile(s"$root/$dd/$f"))
+    }
+    val again = spark.sql(s"SELECT sum(n_chars) AS s FROM graft.$tbl")
+      .collect().head
+    assert(again.getLong(0) === exact.getLong(0))
+  }
+
+  test("SUM pushdown refuses exactly when metadata cannot answer: " +
+    "DVs hide rows, SUM(DISTINCT) is a data question, a pre-sum " +
+    "manifest generation (no cstats_sum key for the column) is a " +
+    "coverage gap — each falls back to a correct exact scan") {
+    val (tbl, root) = freshChain("sumref")
+
+    // generation gap: ADD COLUMN after the first insert — old files
+    // have no cstats_sum entry for it, so SUM(extra) must refuse
+    // (answering from covered files alone would under-count)
+    val suf = System.nanoTime
+    spark.sql(s"ALTER TABLE graft.$tbl ADD COLUMN extra BIGINT")
+    docs.select((col("doc_id") + 90000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"),
+        (col("n_chars") * 3).as("extra"))
+      .createOrReplaceTempView(s"push_sumref_$suf")
+    spark.sql(s"INSERT INTO graft.$tbl SELECT * FROM push_sumref_$suf")
+    val qGap = spark.sql(s"SELECT sum(extra) AS s FROM graft.$tbl")
+    assert(!qGap.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"),
+      "a generation gap must refuse SUM pushdown")
+    assert(qGap.collect().head.getLong(0) ===
+      docs.agg(sum(col("n_chars") * 3)).head.getLong(0))
+    // n_chars spans BOTH generations and stays pushable
+    val qBoth = spark.sql(s"SELECT sum(n_chars) AS s FROM graft.$tbl")
+    assert(qBoth.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+    assert(qBoth.collect().head.getLong(0) ===
+      2L * docs.agg(sum("n_chars")).head.getLong(0))
+
+    // SUM(DISTINCT) never pushes
+    val qD = spark.sql(
+      s"SELECT sum(DISTINCT n_chars) AS s FROM graft.$tbl")
+    assert(!qD.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+
+    // a DV hides rows: SUM refuses, values stay correct via the scan
+    ManifestPrune.dvDeleteWhereCommit(spark, root,
+      col("doc_id") % 5 === 0)
+    val qDv = spark.sql(s"SELECT sum(n_chars) AS s FROM graft.$tbl")
+    assert(!qDv.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"),
+      "hidden rows must refuse SUM pushdown")
+    // oracle arithmetic: both generations minus the DV'd residue
+    val expect = docs.filter(col("doc_id") % 5 =!= 0)
+      .agg(sum("n_chars")).head.getLong(0) +
+      docs.filter((col("doc_id") + 90000000L) % 5 =!= 0)
+        .agg(sum("n_chars")).head.getLong(0)
+    assert(qDv.collect().head.getLong(0) === expect)
+  }
 }
