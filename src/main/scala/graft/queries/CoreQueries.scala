@@ -332,6 +332,13 @@ object CoreQueries {
 
   /** q_sql_topn_str's tag-clustered chain (unique string key; the
     * ORDER BY tag pruning exercises the cstats_str path). */
+  /** q_sql_agg_group's per-lang-committed chain: one INSERT per lang
+    * makes every committed file lang-constant — the layout an
+    * identity-partitioned ingest produces, which is exactly what the
+    * metadata GROUP BY rollup requires. */
+  private val groupAggCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
   private val strTopNCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
@@ -2588,6 +2595,50 @@ object CoreQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
              |  count(*) AS n_docs
              |FROM documents""".stripMargin)),
+
+    // METADATA-ONLY GROUP BY (round 16): on a chain whose every live
+    // file is provably single-group in the grouping column (per-lang
+    // commits here — the layout identity-partitioned ingest
+    // produces; proven per file from cstats lo == hi, nulls == 0),
+    // `GROUP BY lang` with COUNT/MIN/MAX/SUM answers from ONE
+    // manifest rollup — the Iceberg partition-stats rollup rule
+    // generalized to any covered column. Zero data bytes; at 100 TB
+    // the per-language token census costs O(manifest). Mixed-group
+    // files, sidecars, or coverage gaps refuse into the exact scan
+    // (GraftScanPushdownSpec pins both directions).
+    Q("q_sql_agg_group",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        val root = groupAggCache.computeIfAbsent((s, d), { _ =>
+          val MP = graft.sources.ManifestPrune
+          val docs = graft.Tables.load(s, d, "documents")
+            .select("doc_id", "lang", "n_chars")
+          val langs = docs.select("lang").distinct().collect()
+            .map(_.getString(0)).sorted
+          val r = graft.Tables.matDir(s"gbychain_${System.nanoTime}",
+            s, d)
+          MP.buildLayout(docs.filter(col("lang") === langs.head), r,
+            nFiles = 4, clusterCols = Seq("doc_id"))
+          langs.tail.foreach { l =>
+            MP.appendCommit(s, r, docs.filter(col("lang") === l))
+          }
+          r
+        })
+        val tbl = s"prn.gby_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.sources.GraftCatalog.registerTable(tbl, root)
+        s.sql(s"""SELECT lang, count(*) AS n_docs,
+                 |  min(n_chars) AS min_chars, max(doc_id) AS max_id,
+                 |  sum(n_chars) AS sum_chars
+                 |FROM graft.$tbl GROUP BY lang
+                 |ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(max(doc_id) AS BIGINT) AS max_id,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
 
     // GENERAL MERGE INTO (ManifestPrune.mergeIntoCommit) — the full
     // three-clause MERGE a warehouse user writes, in ONE committed

@@ -810,9 +810,11 @@ private[graft] object ChainSkip {
 
   // --------------------------------------- metadata-only aggregates
 
-  /** One planned metadata aggregate: output fields + the single
-    * result row's values (Longs/Ints, null for an empty table). */
-  case class MetaAgg(schema: StructType, values: Seq[Any])
+  /** One planned metadata aggregate: output fields + the result rows
+    * (one row for a global aggregate, one per group for a pushed
+    * GROUP BY; values are Catalyst-internal — Long/Int/UTF8String,
+    * null for an empty table). */
+  case class MetaAgg(schema: StructType, rows: Seq[Seq[Any]])
 
   /** Plan `agg` purely from the version's metadata, or None when a
     * scan is genuinely required. Supported, all global (no GROUP BY):
@@ -1094,6 +1096,207 @@ private[graft] object ChainSkip {
         (org.apache.spark.sql.types.StructField(s"sum_${c}_$i",
           LongType), v)
     }.unzip
-    Some(MetaAgg(StructType(fields), values))
+    Some(MetaAgg(StructType(fields), Seq(values)))
+  }
+
+  /** Metadata-only GROUP BY (the Iceberg-partition-rollup analogue,
+    * generalized to any cstats-covered column): `GROUP BY g` with
+    * COUNT(*)/COUNT(col)/MIN/MAX/SUM aggregates answers from one
+    * manifest aggregation when every live file is provably
+    * SINGLE-GROUP in `g` — its cstats entry says lo == hi with zero
+    * nulls (the file belongs wholly to group lo), or all-null (the
+    * file belongs wholly to the NULL group). A file mixing groups
+    * (or mixing nulls with values) makes per-group arithmetic a data
+    * question — refuse, real scan. String groups additionally need
+    * the recorded hi (null hi = truncated = the group VALUE itself
+    * is unknowable). Same all-or-nothing batch rule, same sidecar
+    * refusals (any hidden row corrupts some group's count), as
+    * [[planAgg]]. Output rows: group value first, then the asks —
+    * the complete-pushdown column order Spark expects. Group count
+    * is bounded by the live file count, itself bounded by the
+    * driver's manifest plan — no new driver-side scale surface. */
+  def planGroupAgg(s: SparkSession, root: String, version: Long,
+                   table: StructType, agg: Aggregation)
+      : Option[MetaAgg] = {
+    import org.apache.spark.sql.types.StringType
+    val gbs = agg.groupByExpressions()
+    if (gbs.length != 1) return None
+    if (ManifestPrune.eqDelOf(root, version).nonEmpty ||
+        ManifestPrune.dvOf(root, version).nonEmpty) return None
+    val gField = (for {
+      n <- colName(gbs(0))
+      f <- table.fields.find(_.name == n)
+      if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == ByteType ||
+        f.dataType == StringType
+    } yield f).getOrElse(return None)
+    val gName = gField.name
+    val gIsStr = gField.dataType == StringType
+
+    sealed trait Ask
+    case object AskCount extends Ask
+    case class AskCountCol(c: String, t: DataType) extends Ask
+    case class AskMin(c: String, t: DataType) extends Ask
+    case class AskMax(c: String, t: DataType) extends Ask
+    case class AskSum(c: String, t: DataType) extends Ask
+    def statted(e: V2Expr): Option[(String, DataType)] = for {
+      n <- colName(e)
+      f <- table.fields.find(_.name == n)
+      if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == ByteType ||
+        f.dataType == StringType
+    } yield (n, f.dataType)
+    val asks: Seq[Ask] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => AskCount
+      case c: org.apache.spark.sql.connector.expressions.aggregate
+          .Count =>
+        if (c.isDistinct) return None
+        statted(c.column).map { case (n, t) => AskCountCol(n, t) }
+          .getOrElse(return None)
+      case m: Min => statted(m.column).map { case (n, t) =>
+        AskMin(n, t) }.getOrElse(return None)
+      case m: Max => statted(m.column).map { case (n, t) =>
+        AskMax(n, t) }.getOrElse(return None)
+      case sm: Sum =>
+        if (sm.isDistinct) return None
+        statted(sm.column) match {
+          case Some((n, t)) if t != StringType => AskSum(n, t)
+          case _ => return None
+        }
+      case _: AggregateFunc => return None
+    }
+
+    val m0 = s.read.parquet(ManifestPrune.manifestOf(root, version))
+    val gMap = if (gIsStr) "cstats_str" else "cstats_long"
+    if (!m0.columns.contains(gMap)) return None
+    val needsSum = asks.exists(_.isInstanceOf[AskSum])
+    if (needsSum && !m0.columns.contains("cstats_sum")) return None
+    val live = m0.filter(col("n_rows") > 0)
+    val ge = col(gMap).getItem(gName)
+    // the constancy proof, row by row
+    val allNull = ge.isNotNull && ge.getField("nn") === col("n_rows")
+    val oneVal = ge.isNotNull && ge.getField("nn") === lit(0L) &&
+      ge.getField("lo") === ge.getField("hi") &&
+      (if (gIsStr) ge.getField("hi").isNotNull else lit(true))
+    def cnt(cond: org.apache.spark.sql.Column) =
+      coalesce(sum(org.apache.spark.sql.functions.when(cond, 1L)
+        .otherwise(0L)), lit(0L))
+
+    val isStr = (t: DataType) => t == StringType
+    def entry(c: String, t: DataType) = {
+      val mc = if (isStr(t)) "cstats_str" else "cstats_long"
+      if (m0.columns.contains(mc)) col(mc).getItem(c)
+      else lit(null).cast(
+        if (isStr(t)) "struct<lo:string,hi:string,nn:bigint>"
+        else "struct<lo:bigint,hi:bigint,nn:bigint>")
+    }
+    def needMin(c: String) = asks.exists { case AskMin(x, _) => x == c
+                                           case _ => false }
+    def needMax(c: String) = asks.exists { case AskMax(x, _) => x == c
+                                           case _ => false }
+    val mmAsks: Seq[(String, DataType)] = asks.collect {
+      case AskMin(c, t) => (c, t)
+      case AskMax(c, t) => (c, t)
+      case AskCountCol(c, t) => (c, t)
+      case AskSum(c, t) => (c, t) }.distinct
+    val needSumC = asks.collect { case AskSum(c, _) => c }.toSet
+    val perColAggs = mmAsks.zipWithIndex.flatMap { case ((c, t), i) =>
+      val e = entry(c, t)
+      Seq(
+        cnt(e.isNull).as(s"__cg_$i"),
+        (if (isStr(t) && needMin(c)) cnt(e.getField("nn") <
+           col("n_rows") && length(e.getField("lo")) >= 64)
+         else lit(0L)).as(s"__lb_$i"),
+        (if (isStr(t) && needMax(c)) cnt(e.getField("nn") <
+           col("n_rows") && e.getField("hi").isNull)
+         else lit(0L)).as(s"__hb_$i"),
+        min(e.getField("lo")).as(s"__lo_$i"),
+        max(e.getField("hi")).as(s"__hi_$i"),
+        coalesce(sum(col("n_rows") - e.getField("nn")), lit(0L))
+          .as(s"__nn_$i")) ++
+      (if (!needSumC(c)) Nil else Seq(
+        sum(col("cstats_sum").getItem(c)).as(s"__sm_$i"),
+        cnt(!coalesce(org.apache.spark.sql.functions
+          .map_contains_key(col("cstats_sum"), lit(c)), lit(false)))
+          .as(s"__smg_$i")))
+    }
+    // ONE manifest job: per-group rollups keyed by the proven group
+    // value, with the guard counts riding the same aggregation
+    val gval = org.apache.spark.sql.functions
+      .when(allNull, lit(null)).otherwise(ge.getField("lo"))
+    val grouped = live
+      .withColumn("__gok",
+        org.apache.spark.sql.functions.when(allNull || oneVal, 0L)
+          .otherwise(1L))
+      .groupBy(gval.as("__g"))
+      .agg(cnt(col("__gok") === 1L).as("__bad"),
+        (coalesce(sum(col("n_rows")), lit(0L)).as("__rows") +:
+          perColAggs): _*)
+      .collect()
+
+    // all-or-nothing: any non-constant file, coverage gap, or
+    // truncation guard anywhere refuses the whole batch
+    if (grouped.exists(r => r.getLong(r.fieldIndex("__bad")) != 0L))
+      return None
+    for (((c, t), i) <- mmAsks.zipWithIndex) {
+      val gap = grouped.exists(r =>
+        r.getLong(r.fieldIndex(s"__cg_$i")) != 0L ||
+        r.getLong(r.fieldIndex(s"__lb_$i")) != 0L ||
+        r.getLong(r.fieldIndex(s"__hb_$i")) != 0L ||
+        (needSumC(c) && r.getLong(r.fieldIndex(s"__smg_$i")) != 0L))
+      if (gap) return None
+    }
+    val longMaxD = java.math.BigDecimal.valueOf(Long.MaxValue)
+    val longMinD = java.math.BigDecimal.valueOf(Long.MinValue)
+    def statVal(v: Any, t: DataType): Any =
+      if (v == null) null
+      else t match {
+        case IntegerType => v.asInstanceOf[Number].intValue
+        case ShortType => v.asInstanceOf[Number].shortValue
+        case ByteType => v.asInstanceOf[Number].byteValue
+        case StringType => org.apache.spark.unsafe.types.UTF8String
+          .fromString(v.toString)
+        case _ => v.asInstanceOf[Number].longValue
+      }
+    val colIdx = mmAsks.zipWithIndex.toMap
+    val rows = grouped.toSeq.map { r =>
+      def rv(n: String): Any = {
+        val i = r.fieldIndex(n); if (r.isNullAt(i)) null else r.get(i)
+      }
+      def rl(n: String): Long = r.getLong(r.fieldIndex(n))
+      val gv = statVal(rv("__g"), gField.dataType)
+      val vals: Seq[Any] = asks.map {
+        case AskCount => rl("__rows"): Any
+        case AskCountCol(c, t) => rl(s"__nn_${colIdx((c, t))}"): Any
+        case AskMin(c, t) => statVal(rv(s"__lo_${colIdx((c, t))}"), t)
+        case AskMax(c, t) => statVal(rv(s"__hi_${colIdx((c, t))}"), t)
+        case AskSum(c, t) =>
+          val i = colIdx((c, t))
+          if (rl(s"__nn_$i") == 0L || rv(s"__sm_$i") == null) null
+          else {
+            val bd = rv(s"__sm_$i")
+              .asInstanceOf[java.math.BigDecimal]
+            if (bd.compareTo(longMaxD) > 0 ||
+                bd.compareTo(longMinD) < 0) return None
+            bd.longValueExact(): Any
+          }
+      }
+      gv +: vals
+    }
+    val askFields = asks.zipWithIndex.map {
+      case (AskCount, i) => org.apache.spark.sql.types
+        .StructField(s"count_$i", LongType, nullable = false)
+      case (AskCountCol(c, _), i) => org.apache.spark.sql.types
+        .StructField(s"countc_${c}_$i", LongType, nullable = false)
+      case (AskMin(c, t), i) => org.apache.spark.sql.types
+        .StructField(s"min_${c}_$i", t)
+      case (AskMax(c, t), i) => org.apache.spark.sql.types
+        .StructField(s"max_${c}_$i", t)
+      case (AskSum(c, _), i) => org.apache.spark.sql.types
+        .StructField(s"sum_${c}_$i", LongType)
+    }
+    Some(MetaAgg(StructType(
+      org.apache.spark.sql.types.StructField(gName, gField.dataType)
+        +: askFields), rows))
   }
 }

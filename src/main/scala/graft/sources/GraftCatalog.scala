@@ -905,8 +905,16 @@ private[sources] class GraftChainScanBuilder(
   override def supportCompletePushDown(agg: org.apache.spark.sql
       .connector.expressions.aggregate.Aggregation): Boolean = {
     if (sawPredicates) return false
-    metaAgg = ChainSkip.planAgg(SparkSession.active, root, version,
-      full, agg)
+    metaAgg =
+      if (agg.groupByExpressions().isEmpty)
+        ChainSkip.planAgg(SparkSession.active, root, version, full,
+          agg)
+      else
+        // GROUP BY pushdown: answered per group when every live file
+        // is provably single-group in the grouping column (the
+        // Iceberg partition-rollup rule, generalized via cstats)
+        ChainSkip.planGroupAgg(SparkSession.active, root, version,
+          full, agg)
     metaAgg.isDefined
   }
   override def pushAggregation(agg: org.apache.spark.sql.connector
@@ -935,23 +943,26 @@ private[sources] class GraftMetaAggScan(
     s"graft-chain-agg $root v$version " +
       s"[${agg.schema.fieldNames.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(MetaAggPartition(agg.values))
+    Array(MetaAggPartition(agg.rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new MetaAggReaderFactory
 }
 
-private[sources] case class MetaAggPartition(values: Seq[Any])
+private[sources] case class MetaAggPartition(rows: Seq[Seq[Any]])
     extends InputPartition
 
 private[sources] class MetaAggReaderFactory
     extends PartitionReaderFactory {
   override def createReader(p0: InputPartition)
       : PartitionReader[InternalRow] = {
-    val vs = p0.asInstanceOf[MetaAggPartition].values
+    val rows = p0.asInstanceOf[MetaAggPartition].rows
     new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = { val r = !done; done = true; r }
-      override def get(): InternalRow = InternalRow.fromSeq(vs)
+      private val it = rows.iterator
+      private var cur: Seq[Any] = _
+      override def next(): Boolean = {
+        val r = it.hasNext; if (r) cur = it.next(); r
+      }
+      override def get(): InternalRow = InternalRow.fromSeq(cur)
       override def close(): Unit = ()
     }
   }

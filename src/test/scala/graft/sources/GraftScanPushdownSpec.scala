@@ -966,4 +966,108 @@ class GraftScanPushdownSpec extends SparkSpec {
         .agg(sum("n_chars")).head.getLong(0)
     assert(qDv.collect().head.getLong(0) === expect)
   }
+
+  test("GROUP BY pushdown: when every live file is provably single-" +
+    "group in the grouping column (per-lang commits here), COUNT/" +
+    "MIN/MAX/SUM per group answer from one manifest rollup — " +
+    "metadata-only, NULL group included") {
+    ensureCatalog()
+    val suf = System.nanoTime
+    val root = Tables.matDir(s"push_gby_$suf", spark, sf0001)
+    val tbl = s"push.gby_$suf"
+    spark.sql(
+      s"""CREATE TABLE graft.$tbl (
+         |  doc_id BIGINT, lang STRING, n_chars BIGINT)
+         |USING graft LOCATION '$root'
+         |TBLPROPERTIES ('cluster'='n_chars|n_chars,doc_id',
+         |  'key'='doc_id')""".stripMargin)
+    // one INSERT per lang -> every committed file is lang-constant
+    // (the layout an identity-partitioned ingest produces); a final
+    // all-null commit exercises the NULL group
+    val langs = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).sorted
+    langs.foreach { l =>
+      docs.filter(col("lang") === l)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView(s"push_gby_src_$suf")
+      spark.sql(s"INSERT INTO graft.$tbl " +
+        s"SELECT * FROM push_gby_src_$suf")
+    }
+    docs.limit(37).select((col("doc_id") + 50000000L).as("doc_id"),
+        lit(null).cast("string").as("lang"), col("n_chars"))
+      .createOrReplaceTempView(s"push_gby_null_$suf")
+    spark.sql(s"INSERT INTO graft.$tbl " +
+      s"SELECT * FROM push_gby_null_$suf")
+
+    val q = spark.sql(s"SELECT lang, count(*) AS n, " +
+      s"min(n_chars) AS lo, max(doc_id) AS hi, sum(n_chars) AS s " +
+      s"FROM graft.$tbl GROUP BY lang ORDER BY lang")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"),
+      "expected the GROUP BY to answer from metadata:\n" +
+        q.queryExecution.executedPlan.toString.take(2000))
+    val exactDf = docs.select("doc_id", "lang", "n_chars")
+      .union(docs.limit(37).select(
+        (col("doc_id") + 50000000L).as("doc_id"),
+        lit(null).cast("string").as("lang"), col("n_chars")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), min("n_chars").as("lo"),
+        max("doc_id").as("hi"), sum("n_chars").as("s"))
+      .orderBy("lang")
+    assert(q.collect().map(_.toSeq).toSeq ===
+      exactDf.collect().map(_.toSeq).toSeq)
+  }
+
+  test("GROUP BY pushdown refuses when files mix groups (range-" +
+    "clustered layout) or rows are hidden — values stay correct " +
+    "through the exact scan") {
+    // buildLayout range-clusters by (n_chars, doc_id): files mix
+    // langs, so per-group arithmetic is a data question
+    val (tbl, root) = freshChain("gbyref")
+    val q = spark.sql(s"SELECT lang, count(*) AS n FROM graft.$tbl " +
+      s"GROUP BY lang ORDER BY lang")
+    assert(!q.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"),
+      "mixed-group files must refuse GROUP BY pushdown")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+
+    // single-group layout but with a DV: hidden rows corrupt some
+    // group's count — refuse, stay correct
+    ensureCatalog()
+    val suf = System.nanoTime
+    val root2 = Tables.matDir(s"push_gbydv_$suf", spark, sf0001)
+    val tbl2 = s"push.gbydv_$suf"
+    spark.sql(
+      s"""CREATE TABLE graft.$tbl2 (
+         |  doc_id BIGINT, lang STRING, n_chars BIGINT)
+         |USING graft LOCATION '$root2'
+         |TBLPROPERTIES ('cluster'='n_chars|n_chars,doc_id',
+         |  'key'='doc_id')""".stripMargin)
+    docs.select("lang").distinct().collect().map(_.getString(0))
+      .foreach { l =>
+        docs.filter(col("lang") === l)
+          .select("doc_id", "lang", "n_chars")
+          .createOrReplaceTempView(s"push_gbydv_src_$suf")
+        spark.sql(s"INSERT INTO graft.$tbl2 " +
+          s"SELECT * FROM push_gbydv_src_$suf")
+      }
+    val pushed = spark.sql(s"SELECT lang, count(*) AS n " +
+      s"FROM graft.$tbl2 GROUP BY lang")
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+    ManifestPrune.dvDeleteWhereCommit(spark, root2,
+      col("doc_id") % 4 === 0)
+    val q2 = spark.sql(s"SELECT lang, count(*) AS n " +
+      s"FROM graft.$tbl2 GROUP BY lang ORDER BY lang")
+    assert(!q2.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"),
+      "hidden rows must refuse GROUP BY pushdown")
+    assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === docs.filter(col("doc_id") % 4 =!= 0).groupBy("lang")
+        .agg(count(lit(1)).as("n")).orderBy("lang")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
 }
