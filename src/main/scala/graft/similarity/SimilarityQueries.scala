@@ -1362,7 +1362,138 @@ object SimilarityQueries {
              |SELECT b.centroid_id, b.n, b.sum_nn, p.ss2,
              |  b.n * b.sum_nn - p.ss2 AS ssw2
              |FROM base b JOIN persq p USING (centroid_id)
-             |ORDER BY b.centroid_id""".stripMargin))
+             |ORDER BY b.centroid_id""".stripMargin)),
+
+    // HYBRID RETRIEVAL (sparse + dense, RRF-fused) — the production
+    // search shape every RAG/data-curation stack runs: for each of 5
+    // probe docs, (a) a SPARSE ranking by integer-idf distinct-term
+    // overlap — postings df-capped at 10% of the corpus so the
+    // candidate join is rare-term-postings-sized, never corpus ×
+    // corpus (the q_dedup_containment bound; idf is the house
+    // (1e6·N div df) exact-integer weight), and (b) a DENSE ranking
+    // by embedding cosine (brute-force here as the correctness
+    // baseline; q_ann_ivf's persisted index is the drop-in scale
+    // path). Each side keeps its top-50 (TopKPerGroup bounded
+    // heaps), then reciprocal-rank fusion 1/(60+rank) over the FULL
+    // OUTER join of the two 5×50 lists — constant-sized frames from
+    // there on. Ranks tie-break by doc id, so the output is
+    // deterministic for the oracle; docs appearing in only one list
+    // contribute that list's term alone (the standard RRF rule).
+    Q("q_hybrid_search",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // dense: cosine of 5 probes vs the embedding corpus, top-50
+        val e = scaled(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("sv").as("a_sv"),
+            col("nn").as("a_nn"))
+        val c = e.select(col("vec_id").as("doc_id"),
+          col("sv").as("b_sv"), col("nn").as("b_nn"))
+        val densePairs = c.join(broadcast(q),
+            col("doc_id") =!= col("query_id"))
+          .withColumn("cos", cosineFromScaled(
+            col("a_sv"), col("b_sv"), col("a_nn"), col("b_nn")))
+        val wD = Window.partitionBy("query_id")
+          .orderBy(desc("cos"), asc("doc_id"))
+        val dense = graft.plans.TopKPerGroup.topKPerGroup(densePairs,
+            Seq(col("query_id")), Seq(desc("cos"), asc("doc_id")), 50)
+          .withColumn("rank_d", row_number().over(wD).cast(LongType))
+          .select("query_id", "doc_id", "rank_d")
+        // sparse: df-capped distinct-term postings; candidates share
+        // >= 1 rare term with a probe — postings-sized, not all-pairs
+        val docs = Tables.load(s, d, "documents")
+        val n = docs.count()
+        val post = docs.select(col("doc_id"),
+          explode(tokenSet(col("text"))).as("term"))
+        val dfW = post.groupBy("term")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") * 10 <= n)
+          // the idf numerator is Scala-side Long arithmetic — an Int
+          // literal 1000000 * n overflows past ~2k docs
+          .withColumn("w", expr(s"${1000000L * n}L div df"))
+        val capped = post.join(dfW, "term")
+        val qp = capped.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("term"))
+        val sparseScore = capped.join(broadcast(qp), "term")
+          .filter(col("doc_id") =!= col("query_id"))
+          .groupBy("query_id", "doc_id")
+          .agg(sum(col("w")).as("score"))
+        val wS = Window.partitionBy("query_id")
+          .orderBy(desc("score"), asc("doc_id"))
+        val sparse = graft.plans.TopKPerGroup.topKPerGroup(sparseScore,
+            Seq(col("query_id")), Seq(desc("score"), asc("doc_id")),
+            50)
+          .withColumn("rank_s", row_number().over(wS).cast(LongType))
+          .select("query_id", "doc_id", "rank_s")
+        // fuse: RRF over the union of the two bounded lists
+        val fused = sparse.join(dense, Seq("query_id", "doc_id"),
+            "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("rank_s")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_d")), lit(0.0)))
+        val wF = Window.partitionBy("query_id")
+          .orderBy(desc("rrf"), asc("doc_id"))
+        fused.withColumn("rn", row_number().over(wF))
+          .filter(col("rn") <= 10).drop("rn")
+          .select("query_id", "doc_id", "rank_s", "rank_d", "rrf")
+          .orderBy(col("query_id"), desc("rrf"), col("doc_id"))
+      },
+      Some(s"""WITH $scaledCte,
+             |q AS (SELECT vec_id AS query_id, sv AS a_sv, nn AS a_nn
+             |      FROM nrm WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS doc_id, sv AS b_sv, nn AS b_nn
+             |      FROM nrm),
+             |dp AS (
+             |  SELECT query_id, doc_id,
+             |    $cosExpr AS cos
+             |  FROM c JOIN q ON doc_id <> query_id),
+             |dn AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_d
+             |  FROM dp
+             |  QUALIFY rank_d <= 50),
+             |post AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text,
+             |    ' '))) AS term
+             |  FROM documents),
+             |nn_docs AS (SELECT count(*) AS n FROM documents),
+             |dfw AS (
+             |  SELECT term, count(*) AS df,
+             |    (1000000 * (SELECT n FROM nn_docs)) // count(*) AS w
+             |  FROM post GROUP BY term
+             |  HAVING count(*) * 10 <= (SELECT n FROM nn_docs)),
+             |capped AS (SELECT p.doc_id, p.term, d.w
+             |  FROM post p JOIN dfw d USING (term)),
+             |qp AS (SELECT doc_id AS query_id, term FROM capped
+             |       WHERE doc_id < 5),
+             |ss AS (
+             |  SELECT q.query_id, p.doc_id,
+             |    CAST(sum(p.w) AS BIGINT) AS score
+             |  FROM capped p JOIN qp q USING (term)
+             |  WHERE p.doc_id <> q.query_id
+             |  GROUP BY q.query_id, p.doc_id),
+             |sp AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank_s
+             |  FROM ss
+             |  QUALIFY rank_s <= 50),
+             |fused AS (
+             |  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+             |    COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             |    s.rank_s, d.rank_d,
+             |    COALESCE(CAST(1 AS DOUBLE) / (60 + s.rank_s), 0)
+             |      + COALESCE(CAST(1 AS DOUBLE) / (60 + d.rank_d), 0)
+             |      AS rrf
+             |  FROM sp s FULL JOIN dn d
+             |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+             |SELECT query_id, doc_id, rank_s, rank_d, rrf FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY rrf DESC, doc_id) AS rn
+             |  FROM fused) t
+             |WHERE rn <= 10
+             |ORDER BY query_id, rrf DESC, doc_id""".stripMargin))
   )
 
   /** Oracle CTE chain for the shared Lloyd round: scaled vectors →
