@@ -1100,12 +1100,14 @@ private[graft] object ChainSkip {
   }
 
   /** Metadata-only GROUP BY (the Iceberg-partition-rollup analogue,
-    * generalized to any cstats-covered column): `GROUP BY g` with
-    * COUNT(*)/COUNT(col)/MIN/MAX/SUM aggregates answers from one
-    * manifest aggregation when every live file is provably
-    * SINGLE-GROUP in `g` — its cstats entry says lo == hi with zero
-    * nulls (the file belongs wholly to group lo), or all-null (the
-    * file belongs wholly to the NULL group). A file mixing groups
+    * generalized to any cstats-covered columns): `GROUP BY g[, h...]`
+    * (up to 4 columns) with COUNT(*)/COUNT(col)/MIN/MAX/SUM
+    * aggregates answers from one manifest aggregation when every
+    * live file is provably SINGLE-GROUP in EVERY grouping column —
+    * its cstats entry says lo == hi with zero nulls (the file
+    * belongs wholly to group lo), or all-null (the file belongs
+    * wholly to the NULL group); the composite key is then
+    * file-constant too. A file mixing groups
     * (or mixing nulls with values) makes per-group arithmetic a data
     * question — refuse, real scan. String groups additionally need
     * the recorded hi (null hi = truncated = the group VALUE itself
@@ -1120,18 +1122,21 @@ private[graft] object ChainSkip {
       : Option[MetaAgg] = {
     import org.apache.spark.sql.types.StringType
     val gbs = agg.groupByExpressions()
-    if (gbs.length != 1) return None
+    if (gbs.isEmpty || gbs.length > 4) return None
     if (ManifestPrune.eqDelOf(root, version).nonEmpty ||
         ManifestPrune.dvOf(root, version).nonEmpty) return None
-    val gField = (for {
-      n <- colName(gbs(0))
-      f <- table.fields.find(_.name == n)
-      if f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == ShortType || f.dataType == ByteType ||
-        f.dataType == StringType
-    } yield f).getOrElse(return None)
-    val gName = gField.name
-    val gIsStr = gField.dataType == StringType
+    // every grouping column must be statted AND file-constant; the
+    // composite key is then constant per file too, so the same
+    // single-group arithmetic covers GROUP BY (a, b, ...)
+    val gFields = gbs.toSeq.map { gb =>
+      (for {
+        n <- colName(gb)
+        f <- table.fields.find(_.name == n)
+        if f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == ShortType || f.dataType == ByteType ||
+          f.dataType == StringType
+      } yield f).getOrElse(return None)
+    }
 
     sealed trait Ask
     case object AskCount extends Ask
@@ -1167,17 +1172,27 @@ private[graft] object ChainSkip {
     }
 
     val m0 = s.read.parquet(ManifestPrune.manifestOf(root, version))
-    val gMap = if (gIsStr) "cstats_str" else "cstats_long"
-    if (!m0.columns.contains(gMap)) return None
+    val gMaps = gFields.map(f =>
+      if (f.dataType == StringType) "cstats_str" else "cstats_long")
+    if (gMaps.exists(mp => !m0.columns.contains(mp))) return None
     val needsSum = asks.exists(_.isInstanceOf[AskSum])
     if (needsSum && !m0.columns.contains("cstats_sum")) return None
     val live = m0.filter(col("n_rows") > 0)
-    val ge = col(gMap).getItem(gName)
-    // the constancy proof, row by row
-    val allNull = ge.isNotNull && ge.getField("nn") === col("n_rows")
-    val oneVal = ge.isNotNull && ge.getField("nn") === lit(0L) &&
-      ge.getField("lo") === ge.getField("hi") &&
-      (if (gIsStr) ge.getField("hi").isNotNull else lit(true))
+    // the constancy proof, row by row and PER GROUP COLUMN — every
+    // grouping column must be single-valued (or all-null) in the
+    // file; the composite key is then file-constant too
+    val ges = gFields.zip(gMaps).map { case (f, mp) =>
+      col(mp).getItem(f.name) }
+    val gAllNulls = ges.map(ge =>
+      ge.isNotNull && ge.getField("nn") === col("n_rows"))
+    val gOneVals = gFields.zip(ges).map { case (f, ge) =>
+      ge.isNotNull && ge.getField("nn") === lit(0L) &&
+        ge.getField("lo") === ge.getField("hi") &&
+        (if (f.dataType == StringType) ge.getField("hi").isNotNull
+         else lit(true)) }
+    val gConstant = gAllNulls.zip(gOneVals)
+      .map { case (an, ov) => an || ov }
+      .reduce(_ && _)
     def cnt(cond: org.apache.spark.sql.Column) =
       coalesce(sum(org.apache.spark.sql.functions.when(cond, 1L)
         .otherwise(0L)), lit(0L))
@@ -1221,14 +1236,16 @@ private[graft] object ChainSkip {
           .as(s"__smg_$i")))
     }
     // ONE manifest job: per-group rollups keyed by the proven group
-    // value, with the guard counts riding the same aggregation
-    val gval = org.apache.spark.sql.functions
-      .when(allNull, lit(null)).otherwise(ge.getField("lo"))
+    // values, with the guard counts riding the same aggregation
+    val gvals = gAllNulls.zip(ges).zipWithIndex.map {
+      case ((an, ge), i) => org.apache.spark.sql.functions
+        .when(an, lit(null)).otherwise(ge.getField("lo"))
+        .as(s"__g$i") }
     val grouped = live
       .withColumn("__gok",
-        org.apache.spark.sql.functions.when(allNull || oneVal, 0L)
+        org.apache.spark.sql.functions.when(gConstant, 0L)
           .otherwise(1L))
-      .groupBy(gval.as("__g"))
+      .groupBy(gvals: _*)
       .agg(cnt(col("__gok") === 1L).as("__bad"),
         (coalesce(sum(col("n_rows")), lit(0L)).as("__rows") +:
           perColAggs): _*)
@@ -1264,7 +1281,8 @@ private[graft] object ChainSkip {
         val i = r.fieldIndex(n); if (r.isNullAt(i)) null else r.get(i)
       }
       def rl(n: String): Long = r.getLong(r.fieldIndex(n))
-      val gv = statVal(rv("__g"), gField.dataType)
+      val gvs = gFields.zipWithIndex.map { case (f, i) =>
+        statVal(rv(s"__g$i"), f.dataType) }
       val vals: Seq[Any] = asks.map {
         case AskCount => rl("__rows"): Any
         case AskCountCol(c, t) => rl(s"__nn_${colIdx((c, t))}"): Any
@@ -1281,7 +1299,7 @@ private[graft] object ChainSkip {
             bd.longValueExact(): Any
           }
       }
-      gv +: vals
+      gvs ++ vals
     }
     val askFields = asks.zipWithIndex.map {
       case (AskCount, i) => org.apache.spark.sql.types
@@ -1296,7 +1314,7 @@ private[graft] object ChainSkip {
         .StructField(s"sum_${c}_$i", LongType)
     }
     Some(MetaAgg(StructType(
-      org.apache.spark.sql.types.StructField(gName, gField.dataType)
-        +: askFields), rows))
+      gFields.map(f => org.apache.spark.sql.types
+        .StructField(f.name, f.dataType)) ++ askFields), rows))
   }
 }

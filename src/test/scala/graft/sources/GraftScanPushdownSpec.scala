@@ -1018,6 +1018,60 @@ class GraftScanPushdownSpec extends SparkSpec {
       exactDf.collect().map(_.toSeq).toSeq)
   }
 
+  test("multi-column GROUP BY pushes when EVERY grouping column is " +
+    "file-constant (the composite key then is too) and refuses when " +
+    "any one of them varies within a file") {
+    ensureCatalog()
+    val suf = System.nanoTime
+    val root = Tables.matDir(s"push_gby2_$suf", spark, sf0001)
+    val tbl = s"push.gby2_$suf"
+    spark.sql(
+      s"""CREATE TABLE graft.$tbl (
+         |  doc_id BIGINT, lang STRING, region STRING,
+         |  n_chars BIGINT)
+         |USING graft LOCATION '$root'
+         |TBLPROPERTIES ('cluster'='n_chars|n_chars,doc_id',
+         |  'key'='doc_id')""".stripMargin)
+    // region is a function of lang, so per-lang commits make BOTH
+    // columns file-constant
+    val regionOf = when(col("lang").isin("de", "fr", "es"), "emea")
+      .otherwise("other")
+    docs.select("lang").distinct().collect().map(_.getString(0))
+      .sorted.foreach { l =>
+        docs.filter(col("lang") === l)
+          .select(col("doc_id"), col("lang"),
+            regionOf.as("region"), col("n_chars"))
+          .createOrReplaceTempView(s"push_gby2_src_$suf")
+        spark.sql(s"INSERT INTO graft.$tbl " +
+          s"SELECT * FROM push_gby2_src_$suf")
+      }
+    val q = spark.sql(s"SELECT region, lang, count(*) AS n, " +
+      s"sum(n_chars) AS s FROM graft.$tbl GROUP BY region, lang " +
+      s"ORDER BY region, lang")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"),
+      "expected the two-column GROUP BY to answer from metadata")
+    val exact = docs.select(col("lang"), regionOf.as("region"),
+        col("n_chars"))
+      .groupBy("region", "lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+      .orderBy("region", "lang")
+    assert(q.collect().map(_.toSeq).toSeq ===
+      exact.collect().map(_.toSeq).toSeq)
+
+    // n_chars varies inside every file: the composite (lang,
+    // n_chars) key is not file-constant — refuse, stay correct
+    val qRef = spark.sql(s"SELECT lang, n_chars, count(*) AS n " +
+      s"FROM graft.$tbl GROUP BY lang, n_chars " +
+      s"ORDER BY lang, n_chars LIMIT 5")
+    assert(!qRef.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+    assert(qRef.collect().map(_.toSeq).toSeq ===
+      docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "n_chars").limit(5)
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("GROUP BY pushdown refuses when files mix groups (range-" +
     "clustered layout) or rows are hidden — values stay correct " +
     "through the exact scan") {
