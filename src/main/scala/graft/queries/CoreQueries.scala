@@ -339,6 +339,11 @@ object CoreQueries {
   private val groupAggCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
+  /** q_sql_rewrite_grouped's chain: built MIXED (range-clustered by
+    * doc_id), then group-constant-rewritten once via the CALL. */
+  private val rewriteGroupedCache = new java.util.concurrent
+    .ConcurrentHashMap[(SparkSession, String), String]()
+
   private val strTopNCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
@@ -2636,6 +2641,47 @@ object CoreQueries {
       Some("""SELECT lang, count(*) AS n_docs,
              |  CAST(min(n_chars) AS BIGINT) AS min_chars,
              |  CAST(max(doc_id) AS BIGINT) AS max_id,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // GROUP-CONSTANT REWRITE, end to end (round 16): an ORDINARY
+    // range-clustered chain (files mix langs — metadata GROUP BY
+    // refuses) goes through `CALL graft.system.rewrite_grouped`,
+    // which re-lands every file single-group by CONSTRUCTION
+    // (partitionBy on an md5 path key; skew-natural sizing — a giant
+    // group spreads over many tasks, each writing its own
+    // single-group file), and the SAME GROUP BY then answers from
+    // ONE manifest rollup. This is the maintenance path that arms
+    // the per-partition census on tables that were never ingested
+    // per group. GraftSqlProcedureSpec pins refuse-before/push-after
+    // and the manifest's per-file constancy proof.
+    Q("q_sql_rewrite_grouped",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        val root = rewriteGroupedCache.computeIfAbsent((s, d), { _ =>
+          val MP = graft.sources.ManifestPrune
+          val r = graft.Tables.matDir(s"rgchain_${System.nanoTime}",
+            s, d)
+          MP.buildLayout(graft.Tables.load(s, d, "documents")
+            .select("doc_id", "lang", "n_chars"), r, nFiles = 8,
+            clusterCols = Seq("doc_id"))
+          val tbl0 = s"prn.rg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+          graft.sources.GraftCatalog.registerTable(tbl0, r)
+          s.sql(s"CALL graft.system.rewrite_grouped(" +
+            s"table => '$tbl0', column => 'lang', " +
+            s"target_files => 8)").collect()
+          r
+        })
+        val tbl = s"prn.rg_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.sources.GraftCatalog.registerTable(tbl, root)
+        s.sql(s"""SELECT lang, count(*) AS n_docs,
+                 |  sum(n_chars) AS sum_chars
+                 |FROM graft.$tbl GROUP BY lang
+                 |ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents GROUP BY lang
              |ORDER BY lang""".stripMargin)),

@@ -27,7 +27,8 @@ private[sources] object GraftProcedures {
   private val All: Seq[String] = Seq(
     "compact", "expire_versions", "create_tag", "drop_tag", "restore",
     "create_branch", "fast_forward", "drop_branch", "evolve_clustering",
-    "build_index", "extend_index", "clone", "detach_clone")
+    "build_index", "extend_index", "clone", "detach_clone",
+    "rewrite_grouped")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
@@ -111,6 +112,10 @@ private[sources] object GraftProcedures {
     case "detach_clone" => (
       Array(p("table", StringType), p("location", StringType)),
       new StructType().add("detached", BooleanType, nullable = false))
+    case "rewrite_grouped" => (
+      Array(p("table", StringType), p("column", StringType),
+        pd("target_files", IntegerType, "16")),
+      new StructType().add("version", LongType, nullable = false))
   }
 }
 
@@ -235,6 +240,10 @@ private[sources] class GraftProcedure(catalog: GraftCatalog,
       case "detach_clone" =>
         val root = rootOfArg(str(0))
         (InternalRow(detachClone(root, str(1))), signature(proc)._2)
+      case "rewrite_grouped" =>
+        val root = rootOfArg(str(0))
+        (InternalRow(rewriteGroupedCommit(s, root, str(1),
+          input.getInt(2))), signature(proc)._2)
     }
     java.util.List.of[Scan](new LocalScan {
       override def readSchema(): StructType = schema

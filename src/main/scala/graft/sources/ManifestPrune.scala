@@ -1387,6 +1387,50 @@ object ManifestPrune {
     publish(root, base, s"$root/manifest_$tok")
   }
 
+  /** GROUP-CONSTANT REWRITE: recluster the chain so every data file
+    * holds exactly ONE value of `groupCol` — the layout that arms
+    * [[ChainSkip.planGroupAgg]]'s metadata-only GROUP BY on an
+    * existing table. Constancy is guaranteed by CONSTRUCTION, not by
+    * sampling: the write partitions by a derived `__gp` path key
+    * (md5 of the value, so arbitrary strings stay path-safe; the
+    * REAL column remains in the file data, only the key rides the
+    * directory name — the same trick bucketed compaction plays with
+    * `__bp`), so a file physically cannot mix groups. File sizing is
+    * skew-natural: range-partitioning on (__gp, cluster cols) spreads
+    * a giant group over many tasks, each of which writes its own
+    * single-group file — no single-reducer hot spot at any group
+    * skew. An md5 collision would merely merge two groups into one
+    * DIRECTORY (files still single-group unless the values collide
+    * within one task's range); if constancy is ever lost the GROUP
+    * BY plan simply refuses — correctness never depends on it.
+    * Like compaction this materializes DVs/eq-deletes; unlike it the
+    * declared clustering spec is unchanged (min/max stats still its
+    * column). Declared SPJ bucketing does not compose yet — refused
+    * loudly rather than silently dropping the bucket layout. */
+  def rewriteGroupedCommit(s: SparkSession, root: String,
+                           groupCol: String, nFiles: Int): Long = {
+    require(SpjBucket.bucketingOf(root).isEmpty,
+      s"rewrite_grouped does not compose with declared bucketing " +
+        s"yet — drop the bucket property first")
+    val base = currentVersion(s, root)
+    val tok = prepareToken()
+    val dataDir = s"$root/data_$tok"
+    val spec = specOfVersion(root, base)
+    val live = readCommitted(s, root, base)
+    require(live.columns.contains(groupCol),
+      s"no such column to group by: $groupCol")
+    live.withColumn("__gp", md5(col(groupCol).cast("string")))
+      .repartitionByRange(nFiles,
+        (col("__gp") +: spec.clusterCols.map(col)): _*)
+      .write.partitionBy("__gp").mode("overwrite").parquet(dataDir)
+    statsManifest(s, dataDir, spec.statsCol, spec.id,
+      statsPolicyOf(root))
+      .write.mode("overwrite").parquet(s"$root/manifest_$tok")
+    carrySpecPointer(root, manifestOf(root, base),
+      s"$root/manifest_$tok")
+    publish(root, base, s"$root/manifest_$tok")
+  }
+
   /** [[dvDeleteFrom]] under the commit protocol: records the delete
     * against the CURRENT committed version and publishes the next one
     * through the same rename-publish — merge-on-read and copy-on-write

@@ -32,6 +32,9 @@ class PlanShapeSpec extends SparkSpec {
     // the incrementally-grown index serves the IDENTICAL probe plan
     // as q_ann_ivf (same broadcast probe ranking)
     "q_ann_incremental",
+    // hybrid retrieval's dense side is the q_ann_bruteforce theta
+    // shape (5 probe vectors broadcast onto the corpus scan)
+    "q_hybrid_search",
     "q_tfidf", "q_corpus_mix", "q_corpus_mix_temp", "q_collocations",
     "q_zorder",
     "q_curriculum",

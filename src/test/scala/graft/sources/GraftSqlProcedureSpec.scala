@@ -211,6 +211,54 @@ class GraftSqlProcedureSpec extends SparkSpec {
       ("train1", "tag", 0L)))
   }
 
+  test("rewrite_grouped makes every file single-group: GROUP BY " +
+    "pushdown refuses before the CALL, answers from metadata after, " +
+    "with hash-identical results and DVs materialized") {
+    ensureCatalog()
+    val (tbl, root) = freshChain("rgrp")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // a DV first: the rewrite must materialize it (compaction rule)
+    ManifestPrune.dvDeleteWhereCommit(spark, root,
+      org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+    val live = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0)
+    val gq = s"SELECT lang, count(*) AS n, sum(n_chars) AS s " +
+      s"FROM graft.$tbl GROUP BY lang ORDER BY lang"
+    val before = spark.sql(gq)
+    assert(!before.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"),
+      "mixed-lang files (plus a DV) must refuse GROUP BY pushdown")
+    val beforeRows = before.collect().map(_.toSeq).toSeq
+
+    val v = call(s"CALL graft.system.rewrite_grouped(" +
+      s"table => '$tbl', column => 'lang', target_files => 6)")
+    assert(v.head.getLong(0) >= 2L)
+    // every manifest row is now provably single-group in lang
+    val m = spark.read.parquet(
+      ManifestPrune.manifestOf(root, v.head.getLong(0)))
+    val langStats = m
+      .filter(org.apache.spark.sql.functions.col("n_rows") > 0)
+      .select(org.apache.spark.sql.functions.col("cstats_str")
+        .getItem("lang").as("e"))
+      .collect()
+    langStats.foreach { r =>
+      val e = r.getStruct(0)
+      assert(e != null && e.getString(0) === e.getString(1) &&
+        e.getLong(2) === 0L,
+        s"every rewritten file must be lang-constant, got $e")
+    }
+    val after = spark.sql(gq)
+    assert(after.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"),
+      "the rewritten layout must arm metadata GROUP BY")
+    assert(after.collect().map(_.toSeq).toSeq === beforeRows)
+    assert(beforeRows === live.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("n_chars").as("s"))
+      .orderBy("lang").collect().map(_.toSeq).toSeq)
+  }
+
   test("unknown procedure and unknown table fail cleanly") {
     ensureCatalog()
     val e1 = intercept[Exception] {
