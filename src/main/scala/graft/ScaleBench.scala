@@ -29,7 +29,10 @@ object ScaleBench {
     "q_dedup_snm", "q_textrank", "q_dedup_containment",
     "q_dedup_ngram_jaccard", "q_graph_jaccard",
     "q_dedup_sparse_cosine", "q_pagerank", "q_dedup_agreement",
-    "q_dedup_span_scrub", "q_collocations")
+    "q_dedup_span_scrub", "q_collocations",
+    // round 16: hybrid retrieval (reads documents AND embeddings —
+    // both scale 10x in the built corpus)
+    "q_hybrid_search")
 
   def main(args: Array[String]): Unit = {
     // `--build-only [sfDir]` materializes the sf1 corpus and exits —
@@ -113,11 +116,36 @@ object ScaleBench {
         .repartition(32)
         .write.mode("overwrite").parquet(docsOut.getPath)
     }
-    Tables.names.filterNot(_ == "documents").foreach { t =>
-      val link = java.nio.file.Paths.get(s"$sf1Dir/$t.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+    // 10x embeddings too (round 16 — q_hybrid_search's dense side
+    // must scale with the sparse side): vec_id shifts match the
+    // documents copies so vec_id = doc_id joins stay aligned, and
+    // each copy ROLLS the 64 dimensions by its copy index — the
+    // vector-space analogue of the alphabet rotation: a rolled copy
+    // is a different direction (cross-copy cosine ~ random), so the
+    // neighbor structure enriches 10x instead of degenerating into
+    // 10 exact clones of every point
+    val embOut = new java.io.File(s"$sf1Dir/embeddings.parquet")
+    if (!embOut.isDirectory &&
+        !java.nio.file.Files.isSymbolicLink(embOut.toPath)) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val ecopies = (0 until 10).map { i =>
+        emb.select(
+          (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+          (if (i == 0) col("embedding")
+           else concat(slice(col("embedding"), i + 1, 64 - i),
+             slice(col("embedding"), 1, i))).as("embedding"),
+          col("label"))
+      }
+      ecopies.reduce(_ unionByName _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(embOut.getPath)
     }
+    Tables.names.filterNot(t => t == "documents" || t == "embeddings")
+      .foreach { t =>
+        val link = java.nio.file.Paths.get(s"$sf1Dir/$t.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link,
+            java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+      }
   }
 }

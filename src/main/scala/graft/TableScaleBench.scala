@@ -45,7 +45,8 @@ object TableScaleBench {
     "feed_step", "time_travel", "history",
     "sql_prune_select", "sql_prune_multi", "sql_topn",
     "sql_topn_plan",
-    "sql_count_meta", "sql_agg_cstats", "bloom_build",
+    "sql_count_meta", "sql_agg_cstats", "sql_agg_sum",
+    "sql_groupby_mixed", "bloom_build",
     "sql_point_lookup", "sql_point_delete", "vacuum",
     "append_stats_all", "append_stats_none")
 
@@ -84,6 +85,24 @@ object TableScaleBench {
           col("lang"), col("source"), col("n_chars"))
         .localCheckpoint()
       timed("append")(ManifestPrune.appendCommit(spark, root, batch))
+      // round 16: metadata SUM + GROUP BY rollup decades, measured
+      // BEFORE any sidecar lands (hidden rows refuse both paths).
+      // sql_agg_sum answers metadata-only (the cstats_sum rollup is
+      // one manifest aggregate, O(files) rows). The grouped rollup
+      // on this range-clustered layout runs its full constancy-
+      // checking manifest job and then REFUSES (files mix langs) —
+      // its decade is the group-plan job plus the constant-data
+      // scan, i.e. exactly the planning cost under test.
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      val tblE = s"tsb.e_${nFiles}f_p${pass}_${System.nanoTime}"
+      graft.sources.GraftCatalog.registerTable(tblE, root)
+      timed("sql_agg_sum")(
+        spark.sql(s"SELECT sum(n_chars) AS s, sum(doc_id) AS t " +
+          s"FROM graft.$tblE").collect())
+      timed("sql_groupby_mixed")(
+        spark.sql(s"SELECT lang, count(*) AS n FROM graft.$tblE " +
+          "GROUP BY lang").collect())
       val updates = docs.orderBy("doc_id").limit(1000)
         .select(col("doc_id"), lit("ts").as("lang")).localCheckpoint()
       val inserts = docs.orderBy("doc_id").limit(100)
