@@ -843,9 +843,30 @@ private[graft] object ChainSkip {
     *    Spark's native ANSI overflow behavior).
     *
     * Aggregate pushdown is all-or-nothing: one unanswerable ask
-    * refuses the whole batch and the real scan runs. */
+    * refuses the whole batch and the real scan runs.
+    *
+    * Both planners are memoized per immutable snapshot + ask
+    * signature (the colStatsFiles commit-instant key discipline):
+    * repeated executions of the same aggregate pay the manifest
+    * job once. */
+  private val metaAggCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Seq[String]), Option[MetaAgg]]()
+
+  private def aggSignature(agg: Aggregation): Seq[String] =
+    (agg.groupByExpressions().map(_.describe()) ++
+      agg.aggregateExpressions().map(_.describe())).toSeq
+
   def planAgg(s: SparkSession, root: String, version: Long,
               table: StructType, agg: Aggregation): Option[MetaAgg] = {
+    val ts = ManifestPrune.commitTimeMs(root, version).getOrElse(0L)
+    metaAggCache.computeIfAbsent(
+      (root, version, ts, "G" +: aggSignature(agg)),
+      _ => planAggUncached(s, root, version, table, agg))
+  }
+
+  private def planAggUncached(
+      s: SparkSession, root: String, version: Long,
+      table: StructType, agg: Aggregation): Option[MetaAgg] = {
     if (agg.groupByExpressions().nonEmpty) return None
     val eqdel = ManifestPrune.eqDelOf(root, version)
     val dv = ManifestPrune.dvOf(root, version)
@@ -1120,6 +1141,15 @@ private[graft] object ChainSkip {
   def planGroupAgg(s: SparkSession, root: String, version: Long,
                    table: StructType, agg: Aggregation)
       : Option[MetaAgg] = {
+    val ts = ManifestPrune.commitTimeMs(root, version).getOrElse(0L)
+    metaAggCache.computeIfAbsent(
+      (root, version, ts, "GB" +: aggSignature(agg)),
+      _ => planGroupAggUncached(s, root, version, table, agg))
+  }
+
+  private def planGroupAggUncached(
+      s: SparkSession, root: String, version: Long,
+      table: StructType, agg: Aggregation): Option[MetaAgg] = {
     import org.apache.spark.sql.types.StringType
     val gbs = agg.groupByExpressions()
     if (gbs.isEmpty || gbs.length > 4) return None

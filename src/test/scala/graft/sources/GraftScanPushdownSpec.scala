@@ -1072,6 +1072,41 @@ class GraftScanPushdownSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq)
   }
 
+  test("metadata-aggregate planning is memoized per immutable " +
+    "snapshot + ask signature: the same plan object returns without " +
+    "re-running the manifest job, and a new commit invalidates it") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max}
+    val (tbl, root) = freshChain("aggmemo")
+    val v = ManifestPrune.currentVersion(spark, root)
+    val schema = spark.sql(s"SELECT * FROM graft.$tbl").schema
+    val agg = new Aggregation(
+      Array(new CountStar, new Max(Expressions.column("doc_id"))),
+      Array.empty)
+    val a = ChainSkip.planAgg(spark, root, v, schema, agg)
+    val b = ChainSkip.planAgg(spark, root, v, schema, agg)
+    assert(a.isDefined)
+    assert(a eq b, "identical asks must return the cached plan object")
+    // the group-by planner shares the cache, keyed distinctly
+    val gagg = new Aggregation(Array(new CountStar),
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("lang")))
+    val g1 = ChainSkip.planGroupAgg(spark, root, v, schema, gagg)
+    val g2 = ChainSkip.planGroupAgg(spark, root, v, schema, gagg)
+    assert(g1 eq g2)
+    // a NEW commit is a new snapshot: fresh plan, fresh values
+    docs.limit(10).select((col("doc_id") + 99000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .createOrReplaceTempView(s"aggmemo_src")
+    spark.sql(s"INSERT INTO graft.$tbl SELECT * FROM aggmemo_src")
+    val v2 = ManifestPrune.currentVersion(spark, root)
+    assert(v2 > v)
+    val c = ChainSkip.planAgg(spark, root, v2, schema, agg)
+    assert(c.isDefined && !(c eq a))
+    assert(c.get.rows.head.head.asInstanceOf[Long] ===
+      a.get.rows.head.head.asInstanceOf[Long] + 10L)
+  }
+
   test("GROUP BY pushdown refuses when files mix groups (range-" +
     "clustered layout) or rows are hidden — values stay correct " +
     "through the exact scan") {
