@@ -335,9 +335,33 @@ object CoreQueries {
   /** q_sql_agg_group's per-lang-committed chain: one INSERT per lang
     * makes every committed file lang-constant — the layout an
     * identity-partitioned ingest produces, which is exactly what the
-    * metadata GROUP BY rollup requires. */
+    * metadata GROUP BY rollup requires. Shared with
+    * q_sql_distinct_push (battery order must not matter). */
   private val groupAggCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
+
+  private def groupAggTable(s: SparkSession, d: String): String = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = groupAggCache.computeIfAbsent((s, d), { _ =>
+      val MP = graft.sources.ManifestPrune
+      val docs = graft.Tables.load(s, d, "documents")
+        .select("doc_id", "lang", "n_chars")
+      val langs = docs.select("lang").distinct().collect()
+        .map(_.getString(0)).sorted
+      val r = graft.Tables.matDir(s"gbychain_${System.nanoTime}",
+        s, d)
+      MP.buildLayout(docs.filter(col("lang") === langs.head), r,
+        nFiles = 4, clusterCols = Seq("doc_id"))
+      langs.tail.foreach { l =>
+        MP.appendCommit(s, r, docs.filter(col("lang") === l))
+      }
+      r
+    })
+    val tbl = s"prn.gby_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.GraftCatalog.registerTable(tbl, root)
+    tbl
+  }
 
   /** q_sql_rewrite_grouped's chain: built MIXED (range-clustered by
     * doc_id), then group-constant-rewritten once via the CALL. */
@@ -2613,25 +2637,7 @@ object CoreQueries {
     // (GraftScanPushdownSpec pins both directions).
     Q("q_sql_agg_group",
       (s, d) => {
-        s.conf.set("spark.sql.catalog.graft",
-          classOf[graft.sources.GraftCatalog].getName)
-        val root = groupAggCache.computeIfAbsent((s, d), { _ =>
-          val MP = graft.sources.ManifestPrune
-          val docs = graft.Tables.load(s, d, "documents")
-            .select("doc_id", "lang", "n_chars")
-          val langs = docs.select("lang").distinct().collect()
-            .map(_.getString(0)).sorted
-          val r = graft.Tables.matDir(s"gbychain_${System.nanoTime}",
-            s, d)
-          MP.buildLayout(docs.filter(col("lang") === langs.head), r,
-            nFiles = 4, clusterCols = Seq("doc_id"))
-          langs.tail.foreach { l =>
-            MP.appendCommit(s, r, docs.filter(col("lang") === l))
-          }
-          r
-        })
-        val tbl = s"prn.gby_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-        graft.sources.GraftCatalog.registerTable(tbl, root)
+        val tbl = groupAggTable(s, d)
         s.sql(s"""SELECT lang, count(*) AS n_docs,
                  |  min(n_chars) AS min_chars, max(doc_id) AS max_id,
                  |  sum(n_chars) AS sum_chars
@@ -2643,6 +2649,21 @@ object CoreQueries {
              |  CAST(max(doc_id) AS BIGINT) AS max_id,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // METADATA-ONLY DISTINCT (round 16): `SELECT DISTINCT lang` on
+    // the per-lang-committed chain is a group-by with NO asks — the
+    // proven group values ARE the answer, zero data bytes. The
+    // dictionary-of-a-partition-column query every catalog UI runs,
+    // at O(manifest) cost. Shares q_sql_agg_group's chain; the spec
+    // pins the push and the mixed-layout refusal.
+    Q("q_sql_distinct_push",
+      (s, d) => {
+        val tbl = groupAggTable(s, d)
+        s.sql(s"""SELECT DISTINCT lang FROM graft.$tbl
+                 |ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT DISTINCT lang FROM documents
              |ORDER BY lang""".stripMargin)),
 
     // GROUP-CONSTANT REWRITE, end to end (round 16): an ORDINARY

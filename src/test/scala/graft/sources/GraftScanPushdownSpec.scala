@@ -1018,6 +1018,42 @@ class GraftScanPushdownSpec extends SparkSpec {
       exactDf.collect().map(_.toSeq).toSeq)
   }
 
+  test("SELECT DISTINCT on a file-constant column answers from " +
+    "metadata (a group-by with no asks): the group VALUES are the " +
+    "result, and a mixed layout refuses with equal values") {
+    ensureCatalog()
+    val suf = System.nanoTime
+    val root = Tables.matDir(s"push_dist_$suf", spark, sf0001)
+    val tbl = s"push.dist_$suf"
+    spark.sql(s"""CREATE TABLE graft.$tbl (
+                 |  doc_id BIGINT, lang STRING, n_chars BIGINT)
+                 |USING graft LOCATION '$root'
+                 |TBLPROPERTIES ('cluster'='n_chars|n_chars,doc_id',
+                 |  'key'='doc_id')""".stripMargin)
+    docs.select("lang").distinct().collect().map(_.getString(0))
+      .sorted.foreach { l =>
+        docs.filter(col("lang") === l)
+          .select("doc_id", "lang", "n_chars")
+          .createOrReplaceTempView(s"push_dist_src_$suf")
+        spark.sql(s"INSERT INTO graft.$tbl " +
+          s"SELECT * FROM push_dist_src_$suf")
+      }
+    val q = spark.sql(s"SELECT DISTINCT lang FROM graft.$tbl")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"),
+      "DISTINCT on a file-constant column must answer from metadata")
+    val want = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(q.collect().map(_.getString(0)).sorted === want)
+
+    // mixed layout: refuse, equal values
+    val (tbl2, _) = freshChain("distref")
+    val q2 = spark.sql(s"SELECT DISTINCT lang FROM graft.$tbl2")
+    assert(!q2.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+    assert(q2.collect().map(_.getString(0)).sorted === want)
+  }
+
   test("multi-column GROUP BY pushes when EVERY grouping column is " +
     "file-constant (the composite key then is too) and refuses when " +
     "any one of them varies within a file") {
