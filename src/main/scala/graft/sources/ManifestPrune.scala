@@ -2910,16 +2910,29 @@ object ManifestPrune {
     }.map(localPath).toSet
     // 2. orphan data files, at file grain
     var removedData = 0L
-    st.list(root).filter(n => n.startsWith("data") &&
-      st.isDir(s"$root/$n")).foreach { dirName =>
-      val dir = s"$root/$dirName"
-      st.list(dir).filter(_.endsWith(".parquet")).foreach { fn =>
-        val f = s"$dir/$fn"
-        if (!keep.contains(f) && oldEnough(f)) {
+    // RECURSIVE walk: bucketed / grouped rewrites land data under
+    // hive-style partition subdirs (data_<tok>/__bp=K/ or __gp=…/ —
+    // one level today, but the walk is depth-general), and a
+    // one-level listing silently orphaned every such file once its
+    // version expired. A subdir emptied by the sweep is removed too
+    // (dry runs count files only — an "empty" claim would depend on
+    // deletions that did not happen).
+    def sweepDataDir(dir: String): Unit = {
+      st.list(dir).foreach { n =>
+        val p = s"$dir/$n"
+        if (st.isDir(p)) {
+          sweepDataDir(p)
+          if (!dryRun && st.list(p).isEmpty) st.deleteTree(p)
+        } else if (n.endsWith(".parquet") &&
+            !keep.contains(p) && oldEnough(p)) {
           if (dryRun) removedData += 1
-          else if (st.deleteFile(f)) removedData += 1
+          else if (st.deleteFile(p)) removedData += 1
         }
       }
+    }
+    st.list(root).filter(n => n.startsWith("data") &&
+      st.isDir(s"$root/$n")).foreach { dirName =>
+      sweepDataDir(s"$root/$dirName")
     }
     // 3. expired versions' metadata
     def rmTree(p: String): Boolean =
@@ -2980,6 +2993,18 @@ object ManifestPrune {
     val keptDv = (kept.flatMap(v => dvOf(root, v)) ++
         kept.flatMap(v => eqDelOf(root, v)))
       .map(baseName).toSet
+    // "all collected" must look THROUGH partition subdirs: a
+    // bucketed/grouped data dir keeps its parquet one level down
+    // (__bp=K/, __gp=…/) with only _SUCCESS at the top — the old
+    // one-level check classified a LIVE head's data dir as a loser
+    // and tree-deleted it (caught by the grouped-rewrite expiry
+    // spec; bucketed compaction had the same exposure)
+    def noParquetUnder(dir: String): Boolean =
+      st.list(dir).forall { e =>
+        val p = s"$dir/$e"
+        if (st.isDir(p)) noParquetUnder(p)
+        else !e.endsWith(".parquet")
+      }
     st.list(root).filter(n => st.isDir(s"$root/$n") &&
         oldEnough(s"$root/$n") && !claimed.contains(s"$root/$n"))
       .foreach { n =>
@@ -2991,8 +3016,7 @@ object ManifestPrune {
             if (rmTree(d)) removedDv += 1
           case _ if n.startsWith("eqdel_u") && !keptDv.contains(n) =>
             if (rmTree(d)) removedDv += 1
-          case _ if n.startsWith("data_u") &&
-              st.list(d).forall(!_.endsWith(".parquet")) =>
+          case _ if n.startsWith("data_u") && noParquetUnder(d) =>
             rmTree(d)
           case _ => ()
         }

@@ -146,6 +146,65 @@ class ExpireVersionsSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("expiry collects files under hive-style partition subdirs " +
+    "(__bp=/__gp= layouts): an expired grouped rewrite's files must " +
+    "not orphan one directory level down") {
+    val root = freshRoot("subdir")
+    // v1: grouped rewrite — data lands under data_<tok>/__gp=<md5>/
+    val v1 = ManifestPrune.rewriteGroupedCommit(spark, root, "lang",
+      nFiles = 4)
+    // v2: a second rewrite — v1's partitioned files become
+    // unreachable once keepLast=1 drops v1
+    val v2 = ManifestPrune.rewriteGroupedCommit(spark, root, "lang",
+      nFiles = 4)
+    assert(v2 > v1)
+    def parquetUnder(dir: java.io.File): Seq[java.io.File] =
+      if (!dir.isDirectory) Seq.empty
+      else dir.listFiles().toSeq.flatMap { f =>
+        if (f.isDirectory) parquetUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      }
+    val keepSet = ManifestPrune.collectFileList(spark,
+      spark.read.parquet(ManifestPrune.manifestOf(root, v2))
+        .select("file"), "expiry spec keep set")
+      .map(u => new org.apache.hadoop.fs.Path(u).toUri.getPath).toSet
+    val before = parquetUnder(new java.io.File(root))
+      .filterNot(f => f.getPath.contains("/manifest"))
+    assert(before.exists(_.getPath.contains("__gp=")),
+      "the rewrite must have produced partition subdirs")
+    ManifestPrune.expireVersions(spark, root, keepLast = 1,
+      graceMs = 0)
+    val after = parquetUnder(new java.io.File(root))
+      .filterNot(f => f.getPath.contains("/manifest"))
+      .map(_.getPath).toSet
+    val orphans = after.filterNot(p => keepSet.contains(p))
+    assert(orphans.isEmpty,
+      s"expired partitioned files must be collected, orphans:\n" +
+        orphans.mkString("\n"))
+    // the kept head still reads exactly
+    assert(ManifestPrune.readCommitted(spark, root, v2).count() ===
+      docs.count())
+  }
+
+  test("expiry never tree-deletes a LIVE bucketed data dir: the " +
+    "head's __bp= partitioned files survive vacuum and the head " +
+    "reads identically (the one-level loser check regression)") {
+    val root = graft.Tables.matDir(s"expire_bkt_${System.nanoTime}",
+      spark, sf0001)
+    SpjBucket.buildBucketedLayout(docs, root, "doc_id", 4)
+    // two compactions: each writes data_<tok>/__bp=K/ and supersedes
+    // the previous; keepLast=1 must collect v1's files but NEVER the
+    // head's
+    val v1 = ManifestPrune.compactCommit(spark, root, nFiles = 4)
+    val v2 = ManifestPrune.compactCommit(spark, root, nFiles = 4)
+    assert(v2 > v1)
+    ManifestPrune.expireVersions(spark, root, keepLast = 1,
+      graceMs = 0)
+    assert(ManifestPrune.readCommitted(spark, root, v2).count() ===
+      docs.count(),
+      "the live bucketed head must survive vacuum")
+  }
+
   test("keepLast spanning every version removes nothing") {
     val root = freshRoot("noop")
     ManifestPrune.dvDeleteCommit(spark, root,
