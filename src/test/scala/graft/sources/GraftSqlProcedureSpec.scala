@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** `CALL graft.system.<proc>(…)` — the maintenance surface in pure
   * SQL on Spark 4's ProcedureCatalog face. Each procedure resolves the
@@ -257,6 +258,42 @@ class GraftSqlProcedureSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(1)).as("n"),
         org.apache.spark.sql.functions.sum("n_chars").as("s"))
       .orderBy("lang").collect().map(_.toSeq).toSeq)
+  }
+
+  test("rewrite_grouped folds equality deletes (compaction rule): " +
+    "the new version carries no sidecar, GROUP BY pushes, and the " +
+    "deleted keys stay gone; declared bucketing refuses loudly") {
+    ensureCatalog()
+    val (tbl, root) = freshChain("rgeq")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // an equality-delete commit (pure metadata), THEN the rewrite —
+    // which reads committed rows (deletes folded) and must publish a
+    // sidecar-free version so metadata aggregates are not refused
+    ManifestPrune.eqDeleteCommit(spark, root,
+      docs.filter(col("doc_id") % 11 === 0).select("doc_id"))
+    val v = ManifestPrune.rewriteGroupedCommit(spark, root, "lang", 4)
+    assert(ManifestPrune.eqDelOf(root, v).isEmpty &&
+      ManifestPrune.dvOf(root, v).isEmpty,
+      "the rewrite must materialize sidecars, not carry them")
+    val q = spark.sql(s"SELECT lang, count(*) AS n FROM graft.$tbl " +
+      "GROUP BY lang ORDER BY lang")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("graft-chain-agg"))
+    val live = docs.filter(col("doc_id") % 11 =!= 0)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === live.groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+
+    // declared SPJ bucketing does not compose: loud refusal, not a
+    // silently-dropped bucket layout
+    val broot = graft.Tables.matDir(s"proc_rgbkt_${System.nanoTime}",
+      spark, sf0001)
+    SpjBucket.buildBucketedLayout(docs, broot, "doc_id", 4)
+    val e = intercept[IllegalArgumentException] {
+      ManifestPrune.rewriteGroupedCommit(spark, broot, "lang", 4)
+    }
+    assert(e.getMessage.contains("bucket"))
   }
 
   test("unknown procedure and unknown table fail cleanly") {
