@@ -1024,21 +1024,47 @@ object DedupQueries {
     Q("q_dedup_sparse_cosine",
       (s, d) => {
         val tf = trigramTf(s, d)
-        val rare = tf.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 50)
-        val kept = tf.join(rare.select("g"), "g")
-          // materialized once — feeds the norm aggregate and both join
-          // sides; the in-memory stand-in for "write the pruned
-          // postings table" at scale
+        // ONE shuffle by gram collapses the postings into per-gram
+        // blocks; the df cap is a size filter on the block, and the
+        // C(df,2) candidate pairs are generated MAP-SIDE from the
+        // ≤50-entry list (bounded per-row memory at ANY corpus size —
+        // the cap that already bounded the old self-join's blocks).
+        // This replaces the old df-aggregate + join-back + persisted
+        // postings SELF-join (3 corpus-sized exchanges + 4 cache scans
+        // + per-subtree broadcast builds, 2.7 s isolated at sf0.1)
+        // with: aggregate once, explode pairs, aggregate pairs.
+        // the explicit gram-hash repartition re-expands what AQE's
+        // byte-based coalescing folded to ~2 partitions, so the
+        // C(df,2) explode below fans out at cores-level parallelism
+        // (AQE cannot see generator fan-out). Placed AFTER the
+        // aggregate: pre-partitioning the input instead was measured
+        // 4x SLOWER here — it disables the partial aggregate and the
+        // concurrent broadcast-subtree jobs then race to rebuild the
+        // 32-partition cache.
+        val blocks = tf.groupBy("g")
+          .agg(collect_list(struct(col("doc_id"), col("tf"))).as("ps"))
+          .filter(size(col("ps")) <= 50)
+          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          // two consumers (pair explode + norms) — the in-memory
+          // stand-in for "write the pruned postings table" at scale
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val norms = kept.groupBy("doc_id")
-          .agg(sum(col("tf") * col("tf")).as("n2"))
-        val dots = kept
-          .select(col("g"), col("doc_id").as("a_id"), col("tf").as("a_tf"))
-          .join(kept.select(col("g"), col("doc_id").as("b_id"),
-            col("tf").as("b_tf")), "g")
-          .filter(col("a_id") < col("b_id"))
-          .groupBy("a_id", "b_id").agg(sum(col("a_tf") * col("b_tf")).as("dot"))
+        // all i<j index pairs of the block, normalized so a_id < b_id
+        // (collect_list order is nondeterministic; doc_ids within a
+        // gram are unique, so the normalized pair set is deterministic)
+        val pairCombs = expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+            |    if(x.doc_id < y.doc_id,
+            |       named_struct('a', x, 'b', y),
+            |       named_struct('a', y, 'b', x)))))""".stripMargin)
+        val norms = blocks.select(explode(col("ps")).as("e"))
+          .select(col("e.doc_id").as("doc_id"),
+            (col("e.tf") * col("e.tf")).as("sq"))
+          .groupBy("doc_id").agg(sum(col("sq")).as("n2"))
+        val dots = blocks.select(explode(pairCombs).as("p"))
+          .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+            (col("p.a.tf") * col("p.b.tf")).as("prod"))
+          .groupBy("a_id", "b_id").agg(sum(col("prod")).as("dot"))
         dots
           .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na2")),
             "a_id")
@@ -1101,12 +1127,23 @@ object DedupQueries {
         // tf rows ARE the distinct (doc, gram) pairs — shared table
         val sets = trigramTf(s, d).select("doc_id", "g")
         val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val rare = sets.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 50)
-        val kept = sets.join(rare.select("g"), "g")
-        val inter = kept.select(col("g"), col("doc_id").as("a_id"))
-          .join(kept.select(col("g"), col("doc_id").as("b_id")), "g")
-          .filter(col("a_id") < col("b_id"))
+        // same per-gram-block shape as q_dedup_sparse_cosine: one
+        // shuffle collapses postings to ≤50-id blocks (the df cap),
+        // the C(df,2) co-occurrence pairs explode MAP-SIDE from the
+        // bounded list — no df join-back, no postings self-join
+        val blocks = sets.groupBy("g")
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) <= 50)
+          // re-expand AQE's byte-based coalescing before the pair
+          // explode (see q_dedup_sparse_cosine's note)
+          .repartition(s.sparkContext.defaultParallelism, col("g"))
+        val pairCombs = expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+            |    named_struct('a', least(x, y), 'b', greatest(x, y)))))"""
+            .stripMargin)
+        val inter = blocks.select(explode(pairCombs).as("p"))
+          .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
           .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
           .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
           .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")

@@ -36,14 +36,25 @@ object GraftFunctions {
 
   /** All w-token shingles of a token-array column, joined by single
     * spaces: shingle i = tokens[i..i+w-1], i in 1..n-w+1 (1-based).
-    * Guarded: sequence(1, n-w+1) with n < w would generate a DESCENDING
-    * sequence in Spark, so short docs yield an empty array instead. */
-  def shingles(tok: Column, w: Int): Column =
-    when(size(tok) >= w,
-      transform(
-        sequence(lit(1), size(tok) - (w - 1)),
-        i => array_join(slice(tok, i, lit(w)), " ")))
+    * Guarded: n < w yields an empty array.
+    *
+    * Built from w aligned slices zip_with-concatenated — NOT
+    * `transform(sequence(1, n-w+1), i -> array_join(slice(tok, i, w)))`:
+    * there `tok` sits INSIDE the lambda, so an expensive inline token
+    * expression (split, regexp_extract_all) re-evaluates once PER
+    * SHINGLE POSITION — O(n · tokenize) per row, quadratic in doc
+    * length (q_textrank's edge build measured 2.6 s of its 4.2 s wall
+    * in exactly this). zip_with/slice take the arrays as ARGUMENTS,
+    * evaluated once per row (w slice calls), whatever CollapseProject
+    * inlines. */
+  def shingles(tok: Column, w: Int): Column = {
+    val len = size(tok) - (w - 1)
+    val joined = (2 to w).foldLeft(slice(tok, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(tok, lit(k), len), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(tok) >= w, joined)
       .otherwise(array().cast(ArrayType(StringType)))
+  }
 
   /** MinHash signature of a shingle-set column: ONE md5 per shingle,
     * sliced into k disjoint 4-hex-char (16-bit) sub-hashes, each

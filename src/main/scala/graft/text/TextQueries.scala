@@ -1498,7 +1498,16 @@ object TextQueries {
           .select(least(col("w1"), col("w2")).as("u"),
             greatest(col("w1"), col("w2")).as("v"))
           .groupBy("u", "v").agg(count(lit(1)).as("w"))
-        val edges = pw.union(pw.select(col("v"), col("u"), col("w")))
+        // one corpus-sized aggregate, then a map-side 2x explode for
+        // the two directions — the previous `pw.union(pw.select(v, u))`
+        // RE-COMPUTED the scan+shingle+aggregate once per branch
+        // (measured: the edge-build job was 2.6 s of the 4.2 s wall)
+        val edges = pw
+          .select(explode(array(
+            struct(col("u"), col("v"), col("w")),
+            struct(col("v").as("u"), col("u").as("v"), col("w"))))
+            .as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
           .localCheckpoint()
         val deg = edges.groupBy("u").agg(sum(col("w")).as("wdeg"))
         val nCnt = deg.agg(count(lit(1)).as("n"))
@@ -1507,18 +1516,24 @@ object TextQueries {
           .select(col("id"),
             expr(s"($Scale * 15) div (100 * n)").as("base"))
           .localCheckpoint()
+        // per-edge degree attached ONCE before the loop: w and wdeg are
+        // loop constants, so the old per-iteration `join(deg, "u")`
+        // re-paid a join x iters for data that never changes
+        val ew = edges.join(deg, "u").localCheckpoint()
         var r = nodes.select(col("id"), col("base").as("rank"))
         for (_ <- 1 to iters) {
-          val contribs = edges
-            .join(r, edges("u") === r("id"))
-            .join(deg, "u")
+          val contribs = ew
+            .join(r, ew("u") === r("id"))
             .select(col("v"),
               expr("(rank * 85 * w) div (100 * wdeg)").as("c"))
             .groupBy("v").agg(sum(col("c")).as("s"))
+          // no per-iteration checkpoint: iters is a fixed 3, so the
+          // unrolled lineage is 3 joins deep over the checkpointed
+          // edge/node tables — one action instead of one eager
+          // checkpoint job per round
           r = nodes.join(contribs, nodes("id") === contribs("v"), "left")
             .select(col("id"),
               (col("base") + coalesce(col("s"), lit(0L))).as("rank"))
-            .localCheckpoint()
         }
         r.select(col("id").as("word"), col("rank").as("trank"))
           .orderBy("word")
@@ -2010,39 +2025,54 @@ object TextQueries {
               " i -> substring(text, i, 3))")).as("g"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize the cache ONCE before the consumers fan out:
+        // the sketch/size/intersection subtrees launch as concurrent
+        // broadcast-build jobs, and on a cold cache they RACE through
+        // the corpus-sized distinct (measured 5-6 overlapping 0.4-0.8 s
+        // rebuild jobs); one sequential count pins the cache first
+        st.count()
         val km = graft.plans.TopKPerGroup.topKPerGroup(
           st.withColumn("h", md5(col("g"))),
           Seq(col("source")), Seq(asc("h")), K).select("source", "h")
-        val srcs = st.select("source").distinct()
-        val pr = srcs.select(col("source").as("a_src"))
-          .join(srcs.select(col("source").as("b_src")),
-            col("a_src") < col("b_src"))
-        val ua = pr.join(km.select(col("source").as("a_src"), col("h")),
-          "a_src").select(col("a_src"), col("b_src"), col("h"),
-          lit(1).as("ina"), lit(0).as("inb"))
-        val ub = pr.join(km.select(col("source").as("b_src"), col("h")),
-          "b_src").select(col("a_src"), col("b_src"), col("h"),
-          lit(0).as("ina"), lit(1).as("inb"))
-        val u = ua.unionByName(ub)
-          .groupBy("a_src", "b_src", "h")
-          .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
-        val w = Window.partitionBy("a_src", "b_src").orderBy("h")
-        val est = u.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= K)
-          .groupBy("a_src", "b_src")
-          .agg(count(lit(1)).as("k_used"),
-            sum(col("ina") * col("inb")).as("j_num"))
+        // collapse each source's bottom-K sketch to ONE array row
+        // (sources x K rows -> sources rows), then do ALL the pairwise
+        // sketch arithmetic map-side with array ops on the tiny
+        // source-pair frame. The previous form ran the merge as data
+        // motion — two pr-joins + union + groupBy(a,b,h) + a window +
+        // re-aggregate, each a shuffle/broadcast of its own (measured:
+        // ~14 overlapping subtree-build jobs, 0.3-1.0 s each).
+        // array_sort/array_union use the same UTF8-binary string order
+        // as ORDER BY h, so k_used/j_num are value-identical.
+        val sk = km.groupBy("source")
+          .agg(sort_array(collect_list(col("h"))).as("hs"))
         val sz = st.groupBy("source").agg(count(lit(1)).as("n"))
-        val iv = st.select(col("source").as("a_src"), col("g"))
-          .join(st.select(col("source").as("b_src"), col("g")), "g")
-          .filter(col("a_src") < col("b_src"))
+        val prof = sk.join(sz, "source")
+        val est = prof.select(col("source").as("a_src"),
+            col("hs").as("a_hs"), col("n").as("na"))
+          .join(prof.select(col("source").as("b_src"),
+            col("hs").as("b_hs"), col("n").as("nb")),
+            col("a_src") < col("b_src"))
+          .withColumn("u",
+            slice(array_sort(array_union(col("a_hs"), col("b_hs"))),
+              lit(1), lit(K)))
+          .select(col("a_src"), col("b_src"),
+            size(col("u")).cast(LongType).as("k_used"),
+            size(array_intersect(array_intersect(col("u"), col("a_hs")),
+              col("b_hs"))).cast(LongType).as("j_num"),
+            col("na"), col("nb"))
+        // exact intersection counts: per-gram source lists (bounded by
+        // the source count) explode their a<b pairs MAP-SIDE — the old
+        // postings SELF-join on g re-read the corpus-sized distinct
+        // table twice and shuffled the cross-source fan-out
+        val iv = st.groupBy("g").agg(collect_list(col("source")).as("ss"))
+          .select(explode(expr(
+            """flatten(transform(ss, (x, i) ->
+              |  transform(slice(ss, i + 2, size(ss) - i - 1), y ->
+              |    named_struct('a', least(x, y), 'b', greatest(x, y)))))"""
+              .stripMargin)).as("p"))
+          .select(col("p.a").as("a_src"), col("p.b").as("b_src"))
           .groupBy("a_src", "b_src").agg(count(lit(1)).as("n_inter"))
-        pr.join(est, Seq("a_src", "b_src"))
-          .join(iv, Seq("a_src", "b_src"), "left")
-          .join(sz.select(col("source").as("a_src"), col("n").as("na")),
-            "a_src")
-          .join(sz.select(col("source").as("b_src"), col("n").as("nb")),
-            "b_src")
+        est.join(iv, Seq("a_src", "b_src"), "left")
           .select(col("a_src"), col("b_src"), col("k_used"), col("j_num"),
             coalesce(col("n_inter"), lit(0L)).as("n_inter"),
             (col("na") + col("nb") -
