@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
 object ExtCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTune.tuned(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-extcheck")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -44,6 +44,21 @@ object Tables {
     * sanitization or session-keying lands everywhere at once. The
     * session-identity suffix preserves write-once reuse WITHIN a
     * session while isolating concurrent sessions in one JVM. */
+  /** Spread an under-parallel scan across the executor before
+    * CPU-heavy per-row work (guide §2.5's unsplittable-input fix):
+    * the gate corpus is ONE parquet file with ONE row group, so every
+    * map-side stage over the raw scan runs single-task no matter how
+    * many cores the session has. The repartition fires ONLY when the
+    * plan's scan parallelism is below the executor's (a plan-time
+    * check, no job) — at production file counts the scan already
+    * spreads and this is the identity, so no full-corpus shuffle is
+    * ever added at scale. */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par)
+    else df
+  }
+
   def matDir(kind: String, spark: SparkSession, sfDir: String): String =
     s"/root/repo/target/tmp/${kind}_" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + jvmRunId + "_" +

@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object TopKBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = graft.SparkTune.tuned(SparkSession.builder()).master("local[8]")
       .config("spark.sql.shuffle.partitions","8")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

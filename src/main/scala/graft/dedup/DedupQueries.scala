@@ -116,15 +116,13 @@ object DedupQueries {
   private def trigramTf(s: org.apache.spark.sql.SparkSession,
                         d: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(tfDirCache.computeIfAbsent((s, d), { _ =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val tf = Tables.load(s, d, "documents")
+      // trigrams built MAP-SIDE via shingles() (zip_with slices) —
+      // the old posexplode + window-lead form shuffled the exploded
+      // corpus by doc_id just to reassemble adjacent tokens; the only
+      // shuffle left in the shared build is the tf aggregate itself
+      val tf = Tables.spread(Tables.load(s, d, "documents"))
         .select(col("doc_id"),
-          posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-        .withColumn("t2", lead(col("tok"), 2).over(w))
-        .withColumn("g", concat_ws(" ",
-          col("tok"), lead(col("tok"), 1).over(w), col("t2")))
-        .filter(col("t2").isNotNull)
+          explode(shingles(tokens(col("text")), 3)).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
       val dir = matDir("trigram_tf", s, d)
       tf.write.mode("overwrite").parquet(dir)
@@ -172,6 +170,34 @@ object DedupQueries {
         .write.mode("overwrite").parquet(dir)
       dir
     }))
+
+  /** MAP-SIDE 64-bit average-hash (aHash) over the first 64 payload
+    * bytes of `text`: bit p set iff 64·byte_p > Σ bytes, packed as
+    * (hi = bits 32..63, lo = bits 0..31) — value-identical to the old
+    * posexplode + per-doc window-sum + re-aggregate shape, which
+    * shuffled a 64x-exploded corpus TWICE per consumer. Here the byte
+    * array is zip_with'd with its positions and folded in ONE
+    * expression; the mean rides in the fold's ZERO (evaluated once per
+    * row), so nothing references an aliased array per element — the
+    * re-inline trap the old in-source comment measured at 23 s stays
+    * dodged, and the fingerprint needs no shuffle at all. */
+  private val aHash64: org.apache.spark.sql.Column = {
+    val bs = "transform(sequence(1, 64), i -> ascii(substring(text, i, 1)))"
+    expr(
+      s"""aggregate(
+         |  zip_with($bs, sequence(0, 63),
+         |    (b, p) -> named_struct('bv', b, 'pos', p)),
+         |  named_struct(
+         |    'sm', aggregate($bs, CAST(0 AS BIGINT), (a, x) -> a + x),
+         |    'hi', CAST(0 AS BIGINT), 'lo', CAST(0 AS BIGINT)),
+         |  (acc, e) -> named_struct(
+         |    'sm', acc.sm,
+         |    'hi', acc.hi + IF(e.pos >= 32 AND 64 * e.bv > acc.sm,
+         |      shiftleft(CAST(1 AS BIGINT), e.pos % 32), CAST(0 AS BIGINT)),
+         |    'lo', acc.lo + IF(e.pos < 32 AND 64 * e.bv > acc.sm,
+         |      shiftleft(CAST(1 AS BIGINT), e.pos % 32), CAST(0 AS BIGINT))))"""
+        .stripMargin)
+  }
 
   /** Banded candidate generation + exact hamming<=r verify over a
     * fingerprint table (doc_id, hi, lo): probe keys per
@@ -253,7 +279,7 @@ object DedupQueries {
   private[graft] def fingerprints(
       s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    Tables.load(s, d, "documents")
+    Tables.spread(Tables.load(s, d, "documents"))
       .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
       .groupBy("doc_id")
@@ -574,27 +600,23 @@ object DedupQueries {
     // MinHash(8 hashes, 4 bands of 2) + LSH bucket join + exact Jaccard
     // verify at >= 0.3 — integer cross-multiplication avoids any float.
     //
-    // Implementation is fully ROW-BASED (posexplode + window leads +
-    // aggregate mins + equi-joins): array higher-order functions don't
-    // participate in codegen or common-subexpression elimination, so an
-    // array-lambda formulation re-runs split(text) per element (O(n^2)
-    // per doc) and re-inlines md5 per signature slot. Rows of
-    // (doc_id, shingle) keep every hash single-pass AND are the shape
-    // that scales: shuffles on uniform keys, partial aggregation
-    // everywhere, no wide arrays crossing joins.
+    // Shingle construction is map-side (shingles() = zip_with over
+    // aligned slices — arrays are HOF ARGUMENTS, so split runs once
+    // per row; the per-element re-inline trap only bites lambdas that
+    // REFERENCE an aliased array inside their body). Everything after
+    // stays ROW-BASED: rows of (doc_id, shingle) keep every md5
+    // single-pass and are the shape that scales — shuffles on uniform
+    // keys, partial aggregation everywhere, no wide arrays crossing
+    // joins.
     Q("q_dedup_minhash_lsh",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        // distinct 3-token shingles as rows, one split per doc
-        val shRows = Tables.load(s, d, "documents")
+        // distinct 3-token shingles as rows, built MAP-SIDE via
+        // shingles() (zip_with slices since round 16 — the split runs
+        // once per row, not per element, so the old window-lead
+        // shuffle-by-doc_id is gone)
+        val shRows = Tables.spread(Tables.load(s, d, "documents"))
           .select(col("doc_id"),
-            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-          .withColumn("t1", lead(col("tok"), 1).over(w))
-          .withColumn("t2", lead(col("tok"), 2).over(w))
-          .filter(col("t2").isNotNull)
-          .select(col("doc_id"),
-            concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+            explode(shingles(tokens(col("text")), 3)).as("sh"))
           .distinct()
           // materialize the shingle table ONCE: it feeds three
           // consumers (signature, verify-a, verify-b); without this the
@@ -940,7 +962,7 @@ object DedupQueries {
         //    (pair, token) and count the intersection with a hash
         //    aggregate — same exact inter/uni arithmetic as before.
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.load(s, d, "documents")
+        val docs = Tables.spread(Tables.load(s, d, "documents"))
           .select(col("doc_id"), col("source"), tokenSet(col("text")).as("tk"))
           .withColumn("n", size(col("tk")).cast(LongType))
         val t = docs.select(col("doc_id"), col("source"), col("n"),
@@ -1208,18 +1230,14 @@ object DedupQueries {
     // never a driver-side structure.
     Q("q_dedup_spans",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val grams = Tables.load(s, d, "documents")
+        // 8-grams built MAP-SIDE from the token array (shingles() is
+        // zip_with over aligned slices since round 16) — the previous
+        // posexplode + 7 window leads shuffled the exploded corpus by
+        // doc_id just to reassemble adjacent tokens; same gram strings,
+        // zero shuffles before the df aggregate
+        val grams = Tables.spread(Tables.load(s, d, "documents"))
           .select(col("doc_id"),
-            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-          .withColumn("t7", lead(col("tok"), 7).over(w))
-          .withColumn("g", concat_ws(" ",
-            col("tok") +: (1 to 6).map(k => lead(col("tok"), k).over(w))
-              :+ col("t7"): _*))
-          // t7 null <=> fewer than 8 tokens remain at this position
-          // (window functions can't sit in a WHERE, hence the column)
-          .filter(col("t7").isNotNull)
+            explode(shingles(tokens(col("text")), 8)).as("g"))
           .select(col("doc_id"), md5(col("g")).as("gh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val df_ = grams.groupBy("gh").agg(count(lit(1)).as("c"))
@@ -1259,17 +1277,15 @@ object DedupQueries {
     // id) and nothing is ever all-pairs or driver-sized.
     Q("q_dedup_span_scrub",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("doc_id").orderBy("pos")
         val toks = Tables.load(s, d, "documents")
           .select(col("doc_id"),
             posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-        val grams = toks
-          .withColumn("t7", lead(col("tok"), 7).over(w))
-          .withColumn("g", concat_ws(" ",
-            col("tok") +: (1 to 6).map(k => lead(col("tok"), k).over(w))
-              :+ col("t7"): _*))
-          .filter(col("t7").isNotNull)
+        // gram start positions ride posexplode of the map-side shingle
+        // array (same 0-based token positions the window-lead form
+        // produced) — no per-doc window shuffle to build grams
+        val grams = Tables.spread(Tables.load(s, d, "documents"))
+          .select(col("doc_id"),
+            posexplode(shingles(tokens(col("text")), 8)).as(Seq("pos", "g")))
           .select(col("doc_id"), col("pos"), md5(col("g")).as("gh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dupCnt = grams.groupBy("gh").agg(count(lit(1)).as("c"))
@@ -1342,8 +1358,12 @@ object DedupQueries {
         val Scale = 1000000000000L // ranks in units of 1e-12
         val iters = 5
         val e = simhash64Pairs(s, d)
-        val edges = e.select(col("a_id").as("u"), col("b_id").as("v"))
-          .union(e.select(col("b_id").as("u"), col("a_id").as("v")))
+        // one pair-table scan, both directions exploded map-side
+        val edges = e
+          .select(explode(array(
+            struct(col("a_id").as("u"), col("b_id").as("v")),
+            struct(col("b_id").as("u"), col("a_id").as("v")))).as("x"))
+          .select(col("x.u").as("u"), col("x.v").as("v"))
           .localCheckpoint()
         val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
         val nCnt = deg.agg(count(lit(1)).as("n"))
@@ -1353,17 +1373,21 @@ object DedupQueries {
           .select(col("id"),
             expr(s"($Scale * 15) div (100 * n)").as("base"))
           .localCheckpoint()
+        // per-edge out-degree attached ONCE before the loop (loop
+        // constant — the old per-iteration join(deg) re-paid it x5);
+        // no per-iteration checkpoint: iters is a fixed 5, so the
+        // unrolled lineage stays 5 joins over checkpointed frames and
+        // the whole loop runs as ONE action instead of 5 eager jobs
+        val ew = edges.join(deg, "u").localCheckpoint()
         var r = nodes.select(col("id"), col("base").as("rank"))
         for (_ <- 1 to iters) {
-          val contribs = edges
-            .join(r, edges("u") === r("id"))
-            .join(deg, "u")
+          val contribs = ew
+            .join(r, ew("u") === r("id"))
             .select(col("v"), expr("(rank * 85) div (100 * deg)").as("c"))
             .groupBy("v").agg(sum(col("c")).as("s"))
           r = nodes.join(contribs, nodes("id") === contribs("v"), "left")
             .select(col("id"),
               (col("base") + coalesce(col("s"), lit(0L))).as("rank"))
-            .localCheckpoint()
         }
         r.select(col("id").as("doc_id"), col("rank").as("prank"))
           .orderBy("doc_id")
@@ -1824,21 +1848,14 @@ object DedupQueries {
         val tp = simhash64Pairs(s, d).select("a_id", "b_id")
           .withColumn("t", lit(1))
         val ip = {
-          import org.apache.spark.sql.expressions.Window
-          val bytes = Tables.load(s, d, "documents")
-            .filter(length(col("text")) >= 64)
-            .select(col("doc_id"), posexplode(expr(
-              "transform(sequence(1, 64), i -> ascii(substring(text, i, 1)))"))
-              .as(Seq("pos", "bv")))
-          val w = Window.partitionBy("doc_id")
-          val bit = expr("shiftleft(CAST(1 AS BIGINT), pos % 32)")
-          val set = lit(64L) * col("bv") > col("sm")
-          val fp = bytes.withColumn("sm", sum(col("bv")).over(w))
-            .groupBy("doc_id")
-            .agg(sum(when(col("pos") >= 32 && set, bit).otherwise(lit(0L)))
-              .as("hi"),
-              sum(when(col("pos") < 32 && set, bit).otherwise(lit(0L)))
-                .as("lo"))
+          // shuffle-free aHash fingerprint — see [[aHash64]] and the
+          // spread + persist notes at q_dedup_phash
+          val fp = Tables.spread(Tables.load(s, d, "documents")
+              .filter(length(col("text")) >= 64))
+            .withColumn("ah", aHash64)
+            .select(col("doc_id"), col("ah.hi").as("hi"),
+              col("ah.lo").as("lo"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           bandedPairs(fp, SimhashBanding.choose(fp.count()))
             .select("a_id", "b_id").withColumn("i", lit(1))
         }
@@ -1952,29 +1969,18 @@ object DedupQueries {
     // same threshold.
     Q("q_dedup_phash",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        // ROW-based bit votes (the simhash64 fingerprint shape): the
-        // byte array explodes to (pos, byte) rows and the mean
-        // threshold + bit composition are one window + one aggregate.
-        // An array-HOF formulation (aggregate over sequence with
-        // bs[i] lookups) re-inlines the 64-substring transform PER
-        // LAMBDA ELEMENT — measured 23 s at sf0.1 vs ~1 s for this
-        // form; the same no-CSE trap the MinHash comment documents.
-        val bytes = Tables.load(s, d, "documents")
-          .filter(length(col("text")) >= 64)
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(1, 64), i -> ascii(substring(text, i, 1)))"))
-            .as(Seq("pos", "bv")))
-        val w = Window.partitionBy("doc_id")
-        val bit = expr("shiftleft(CAST(1 AS BIGINT), pos % 32)")
-        val set = lit(64L) * col("bv") > col("sm")
-        val fp = bytes.withColumn("sm", sum(col("bv")).over(w))
-          .groupBy("doc_id")
-          .agg(
-            sum(when(col("pos") >= 32 && set, bit).otherwise(lit(0L)))
-              .as("hi"),
-            sum(when(col("pos") < 32 && set, bit).otherwise(lit(0L)))
-              .as("lo"))
+        // one map-side projection via [[aHash64]] — no explode, no
+        // per-doc window shuffle, no re-aggregate. The interpreted
+        // fold is CPU-heavy per row, so the under-parallel single-file
+        // scan is spread first (Tables.spread — identity at real file
+        // counts), and the tiny (doc_id, hi, lo) result is persisted +
+        // counted so the fold runs ONCE, not once per consumer
+        val fp = Tables.spread(Tables.load(s, d, "documents")
+            .filter(length(col("text")) >= 64))
+          .withColumn("ah", aHash64)
+          .select(col("doc_id"), col("ah.hi").as("hi"),
+            col("ah.lo").as("lo"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val plan = SimhashBanding.choose(fp.count())
         bandedPairs(fp, plan).orderBy("a_id", "b_id")
       },

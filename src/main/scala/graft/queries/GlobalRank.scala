@@ -60,11 +60,23 @@ object GlobalRank {
     val bounds: Seq[Any] = (1 until buckets)
       .map(i => sorted(math.min(sorted.length - 1, (i * step).toInt)))
       .distinct
-    val bkt =
-      if (sorted.isEmpty) lit(0)
-      else bounds.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(key >= lit(b), 1).otherwise(0)
+    // balanced binary-search when-tree over the sorted distinct
+    // bounds: bucket = #{i : bounds(i) <= key} (upper_bound), the same
+    // count the old `foldLeft(when(key >= b, 1))` chain computed — but
+    // depth log2(n) instead of a 127-deep nested Add chain, so rows
+    // pay ~7 comparisons instead of 128 and Catalyst/codegen stop
+    // crawling a pathological tree (the chain showed up as ~100s of ms
+    // of pure driver plan time in every GlobalRank consumer). Null
+    // keys fall through every >= to the left edge = bucket 0, exactly
+    // as the old chain's `otherwise(0)` did.
+    def bktTree(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(key >= lit(bounds(mid)), bktTree(mid + 1, hi))
+          .otherwise(bktTree(lo, mid))
       }
+    val bkt = if (sorted.isEmpty) lit(0) else bktTree(0, bounds.length)
     df.withColumn(BucketCol, bkt).repartition(parts, col(BucketCol))
   }
 

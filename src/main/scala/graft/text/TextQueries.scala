@@ -707,17 +707,14 @@ object TextQueries {
     // don't codegen or share subexpressions.
     Q("q_doc_fingerprint",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val minSh = Tables.load(s, d, "documents")
+        // 3-gram shingles built map-side (shingles() = zip_with over
+        // aligned slices since round 16; the old window-lead form
+        // shuffled the exploded corpus by doc_id first)
+        val minSh = Tables.spread(Tables.load(s, d, "documents"))
           .select(col("doc_id"),
-            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-          .withColumn("t1", lead(col("tok"), 1).over(w))
-          .withColumn("t2", lead(col("tok"), 2).over(w))
-          .filter(col("t2").isNotNull)
+            explode(shingles(tokens(col("text")), 3)).as("g"))
           .groupBy("doc_id")
-          .agg(min(md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))))
-            .as("fp_min_shingle"))
+          .agg(min(md5(col("g"))).as("fp_min_shingle"))
         Tables.load(s, d, "documents")
           .select(col("doc_id"),
             md5(col("text")).as("fp_md5"),
@@ -748,15 +745,10 @@ object TextQueries {
     Q("q_decontaminate",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val sh = Tables.load(s, d, "documents")
+        // map-side 3-gram shingles (see q_doc_fingerprint's note)
+        val sh = Tables.spread(Tables.load(s, d, "documents"))
           .select(col("doc_id"),
-            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-          .withColumn("t1", lead(col("tok"), 1).over(w))
-          .withColumn("t2", lead(col("tok"), 2).over(w))
-          .filter(col("t2").isNotNull)
-          .select(col("doc_id"),
-            concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
+            explode(shingles(tokens(col("text")), 3)).as("s"))
           .distinct()
         val bench = sh.filter(col("doc_id") % 100 === 7)
           .select("s").distinct()
@@ -799,15 +791,10 @@ object TextQueries {
     // doc_id distribution, so the whole query is two shuffles.
     Q("q_gopher_repetition",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val grams = Tables.load(s, d, "documents")
+        // map-side 2-grams (see q_doc_fingerprint's note)
+        val grams = Tables.spread(Tables.load(s, d, "documents"))
           .select(col("doc_id"),
-            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-          .withColumn("t1", lead(col("tok"), 1).over(w))
-          .filter(col("t1").isNotNull)
-          .select(col("doc_id"),
-            concat_ws(" ", col("tok"), col("t1")).as("g"))
+            explode(shingles(tokens(col("text")), 2)).as("g"))
         grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
           .groupBy("doc_id")
           .agg(sum(col("cnt")).as("n_2g"),
@@ -1239,6 +1226,8 @@ object TextQueries {
     // materialized once (write-once/read-twice at scale).
     Q("q_lm_bigram_score",
       (s, d) => {
+        // no spread: the w=2 explode is too cheap to pay a pre-shuffle
+        // for (measured 0.96 -> 1.22 s with it)
         val bg = Tables.load(s, d, "documents")
           .select(col("doc_id"),
             explode(shingles(tokens(col("text")), 2)).as("bg"))
@@ -1295,7 +1284,7 @@ object TextQueries {
     // scoring join touches models only — never corpus × corpus.
     Q("q_lm_kneser_ney",
       (s, d) => {
-        val db = Tables.load(s, d, "documents")
+        val db = Tables.spread(Tables.load(s, d, "documents"))
           .select(col("doc_id"),
             explode(shingles(tokens(col("text")), 2)).as("bg"))
           .groupBy("doc_id", "bg").agg(count(lit(1)).as("occ"))
@@ -1412,7 +1401,7 @@ object TextQueries {
     // (TakeOrderedAndProject), no full sort.
     Q("q_collocations",
       (s, d) => {
-        val docs = Tables.load(s, d, "documents")
+        val docs = Tables.spread(Tables.load(s, d, "documents"))
         val uni = docs
           .select(explode(tokens(col("text"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("c"))
@@ -1487,7 +1476,7 @@ object TextQueries {
       (s, d) => {
         val Scale = 1000000000000L // ranks in units of 1e-12
         val iters = 3
-        val bgs = Tables.load(s, d, "documents")
+        val bgs = Tables.spread(Tables.load(s, d, "documents"))
           .select(explode(shingles(
             regexp_extract_all(col("text"), lit("[a-z]{4,}"), lit(0)), 2))
             .as("bg"))
@@ -2018,8 +2007,8 @@ object TextQueries {
         // sketch universe: character trigram shingles (the dedup
         // family's), ~360 per source here — the word vocabulary is
         // only 31 tokens, which would fit inside the sketch whole
-        val st = Tables.load(s, d, "documents")
-          .filter(length(col("text")) >= 3)
+        val st = Tables.spread(Tables.load(s, d, "documents")
+            .filter(length(col("text")) >= 3))
           .select(col("source"), explode(expr(
             "transform(sequence(1, length(text) - 2)," +
               " i -> substring(text, i, 3))")).as("g"))
@@ -2420,7 +2409,7 @@ object TextQueries {
         // otherwise each re-run the corpus tokenization (measured 3×
         // the cost at sf0.1). At 100 TB this table is the persisted
         // featurization DSIR computes once per corpus snapshot.
-        val db = Tables.load(s, d, "documents")
+        val db = Tables.spread(Tables.load(s, d, "documents"))
           .select(col("doc_id"), col("lang"),
             explode(shingles(tokens(col("text")), 2)).as("bg"))
           .withColumn("b",

@@ -9,7 +9,7 @@ object PlanDump {
     val names = args.headOption.map(_.split(",").toSeq)
       .getOrElse(Seq("q_scan_filter_project"))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = graft.SparkTune.tuned(SparkSession.builder()).master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

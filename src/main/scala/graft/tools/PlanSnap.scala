@@ -20,7 +20,7 @@ object PlanSnap {
     val outDir = args.lift(2).getOrElse("/root/repo/plans/r16")
     val suffix = args.lift(3).getOrElse("before")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTune.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

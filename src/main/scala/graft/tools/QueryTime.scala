@@ -12,7 +12,7 @@ object QueryTime {
     val dirs = if (args.length > 1) args.tail.toSeq
     else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTune.tuned(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")

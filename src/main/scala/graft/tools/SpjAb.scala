@@ -14,7 +14,7 @@ object SpjAb {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBuckets = args.lift(1).map(_.toInt).getOrElse(32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTune.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
