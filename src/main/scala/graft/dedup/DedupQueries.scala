@@ -971,6 +971,10 @@ object DedupQueries {
           // computation, prefix ranking, verify-a, verify-b); the
           // in-memory stand-in for "write the token table" at scale
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // pin the cache before the four consumers launch as concurrent
+        // subtree jobs and race to rebuild it (the kmv/q_dedup_phash
+        // fix — measured six overlapping ~0.5 s rebuild stages here)
+        t.count()
         val df_ = t.groupBy("source", "token").agg(count(lit(1)).as("df"))
         // prefix ranking stays a window sort: a bounded-heap
         // TopKPerGroup pre-reduction was tried (kMax = largest prefix

@@ -25,6 +25,14 @@ object KCore {
   /** The edge set of the k-core after `rounds` peels (fixpoint if
     * `rounds` >= peel depth). Input must already be symmetric. */
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // NOTE (round 16): a lazy per-round persist chain was tried in
+    // place of the eager localCheckpoints (goal: one action instead of
+    // `rounds` checkpoint jobs) and measured 42 s vs 2.2 s — the
+    // per-round broadcast builds race each other down the uncached
+    // chain before any cache fills. The eager checkpoint per round is
+    // load-bearing: each round is referenced three times (degree
+    // count + both semi-join probes) and the checkpoint is what keeps
+    // the chain linear.
     var e = edges.select(col("u"), col("v")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))

@@ -1137,6 +1137,9 @@ object CoreQueries {
 
     // TPC-H Q1-shaped wide aggregate; all double sums exact via decimal
     Q("q_agg_pricing",
+      // no spread: measured neutral-to-worse — the single-task scan
+      // must decode+reshuffle the rows either way, which costs as much
+      // as the partial aggregate it was meant to parallelize
       (s, d) => Tables.load(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -4005,7 +4008,9 @@ object CoreQueries {
     // are strings/longs, so the aggregate hash-gates against DuckDB's
     // JSON path functions over the same reconstructed document.
     Q("q_variant",
-      (s, d) => Tables.load(s, d, "events")
+      // spread: per-row JSON parse + variant_get ran single-task on
+      // the one-row-group events scan (1.05 s of the 1.5 s wall)
+      (s, d) => Tables.spread(Tables.load(s, d, "events"))
         .withColumn("doc", concat(
           lit("{\"meta\":{\"type\":\""), col("event_type"),
           lit("\",\"k\":"), get_json_object(col("props"), "$.k"),
@@ -4106,9 +4111,11 @@ object CoreQueries {
     // untouched (no arithmetic), so doubles hash bit-exact against
     // the oracle's stacked UNION ALL.
     Q("q_unpivot",
-      (s, d) => Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
-          "l_tax")
+      // spread: the 3x unpivot fan-out + sort sampling ran in the
+      // ~1-task scan stage (0.9 s of the 1.9 s wall)
+      (s, d) => Tables.spread(Tables.load(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+            "l_tax"))
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_discount"), col("l_tax")),

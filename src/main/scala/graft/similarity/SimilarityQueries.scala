@@ -53,7 +53,12 @@ object SimilarityQueries {
     if (((h(0) >> 4) & 0xF) < 8) 1 else -1
   }
 
-  /** Spark side of the shared shape: (vec_id, label, sv, nn). */
+  /** Spark side of the shared shape: (vec_id, label, sv, nn).
+    * (Round 16: a Tables.spread of the single-file embeddings scan was
+    * measured NET-NEGATIVE across the ANN family — the 2000-row frame
+    * is small enough that the extra exchange and its effect on the
+    * racing broadcast subtrees cost more than the map parallelism
+    * gained. Left unspread deliberately.) */
   private def scaled(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("label"), vecScaled(col("embedding")).as("sv"))
