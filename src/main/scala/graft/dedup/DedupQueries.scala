@@ -1676,13 +1676,20 @@ object DedupQueries {
     // of the shared pair table.
     Q("q_recursive_bfs",
       (s, d) => {
-        simhash64Pairs(s, d).select("a_id", "b_id")
-          .createOrReplaceTempView("np_pairs")
+        // the symmetric edge list is materialized ONCE (checkpoint)
+        // before the recursion: the recursive step re-evaluates its
+        // referenced relations every iteration, and the old inline
+        // `edges` CTE re-read + re-exploded the pair parquet per level
+        simhash64Pairs(s, d)
+          .select(explode(array(
+            struct(col("a_id").as("u"), col("b_id").as("v")),
+            struct(col("b_id").as("u"), col("a_id").as("v")))).as("x"))
+          .select(col("x.u").as("u"), col("x.v").as("v"))
+          .localCheckpoint()
+          .createOrReplaceTempView("np_edges")
         s.sql("""
           WITH RECURSIVE edges AS (
-            SELECT a_id AS u, b_id AS v FROM np_pairs
-            UNION ALL
-            SELECT b_id AS u, a_id AS v FROM np_pairs
+            SELECT u, v FROM np_edges
           ),
           reach(id, dist) AS (
             SELECT DISTINCT u AS id, 0 AS dist FROM edges WHERE u % 50 = 0

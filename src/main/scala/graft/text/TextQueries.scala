@@ -1289,9 +1289,16 @@ object TextQueries {
             explode(shingles(tokens(col("text")), 2)).as("bg"))
           .groupBy("doc_id", "bg").agg(count(lit(1)).as("occ"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the model table is vocabulary-sized (<= |V|^2 bigrams) but
+        // has FIVE consumers (c1, l2, b, the model join's stream side,
+        // and through them the final join) — persist + pin it, or each
+        // broadcast subtree re-aggregates the corpus-sized db cache
+        // (measured ~6 overlapping 0.2-1.0 s subtree jobs)
         val c12 = db.groupBy("bg").agg(sum(col("occ")).as("c12"))
           .withColumn("w1", substring_index(col("bg"), " ", 1))
           .withColumn("w2", substring_index(col("bg"), " ", -1))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c12.count()
         val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"),
           count(lit(1)).as("t1"))
         val l2 = c12.groupBy("w2").agg(count(lit(1)).as("l2"))
