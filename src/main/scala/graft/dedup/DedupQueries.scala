@@ -1361,13 +1361,17 @@ object DedupQueries {
       (s, d) => {
         val Scale = 1000000000000L // ranks in units of 1e-12
         val iters = 5
+        // NOTE (round 16): this loop was rewritten (map-side edge
+        // explode, degree pre-joined into a checkpointed edge table,
+        // unrolled no-checkpoint lineage) and REVERTED in full: the
+        // sf0.1 bench read ~1.0x and the sf0.1->sf1 rung regressed
+        // from 11.3 s to 18.6-21 s (exponent 0.74 -> 0.94) — the
+        // extra 2x-edge materializations cost more than the saved
+        // per-iteration degree join at 10x. The r15 shape below is
+        // the measured-best form.
         val e = simhash64Pairs(s, d)
-        // one pair-table scan, both directions exploded map-side
-        val edges = e
-          .select(explode(array(
-            struct(col("a_id").as("u"), col("b_id").as("v")),
-            struct(col("b_id").as("u"), col("a_id").as("v")))).as("x"))
-          .select(col("x.u").as("u"), col("x.v").as("v"))
+        val edges = e.select(col("a_id").as("u"), col("b_id").as("v"))
+          .union(e.select(col("b_id").as("u"), col("a_id").as("v")))
           .localCheckpoint()
         val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
         val nCnt = deg.agg(count(lit(1)).as("n"))
@@ -1377,21 +1381,17 @@ object DedupQueries {
           .select(col("id"),
             expr(s"($Scale * 15) div (100 * n)").as("base"))
           .localCheckpoint()
-        // per-edge out-degree attached ONCE before the loop (loop
-        // constant — the old per-iteration join(deg) re-paid it x5);
-        // no per-iteration checkpoint: iters is a fixed 5, so the
-        // unrolled lineage stays 5 joins over checkpointed frames and
-        // the whole loop runs as ONE action instead of 5 eager jobs
-        val ew = edges.join(deg, "u").localCheckpoint()
         var r = nodes.select(col("id"), col("base").as("rank"))
         for (_ <- 1 to iters) {
-          val contribs = ew
-            .join(r, ew("u") === r("id"))
+          val contribs = edges
+            .join(r, edges("u") === r("id"))
+            .join(deg, "u")
             .select(col("v"), expr("(rank * 85) div (100 * deg)").as("c"))
             .groupBy("v").agg(sum(col("c")).as("s"))
           r = nodes.join(contribs, nodes("id") === contribs("v"), "left")
             .select(col("id"),
               (col("base") + coalesce(col("s"), lit(0L))).as("rank"))
+            .localCheckpoint()
         }
         r.select(col("id").as("doc_id"), col("rank").as("prank"))
           .orderBy("doc_id")
