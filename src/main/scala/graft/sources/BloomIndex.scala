@@ -173,7 +173,7 @@ object BloomIndex {
     require(keys.nonEmpty, "empty probe set")
     val hs = keys.map(probeHash).toArray
     import s.implicits._
-    val matched = s.read.parquet(idx)
+    val matched = ManifestPrune.immutableParquet(s, idx)
       .select(col("file"), col("bloom")).as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (f, b) =>

@@ -259,7 +259,8 @@ private[graft] object ChainSkip {
       s: SparkSession, root: String, version: Long,
       bounds: Map[String, Bounds], sbounds: Map[String, SBounds])
       : Option[Seq[String]] = {
-    val m = s.read.parquet(ManifestPrune.manifestOf(root, version))
+    val m = ManifestPrune.immutableParquet(s,
+      ManifestPrune.manifestOf(root, version))
     def keep(mapCol: String, c: String,
              qlo: Option[org.apache.spark.sql.Column],
              qhi: Option[org.apache.spark.sql.Column])
@@ -327,7 +328,8 @@ private[graft] object ChainSkip {
     val key = (root, version, ts,
       (longs ++ strs).map(_.name).sorted.mkString(","))
     colStatsCache.computeIfAbsent(key, { _ =>
-      val m = s.read.parquet(ManifestPrune.manifestOf(root, version))
+      val m = ManifestPrune.immutableParquet(s,
+        ManifestPrune.manifestOf(root, version))
       val hasL = m.columns.contains("cstats_long")
       val hasS = m.columns.contains("cstats_str")
       if (!hasL && !hasS) Map.empty
@@ -477,7 +479,8 @@ private[graft] object ChainSkip {
                       bounds: Map[String, Bounds]): Long = {
     val ts = ManifestPrune.commitTimeMs(root, version).getOrElse(0L)
     statsCache.computeIfAbsent((root, version, ts, bounds), { _ =>
-      val m = s.read.parquet(ManifestPrune.manifestOf(root, version))
+      val m = ManifestPrune.immutableParquet(s,
+        ManifestPrune.manifestOf(root, version))
       val planned = plannedFiles(s, root, version, bounds) match {
         case Some(fs) => m.filter(col("file").isInCollection(
           if (fs.isEmpty) Seq("") else fs))
@@ -486,7 +489,7 @@ private[graft] object ChainSkip {
       val total = planned.agg(coalesce(sum(col("n_rows")), lit(0L)))
         .head.getLong(0)
       val hidden = ManifestPrune.dvOf(root, version)
-        .map(dv => s.read.parquet(dv).count()).getOrElse(0L)
+        .map(ManifestPrune.dvHiddenCount(s, _)).getOrElse(0L)
       (total - hidden).max(0L)
     })
   }
@@ -499,14 +502,30 @@ private[graft] object ChainSkip {
     * deletes make per-file live counts unknowable, so None (no
     * pruning) there. None also when the whole table doesn't cover
     * the limit (plan everything — Spark still gets every row). */
+  private val limitFilesCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Int), Option[Seq[String]]]()
+
   def limitFiles(s: SparkSession, root: String, version: Long,
                  limit: Int): Option[Seq[String]] = {
+    // memoized per immutable snapshot + limit (the colStatsFiles
+    // discipline): the commit-instant key makes a rebuilt chain at
+    // the same path a different cache key
+    val ts = ManifestPrune.commitTimeMs(root, version).getOrElse(0L)
+    limitFilesCache.computeIfAbsent((root, version, ts, limit),
+      _ => limitFilesUncached(s, root, version, limit))
+  }
+
+  private def limitFilesUncached(s: SparkSession, root: String,
+                                 version: Long,
+                                 limit: Int): Option[Seq[String]] = {
     if (ManifestPrune.eqDelOf(root, version).nonEmpty) return None
-    val m = s.read.parquet(ManifestPrune.manifestOf(root, version))
+    val m = ManifestPrune.immutableParquet(s,
+        ManifestPrune.manifestOf(root, version))
       .select(col("file"), col("n_rows"))
     val live = ManifestPrune.dvOf(root, version) match {
       case Some(dv) =>
-        val hidden = s.read.parquet(dv).groupBy("file")
+        val hidden = ManifestPrune.immutableParquet(s, dv)
+          .groupBy("file")
           .agg(count(lit(1)).as("__hidden"))
         m.join(hidden, Seq("file"), "left")
           .select(col("file"), (col("n_rows") -
@@ -551,13 +570,28 @@ private[graft] object ChainSkip {
     * None when nothing can be dropped or the preconditions (no
     * equality deletes, per-file bounds for the column from the spec
     * stats OR the cstats_long map) fail. */
+  private val topNFilesCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, String, Boolean, Boolean, Int),
+    Option[Seq[String]]]()
+
   def topNFiles(s: SparkSession, root: String, version: Long,
                 colName: String, ascending: Boolean,
+                nullsFirst: Boolean, k: Int): Option[Seq[String]] = {
+    val ts = ManifestPrune.commitTimeMs(root, version).getOrElse(0L)
+    topNFilesCache.computeIfAbsent(
+      (root, version, ts, colName, ascending, nullsFirst, k),
+      _ => topNFilesUncached(s, root, version, colName, ascending,
+        nullsFirst, k))
+  }
+
+  private def topNFilesUncached(s: SparkSession, root: String,
+                version: Long, colName: String, ascending: Boolean,
                 nullsFirst: Boolean, k: Int): Option[Seq[String]] = {
     if (ManifestPrune.eqDelOf(root, version).nonEmpty) return None
     val statted = ManifestPrune.listSpecs(root).collect {
       case (id, sp) if sp.statsCol == colName => id }.toSet
-    val m0 = s.read.parquet(ManifestPrune.manifestOf(root, version))
+    val m0 = ManifestPrune.immutableParquet(s,
+      ManifestPrune.manifestOf(root, version))
     val hasC = m0.columns.contains("cstats_long")
     if (statted.isEmpty && !hasC) return None
     if (!m0.columns.contains("n_nulls")) return None
@@ -566,7 +600,8 @@ private[graft] object ChainSkip {
         m0.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
       else m0.withColumn("spec_id", lit(0))
     val hidden = ManifestPrune.dvOf(root, version) match {
-      case Some(dv) => s.read.parquet(dv).groupBy("file")
+      case Some(dv) => ManifestPrune.immutableParquet(s, dv)
+        .groupBy("file")
         .agg(count(lit(1)).as("__hidden"))
       case None => m1.select(col("file")).limit(0)
         .withColumn("__hidden", lit(0L))
@@ -645,13 +680,28 @@ private[graft] object ChainSkip {
     * contain the separator, unlike file paths — and compared in
     * UTF8-binary order, matching the manifest aggregation's own
     * min/max semantics. */
+  private val topNFilesStrCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, String, Boolean, Boolean, Int),
+    Option[Seq[String]]]()
+
   def topNFilesStr(s: SparkSession, root: String, version: Long,
                    colName: String, ascending: Boolean,
+                   nullsFirst: Boolean, k: Int): Option[Seq[String]] = {
+    val ts = ManifestPrune.commitTimeMs(root, version).getOrElse(0L)
+    topNFilesStrCache.computeIfAbsent(
+      (root, version, ts, colName, ascending, nullsFirst, k),
+      _ => topNFilesStrUncached(s, root, version, colName, ascending,
+        nullsFirst, k))
+  }
+
+  private def topNFilesStrUncached(s: SparkSession, root: String,
+                   version: Long, colName: String, ascending: Boolean,
                    nullsFirst: Boolean, k: Int): Option[Seq[String]] = {
     if (ManifestPrune.eqDelOf(root, version).nonEmpty) return None
     val statted = ManifestPrune.listSpecs(root).collect {
       case (id, sp) if sp.statsCol == colName => id }.toSet
-    val m0 = s.read.parquet(ManifestPrune.manifestOf(root, version))
+    val m0 = ManifestPrune.immutableParquet(s,
+      ManifestPrune.manifestOf(root, version))
     val hasC = m0.columns.contains("cstats_str")
     if (statted.isEmpty && !hasC) return None
     if (!m0.columns.contains("n_nulls")) return None
@@ -660,7 +710,8 @@ private[graft] object ChainSkip {
         m0.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
       else m0.withColumn("spec_id", lit(0))
     val hidden = ManifestPrune.dvOf(root, version) match {
-      case Some(dv) => s.read.parquet(dv).groupBy("file")
+      case Some(dv) => ManifestPrune.immutableParquet(s, dv)
+        .groupBy("file")
         .agg(count(lit(1)).as("__hidden"))
       case None => m1.select(col("file")).limit(0)
         .withColumn("__hidden", lit(0L))
@@ -926,7 +977,8 @@ private[graft] object ChainSkip {
       case _: AggregateFunc => return None
     }
 
-    val m0 = s.read.parquet(ManifestPrune.manifestOf(root, version))
+    val m0 = ManifestPrune.immutableParquet(s,
+      ManifestPrune.manifestOf(root, version))
     val m =
       if (m0.columns.contains("spec_id"))
         m0.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
@@ -1080,7 +1132,7 @@ private[graft] object ChainSkip {
     }
 
     val totalRows = rL("__rows")
-    val hidden = dv.map(d => s.read.parquet(d).count()).getOrElse(0L)
+    val hidden = dv.map(ManifestPrune.dvHiddenCount(s, _)).getOrElse(0L)
     val liveRows = (totalRows - hidden).max(0L)
     def statVal(v: Any, t: DataType): Any =
       if (v == null) null
@@ -1201,7 +1253,8 @@ private[graft] object ChainSkip {
       case _: AggregateFunc => return None
     }
 
-    val m0 = s.read.parquet(ManifestPrune.manifestOf(root, version))
+    val m0 = ManifestPrune.immutableParquet(s,
+      ManifestPrune.manifestOf(root, version))
     val gMaps = gFields.map(f =>
       if (f.dataType == StringType) "cstats_str" else "cstats_long")
     if (gMaps.exists(mp => !m0.columns.contains(mp))) return None

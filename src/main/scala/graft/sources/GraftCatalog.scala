@@ -1292,11 +1292,14 @@ private[sources] object GraftChainScan {
   def snapshotPartitions(s: SparkSession, root: String, version: Long,
                          skipBounds: Map[String, ChainSkip.Bounds] =
                            Map.empty): Array[InputPartition] = {
+    val mf = ManifestPrune.manifestOf(root, version)
     val files = ChainSkip.plannedFiles(s, root, version, skipBounds)
-      .getOrElse(ManifestPrune.collectFileList(s,
-        s.read.parquet(ManifestPrune.manifestOf(root, version))
-          .select("file"),
-        s"catalog scan of $root v$version"))
+      .getOrElse(ManifestPrune.cachedFileList(s, mf,
+        s"catalog scan of $root v$version") {
+        ManifestPrune.collectFileList(s,
+          ManifestPrune.immutableParquet(s, mf).select("file"),
+          s"catalog scan of $root v$version")
+      })
     val dv = sidecarParts(ManifestPrune.dvOf(root, version))
     val eq = sidecarParts(ManifestPrune.eqDelOf(root, version))
     files.map(f =>
@@ -1646,7 +1649,8 @@ private[sources] class GraftFilesTable(root: String, qualified: String,
   private def frame(s: SparkSession): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val cur = asOfVersion.getOrElse(ManifestPrune.currentVersion(s, root))
-    val m0 = s.read.parquet(ManifestPrune.manifestOf(root, cur))
+    val m0 = ManifestPrune.immutableParquet(s,
+      ManifestPrune.manifestOf(root, cur))
     // pre-spec-evolution manifests carry no spec_id column
     val m =
       if (m0.columns.contains("spec_id"))
@@ -1655,7 +1659,7 @@ private[sources] class GraftFilesTable(root: String, qualified: String,
       else m0.withColumn("spec_id", lit(0))
     val hidden = ManifestPrune.dvOf(root, cur) match {
       case Some(dv) =>
-        s.read.parquet(dv).groupBy(col("file"))
+        ManifestPrune.immutableParquet(s, dv).groupBy(col("file"))
           .agg(count(lit(1)).as("hidden_rows"))
       case None =>
         m.select(col("file")).limit(0)
@@ -1775,7 +1779,8 @@ private[sources] class GraftPartitionsTable(root: String,
   private def frame(s: SparkSession): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val cur = asOfVersion.getOrElse(ManifestPrune.currentVersion(s, root))
-    val m0 = s.read.parquet(ManifestPrune.manifestOf(root, cur))
+    val m0 = ManifestPrune.immutableParquet(s,
+      ManifestPrune.manifestOf(root, cur))
     val m1 =
       if (m0.columns.contains("spec_id"))
         m0.withColumn("spec_id",
@@ -1788,7 +1793,7 @@ private[sources] class GraftPartitionsTable(root: String,
         lit(null).cast(IntegerType))
     val hidden = ManifestPrune.dvOf(root, cur) match {
       case Some(dv) =>
-        s.read.parquet(dv).groupBy(col("file"))
+        ManifestPrune.immutableParquet(s, dv).groupBy(col("file"))
           .agg(count(lit(1)).as("hidden_rows"))
       case None =>
         m.select(col("file")).limit(0)

@@ -554,10 +554,10 @@ private[sources] class GraftRowMicroBatchStream(
     val maskChanged =
       ManifestPrune.dvOf(root, v) != ManifestPrune.dvOf(root, v - 1) ||
         ManifestPrune.eqDelOf(root, v) != ManifestPrune.eqDelOf(root, v - 1)
-    val prev = s.read.parquet(ManifestPrune.manifestOf(root, v - 1))
-      .select("file")
-    val cur = s.read.parquet(ManifestPrune.manifestOf(root, v))
-      .select("file")
+    val prev = ManifestPrune.immutableParquet(s,
+      ManifestPrune.manifestOf(root, v - 1)).select("file")
+    val cur = ManifestPrune.immutableParquet(s,
+      ManifestPrune.manifestOf(root, v)).select("file")
     val removedAny = prev.except(cur).limit(1).count() > 0L
     if (maskChanged || removedAny || note.startsWith("restore:")) {
       if (skipChangeCommits) Seq.empty

@@ -59,6 +59,78 @@ object ManifestPrune {
     got
   }
 
+  /** A driver-held file list served through the snapshot cache. The
+    * fail-fast bound is re-checked against the CURRENT session's cap
+    * on every hit — a cached list must obey the same driver-memory
+    * contract as a fresh collect (the cap is a session conf and can
+    * tighten between uses). */
+  private[sources] def cachedFileList(s: SparkSession, dir: String,
+                                      what: String)
+                                     (compute: => Seq[String])
+      : Seq[String] = {
+    val got = dirFact(dir, "files")(compute)
+    val cap = maxDriverFiles(s)
+    if (got.length > cap)
+      throw new IllegalStateException(
+        s"$what exceeds graft.manifest.maxDriverFiles=$cap files — " +
+          "compact the layout (ManifestPrune.compactLayout) or raise " +
+          "the bound")
+    got
+  }
+
+  // ------------------------------------------- snapshot metadata cache
+  /** Planner-side SNAPSHOT METADATA CACHE (Iceberg's manifest-cache
+    * stance): per-directory planning facts — parquet schemas, the
+    * driver-held file lists planning already materializes, manifest
+    * row sums, sidecar cardinalities — are memoized so re-reading the
+    * same immutable snapshot costs zero Spark jobs. The cache is
+    * SELF-VALIDATING, never trust-based: every hit re-lists the
+    * directory (one metadata RPC, no job) and compares the child-name
+    * set the entry was computed under. The protocol never rewrites a
+    * published file in place — every parquet (over)write mints fresh
+    * part-file names — so an unchanged listing proves unchanged bytes,
+    * and a recompacted/overwritten dir invalidates itself without any
+    * write-site coupling. Holds METADATA only (the facts an Iceberg
+    * snapshot carries in its manifest list); query RESULTS always
+    * recompute from the data files. */
+  private case class DirFacts(listing: Seq[String],
+      vals: scala.collection.concurrent.TrieMap[String, Any])
+  private val dirFacts =
+    new java.util.concurrent.ConcurrentHashMap[String, DirFacts]()
+
+  private[sources] def dirFact[T](dir: String, key: String)
+                                 (compute: => T): T = {
+    val listing = ChainStorage.forPath(dir).list(dir).sorted
+    val cur = dirFacts.get(dir)
+    val entry =
+      if (cur != null && cur.listing == listing) cur
+      else {
+        val e = DirFacts(listing,
+          scala.collection.concurrent.TrieMap.empty[String, Any])
+        dirFacts.put(dir, e)
+        e
+      }
+    entry.vals.getOrElseUpdate(key, compute).asInstanceOf[T]
+  }
+
+  /** Read a (small, protocol-owned) parquet dir with its schema served
+    * from the snapshot cache: the first read per dir pays the one
+    * footer-inference job, every later read of the unchanged dir plans
+    * with zero jobs. The DATA read itself stays in the query plan —
+    * only the planning-time inference is memoized. */
+  private[sources] def immutableParquet(s: SparkSession,
+                                        dir: String): DataFrame = {
+    val sch = dirFact(dir, "schema") { s.read.parquet(dir).schema }
+    s.read.schema(sch).parquet(dir)
+  }
+
+  /** Cardinality of a published DV sidecar — a snapshot fact (the
+    * number Iceberg keeps as a manifest's position-delete count),
+    * served from the cache after the first count job. */
+  private[sources] def dvHiddenCount(s: SparkSession,
+                                     dv: String): Long =
+    dirFact(dv, "count") { immutableParquet(s, dv).count() }
+
   private val layoutCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
@@ -78,14 +150,16 @@ object ManifestPrune {
   def planFiles(s: SparkSession, root: String, lo: Long,
                 hi: Long): Seq[String] =
     collectFileList(s,
-      s.read.parquet(s"$root/manifest")
+      immutableParquet(s, s"$root/manifest")
         .filter(col("min_key") <= hi && col("max_key") >= lo)
         .select("file"),
       s"range plan [$lo, $hi]")
 
   /** Total file count in the layout (for the pruning assertion). */
   def totalFiles(s: SparkSession, root: String): Long =
-    s.read.parquet(s"$root/manifest").count()
+    dirFact(s"$root/manifest", "count") {
+      immutableParquet(s, s"$root/manifest").count()
+    }
 
   /** The pruned range read: only planned files are opened; the exact
     * predicate is re-applied so overlap-but-no-match files cannot
@@ -96,7 +170,7 @@ object ManifestPrune {
     val files = planFiles(s, root, lo, hi)
     val base =
       if (files.isEmpty)
-        s.read.parquet(s"$root/data").limit(0)
+        immutableParquet(s, s"$root/data").limit(0)
       else s.read.parquet(files: _*)
     base.filter(col("n_chars") >= lo && col("n_chars") <= hi)
   }
@@ -142,7 +216,7 @@ object ManifestPrune {
   def planFilesTree(s: SparkSession, treeDir: String, lo: Long,
                     hi: Long): Seq[String] = {
     val shardPaths = collectFileList(s,
-      s.read.parquet(s"$treeDir/list")
+      immutableParquet(s, s"$treeDir/list")
         .filter(col("min_key") <= hi && col("max_key") >= lo)
         .select(col("shard").as("file")),
       s"manifest-list shard plan [$lo, $hi]")
@@ -160,7 +234,7 @@ object ManifestPrune {
                     lo: Long, hi: Long): DataFrame = {
     val files = planFilesTree(s, treeDir, lo, hi)
     val base =
-      if (files.isEmpty) s.read.parquet(s"$root/data").limit(0)
+      if (files.isEmpty) immutableParquet(s, s"$root/data").limit(0)
       else s.read.parquet(files: _*)
     base.filter(col("n_chars") >= lo && col("n_chars") <= hi)
   }
@@ -518,7 +592,7 @@ object ManifestPrune {
       data
         .withColumn("__file", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
-        .join(s.read.parquet(dv),
+        .join(immutableParquet(s, dv),
           col("__file") === col("file") && col("__pos") === col("pos"),
           "left_anti")
         .drop("__file", "__pos")
@@ -535,10 +609,12 @@ object ManifestPrune {
     * position_deletes`). */
   def liveRowCount(s: SparkSession, manifestDir: String,
                    dvDir: Option[String]): Long = {
-    val physical = s.read.parquet(manifestDir)
-      .agg(coalesce(sum(col("n_rows")), lit(0L)))
-      .collect().head.getLong(0)
-    val hidden = dvDir.map(dv => s.read.parquet(dv).count()).getOrElse(0L)
+    val physical = dirFact(manifestDir, "nRowsSum") {
+      immutableParquet(s, manifestDir)
+        .agg(coalesce(sum(col("n_rows")), lit(0L)))
+        .collect().head.getLong(0)
+    }
+    val hidden = dvDir.map(dvHiddenCount(s, _)).getOrElse(0L)
     physical - hidden
   }
 
@@ -652,7 +728,7 @@ object ManifestPrune {
                          eqDir: Option[String]): DataFrame = eqDir match {
     case None => data
     case Some(eq) =>
-      val keys = s.read.parquet(eq)
+      val keys = immutableParquet(s, eq)
       data.join(keys, keys.columns.toIndexedSeq, "left_anti")
   }
 
@@ -936,8 +1012,8 @@ object ManifestPrune {
     val d1 = dvOf(root, v)
     val e0 = eqDelOf(root, v - 1)
     val e1 = eqDelOf(root, v)
-    val f0 = s.read.parquet(m0).select("file")
-    val f1 = s.read.parquet(m1).select("file")
+    val f0 = immutableParquet(s, m0).select("file")
+    val f1 = immutableParquet(s, m1).select("file")
     val removed = collectFileList(s, f0.except(f1),
       s"change-feed removed files of v$v")
     val added = collectFileList(s, f1.except(f0),
@@ -986,15 +1062,15 @@ object ManifestPrune {
     }
     val dvGrow: Option[DataFrame] = (d0, d1) match {
       case (_, None) => None
-      case (None, Some(b)) => Some(s.read.parquet(b))
+      case (None, Some(b)) => Some(immutableParquet(s, b))
       case (Some(a), Some(b)) =>
-        Some(s.read.parquet(b).except(s.read.parquet(a)))
+        Some(immutableParquet(s, b).except(immutableParquet(s, a)))
     }
     val dvShrink: Option[DataFrame] = (d0, d1) match {
       case (None, _) => None
-      case (Some(a), None) => Some(s.read.parquet(a))
+      case (Some(a), None) => Some(immutableParquet(s, a))
       case (Some(a), Some(b)) =>
-        Some(s.read.parquet(a).except(s.read.parquet(b)))
+        Some(immutableParquet(s, a).except(immutableParquet(s, b)))
     }
     val dvDeletes = dvGrow.map(dvSideRows(_, "grow", e0))
       .getOrElse(schemaRow)
@@ -1010,7 +1086,7 @@ object ManifestPrune {
     // should compact first. A grow key is by definition absent from
     // e0 (and shrink from e1), so no further cross-screen is needed.
     def eqRows(dir: Option[String]): Option[DataFrame] =
-      dir.map(s.read.parquet(_))
+      dir.map(immutableParquet(s, _))
     val (eqGrowKeys, eqShrinkKeys): (Option[DataFrame], Option[DataFrame]) =
       if (e0 == e1) (None, None)
       else {
@@ -1155,20 +1231,27 @@ object ManifestPrune {
       val mf = manifestOf(root, v)
       if (!st.isPublished(mf)) { prevSig = None; prevMf = None; None }
       else {
-        val m = s.read.parquet(mf)
-        // hash-sum in decimal: a long sum of xxhash64 values overflows
-        // under ANSI arithmetic
-        val agg = m.agg(count(lit(1)),
-          coalesce(sum(col("n_rows")), lit(0L)),
-          coalesce(sum(xxhash64(col("file"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
-            lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-          .collect().head
-        val nFiles = agg.getLong(0)
-        val physical = agg.getLong(1)
-        val sig = (nFiles, agg.getDecimal(2).toPlainString)
+        // signature aggregate / DV cardinality / carried-file check
+        // are all snapshot facts of immutable dirs — served from the
+        // self-validating cache, so a warm history read is job-free
+        val (nFiles, physical, sigHash) =
+          dirFact(mf, "historySig") {
+            val m = immutableParquet(s, mf)
+            // hash-sum in decimal: a long sum of xxhash64 values
+            // overflows under ANSI arithmetic
+            val agg = m.agg(count(lit(1)),
+              coalesce(sum(col("n_rows")), lit(0L)),
+              coalesce(sum(xxhash64(col("file"))
+                .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+                lit(0L).cast(
+                  org.apache.spark.sql.types.DecimalType(38, 0))))
+              .collect().head
+            (agg.getLong(0), agg.getLong(1),
+              agg.getDecimal(2).toPlainString)
+          }
+        val sig = (nFiles, sigHash)
         val hidden = dvOf(root, v)
-          .map(dv => s.read.parquet(dv).count()).getOrElse(0L)
+          .map(dvHiddenCount(s, _)).getOrElse(0L)
         // kind from the chain shape alone: identical file set =
         // dv-delete; file set grown WITHOUT dropping a carried file =
         // the merge-on-read family (mor-merge when the sidecar also
@@ -1193,8 +1276,11 @@ object ManifestPrune {
                "eq-delete"
              else "dv-delete")
           else if (nFiles > prevSig.get._1 && prevMf.exists(p =>
-              s.read.parquet(p).select("file")
-                .except(m.select("file")).limit(1).count() == 0L))
+              dirFact(mf, s"carriedFrom:$p") {
+                immutableParquet(s, p).select("file")
+                  .except(immutableParquet(s, mf).select("file"))
+                  .limit(1).count() == 0L
+              }))
             (if (hidden > prevHidden) "mor-merge" else "append")
           else "rewrite"
         prevSig = Some(sig)
@@ -1785,9 +1871,11 @@ object ManifestPrune {
       : org.apache.spark.sql.types.StructType = {
     val mf = manifestOf(root, version)
     schemaOfManifest(mf).getOrElse {
-      val first = s.read.parquet(mf).select("file")
-        .orderBy("file").limit(1).head.getString(0)
-      s.read.parquet(first).schema
+      dirFact(mf, "versionSchema") {
+        val first = immutableParquet(s, mf).select("file")
+          .orderBy("file").limit(1).head.getString(0)
+        s.read.parquet(first).schema
+      }
     }
   }
 
@@ -2062,7 +2150,7 @@ object ManifestPrune {
                             version: Long, colName: String,
                             lo: Option[Any],
                             hi: Option[Any]): Seq[String] = {
-    val m0 = s.read.parquet(manifestOf(root, version))
+    val m0 = immutableParquet(s, manifestOf(root, version))
     val m =
       if (m0.columns.contains("spec_id"))
         m0.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
@@ -2087,7 +2175,7 @@ object ManifestPrune {
   def planRangeCommitted(s: SparkSession, root: String, version: Long,
                          colName: String, lo: Long,
                          hi: Long): Seq[String] = {
-    val m0 = s.read.parquet(manifestOf(root, version))
+    val m0 = immutableParquet(s, manifestOf(root, version))
     val m =
       if (m0.columns.contains("spec_id"))
         m0.withColumn("spec_id", coalesce(col("spec_id"), lit(0)))
@@ -3064,9 +3152,12 @@ object ManifestPrune {
   /** Read the table a manifest version describes (the post-merge
     * reader: untouched files at their old paths + rewritten files). */
   def readVersion(s: SparkSession, manifestDir: String): DataFrame = {
-    val files = collectFileList(s,
-      s.read.parquet(manifestDir).select("file"),
-      s"version read of $manifestDir")
+    val files = cachedFileList(s, manifestDir,
+      s"version read of $manifestDir") {
+      collectFileList(s,
+        immutableParquet(s, manifestDir).select("file"),
+        s"version read of $manifestDir")
+    }
     // a declared (evolved) schema pins the read: files written before
     // an ADD COLUMN null-fill the new columns; files written before a
     // RENAME hold the column under a PRIOR physical name, so the read
@@ -3091,7 +3182,14 @@ object ManifestPrune {
               else coalesce((f.name +: ps).map(col): _*).as(f.name)
             }.toIndexedSeq: _*)
         }
-      case None => s.read.parquet(files: _*)
+      case None =>
+        // the referenced data files are immutable with the manifest
+        // that names them, so their merged footer schema is a snapshot
+        // fact — infer once, plan later reads with it pinned
+        val sch = dirFact(manifestDir, "dataSchema") {
+          s.read.parquet(files: _*).schema
+        }
+        s.read.schema(sch).parquet(files: _*)
     }
   }
 

@@ -120,7 +120,8 @@ object SpjBucket {
   private def bucketedFilesUncached(s: SparkSession, root: String,
                     version: Long): Option[(Int, Seq[(String, Int)])] =
     bucketingOf(root).flatMap { case (_, n) =>
-      val m = s.read.parquet(ManifestPrune.manifestOf(root, version))
+      val m = ManifestPrune.immutableParquet(s,
+        ManifestPrune.manifestOf(root, version))
       if (!m.columns.contains("bucket")) None
       else {
         // a 0-row file (the DDL create placeholder) holds nothing and
