@@ -53,9 +53,19 @@ object Tables {
     * check, no job) — at production file counts the scan already
     * spreads and this is the identity, so no full-corpus shuffle is
     * ever added at scale. */
+  /** Hash-spread, not round-robin: keyless `repartition(n)` first
+    * LOCALLY SORTS its input (sortBeforeRepartition, the retry-
+    * determinism guard) — measured as the dominant cost of the spread
+    * leg on a 600k-row frame. Hash-partitioning on a deterministic
+    * whole-row key needs no such sort (retried tasks reproduce the
+    * same assignment by construction) and spreads equally well: the
+    * key space (xxhash64 of every column) is ~unique per row, far
+    * above the 20-100x-distinct-values-per-partition rule. */
   def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par)
+    if (df.queryExecution.toRdd.getNumPartitions < par)
+      df.repartition(par, org.apache.spark.sql.functions
+        .xxhash64(df.columns.map(df.col).toIndexedSeq: _*))
     else df
   }
 

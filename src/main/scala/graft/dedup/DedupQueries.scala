@@ -2155,7 +2155,12 @@ object DedupQueries {
     Q("q_dedup_edit",
       (s, d) => {
         val k = 8
-        val docs = Tables.load(s, d, "documents")
+        // spread before the bin explode and the banded-DP verify: the
+        // gate corpus is one single-row-group file, so without it the
+        // whole candidate join + levenshtein chain runs in ONE task
+        // (two ~0.67 s single-task stages measured); plan-time gated,
+        // identity on real multi-file scans (guide §2.5)
+        val docs = Tables.spread(Tables.load(s, d, "documents"))
           .select(col("doc_id"), col("lang"), col("text"),
             length(col("text")).as("len"))
         val bin = floor(col("len") / k)

@@ -1230,10 +1230,15 @@ object CoreQueries {
     // result invariance is the whole point of the gate here.
     Q("q_salted_join",
       (s, d) => {
-        val li = Tables.load(s, d, "lineitem")
-          .select("l_orderkey", "l_quantity")
-        val o = Tables.load(s, d, "orders")
-          .select("o_orderkey", "o_orderpriority")
+        // spread both sides: single-row-group gate files otherwise run
+        // the whole probe (scan+salt+join+partial agg over 600k rows)
+        // and the x8 salt explode of the build side each in ONE task
+        // (0.77 s + 0.29 s single-task stages measured); plan-time
+        // gated, identity on real multi-file scans (guide §2.5)
+        val li = Tables.spread(Tables.load(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity"))
+        val o = Tables.spread(Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority"))
         Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 8)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))

@@ -25,7 +25,15 @@ object Skew {
       pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    bigS.join(smallS,
+    // SHUFFLE_HASH, not broadcast: salting spreads a hot key across
+    // (key, salt) SHUFFLE partitions — the pattern's entire point.
+    // Left to the planner, the salts-times-replicated small side
+    // still estimates under the broadcast threshold and the plan
+    // degenerates to a BHJ whose HashedRelation (salts x |small|) is
+    // built single-threaded on the driver — measured ~1.2 s of
+    // jobless wall here, more than every executor stage combined.
+    // The hint keeps the build per-partition and executor-side.
+    bigS.join(smallS.hint("shuffle_hash"),
         bigS(bigKey) === smallS(smallKey) &&
         bigS("__salt") === smallS("__salt"))
       .drop("__salt")
