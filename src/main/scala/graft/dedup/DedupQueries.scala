@@ -1281,7 +1281,7 @@ object DedupQueries {
     // id) and nothing is ever all-pairs or driver-sized.
     Q("q_dedup_span_scrub",
       (s, d) => {
-        val toks = Tables.load(s, d, "documents")
+        val toks = Tables.spread(Tables.load(s, d, "documents"))
           .select(col("doc_id"),
             posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
         // gram start positions ride posexplode of the map-side shingle
@@ -1292,6 +1292,10 @@ object DedupQueries {
             posexplode(shingles(tokens(col("text")), 8)).as(Seq("pos", "g")))
           .select(col("doc_id"), col("pos"), md5(col("g")).as("gh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // pin before the df aggregate and the join's gram side launch
+        // as concurrent subtree jobs and race the cold cache (the
+        // kmv/ngram fix)
+        grams.count()
         val dupCnt = grams.groupBy("gh").agg(count(lit(1)).as("c"))
           .filter(col("c") >= 2)
         val covered = grams.join(dupCnt, "gh")

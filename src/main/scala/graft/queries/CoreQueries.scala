@@ -1396,6 +1396,12 @@ object CoreQueries {
             max(col(c)).as(s"${c}_max")))
         val stackArgs = cols.map(c =>
           s"'$c', n_rows, ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+        // no spread (r17: measured 2.03->2.23 s WORSE): the Expand x5
+        // partial agg looks like the §2.5 single-task pattern (1.11 s
+        // in one effective task), but spreading trades it for a full
+        // 600k-row shuffle PLUS an extra AQE stage round-trip, and the
+        // distinct-agg stage slows in turn — net negative, like
+        // q_agg_pricing's note above
         Tables.load(s, d, "lineitem")
           .agg(aggs.head, aggs.tail: _*)
           .selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
