@@ -69,6 +69,29 @@ object Tables {
     else df
   }
 
+  /** Lineage cut for loop/recursion intermediates. Default:
+    * `localCheckpoint` — right at gate scale (no FS round-trip), but
+    * local checkpoint blocks live ONLY in executor storage: at 100 TB
+    * an executor loss mid-loop kills the job instead of recomputing
+    * (the blocks are not lineage-recoverable). When a checkpoint dir
+    * is configured (`spark.graft.checkpoint.dir` conf or
+    * `SPARK_GRAFT_CHECKPOINT_DIR` env), every loop materialization
+    * routes through RELIABLE `checkpoint()` to that dir instead —
+    * the fault-tolerant posture a long-running cluster job needs,
+    * behind one knob, no call-site changes. */
+  def cut(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val dir = s.conf.getOption("spark.graft.checkpoint.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+    dir match {
+      case Some(p) =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(p)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
   def matDir(kind: String, spark: SparkSession, sfDir: String): String =
     s"/root/repo/target/tmp/${kind}_" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + jvmRunId + "_" +

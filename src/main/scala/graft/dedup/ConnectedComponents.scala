@@ -50,22 +50,22 @@ object ConnectedComponents {
     // would otherwise re-execute that self-join.
     val base = edges
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
-      .localCheckpoint()
+      .transform(graft.Tables.cut)
     val nodes = base.select(col("u").as("id"))
       .union(base.select(col("v").as("id")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Tables.cut)
     // canonical big→small orientation, self-loops dropped (their nodes
     // stay in `nodes` and label themselves at the end)
     var e = base.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Tables.cut)
     var eCnt = e.count()
     var changed = eCnt > 0
     while (changed) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = graft.Tables.cut(smallStar(largeStar(e)))
       val nextCnt = next.count()
       // distinct sets: equal iff same size and next \ e is empty
       changed = nextCnt != eCnt || next.except(e).limit(1).count() > 0

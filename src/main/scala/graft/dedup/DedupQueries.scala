@@ -1376,7 +1376,7 @@ object DedupQueries {
         val e = simhash64Pairs(s, d)
         val edges = e.select(col("a_id").as("u"), col("b_id").as("v"))
           .union(e.select(col("b_id").as("u"), col("a_id").as("v")))
-          .localCheckpoint()
+          .transform(Tables.cut)
         val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
         val nCnt = deg.agg(count(lit(1)).as("n"))
         // every node with its constant teleport share, (0.15*SCALE)/n
@@ -1384,7 +1384,7 @@ object DedupQueries {
           .crossJoin(broadcast(nCnt))
           .select(col("id"),
             expr(s"($Scale * 15) div (100 * n)").as("base"))
-          .localCheckpoint()
+          .transform(Tables.cut)
         var r = nodes.select(col("id"), col("base").as("rank"))
         for (_ <- 1 to iters) {
           val contribs = edges
@@ -1395,7 +1395,7 @@ object DedupQueries {
           r = nodes.join(contribs, nodes("id") === contribs("v"), "left")
             .select(col("id"),
               (col("base") + coalesce(col("s"), lit(0L))).as("rank"))
-            .localCheckpoint()
+            .transform(Tables.cut)
         }
         r.select(col("id").as("doc_id"), col("rank").as("prank"))
           .orderBy("doc_id")
@@ -1689,7 +1689,7 @@ object DedupQueries {
             struct(col("a_id").as("u"), col("b_id").as("v")),
             struct(col("b_id").as("u"), col("a_id").as("v")))).as("x"))
           .select(col("x.u").as("u"), col("x.v").as("v"))
-          .localCheckpoint()
+          .transform(Tables.cut)
           .createOrReplaceTempView("np_edges")
         s.sql("""
           WITH RECURSIVE edges AS (

@@ -33,14 +33,13 @@ object KCore {
     // load-bearing: each round is referenced three times (degree
     // count + both semi-join probes) and the checkpoint is what keeps
     // the chain linear.
-    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    var e = graft.Tables.cut(edges.select(col("u"), col("v")))
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("u")
-      e = e.join(keep, "u")
+      e = graft.Tables.cut(e.join(keep, "u")
         .join(keep.select(col("u").as("v")), "v")
-        .select("u", "v")
-        .localCheckpoint()
+        .select("u", "v"))
     }
     e
   }

@@ -4993,14 +4993,14 @@ object PointerDoubling {
   import org.apache.spark.sql.functions.col
 
   def resolve(state0: DataFrame, rounds: Int): DataFrame = {
-    var state = state0.localCheckpoint()
+    var state = graft.Tables.cut(state0)
     for (_ <- 1 to rounds) {
       val hop = state.select(col("id").as("h_id"),
         col("anc").as("h_anc"), col("steps").as("h_steps"))
       state = state.join(hop, state("anc") === hop("h_id"))
         .select(col("id"), col("h_anc").as("anc"),
           (col("steps") + col("h_steps")).as("steps"))
-        .localCheckpoint()
+        .transform(graft.Tables.cut)
     }
     state
   }

@@ -1521,18 +1521,18 @@ object TextQueries {
             struct(col("v").as("u"), col("u").as("v"), col("w"))))
             .as("e"))
           .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
-          .localCheckpoint()
+          .transform(Tables.cut)
         val deg = edges.groupBy("u").agg(sum(col("w")).as("wdeg"))
         val nCnt = deg.agg(count(lit(1)).as("n"))
         val nodes = deg.select(col("u").as("id"))
           .crossJoin(broadcast(nCnt))
           .select(col("id"),
             expr(s"($Scale * 15) div (100 * n)").as("base"))
-          .localCheckpoint()
+          .transform(Tables.cut)
         // per-edge degree attached ONCE before the loop: w and wdeg are
         // loop constants, so the old per-iteration `join(deg, "u")`
         // re-paid a join x iters for data that never changes
-        val ew = edges.join(deg, "u").localCheckpoint()
+        val ew = Tables.cut(edges.join(deg, "u"))
         var r = nodes.select(col("id"), col("base").as("rank"))
         for (_ <- 1 to iters) {
           val contribs = ew
