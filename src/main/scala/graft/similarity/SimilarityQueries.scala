@@ -719,6 +719,12 @@ object SimilarityQueries {
         val e = scaled(s, d)
         val signs = (for (j <- 0 until 64; i <- 0 until 64)
           yield (i, j, srpSign(j, i).toLong)).toDF("i", "j", "sgn")
+        // r17: spreading the exploded projection rows (the 8.2M-row
+        // sign fan-out otherwise runs in the scan's one task) was
+        // measured WORSE under the min-of-3 targeted bench (2.22 ->
+        // 3.28 s): the extra exchange + AQE stage barrier costs more
+        // than the map parallelism buys on this 128k-row frame — the
+        // r16 family-wide no-spread finding holds here too
         val vr = e.select(col("vec_id"),
           posexplode(col("sv")).as(Seq("i", "x")))
         val bitval = when(col("p") >= 0,
