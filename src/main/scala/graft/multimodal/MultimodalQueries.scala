@@ -317,7 +317,10 @@ object MultimodalQueries {
     Q("q_multimodal_resize",
       (s, d) => {
         val w = 16L
-        Tables.load(s, d, "documents")
+        // spread: the nested per-pixel transform (out_h x 8 substr
+        // calls per row) is the battery's heaviest map-only expression
+        // and ran in the scan's ONE task (guide §2.5)
+        graft.Tables.spread(Tables.load(s, d, "documents"))
           .select(col("doc_id").as("media_id"), col("text"),
             floor(octet_length(col("text")) / w).cast(LongType).as("in_h"))
           .filter(col("in_h") >= 2)

@@ -1819,6 +1819,10 @@ object TextQueries {
     // aggregates exceeds the bin table.
     Q("q_calibration",
       (s, d) => {
+        // (r17: spreading the scan before the explode + per-token md5
+        // measured 0.86 -> 0.93 s min-of-3 — the single-task stage is
+        // only 0.39 s and the extra exchange eats the parallelism
+        // gain. Left unspread.)
         val toks = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("lang"),
             explode(tokens(col("text"))).as("tok"))
@@ -2441,6 +2445,10 @@ object TextQueries {
               .cast(LongType), lit(1024L)))
           .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // (r17: a count() pin before the three consumers — the
+        // kmv/ngram race fix — measured NEUTRAL here, 1.18 vs 1.20 s
+        // min-of-3: the feature table is small enough that the
+        // broadcast-model builds serialize anyway. Left unpinned.)
         val raw = db.groupBy("b").agg(sum(col("cnt")).as("cr"))
         val tgt = db.filter(col("lang") === "en")
           .groupBy("b").agg(sum(col("cnt")).as("ct"))
