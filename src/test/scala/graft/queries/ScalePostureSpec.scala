@@ -118,6 +118,13 @@ class ScalePostureSpec extends SparkSpec {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
       "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // pinned: the session is SHARED across suites and a sibling can
+      // leave shuffle.partitions=2 behind — with only TWO post-shuffle
+      // partitions the skew median (sizes sorted, index n/2) IS the
+      // hot partition and the factor test can never fire (observed as
+      // a full-suite-only flake; the failing plan showed
+      // hashpartitioning(k, 2) against the suite default of 4)
+      "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       // 90k of 100k rows carry key 0 — the hot-vertex profile a
       // follower-graph join hits at scale
